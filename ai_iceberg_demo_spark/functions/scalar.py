@@ -1,0 +1,371 @@
+"""Scalar function surface — SURVEY.md §2.9 (F1–F26).
+
+String / date / math / array / map / JSON / conditional expressions the
+reference performs in Python or Cypher, re-expressed as built-in
+`pyspark.sql.functions` so they stay JVM-side inside whole-stage
+codegen — no Python in the hot path.
+
+Reference sites are cited per query. All queries run over the
+`documents` / `events` / `orders` / `lineitem` fixtures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ai_iceberg_demo_spark.registry import Registry
+from ai_iceberg_demo_spark.tables import load_table
+
+REGISTRY = Registry()
+
+
+# --- F1/F2: title extraction + prefix tests ------------------------------
+@REGISTRY.register(
+    name="f1_title_extract",
+    survey_ref="F1,F2,F8",
+    doc="markdown H1-style first-token extraction (ui/backend/main.py:68-89) "
+    "via regexp_extract + startswith + length.",
+    oracle="""
+        SELECT doc_id,
+               REGEXP_EXTRACT(text, '^(\\w+)', 1) AS first_word,
+               (text LIKE 'the %') AS starts_the,
+               CAST(LENGTH(text) AS BIGINT) AS len_chars
+        FROM documents
+    """,
+)
+def f1_title_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        F.regexp_extract("text", r"^(\w+)", 1).alias("first_word"),
+        F.col("text").startswith("the ").alias("starts_the"),
+        F.length("text").cast("bigint").alias("len_chars"),
+    )
+
+
+# --- F3: conditional path normalization ----------------------------------
+@REGISTRY.register(
+    name="f3_path_normalize",
+    survey_ref="F3",
+    doc="prefix '/' to path if missing (ui/backend/main.py:121-123).",
+    oracle="""
+        SELECT doc_id,
+               CASE WHEN source LIKE '/%' THEN source ELSE '/' || source END AS norm_path
+        FROM documents
+    """,
+)
+def f3_path_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        F.when(F.col("source").startswith("/"), F.col("source"))
+        .otherwise(F.concat(F.lit("/"), F.col("source")))
+        .alias("norm_path"),
+    )
+
+
+# --- F4/F7: trim + lowercase compare ------------------------------------
+@REGISTRY.register(
+    name="f4_trim_lower",
+    survey_ref="F4,F7",
+    doc="query.strip() (ui/backend/main.py:233) + case-insensitive compare "
+    "(research_manager.py:592-596).",
+    oracle="""
+        SELECT doc_id, TRIM(LOWER(lang)) AS lang_norm,
+               (LOWER(source) = 'src0') AS is_src0
+        FROM documents
+    """,
+)
+def f4_trim_lower(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        F.trim(F.lower(F.col("lang"))).alias("lang_norm"),
+        (F.lower(F.col("source")) == "src0").alias("is_src0"),
+    )
+
+
+# --- F5: substring / truncation ------------------------------------------
+@REGISTRY.register(
+    name="f5_truncate",
+    survey_ref="F5",
+    doc="markdown_report[:2000] + '...' truncation (research_manager.py:511); "
+    "100-char variant over documents.",
+    oracle="""
+        SELECT doc_id,
+               CASE WHEN LENGTH(text) > 100 THEN SUBSTR(text, 1, 100) || '...'
+                    ELSE text END AS preview
+        FROM documents
+    """,
+)
+def f5_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        F.when(
+            F.length("text") > 100, F.concat(F.substring("text", 1, 100), F.lit("..."))
+        )
+        .otherwise(F.col("text"))
+        .alias("preview"),
+    )
+
+
+# --- F6: split tokens -----------------------------------------------------
+@REGISTRY.register(
+    name="f6_split_tokens",
+    survey_ref="F6",
+    doc="split('\\n') / split(',') + per-element trim (redpanda_activity.py:17).",
+    oracle="""
+        SELECT doc_id, CAST(LEN(STRING_SPLIT(text, ' ')) AS INT) AS n_tokens,
+               STRING_SPLIT(text, ' ')[1] AS head_token
+        FROM documents
+    """,
+)
+def f6_split_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.element_at(toks, 1).alias("head_token"),
+    )
+
+
+# --- F9: key synthesis ----------------------------------------------------
+@REGISTRY.register(
+    name="f9_key_synthesis",
+    survey_ref="F9",
+    doc='f"{workflow_id}-msg-{seq}" composite keys (neo4j_memory.py:359,491).',
+    oracle="""
+        SELECT CAST(l_orderkey AS VARCHAR) || '-item-' || CAST(l_linenumber AS VARCHAR) AS item_key,
+               l_orderkey, l_linenumber
+        FROM lineitem
+    """,
+)
+def f9_key_synthesis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.select(
+        F.concat_ws("-", F.col("l_orderkey"), F.lit("item"), F.col("l_linenumber")).alias(
+            "item_key"
+        ),
+        "l_orderkey",
+        "l_linenumber",
+    )
+
+
+# --- F10: multi-row text assembly ----------------------------------------
+@REGISTRY.register(
+    name="f10_text_assembly",
+    survey_ref="F10",
+    doc="join context parts with separator + header (neo4j_rag.py:357-375).",
+    oracle="""
+        SELECT lang,
+               'Context:' || ARRAY_TO_STRING(LIST_SORT(LIST(SUBSTR(text, 1, 20))), ' --- ') AS context
+        FROM documents
+        GROUP BY lang
+    """,
+)
+def f10_text_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.groupBy("lang").agg(
+        F.concat(
+            F.lit("Context:"),
+            F.array_join(F.sort_array(F.collect_list(F.substring("text", 1, 20))), " --- "),
+        ).alias("context")
+    )
+
+
+# --- F11: template enrichment with defaults -------------------------------
+@REGISTRY.register(
+    name="f11_template_enrich",
+    survey_ref="F11,F18",
+    doc="query + per-question '- {q}: {a}' with default on missing "
+    "(research_manager.py:296-304): concat + coalesce/nullif defaults.",
+    oracle="""
+        SELECT doc_id,
+               'Q: ' || REGEXP_EXTRACT(text, '^(\\w+)', 1)
+                     || ' [' || COALESCE(NULLIF(lang, ''), 'No specific preference') || ']'
+                   AS enriched
+        FROM documents
+    """,
+)
+def f11_template_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("Q: "),
+            F.regexp_extract("text", r"^(\w+)", 1),
+            F.lit(" ["),
+            F.coalesce(F.nullif(F.col("lang"), F.lit("")), F.lit("No specific preference")),
+            F.lit("]"),
+        ).alias("enriched"),
+    )
+
+
+# --- F12/F13: timestamp formatting ---------------------------------------
+@REGISTRY.register(
+    name="f12_date_format",
+    survey_ref="F12,F13",
+    doc="ISO timestamps in envelopes (redpanda_activity.py:119) + "
+    "strftime('%Y%m%d_%H%M%S') filenames (pdf_generation_activity.py:99).",
+    oracle="""
+        SELECT o_orderkey,
+               STRFTIME(o_orderdate, '%Y-%m-%d') AS iso_day,
+               STRFTIME(o_orderdate, '%Y%m%d_%H%M%S') AS file_stamp
+        FROM orders
+    """,
+)
+def f12_date_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    return orders.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("iso_day"),
+        F.date_format("o_orderdate", "yyyyMMdd_HHmmss").alias("file_stamp"),
+    )
+
+
+# --- F14/F15: arithmetic, casts, least ------------------------------------
+@REGISTRY.register(
+    name="f14_arithmetic",
+    survey_ref="F14,F15",
+    doc="index+1, ratio scaling, float casts (interactive_research_workflow.py:163-178, "
+    "image_generation_activity.py:80-81) + min-clamp (cli:192).",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               CAST(l_linenumber + 1 AS INT) AS next_index,
+               l_extendedprice * (1 - l_discount) / 100.0 AS scaled,
+               CAST(l_quantity AS INT) AS qty_int,
+               LEAST(l_quantity * 1.5, 50.0) AS clamped
+        FROM lineitem
+    """,
+)
+def f14_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_linenumber") + 1).cast("int").alias("next_index"),
+        (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) / F.lit(100.0)).alias("scaled"),
+        F.col("l_quantity").cast("int").alias("qty_int"),
+        F.least(F.col("l_quantity") * 1.5, F.lit(50.0)).alias("clamped"),
+    )
+
+
+# --- F16: CASE label dispatch ---------------------------------------------
+@REGISTRY.register(
+    name="f16_label_dispatch",
+    survey_ref="F16",
+    doc="CASE WHEN n:Message THEN … WHEN n:Result THEN … (neo4j_memory.py:345-351); "
+    "event-category routing analog of redpanda topic dispatch.",
+    oracle="""
+        SELECT event_id, event_type,
+               CASE WHEN event_type LIKE '%error%' THEN 'errors'
+                    WHEN event_type IN ('signup') THEN 'lifecycle'
+                    WHEN event_type IN ('click', 'view') THEN 'engagement'
+                    ELSE 'commerce' END AS topic
+        FROM events
+    """,
+)
+def f16_label_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_type").contains("error"), "errors")
+        .when(F.col("event_type").isin("signup"), "lifecycle")
+        .when(F.col("event_type").isin("click", "view"), "engagement")
+        .otherwise("commerce")
+        .alias("topic"),
+    )
+
+
+# --- F17: multi-branch status derivation ----------------------------------
+@REGISTRY.register(
+    name="f17_status_derive",
+    survey_ref="F17",
+    doc="derive status from 5 state predicates (interactive_research_workflow.py:390-405).",
+    oracle="""
+        SELECT o_orderkey,
+               CASE WHEN o_orderstatus = 'F' AND o_totalprice > 150000.0 THEN 'completed_large'
+                    WHEN o_orderstatus = 'F' THEN 'completed'
+                    WHEN o_orderstatus = 'P' THEN 'in_progress'
+                    WHEN o_totalprice > 150000.0 THEN 'pending_large'
+                    ELSE 'pending' END AS derived_status
+        FROM orders
+    """,
+)
+def f17_status_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    return orders.select(
+        "o_orderkey",
+        F.when((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 150000.0), "completed_large")
+        .when(F.col("o_orderstatus") == "F", "completed")
+        .when(F.col("o_orderstatus") == "P", "in_progress")
+        .when(F.col("o_totalprice") > 150000.0, "pending_large")
+        .otherwise("pending")
+        .alias("derived_status"),
+    )
+
+
+# --- F20: JSON field extraction -------------------------------------------
+@REGISTRY.register(
+    name="f20_json_extract",
+    survey_ref="F19,F20",
+    doc="consumer json.loads / jq .event_type filters (REDPANDA.md:121-140): "
+    "get_json_object on the props envelope.",
+    oracle="""
+        SELECT event_id, JSON_EXTRACT_STRING(props, '$.k') AS k_value
+        FROM events
+    """,
+)
+def f20_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_value"),
+    )
+
+
+# --- F22: array membership / any-match ------------------------------------
+@REGISTRY.register(
+    name="f22_any_match",
+    survey_ref="F22",
+    doc="any(indicator in error for indicator in [...]) (research_manager.py:579-596).",
+    oracle="""
+        SELECT event_id, event_type,
+               (event_type LIKE '%ror%' OR event_type LIKE '%up%') AS matches_indicator
+        FROM events
+    """,
+)
+def f22_any_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    indicators = F.array(F.lit("ror"), F.lit("up"))
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.exists(indicators, lambda ind: F.instr(F.col("event_type"), ind) > 0).alias(
+            "matches_indicator"
+        ),
+    )
+
+
+# --- F24: enumerate with position (posexplode) ----------------------------
+@REGISTRY.register(
+    name="f24_posexplode",
+    survey_ref="F24,X3",
+    doc="for i, q in enumerate(questions) (research_manager.py:301) — "
+    "posexplode of split tokens; the UDTF-like fan-out shape (X3).",
+    oracle="""
+        SELECT d.doc_id, CAST(t.i - 1 AS INT) AS pos, d.toks[t.i] AS token
+        FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks
+              FROM documents WHERE doc_id < 20) d,
+             LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(d.toks))) AS i) t
+    """,
+)
+def f24_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 20)
+    return docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "token")
+    )

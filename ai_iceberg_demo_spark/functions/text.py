@@ -1,0 +1,234 @@
+"""Text analysis & chunking — SURVEY.md §2.10 (V2, V10) + training-data ops.
+
+The reference chunks reports at 1000 chars with 200 overlap
+(`neo4j_rag.py:42-43,94-118`) and tracks report length/word-count
+targets (`interactive_research_workflow.py:292`, `writer_agent.py:16-18`).
+Beyond that surface, this module adds the text operators a large-scale
+training-data pipeline needs: language-ID heuristic, quality scoring,
+token counting (whitespace + BPE-ish regex), and document
+fingerprinting — all as built-in-function column expressions (JVM-side,
+whole-stage codegen; no Python in the hot path).
+
+Scale notes: every operator is a narrow per-row transformation — no
+shuffle at all; at 100 TB these run map-only over the document scan
+and pipeline into whatever agg/dedup consumes them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ai_iceberg_demo_spark.registry import Registry
+from ai_iceberg_demo_spark.tables import load_table
+
+REGISTRY = Registry()
+
+CHUNK_SIZE = 1000  # reference CHUNK_SIZE, neo4j_rag.py:42
+CHUNK_OVERLAP = 200  # reference CHUNK_OVERLAP, neo4j_rag.py:43
+
+# Stopword list for the quality/langid heuristics (fixture corpus vocabulary).
+_STOPWORDS = ["the", "a", "of", "and", "to"]
+
+# BPE-ish tokenizer: word pieces OR single non-word non-space chars.
+# Same regex class semantics in Java (Spark) and RE2 (DuckDB).
+_BPE_REGEX = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+# ---------------------------------------------------------------------------
+# Reusable column helpers (the library surface)
+# ---------------------------------------------------------------------------
+
+
+def chunk_starts(text: Column, size: int = CHUNK_SIZE, overlap: int = CHUNK_OVERLAP) -> Column:
+    """0-based chunk start offsets: 0, size-overlap, 2*(size-overlap), …
+    while start < len(text) — the reference's loop at neo4j_rag.py:94-118."""
+    step = size - overlap
+    return F.sequence(
+        F.lit(0), F.greatest(F.length(text) - F.lit(1), F.lit(0)), F.lit(step)
+    )
+
+
+def word_count(text: Column) -> Column:
+    """Whitespace token count (writer_agent.py word targets)."""
+    return F.size(F.split(text, r"\s+"))
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish subword count via regexp (Spark 4 regexp_count, JVM-side)."""
+    return F.regexp_count(text, F.lit(_BPE_REGEX))
+
+
+def stopword_ratio(text: Column) -> Column:
+    """Fraction of whitespace tokens that are stopwords."""
+    toks = F.split(F.lower(text), " ")
+    stop = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+    return n_stop / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic quality in [0,1]: length band + stopword presence.
+
+    Mirrors the shape of C4/Gopher-style quality rules: documents that
+    are too short score low; a sane stopword ratio (natural language,
+    not keyword spam) scores high.
+    """
+    n = F.length(text)
+    length_component = F.least(n.cast("double") / F.lit(400.0), F.lit(1.0))
+    sw = stopword_ratio(text)
+    sw_component = F.when((sw >= 0.05) & (sw <= 0.6), F.lit(1.0)).otherwise(F.lit(0.5))
+    # identical IEEE op order on both engines -> bit-identical, no round
+    return 0.6 * length_component + 0.4 * sw_component
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text
+    (lowercased, whitespace collapsed). md5 is engine-portable, so the
+    oracle can reproduce it exactly; the production fast path is
+    xxhash64 (same normalization, JVM hash)."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))
+
+
+# ---------------------------------------------------------------------------
+# Oracle-checked queries
+# ---------------------------------------------------------------------------
+
+
+@REGISTRY.register(
+    name="v2_chunking",
+    survey_ref="V2",
+    doc="fixed-size chunking with overlap, 1000/200 (neo4j_rag.py:94-118) — "
+    "posexplode(sequence) + substring, pure SQL.",
+    oracle=f"""
+        SELECT d.doc_id,
+               CAST(t.start // {CHUNK_SIZE - CHUNK_OVERLAP} AS INT) AS chunk_idx,
+               SUBSTR(d.text, t.start + 1, {CHUNK_SIZE}) AS chunk,
+               CAST(LENGTH(SUBSTR(d.text, t.start + 1, {CHUNK_SIZE})) AS BIGINT) AS chunk_len
+        FROM documents d,
+             LATERAL (
+                SELECT UNNEST(GENERATE_SERIES(0, GREATEST(LENGTH(d.text) - 1, 0), {CHUNK_SIZE - CHUNK_OVERLAP})) AS start
+             ) t
+    """,
+)
+def v2_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    chunk = F.substring(F.col("text"), F.col("start") + 1, CHUNK_SIZE)
+    return (
+        docs.select("doc_id", "text", F.posexplode(chunk_starts(F.col("text"))).alias("chunk_idx", "start"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            chunk.alias("chunk"),
+            F.length(chunk).cast("bigint").alias("chunk_len"),
+        )
+    )
+
+
+@REGISTRY.register(
+    name="v10_text_stats",
+    survey_ref="V10",
+    doc="report length / char & word counts (interactive_research_workflow.py:292, "
+    "writer_agent.py:16-18) + in-band check against the n_chars golden column.",
+    oracle="""
+        SELECT doc_id,
+               CAST(LENGTH(text) AS BIGINT) AS len_chars,
+               CAST(LEN(REGEXP_SPLIT_TO_ARRAY(text, '\\s+')) AS INT) AS n_words,
+               (CAST(LENGTH(text) AS BIGINT) = n_chars) AS len_matches_golden
+        FROM documents
+    """,
+)
+def v10_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("len_chars"),
+        word_count(F.col("text")).alias("n_words"),
+        (F.length("text").cast("bigint") == F.col("n_chars")).alias("len_matches_golden"),
+    )
+
+
+@REGISTRY.register(
+    name="t1_token_counting",
+    survey_ref="V10/training-data",
+    doc="token counting: whitespace tokens + BPE-ish regex pieces.",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(LEN(REGEXP_SPLIT_TO_ARRAY(text, '\\s+')) AS INT) AS n_ws_tokens,
+               CAST(LEN(REGEXP_EXTRACT_ALL(text, '{_BPE_REGEX}')) AS BIGINT) AS n_bpe_tokens
+        FROM documents
+    """,
+)
+def t1_token_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        word_count(F.col("text")).alias("n_ws_tokens"),
+        bpe_token_count(F.col("text")).cast("bigint").alias("n_bpe_tokens"),
+    )
+
+
+@REGISTRY.register(
+    name="t2_quality_score",
+    survey_ref="training-data",
+    doc="quality scoring from length + stopword-ratio bands (C4-style).",
+    oracle="""
+        WITH scored AS (
+            SELECT doc_id,
+                   LENGTH(text) AS n,
+                   CAST(LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+                        t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+                     / GREATEST(LEN(STRING_SPLIT(LOWER(text), ' ')), 1) AS sw_ratio
+            FROM documents
+        )
+        SELECT doc_id,
+               0.6 * LEAST(n / 400.0, 1.0)
+                   + 0.4 * (CASE WHEN sw_ratio >= 0.05 AND sw_ratio <= 0.6
+                                 THEN 1.0 ELSE 0.5 END) AS quality
+        FROM scored
+    """,
+)
+def t2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+@REGISTRY.register(
+    name="t3_langid",
+    survey_ref="training-data",
+    doc="language-ID heuristic: stopword-marker scoring with declared-lang "
+    "fallback; deterministic, oracle-expressible.",
+    oracle="""
+        SELECT doc_id, lang,
+               CASE WHEN text LIKE '%the %' OR text LIKE 'the %' THEN 'en'
+                    ELSE 'und' END AS lang_guess
+        FROM documents
+    """,
+)
+def t3_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.when(
+            F.col("text").contains("the ") | F.col("text").startswith("the "), "en"
+        )
+        .otherwise("und")
+        .alias("lang_guess"),
+    )
+
+
+@REGISTRY.register(
+    name="t4_fingerprint",
+    survey_ref="training-data/V7",
+    doc="document fingerprint: md5 over normalized text (portable); "
+    "xxhash64 is the production fast path.",
+    oracle="""
+        SELECT doc_id,
+               MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g')) AS fp
+        FROM documents
+    """,
+)
+def t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))

@@ -1,0 +1,254 @@
+"""Aggregations — SURVEY.md §2.4 (A1–A6 + standard surface extras).
+
+Reference shapes: per-group MAX for sequence allocation
+(`neo4j_memory.py:327-339`), predicated counts (`neo4j_rag.py:236-241`),
+progress counters (`interactive_research_workflow.py:315-317`),
+collect-to-list fan-in (`research_manager.py:125-129,464-472`),
+MAX+1 allocation (`neo4j_memory.py:335-339`), token-usage accumulation
+(`serializable_model_activity.py:14-64`). Plus the standard agg surface
+the reference lacks but any engine user expects: rollup/cube, distinct
+aggregates, approximate sketches.
+
+Scale notes: all groupBys here are partial-aggregate (map-side combine)
+before the shuffle — Spark's HashAggregate does this automatically, so
+shuffle volume is #groups, not #rows. `collect_list` is the exception
+(no combine benefit); it's kept per-parent-key where group sizes are
+bounded (~7 lineitems/order), never per global key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ai_iceberg_demo_spark.registry import Registry
+from ai_iceberg_demo_spark.tables import load_table
+
+REGISTRY = Registry()
+
+
+# --- A1: per-group MAX ---------------------------------------------------
+@REGISTRY.register(
+    name="a1_max_per_group",
+    survey_ref="A1",
+    doc="RETURN MAX(n.sequence) per conversation (neo4j_memory.py:327-339).",
+    oracle="""
+        SELECT l_orderkey, CAST(MAX(l_linenumber) AS INT) AS max_seq
+        FROM lineitem GROUP BY l_orderkey
+    """,
+    bench=True,
+)
+def a1_max_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, "lineitem", sf_dir)
+        .groupBy("l_orderkey")
+        .agg(F.max("l_linenumber").alias("max_seq"))
+    )
+
+
+# --- A2: COUNT with predicate -------------------------------------------
+@REGISTRY.register(
+    name="a2_predicated_count",
+    survey_ref="A2",
+    doc="count nodes matching a predicate (neo4j_rag.py:236-241) — "
+    "conditional count alongside total.",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS BIGINT) AS n_discounted,
+               CAST(COUNT(*) AS BIGINT) AS n_total
+        FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a2_predicated_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, "lineitem", sf_dir)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_discounted"),
+            F.count("*").alias("n_total"),
+        )
+    )
+
+
+# --- A3: cardinality / progress counters --------------------------------
+@REGISTRY.register(
+    name="a3_progress_counters",
+    survey_ref="A3",
+    doc="answers_collected vs total_questions style counters "
+    "(interactive_research_workflow.py:315-317,496-501).",
+    oracle="""
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_kinds
+        FROM events GROUP BY user_id
+    """,
+)
+def a3_progress_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, "events", sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("event_type").alias("n_kinds"),
+        )
+    )
+
+
+# --- A4: collect-to-list fan-in -----------------------------------------
+@REGISTRY.register(
+    name="a4_collect_list_fanin",
+    survey_ref="A4",
+    doc="gather per-search summaries into all_results (research_manager.py:125-129). "
+    "Sorted before join so the hash is order-stable on both engines.",
+    oracle="""
+        SELECT l_orderkey,
+               ARRAY_TO_STRING(LIST_SORT(LIST(l_partkey)), ',') AS parts
+        FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def a4_collect_list_fanin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, "lineitem", sf_dir)
+        .groupBy("l_orderkey")
+        .agg(
+            F.array_join(
+                F.transform(F.sort_array(F.collect_list("l_partkey")), lambda x: x.cast("string")),
+                ",",
+            ).alias("parts")
+        )
+    )
+
+
+# --- A5: MAX+1 allocation with empty-group default ----------------------
+@REGISTRY.register(
+    name="a5_next_sequence",
+    survey_ref="A5",
+    doc="next_sequence = max_seq + 1 if any else 0 (neo4j_memory.py:335-339,466-470). "
+    "LEFT JOIN keeps conversations with no children -> coalesce default.",
+    oracle="""
+        SELECT o.o_orderkey,
+               CAST(COALESCE(MAX(l.l_linenumber) + 1, 0) AS INT) AS next_seq
+        FROM orders o
+        LEFT JOIN lineitem l
+          ON o.o_orderkey = l.l_orderkey AND l.l_quantity > 49.0
+        GROUP BY o.o_orderkey
+    """,
+)
+def a5_next_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_quantity") > 49.0)
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left")
+        .groupBy("o_orderkey")
+        .agg(F.coalesce(F.max("l_linenumber") + 1, F.lit(0)).alias("next_seq"))
+    )
+
+
+# --- A6: usage accumulation ---------------------------------------------
+@REGISTRY.register(
+    name="a6_usage_accumulation",
+    survey_ref="A6",
+    doc="token-usage style sums per key (serializable_model_activity.py:14-64).",
+    oracle="""
+        SELECT event_type,
+               CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value,
+               CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) / COUNT(*) AS avg_value,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type
+    """,
+    bench=True,
+)
+def a6_usage_accumulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, "events", sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("total_value"),
+            (F.sum(F.col("value").cast("decimal(14,2)")).cast("double") / F.count("*")).alias("avg_value"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+# --- standard surface: TPC-H Q1 pricing summary -------------------------
+@REGISTRY.register(
+    name="q1_pricing_summary",
+    survey_ref="A6/§7",
+    doc="TPC-H Q1-shaped pricing summary — the engine's headline wide "
+    "aggregation (8 aggregates, 2 group keys, map-side combine).",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               SUM(l_quantity) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(3,2))) AS DOUBLE) AS sum_disc_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(3,2)) * CAST(1 + l_tax AS DECIMAL(3,2))) AS DOUBLE) AS sum_charge,
+               SUM(l_quantity) / COUNT(*) AS avg_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+               CAST(SUM(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+               CAST(COUNT(*) AS BIGINT) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    bench=True,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    # Money aggregates in exact DECIMAL then cast to double: identical
+    # bits regardless of summation order, so the DuckDB oracle matches
+    # without lossy rounding (quantities are integral doubles -> exact).
+    price_dec = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc_dec = (F.lit(1) - F.col("l_discount")).cast("decimal(3,2)")
+    tax_dec = (F.lit(1) + F.col("l_tax")).cast("decimal(3,2)")
+    n = F.count("*")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.sum(price_dec).cast("double").alias("sum_base_price"),
+        F.sum(price_dec * disc_dec).cast("double").alias("sum_disc_price"),
+        F.sum(price_dec * disc_dec * tax_dec).cast("double").alias("sum_charge"),
+        (F.sum("l_quantity") / n).alias("avg_qty"),
+        (F.sum(price_dec).cast("double") / n).alias("avg_price"),
+        (F.sum(F.col("l_discount").cast("decimal(3,2)")).cast("double") / n).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+# --- standard surface: rollup -------------------------------------------
+@REGISTRY.register(
+    name="a7_rollup",
+    survey_ref="§2.4 extras",
+    doc="ROLLUP over (returnflag, linestatus) — hierarchy totals the "
+    "reference lacks but the engine exposes as standard surface.",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(l_quantity) AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def a7_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, "lineitem", sf_dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("sum_qty"))
+    )
+
+
+# --- standard surface: approx sketches (rows-only check) ----------------
+@REGISTRY.register(
+    name="a8_approx_distinct",
+    survey_ref="§2.4 extras",
+    doc="approx_count_distinct (HLL++) — sketch aggregates for 100 TB "
+    "cardinality estimation. Sketch internals differ across engines, so "
+    "this is a rows-only check (exact distinct is covered by a3).",
+    oracle=None,
+)
+def a8_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99))").alias("price_quantiles"),
+    )

@@ -1,0 +1,211 @@
+"""Joins — SURVEY.md §2.3 (J1–J7).
+
+The reference's joins are Cypher traversals: parent→children 1-hop
+(`neo4j_memory.py:327-333,703-721`), union of two relationship types
+(`:329,705`), existence semi-joins (`:605-614`), insert-guard anti
+joins (`ui/backend/main.py:296-309`), adjacent-sequence NEXT linkage
+(`neo4j_memory.py:341-356`), cosine similarity theta-join
+(`neo4j_rag.py:258-279`) and the implicit star shape of the graph
+model. Spark-first: equi-joins with broadcast for small sides, window
+`lag` instead of self-join shuffles where it wins, LSH for the
+similarity join at scale (see vector.similarity).
+
+Scale notes:
+- orders⋈lineitem is the big fact-fact join; both sides are bucketed
+  by orderkey in the Iceberg layout so it's a co-located sort-merge
+  join with no shuffle. Locally Catalyst picks SMJ + AQE.
+- dimension joins (nation/region/supplier/part/customer at TPC-H
+  scale ratios) are broadcast — `F.broadcast` hints make that
+  explicit rather than relying on the size estimator.
+- the adjacent-sequence join is expressed with `lag()` over
+  (orderkey, linenumber) — one shuffle on orderkey, no second join
+  pass over the fact table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ai_iceberg_demo_spark.registry import Registry
+from ai_iceberg_demo_spark.tables import load_table
+
+REGISTRY = Registry()
+
+
+# --- J1: equi inner join (1-hop traversal) + per-parent agg -------------
+@REGISTRY.register(
+    name="j1_parent_children_join",
+    survey_ref="J1",
+    doc="(c:Conversation)-[:HAS_MESSAGE]->(n): parent joined to children "
+    "(neo4j_memory.py:327-333). orders=conversations, lineitem=children.",
+    oracle="""
+        SELECT o.o_orderkey, o.o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_orderkey, o.o_orderstatus
+    """,
+    bench=True,
+)
+def j1_parent_children_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "inner")
+        .groupBy("o_orderkey", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double").alias("total_price"),
+        )
+    )
+
+
+# --- J2: multi-edge union join ------------------------------------------
+@REGISTRY.register(
+    name="j2_union_edge_join",
+    survey_ref="J2",
+    doc="Traversal over HAS_MESSAGE|HAS_RESULT unions two child types before the "
+    "join (neo4j_memory.py:329,705). Children split by returnflag play the two labels.",
+    oracle="""
+        WITH children AS (
+            SELECT l_orderkey AS okey, 'result' AS kind FROM lineitem WHERE l_returnflag = 'R'
+            UNION ALL
+            SELECT l_orderkey AS okey, 'message' AS kind FROM lineitem WHERE l_returnflag <> 'R'
+        )
+        SELECT o.o_orderkey, c.kind, CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders o JOIN children c ON o.o_orderkey = c.okey
+        GROUP BY o.o_orderkey, c.kind
+    """,
+)
+def j2_union_edge_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    results = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("okey"), F.lit("result").alias("kind")
+    )
+    messages = li.filter(F.col("l_returnflag") != "R").select(
+        F.col("l_orderkey").alias("okey"), F.lit("message").alias("kind")
+    )
+    children = results.unionByName(messages)
+    return (
+        orders.join(children, orders.o_orderkey == children.okey, "inner")
+        .groupBy("o_orderkey", "kind")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# --- J3: left semi join (existence) -------------------------------------
+@REGISTRY.register(
+    name="j3_semi_join_exists",
+    survey_ref="J3",
+    doc="'is this Result already linked?' existence check (neo4j_memory.py:605-614).",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 49.0)
+    """,
+)
+def j3_semi_join_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_quantity") > 49.0)
+    return orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi").select(
+        "o_orderkey", "o_orderstatus"
+    )
+
+
+# --- J4: left anti join (insert guard / dedup) --------------------------
+@REGISTRY.register(
+    name="j4_anti_join_guard",
+    survey_ref="J4",
+    doc="'has this question already been saved?' insert-only-if-absent "
+    "(ui/backend/main.py:296-309).",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00')
+    """,
+)
+def j4_anti_join_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp")
+    )
+    return orders.join(li, orders.o_orderkey == li.l_orderkey, "left_anti").select(
+        "o_orderkey", "o_orderstatus"
+    )
+
+
+# --- J5: self-join on adjacent sequence (NEXT linkage) ------------------
+@REGISTRY.register(
+    name="j5_adjacent_sequence",
+    survey_ref="J5",
+    doc="NEXT edge: node at sequence joined to node at sequence-1 "
+    "(neo4j_memory.py:341-356). Expressed as an explicit self-join; the "
+    "window-lag formulation is w3_lag_predecessor.",
+    oracle="""
+        SELECT a.l_orderkey, a.l_linenumber, a.l_partkey,
+               b.l_partkey AS prev_partkey
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_linenumber = b.l_linenumber + 1
+    """,
+)
+def j5_adjacent_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    a = li.alias("a")
+    b = li.select("l_orderkey", "l_linenumber", F.col("l_partkey").alias("prev_partkey")).alias("b")
+    return a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_linenumber") == F.col("b.l_linenumber") + 1),
+        "inner",
+    ).select(
+        F.col("a.l_orderkey").alias("l_orderkey"),
+        F.col("a.l_linenumber").alias("l_linenumber"),
+        F.col("a.l_partkey").alias("l_partkey"),
+        F.col("b.prev_partkey").alias("prev_partkey"),
+    )
+
+
+# --- J7: multi-way star join --------------------------------------------
+@REGISTRY.register(
+    name="j7_star_join",
+    survey_ref="J7",
+    doc="Star join over the graph model's Conversation->Message->... chains "
+    "(neo4j_memory.py:703-751) as a TPC-H-Q5-shaped revenue-by-nation query. "
+    "Dimensions broadcast; fact-fact join co-located by orderkey.",
+    oracle="""
+        SELECT n.n_name AS nation,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l.l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE o.o_orderstatus <> 'F'
+        GROUP BY n.n_name
+    """,
+    bench=True,
+)
+def j7_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).filter(F.col("o_orderstatus") != "F")
+    customer = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(3,2)")
+            ).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )

@@ -1,0 +1,239 @@
+"""Mutations / upserts — SURVEY.md §2.8 (M1–M4).
+
+Reference shapes: Cypher ``MERGE … ON CREATE SET … ON MATCH SET``
+(`neo4j_memory.py:168-198`), point updates (`:213-233`,
+`neo4j_rag.py:193-207`), append inserts (`neo4j_memory.py:358-431`),
+idempotent check-then-insert linking (`:574-688`).
+
+Production path: these are Iceberg ``MERGE INTO`` / ``UPDATE`` /
+``writeTo(...).append()`` statements — row-level operations the
+Iceberg Spark runtime executes with copy-on-write/merge-on-read file
+rewrites and snapshot isolation. The Iceberg jar is not present in
+this container (`session.iceberg_available`), so this module provides
+the same semantics as pure DataFrame transformations (full-outer-join
+merge, CASE-projection update, anti-join + union insert-if-absent)
+that (a) are the *exact* relational definition of those statements and
+(b) serve as the engine's emulation when no table format with
+row-level ops is attached. The registered queries verify the
+semantics against DuckDB SQL.
+
+Scale notes: merge shuffles both sides by the merge key — the same
+hash partitioning Iceberg's copy-on-write MERGE uses to co-locate
+matches; with the target bucketed by key the shuffle drops out.
+Anti-join insert guards broadcast the (small) candidate side.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ai_iceberg_demo_spark.registry import Registry
+from ai_iceberg_demo_spark.tables import load_table
+
+REGISTRY = Registry()
+
+
+# ---------------------------------------------------------------------------
+# Reusable mutation primitives (the engine API)
+# ---------------------------------------------------------------------------
+
+
+def merge_into(
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+    update_cols: Sequence[str],
+) -> DataFrame:
+    """MERGE INTO target USING source ON keys
+    WHEN MATCHED THEN UPDATE SET update_cols = source values
+    WHEN NOT MATCHED THEN INSERT *.
+
+    Pure-DataFrame definition of Iceberg MERGE (M1,
+    ref neo4j_memory.py:168-198). Source must carry all target columns.
+    """
+    t = target.alias("t")
+    s = source.alias("s")
+    cond = None
+    for k in keys:
+        c = F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
+        cond = c if cond is None else (cond & c)
+    joined = t.join(s, cond, "full_outer")
+    out_cols: list[Column] = []
+    for c in target.columns:
+        if c in keys:
+            out_cols.append(F.coalesce(F.col(f"t.{c}"), F.col(f"s.{c}")).alias(c))
+        elif c in update_cols:
+            # matched -> source value; source-only -> source; target-only -> target
+            out_cols.append(F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}")).alias(c))
+        else:
+            out_cols.append(F.coalesce(F.col(f"t.{c}"), F.col(f"s.{c}")).alias(c))
+    return joined.select(*out_cols)
+
+
+def update_where(target: DataFrame, cond: Column, assignments: dict[str, Column]) -> DataFrame:
+    """UPDATE target SET assignments WHERE cond (M2, neo4j_memory.py:213-233)."""
+    out = target
+    for col_name, value in assignments.items():
+        out = out.withColumn(col_name, F.when(cond, value).otherwise(F.col(col_name)))
+    return out
+
+
+def append_rows(target: DataFrame, rows: DataFrame) -> DataFrame:
+    """Append insert (M3, neo4j_memory.py:358-431): writeTo(t).append() semantics."""
+    return target.unionByName(rows, allowMissingColumns=True)
+
+
+def insert_if_absent(target: DataFrame, candidates: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Idempotent check-then-insert (M4, neo4j_memory.py:574-688):
+    left-anti guard + union — MERGE … WHEN NOT MATCHED THEN INSERT."""
+    fresh = candidates.join(target.select(*keys).distinct(), list(keys), "left_anti")
+    return target.unionByName(fresh, allowMissingColumns=True)
+
+
+# ---------------------------------------------------------------------------
+# Oracle-checked queries exercising the primitives on fixtures
+# ---------------------------------------------------------------------------
+
+
+def _merge_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic merge source derived from orders: keys <= 100 become
+    updates (status 'U', +1000 price); keys <= 20 shifted by 10_000_000
+    become inserts."""
+    orders = load_table(spark, "orders", sf_dir)
+    updates = orders.filter(F.col("o_orderkey") <= 100).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 1000.0).alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    inserts = orders.filter(F.col("o_orderkey") <= 20).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    return updates.unionByName(inserts)
+
+
+@REGISTRY.register(
+    name="m1_merge_upsert",
+    survey_ref="M1",
+    doc="MERGE (c {workflow_id}) ON CREATE SET … ON MATCH SET status "
+    "(neo4j_memory.py:168-198) as a full-outer-join upsert; state after merge.",
+    oracle="""
+        WITH src AS (
+            SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice + 1000.0 AS o_totalprice
+            FROM orders WHERE o_orderkey <= 100
+            UNION ALL
+            SELECT o_orderkey + 10000000 AS o_orderkey, 'N' AS o_orderstatus, o_totalprice
+            FROM orders WHERE o_orderkey <= 20
+        )
+        SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+               COALESCE(s.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
+               COALESCE(s.o_totalprice, t.o_totalprice) AS o_totalprice
+        FROM orders t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey
+    """,
+)
+def m1_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    target = load_table(spark, "orders", sf_dir)
+    source = _merge_source(spark, sf_dir)
+    merged = merge_into(
+        target, source, keys=["o_orderkey"], update_cols=["o_orderstatus", "o_totalprice"]
+    )
+    return merged.select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+@REGISTRY.register(
+    name="m2_point_update",
+    survey_ref="M2",
+    doc="MATCH … SET c.status = $status (neo4j_memory.py:213-233) as a "
+    "CASE-projection; state after update.",
+    oracle="""
+        SELECT o_orderkey,
+               CASE WHEN o_totalprice > 200000.0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+               o_totalprice
+        FROM orders
+    """,
+)
+def m2_point_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    updated = update_where(
+        orders,
+        F.col("o_totalprice") > 200000.0,
+        {"o_orderstatus": F.lit("X")},
+    )
+    return updated.select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+@REGISTRY.register(
+    name="m3_append_insert",
+    survey_ref="M3",
+    doc="CREATE (m:Message {...}) append (neo4j_memory.py:358-431); "
+    "post-append state summarized per status.",
+    oracle="""
+        WITH appended AS (
+            SELECT o_orderkey, o_orderstatus FROM orders
+            UNION ALL
+            SELECT o_orderkey + 20000000 AS o_orderkey, 'A' AS o_orderstatus
+            FROM orders WHERE o_orderkey <= 50
+        )
+        SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        FROM appended GROUP BY o_orderstatus
+    """,
+)
+def m3_append_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_orderstatus")
+    new_rows = (
+        load_table(spark, "orders", sf_dir)
+        .filter(F.col("o_orderkey") <= 50)
+        .select(
+            (F.col("o_orderkey") + 20_000_000).alias("o_orderkey"),
+            F.lit("A").alias("o_orderstatus"),
+        )
+    )
+    appended = append_rows(orders, new_rows)
+    return appended.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), F.sum("o_orderkey").alias("key_sum")
+    )
+
+
+@REGISTRY.register(
+    name="m4_insert_if_absent",
+    survey_ref="M4",
+    doc="idempotent link: semi-check then insert only if absent "
+    "(neo4j_memory.py:574-688, ui/backend/main.py:296-318). Candidate links "
+    "half-overlap the existing link table; re-inserting is a no-op.",
+    oracle="""
+        WITH links AS (
+            SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+        ), candidates AS (
+            SELECT l_orderkey, l_suppkey FROM links WHERE l_orderkey <= 200
+            UNION ALL
+            SELECT l_orderkey, l_suppkey + 1000 AS l_suppkey FROM links WHERE l_orderkey <= 200
+        ), dedup_candidates AS (
+            SELECT DISTINCT c.l_orderkey, c.l_suppkey FROM candidates c
+            WHERE NOT EXISTS (SELECT 1 FROM links t
+                              WHERE t.l_orderkey = c.l_orderkey AND t.l_suppkey = c.l_suppkey)
+        )
+        SELECT l_orderkey, l_suppkey FROM links
+        UNION ALL
+        SELECT l_orderkey, l_suppkey FROM dedup_candidates
+    """,
+)
+def m4_insert_if_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    links = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_suppkey").distinct()
+    base = links.filter(F.col("l_orderkey") <= 200)
+    candidates = (
+        base.unionByName(
+            base.select("l_orderkey", (F.col("l_suppkey") + 1000).alias("l_suppkey"))
+        )
+    ).distinct()
+    return insert_if_absent(links, candidates, keys=["l_orderkey", "l_suppkey"])

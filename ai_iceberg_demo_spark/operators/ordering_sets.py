@@ -1,0 +1,235 @@
+"""Sorts, limits, pagination, top-k, set operations — SURVEY.md §2.6–2.7.
+
+Reference shapes: newest-first conversation listing
+(`neo4j_memory.py:281-285`), in-order replay (`:703-721`), SKIP/LIMIT
+pagination (`:284-289`), top-k by score (`neo4j_rag.py:261-265`),
+heterogeneous Message∪Result timeline (`neo4j_memory.py:703-752`),
+list concat (`research_manager.py:125-129`).
+
+Scale notes: global ORDER BY + LIMIT compiles to Catalyst's
+TakeOrderedAndProject — per-partition top-k then a driver merge of k
+rows, not a full sort. Pagination of deep offsets is the known
+anti-pattern at scale; the engine keys pagination on a total order so
+it can be rewritten as a keyset predicate (`WHERE key > last_seen`)
+— both forms are provided.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ai_iceberg_demo_spark.registry import Registry
+from ai_iceberg_demo_spark.tables import load_table
+
+REGISTRY = Registry()
+
+
+# --- O1: sort descending by timestamp (newest first) --------------------
+@REGISTRY.register(
+    name="o1_newest_first",
+    survey_ref="O1",
+    doc="ORDER BY created_at DESC listing (neo4j_memory.py:281-285); orderkey "
+    "tiebreak for total determinism.",
+    oracle="""
+        SELECT o_orderkey, o_orderdate, o_orderstatus FROM orders
+        ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 20
+    """,
+)
+def o1_newest_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, "orders", sf_dir)
+        .orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+        .select("o_orderkey", "o_orderdate", "o_orderstatus")
+        .limit(20)
+    )
+
+
+# --- O2: in-order replay ------------------------------------------------
+@REGISTRY.register(
+    name="o2_ordered_replay",
+    survey_ref="O2",
+    doc="replay conversation by sequence (neo4j_memory.py:703-721) for one key; "
+    "point-lookup + sort, no shuffle of the fact table.",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+        FROM lineitem WHERE l_orderkey = 100
+        ORDER BY l_linenumber
+    """,
+)
+def o2_ordered_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, "lineitem", sf_dir)
+        .filter(F.col("l_orderkey") == 100)
+        .orderBy("l_linenumber")
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+    )
+
+
+# --- O3: pagination (SKIP/LIMIT) ----------------------------------------
+@REGISTRY.register(
+    name="o3_pagination",
+    survey_ref="O3",
+    doc="SKIP $offset LIMIT $limit with defaults 50/0 (neo4j_memory.py:284-289). "
+    "Total order on the key makes the page deterministic.",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        ORDER BY o_orderkey LIMIT 50 OFFSET 50
+    """,
+)
+def o3_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, "orders", sf_dir)
+        .orderBy("o_orderkey")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .offset(50)
+        .limit(50)
+    )
+
+
+# --- O3b: keyset pagination (the 100 TB form) ---------------------------
+@REGISTRY.register(
+    name="o3_keyset_pagination",
+    survey_ref="O3",
+    doc="same page as o3_pagination expressed as a keyset predicate "
+    "(WHERE key > last_seen) — O(page) instead of O(offset) at scale, "
+    "and the predicate pushes down to the scan.",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        WHERE o_orderkey > 50
+        ORDER BY o_orderkey LIMIT 50
+    """,
+)
+def o3_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, "orders", sf_dir)
+        .filter(F.col("o_orderkey") > 50)
+        .orderBy("o_orderkey")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .limit(50)
+    )
+
+
+# --- O4: global top-k ----------------------------------------------------
+@REGISTRY.register(
+    name="o4_topk_by_score",
+    survey_ref="O4",
+    doc="vector-search style ORDER BY score DESC LIMIT k (neo4j_rag.py:261-265) "
+    "on price — compiles to TakeOrderedAndProject (no full sort).",
+    oracle="""
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 5
+    """,
+)
+def o4_topk_by_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, "orders", sf_dir)
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(5)
+    )
+
+
+# --- O5: limited replay --------------------------------------------------
+@REGISTRY.register(
+    name="o5_limited_replay",
+    survey_ref="O5",
+    doc="get_messages(limit=n) ordered + limited (neo4j_memory.py:702-712).",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
+        ORDER BY l_shipdate, l_orderkey, l_linenumber LIMIT 100
+    """,
+)
+def o5_limited_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, "lineitem", sf_dir)
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .select("l_orderkey", "l_linenumber", "l_shipdate")
+        .limit(100)
+    )
+
+
+# --- U1: heterogeneous union timeline -----------------------------------
+@REGISTRY.register(
+    name="u1_union_timeline",
+    survey_ref="U1",
+    doc="interleave Message and Result nodes into one tagged timeline "
+    "(neo4j_memory.py:703-752): unionByName with missing columns + type tag.",
+    oracle="""
+        SELECT user_id, event_id, kind, payload FROM (
+            SELECT user_id, event_id, 'error' AS kind, CAST(value AS DOUBLE) AS payload
+            FROM events WHERE event_type = 'error'
+            UNION ALL
+            SELECT user_id, event_id, 'activity' AS kind, CAST(NULL AS DOUBLE) AS payload
+            FROM events WHERE event_type <> 'error'
+        )
+    """,
+)
+def u1_union_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "event_id", F.lit("error").alias("kind"), F.col("value").alias("payload")
+    )
+    activity = ev.filter(F.col("event_type") != "error").select(
+        "user_id", "event_id", F.lit("activity").alias("kind")
+    )
+    # allowMissingColumns fills the absent payload with NULL — the
+    # engine's analog of the reference's optional node properties.
+    return activity.unionByName(errors, allowMissingColumns=True).select(
+        "user_id", "event_id", "kind", "payload"
+    )
+
+
+# --- U2: concat datasets -------------------------------------------------
+@REGISTRY.register(
+    name="u2_concat_datasets",
+    survey_ref="U2",
+    doc="all_results = [kg_context] + search_results (research_manager.py:125-129).",
+    oracle="""
+        SELECT r_name AS name, 'region' AS src FROM region
+        UNION ALL
+        SELECT n_name AS name, 'nation' AS src FROM nation
+    """,
+)
+def u2_concat_datasets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, "region", sf_dir).select(
+        F.col("r_name").alias("name"), F.lit("region").alias("src")
+    )
+    nation = load_table(spark, "nation", sf_dir).select(
+        F.col("n_name").alias("name"), F.lit("nation").alias("src")
+    )
+    return region.union(nation)
+
+
+# --- U3: intersect (engine extra) ---------------------------------------
+@REGISTRY.register(
+    name="u3_intersect",
+    survey_ref="§2.7 extras",
+    doc="INTERSECT — nations having both customers and suppliers.",
+    oracle="""
+        SELECT DISTINCT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def u3_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir).select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, "supplier", sf_dir).select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+# --- U4: except (engine extra) ------------------------------------------
+@REGISTRY.register(
+    name="u4_except",
+    survey_ref="§2.7 extras",
+    doc="EXCEPT — nations with customers but no suppliers.",
+    oracle="""
+        SELECT DISTINCT c_nationkey AS nationkey FROM customer
+        EXCEPT
+        SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def u4_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir).select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, "supplier", sf_dir).select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)  # EXCEPT DISTINCT semantics, matching the SQL oracle

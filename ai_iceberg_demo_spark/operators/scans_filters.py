@@ -1,0 +1,215 @@
+"""Scans, projections, filters, predicates — SURVEY.md §2.1–2.2.
+
+The reference's scan surface is Cypher label scans and keyed lookups
+(`neo4j_memory.py:245-289`), predicate filters on similarity scores and
+null embeddings (`neo4j_rag.py:236-264`), category/equality filters
+(`ui/backend/main.py:296-302`) and substring-membership topic routing
+(`redpanda_activity.py:58-68`). Each maps to a declarative DataFrame
+filter/projection so Catalyst pushes predicates and column pruning
+into the parquet scan (check: `.explain` shows PushedFilters/ReadSchema).
+
+Scale notes: point lookups (S2) on Iceberg tables prune files via
+min/max stats + partition pruning, so `o_orderkey = k` touches one
+file, not 100 TB. Projections (P1) prune the parquet ReadSchema to the
+selected columns only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ai_iceberg_demo_spark.registry import Registry
+from ai_iceberg_demo_spark.tables import load_table
+
+REGISTRY = Registry()
+
+
+# --- S1: full table scan -------------------------------------------------
+@REGISTRY.register(
+    name="s1_full_scan",
+    survey_ref="S1",
+    doc="Full label scan: MATCH (c:Conversation) RETURN c (neo4j_memory.py:279-289).",
+    oracle="SELECT r_regionkey, r_name FROM region",
+)
+def s1_full_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, "region", sf_dir).select("r_regionkey", "r_name")
+
+
+# --- S2: point lookup by key --------------------------------------------
+@REGISTRY.register(
+    name="s2_point_lookup",
+    survey_ref="S2",
+    doc="Keyed lookup: MATCH (c {workflow_id:$id}) (neo4j_memory.py:245-253). "
+    "Pushed filter -> parquet row-group / Iceberg file skipping.",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey = 500
+    """,
+)
+def s2_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, "orders", sf_dir)
+        .filter(F.col("o_orderkey") == F.lit(500))
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    )
+
+
+# --- S3: filtered-count scan --------------------------------------------
+@REGISTRY.register(
+    name="s3_filtered_count",
+    survey_ref="S3",
+    doc="COUNT of nodes with non-null embedding (neo4j_rag.py:236-241).",
+    oracle="SELECT CAST(COUNT(*) AS BIGINT) AS n_embedded FROM embeddings WHERE embedding IS NOT NULL",
+)
+def s3_filtered_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, "embeddings", sf_dir)
+        .filter(F.col("embedding").isNotNull())
+        .agg(F.count("*").alias("n_embedded"))
+    )
+
+
+# --- P1: column projection / rename -------------------------------------
+@REGISTRY.register(
+    name="p1_projection_rename",
+    survey_ref="P1",
+    doc="node -> dict with selected/renamed fields (to_dict, neo4j_memory.py:47-55). "
+    "Column pruning reaches the scan: ReadSchema lists only these columns.",
+    oracle="""
+        SELECT c_custkey AS customer_id, c_name AS name, c_mktsegment AS segment
+        FROM customer
+    """,
+)
+def p1_projection_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("customer_id"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+
+
+# --- P2: threshold predicate --------------------------------------------
+@REGISTRY.register(
+    name="p2_threshold_filter",
+    survey_ref="P2",
+    doc="WHERE score >= min_score (neo4j_rag.py:262-264).",
+    oracle="""
+        SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice >= 150000.0
+    """,
+)
+def p2_threshold_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, "orders", sf_dir)
+        .filter(F.col("o_totalprice") >= 150000.0)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+# --- P3: null / not-null predicate --------------------------------------
+@REGISTRY.register(
+    name="p3_notnull_filter",
+    survey_ref="P3",
+    doc="embedding IS NOT NULL (neo4j_rag.py:236-237) as a row filter.",
+    oracle="""
+        SELECT vec_id, label FROM embeddings WHERE embedding IS NOT NULL
+    """,
+)
+def p3_notnull_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, "embeddings", sf_dir)
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", "label")
+    )
+
+
+# --- P4: compound boolean predicate -------------------------------------
+@REGISTRY.register(
+    name="p4_compound_predicate",
+    survey_ref="P4",
+    doc="(a AND b) OR (c AND d) — label/key dispatch predicate (neo4j_memory.py:367-369).",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus, l_quantity, l_discount
+        FROM lineitem
+        WHERE (l_returnflag = 'R' AND l_quantity > 45.0)
+           OR (l_linestatus = 'F' AND l_discount < 0.02)
+    """,
+)
+def p4_compound_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    cond = ((F.col("l_returnflag") == "R") & (F.col("l_quantity") > 45.0)) | (
+        (F.col("l_linestatus") == "F") & (F.col("l_discount") < 0.02)
+    )
+    return li.filter(cond).select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus", "l_quantity", "l_discount"
+    )
+
+
+# --- P5: equality filter on category ------------------------------------
+@REGISTRY.register(
+    name="p5_category_equality",
+    survey_ref="P5",
+    doc="message_category == x AND content == y (ui/backend/main.py:296-302).",
+    oracle="""
+        SELECT event_id, user_id, event_type, value
+        FROM events WHERE event_type = 'click' AND user_id = 7
+    """,
+)
+def p5_category_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return ev.filter((F.col("event_type") == "click") & (F.col("user_id") == 7)).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
+# --- P6: substring-membership predicate ---------------------------------
+@REGISTRY.register(
+    name="p6_substring_routing",
+    survey_ref="P6",
+    doc='Topic routing: "clarification" in event_type (redpanda_activity.py:58-68).',
+    oracle="""
+        SELECT event_id, event_type FROM events
+        WHERE event_type LIKE '%ur%' OR event_type LIKE '%ick%'
+    """,
+)
+def p6_substring_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return ev.filter(F.col("event_type").contains("ur") | F.col("event_type").contains("ick")).select(
+        "event_id", "event_type"
+    )
+
+
+# --- P7: status-set predicate (negated isin) ----------------------------
+@REGISTRY.register(
+    name="p7_status_not_in",
+    survey_ref="P7",
+    doc="workflow status not in {completed, failed} (cli/run_interactive_research_workflow.py:43-49).",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus FROM orders
+        WHERE o_orderstatus NOT IN ('F')
+    """,
+)
+def p7_status_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, "orders", sf_dir)
+        .filter(~F.col("o_orderstatus").isin("F"))
+        .select("o_orderkey", "o_orderstatus")
+    )
+
+
+# --- P8: drop-null row filter -------------------------------------------
+@REGISTRY.register(
+    name="p8_drop_null_rows",
+    survey_ref="P8",
+    doc="discard failed searches: if result is not None (research_manager.py:468-471).",
+    oracle="""
+        SELECT doc_id, lang, source FROM documents
+        WHERE text IS NOT NULL AND lang IS NOT NULL
+    """,
+)
+def p8_drop_null_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, "documents", sf_dir)
+        .na.drop(subset=["text", "lang"])
+        .select("doc_id", "lang", "source")
+    )

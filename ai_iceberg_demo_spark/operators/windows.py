@@ -1,0 +1,155 @@
+"""Window functions — SURVEY.md §2.5 (W1–W4 + frame extras).
+
+Reference shapes: last-node-per-conversation top-1
+(`neo4j_memory.py:629-639`), per-conversation sequential numbering
+(`neo4j_memory.py:327-339`), predecessor linkage for NEXT edges
+(`neo4j_memory.py:341-356`), ranked similarity (`neo4j_rag.py:264-265`).
+
+Scale notes: every window here partitions by a high-cardinality key
+(orderkey ~1.5M/sf → no skew) so a single hash shuffle distributes
+state; per-partition sort is bounded by group size (~7 rows). The
+reference's read-MAX-then-write sequence allocation is racy under
+concurrency (`neo4j_memory.py:327-339`); `row_number()` at write time
+is the deterministic replacement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ai_iceberg_demo_spark.registry import Registry
+from ai_iceberg_demo_spark.tables import load_table
+
+REGISTRY = Registry()
+
+
+# --- W1: last-row-per-group (top-1) -------------------------------------
+@REGISTRY.register(
+    name="w1_last_per_group",
+    survey_ref="W1",
+    doc="last node in conversation: ORDER BY sequence DESC LIMIT 1 per group "
+    "(neo4j_memory.py:629-639).",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_partkey FROM (
+            SELECT l_orderkey, l_linenumber, l_partkey,
+                   ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                      ORDER BY l_linenumber DESC, l_partkey DESC) AS rn
+            FROM lineitem
+        ) WHERE rn = 1
+    """,
+    bench=True,
+)
+def w1_last_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    # l_linenumber ties exist in the fixtures -> partkey tiebreak
+    w = Window.partitionBy("l_orderkey").orderBy(F.desc("l_linenumber"), F.desc("l_partkey"))
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_orderkey", "l_linenumber", "l_partkey")
+    )
+
+
+# --- W2: sequential numbering -------------------------------------------
+@REGISTRY.register(
+    name="w2_sequence_numbering",
+    survey_ref="W2",
+    doc="monotonic per-conversation sequence — row_number() replaces the "
+    "reference's racy MAX+1 (neo4j_memory.py:327-339).",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               CAST(ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS BIGINT) AS seq
+        FROM lineitem
+    """,
+)
+def w2_sequence_numbering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.row_number().over(w).cast("bigint").alias("seq"),
+    )
+
+
+# --- W3: predecessor linkage (lag) --------------------------------------
+@REGISTRY.register(
+    name="w3_lag_predecessor",
+    survey_ref="W3",
+    doc="find node at sequence-1 to create NEXT edge (neo4j_memory.py:341-356) — "
+    "lag() formulation: one shuffle, no self-join (cf. j5_adjacent_sequence).",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_partkey,
+               LAG(l_partkey) OVER (PARTITION BY l_orderkey
+                                    ORDER BY l_linenumber, l_partkey) AS prev_partkey
+        FROM lineitem
+    """,
+)
+def w3_lag_predecessor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        F.lag("l_partkey").over(w).alias("prev_partkey"),
+    )
+
+
+# --- W4: ranked top-k per group -----------------------------------------
+@REGISTRY.register(
+    name="w4_ranked_topk",
+    survey_ref="W4",
+    doc="ORDER BY score DESC take k (neo4j_rag.py:264-265) as top-3 per group "
+    "with a total tiebreak for determinism.",
+    oracle="""
+        SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, CAST(rn AS BIGINT) AS rn
+        FROM (
+            SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY l_returnflag
+                       ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+            FROM lineitem
+        ) WHERE rn <= 3
+    """,
+)
+def w4_ranked_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 3)
+        .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice", "rn")
+    )
+
+
+# --- frame spec: moving aggregate (engine extra) ------------------------
+@REGISTRY.register(
+    name="w5_moving_window_frame",
+    survey_ref="§2.5 extras",
+    doc="rowsBetween frame (moving sum over last 3 orders per customer) — "
+    "analytic frames the reference lacks; standard engine surface.",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_total
+        FROM orders
+    """,
+)
+def w5_moving_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).over(w).cast("double").alias("moving_total"),
+    )

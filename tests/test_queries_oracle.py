@@ -1,0 +1,38 @@
+"""Every registered query hash-matches its DuckDB oracle at sf0.001.
+
+This is the same comparison the driver's correctness gate runs at
+sf0.01 (row count + column names + order-insensitive value hash),
+kept at the small sf so the suite stays fast.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from ai_iceberg_demo_spark.registry import all_registries
+from tests.conftest import SF_DIR
+from tools.oracle_check import TABLES, value_hash
+
+SPECS = all_registries().specs
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    yield con
+
+
+@pytest.mark.parametrize("name", sorted(SPECS))
+def test_query_matches_oracle(spark, duck, name):
+    spec = SPECS[name]
+    sdf = spec.fn(spark, SF_DIR).toPandas()
+    if spec.oracle is None:
+        assert len(sdf) >= 0  # rows-only contract: runs and has a schema
+        return
+    odf = duck.execute(spec.oracle).df()
+    assert len(sdf) == len(odf), f"row count {len(sdf)} != {len(odf)}"
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    assert value_hash(sdf) == value_hash(odf), "order-insensitive value hash differs"
