@@ -18,10 +18,19 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
-# Make the package importable regardless of the driver's cwd.
+# Make the package importable regardless of the driver's cwd — for this
+# process and (via PYTHONPATH) for any executor Python workers the JVM
+# spawns after this import. UDF closures are additionally written
+# self-contained (serialized by value) so they survive even workers
+# spawned from a pre-existing JVM that never saw this env var.
+import os  # noqa: E402
+
 _REPO_ROOT = str(Path(__file__).resolve().parent)
 if _REPO_ROOT not in sys.path:
     sys.path.insert(0, _REPO_ROOT)
+_pp = os.environ.get("PYTHONPATH", "")
+if _REPO_ROOT not in _pp.split(os.pathsep):
+    os.environ["PYTHONPATH"] = _REPO_ROOT + (os.pathsep + _pp if _pp else "")
 
 from ai_iceberg_demo_spark.registry import all_registries  # noqa: E402
 

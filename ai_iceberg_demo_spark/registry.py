@@ -93,6 +93,7 @@ def all_registries() -> Registry:
     )
     from ai_iceberg_demo_spark.pipeline import research
     from ai_iceberg_demo_spark.streaming import events as streaming_events
+    from ai_iceberg_demo_spark.streaming import stateful as streaming_stateful
     from ai_iceberg_demo_spark.vector import dedup, similarity
 
     merged = Registry()
@@ -109,6 +110,7 @@ def all_registries() -> Registry:
         similarity,
         dedup,
         streaming_events,
+        streaming_stateful,
         research,
     ):
         merged.merge(mod.REGISTRY)

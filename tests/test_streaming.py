@@ -54,3 +54,42 @@ def test_stream_filter_routing_runs_incrementally(spark):
     out = spark.sql("SELECT * FROM routed_out").toPandas()
     assert len(out) > 0
     assert set(out["topic"]) == {"app.engagement"}
+
+
+def test_stateful_sessions_match_batch_twin(spark):
+    """T5/T6: applyInPandasWithState collect-until-signal over the
+    streamed fixture emits exactly the batch twin's summary rows."""
+    from ai_iceberg_demo_spark.streaming.events import read_events_stream
+    from ai_iceberg_demo_spark.streaming.stateful import (
+        events_until_first_signal,
+        stateful_sessions,
+    )
+
+    stream = read_events_stream(spark, SF_DIR)
+    out = stateful_sessions(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("sessions_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = spark.sql(
+        "SELECT user_id, n_events, round(total_value, 2) AS total_value, end_ts "
+        "FROM sessions_out"
+    ).toPandas()
+    batch = (
+        events_until_first_signal(load_table(spark, "events", SF_DIR))
+        .select("user_id", "n_events", F.round("total_value", 2).alias("total_value"), "end_ts")
+        .toPandas()
+    )
+    s = streamed.sort_values("user_id").reset_index(drop=True)
+    b = batch.sort_values("user_id").reset_index(drop=True)
+    assert len(s) == len(b) > 0
+    assert (s["user_id"].to_numpy() == b["user_id"].to_numpy()).all()
+    assert (s["n_events"].to_numpy() == b["n_events"].to_numpy()).all()
+    assert (s["total_value"].to_numpy() == b["total_value"].to_numpy()).all()
+    assert (s["end_ts"].to_numpy() == b["end_ts"].to_numpy()).all()
