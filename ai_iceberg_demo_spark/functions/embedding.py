@@ -1,0 +1,198 @@
+"""Text embedding — SURVEY.md §2.10 V1/V6.
+
+The reference embeds text with OpenAI ``text-embedding-3-small``
+(1536-d, `neo4j_rag.py:67-92`) and stores the vector on the Result
+node (`neo4j_rag.py:163-214`). Non-determinism quarantine (SURVEY §7):
+the provider call lives behind a seam; the default provider is a
+DETERMINISTIC hash embedding (signed feature hashing — the classic
+hashing trick) so the whole surface stays oracle-checkable.
+
+Two implementations of the same algorithm:
+
+- ``hash_embed_df`` — pure JVM column expressions (md5 → bucket/sign →
+  group-sum → dense assemble → l2-normalize). No Python in the hot
+  path; whole-stage codegen end to end; DuckDB-oracle-checked
+  (v1_hash_embedding).
+- ``embed_texts`` — the production seam: an Arrow-batched
+  ``pandas_udf`` that calls a provider callable per batch. Default
+  provider replicates the hash embedding in numpy; swap in a real
+  model/API client in production. Unit tests assert the two paths
+  agree bit-for-bit after rounding (tests/test_embedding.py).
+
+Scale notes: both paths are map-only per document except the
+group-sum, which aggregates (doc_id, bucket) partials map-side —
+shuffle volume is O(docs × distinct buckets ≤ dim), independent of
+text length. The pandas seam batches by Arrow record batch, so
+provider calls amortize per ~10k rows, the same shape a real
+embedding-API client needs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import SparkSession
+from pyspark.sql.types import ArrayType, DoubleType
+
+from ai_iceberg_demo_spark.registry import Registry
+from ai_iceberg_demo_spark.tables import load_table
+
+REGISTRY = Registry()
+
+DEFAULT_DIM = 64  # test dim; production uses the provider's (1536 for the reference)
+
+_TOKEN_RE = "[a-z0-9]+"
+
+
+# ---------------------------------------------------------------------------
+# JVM-side hash embedding (exact, oracle-checked)
+# ---------------------------------------------------------------------------
+
+
+def _bucket(tok: Column, dim: int) -> Column:
+    """Feature-hash bucket: first 8 md5 hex digits as an int, mod dim.
+    ``conv(hex,16,10)`` (Spark) == ``('0x'||hex)::BIGINT`` (DuckDB)."""
+    return (F.conv(F.substring(F.md5(F.encode(tok, "UTF-8")), 1, 8), 16, 10).cast("long") % dim).cast("int")
+
+
+def _sign(tok: Column) -> Column:
+    """Sign bit from the 9th md5 hex digit: '0'-'7' → +1, else -1."""
+    return F.when(F.substring(F.md5(F.encode(tok, "UTF-8")), 9, 1) <= "7", 1.0).otherwise(-1.0)
+
+
+def hash_embed_df(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", dim: int = DEFAULT_DIM
+) -> DataFrame:
+    """Signed-feature-hash embedding, entirely in JVM expressions.
+
+    tokens → (bucket, ±1) → per-doc signed counts → dense dim-vector →
+    l2-normalize, components rounded to 6 decimals.
+    """
+    toks = docs.select(
+        id_col,
+        F.explode(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(_TOKEN_RE), 0)).alias("tok"),
+    )
+    counts = (
+        toks.select(id_col, _bucket(F.col("tok"), dim).alias("bucket"), _sign(F.col("tok")).alias("sign"))
+        .groupBy(id_col, "bucket")
+        .agg(F.sum("sign").alias("c"))
+    )
+    m = F.map_from_entries(F.collect_list(F.struct("bucket", "c")))
+    dense = counts.groupBy(id_col).agg(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: F.coalesce(F.element_at(m, i.cast("int")), F.lit(0.0)),
+        ).alias("raw")
+    )
+    norm = F.greatest(
+        F.sqrt(F.aggregate(F.col("raw"), F.lit(0.0), lambda a, x: a + x * x)), F.lit(1e-12)
+    )
+    return dense.select(
+        id_col,
+        F.transform(F.col("raw"), lambda x: F.round(x / norm, 6)).alias("embedding"),
+    )
+
+
+def hash_embed_oracle_sql(dim: int = DEFAULT_DIM, table: str = "documents") -> str:
+    """The DuckDB twin of hash_embed_df (same md5 bucketing/signs)."""
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, UNNEST(REGEXP_EXTRACT_ALL(LOWER(text), '{_TOKEN_RE}')) AS tok
+            FROM {table}
+        ), b AS (
+            SELECT doc_id,
+                   CAST(('0x' || SUBSTR(MD5(tok),1,8))::BIGINT % {dim} AS INT) AS bucket,
+                   CASE WHEN SUBSTR(MD5(tok),9,1) <= '7' THEN 1.0 ELSE -1.0 END AS sign
+            FROM toks
+        ), counts AS (
+            SELECT doc_id, bucket, SUM(sign) AS c FROM b GROUP BY doc_id, bucket
+        ), dense AS (
+            SELECT c.doc_id, LIST(COALESCE(c2.c, 0.0) ORDER BY g.i) AS raw
+            FROM (SELECT DISTINCT doc_id FROM counts) c
+            CROSS JOIN (SELECT UNNEST(RANGE(0, {dim})) AS i) g
+            LEFT JOIN counts c2 ON c2.doc_id = c.doc_id AND c2.bucket = g.i
+            GROUP BY c.doc_id
+        )
+        SELECT doc_id,
+               LIST_TRANSFORM(raw, x -> ROUND(
+                   x / GREATEST(SQRT(LIST_DOT_PRODUCT(raw, raw)), 1e-12), 6)) AS embedding
+        FROM dense
+    """
+
+
+# ---------------------------------------------------------------------------
+# Provider seam (pandas_udf; production path)
+# ---------------------------------------------------------------------------
+
+
+def default_hash_provider(dim: int = DEFAULT_DIM) -> Callable[[pd.Series], np.ndarray]:
+    """Deterministic numpy replica of hash_embed_df — the test/fallback
+    provider. A production provider has the same signature: a batch of
+    texts in, a (n, dim) float array out."""
+    import hashlib
+    import re
+
+    token_re = re.compile(_TOKEN_RE)
+
+    def provider(texts: pd.Series) -> np.ndarray:
+        out = np.zeros((len(texts), dim), dtype=np.float64)
+        for row, text in enumerate(texts):
+            for tok in token_re.findall(text.lower()):
+                h = hashlib.md5(tok.encode("utf-8")).hexdigest()
+                bucket = int(h[:8], 16) % dim
+                sign = 1.0 if h[8] <= "7" else -1.0
+                out[row, bucket] += sign
+        norms = np.maximum(np.sqrt((out * out).sum(axis=1, keepdims=True)), 1e-12)
+        return np.round(out / norms, 6)
+
+    return provider
+
+
+def embed_texts(
+    docs: DataFrame,
+    text_col: str = "text",
+    dim: int = DEFAULT_DIM,
+    provider: Callable[[pd.Series], np.ndarray] | None = None,
+) -> DataFrame:
+    """V1 as the production seam: append an ``embedding`` column via an
+    Arrow-batched pandas_udf calling ``provider`` once per batch.
+
+    The closure is self-contained (no module-global references), so it
+    deserializes on any executor worker regardless of driver cwd.
+    """
+    if provider is None:
+        provider = default_hash_provider(dim)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def embed(texts: pd.Series) -> pd.Series:
+        mat = provider(texts)
+        return pd.Series(list(mat))
+
+    return docs.withColumn("embedding", embed(F.col(text_col)))
+
+
+def index_documents(docs: DataFrame, dim: int = DEFAULT_DIM) -> DataFrame:
+    """V6 result indexing (neo4j_rag.py:163-214): embed full text and
+    return (doc_id, embedding) ready to MERGE onto the corpus table —
+    persistence runs through operators.mutations."""
+    return hash_embed_df(docs, dim=dim)
+
+
+@REGISTRY.register(
+    name="v1_hash_embedding",
+    survey_ref="V1,V6",
+    doc="deterministic signed-feature-hash embedding (the engine's "
+    "quarantined stand-in for text-embedding-3-small, neo4j_rag.py:67-92), "
+    "computed in pure JVM expressions and hash-checked against the "
+    "DuckDB twin; the pandas provider seam (embed_texts) is asserted "
+    "equal in tests/test_embedding.py.",
+    oracle=hash_embed_oracle_sql(),
+)
+def v1_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hash_embed_df(load_table(spark, "documents", sf_dir))

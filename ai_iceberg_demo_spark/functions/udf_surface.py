@@ -1,0 +1,177 @@
+"""UDF / retry surface — SURVEY.md §2.12 X1-X5.
+
+The reference exposes side-effecting functions to agents as tools
+(`imagegen_agent.py:65-69`), runs LLM calls with structured-output
+schemas (`research_manager.py:426-433`), retries activities with
+exponential backoff (`run_worker.py:50-60`), and aborts retries on
+non-retryable error indicators (`image_generation_activity.py:131-153`,
+`research_manager.py:578-606`).
+
+Engine mapping:
+- X1/X2: ``register_struct_udf`` — a vectorized (Arrow) UDF with a
+  declared StructType return schema, registered into the SQL catalog so
+  ``spark.sql`` queries call it like a built-in. The struct schema is
+  the engine's analog of the Pydantic structured-output model.
+- X4: ``with_retries`` — backoff ×2.0, 1 s initial, 5 s cap (the
+  reference's retry policy), as a provider-call wrapper for UDF seams.
+- X5: ``classify_error`` — indicator-list error taxonomy as a column
+  expression (retryable vs not), plus the same list consumed by
+  ``with_retries`` to abort early.
+
+Scale notes: the registered UDF is pandas-vectorized (Arrow batches,
+not row pickling); retry wrappers live INSIDE the UDF body so a
+transient provider failure retries one batch, not a Spark stage.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ai_iceberg_demo_spark.registry import Registry
+from ai_iceberg_demo_spark.tables import load_table
+
+REGISTRY = Registry()
+
+#: reference retry policy, run_worker.py:54-59
+BACKOFF_INITIAL = 1.0
+BACKOFF_COEFF = 2.0
+BACKOFF_MAX = 5.0
+
+#: reference non-retryable indicators, image_generation_activity.py:131-146
+NON_RETRYABLE_INDICATORS = [
+    "content_policy_violation",
+    "invalid_request",
+    "billing",
+    "quota",
+]
+
+
+class NonRetryableError(RuntimeError):
+    """X5: an error whose message matched a non-retryable indicator."""
+
+
+def classify_error(err: Column, indicators: Sequence[str] = tuple(NON_RETRYABLE_INDICATORS)) -> Column:
+    """Column form of the indicator-list taxonomy: True = retryable."""
+    ind = F.array(*[F.lit(i) for i in indicators])
+    return ~F.exists(ind, lambda i: F.instr(F.lower(err), i) > 0)
+
+
+def with_retries(
+    fn: Callable,
+    *,
+    max_attempts: int = 4,
+    initial: float = BACKOFF_INITIAL,
+    coeff: float = BACKOFF_COEFF,
+    cap: float = BACKOFF_MAX,
+    indicators: Sequence[str] = tuple(NON_RETRYABLE_INDICATORS),
+    sleep: Callable[[float], None] = time.sleep,
+) -> Callable:
+    """X4 retry wrapper for provider calls inside UDF bodies: exponential
+    backoff ×coeff capped at ``cap`` (run_worker.py:54-59; the client's
+    ``min(delay*1.5, 5.0)`` variant is the same shape, cli:192), aborting
+    immediately when the error message matches a non-retryable indicator
+    (X5) — the reference's ApplicationError(non_retryable=True)."""
+
+    def wrapped(*args, **kwargs):
+        delay = initial
+        for attempt in range(1, max_attempts + 1):
+            try:
+                return fn(*args, **kwargs)
+            except NonRetryableError:
+                raise
+            except Exception as exc:
+                msg = str(exc).lower()
+                if any(i in msg for i in indicators):
+                    raise NonRetryableError(str(exc)) from exc
+                if attempt == max_attempts:
+                    raise
+                sleep(delay)
+                delay = min(delay * coeff, cap)
+
+    return wrapped
+
+
+def register_struct_udf(spark: SparkSession, name: str = "parse_report") -> None:
+    """X1/X2: a struct-returning vectorized UDF in the SQL catalog.
+
+    ``parse_report(text)`` → struct(title, n_words, n_chars): the
+    structured-output shape of the reference's ReportData model
+    (writer_agent.py:30-39) derived deterministically from the text.
+    Closure is self-contained (worker-cwd independent).
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints: the closure imports pandas locally, so hint
+    # resolution can't see `pd`; SCALAR eval type is the default
+    def parse_report(texts):
+        import re
+
+        title_re = re.compile(r"(?m)^# ([^#].*)$")
+
+        def title_of(t: str) -> str:
+            m = title_re.search(t)
+            return m.group(1) if m else ""
+
+        return pd.DataFrame(
+            {
+                "title": texts.map(title_of),
+                "n_words": texts.map(lambda t: len(t.split())).astype("int32"),
+                "n_chars": texts.map(len).astype("int32"),
+            }
+        )
+
+    spark.udf.register(name, pandas_udf(parse_report, "title string, n_words int, n_chars int"))
+
+
+@REGISTRY.register(
+    name="x1_registered_struct_udf",
+    survey_ref="X1,X2",
+    doc="struct-returning vectorized UDF registered in the SQL catalog "
+    "and invoked from spark.sql — the activity-as-tool + structured-"
+    "output-schema surface (imagegen_agent.py:65-69, writer_agent.py:"
+    "30-39). The oracle recomputes the struct fields in SQL, so the "
+    "Arrow UDF path itself is hash-checked.",
+    oracle="""
+        SELECT doc_id,
+               COALESCE(REGEXP_EXTRACT(text, '(?m)^# ([^#].*)$', 1), '') AS title,
+               CAST(LENGTH(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')) AS INT) AS n_words,
+               CAST(LENGTH(text) AS INT) AS n_chars
+        FROM documents
+    """,
+)
+def x1_registered_struct_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_struct_udf(spark)
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView("x1_documents")
+    return spark.sql(
+        "SELECT doc_id, r.title, r.n_words, r.n_chars "
+        "FROM (SELECT doc_id, parse_report(text) AS r FROM x1_documents)"
+    )
+
+
+@REGISTRY.register(
+    name="x5_error_classification",
+    survey_ref="X5,E6",
+    doc="indicator-list error taxonomy as a column op: retryable unless "
+    "the message contains a non-retryable indicator "
+    "(image_generation_activity.py:131-153).",
+    oracle="""
+        SELECT event_id,
+               event_type || ': ' || props AS err,
+               NOT (CONTAINS(LOWER(event_type || ': ' || props), 'error')
+                    OR CONTAINS(LOWER(event_type || ': ' || props), 'quota')) AS retryable
+        FROM events
+    """,
+)
+def x5_error_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    err = F.concat(F.col("event_type"), F.lit(": "), F.col("props"))
+    return ev.select(
+        "event_id",
+        err.alias("err"),
+        classify_error(err, ["error", "quota"]).alias("retryable"),
+    )

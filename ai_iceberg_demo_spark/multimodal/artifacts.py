@@ -1,0 +1,359 @@
+"""Multimodal / artifact columns — SURVEY.md §2.10 V8/V9 + F25-F27.
+
+The reference generates images (base64-decode → Pillow resize to width
+600 keeping aspect ratio → re-encode, `image_generation_activity.py:
+49-125`), renders markdown→HTML→PDF (`pdf_generation_activity.py:
+37-253`), and writes both as timestamped files. Engine re-expression:
+
+- artifacts are rows of an **artifact table** — ``binary`` payload +
+  typed metadata columns (mime, width, height, md5) — not loose files;
+- decode / resize / frame-sample run as **Arrow-batched seams**
+  (``mapInPandas``) so the per-row work is vectorized and the Spark
+  plumbing (schema, batching, partition-preserving map) is real;
+- the *actual* pixel decode needs Pillow, which is not in this
+  container: ``decode_image_real`` is the clearly-marked stub. The
+  deterministic fake decode (metadata-derived dimensions) keeps every
+  downstream operator testable and ORACLE-CHECKED — including the
+  resize arithmetic, which is the reference's exact h/w-ratio formula.
+
+Scale notes: every operator here is map-only (no shuffle). Binary
+payloads stay columnar in parquet/Arrow end to end; at 100 TB the
+artifact table is date-partitioned and the mapInPandas batches bound
+executor memory by Arrow batch size (spark.sql.execution.arrow.
+maxRecordsPerBatch), not by file size. UDF closures are self-contained
+(serialized by value — no PYTHONPATH requirement on workers).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ai_iceberg_demo_spark.registry import Registry
+from ai_iceberg_demo_spark.tables import load_table
+
+REGISTRY = Registry()
+
+#: reference target width for PDF embedding (image_generation_activity.py:21,60)
+TARGET_WIDTH = 600
+
+_MIMES = ["image/png", "image/jpeg", "image/webp"]  # image_generation_activity.py:11-12
+
+
+# ---------------------------------------------------------------------------
+# Artifact table construction (deterministic, from the documents fixture)
+# ---------------------------------------------------------------------------
+
+
+def artifact_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary artifact table derived deterministically from `documents`:
+    payload = utf-8 bytes of the text (the opaque-binary stand-in),
+    mime from a doc_id cycle, fake intrinsic dimensions from doc_id.
+
+    Mirrors the reference's artifact shape: path (timestamp-named file,
+    F13), mime (Literal enum, §1.2), binary payload, width/height
+    metadata.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    mime = F.element_at(
+        F.array(*[F.lit(m) for m in _MIMES]), (F.col("doc_id") % 3 + 1).cast("int")
+    )
+    return docs.select(
+        "doc_id",
+        F.format_string("artifact_%06d.bin", F.col("doc_id")).alias("path"),
+        mime.alias("mime"),
+        F.encode("text", "UTF-8").alias("payload"),
+        # fake intrinsic dims — deterministic doc_id hash, spanning both
+        # sides of TARGET_WIDTH so resize exercises both branches
+        ((F.col("doc_id") * 37) % 800 + 200).cast("int").alias("width"),
+        ((F.col("doc_id") * 53) % 600 + 150).cast("int").alias("height"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# V8: decode / resize seams (mapInPandas; Arrow-batched)
+# ---------------------------------------------------------------------------
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("mime", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("new_width", IntegerType()),
+        StructField("new_height", IntegerType()),
+        StructField("n_bytes", LongType()),
+        StructField("content_md5", StringType()),
+    ]
+)
+
+
+def resize_images(artifacts: DataFrame, target_width: int = TARGET_WIDTH) -> DataFrame:
+    """V8 resize: width>target → scale to target keeping aspect ratio
+    (``ratio = h/w; new_h = int(target*ratio)`` — the reference formula
+    at image_generation_activity.py:76-96), else keep dims.
+
+    Runs as mapInPandas over Arrow batches; the pixel work is the fake
+    decode (metadata dims), the batching/schema/partitioning are the
+    real production plumbing. Closure is self-contained.
+    """
+
+    def resize(batches):
+        import hashlib
+
+        for pdf in batches:
+            w = pdf["width"].astype("int64")
+            h = pdf["height"].astype("int64")
+            scale = w > target_width
+            ratio = h / w  # aspect ratio, reference :80-81
+            new_w = w.where(~scale, target_width).astype("int32")
+            new_h = h.where(~scale, (target_width * ratio).astype("int64")).astype("int32")
+            out = pdf[["doc_id", "mime", "width", "height"]].copy()
+            out["new_width"] = new_w
+            out["new_height"] = new_h
+            out["n_bytes"] = pdf["payload"].map(len).astype("int64")
+            out["content_md5"] = pdf["payload"].map(lambda b: hashlib.md5(b).hexdigest())
+            yield out
+
+    return artifacts.mapInPandas(resize, RESIZE_SCHEMA)
+
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mode", StringType()),
+        StructField("pixels", BinaryType()),
+    ]
+)
+
+
+def decode_image_real(artifacts: DataFrame) -> DataFrame:
+    """The REAL pixel decode — requires Pillow, which this container
+    does not ship. STUB: the Spark plumbing (schema, Arrow batching) is
+    final; only the per-batch body raises until Pillow is present.
+    """
+
+    def decode(batches):
+        try:
+            from PIL import Image  # noqa: F401
+        except ImportError as exc:  # pragma: no cover - exercised in tests
+            raise NotImplementedError(
+                "decode_image_real needs Pillow (PIL) for pixel decode; "
+                "not available in this container. Use artifact_table's "
+                "metadata dims + resize_images for the deterministic path."
+            ) from exc
+        import io
+
+        import numpy as np
+
+        for pdf in batches:  # pragma: no cover - requires Pillow
+            rows = []
+            for _, r in pdf.iterrows():
+                img = Image.open(io.BytesIO(r["payload"]))
+                rows.append(
+                    (r["doc_id"], img.width, img.height, img.mode,
+                     np.asarray(img).tobytes())
+                )
+            import pandas as pd
+
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "mode", "pixels"]
+            )
+
+    return artifacts.mapInPandas(decode, DECODED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# V9: markdown → HTML (deterministic subset; pandas seam)
+# ---------------------------------------------------------------------------
+
+MD_HTML_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("html", StringType())]
+)
+
+
+def markdown_to_html(docs: DataFrame) -> DataFrame:
+    """V9 document rendering (pdf_generation_activity.py:62-65): a
+    deterministic markdown subset — ATX headers, **bold**, `code`,
+    paragraph wrap — as an Arrow-batched seam. The reference's WeasyPrint
+    PDF step is a further binary-encode over this HTML (S7 artifact
+    write); PDF bytes themselves need system libs not in this container.
+    """
+
+    def render(batches):
+        import re
+
+        def one(text: str) -> str:
+            lines = []
+            for ln in text.split("\n"):
+                ln = re.sub(r"\*\*(.+?)\*\*", r"<strong>\1</strong>", ln)
+                ln = re.sub(r"`([^`]+)`", r"<code>\1</code>", ln)
+                m = re.match(r"^(#{1,3}) (.*)$", ln)
+                if m:
+                    d = len(m.group(1))
+                    lines.append(f"<h{d}>{m.group(2)}</h{d}>")
+                elif ln.strip():
+                    lines.append(f"<p>{ln}</p>")
+            return "\n".join(lines)
+
+        for pdf in batches:
+            out = pdf[["doc_id"]].copy()
+            out["html"] = pdf["text"].map(one)
+            yield out
+
+    return docs.mapInPandas(render, MD_HTML_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Registered queries
+# ---------------------------------------------------------------------------
+
+
+@REGISTRY.register(
+    name="v8_artifact_metadata",
+    survey_ref="V8,S7,F13",
+    doc="binary artifact table: payload bytes + typed metadata (mime, "
+    "path, dims, md5) — the engine's form of the reference's image/PDF "
+    "file writes (image_generation_activity.py:102-117).",
+    oracle="""
+        SELECT doc_id,
+               PRINTF('artifact_%06d.bin', doc_id) AS path,
+               ['image/png','image/jpeg','image/webp'][CAST(doc_id % 3 AS INT) + 1] AS mime,
+               CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
+               MD5(text) AS content_md5,
+               CAST((doc_id * 37) % 800 + 200 AS INT) AS width,
+               CAST((doc_id * 53) % 600 + 150 AS INT) AS height
+        FROM documents
+    """,
+)
+def v8_artifact_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = artifact_table(spark, sf_dir)
+    return a.select(
+        "doc_id",
+        "path",
+        "mime",
+        F.octet_length("payload").cast("bigint").alias("n_bytes"),
+        F.md5("payload").alias("content_md5"),
+        "width",
+        "height",
+    )
+
+
+@REGISTRY.register(
+    name="v8b_image_resize",
+    survey_ref="V8",
+    doc="aspect-ratio resize to width 600 (image_generation_activity.py:"
+    "76-96) through the real mapInPandas seam; the oracle recomputes the "
+    "dim arithmetic + md5 in SQL, so the Arrow batch path itself is "
+    "hash-checked.",
+    oracle=f"""
+        SELECT doc_id,
+               ['image/png','image/jpeg','image/webp'][CAST(doc_id % 3 AS INT) + 1] AS mime,
+               CAST((doc_id * 37) % 800 + 200 AS INT) AS width,
+               CAST((doc_id * 53) % 600 + 150 AS INT) AS height,
+               CAST(LEAST((doc_id * 37) % 800 + 200, {TARGET_WIDTH}) AS INT) AS new_width,
+               CAST(CASE WHEN (doc_id * 37) % 800 + 200 > {TARGET_WIDTH}
+                    THEN FLOOR({TARGET_WIDTH} * (CAST((doc_id * 53) % 600 + 150 AS DOUBLE)
+                         / CAST((doc_id * 37) % 800 + 200 AS DOUBLE)))
+                    ELSE (doc_id * 53) % 600 + 150 END AS INT) AS new_height,
+               CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
+               MD5(text) AS content_md5
+        FROM documents
+    """,
+)
+def v8b_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return resize_images(artifact_table(spark, sf_dir))
+
+
+@REGISTRY.register(
+    name="v8c_frame_sample",
+    survey_ref="V8/training-data",
+    doc="frame sampling for video-like payloads: fixed 64-char frames, "
+    "keep every 3rd — posexplode over a JVM-side sequence, no Python.",
+    oracle="""
+        SELECT d.doc_id, f.frame_no, SUBSTR(d.text, f.frame_no * 64 + 1, 64) AS frame
+        FROM documents d,
+             LATERAL (SELECT UNNEST(RANGE(0, CAST(CEIL(OCTET_LENGTH(ENCODE(d.text)) / 64.0) AS BIGINT), 3))
+                      AS frame_no) f
+    """,
+)
+def v8c_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    n_frames = F.ceil(F.octet_length("text") / F.lit(64.0)).cast("bigint")
+    starts = F.sequence(F.lit(0).cast("bigint"), n_frames - 1, F.lit(3).cast("bigint"))
+    return (
+        docs.select("doc_id", "text", F.explode(starts).alias("frame_no"))
+        .select(
+            "doc_id",
+            "frame_no",
+            F.substring(F.col("text"), F.col("frame_no").cast("int") * 64 + 1, 64).alias("frame"),
+        )
+    )
+
+
+@REGISTRY.register(
+    name="f25_base64_roundtrip",
+    survey_ref="F25",
+    doc="base64 encode/decode of binary payloads "
+    "(image_generation_activity.py:70-73).",
+    oracle="""
+        SELECT doc_id,
+               TO_BASE64(ENCODE(SUBSTR(text, 1, 48))) AS b64,
+               SUBSTR(text, 1, 48) AS roundtrip
+        FROM documents
+    """,
+)
+def f25_base64_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    head = F.encode(F.substring("text", 1, 48), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.base64(head).alias("b64"),
+        F.decode(F.unbase64(F.base64(head)), "UTF-8").alias("roundtrip"),
+    )
+
+
+@REGISTRY.register(
+    name="f26_html_escape",
+    survey_ref="F26",
+    doc="HTML entity escaping (ui/index.html:340 escapeHtml) as a "
+    "JVM-side replace chain.",
+    oracle="""
+        SELECT doc_id,
+               REPLACE(REPLACE(REPLACE(
+                   '<b>' || SUBSTR(text, 1, 40) || '</b> & "quotes"',
+               '&', '&amp;'), '<', '&lt;'), '>', '&gt;') AS escaped
+        FROM documents
+    """,
+)
+def f26_html_escape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    raw = F.concat(F.lit("<b>"), F.substring("text", 1, 40), F.lit('</b> & "quotes"'))
+    escaped = F.replace(
+        F.replace(F.replace(raw, F.lit("&"), F.lit("&amp;")), F.lit("<"), F.lit("&lt;")),
+        F.lit(">"),
+        F.lit("&gt;"),
+    )
+    return docs.select("doc_id", escaped.alias("escaped"))
+
+
+@REGISTRY.register(
+    name="f27_markdown_html",
+    survey_ref="F27,V9",
+    doc="markdown→HTML rendering subset (pdf_generation_activity.py:62-65) "
+    "via the Arrow-batched seam; deterministic, but regex-dialect parity "
+    "with DuckDB is not guaranteed → rows-only + unit-tested goldens.",
+    oracle=None,
+)
+def f27_markdown_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return markdown_to_html(load_table(spark, "documents", sf_dir))

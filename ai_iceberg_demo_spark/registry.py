@@ -81,7 +81,8 @@ def all_registries() -> Registry:
     """Import every operator module and merge their registries."""
     # Imports are local so a failure in one module surfaces loudly at
     # entry build time rather than at package import.
-    from ai_iceberg_demo_spark.functions import scalar, text
+    from ai_iceberg_demo_spark.functions import embedding, scalar, text, udf_surface
+    from ai_iceberg_demo_spark.multimodal import artifacts
     from ai_iceberg_demo_spark.operators import (
         aggregates,
         joins,
@@ -107,10 +108,13 @@ def all_registries() -> Registry:
         mutations,
         scalar,
         text,
+        embedding,
+        udf_surface,
         similarity,
         dedup,
         streaming_events,
         streaming_stateful,
+        artifacts,
         research,
     ):
         merged.merge(mod.REGISTRY)

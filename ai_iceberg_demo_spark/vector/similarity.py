@@ -266,3 +266,18 @@ def j6_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("best_other"),
         )
     )
+
+
+@REGISTRY.register(
+    name="v3b_ann_topk",
+    survey_ref="V3,E2 (scale path)",
+    doc="approximate top-k via multi-table random-hyperplane LSH "
+    "(ann_topk): candidates from bucket collisions, exact cosine rerank. "
+    "Deterministic (seeded planes) but intentionally approximate, so no "
+    "SQL oracle; recall vs exact cosine_topk is asserted ≥ 0.8 in "
+    "tests/test_similarity.py.",
+    oracle=None,
+)
+def v3b_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = load_table(spark, "embeddings", sf_dir)
+    return ann_topk(corpus, _query_vec(spark, sf_dir), k=5)
