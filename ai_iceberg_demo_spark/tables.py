@@ -40,6 +40,14 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 BROADCAST_TABLES = {"region", "nation", "supplier", "part", "customer"}
 
 
+# DataFrame handles cached per (session, dir, table): reusing the frame
+# reuses its InMemoryFileIndex + parsed schema, so repeated queries skip
+# re-listing and re-footer-reading the same parquet — pure plan-time
+# overhead at any scale (data reads stay lazy and pushdown still applies
+# per query).
+_DF_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     """Load one fixture table as a DataFrame (parquet scan w/ pushdown).
 
@@ -50,6 +58,10 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    key = (id(spark), sf_dir, name)
+    cached = _DF_CACHE.get(key)
+    if cached is not None:
+        return cached
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         from pyspark.sql import functions as F
@@ -59,8 +71,11 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
         df = spark.read.parquet(path)
         if isinstance(df.schema["ts"].dataType, LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        _DF_CACHE[key] = df
         return df
-    return spark.read.parquet(path)
+    df = spark.read.parquet(path)
+    _DF_CACHE[key] = df
+    return df
 
 
 def register_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
