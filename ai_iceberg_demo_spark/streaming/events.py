@@ -269,3 +269,31 @@ def t10_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
     )
+
+
+def progress_counts(df: DataFrame) -> DataFrame:
+    """T4 progress streaming (research_manager.py:453-483): running
+    {current, total}-style completion counters per workflow key —
+    a streaming groupBy in update mode; each completed task bumps the
+    group's count incrementally."""
+    return df.groupBy("user_id").agg(
+        F.count("*").alias("current"),
+        F.max("event_id").alias("last_event_id"),
+    )
+
+
+def resilient_foreach_batch(df, write_fn, errors: list | None = None):
+    """T7 at-least-once, non-blocking sink (redpanda_activity.py:127-143):
+    per-microbatch delivery wrapped in try/except — a failed publish is
+    recorded and SWALLOWED so the pipeline never dies on sink errors,
+    exactly the reference's graceful-degradation stance (E7). Returns
+    the started StreamingQuery."""
+    sink_errors = errors if errors is not None else []
+
+    def write_batch(batch_df, batch_id):
+        try:
+            write_fn(batch_df, batch_id)
+        except Exception as exc:  # noqa: BLE001 — deliberate swallow, E7
+            sink_errors.append((batch_id, str(exc)))
+
+    return df.writeStream.foreachBatch(write_batch).start()

@@ -1,0 +1,103 @@
+"""Physical-plan assertions — the 100 TB design contract, enforced.
+
+Correctness says the operators compute the right rows; these tests pin
+the *shape* of the physical plan Catalyst produces, because that shape
+is what survives (or dies) at 1000 executors:
+
+- dimension joins must broadcast (no fact-table shuffle for small dims);
+- scans must prune columns and push predicates into parquet;
+- top-k must compile to TakeOrderedAndProject (no global sort);
+- aggregations must have a map-side partial before the exchange;
+- nothing may fall back to CartesianProduct.
+
+If a refactor regresses any of these, correctness tests stay green but
+the cluster plan quietly becomes O(shuffle-everything) — this file is
+the tripwire.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ai_iceberg_demo_spark.registry import all_registries
+from tests.conftest import SF_DIR
+
+
+def plan_of(spark, name: str, mode: str = "formatted") -> str:
+    fn = all_registries().specs[name].fn
+    df = fn(spark, SF_DIR)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def test_j1_broadcasts_orders_and_prunes_lineitem(spark):
+    plan = plan_of(spark, "j1_parent_children_join")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # lineitem scan must read exactly the join key + the aggregated col
+    assert "ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double>" in plan
+
+
+def test_j7_star_join_broadcasts_all_dimensions(spark):
+    plan = plan_of(spark, "j7_star_join")
+    assert plan.count("BroadcastHashJoin") >= 3  # customer, nation, region
+    assert "CartesianProduct" not in plan
+
+
+def test_point_lookup_pushes_predicate_to_parquet(spark):
+    plan = plan_of(spark, "s2_point_lookup")
+    assert "PushedFilters: [" in plan
+    assert "EqualTo" in plan or "IsNotNull" in plan
+
+
+def test_topk_compiles_to_take_ordered(spark):
+    for name in ("o4_topk_by_score", "v3_cosine_topk"):
+        plan = plan_of(spark, name)
+        assert "TakeOrderedAndProject" in plan, name
+        # no global Sort node — top-k must not sort the full input
+        assert "\n   Sort " not in plan, name
+
+
+def test_aggregations_do_map_side_partials(spark):
+    for name in ("a1_max_per_group", "t8_tumbling_window", "q1_pricing_summary"):
+        plan = plan_of(spark, name)
+        # partial + final HashAggregate pair around the exchange
+        assert plan.count("HashAggregate") >= 2, name
+        assert "partial_" in plan, name
+
+
+def test_no_cartesian_products_anywhere(spark):
+    specs = all_registries().specs
+    offenders = []
+    for name in specs:
+        plan = plan_of(spark, name)
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert offenders == [], f"cartesian fallback in: {offenders}"
+
+
+def test_whole_stage_codegen_covers_relational_core(spark):
+    # the hot relational path must stay inside codegen (JVM, no Python).
+    # AQE wraps codegen stages only at runtime, so inspect the static
+    # plan with AQE off — same operators, codegen stars visible.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for name in ("j1_parent_children_join", "q1_pricing_summary", "w1_last_per_group"):
+            fn = all_registries().specs[name].fn
+            df = fn(spark, SF_DIR)
+            executed = df._jdf.queryExecution().executedPlan().toString()
+            assert "*(" in executed, f"{name}: no WholeStageCodegen stage found"
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_flagship_timeline_single_pass(spark):
+    plan = plan_of(spark, "flagship_timeline")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+@pytest.mark.parametrize("name", ["v1_hash_embedding", "d3_minhash_lsh"])
+def test_training_data_ops_have_partial_aggs(spark, name):
+    plan = plan_of(spark, name)
+    assert "partial_" in plan, f"{name}: aggregation lacks map-side combine"

@@ -93,3 +93,50 @@ def test_stateful_sessions_match_batch_twin(spark):
     assert (s["n_events"].to_numpy() == b["n_events"].to_numpy()).all()
     assert (s["total_value"].to_numpy() == b["total_value"].to_numpy()).all()
     assert (s["end_ts"].to_numpy() == b["end_ts"].to_numpy()).all()
+
+
+def test_progress_counts_stream_updates(spark):
+    """T4: per-key progress counters under update mode match batch."""
+    from ai_iceberg_demo_spark.streaming.events import (
+        progress_counts,
+        read_events_stream,
+    )
+
+    agg = progress_counts(read_events_stream(spark, SF_DIR))
+    q = agg.writeStream.outputMode("update").format("memory").queryName("prog_out").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = spark.sql(
+        "SELECT user_id, max(current) AS current FROM prog_out GROUP BY user_id"
+    ).toPandas()
+    batch = progress_counts(load_table(spark, "events", SF_DIR)).toPandas()
+    s = streamed.sort_values("user_id").reset_index(drop=True)
+    b = batch[["user_id", "current"]].sort_values("user_id").reset_index(drop=True)
+    assert (s["current"].to_numpy() == b["current"].to_numpy()).all()
+
+
+def test_resilient_sink_swallows_batch_failures(spark):
+    """T7: a failing sink batch is recorded, not fatal (E7 stance)."""
+    from ai_iceberg_demo_spark.streaming.events import (
+        read_events_stream,
+        resilient_foreach_batch,
+    )
+
+    errors: list = []
+    seen_batches: list = []
+
+    def flaky_write(batch_df, batch_id):
+        seen_batches.append(batch_id)
+        raise RuntimeError("broker unavailable")
+
+    q = resilient_foreach_batch(read_events_stream(spark, SF_DIR), flaky_write, errors)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(seen_batches) >= 1
+    assert len(errors) == len(seen_batches)
+    assert "broker unavailable" in errors[0][1]
+    assert q.exception() is None  # stream survived the sink failures
