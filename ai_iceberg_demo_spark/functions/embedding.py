@@ -76,8 +76,14 @@ def hash_embed_df(
         id_col,
         F.explode(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(_TOKEN_RE), 0)).alias("tok"),
     )
+    # hash each token ONCE; bucket and sign both read the same digest
+    hashed = toks.select(id_col, F.md5(F.encode("tok", "UTF-8")).alias("h"))
     counts = (
-        toks.select(id_col, _bucket(F.col("tok"), dim).alias("bucket"), _sign(F.col("tok")).alias("sign"))
+        hashed.select(
+            id_col,
+            (F.conv(F.substring("h", 1, 8), 16, 10).cast("long") % dim).cast("int").alias("bucket"),
+            F.when(F.substring("h", 9, 1) <= "7", 1.0).otherwise(-1.0).alias("sign"),
+        )
         .groupBy(id_col, "bucket")
         .agg(F.sum("sign").alias("c"))
     )
@@ -192,6 +198,7 @@ def index_documents(docs: DataFrame, dim: int = DEFAULT_DIM) -> DataFrame:
     "computed in pure JVM expressions and hash-checked against the "
     "DuckDB twin; the pandas provider seam (embed_texts) is asserted "
     "equal in tests/test_embedding.py.",
+    bench=True,
     oracle=hash_embed_oracle_sql(),
 )
 def v1_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:

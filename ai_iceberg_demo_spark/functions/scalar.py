@@ -369,3 +369,30 @@ def f24_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "token")
     )
+
+
+@REGISTRY.register(
+    name="f21_struct_flatten",
+    survey_ref="F21",
+    doc="nested-object flattening (serializable_model_activity.py:77-109 "
+    "model_dump normalization): JSON → typed struct → flat columns via "
+    "select(s.*), then re-serialized — the round-trip the reference does "
+    "with model_dump(mode='json').",
+    oracle="""
+        SELECT event_id,
+               CAST(props->>'k' AS BIGINT) AS k,
+               '{"k":' || (props->>'k') || '}' AS rejson
+        FROM events
+    """,
+)
+def f21_struct_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    parsed = ev.select(
+        "event_id", F.from_json("props", "k BIGINT").alias("s")
+    )
+    flat = parsed.select("event_id", "s.*")  # struct → columns
+    return flat.select(
+        "event_id",
+        "k",
+        F.to_json(F.struct("k")).alias("rejson"),
+    )

@@ -96,6 +96,7 @@ def pipeline_run_direct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Thresholds here are fixture-calibrated (0.38/0.28; the synthetic "
     "corpus tops out at cosine ~0.40 cross-doc) so BOTH branches "
     "exercise; production defaults stay the reference's 0.8/0.5.",
+    bench=True,
     oracle=f"""
         WITH probes AS (
             SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5

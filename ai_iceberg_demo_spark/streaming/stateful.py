@@ -153,6 +153,7 @@ def stateful_sessions(events: DataFrame, end_signal: str = "error") -> DataFrame
     "events in time order until the first 'error' control row, emit one "
     "summary. Streaming form: stateful_sessions() via "
     "applyInPandasWithState (asserted equal in tests/test_streaming.py).",
+    bench=True,
     oracle="""
         WITH first_sig AS (
             SELECT user_id, MIN(ts) AS end_ts FROM events

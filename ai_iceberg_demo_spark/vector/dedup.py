@@ -199,6 +199,7 @@ _MINHASH_COLS = [f"h{i}" for i in range(N_HASHES)]
     "sample. Permutations are lexicographic orders of seeded md5, so the "
     "oracle reproduces them exactly; production swaps md5→xxhash64. "
     "Candidates feed the exact-Jaccard verify (d2 plan).",
+    bench=True,
     oracle=f"""
         WITH toks AS (
             SELECT DISTINCT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok
