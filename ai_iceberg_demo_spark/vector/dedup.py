@@ -68,12 +68,19 @@ def shingles(text: Column, n: int = 3) -> Column:
     name="d1_exact_dedup",
     survey_ref="V7/training-data",
     doc="exact dedup by normalized-text fingerprint: hash-groupBy, one "
-    "shuffle keyed on the hash (no skew: hashes are uniform).",
+    "shuffle keyed on the hash (no skew: hashes are uniform). The corpus "
+    "is deterministically doubled for doc_id%7==0 (whitespace-mangled "
+    "copies) so normalization + dedup provably fires: n_duplicates > 0.",
     oracle="""
-        WITH fp AS (
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id, '  ' || UPPER(text) || '  ' AS text
+            FROM documents WHERE doc_id % 7 = 0
+        ), fp AS (
             SELECT doc_id,
                    MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g')) AS fp
-            FROM documents
+            FROM corpus
         )
         SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
                CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique,
@@ -85,7 +92,12 @@ def d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ai_iceberg_demo_spark.functions.text import fingerprint
 
     docs = load_table(spark, "documents", sf_dir)
-    fp = docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+    mangled = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.lit("  "), F.upper("text"), F.lit("  ")).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(mangled)
+    fp = corpus.select("doc_id", fingerprint(F.col("text")).alias("fp"))
     return fp.agg(
         F.count("*").alias("n_docs"),
         F.countDistinct("fp").alias("n_unique"),
@@ -127,14 +139,15 @@ def d1b_drop_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 @REGISTRY.register(
     name="d2_ngram_jaccard",
     survey_ref="training-data",
-    doc="exact word-3-gram Jaccard ≥ 0.3 pairs over a 1-in-20 sample: "
-    "shingle explode → equi-join on shingle → intersection counts. The "
-    "full-corpus path runs the same plan seeded by MinHash candidates "
-    "(d3) instead of all shingle collisions.",
+    doc="exact word-3-gram Jaccard ≥ 0.8 near-dup pairs over the full "
+    "corpus: shingle explode → equi-join on shingle → intersection "
+    "counts (the fixture plants true near-duplicates at ~0.99). At "
+    "100 TB the same plan is seeded by MinHash candidates (d3) instead "
+    "of all shingle collisions.",
     oracle="""
         WITH sample_docs AS (
             SELECT doc_id, STRING_SPLIT(text, ' ') AS toks
-            FROM documents WHERE doc_id % 20 = 0
+            FROM documents
         ), sh AS (
             SELECT DISTINCT doc_id,
                    UNNEST(CASE WHEN LEN(toks) >= 3 THEN
@@ -154,11 +167,11 @@ def d1b_drop_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM inter i
         JOIN sizes sa ON i.a_id = sa.doc_id
         JOIN sizes sb ON i.b_id = sb.doc_id
-        WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.3
+        WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.8
     """,
 )
 def d2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") % 20 == 0)
+    docs = load_table(spark, "documents", sf_dir)
     sh = (
         docs.select("doc_id", F.explode(shingles(F.col("text"))).alias("shingle"))
         .distinct()
@@ -180,7 +193,7 @@ def d2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         inter.join(F.broadcast(sa), "a_id")
         .join(F.broadcast(sb), "b_id")
-        .filter(jac >= 0.3)
+        .filter(jac >= 0.8)
         .select("a_id", "b_id", jac.alias("jaccard"))
     )
 
