@@ -222,14 +222,23 @@ def u3_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 @REGISTRY.register(
     name="u4_except",
     survey_ref="§2.7 extras",
-    doc="EXCEPT — nations with customers but no suppliers.",
+    doc="EXCEPT — finalized orders with no returned lineitem "
+    "(non-empty on the fixture: ~1.3k keys at sf0.01).",
     oracle="""
-        SELECT DISTINCT c_nationkey AS nationkey FROM customer
+        SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
         EXCEPT
-        SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+        SELECT l_orderkey AS o_orderkey FROM lineitem WHERE l_returnflag = 'R'
     """,
 )
 def u4_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, "customer", sf_dir).select(F.col("c_nationkey").alias("nationkey"))
-    s = load_table(spark, "supplier", sf_dir).select(F.col("s_nationkey").alias("nationkey"))
-    return c.subtract(s)  # EXCEPT DISTINCT semantics, matching the SQL oracle
+    o = (
+        load_table(spark, "orders", sf_dir)
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    li = (
+        load_table(spark, "lineitem", sf_dir)
+        .filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+    )
+    return o.subtract(li)  # EXCEPT DISTINCT semantics, matching the SQL oracle

@@ -281,3 +281,75 @@ def j6_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def v3b_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = load_table(spark, "embeddings", sf_dir)
     return ann_topk(corpus, _query_vec(spark, sf_dir), k=5)
+
+
+def assign_cells(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
+    """IVF cell assignment: each vector goes to its nearest centroid
+    (max cosine). Broadcast the (small) centroid set; argmax via max_by
+    — map-side only, no shuffle of the corpus beyond the final groupBy
+    on vec_id, which AQE coalesces."""
+    scored = corpus.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "embedding",
+        F.col("cell_id"),
+        cosine(F.col("embedding"), F.col("centroid")).alias("c_score"),
+    )
+    return scored.groupBy("vec_id").agg(
+        F.max_by("cell_id", "c_score").alias("cell_id"),
+        F.first("embedding").alias("embedding"),
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    query_vec: DataFrame,
+    k: int,
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) cells — the second
+    scale path next to LSH (``ann_topk``).
+
+    Centroids here are the first ``n_cells`` corpus vectors
+    (deterministic; production trains k-means and stores the centroid
+    table). Probe: rank cells by query-centroid cosine, scan the best
+    ``n_probe`` cells, exact-rerank candidates.
+
+    At 100 TB the corpus is written partition-bucketed by cell_id
+    (Iceberg partition transform), so a probe reads n_probe partitions
+    — the classic IVF pruning — and the rerank touches only those
+    candidates. Recall tuning = n_probe/n_cells ratio.
+    """
+    centroids = corpus.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
+    )
+    assigned = assign_cells(corpus, centroids)
+    probe_cells = (
+        centroids.crossJoin(F.broadcast(query_vec))
+        .select("cell_id", cosine(F.col("centroid"), F.col("qvec")).alias("c_score"))
+        .orderBy(F.desc("c_score"), F.asc("cell_id"))
+        .limit(n_probe)
+        .select("cell_id")
+    )
+    candidates = assigned.join(F.broadcast(probe_cells), "cell_id")
+    score = F.round(cosine(F.col("embedding"), F.col("qvec")), 6)
+    return (
+        candidates.crossJoin(F.broadcast(query_vec))
+        .select("vec_id", score.alias("score"))
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+@REGISTRY.register(
+    name="v3c_ivf_topk",
+    survey_ref="V3,E2 (scale path)",
+    doc="approximate top-k via IVF cells (ivf_topk): nearest-centroid "
+    "partitioning, n_probe-cell probe, exact rerank — deterministic but "
+    "approximate (no SQL oracle); recall vs exact asserted in "
+    "tests/test_similarity.py.",
+    oracle=None,
+)
+def v3c_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = load_table(spark, "embeddings", sf_dir)
+    return ivf_topk(corpus, _query_vec(spark, sf_dir), k=5)

@@ -35,3 +35,25 @@ def test_ann_topk_recall_vs_exact(spark):
     # conservative overlap, plus the guaranteed self-collision.
     assert 0 in approx  # the query vector always collides with itself
     assert len(exact & approx) >= 3
+
+
+def test_ivf_topk_recall_vs_exact(spark):
+    """IVF with n_probe=8 of 16 cells must recover most exact top-10."""
+    from ai_iceberg_demo_spark.vector.similarity import ivf_topk
+
+    corpus = load_table(spark, "embeddings", SF_DIR)
+    exact = {r["vec_id"] for r in cosine_topk(corpus, _query_vec(spark), k=10).collect()}
+    approx = {
+        r["vec_id"]
+        for r in ivf_topk(corpus, _query_vec(spark), k=10, n_cells=16, n_probe=8).collect()
+    }
+    assert len(approx & exact) / len(exact) >= 0.5
+
+
+def test_ivf_deterministic(spark):
+    from ai_iceberg_demo_spark.vector.similarity import ivf_topk
+
+    corpus = load_table(spark, "embeddings", SF_DIR)
+    a = ivf_topk(corpus, _query_vec(spark), k=5).collect()
+    b = ivf_topk(corpus, _query_vec(spark), k=5).collect()
+    assert a == b
