@@ -371,6 +371,36 @@ def f24_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- F23: map construction & lookup with default --------------------------
+@REGISTRY.register(
+    name="f23_map_lookup",
+    survey_ref="F23",
+    doc="responses[key] = answer / responses.get(key, default) "
+    "(interactive_research_workflow.py:487-488, research_manager.py:302): "
+    "map_from_entries over grouped rows + element_at lookups with "
+    "coalesce defaults — the dict the workflow keeps per session, as a "
+    "per-user event-type→count map.",
+    oracle="""
+        SELECT user_id,
+               CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END), 0) AS BIGINT) AS clicks,
+               CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS BIGINT) AS purchases
+        FROM events
+        GROUP BY user_id
+    """,
+)
+def f23_map_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    per_type = ev.groupBy("user_id", "event_type").count()
+    maps = per_type.groupBy("user_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("event_type", "count"))).alias("m")
+    )
+    return maps.select(
+        "user_id",
+        F.coalesce(F.element_at("m", F.lit("click")), F.lit(0)).alias("clicks"),
+        F.coalesce(F.element_at("m", F.lit("purchase")), F.lit(0)).alias("purchases"),
+    )
+
+
 @REGISTRY.register(
     name="f21_struct_flatten",
     survey_ref="F21",
