@@ -87,19 +87,24 @@ def hash_embed_df(
         .groupBy(id_col, "bucket")
         .agg(F.sum("sign").alias("c"))
     )
-    m = F.map_from_entries(F.collect_list(F.struct("bucket", "c")))
-    dense = counts.groupBy(id_col).agg(
+    # The l2 norm is computed as a real aggregate (sqrt of Σc²; missing
+    # buckets contribute 0, and the signed counts are small exact
+    # integers, so this equals the norm of the dense vector bit-for-bit).
+    # Embedding a norm-of-array expression inside the per-element
+    # transform lambda instead would re-evaluate it per component —
+    # O(dim²) per row, measured ~2× slower end-to-end at sf0.1.
+    agg = counts.groupBy(id_col).agg(
+        F.map_from_entries(F.collect_list(F.struct("bucket", "c"))).alias("m"),
+        F.greatest(F.sqrt(F.sum(F.col("c") * F.col("c"))), F.lit(1e-12)).alias("norm"),
+    )
+    return agg.select(
+        id_col,
         F.transform(
             F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda i: F.coalesce(F.element_at(m, i.cast("int")), F.lit(0.0)),
-        ).alias("raw")
-    )
-    norm = F.greatest(
-        F.sqrt(F.aggregate(F.col("raw"), F.lit(0.0), lambda a, x: a + x * x)), F.lit(1e-12)
-    )
-    return dense.select(
-        id_col,
-        F.transform(F.col("raw"), lambda x: F.round(x / norm, 6)).alias("embedding"),
+            lambda i: F.round(
+                F.coalesce(F.element_at("m", i.cast("int")), F.lit(0.0)) / F.col("norm"), 6
+            ),
+        ).alias("embedding"),
     )
 
 

@@ -51,13 +51,21 @@ REGISTRY = Registry()
 def j1_parent_children_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, "orders", sf_dir)
     li = load_table(spark, "lineitem", sf_dir)
+    # Aggregation is pushed BELOW the join (Catalyst doesn't do this
+    # rewrite itself): the fact table collapses to one row per parent
+    # before joining, so the shuffle carries ~|orders| partial rows
+    # instead of the full joined fact stream, and no post-join groupBy
+    # remains. Valid because the grouping key is the join key and
+    # o_orderstatus is functionally dependent on it. Orders without
+    # children drop out either way (inner join).
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double").alias("total_price"),
+    )
     return (
-        orders.join(li, orders.o_orderkey == li.l_orderkey, "inner")
-        .groupBy("o_orderkey", "o_orderstatus")
-        .agg(
-            F.count("*").alias("n_items"),
-            F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double").alias("total_price"),
-        )
+        F.broadcast(orders.select("o_orderkey", "o_orderstatus"))
+        .join(per_order, F.col("o_orderkey") == F.col("l_orderkey"), "inner")
+        .select("o_orderkey", "o_orderstatus", "n_items", "total_price")
     )
 
 
