@@ -1,4 +1,4 @@
-"""Joins — SURVEY.md §2.3 (J1–J7).
+"""Joins — SURVEY.md §2.3 (J1–J7, plus J8 as-of / J9 interval extras).
 
 The reference's joins are Cypher traversals: parent→children 1-hop
 (`neo4j_memory.py:327-333,703-721`), union of two relationship types
@@ -217,3 +217,115 @@ def j7_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_items"),
         )
     )
+
+
+# --- J8: as-of join (union + ordered-window composition) -----------------
+@REGISTRY.register(
+    name="j8_asof_join",
+    survey_ref="§2.3 extras (as-of)",
+    doc="As-of join — SURVEY.md §2.3 notes the reference has none; a "
+    "training-data pipeline needs it constantly (attach the latest "
+    "snapshot/label at-or-before each fact row). Each purchase event "
+    "picks up the user's most recent click at-or-before its timestamp. "
+    "Spark-first shape: NOT a range join — tag both streams, union, one "
+    "window over (user_id, ts) with last(ignorenulls) — a single shuffle "
+    "on user_id regardless of time span, no candidate-pair blowup.",
+    oracle="""
+        WITH tagged AS (
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS kind
+            FROM events WHERE event_type IN ('click', 'purchase')
+        ), win AS (
+            SELECT user_id, ts, event_id, kind,
+                   LAST_VALUE(CASE WHEN kind = 0 THEN event_id END IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, kind, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_event_id,
+                   LAST_VALUE(CASE WHEN kind = 0 THEN value END IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, kind, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_value
+            FROM tagged
+        )
+        SELECT event_id, user_id, ts, click_event_id, click_value
+        FROM win WHERE kind = 1
+    """,
+)
+def j8_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    tagged = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "click", 0).otherwise(1).alias("kind"),
+    )
+    # clicks sort before purchases at equal ts (kind asc) -> "<=" as-of
+    # semantics; event_id is the final tiebreak so the result is total-
+    # order deterministic even with duplicate (user, ts) pairs.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    win = tagged.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "kind",
+        F.last(F.when(F.col("kind") == 0, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("click_event_id"),
+        F.last(F.when(F.col("kind") == 0, F.col("value")), ignorenulls=True)
+        .over(w)
+        .alias("click_value"),
+    )
+    return win.filter(F.col("kind") == 1).drop("kind")
+
+
+# --- J9: interval/range join (range-frame window composition) ------------
+@REGISTRY.register(
+    name="j9_interval_join",
+    survey_ref="§2.3 extras (interval)",
+    doc="Interval join — per purchase, how many clicks the same user made "
+    "in the preceding hour. Spark-first shape: a RANGE-frame window over "
+    "epoch seconds, not a theta self-join — candidate pairs never "
+    "materialize, one shuffle on user_id, O(rows) work per partition. "
+    "The theta-join spelling (e.ts BETWEEN p.ts - 1h AND p.ts) explodes "
+    "quadratically on hot users at 100 TB.",
+    oracle="""
+        WITH tagged AS (
+            SELECT user_id, event_id,
+                   CAST(EPOCH(ts) AS BIGINT) AS sec,
+                   CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click
+            FROM events WHERE event_type IN ('click', 'purchase')
+        ), win AS (
+            SELECT user_id, event_id, is_click,
+                   CAST(COALESCE(SUM(is_click) OVER (
+                       PARTITION BY user_id ORDER BY sec
+                       RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 0) AS BIGINT)
+                     AS clicks_last_hour
+            FROM tagged
+        )
+        SELECT event_id, user_id, clicks_last_hour
+        FROM win WHERE is_click = 0
+    """,
+)
+def j9_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    tagged = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("sec"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("is_click"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    win = tagged.select(
+        "event_id",
+        "user_id",
+        "is_click",
+        F.coalesce(F.sum("is_click").over(w), F.lit(0)).cast("bigint").alias("clicks_last_hour"),
+    )
+    return win.filter(F.col("is_click") == 0).drop("is_click")
