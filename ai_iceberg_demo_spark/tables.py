@@ -90,3 +90,27 @@ def register_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[s
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort_col: str | None = None,
+) -> None:
+    """Persist a table bucketed (and optionally sorted) by its join key.
+
+    This is the 100 TB physical layout the engine assumes for the big
+    fact-fact joins (SURVEY.md §2.3 scale notes): when both join sides
+    are bucketed by the same key into the same bucket count, Spark
+    schedules a co-located sort-merge join with NO shuffle exchange on
+    either side — the per-bucket files are joined where they already
+    live. tests/test_plans.py::test_bucketed_join_has_no_exchange
+    proves the exchange disappears. On Iceberg the same layout is
+    ``PARTITIONED BY (bucket(N, key))``.
+    """
+    writer = df.write.format("parquet").mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col is not None:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table)

@@ -101,3 +101,31 @@ def test_flagship_timeline_single_pass(spark):
 def test_training_data_ops_have_partial_aggs(spark, name):
     plan = plan_of(spark, name)
     assert "partial_" in plan, f"{name}: aggregation lacks map-side combine"
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """The 100 TB layout claim, proven: orders and lineitem written
+    bucketed by orderkey into the same bucket count join with NO
+    shuffle exchange on either side (co-located SMJ). On Iceberg the
+    same layout is PARTITIONED BY (bucket(N, key))."""
+    from ai_iceberg_demo_spark.tables import load_table, write_bucketed
+
+    write_bucketed(load_table(spark, "orders", SF_DIR), "b_orders", "o_orderkey", 8)
+    write_bucketed(load_table(spark, "lineitem", SF_DIR), "b_lineitem", "l_orderkey", 8)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_orders").join(
+            spark.table("b_lineitem"),
+            spark.table("b_orders").o_orderkey == spark.table("b_lineitem").l_orderkey,
+        )
+        jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        plan = joined._jdf.queryExecution().explainString(jmode)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join still shuffles"
+        # and the result is still right
+        assert joined.count() == spark.table("b_lineitem").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
