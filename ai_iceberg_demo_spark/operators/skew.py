@@ -1,0 +1,122 @@
+"""Skew handling — salting patterns for hot keys at 100 TB.
+
+The fixtures are uniform, but production key distributions never are:
+one conversation with millions of messages, one user with millions of
+events, one dedup bucket holding half the corpus. Two mitigations and
+when each applies:
+
+- **AQE skew-join** (on in session.py): splits oversized shuffle
+  partitions at runtime. Handles *join* skew transparently — prefer it.
+- **Salting** (this module): needed where AQE can't help —
+  (a) holistic aggregations with no map-side combine (collect_list,
+  exact distinct) where one group's state explodes on a single reducer;
+  (b) broadcast-impossible joins against a hot key set.
+
+Pattern (a): two-phase aggregation. Phase 1 groups by (key, salt) so
+the hot group's state is split S ways across reducers; phase 2 merges
+the S partials per key. The salt must be derived from a column that
+varies WITHIN the group (any per-row attribute) so it's deterministic —
+rand() salts break retry/replay determinism (Spark task retries would
+resalt rows differently).
+
+Pattern (b): salted join. The big side salts each row into one of S
+buckets; the (too-big-to-broadcast, but replicable) other side is
+exploded S ways so every (key, salt) pair still meets its match. The
+hot key's rows now land on S reducers instead of one. Cost: the small
+side shuffles S× — use only on keys measured hot.
+
+The reference never handles skew (its per-conversation fan-in is
+tiny, `neo4j_memory.py:327-339`); this is part of the engine's
+100 TB surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ai_iceberg_demo_spark.registry import Registry
+from ai_iceberg_demo_spark.tables import load_table
+
+REGISTRY = Registry()
+
+DEFAULT_SALTS = 16
+
+
+def with_salt(df: DataFrame, from_cols: list[str], n_salts: int = DEFAULT_SALTS) -> DataFrame:
+    """Append a deterministic `_salt` in [0, n_salts) derived from
+    columns that vary within the hot group (NOT the group key)."""
+    return df.withColumn("_salt", F.pmod(F.xxhash64(*[F.col(c) for c in from_cols]), F.lit(n_salts)))
+
+
+def salted_join(
+    big: DataFrame,
+    replicated: DataFrame,
+    on: Column,
+    salt_from: list[str],
+    n_salts: int = DEFAULT_SALTS,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where the big side's hot keys are spread over n_salts
+    reducers; `replicated` is exploded n_salts× so every salted row
+    still finds its match. Result is identical to big.join(replicated,
+    on, how) minus the `_salt` bookkeeping column."""
+    salted_big = with_salt(big, salt_from, n_salts)
+    exploded = replicated.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<bigint>"))
+    )
+    joined = salted_big.join(exploded, on & (salted_big["_salt"] == exploded["_salt"]), how)
+    return joined.drop("_salt")
+
+
+def salted_collect_list(
+    df: DataFrame,
+    key: str,
+    value: str,
+    salt_from: list[str],
+    n_salts: int = DEFAULT_SALTS,
+) -> DataFrame:
+    """collect_list with the holistic state split S ways: phase 1
+    collects per (key, salt), phase 2 flattens the S partial lists.
+    The final list's order is nondeterministic (as is unsalted
+    collect_list's) — sort it downstream if order matters."""
+    phase1 = (
+        with_salt(df, salt_from, n_salts)
+        .groupBy(key, "_salt")
+        .agg(F.collect_list(value).alias("_part"))
+    )
+    return phase1.groupBy(key).agg(F.flatten(F.collect_list("_part")).alias(f"{value}_list"))
+
+
+@REGISTRY.register(
+    name="a9_skew_salted_agg",
+    survey_ref="§2.4 extras (skew)",
+    doc="Two-phase salted aggregation over the 3 heavy l_returnflag "
+    "groups (~200k rows each at sf0.1): phase 1 by (flag, salt-from-"
+    "orderkey) splits each group's state 16 ways, phase 2 merges "
+    "sums/counts exactly. Result equals the direct aggregate; the "
+    "shape is what holistic aggs need when one key owns a reducer.",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+               ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) / COUNT(*), 4) AS avg_price
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def a9_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    phase1 = (
+        with_salt(li, ["l_orderkey"])
+        .groupBy("l_returnflag", "_salt")
+        .agg(
+            F.count("*").alias("_n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).alias("_sum"),
+        )
+    )
+    return phase1.groupBy("l_returnflag").agg(
+        F.sum("_n").alias("n_items"),
+        F.sum("_sum").cast("double").alias("total"),
+        F.round(F.sum("_sum") / F.sum("_n"), 4).cast("double").alias("avg_price"),
+    )

@@ -89,6 +89,7 @@ def all_registries() -> Registry:
         mutations,
         ordering_sets,
         scans_filters,
+        skew,
         timeline,
         windows,
     )
@@ -101,6 +102,7 @@ def all_registries() -> Registry:
     for mod in (
         scans_filters,
         joins,
+        skew,
         aggregates,
         windows,
         ordering_sets,
