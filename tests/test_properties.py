@@ -1,0 +1,87 @@
+"""Property-based invariants (hypothesis) for the text/vector operators.
+
+The oracle suite pins exact values on the fixtures; these pin the
+*algebraic* properties that must hold on ANY input — the contracts a
+user of the engine relies on when their data doesn't look like TPC-H.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from ai_iceberg_demo_spark.functions.embedding import DEFAULT_DIM, hash_embed_df
+from ai_iceberg_demo_spark.functions.text import CHUNK_OVERLAP, CHUNK_SIZE, chunk_starts
+
+# modest example counts: every example runs a (local, small) Spark job
+PROP = settings(
+    max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+)
+
+# BMP-but-not-surrogate text so Python slicing and Spark substring agree
+_text = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF), min_size=0, max_size=2600
+)
+_words = st.lists(st.text(alphabet="abcdefghij0123456789", min_size=1, max_size=8), min_size=1, max_size=30)
+
+
+@PROP
+@given(texts=st.lists(_text, min_size=1, max_size=6))
+def test_chunking_reconstructs_text(spark, texts):
+    """chunks[0] + tail-of-each-subsequent-chunk == original text, and
+    no chunk exceeds CHUNK_SIZE — for arbitrary text, not fixtures."""
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id INT, text STRING")
+    rows = (
+        df.select("doc_id", "text", F.posexplode(chunk_starts(F.col("text"))).alias("idx", "start"))
+        .select("doc_id", "idx", F.substring("text", F.col("start") + 1, CHUNK_SIZE).alias("chunk"))
+        .collect()
+    )
+    by_doc: dict[int, list[tuple[int, str]]] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["idx"], r["chunk"]))
+    for i, t in enumerate(texts):
+        chunks = [c for _, c in sorted(by_doc[i])]
+        assert all(len(c) <= CHUNK_SIZE for c in chunks)
+        rebuilt = chunks[0] + "".join(c[CHUNK_OVERLAP:] for c in chunks[1:])
+        assert rebuilt == t
+
+
+@PROP
+@given(words=_words)
+def test_hash_embedding_is_unit_norm_and_order_invariant(spark, words):
+    """Embedding has unit l2 norm, ignores token order, and doubling
+    the document leaves the (normalized) vector unchanged."""
+    forward = " ".join(words)
+    reversed_ = " ".join(reversed(words))
+    doubled = forward + " " + forward
+    df = spark.createDataFrame(
+        [(0, forward), (1, reversed_), (2, doubled)], "doc_id INT, text STRING"
+    )
+    out = {r["doc_id"]: r["embedding"] for r in hash_embed_df(df).collect()}
+    norm = math.sqrt(sum(x * x for x in out[0]))
+    assert abs(norm - 1.0) < 1e-4
+    assert out[0] == out[1], "token order changed the embedding"
+    assert out[0] == out[2], "doubling the doc changed the normalized embedding"
+    assert len(out[0]) == DEFAULT_DIM
+
+
+@PROP
+@given(words=_words, salt=st.integers(min_value=2, max_value=8))
+def test_salted_collect_equals_plain_on_generated_data(spark, words, salt):
+    from ai_iceberg_demo_spark.operators.skew import salted_collect_list
+
+    df = spark.createDataFrame(
+        [(w[0], w, i) for i, w in enumerate(words)], "k STRING, v STRING, rid INT"
+    )
+    plain = {
+        r["k"]: sorted(r["vs"])
+        for r in df.groupBy("k").agg(F.collect_list("v").alias("vs")).collect()
+    }
+    salted = {
+        r["k"]: sorted(r["v_list"])
+        for r in salted_collect_list(df, "k", "v", salt_from=["rid"], n_salts=salt).collect()
+    }
+    assert plain == salted
