@@ -24,10 +24,10 @@ from tests.conftest import SF_DIR
 
 
 def plan_of(spark, name: str, mode: str = "formatted") -> str:
+    from ai_iceberg_demo_spark.plans import explain_str
+
     fn = all_registries().specs[name].fn
-    df = fn(spark, SF_DIR)
-    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
-    return df._jdf.queryExecution().explainString(jmode)
+    return explain_str(fn(spark, SF_DIR), mode)
 
 
 def test_j1_broadcasts_orders_and_prunes_lineitem(spark):
