@@ -8,7 +8,7 @@ implements each as declarative DataFrame ops:
 
 - exact:        fingerprint (md5/xxhash64) groupBy — one shuffle on hash
 - n-gram Jaccard: shingle explode + equi-join on shingle + agg
-- MinHash+LSH:  md5-ordered minhash signatures, banded candidate join
+- MinHash+LSH:  affine-permutation minhash signatures, banded candidate join
 - SimHash:      bitwise-majority signature + banded hamming join
 - embedding:    cosine ≥ t within blocking buckets (label here; LSH
                 bucket in production), canonical = min id
@@ -16,9 +16,10 @@ implements each as declarative DataFrame ops:
 Portability note: signatures are built from md5 (identical across
 engines) so every pipeline below is DuckDB-oracle-checkable; the
 production fast path swaps md5 → xxhash64 (JVM, no hex strings).
-MinHash uses *lexicographic* order on md5 hex as its random
-permutation — a uniform total order is all MinHash needs, and it
-avoids engine-specific hex→int casts.
+MinHash hashes each token ONCE (md5 → 28-bit int) and derives its
+N permutations as affine maps (a_i·x + b_i mod 2^31−1) — the classic
+construction; pure integer arithmetic reproduces identically on any
+engine and the token stream pays one digest instead of N.
 
 Scale notes: every pipeline is explode → equi-join on a compact key
 (shingle / band / bucket) → agg. No cross joins anywhere; shuffle keys
@@ -204,27 +205,42 @@ def d2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MINHASH_COLS = [f"h{i}" for i in range(N_HASHES)]
 
+# Affine MinHash permutations h_i(x) = (a_i*x + b_i) mod P over a
+# 28-bit token hash x (first 7 md5 hex digits). ONE digest per token
+# instead of N_HASHES seeded digests — at 100 TB the token stream is
+# the dominant cost and this cuts its hashing 16×. a_i*x < 2^59 so the
+# arithmetic never overflows a signed 64-bit on either engine.
+_MERSENNE_P = 2147483647  # 2^31 - 1
+import random as _random
+
+_rng = _random.Random(42)
+_MINHASH_A = [_rng.randrange(1, _MERSENNE_P) for _ in range(N_HASHES)]
+_MINHASH_B = [_rng.randrange(0, _MERSENNE_P) for _ in range(N_HASHES)]
+
 
 @REGISTRY.register(
     name="d3_minhash_lsh",
     survey_ref="training-data",
     doc="MinHash(16)+LSH(4 bands of 4) near-dup candidates over a 1-in-10 "
-    "sample. Permutations are lexicographic orders of seeded md5, so the "
-    "oracle reproduces them exactly; production swaps md5→xxhash64. "
-    "Candidates feed the exact-Jaccard verify (d2 plan).",
+    "sample. Classic affine permutations (a*x+b mod 2^31-1) over one md5 "
+    "token hash — a single digest per token, exactly reproduced by the "
+    "oracle; production swaps md5→xxhash64. Candidates feed the "
+    "exact-Jaccard verify (d2 plan).",
     bench=True,
     oracle=f"""
         WITH toks AS (
             SELECT DISTINCT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok
             FROM documents WHERE doc_id % 10 = 0
+        ), tok_x AS (
+            SELECT doc_id, ('0x' || SUBSTR(MD5(tok), 1, 7))::BIGINT AS x FROM toks
         ), sigs AS (
             SELECT doc_id,
-                   {", ".join(f"MIN(MD5('s{i}:' || tok)) AS h{i}" for i in range(N_HASHES))}
-            FROM toks GROUP BY doc_id
+                   {", ".join(f"MIN(({a} * x + {b}) % {_MERSENNE_P}) AS h{i}" for i, (a, b) in enumerate(zip(_MINHASH_A, _MINHASH_B)))}
+            FROM tok_x GROUP BY doc_id
         ), bands AS (
             SELECT doc_id, band_idx,
                    CASE band_idx
-                       {" ".join(f"WHEN {b} THEN MD5(h{4*b} || h{4*b+1} || h{4*b+2} || h{4*b+3})" for b in range(N_HASHES // BAND_SIZE))}
+                       {" ".join(f"WHEN {b} THEN MD5(h{4*b}::VARCHAR || '_' || h{4*b+1}::VARCHAR || '_' || h{4*b+2}::VARCHAR || '_' || h{4*b+3}::VARCHAR)" for b in range(N_HASHES // BAND_SIZE))}
                    END AS band_val
             FROM sigs, LATERAL (SELECT UNNEST([0, 1, 2, 3]) AS band_idx) t
         )
@@ -237,18 +253,29 @@ _MINHASH_COLS = [f"h{i}" for i in range(N_HASHES)]
 def d3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") % 10 == 0)
     toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok")).distinct()
-    sigs = toks.groupBy("doc_id").agg(
+    tok_x = toks.select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.encode("tok", "UTF-8")), 1, 7), 16, 10)
+        .cast("long")
+        .alias("x"),
+    )
+    sigs = tok_x.groupBy("doc_id").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"s{i}:"), F.col("tok")))).alias(f"h{i}")
-            for i in range(N_HASHES)
+            F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(_MERSENNE_P)).alias(f"h{i}")
+            for i, (a, b) in enumerate(zip(_MINHASH_A, _MINHASH_B))
         ]
     )
     band_cols = [
         F.struct(
             F.lit(b).alias("band_idx"),
-            F.md5(F.concat(*[F.col(f"h{4 * b + j}") for j in range(BAND_SIZE)])).alias(
-                "band_val"
-            ),
+            F.md5(
+                F.encode(
+                    F.concat_ws(
+                        "_", *[F.col(f"h{4 * b + j}").cast("string") for j in range(BAND_SIZE)]
+                    ),
+                    "UTF-8",
+                )
+            ).alias("band_val"),
         )
         for b in range(N_HASHES // BAND_SIZE)
     ]
