@@ -222,6 +222,7 @@ def j7_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- J8: as-of join (union + ordered-window composition) -----------------
 @REGISTRY.register(
     name="j8_asof_join",
+    bench=True,
     survey_ref="§2.3 extras (as-of)",
     doc="As-of join — SURVEY.md §2.3 notes the reference has none; a "
     "training-data pipeline needs it constantly (attach the latest "

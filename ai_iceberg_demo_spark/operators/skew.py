@@ -90,6 +90,7 @@ def salted_collect_list(
 
 @REGISTRY.register(
     name="a9_skew_salted_agg",
+    bench=True,
     survey_ref="§2.4 extras (skew)",
     doc="Two-phase salted aggregation over the 3 heavy l_returnflag "
     "groups (~200k rows each at sf0.1): phase 1 by (flag, salt-from-"
