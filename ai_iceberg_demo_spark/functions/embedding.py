@@ -39,7 +39,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql.types import ArrayType, DoubleType
 
 from ai_iceberg_demo_spark.registry import Registry
-from ai_iceberg_demo_spark.tables import load_table
+from ai_iceberg_demo_spark.tables import fan_out_small_input, load_table
 
 REGISTRY = Registry()
 
@@ -72,20 +72,12 @@ def hash_embed_df(
     tokens → (bucket, ±1) → per-doc signed counts → dense dim-vector →
     l2-normalize, components rounded to 6 decimals.
     """
-    # Fan out when the source can't feed the cores (e.g. one small
-    # parquet file → one scan task doing all the tokenize+md5 work,
-    # measured ~40% of query time at sf0.1). At real scale the input
-    # file count exceeds the cores and this branch never triggers, so
-    # no shuffle is added where file parallelism already exists.
-    # inputFiles() (not .rdd.getNumPartitions(): that converts to an
-    # RDD on every call) is cheap on the cached table handles; non-file
-    # sources return [] and are left alone. Deterministic regardless:
+    # Fan out the serial tokenize+md5 scan stage when the input is a
+    # handful of files (measured ~40% of query time at sf0.1); inert at
+    # cluster scale — see tables.fan_out_small_input. Deterministic:
     # the downstream sums are exact integers, so partitioning cannot
     # change any result bit.
-    n_in = len(docs.inputFiles())
-    cores = docs.sparkSession.sparkContext.defaultParallelism
-    if 0 < n_in * 4 <= cores:
-        docs = docs.repartition(min(cores, n_in * 8))
+    docs = fan_out_small_input(docs)
     toks = docs.select(
         id_col,
         F.explode(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(_TOKEN_RE), 0)).alias("tok"),

@@ -114,3 +114,21 @@ def write_bucketed(
     if sort_col is not None:
         writer = writer.sortBy(sort_col)
     writer.saveAsTable(table)
+
+
+def fan_out_small_input(df: DataFrame) -> DataFrame:
+    """Repartition a scan whose file count can't feed the cores.
+
+    One small parquet file means one scan task doing all the map work
+    (tokenize/hash/decode) serially — the local-fixture shape. At
+    cluster scale the file count exceeds the cores, the condition is
+    false, and no shuffle is added where file parallelism already
+    exists. Uses inputFiles() (plan-cached on the shared table
+    handles), NOT .rdd.getNumPartitions(), which converts to an RDD on
+    every call; non-file sources return [] and are left untouched.
+    """
+    n_in = len(df.inputFiles())
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    if 0 < n_in * 4 <= cores:
+        return df.repartition(min(cores, n_in * 8))
+    return df

@@ -251,7 +251,11 @@ _MINHASH_B = [_rng.randrange(0, _MERSENNE_P) for _ in range(N_HASHES)]
     """,
 )
 def d3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") % 10 == 0)
+    from ai_iceberg_demo_spark.tables import fan_out_small_input
+
+    docs = fan_out_small_input(
+        load_table(spark, "documents", sf_dir).filter(F.col("doc_id") % 10 == 0)
+    )
     toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok")).distinct()
     tok_x = toks.select(
         "doc_id",
