@@ -140,3 +140,60 @@ def test_resilient_sink_swallows_batch_failures(spark):
     assert len(errors) == len(seen_batches)
     assert "broker unavailable" in errors[0][1]
     assert q.exception() is None  # stream survived the sink failures
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """The watermark claim, enforced: a row arriving behind the
+    watermark is dropped — the finalized window's count excludes it.
+
+    Batch 1: three 10:xx events + a 13:00 event that advances the
+    watermark (10 min) to 12:50, sealing the 10:00-11:00 window.
+    Batch 2: a LATE 10:15 event (behind watermark) arrives. In append
+    mode the 10:00 window finalizes in this batch — and must count 3,
+    not 4.
+    """
+    src = str(tmp_path / "in")
+    sink = f"wm_out_{abs(hash(str(tmp_path))) % 10**8}"
+
+    from datetime import datetime
+
+    def write_batch(rows):
+        typed = [(datetime.fromisoformat(ts), et, v) for ts, et, v in rows]
+        spark.createDataFrame(typed, "ts TIMESTAMP, event_type STRING, value DOUBLE") \
+            .coalesce(1).write.mode("append").parquet(src)
+
+    write_batch(
+        [
+            ("2024-01-01 10:05:00", "click", 1.0),
+            ("2024-01-01 10:15:00", "click", 1.0),
+            ("2024-01-01 10:45:00", "click", 1.0),
+            ("2024-01-01 13:00:00", "click", 1.0),
+        ]
+    )
+    from ai_iceberg_demo_spark.streaming.events import tumbling_counts
+
+    stream = (
+        spark.readStream.schema("ts TIMESTAMP, event_type STRING, value DOUBLE")
+        .parquet(src)
+        .withWatermark("ts", "10 minutes")
+    )
+    q = (
+        tumbling_counts(stream, "1 hour")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # batch 1: state built, watermark -> 12:50
+        write_batch([("2024-01-01 10:15:00", "late_click", 99.0)])
+        q.processAllAvailable()  # batch 2: late row dropped, 10:00 window emits
+        out = {
+            (r["window_start"].hour, r["event_type"]): r["n"]
+            for r in spark.table(sink).collect()
+        }
+        assert out.get((10, "click")) == 3, f"late row leaked into sealed window: {out}"
+        assert (10, "late_click") not in out, f"late event type emitted: {out}"
+    finally:
+        q.stop()
