@@ -219,6 +219,45 @@ def j7_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def asof_attach(
+    ev: DataFrame, left_type: str = "purchase", right_type: str = "click"
+) -> DataFrame:
+    """Each `left_type` row picks up the same user's most recent
+    `right_type` row at-or-before its timestamp (left-join semantics:
+    no prior right row → nulls). The single-shuffle window form —
+    see the j8 registration doc for why not a range join.
+
+    Clicks sort before purchases at equal ts (kind asc) -> "<=" as-of
+    semantics; event_id is the final tiebreak so the result is total-
+    order deterministic even with duplicate (user, ts) pairs.
+    """
+    tagged = ev.filter(F.col("event_type").isin(right_type, left_type)).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == right_type, 0).otherwise(1).alias("kind"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    win = tagged.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "kind",
+        F.last(F.when(F.col("kind") == 0, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("click_event_id"),
+        F.last(F.when(F.col("kind") == 0, F.col("value")), ignorenulls=True)
+        .over(w)
+        .alias("click_value"),
+    )
+    return win.filter(F.col("kind") == 1).drop("kind")
+
+
 # --- J8: as-of join (union + ordered-window composition) -----------------
 @REGISTRY.register(
     name="j8_asof_join",
@@ -251,35 +290,7 @@ def j7_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def j8_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, "events", sf_dir)
-    tagged = ev.filter(F.col("event_type").isin("click", "purchase")).select(
-        "user_id",
-        "ts",
-        "event_id",
-        "value",
-        F.when(F.col("event_type") == "click", 0).otherwise(1).alias("kind"),
-    )
-    # clicks sort before purchases at equal ts (kind asc) -> "<=" as-of
-    # semantics; event_id is the final tiebreak so the result is total-
-    # order deterministic even with duplicate (user, ts) pairs.
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "kind", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    win = tagged.select(
-        "event_id",
-        "user_id",
-        "ts",
-        "kind",
-        F.last(F.when(F.col("kind") == 0, F.col("event_id")), ignorenulls=True)
-        .over(w)
-        .alias("click_event_id"),
-        F.last(F.when(F.col("kind") == 0, F.col("value")), ignorenulls=True)
-        .over(w)
-        .alias("click_value"),
-    )
-    return win.filter(F.col("kind") == 1).drop("kind")
+    return asof_attach(load_table(spark, "events", sf_dir))
 
 
 # --- J9: interval/range join (range-frame window composition) ------------

@@ -85,3 +85,46 @@ def test_salted_collect_equals_plain_on_generated_data(spark, words, salt):
         for r in salted_collect_list(df, "k", "v", salt_from=["rid"], n_salts=salt).collect()
     }
     assert plain == salted
+
+
+@PROP
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),      # user_id
+            st.integers(min_value=0, max_value=20),     # ts (seconds)
+            st.sampled_from(["click", "purchase", "view"]),
+            st.floats(min_value=0, max_value=10, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_asof_join_matches_python_reference(spark, events):
+    """j8's window formulation equals the naive per-row 'latest click
+    at-or-before' definition on arbitrary (possibly ts-colliding) data."""
+    from datetime import datetime, timedelta
+
+    from ai_iceberg_demo_spark.operators.joins import asof_attach
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (i, u, base + timedelta(seconds=ts), et, v)
+        for i, (u, ts, et, v) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id LONG, user_id LONG, ts TIMESTAMP, event_type STRING, value DOUBLE"
+    )
+    got = {
+        r["event_id"]: (r["click_event_id"], r["click_value"])
+        for r in asof_attach(df).collect()
+    }
+    purchases = [r for r in rows if r[3] == "purchase"]
+    assert set(got) == {r[0] for r in purchases}, "every purchase appears exactly once"
+    for eid, u, ts, _, _ in purchases:
+        clicks = [r for r in rows if r[3] == "click" and r[1] == u and r[2] <= ts]
+        expect = max(clicks, key=lambda r: (r[2], r[0]), default=None)
+        if expect is None:
+            assert got[eid] == (None, None), f"purchase {eid}: expected no match"
+        else:
+            assert got[eid] == (expect[0], expect[4]), f"purchase {eid}"
