@@ -237,6 +237,36 @@ def a7_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- standard surface: cube + grouping id -------------------------------
+@REGISTRY.register(
+    name="a10_cube",
+    survey_ref="§2.4 extras",
+    doc="CUBE over (returnflag, linestatus) with GROUPING() markers — "
+    "all 2^n grouping combinations in one shuffle pass (Spark expands "
+    "grouping sets map-side; no per-set rescan).",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(l_quantity) AS sum_qty
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def a10_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, "lineitem", sf_dir)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("bigint").alias("g_flag"),
+            F.grouping("l_linestatus").cast("bigint").alias("g_status"),
+            F.count("*").alias("n"),
+            F.sum("l_quantity").alias("sum_qty"),
+        )
+    )
+
+
 # --- standard surface: approx sketches (rows-only check) ----------------
 @REGISTRY.register(
     name="a8_approx_distinct",
