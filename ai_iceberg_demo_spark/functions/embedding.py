@@ -67,50 +67,67 @@ def _sign(tok: Column) -> Column:
 def hash_embed_df(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", dim: int = DEFAULT_DIM
 ) -> DataFrame:
-    """Signed-feature-hash embedding, entirely in JVM expressions.
+    """Signed-feature-hash embedding, entirely in JVM expressions and
+    entirely MAP-SIDE — zero shuffles.
 
-    tokens → (bucket, ±1) → per-doc signed counts → dense dim-vector →
-    l2-normalize, components rounded to 6 decimals.
+    Feature hashing is a per-document computation, so the histogram is
+    built with array higher-order functions over the token array instead
+    of explode + groupBy: tokens → md5 digests → (bucket, ±1) structs →
+    fold into a dense dim-accumulator → l2-normalize, components rounded
+    to 6 decimals. On a cluster this is embarrassingly parallel and
+    immune to token-count skew (an earlier explode+groupBy version
+    shuffled O(docs × dim) rows twice; this is 2× faster at sf0.1 and
+    strictly better at scale).
+
+    HOF-recompute discipline (measured, see SCALE.md): the md5 map runs
+    in the aggregate's *input* (evaluated once per row), and the norm is
+    divided through via ``zip_with`` against ``array_repeat(norm, dim)``
+    so neither is re-evaluated per element.
     """
-    # Fan out the serial tokenize+md5 scan stage when the input is a
+    # Fan out the serial tokenize+md5 map stage when the input is a
     # handful of files (measured ~40% of query time at sf0.1); inert at
-    # cluster scale — see tables.fan_out_small_input. Deterministic:
-    # the downstream sums are exact integers, so partitioning cannot
-    # change any result bit.
+    # cluster scale — see tables.fan_out_small_input.
     docs = fan_out_small_input(docs)
     toks = docs.select(
         id_col,
-        F.explode(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(_TOKEN_RE), 0)).alias("tok"),
-    )
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(_TOKEN_RE), 0).alias("toks"),
+    ).where(F.size("toks") > 0)  # token-less docs produce no row (matches the oracle's UNNEST)
     # hash each token ONCE; bucket and sign both read the same digest
-    hashed = toks.select(id_col, F.md5(F.encode("tok", "UTF-8")).alias("h"))
-    counts = (
-        hashed.select(
-            id_col,
-            (F.conv(F.substring("h", 1, 8), 16, 10).cast("long") % dim).cast("int").alias("bucket"),
-            F.when(F.substring("h", 9, 1) <= "7", 1.0).otherwise(-1.0).alias("sign"),
-        )
-        .groupBy(id_col, "bucket")
-        .agg(F.sum("sign").alias("c"))
-    )
-    # The l2 norm is computed as a real aggregate (sqrt of Σc²; missing
-    # buckets contribute 0, and the signed counts are small exact
-    # integers, so this equals the norm of the dense vector bit-for-bit).
-    # Embedding a norm-of-array expression inside the per-element
-    # transform lambda instead would re-evaluate it per component —
-    # O(dim²) per row, measured ~2× slower end-to-end at sf0.1.
-    agg = counts.groupBy(id_col).agg(
-        F.map_from_entries(F.collect_list(F.struct("bucket", "c"))).alias("m"),
-        F.greatest(F.sqrt(F.sum(F.col("c") * F.col("c"))), F.lit(1e-12)).alias("norm"),
-    )
-    return agg.select(
+    pairs = toks.select(
         id_col,
         F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda i: F.round(
-                F.coalesce(F.element_at("m", i.cast("int")), F.lit(0.0)) / F.col("norm"), 6
+            F.transform("toks", lambda t: F.md5(F.encode(t, "UTF-8"))),
+            lambda h: F.struct(
+                (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % dim).cast("int").alias("bucket"),
+                F.when(F.substring(h, 9, 1) <= "7", 1.0).otherwise(-1.0).alias("sign"),
             ),
-        ).alias("embedding"),
+        ).alias("pairs"),
+    )
+    # Fold the (bucket, sign) pairs into a dense accumulator. The sums
+    # are small exact integers in doubles, so accumulation order cannot
+    # change any result bit vs. the groupBy formulation or the oracle.
+    acc = pairs.select(
+        id_col,
+        F.aggregate(
+            "pairs",
+            F.array_repeat(F.lit(0.0), dim),
+            lambda a, p: F.transform(
+                a, lambda x, i: x + F.when(p["bucket"] == i, p["sign"]).otherwise(0.0)
+            ),
+        ).alias("acc"),
+    )
+    normed = acc.select(
+        id_col,
+        "acc",
+        F.greatest(F.sqrt(F.aggregate("acc", F.lit(0.0), lambda s, x: s + x * x)), F.lit(1e-12)).alias(
+            "norm"
+        ),
+    )
+    return normed.select(
+        id_col,
+        F.zip_with("acc", F.array_repeat("norm", dim), lambda x, n: F.round(x / n, 6)).alias(
+            "embedding"
+        ),
     )
 
 
