@@ -88,6 +88,35 @@ def salted_collect_list(
     return phase1.groupBy(key).agg(F.flatten(F.collect_list("_part")).alias(f"{value}_list"))
 
 
+def salted_topk(
+    df: DataFrame,
+    keys: list[str],
+    order: list[Column],
+    k: int,
+    salt_from: list[str],
+    n_salts: int = DEFAULT_SALTS,
+) -> DataFrame:
+    """Top-k rows per key, skew-proof: a plain
+    ``row_number() over (partition by key)`` funnels every row of a hot
+    key through one reducer's sort. Phase 1 ranks per (key, salt) and
+    keeps k — parallel S ways, so a key with a billion rows sorts
+    ~1B/S per task; phase 2 ranks the ≤ S·k survivors per key. Result
+    (including the `rn` column) is identical to the unsalted window
+    provided `order` is a total order (include a tiebreaker column).
+    """
+    from pyspark.sql import Window
+
+    w1 = Window.partitionBy(*keys, "_salt").orderBy(*order)
+    pruned = (
+        with_salt(df, salt_from, n_salts)
+        .withColumn("_rn1", F.row_number().over(w1))
+        .filter(F.col("_rn1") <= k)
+        .drop("_rn1", "_salt")
+    )
+    w2 = Window.partitionBy(*keys).orderBy(*order)
+    return pruned.withColumn("rn", F.row_number().over(w2)).filter(F.col("rn") <= k)
+
+
 @REGISTRY.register(
     name="a9_skew_salted_agg",
     bench=True,

@@ -134,63 +134,51 @@ def pipeline_run_direct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def pipeline_interactive(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from ai_iceberg_demo_spark.operators.skew import salted_topk
+    from ai_iceberg_demo_spark.vector.similarity import cosine
 
     emb = load_table(spark, "embeddings", sf_dir)
     docs = load_table(spark, "documents", sf_dir)
     probes = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
-    from ai_iceberg_demo_spark.vector.similarity import cosine
-
-    scored = (
-        emb.join(F.broadcast(probes), emb.vec_id != probes.qid)
-        .select("qid", "vec_id", F.round(cosine(F.col("embedding"), F.col("qvec")), 6).alias("score"))
+    scored = emb.join(F.broadcast(probes), emb.vec_id != probes.qid).select(
+        "qid", "vec_id", F.round(cosine(F.col("embedding"), F.col("qvec")), 6).alias("score")
     )
-    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vec_id"))
-    ranked = scored.withColumn("rn", F.row_number().over(w))
-    best = ranked.filter(F.col("rn") == 1).select(
-        "qid", F.col("vec_id").alias("best_vec"), F.col("score").alias("best_score")
+    # Single pruning pass: the top-3 per workflow carries BOTH the
+    # cache-probe answer (rn=1) and the context set (rn<=3). A naive
+    # formulation branches `ranked` into best/ctx subtrees, which Spark
+    # executes twice; and partitionBy(qid) alone funnels each
+    # workflow's full candidate set through one reducer — salted_topk
+    # splits that sort S ways (skew.py).
+    top3 = salted_topk(
+        scored, ["qid"], [F.desc("score"), F.asc("vec_id")], k=3, salt_from=["vec_id"]
     )
-    cached = best.filter(F.col("best_score") >= 0.38).select(
-        F.col("qid").alias("workflow_id"),
-        F.lit("cached").alias("status"),
-        "best_score",
-        F.lit(0).cast("bigint").alias("n_ctx"),
-        F.concat(F.lit("(cache hit: result "), F.col("best_vec").cast("string"), F.lit(")")).alias(
-            "report"
-        ),
-    )
-    missed_best = best.filter(F.col("best_score") < 0.38)
-    ctx = (
-        ranked.join(missed_best.select("qid"), "qid")
-        .filter((F.col("rn") <= 3) & (F.col("score") >= 0.28))
-        .join(docs, F.col("vec_id") == docs.doc_id)
-        .select(
-            "qid",
+    summarized = top3.join(docs.select("doc_id", "text"), top3.vec_id == docs.doc_id, "left").select(
+        "qid",
+        "vec_id",
+        "score",
+        F.when(
+            F.col("score") >= 0.28,
             F.concat(
-                F.lit("Summary["),
-                F.col("vec_id").cast("string"),
-                F.lit("]: "),
-                F.substring("text", 1, 80),
-            ).alias("summary"),
-        )
-    )
-    miss = (
-        missed_best.join(ctx, "qid", "left")
-        .groupBy("qid", "best_score")
-        .agg(
-            F.count("summary").alias("n_ctx"),
-            F.coalesce(F.array_join(F.sort_array(F.collect_list("summary")), " --- "), F.lit("")).alias(
-                "report"
+                F.lit("Summary["), F.col("vec_id").cast("string"), F.lit("]: "), F.substring("text", 1, 80)
             ),
-        )
-        .select(
-            F.col("qid").alias("workflow_id"),
-            F.lit("completed").alias("status"),
-            "best_score",
-            "n_ctx",
-            "report",
-        )
+        ).alias("summary"),  # null below threshold; collect_list drops nulls
     )
-    return cached.unionByName(miss)
+    # one hash-aggregate yields best (max-struct, tiebreak lowest vec_id
+    # via negation) and the sorted context list; status is then a pure
+    # map-side CASE — no union of branch plans.
+    per_q = summarized.groupBy("qid").agg(
+        F.max(F.struct(F.col("score").alias("s"), (-F.col("vec_id")).alias("nv"))).alias("b"),
+        F.sort_array(F.collect_list("summary")).alias("ctx"),
+    )
+    hit = F.col("b.s") >= 0.38
+    return per_q.select(
+        F.col("qid").alias("workflow_id"),
+        F.when(hit, "cached").otherwise("completed").alias("status"),
+        F.col("b.s").alias("best_score"),
+        F.when(hit, F.lit(0)).otherwise(F.size("ctx")).cast("bigint").alias("n_ctx"),
+        F.when(hit, F.concat(F.lit("(cache hit: result "), (-F.col("b.nv")).cast("string"), F.lit(")")))
+        .otherwise(F.coalesce(F.array_join("ctx", " --- "), F.lit("")))
+        .alias("report"),
+    )

@@ -60,3 +60,23 @@ def test_salted_agg_splits_state(spark):
         .count()
     )
     assert all(r["count"] > 1 for r in parts.collect())
+
+
+def test_salted_topk_equals_plain_window(spark):
+    """salted_topk == plain row_number window (rn included) when the
+    order is total."""
+    from pyspark.sql import Window
+
+    from ai_iceberg_demo_spark.operators.skew import salted_topk
+
+    li = load_table(spark, "lineitem", SF_DIR).select(
+        "l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    order = [F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")]
+    w = Window.partitionBy("l_returnflag").orderBy(*order)
+    plain = li.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+    salted = salted_topk(
+        li, ["l_returnflag"], order, k=5, salt_from=["l_orderkey", "l_linenumber"], n_salts=8
+    )
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
