@@ -282,3 +282,54 @@ def a8_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99))").alias("price_quantiles"),
     )
+
+
+@REGISTRY.register(
+    name="a11_percentiles",
+    survey_ref="§2.4 extras (holistic)",
+    doc="exact quartiles of l_extendedprice per returnflag — the "
+    "holistic-aggregate surface (percentile = sort-based, no map-side "
+    "combine; the approx_percentile twin in a8's family is the "
+    "scale path when exactness can be traded).",
+    oracle="""
+        SELECT l_returnflag,
+               LIST_TRANSFORM(QUANTILE_CONT(l_extendedprice, [0.25, 0.5, 0.75]),
+                              x -> ROUND(x, 4)) AS quartiles,
+               ROUND(MEDIAN(l_quantity), 4) AS median_qty
+        FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a11_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.transform(
+            F.percentile("l_extendedprice", F.lit([0.25, 0.5, 0.75])), lambda x: F.round(x, 4)
+        ).alias("quartiles"),
+        F.round(F.median("l_quantity"), 4).alias("median_qty"),
+    )
+
+
+@REGISTRY.register(
+    name="a12_moment_stats",
+    survey_ref="§2.4 extras (moments)",
+    doc="second-moment statistics per returnflag: sample stddev/variance "
+    "and quantity↔price correlation/covariance. Distributed as "
+    "one-pass partial moments merged exactly the way DuckDB computes "
+    "them sequentially; rounded to absorb last-ulp merge-order drift.",
+    oracle="""
+        SELECT l_returnflag,
+               ROUND(STDDEV_SAMP(l_quantity), 4) AS sd_qty,
+               ROUND(VAR_SAMP(l_quantity), 4) AS var_qty,
+               ROUND(CORR(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+               ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) AS cov_qty_price
+        FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a12_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("cov_qty_price"),
+    )

@@ -341,3 +341,102 @@ def j9_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("is_click").over(w), F.lit(0)).cast("bigint").alias("clicks_last_hour"),
     )
     return win.filter(F.col("is_click") == 0).drop("is_click")
+
+
+# --- standard surface: TPC-H-shaped multi-way joins ---------------------
+# The fixture tables are TPC-H-ish (TESTDATA.md), so the engine carries
+# the two canonical join-planning benchmarks: Q3 (fact⋈fact⋈dim with
+# date pruning) and Q5 (a 6-table snowflake). They exist to prove the
+# planner-facing claims in the module docstring: dims broadcast, fact
+# joins shuffle on their keys once, filters reach the scans.
+
+
+@REGISTRY.register(
+    name="q3_shipping_priority",
+    survey_ref="§7 (TPC-H Q3)",
+    doc="TPC-H Q3-shaped shipping priority: customer(BUILDING) ⋈ orders "
+    "⋈ lineitem with date pruning on both facts, revenue agg per order, "
+    "top-10. customer is broadcast (dim-sized at TPC-H ratios after the "
+    "segment filter); orders⋈lineitem shuffles on orderkey once and the "
+    "date filters reach the parquet scans (PushedFilters).",
+    oracle="""
+        SELECT l_orderkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue,
+               o_orderdate, o_orderpriority
+        FROM customer JOIN orders ON c_custkey = o_custkey
+                      JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+          AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderdate, l_orderkey
+        LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    cust = (
+        load_table(spark, "customer", sf_dir)
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = load_table(spark, "orders", sf_dir).filter(F.col("o_orderdate") < cutoff)
+    li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_shipdate") > cutoff)
+    rev = (F.col("l_extendedprice").cast("decimal(12,2)") * (F.lit(1) - F.col("l_discount")).cast("decimal(3,2)"))
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@REGISTRY.register(
+    name="q5_local_supplier_volume",
+    survey_ref="§7 (TPC-H Q5)",
+    doc="TPC-H Q5-shaped snowflake: 6-table join where the order's "
+    "customer and the lineitem's supplier must share a nation inside "
+    "one region. supplier/nation/region broadcast (dims); "
+    "customer⋈orders and orders⋈lineitem shuffle on their keys; the "
+    "region filter prunes through the broadcast chain before the fact "
+    "shuffle happens.",
+    oracle="""
+        SELECT n_name,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue
+        FROM customer JOIN orders ON c_custkey = o_custkey
+                      JOIN lineitem ON l_orderkey = o_orderkey
+                      JOIN supplier ON l_suppkey = s_suppkey
+                      JOIN nation ON s_nationkey = n_nationkey
+                      JOIN region ON n_regionkey = r_regionkey
+        WHERE c_nationkey = s_nationkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+    orders = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, "lineitem", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir).filter(F.col("r_name") == "ASIA")
+    rev = (F.col("l_extendedprice").cast("decimal(12,2)") * (F.lit(1) - F.col("l_discount")).cast("decimal(3,2)"))
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, (orders.o_custkey == cust.c_custkey) & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )

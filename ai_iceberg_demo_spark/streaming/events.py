@@ -297,3 +297,95 @@ def resilient_foreach_batch(df, write_fn, errors: list | None = None):
             sink_errors.append((batch_id, str(exc)))
 
     return df.writeStream.foreachBatch(write_batch).start()
+
+
+# --- T11: stream-stream join (attribution) ------------------------------
+
+
+def attribution_join(views: DataFrame, clicks: DataFrame, horizon: str = "2 hours") -> DataFrame:
+    """View→click attribution: each click joins the same user's views
+    in the preceding ``horizon``. The SAME body serves batch and
+    streaming; for streaming, watermark both inputs (see
+    streaming_attribution) and Spark's stream-stream inner join keeps
+    only ``horizon`` of view state per user — bounded state, the thing
+    the reference's consumer-side joins (REDPANDA.md pipelines) can't
+    express at all.
+    """
+    v = views.select(
+        F.col("user_id").alias("v_user"), F.col("event_id").alias("view_id"), F.col("ts").alias("v_ts")
+    )
+    c = clicks.select(
+        F.col("user_id").alias("c_user"), F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+    )
+    return v.join(
+        c,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {horizon}")),
+    ).select(
+        F.col("v_user").alias("user_id"), "view_id", "click_id", F.col("v_ts").alias("view_ts"), F.col("c_ts").alias("click_ts")
+    )
+
+
+def streaming_attribution(spark: SparkSession, sf_dir: str, horizon: str = "2 hours") -> DataFrame:
+    """The genuine stream-stream form: the events stream split into a
+    views stream and a clicks stream (a self-join of the source), both
+    watermarked so the join state expires."""
+    src = read_events_stream(spark, sf_dir)
+    views = src.filter(F.col("event_type") == "view").withWatermark("ts", "4 hours")
+    clicks = src.filter(F.col("event_type") == "click").withWatermark("ts", "4 hours")
+    return attribution_join(views, clicks, horizon)
+
+
+@REGISTRY.register(
+    name="t11_attribution_join",
+    survey_ref="§2.9 extras (stream-stream join)",
+    doc="view→click attribution pairs within a 2h horizon — the batch "
+    "twin of the watermarked stream-stream inner join "
+    "(streaming_attribution; equality proven in tests/test_streaming.py).",
+    oracle="""
+        SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+               v.ts AS view_ts, c.ts AS click_ts
+        FROM events v JOIN events c
+          ON v.user_id = c.user_id
+         AND v.event_type = 'view' AND c.event_type = 'click'
+         AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 2 HOUR
+    """,
+)
+def t11_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return attribution_join(
+        ev.filter(F.col("event_type") == "view"), ev.filter(F.col("event_type") == "click")
+    )
+
+
+# --- T12: streaming dedup within watermark ------------------------------
+
+
+def dedup_stream(stream: DataFrame, keys: list[str], watermark: str = "1 hour") -> DataFrame:
+    """At-least-once → effectively-once: drop re-deliveries of the same
+    key seen within the watermark. State is bounded by the watermark
+    horizon (plain dropDuplicates on a stream keeps ALL keys forever —
+    unusable at 100 TB/day; this is the scale-safe form)."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+@REGISTRY.register(
+    name="t12_stream_dedup",
+    survey_ref="§2.9 extras (streaming dedup), D1",
+    doc="redelivered-event dedup: the batch twin doubles the stream "
+    "(union all) and keeps one row per event_id — what "
+    "dedup_stream/dropDuplicatesWithinWatermark guarantees online with "
+    "watermark-bounded state (test drives the real stream over "
+    "duplicated input files).",
+    oracle="""
+        SELECT event_id, ts, user_id, event_type, value, props FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts) AS rn
+            FROM (SELECT * FROM events UNION ALL SELECT * FROM events)
+        ) WHERE rn = 1
+    """,
+)
+def t12_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    redelivered = ev.unionAll(ev)
+    return redelivered.dropDuplicates(["event_id"])

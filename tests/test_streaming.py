@@ -197,3 +197,57 @@ def test_watermark_drops_late_rows(spark, tmp_path):
         assert (10, "late_click") not in out, f"late event type emitted: {out}"
     finally:
         q.stop()
+
+
+def test_stream_stream_attribution_matches_batch(spark):
+    """T11: the watermarked stream-stream self-join emits exactly the
+    batch join's pairs."""
+    from ai_iceberg_demo_spark.streaming.events import streaming_attribution
+    from ai_iceberg_demo_spark.registry import all_registries
+
+    q = (
+        streaming_attribution(spark, SF_DIR)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("attr_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = spark.sql("SELECT user_id, view_id, click_id FROM attr_out")
+    batch = all_registries().specs["t11_attribution_join"].fn(spark, SF_DIR).select(
+        "user_id", "view_id", "click_id"
+    )
+    assert streamed.count() > 0
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """T12: two copies of the same file -> dropDuplicatesWithinWatermark
+    emits each event_id once."""
+    import shutil
+
+    from ai_iceberg_demo_spark.streaming.events import dedup_stream, read_events_stream
+
+    src_dir = tmp_path / "dup_events"
+    src_dir.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", src_dir / "events.parquet")
+    shutil.copy(f"{SF_DIR}/events.parquet", src_dir / "events_redelivered.parquet")
+    stream = read_events_stream(spark, str(src_dir))
+    q = (
+        dedup_stream(stream, ["event_id"])
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.sql("SELECT COUNT(*) AS n, COUNT(DISTINCT event_id) AS d FROM dedup_out").first()
+    expected = load_table(spark, "events", SF_DIR).count()
+    assert out["n"] == out["d"] == expected
