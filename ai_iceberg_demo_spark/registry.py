@@ -93,7 +93,7 @@ def all_registries() -> Registry:
         timeline,
         windows,
     )
-    from ai_iceberg_demo_spark.pipeline import research
+    from ai_iceberg_demo_spark.pipeline import curation, research
     from ai_iceberg_demo_spark.streaming import events as streaming_events
     from ai_iceberg_demo_spark.streaming import stateful as streaming_stateful
     from ai_iceberg_demo_spark.vector import dedup, similarity
@@ -118,6 +118,7 @@ def all_registries() -> Registry:
         streaming_stateful,
         artifacts,
         research,
+        curation,
     ):
         merged.merge(mod.REGISTRY)
     return merged

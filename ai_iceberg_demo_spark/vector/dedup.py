@@ -218,16 +218,8 @@ _MINHASH_A = [_rng.randrange(1, _MERSENNE_P) for _ in range(N_HASHES)]
 _MINHASH_B = [_rng.randrange(0, _MERSENNE_P) for _ in range(N_HASHES)]
 
 
-@REGISTRY.register(
-    name="d3_minhash_lsh",
-    survey_ref="training-data",
-    doc="MinHash(16)+LSH(4 bands of 4) near-dup candidates over a 1-in-10 "
-    "sample. Classic affine permutations (a*x+b mod 2^31-1) over one md5 "
-    "token hash — a single digest per token, exactly reproduced by the "
-    "oracle; production swaps md5→xxhash64. Candidates feed the "
-    "exact-Jaccard verify (d2 plan).",
-    bench=True,
-    oracle=f"""
+# d3's candidate-pair SQL, shared with d6's component oracle
+_D3_PAIRS_SQL = f"""
         WITH toks AS (
             SELECT DISTINCT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok
             FROM documents WHERE doc_id % 10 = 0
@@ -248,7 +240,19 @@ _MINHASH_B = [_rng.randrange(0, _MERSENNE_P) for _ in range(N_HASHES)]
         FROM bands a JOIN bands b
           ON a.band_idx = b.band_idx AND a.band_val = b.band_val
          AND a.doc_id < b.doc_id
-    """,
+"""
+
+
+@REGISTRY.register(
+    name="d3_minhash_lsh",
+    survey_ref="training-data",
+    doc="MinHash(16)+LSH(4 bands of 4) near-dup candidates over a 1-in-10 "
+    "sample. Classic affine permutations (a*x+b mod 2^31-1) over one md5 "
+    "token hash — a single digest per token, exactly reproduced by the "
+    "oracle; production swaps md5→xxhash64. Candidates feed the "
+    "exact-Jaccard verify (d2 plan).",
+    bench=True,
+    oracle=_D3_PAIRS_SQL,
 )
 def d3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ai_iceberg_demo_spark.tables import fan_out_small_input
@@ -431,4 +435,80 @@ def d5_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pairs.groupBy(F.col("a_id").alias("vec_id")).agg(
         F.min("b_id").alias("canonical_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# D6: candidate pairs → duplicate clusters (connected components)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(pairs: DataFrame, src: str = "a_id", dst: str = "b_id", max_iter: int = 25) -> DataFrame:
+    """Connected components over an undirected pair list by min-label
+    propagation: every node starts labeled with its own id; each round
+    pushes labels across edges and keeps the per-node min; fixpoint in
+    ≤ diameter rounds. Returns (id, lbl) for every node that appears in
+    a pair (singletons are the caller's left-join).
+
+    Each round is two shuffles (join + min-agg), all distributed — no
+    driver-side graph. The convergence probe is a 1-row sum (labels
+    only ever decrease, so an unchanged sum IS the fixpoint).
+    ``localCheckpoint`` truncates the per-iteration lineage so planning
+    stays O(1) per round; on a cluster prefer ``checkpoint()`` to a
+    reliable store (localCheckpoint pins executors). Near-dup clusters
+    have tiny diameters (dup groups, not social graphs), so rounds ≈ 3.
+    """
+    fwd = pairs.select(F.col(src).alias("esrc"), F.col(dst).alias("edst"))
+    edges = fwd.union(pairs.select(F.col(dst).alias("esrc"), F.col(src).alias("edst")))
+    edges = edges.repartition("esrc").localCheckpoint(eager=True)
+    labels = edges.select(F.col("esrc").alias("id")).distinct().withColumn("lbl", F.col("id"))
+    labels = labels.localCheckpoint(eager=True)
+    prev = labels.agg(F.sum("lbl")).first()[0]
+    for _ in range(max_iter):
+        msgs = edges.join(labels, edges.esrc == labels.id).select(
+            F.col("edst").alias("id"), "lbl"
+        )
+        labels = (
+            labels.union(msgs).groupBy("id").agg(F.min("lbl").alias("lbl"))
+        ).localCheckpoint(eager=True)
+        cur = labels.agg(F.sum("lbl")).first()[0]
+        if cur == prev:
+            break
+        prev = cur
+    return labels
+
+
+@REGISTRY.register(
+    name="d6_dedup_components",
+    survey_ref="training-data",
+    doc="near-dup CLUSTERS: d3's LSH candidate pairs closed into "
+    "connected components by distributed min-label propagation "
+    "(component_id = min doc_id in the cluster; singletons keep their "
+    "own id). This is the step that turns pairwise candidates into the "
+    "keep-one-per-cluster decision a corpus dedup actually ships. "
+    "Oracle: DuckDB recursive CTE over the identical pair list.",
+    oracle=f"""
+        WITH RECURSIVE pairs AS ({_D3_PAIRS_SQL}),
+        edges AS (
+            SELECT a_id AS src, b_id AS dst FROM pairs
+            UNION ALL
+            SELECT b_id, a_id FROM pairs
+        ),
+        reach(id, lbl) AS (
+            SELECT DISTINCT src, src FROM edges
+            UNION
+            SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+        ),
+        comp AS (SELECT id, MIN(lbl) AS component_id FROM reach GROUP BY id)
+        SELECT d.doc_id, CAST(COALESCE(c.component_id, d.doc_id) AS BIGINT) AS component_id
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+        WHERE d.doc_id % 10 = 0
+    """,
+)
+def d6_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = d3_minhash_lsh(spark, sf_dir)
+    comps = connected_components(pairs)
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") % 10 == 0)
+    return docs.join(comps, docs.doc_id == comps.id, "left").select(
+        "doc_id", F.coalesce("lbl", "doc_id").cast("bigint").alias("component_id")
     )

@@ -97,10 +97,9 @@ def test_flagship_timeline_single_pass(spark):
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
 
 
-@pytest.mark.parametrize("name", ["v1_hash_embedding", "d3_minhash_lsh"])
-def test_training_data_ops_have_partial_aggs(spark, name):
-    plan = plan_of(spark, name)
-    assert "partial_" in plan, f"{name}: aggregation lacks map-side combine"
+def test_training_data_ops_have_partial_aggs(spark):
+    plan = plan_of(spark, "d3_minhash_lsh")
+    assert "partial_" in plan, "minhash signature agg lacks map-side combine"
 
 
 def test_bucketed_join_has_no_exchange(spark):
@@ -129,3 +128,16 @@ def test_bucketed_join_has_no_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_curation_funnel_shuffles_once(spark):
+    """pipeline_curation: filters fuse into the scan stage; the only
+    exchange is the fingerprint-dedup groupBy. v1_hash_embedding: no
+    hash-partitioning shuffle at all (fully map-side; its one
+    round-robin exchange is the deliberate small-input fan-out)."""
+    plan = plan_of(spark, "pipeline_curation", mode="simple")
+    assert plan.count("Exchange") == 1, plan
+    assert "partial_" in plan_of(spark, "pipeline_curation")  # map-side combine
+
+    emb_plan = plan_of(spark, "v1_hash_embedding", mode="simple")
+    assert "hashpartitioning" not in emb_plan, emb_plan
