@@ -1,0 +1,119 @@
+"""Reproducible sampling — the training-data split toolbox.
+
+A 100 TB corpus is never trained on raw: it's sampled, split, and
+class-balanced first. Spark's ``sample()``/``randomSplit()`` are
+seed-based but partition-sensitive (a repartition changes which rows a
+seed picks — poison for reproducible experiments and for oracles).
+Everything here derives membership from a HASH OF THE ROW KEY instead:
+
+- deterministic on any cluster layout, any partitioning, any engine;
+- stable under re-runs and appends (a new row can't evict an old one);
+- exactly what feature stores / dataset versioning need at scale.
+
+md5 keys the oracle surface (engine-portable); production swaps the
+digest for xxhash64 (JVM, no hex round-trip) with identical semantics.
+All three ops are map-only or one small agg — nothing here shuffles
+the corpus itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ai_iceberg_demo_spark.registry import Registry
+from ai_iceberg_demo_spark.tables import load_table
+
+REGISTRY = Registry()
+
+
+def hash_pct(key: Column) -> Column:
+    """Deterministic per-key percentile in [0, 100): first 8 md5 hex
+    digits of the key, mod 100. Uniform for any high-entropy digest."""
+    return (
+        F.conv(F.substring(F.md5(F.encode(key.cast("string"), "UTF-8")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+
+
+_HASH_PCT_SQL = "(('0x' || SUBSTR(MD5(CAST({key} AS VARCHAR)), 1, 8))::BIGINT % 100)"
+
+
+@REGISTRY.register(
+    name="u5_hash_sample",
+    survey_ref="training-data (sampling)",
+    doc="reproducible 10% corpus sample by key-hash percentile — "
+    "partition-layout-independent (unlike sample(seed)), append-stable, "
+    "map-only. The production digest is xxhash64; md5 keys the oracle.",
+    oracle=f"""
+        SELECT doc_id, lang, LENGTH(text) AS n_chars
+        FROM documents
+        WHERE {_HASH_PCT_SQL.format(key="doc_id")} < 10
+    """,
+)
+def u5_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.filter(hash_pct(F.col("doc_id")) < 10).select(
+        "doc_id", "lang", F.length("text").alias("n_chars")
+    )
+
+
+@REGISTRY.register(
+    name="u6_train_test_split",
+    survey_ref="training-data (splits)",
+    doc="deterministic 80/10/10 train/val/test assignment by key-hash "
+    "band, with per-split×lang counts as the audit output. A row's "
+    "split never changes when the corpus grows or repartitions — the "
+    "property randomSplit() cannot give.",
+    oracle=f"""
+        WITH assigned AS (
+            SELECT lang,
+                   CASE WHEN {_HASH_PCT_SQL.format(key="doc_id")} < 80 THEN 'train'
+                        WHEN {_HASH_PCT_SQL.format(key="doc_id")} < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        )
+        SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n
+        FROM assigned GROUP BY split, lang
+    """,
+)
+def u6_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    pct = hash_pct(F.col("doc_id"))
+    assigned = docs.select(
+        "lang",
+        F.when(pct < 80, "train").when(pct < 90, "val").otherwise("test").alias("split"),
+    )
+    return assigned.groupBy("split", "lang").agg(F.count("*").alias("n"))
+
+
+@REGISTRY.register(
+    name="u7_class_weights",
+    survey_ref="training-data (balancing)",
+    doc="inverse-frequency class weights per lang (total / (k * count), "
+    "the sklearn 'balanced' formula) joined back onto every row — the "
+    "small per-class table broadcasts; the corpus never shuffles.",
+    oracle="""
+        WITH counts AS (
+            SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang
+        ), tot AS (
+            SELECT SUM(cnt) AS total, COUNT(*) AS k FROM counts
+        )
+        SELECT d.doc_id, d.lang,
+               ROUND(CAST(t.total AS DOUBLE) / (t.k * c.cnt), 6) AS weight
+        FROM documents d
+        JOIN counts c ON d.lang = c.lang
+        CROSS JOIN tot t
+    """,
+)
+def u7_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    counts = docs.groupBy("lang").agg(F.count("*").alias("cnt"))
+    tot = counts.agg(
+        F.sum("cnt").alias("total"), F.count("*").alias("k")
+    )
+    weights = counts.crossJoin(F.broadcast(tot)).select(
+        "lang", F.round(F.col("total").cast("double") / (F.col("k") * F.col("cnt")), 6).alias("weight")
+    )
+    return docs.join(F.broadcast(weights), "lang").select("doc_id", "lang", "weight")

@@ -88,6 +88,7 @@ def all_registries() -> Registry:
         joins,
         mutations,
         ordering_sets,
+        sampling,
         scans_filters,
         skew,
         timeline,
@@ -106,6 +107,7 @@ def all_registries() -> Registry:
         aggregates,
         windows,
         ordering_sets,
+        sampling,
         timeline,
         mutations,
         scalar,
