@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -357,3 +358,82 @@ def f26_html_escape(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def f27_markdown_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     return markdown_to_html(load_table(spark, "documents", sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# V8d: audio feature extraction seam (mapInPandas; Arrow-batched)
+# ---------------------------------------------------------------------------
+
+AUDIO_FRAME = 256  # samples per analysis frame
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_no", IntegerType()),
+        StructField("rms", DoubleType()),
+        StructField("peak", IntegerType()),
+    ]
+)
+
+
+def audio_features(artifacts: DataFrame, frame: int = AUDIO_FRAME) -> DataFrame:
+    """Per-frame audio features (RMS energy + peak) over the binary
+    payload interpreted as unsigned 8-bit PCM. The REAL decoder
+    (soundfile/librosa → float PCM at a sample rate) is not in this
+    container; bytes-as-samples is the clearly-marked deterministic
+    fake. The Spark side — binary column in, Arrow-batched
+    ``mapInPandas``, one output row per frame, map-only (no shuffle) —
+    is the production shape either way.
+
+    All arithmetic is exact-integer inside float64 (codes ≤ 255,
+    frame sums ≪ 2^53), so the DuckDB oracle reproduces it bit-for-bit
+    before the final round.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    def extract(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "frame_no": [], "rms": [], "peak": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                x = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+                for f in range(math.ceil(len(x) / frame)):
+                    w = x[f * frame : (f + 1) * frame]
+                    out["doc_id"].append(doc_id)
+                    out["frame_no"].append(f)
+                    out["rms"].append(round(math.sqrt(float(np.mean(w * w))), 4))
+                    out["peak"].append(int(w.max()))
+            yield pd.DataFrame(out)
+
+    return artifacts.select("doc_id", "payload").mapInPandas(extract, AUDIO_SCHEMA)
+
+
+@REGISTRY.register(
+    name="v8d_audio_features",
+    survey_ref="training-data (multimodal audio)",
+    doc="audio feature extraction over binary payloads: per-frame RMS "
+    "energy + peak via Arrow-batched mapInPandas (bytes-as-PCM is the "
+    "deterministic decode fake; the seam, schema and batch shape are "
+    "production-real). Map-only.",
+    oracle=f"""
+        WITH frames AS (
+            SELECT doc_id, text,
+                   UNNEST(RANGE(0, CAST(CEIL(OCTET_LENGTH(ENCODE(text)) / {AUDIO_FRAME}.0) AS BIGINT))) AS frame_no
+            FROM documents
+        ), codes AS (
+            SELECT doc_id, CAST(frame_no AS INT) AS frame_no,
+                   LIST_TRANSFORM(
+                       REGEXP_EXTRACT_ALL(SUBSTR(text, CAST(frame_no * {AUDIO_FRAME} + 1 AS INT), {AUDIO_FRAME}), '(?s).'),
+                       c -> CAST(UNICODE(c) AS DOUBLE)) AS xs
+            FROM frames
+        )
+        SELECT doc_id, frame_no,
+               ROUND(SQRT(LIST_SUM(LIST_TRANSFORM(xs, x -> x * x)) / LEN(xs)), 4) AS rms,
+               CAST(LIST_MAX(xs) AS INT) AS peak
+        FROM codes
+    """,
+)
+def v8d_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return audio_features(artifact_table(spark, sf_dir))

@@ -389,3 +389,51 @@ def t12_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
     redelivered = ev.unionAll(ev)
     return redelivered.dropDuplicates(["event_id"])
+
+
+# --- T13: incremental materialized view (foreachBatch partials) ---------
+
+
+def user_view_sink(stream: DataFrame, out_dir: str, checkpoint: str):
+    """Incrementally maintain a per-user (n, total) view from the event
+    stream. Each micro-batch writes its PARTIAL aggregate to
+    ``{out_dir}/batch=<id>`` with per-batch overwrite — a retried batch
+    rewrites the same directory, so the sink is idempotent
+    (effectively exactly-once on top of the checkpoint's at-least-once
+    replay). Readers merge partials on read (read_user_view); a
+    compaction job can fold old batch dirs without blocking the writer.
+    This is the streaming twin of the reference's accumulate-usage
+    pattern (serializable_model_activity.py:14-64) — kept exact by
+    aggregating value in DECIMAL, so partial-then-final equals the
+    one-shot batch aggregate bit-for-bit.
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy("user_id")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("value").cast("decimal(14,2)")).alias("total"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/batch={batch_id}")
+        )
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def read_user_view(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Merge-on-read of the partial-aggregate view: sum the per-batch
+    partials (decimal → exact, order-free)."""
+    return (
+        spark.read.parquet(f"{out_dir}/batch=*")
+        .groupBy("user_id")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("total").cast("double").alias("total_value"),
+        )
+    )

@@ -251,3 +251,32 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     out = spark.sql("SELECT COUNT(*) AS n, COUNT(DISTINCT event_id) AS d FROM dedup_out").first()
     expected = load_table(spark, "events", SF_DIR).count()
     assert out["n"] == out["d"] == expected
+
+
+def test_incremental_view_equals_batch(spark, tmp_path):
+    """T13: foreachBatch partial-aggregate sink + merge-on-read equals
+    the one-shot batch aggregate exactly (decimal partials)."""
+    from ai_iceberg_demo_spark.streaming.events import (
+        read_events_stream,
+        read_user_view,
+        user_view_sink,
+    )
+
+    out = str(tmp_path / "user_view")
+    ckpt = str(tmp_path / "ckpt")
+    q = user_view_sink(read_events_stream(spark, SF_DIR), out, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    view = read_user_view(spark, out)
+    batch = (
+        load_table(spark, "events", SF_DIR)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("total_value"),
+        )
+    )
+    assert view.exceptAll(batch).count() == 0
+    assert batch.exceptAll(view).count() == 0
