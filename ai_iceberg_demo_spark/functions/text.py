@@ -232,3 +232,45 @@ def t3_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 def t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+@REGISTRY.register(
+    name="f28_fuzzy_match",
+    survey_ref="training-data (fuzzy dedup)",
+    doc="edit-distance near-match pairs: 24-char text prefixes within "
+    "levenshtein ≤ 4, blocked on (lang, 4-char prefix) so the join is "
+    "an equi-join on a compact key — never a cross join; the DP cost "
+    "is paid only inside blocks (the same blocking discipline as d2/d3).",
+    oracle="""
+        WITH p AS (
+            SELECT doc_id, lang,
+                   SUBSTR(text, 1, 24) AS pref, SUBSTR(text, 1, 4) AS blk
+            FROM documents
+        )
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               CAST(LEVENSHTEIN(a.pref, b.pref) AS INT) AS dist
+        FROM p a JOIN p b
+          ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+        WHERE LEVENSHTEIN(a.pref, b.pref) <= 4
+    """,
+)
+def f28_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    p = docs.select(
+        "doc_id",
+        "lang",
+        F.substring("text", 1, 24).alias("pref"),
+        F.substring("text", 1, 4).alias("blk"),
+    )
+    a, b = p.alias("a"), p.alias("b")
+    dist = F.levenshtein(F.col("a.pref"), F.col("b.pref"))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(dist <= 4)
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"), dist.cast("int").alias("dist"))
+    )

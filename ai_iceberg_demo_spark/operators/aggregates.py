@@ -333,3 +333,30 @@ def a12_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("cov_qty_price"),
     )
+
+
+@REGISTRY.register(
+    name="a13_pivot_matrix",
+    survey_ref="§2.4 extras (pivot)",
+    doc="user × event_type count matrix via pivot with an EXPLICIT "
+    "value list — at scale pivot must never infer its columns (that's "
+    "an extra distinct scan over 100 TB and an unstable schema); with "
+    "the list it compiles to one pass of conditional aggregates.",
+    oracle="""
+        SELECT user_id,
+               CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+               CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+               CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+               CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+               CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS view
+        FROM events GROUP BY user_id
+    """,
+)
+def a13_pivot_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )

@@ -162,3 +162,37 @@ def w5_moving_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.sum(F.col("o_totalprice").cast("decimal(12,2)")).over(w).cast("double").alias("moving_total"),
     )
+
+
+@REGISTRY.register(
+    name="w6_distribution_ranks",
+    survey_ref="§2.5 extras (rank family)",
+    doc="the full rank-function family in one pass: ntile quartiles, "
+    "percent_rank, cume_dist and the group's first/nth value over "
+    "order totalprice within status — one window spec, one shuffle, "
+    "every function shares the same sort.",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus,
+               NTILE(4) OVER w AS quartile,
+               ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+               ROUND(CUME_DIST() OVER w, 6) AS cume,
+               FIRST_VALUE(o_orderkey) OVER w AS cheapest_key,
+               NTH_VALUE(o_orderkey, 2) OVER w AS second_key
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def w6_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first("o_orderkey").over(w_full).alias("cheapest_key"),
+        F.nth_value("o_orderkey", 2).over(w_full).alias("second_key"),
+    )
