@@ -437,3 +437,59 @@ def read_user_view(spark: SparkSession, out_dir: str) -> DataFrame:
             F.sum("total").cast("double").alias("total_value"),
         )
     )
+
+
+# --- T15: time-series resample + gap fill -------------------------------
+
+
+@REGISTRY.register(
+    name="t15_resample_gap_fill",
+    survey_ref="§2.9 extras (resample)",
+    doc="hourly resample of the event stream per user with dense-grid "
+    "gap fill: missing hours appear with n=0 and the hourly total "
+    "carried forward (last_value IGNORE NULLS). The grid is generated "
+    "per user from its own [min,max] span — sequence+explode, bounded "
+    "by span×users, never a cross join against a global calendar.",
+    oracle="""
+        WITH hourly AS (
+            SELECT user_id, DATE_TRUNC('hour', ts) AS hr,
+                   COUNT(*) AS n, SUM(CAST(value AS DECIMAL(14,2))) AS v
+            FROM events GROUP BY user_id, DATE_TRUNC('hour', ts)
+        ), span AS (
+            SELECT user_id, MIN(hr) AS mn, MAX(hr) AS mx FROM hourly GROUP BY user_id
+        ), grid AS (
+            SELECT user_id, UNNEST(GENERATE_SERIES(mn, mx, INTERVAL 1 HOUR)) AS hr
+            FROM span
+        )
+        SELECT g.user_id, g.hr, CAST(COALESCE(h.n, 0) AS BIGINT) AS n,
+               CAST(LAST_VALUE(h.v IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.hr
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS carried
+        FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hr = h.hr
+    """,
+)
+def t15_resample_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    hourly = ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(14,2)")).alias("v"),
+    )
+    span = hourly.groupBy("user_id").agg(F.min("hr").alias("mn"), F.max("hr").alias("mx"))
+    grid = span.select(
+        "user_id",
+        F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))).alias("hr"),
+    )
+    joined = grid.join(hourly, ["user_id", "hr"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "hr",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.last("v", ignorenulls=True).over(w).cast("double").alias("carried"),
+    )
