@@ -218,11 +218,13 @@ _MINHASH_A = [_rng.randrange(1, _MERSENNE_P) for _ in range(N_HASHES)]
 _MINHASH_B = [_rng.randrange(0, _MERSENNE_P) for _ in range(N_HASHES)]
 
 
-# d3's candidate-pair SQL, shared with d6's component oracle
-_D3_PAIRS_SQL = f"""
+def _bands_sql(where: str) -> str:
+    """CTE chain toks→sigs→bands for the docs matching ``where`` —
+    the oracle twin of minhash_bands()."""
+    return f"""
         WITH toks AS (
             SELECT DISTINCT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok
-            FROM documents WHERE doc_id % 10 = 0
+            FROM documents WHERE {where}
         ), tok_x AS (
             SELECT doc_id, ('0x' || SUBSTR(MD5(tok), 1, 7))::BIGINT AS x FROM toks
         ), sigs AS (
@@ -236,6 +238,11 @@ _D3_PAIRS_SQL = f"""
                    END AS band_val
             FROM sigs, LATERAL (SELECT UNNEST([0, 1, 2, 3]) AS band_idx) t
         )
+"""
+
+
+# d3's candidate-pair SQL, shared with d6's component oracle
+_D3_PAIRS_SQL = f"""{_bands_sql("doc_id % 10 = 0")}
         SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
         FROM bands a JOIN bands b
           ON a.band_idx = b.band_idx AND a.band_val = b.band_val
@@ -255,11 +262,30 @@ _D3_PAIRS_SQL = f"""
     oracle=_D3_PAIRS_SQL,
 )
 def d3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bands = minhash_bands(load_table(spark, "documents", sf_dir).filter(F.col("doc_id") % 10 == 0))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+
+
+def minhash_bands(docs: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_val) LSH band keys — the signature
+    "index" side of every MinHash pipeline (d3 full self-dedup, d7
+    incremental batch-vs-corpus). In production the corpus' bands are
+    PERSISTED (bucketed by band_val) so each new crawl batch only
+    hashes itself and probes the index."""
     from ai_iceberg_demo_spark.tables import fan_out_small_input
 
-    docs = fan_out_small_input(
-        load_table(spark, "documents", sf_dir).filter(F.col("doc_id") % 10 == 0)
-    )
+    docs = fan_out_small_input(docs)
     toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok")).distinct()
     tok_x = toks.select(
         "doc_id",
@@ -287,19 +313,38 @@ def d3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for b in range(N_HASHES // BAND_SIZE)
     ]
-    bands = sigs.select(
+    return sigs.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("band")
     ).select("doc_id", "band.band_idx", "band.band_val")
-    a = bands.alias("a")
-    b = bands.alias("b")
+
+
+@REGISTRY.register(
+    name="d7_incremental_dedup",
+    survey_ref="training-data (incremental)",
+    doc="incremental crawl dedup: the NEW batch (doc_id%10=5) probes the "
+    "indexed corpus' LSH bands (doc_id%10=0) — candidates are cross-side "
+    "only, so each ingest pays O(new) hashing + one equi-join against "
+    "the persisted band index, never re-pairing the corpus with itself "
+    "(old×old is the quadratic term a daily 100 TB ingest cannot afford).",
+    oracle=f"""{_bands_sql("doc_id % 10 IN (0, 5)")}
+        SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+        FROM bands n JOIN bands c
+          ON n.band_idx = c.band_idx AND n.band_val = c.band_val
+        WHERE n.doc_id % 10 = 5 AND c.doc_id % 10 = 0
+    """,
+)
+def d7_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    corpus_bands = minhash_bands(docs.filter(F.col("doc_id") % 10 == 0))
+    new_bands = minhash_bands(docs.filter(F.col("doc_id") % 10 == 5))
     return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        new_bands.alias("n")
+        .join(
+            corpus_bands.alias("c"),
+            (F.col("n.band_idx") == F.col("c.band_idx"))
+            & (F.col("n.band_val") == F.col("c.band_val")),
         )
-        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .select(F.col("n.doc_id").alias("new_id"), F.col("c.doc_id").alias("corpus_id"))
         .distinct()
     )
 
