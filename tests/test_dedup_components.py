@@ -39,3 +39,10 @@ def test_cc_matches_union_find_on_lsh_pairs(spark):
     expected = _union_find(pairs)
     got = {r["id"]: r["lbl"] for r in connected_components(pairs_df).collect()}
     assert got == expected
+
+
+def test_cc_empty_pairs_yields_no_components(spark):
+    """No candidate pairs -> empty labels; d6's left join then reports
+    every doc as its own singleton component."""
+    pairs = spark.createDataFrame([], "a_id BIGINT, b_id BIGINT")
+    assert connected_components(pairs).count() == 0
