@@ -274,3 +274,80 @@ def f28_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(dist <= 4)
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"), dist.cast("int").alias("dist"))
     )
+
+
+# ---------------------------------------------------------------------------
+# T16: rolling-hash fingerprinting (Rabin-Karp k-grams + winnowing)
+# ---------------------------------------------------------------------------
+
+_RK_K = 5  # k-gram width (chars)
+_RK_W = 4  # winnowing window (hashes)
+_RK_B = 256  # polynomial base
+_RK_P = 1000003  # modulus (prime)
+
+
+@REGISTRY.register(
+    name="t16_winnowing_fingerprint",
+    survey_ref="training-data (rolling hash)",
+    doc="winnowed Rabin-Karp fingerprints per document: polynomial "
+    "rolling hash over char 5-grams, min-of-each-4-window (MOSS "
+    "winnowing), distinct + sorted. The byte-level near-dup key — "
+    "whitespace-robust where token pipelines (d3) aren't. Map-only.",
+    oracle=f"""
+        WITH chars AS (
+            SELECT doc_id,
+                   LIST_TRANSFORM(REGEXP_EXTRACT_ALL(text, '(?s).'),
+                                  c -> CAST(UNICODE(c) AS BIGINT)) AS codes
+            FROM documents
+        ), grams AS (
+            SELECT doc_id,
+                   LIST_TRANSFORM(RANGE(0, LEN(codes) - {_RK_K} + 1),
+                       i -> ({" + ".join(f"codes[i + {j + 1}] * {_RK_B ** (_RK_K - 1 - j) % _RK_P}" for j in range(_RK_K))}) % {_RK_P}) AS hs
+            FROM chars
+        )
+        SELECT doc_id,
+               LIST_SORT(LIST_DISTINCT(
+                   LIST_TRANSFORM(RANGE(0, LEN(hs) - {_RK_W} + 1),
+                                  i -> LIST_MIN(hs[i + 1 : i + {_RK_W}]))
+               )) AS fingerprints
+        FROM grams
+    """,
+)
+def t16_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    powers = [_RK_B ** (_RK_K - 1 - j) % _RK_P for j in range(_RK_K)]
+    with_codes = docs.select(
+        "doc_id",
+        F.transform(F.split("text", ""), lambda c: F.ascii(c).cast("long")).alias("codes"),
+        # second reference to the same array via size() keeps the
+        # projection from collapsing into downstream lambdas
+        F.size(F.transform(F.split("text", ""), lambda c: F.ascii(c).cast("long"))).alias("n"),
+    )
+
+    def gram_hash(i):
+        h = None
+        for j, p in enumerate(powers):
+            term = F.element_at(F.col("codes"), (i + F.lit(j + 1)).cast("int")) * F.lit(p)
+            h = term if h is None else h + term
+        return h % F.lit(_RK_P)
+
+    grams = with_codes.select(
+        "doc_id",
+        F.transform(F.sequence(F.lit(0), F.col("n") - _RK_K), gram_hash).alias("hs"),
+    )
+    wins = grams.select(
+        "doc_id",
+        F.col("hs").alias("_hs"),
+        F.size("hs").alias("_nh"),
+    ).select(
+        "doc_id",
+        F.sort_array(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("_nh") - _RK_W),
+                    lambda i: F.array_min(F.slice("_hs", (i + 1).cast("int"), _RK_W)),
+                )
+            )
+        ).alias("fingerprints"),
+    )
+    return wins
