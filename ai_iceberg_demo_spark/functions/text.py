@@ -314,14 +314,19 @@ _RK_P = 1000003  # modulus (prime)
     """,
 )
 def t16_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir)
+    return winnow_df(load_table(spark, "documents", sf_dir))
+
+
+def winnow_df(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Winnowed Rabin-Karp fingerprint set per document (see the t16
+    registration doc). Map-only; exact-integer arithmetic."""
     powers = [_RK_B ** (_RK_K - 1 - j) % _RK_P for j in range(_RK_K)]
     with_codes = docs.select(
-        "doc_id",
-        F.transform(F.split("text", ""), lambda c: F.ascii(c).cast("long")).alias("codes"),
+        id_col,
+        F.transform(F.split(text_col, ""), lambda c: F.ascii(c).cast("long")).alias("codes"),
         # second reference to the same array via size() keeps the
         # projection from collapsing into downstream lambdas
-        F.size(F.transform(F.split("text", ""), lambda c: F.ascii(c).cast("long"))).alias("n"),
+        F.size(F.transform(F.split(text_col, ""), lambda c: F.ascii(c).cast("long"))).alias("n"),
     )
 
     def gram_hash(i):
@@ -332,15 +337,15 @@ def t16_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         return h % F.lit(_RK_P)
 
     grams = with_codes.select(
-        "doc_id",
+        id_col,
         F.transform(F.sequence(F.lit(0), F.col("n") - _RK_K), gram_hash).alias("hs"),
     )
     wins = grams.select(
-        "doc_id",
+        id_col,
         F.col("hs").alias("_hs"),
         F.size("hs").alias("_nh"),
     ).select(
-        "doc_id",
+        id_col,
         F.sort_array(
             F.array_distinct(
                 F.transform(

@@ -128,3 +128,21 @@ def test_asof_join_matches_python_reference(spark, events):
             assert got[eid] == (None, None), f"purchase {eid}: expected no match"
         else:
             assert got[eid] == (expect[0], expect[4]), f"purchase {eid}"
+
+
+def test_winnowing_robust_to_padding(spark):
+    """Whitespace padding perturbs only boundary k-grams: the winnowed
+    fingerprint sets of text and '  text  ' overlap heavily — the
+    property that makes winnowing the byte-level near-dup key (t16)."""
+    from ai_iceberg_demo_spark.functions.text import winnow_df
+    from ai_iceberg_demo_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, "documents", SF_DIR).limit(20).select("doc_id", "text")
+    padded = docs.select("doc_id", F.concat(F.lit("  "), "text", F.lit("  ")).alias("text"))
+    a = {r["doc_id"]: set(r["fingerprints"]) for r in winnow_df(docs).collect()}
+    b = {r["doc_id"]: set(r["fingerprints"]) for r in winnow_df(padded).collect()}
+    for doc_id, fps in a.items():
+        inter = len(fps & b[doc_id])
+        union = len(fps | b[doc_id])
+        assert inter / union >= 0.8, f"doc {doc_id}: jaccard {inter/union:.2f}"
