@@ -1,0 +1,168 @@
+"""API-parity facade: the reference's memory/RAG surface, Spark-backed.
+
+A user of `temporal-community/ai-iceberg-demo` talks to two classes —
+`Neo4jMemory` (conversation/message/result CRUD + listing,
+`openai_agents/memory/neo4j_memory.py:139-812`) and `Neo4jRAG`
+(chunk/index/search/context, `openai_agents/memory/neo4j_rag.py:49-391`).
+This module exposes the SAME method names over DataFrames so switching
+is a re-import, not a rewrite. Every method is a thin delegation to the
+oracle-checked operator that implements its semantics (cited per
+method); state is pure — mutators return the new table value, and
+persisting it is the caller's `writeTo(...)` (or MERGE INTO on
+Iceberg).
+
+Differences by design:
+- no sessions/transactions — snapshot isolation comes from the table
+  format, not a driver;
+- reads return DataFrames (lazy, optimizable), not node objects;
+- `verify_connection` checks the SparkSession, not a bolt socket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ai_iceberg_demo_spark.operators.mutations import (
+    append_rows,
+    insert_if_absent,
+    merge_into,
+    update_where,
+)
+from ai_iceberg_demo_spark.vector.similarity import cosine_topk
+
+
+class ConversationMemory:
+    """Spark twin of Neo4jMemory over (conversations, messages, results)
+    DataFrames. Column contract: conversations(workflow_id, status,
+    created_at, ...), messages(workflow_id, sequence, ...),
+    results(workflow_id, result_id, ...)."""
+
+    def __init__(self, conversations: DataFrame, messages: DataFrame, results: DataFrame):
+        self.conversations = conversations
+        self.messages = messages
+        self.results = results
+
+    # -- conversation CRUD (neo4j_memory.py:153-305) --------------------
+
+    def create_conversation(self, rows: DataFrame) -> DataFrame:
+        """MERGE by workflow_id (neo4j_memory.py:153-198 'MERGE … ON
+        CREATE/ON MATCH') — M1."""
+        return merge_into(
+            self.conversations, rows, ["workflow_id"],
+            [c for c in self.conversations.columns if c != "workflow_id"],
+        )
+
+    def update_conversation_status(self, workflow_id: str, status: str) -> DataFrame:
+        """Point update (neo4j_memory.py:200-233) — M2."""
+        return update_where(
+            self.conversations,
+            F.col("workflow_id") == workflow_id,
+            {"status": F.lit(status)},
+        )
+
+    def get_conversation(self, workflow_id: str) -> DataFrame:
+        """Key lookup (neo4j_memory.py:235-263) — S2."""
+        return self.conversations.filter(F.col("workflow_id") == workflow_id)
+
+    def list_conversations(self, limit: int = 50, offset: int = 0) -> DataFrame:
+        """Newest-first page (neo4j_memory.py:265-304) — O1+O3. Keyset
+        pagination (o3_keyset_pagination) is the deep-page form."""
+        w = Window.orderBy(F.desc("created_at"), F.desc("workflow_id"))
+        return (
+            self.conversations.withColumn("_rn", F.row_number().over(w))
+            .filter((F.col("_rn") > offset) & (F.col("_rn") <= offset + limit))
+            .drop("_rn")
+        )
+
+    # -- children (neo4j_memory.py:306-572,690-798) ---------------------
+
+    def add_message(self, rows: DataFrame) -> DataFrame:
+        """Append with the next per-conversation sequence (the reference
+        reads MAX(sequence)+1, neo4j_memory.py:327-356 — racy there,
+        deterministic here: ordered row_number over the batch) — M3+A5."""
+        start = self.messages.groupBy("workflow_id").agg(
+            F.max("sequence").alias("_max_seq")
+        )
+        w = Window.partitionBy("workflow_id").orderBy(*rows.columns)
+        seqd = (
+            rows.join(start, "workflow_id", "left")
+            .withColumn(
+                "sequence",
+                F.coalesce(F.col("_max_seq"), F.lit(0)) + F.row_number().over(w),
+            )
+            .drop("_max_seq")
+        )
+        return append_rows(self.messages, seqd)
+
+    def add_result(self, rows: DataFrame) -> DataFrame:
+        """Append result rows (neo4j_memory.py:433-572) — M3."""
+        return append_rows(self.results, rows)
+
+    def link_existing_result(self, links: DataFrame) -> DataFrame:
+        """Idempotent link-don't-copy (neo4j_memory.py:574-688) — M4:
+        only (workflow_id, result_id) pairs not already present insert."""
+        return insert_if_absent(self.results, links, ["workflow_id", "result_id"])
+
+    def get_messages(self, workflow_id: str, limit: int | None = None) -> DataFrame:
+        """Ordered replay (neo4j_memory.py:690-752) — O2."""
+        out = self.messages.filter(F.col("workflow_id") == workflow_id).orderBy("sequence")
+        return out.limit(limit) if limit is not None else out
+
+    def get_results(self, workflow_id: str | None = None) -> DataFrame:
+        """Scan, optionally filtered (neo4j_memory.py:754-798) — S1/S3."""
+        if workflow_id is None:
+            return self.results
+        return self.results.filter(F.col("workflow_id") == workflow_id)
+
+    def verify_connection(self) -> bool:
+        return self.conversations.sparkSession is not None
+
+
+class VectorRAG:
+    """Spark twin of Neo4jRAG over an embeddings DataFrame
+    (vec_id, embedding) + a documents DataFrame (doc_id, text)."""
+
+    def __init__(self, embeddings: DataFrame, documents: DataFrame):
+        self.embeddings = embeddings
+        self.documents = documents
+
+    def chunk_text(self) -> DataFrame:
+        """1000/200 sliding chunks (neo4j_rag.py:94-118) — V2."""
+        from ai_iceberg_demo_spark.functions.text import CHUNK_SIZE, chunk_starts
+
+        return self.documents.select(
+            "doc_id",
+            "text",
+            F.posexplode(chunk_starts(F.col("text"))).alias("chunk_idx", "start"),
+        ).select(
+            "doc_id",
+            "chunk_idx",
+            F.substring(F.col("text"), F.col("start") + 1, CHUNK_SIZE).alias("chunk"),
+        )
+
+    def index_result_node(self) -> DataFrame:
+        """Embed documents for indexing (neo4j_rag.py:163-214) — V1/V6;
+        MERGE the output onto the corpus table to persist."""
+        from ai_iceberg_demo_spark.functions.embedding import index_documents
+
+        return index_documents(self.documents)
+
+    def search_similar_results(self, query_vec: DataFrame, k: int = 5, min_score: float = 0.70) -> DataFrame:
+        """Top-k ≥ threshold (neo4j_rag.py:216-303) — V3."""
+        return cosine_topk(self.embeddings, query_vec, k=k, min_score=min_score)
+
+    def get_best_match(self, query_vec: DataFrame, min_score: float = 0.80) -> DataFrame:
+        """Semantic-cache gate: top-1 ≥ 0.8 (neo4j_rag.py:305-331) — V4."""
+        return cosine_topk(self.embeddings, query_vec, k=1, min_score=min_score)
+
+    def get_relevant_context(self, query_vec: DataFrame, k: int = 3, min_score: float = 0.50) -> DataFrame:
+        """RAG context: top-3 ≥ 0.5 joined to 2000-char doc excerpts
+        (neo4j_rag.py:333-375) — V5."""
+        hits = cosine_topk(self.embeddings, query_vec, k=k, min_score=min_score)
+        return hits.join(
+            self.documents, hits.vec_id == self.documents.doc_id
+        ).select("vec_id", "score", F.substring("text", 1, 2000).alias("context"))
+
+    def verify_connection(self) -> bool:
+        return self.embeddings.sparkSession is not None

@@ -1,0 +1,114 @@
+"""The reference-API facade: every Neo4jMemory/Neo4jRAG method name
+works Spark-backed and preserves its documented semantics."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ai_iceberg_demo_spark.facade import ConversationMemory, VectorRAG
+from ai_iceberg_demo_spark.tables import load_table
+from tests.conftest import SF_DIR
+
+
+def _memory(spark):
+    orders = load_table(spark, "orders", SF_DIR)
+    li = load_table(spark, "lineitem", SF_DIR)
+    conversations = orders.select(
+        F.col("o_orderkey").cast("string").alias("workflow_id"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderdate").alias("created_at"),
+    )
+    messages = li.select(
+        F.col("l_orderkey").cast("string").alias("workflow_id"),
+        F.col("l_linenumber").cast("bigint").alias("sequence"),
+        F.col("l_partkey").alias("payload"),
+    )
+    results = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").cast("string").alias("workflow_id"),
+        F.col("l_partkey").alias("result_id"),
+    )
+    return ConversationMemory(conversations, messages, results), conversations, messages, results
+
+
+def test_conversation_crud_roundtrip(spark):
+    mem, conversations, messages, results = _memory(spark)
+
+    assert mem.verify_connection()
+    wid = conversations.select("workflow_id").first()["workflow_id"]
+
+    # get / list / paginate
+    assert mem.get_conversation(wid).count() == 1
+    page1 = mem.list_conversations(limit=10).collect()
+    page2 = mem.list_conversations(limit=10, offset=10).collect()
+    assert len(page1) == len(page2) == 10
+    assert {r["workflow_id"] for r in page1}.isdisjoint(
+        {r["workflow_id"] for r in page2}
+    )
+
+    # merge-upsert: existing id updates, new id inserts
+    spark_ = conversations.sparkSession
+    rows = spark_.createDataFrame(
+        [(wid, "X", None), ("brand-new", "O", None)],
+        conversations.schema,
+    )
+    merged = mem.create_conversation(rows)
+    assert merged.count() == conversations.count() + 1
+    assert merged.filter(F.col("workflow_id") == wid).first()["status"] == "X"
+
+    # point status update
+    updated = mem.update_conversation_status(wid, "done")
+    assert updated.filter(F.col("workflow_id") == wid).first()["status"] == "done"
+    assert updated.count() == conversations.count()
+
+
+def test_message_sequencing_and_results(spark):
+    mem, conversations, messages, results = _memory(spark)
+    wid = messages.select("workflow_id").first()["workflow_id"]
+    prev_max = (
+        messages.filter(F.col("workflow_id") == wid).agg(F.max("sequence")).first()[0]
+    )
+
+    new = messages.sparkSession.createDataFrame(
+        [(wid, None, 111), (wid, None, 222)], messages.schema
+    ).drop("sequence").withColumn("payload", F.col("payload").cast("long"))
+    appended = mem.add_message(new.select("workflow_id", "payload"))
+    new_seqs = sorted(
+        r["sequence"]
+        for r in appended.filter(
+            (F.col("workflow_id") == wid) & (F.col("sequence") > prev_max)
+        ).collect()
+    )
+    # the batch continues the existing max without gaps or collisions
+    assert new_seqs == [prev_max + 1, prev_max + 2]
+
+    # ordered replay honors limit and ordering
+    replay = [r["sequence"] for r in mem.get_messages(wid, limit=3).collect()]
+    assert len(replay) == 3 and replay == sorted(replay)
+
+    # link-don't-copy: relinking an existing (wid, result) is a no-op
+    link = results.limit(1)
+    assert mem.link_existing_result(link).count() == results.count()
+    assert mem.get_results(wid).count() == results.filter(
+        F.col("workflow_id") == wid
+    ).count()
+
+
+def test_rag_surface(spark):
+    emb = load_table(spark, "embeddings", SF_DIR)
+    docs = load_table(spark, "documents", SF_DIR)
+    rag = VectorRAG(emb, docs)
+    assert rag.verify_connection()
+
+    chunks = rag.chunk_text()
+    assert chunks.count() >= docs.count()
+
+    index = rag.index_result_node()
+    assert set(index.columns) == {"doc_id", "embedding"}
+
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    top = rag.search_similar_results(qv, k=5, min_score=-1.0).collect()
+    assert len(top) == 5 and top[0]["vec_id"] == 0  # self-match first
+    best = rag.get_best_match(qv, min_score=-1.0).collect()
+    assert len(best) == 1 and best[0]["vec_id"] == 0
+    ctx = rag.get_relevant_context(qv, k=3, min_score=-1.0)
+    assert ctx.count() == 3 and "context" in ctx.columns
