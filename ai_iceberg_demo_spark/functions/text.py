@@ -356,3 +356,57 @@ def winnow_df(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         ).alias("fingerprints"),
     )
     return wins
+
+
+@REGISTRY.register(
+    name="f29_pii_redaction",
+    survey_ref="training-data (scrubbing)",
+    doc="PII scrub before training: emails and long digit runs replaced "
+    "with typed placeholders, with per-doc hit counts for audit. The "
+    "corpus is deterministically salted with one planted email+number "
+    "per doc_id%5==0 so the scrub provably fires; patterns are "
+    "dialect-portable (same regex text in Spark and DuckDB). Map-only.",
+    oracle=r"""
+        WITH salted AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 5 = 0
+                        THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                             || '@example.com ref ' || CAST(doc_id * 7919 AS VARCHAR)
+                        ELSE text END AS text
+            FROM documents
+        )
+        SELECT doc_id,
+               REGEXP_REPLACE(REGEXP_REPLACE(text,
+                   '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+                   '[0-9]{4,}', '<NUM>', 'g') AS redacted,
+               CAST(LEN(REGEXP_EXTRACT_ALL(text,
+                   '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_emails,
+               CAST(LEN(REGEXP_EXTRACT_ALL(text, '[0-9]{4,}')) AS BIGINT) AS n_numbers
+        FROM salted
+    """,
+)
+def f29_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    email_re = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+    num_re = r"[0-9]{4,}"
+    docs = load_table(spark, "documents", sf_dir)
+    salted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com ref "),
+                (F.col("doc_id") * 7919).cast("string"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return salted.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("text", email_re, "<EMAIL>"), num_re, "<NUM>"
+        ).alias("redacted"),
+        F.size(F.regexp_extract_all("text", F.lit(email_re), 0)).cast("bigint").alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(num_re), 0)).cast("bigint").alias("n_numbers"),
+    )

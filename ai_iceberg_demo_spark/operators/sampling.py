@@ -117,3 +117,35 @@ def u7_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", F.round(F.col("total").cast("double") / (F.col("k") * F.col("cnt")), 6).alias("weight")
     )
     return docs.join(F.broadcast(weights), "lang").select("doc_id", "lang", "weight")
+
+
+@REGISTRY.register(
+    name="u8_source_cap",
+    survey_ref="training-data (domain balancing)",
+    doc="cap each source/domain at 10 documents, selected by key-hash "
+    "order (deterministic under any partitioning — a rand() order "
+    "re-caps differently on task retry). The standard guard against "
+    "one crawl domain dominating the mix; salted_topk is the "
+    "skew-proof spelling when one domain holds billions of rows.",
+    oracle="""
+        SELECT source, doc_id FROM (
+            SELECT source, doc_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+            FROM documents
+        ) WHERE rn <= 10
+    """,
+)
+def u8_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("source", "doc_id")
+    )
