@@ -135,15 +135,18 @@ def pipeline_run_direct(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def pipeline_interactive(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ai_iceberg_demo_spark.operators.skew import salted_topk
-    from ai_iceberg_demo_spark.vector.similarity import cosine
+    from ai_iceberg_demo_spark.vector.similarity import dot, with_norm
 
-    emb = load_table(spark, "embeddings", sf_dir)
+    emb = with_norm(load_table(spark, "embeddings", sf_dir), "embedding", "cv", "cn")
     docs = load_table(spark, "documents", sf_dir)
-    probes = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
-    )
+    probes = with_norm(
+        load_table(spark, "embeddings", sf_dir).filter(F.col("vec_id") < 5), "embedding", "qv", "qn"
+    ).select(F.col("vec_id").alias("qid"), "qv", "qn")
+    # norms hoisted per corpus row / per probe; only the dot is per pair
     scored = emb.join(F.broadcast(probes), emb.vec_id != probes.qid).select(
-        "qid", "vec_id", F.round(cosine(F.col("embedding"), F.col("qvec")), 6).alias("score")
+        "qid",
+        "vec_id",
+        F.round(dot(F.col("cv"), F.col("qv")) / (F.col("cn") * F.col("qn")), 6).alias("score"),
     )
     # Single pruning pass: the top-3 per workflow carries BOTH the
     # cache-probe answer (rn=1) and the context set (rn<=3). A naive
