@@ -302,11 +302,15 @@ def assign_cells(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
     (max cosine). Broadcast the (small) centroid set; argmax via max_by
     — map-side only, no shuffle of the corpus beyond the final groupBy
     on vec_id, which AQE coalesces."""
-    scored = corpus.crossJoin(F.broadcast(centroids)).select(
+    # norms hoisted per corpus row / per centroid (with_norm pattern);
+    # only the dot is per (row, centroid)
+    c = with_norm(corpus, "embedding", "_cv", "_cn")
+    cen = with_norm(centroids, "centroid", "_zv", "_zn")
+    scored = c.crossJoin(F.broadcast(cen)).select(
         "vec_id",
         "embedding",
         F.col("cell_id"),
-        cosine(F.col("embedding"), F.col("centroid")).alias("c_score"),
+        (dot(F.col("_cv"), F.col("_zv")) / (F.col("_cn") * F.col("_zn"))).alias("c_score"),
     )
     return scored.groupBy("vec_id").agg(
         F.max_by("cell_id", "c_score").alias("cell_id"),
