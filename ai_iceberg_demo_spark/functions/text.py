@@ -319,7 +319,12 @@ def t16_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def winnow_df(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Winnowed Rabin-Karp fingerprint set per document (see the t16
-    registration doc). Map-only; exact-integer arithmetic."""
+    registration doc). Map-only; exact-integer arithmetic. The per-row
+    char-level HOF work is heavy enough that the small-input fan-out
+    pays 3× at sf0.1 (inert on a real multi-file corpus)."""
+    from ai_iceberg_demo_spark.tables import fan_out_small_input
+
+    docs = fan_out_small_input(docs)
     powers = [_RK_B ** (_RK_K - 1 - j) % _RK_P for j in range(_RK_K)]
     with_codes = docs.select(
         id_col,
