@@ -172,7 +172,11 @@ def d1b_drop_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def d2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir)
+    from ai_iceberg_demo_spark.tables import fan_out_small_input
+
+    # shingle construction is heavy per-row map work -> fan out the
+    # serial small-file scan (2.9x at sf0.1; inert on real corpora)
+    docs = fan_out_small_input(load_table(spark, "documents", sf_dir))
     sh = (
         docs.select("doc_id", F.explode(shingles(F.col("text"))).alias("shingle"))
         .distinct()
