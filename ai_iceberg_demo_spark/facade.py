@@ -148,9 +148,81 @@ class VectorRAG:
 
         return index_documents(self.documents)
 
-    def search_similar_results(self, query_vec: DataFrame, k: int = 5, min_score: float = 0.70) -> DataFrame:
-        """Top-k ≥ threshold (neo4j_rag.py:216-303) — V3."""
-        return cosine_topk(self.embeddings, query_vec, k=k, min_score=min_score)
+    def create_vector_index(
+        self,
+        name: str = "result_embeddings_index",
+        kind: str = "lsh",
+        n_tables: int = 8,
+        n_planes: int = 4,
+        seed: int = 42,
+        dim: int = 64,
+    ) -> bool:
+        """M5: ``CREATE VECTOR INDEX IF NOT EXISTS`` (neo4j_rag.py:144-157).
+
+        Builds the LSH bucket relation (build_lsh_index) over the
+        embeddings table and persists it as a catalog table bucketed by
+        its probe key, plus a one-row ``{name}__meta`` table holding the
+        plane-family parameters so probes rebuild identical hyperplanes.
+        Idempotent like the reference's DDL: a second call is a no-op.
+        Returns True when the index was created, False when it already
+        existed. At 100 TB the same relation is an Iceberg table
+        PARTITIONED BY (t, bucket(N, b)) and the probe prunes to L
+        point-partition reads."""
+        if kind != "lsh":
+            raise ValueError(f"unsupported index kind {kind!r} (have: lsh)")
+        spark = self.embeddings.sparkSession
+        if spark.catalog.tableExists(name):
+            return False
+        from ai_iceberg_demo_spark.vector.similarity import build_lsh_index
+
+        index = build_lsh_index(
+            self.embeddings, n_tables=n_tables, n_planes=n_planes, seed=seed, dim=dim
+        )
+        index.write.format("parquet").mode("errorifexists").bucketBy(
+            16, "t", "b"
+        ).saveAsTable(name)
+        meta = spark.createDataFrame(
+            [(kind, n_tables, n_planes, seed, dim)],
+            "kind string, n_tables int, n_planes int, seed int, dim int",
+        )
+        meta.write.format("parquet").mode("overwrite").saveAsTable(f"{name}__meta")
+        return True
+
+    def drop_vector_index(self, name: str = "result_embeddings_index") -> None:
+        spark = self.embeddings.sparkSession
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        spark.sql(f"DROP TABLE IF EXISTS {name}__meta")
+
+    def search_similar_results(
+        self,
+        query_vec: DataFrame,
+        k: int = 5,
+        min_score: float = 0.70,
+        index: str | None = None,
+    ) -> DataFrame:
+        """Top-k ≥ threshold (neo4j_rag.py:216-303) — V3. With ``index``
+        set to a table created by create_vector_index, the search routes
+        through the persisted LSH buckets (candidates + exact rerank —
+        the scale path) instead of the exact full scan."""
+        if index is None:
+            return cosine_topk(self.embeddings, query_vec, k=k, min_score=min_score)
+        from ai_iceberg_demo_spark.vector.similarity import lsh_probe
+
+        spark = self.embeddings.sparkSession
+        if not spark.catalog.tableExists(index):
+            raise ValueError(f"vector index {index!r} does not exist — create_vector_index first")
+        m = spark.table(f"{index}__meta").collect()[0]
+        return lsh_probe(
+            spark.table(index),
+            self.embeddings,
+            query_vec,
+            k=k,
+            n_tables=m["n_tables"],
+            n_planes=m["n_planes"],
+            seed=m["seed"],
+            dim=m["dim"],
+            min_score=min_score,
+        )
 
     def get_best_match(self, query_vec: DataFrame, min_score: float = 0.80) -> DataFrame:
         """Semantic-cache gate: top-1 ≥ 0.8 (neo4j_rag.py:305-331) — V4."""

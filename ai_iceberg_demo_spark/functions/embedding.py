@@ -64,11 +64,13 @@ def _sign(tok: Column) -> Column:
     return F.when(F.substring(F.md5(F.encode(tok, "UTF-8")), 9, 1) <= "7", 1.0).otherwise(-1.0)
 
 
-def hash_embed_df(
+def hash_embed_raw(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", dim: int = DEFAULT_DIM
 ) -> DataFrame:
     """Signed-feature-hash embedding, entirely in JVM expressions and
-    entirely MAP-SIDE — zero shuffles.
+    entirely MAP-SIDE — zero shuffles. Returns the pre-normalization
+    form (id, acc, norm); ``hash_embed_df`` divides through for the
+    dense normalized vector.
 
     Feature hashing is a per-document computation, so the histogram is
     built with array higher-order functions over the token array instead
@@ -116,13 +118,21 @@ def hash_embed_df(
             ),
         ).alias("acc"),
     )
-    normed = acc.select(
+    return acc.select(
         id_col,
         "acc",
         F.greatest(F.sqrt(F.aggregate("acc", F.lit(0.0), lambda s, x: s + x * x)), F.lit(1e-12)).alias(
             "norm"
         ),
     )
+
+
+def hash_embed_df(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", dim: int = DEFAULT_DIM
+) -> DataFrame:
+    """Dense normalized hash embedding (see hash_embed_raw), components
+    rounded to 6 decimals — the array form v3/d5 consume."""
+    normed = hash_embed_raw(docs, text_col=text_col, id_col=id_col, dim=dim)
     return normed.select(
         id_col,
         F.zip_with("acc", F.array_repeat("norm", dim), lambda x, n: F.round(x / n, 6)).alias(
@@ -132,7 +142,9 @@ def hash_embed_df(
 
 
 def hash_embed_oracle_sql(dim: int = DEFAULT_DIM, table: str = "documents") -> str:
-    """The DuckDB twin of hash_embed_df (same md5 bucketing/signs)."""
+    """The DuckDB twin of hash_embed_df ∘ posexplode (same md5
+    bucketing/signs), flattened to one (doc_id, dim_i, val) row per
+    embedding component so the output is scalar-only."""
     return f"""
         WITH toks AS (
             SELECT doc_id, UNNEST(REGEXP_EXTRACT_ALL(LOWER(text), '{_TOKEN_RE}')) AS tok
@@ -144,17 +156,19 @@ def hash_embed_oracle_sql(dim: int = DEFAULT_DIM, table: str = "documents") -> s
             FROM toks
         ), counts AS (
             SELECT doc_id, bucket, SUM(sign) AS c FROM b GROUP BY doc_id, bucket
-        ), dense AS (
-            SELECT c.doc_id, LIST(COALESCE(c2.c, 0.0) ORDER BY g.i) AS raw
-            FROM (SELECT DISTINCT doc_id FROM counts) c
+        ), norms AS (
+            SELECT doc_id, GREATEST(SQRT(SUM(c * c)), 1e-12) AS norm
+            FROM counts GROUP BY doc_id
+        ), grid AS (
+            SELECT n.doc_id, g.i, n.norm
+            FROM norms n
             CROSS JOIN (SELECT UNNEST(RANGE(0, {dim})) AS i) g
-            LEFT JOIN counts c2 ON c2.doc_id = c.doc_id AND c2.bucket = g.i
-            GROUP BY c.doc_id
         )
-        SELECT doc_id,
-               LIST_TRANSFORM(raw, x -> ROUND(
-                   x / GREATEST(SQRT(LIST_DOT_PRODUCT(raw, raw)), 1e-12), 6)) AS embedding
-        FROM dense
+        SELECT grid.doc_id,
+               CAST(grid.i AS INT) AS dim_i,
+               ROUND(COALESCE(c.c, 0.0) / grid.norm, 6) AS val
+        FROM grid
+        LEFT JOIN counts c ON c.doc_id = grid.doc_id AND c.bucket = grid.i
     """
 
 
@@ -225,9 +239,21 @@ def index_documents(docs: DataFrame, dim: int = DEFAULT_DIM) -> DataFrame:
     "quarantined stand-in for text-embedding-3-small, neo4j_rag.py:67-92), "
     "computed in pure JVM expressions and hash-checked against the "
     "DuckDB twin; the pandas provider seam (embed_texts) is asserted "
-    "equal in tests/test_embedding.py.",
+    "equal in tests/test_embedding.py. The query output posexplodes "
+    "the vector to (doc_id, dim_i, val) scalar rows — every component "
+    "value-checked, no array column in the result (the internal "
+    "hash_embed_df keeps the array shape for downstream v3/d5 use).",
     bench=True,
     oracle=hash_embed_oracle_sql(),
 )
 def v1_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return hash_embed_df(load_table(spark, "documents", sf_dir))
+    # Explode the RAW accumulator and normalize after: posexplode's
+    # input stays a plain column reference, so Catalyst never inlines
+    # the fold/normalize HOF stack into the Generate node (doing so
+    # recompiles a duplicated mega-tree — measured ~5× wall on the
+    # exploded form of hash_embed_df). x/norm rounded to 6 is the
+    # identical arithmetic hash_embed_df's zip_with performs.
+    raw = hash_embed_raw(load_table(spark, "documents", sf_dir))
+    return raw.select("doc_id", "norm", F.posexplode("acc").alias("dim_i", "x")).select(
+        "doc_id", "dim_i", F.round(F.col("x") / F.col("norm"), 6).alias("val")
+    )

@@ -291,8 +291,11 @@ _RK_P = 1000003  # modulus (prime)
     survey_ref="training-data (rolling hash)",
     doc="winnowed Rabin-Karp fingerprints per document: polynomial "
     "rolling hash over char 5-grams, min-of-each-4-window (MOSS "
-    "winnowing), distinct + sorted. The byte-level near-dup key — "
-    "whitespace-robust where token pipelines (d3) aren't. Map-only.",
+    "winnowing), distinct, one (doc_id, fingerprint) row per hash — "
+    "the join-able shape for dedup use and a scalar-only output. The "
+    "byte-level near-dup key — whitespace-robust where token "
+    "pipelines (d3) aren't. Row-form via winnow_rows (windowed "
+    "sliding min); the zero-shuffle array form is winnow_df.",
     oracle=f"""
         WITH chars AS (
             SELECT doc_id,
@@ -304,17 +307,70 @@ _RK_P = 1000003  # modulus (prime)
                    LIST_TRANSFORM(RANGE(0, LEN(codes) - {_RK_K} + 1),
                        i -> ({" + ".join(f"codes[i + {j + 1}] * {_RK_B ** (_RK_K - 1 - j) % _RK_P}" for j in range(_RK_K))}) % {_RK_P}) AS hs
             FROM chars
+        ), winnowed AS (
+            SELECT doc_id,
+                   LIST_DISTINCT(
+                       LIST_TRANSFORM(RANGE(0, LEN(hs) - {_RK_W} + 1),
+                                      i -> LIST_MIN(hs[i + 1 : i + {_RK_W}]))
+                   ) AS fps
+            FROM grams
         )
-        SELECT doc_id,
-               LIST_SORT(LIST_DISTINCT(
-                   LIST_TRANSFORM(RANGE(0, LEN(hs) - {_RK_W} + 1),
-                                  i -> LIST_MIN(hs[i + 1 : i + {_RK_W}]))
-               )) AS fingerprints
-        FROM grams
+        SELECT doc_id, UNNEST(fps) AS fingerprint FROM winnowed
     """,
 )
 def t16_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return winnow_df(load_table(spark, "documents", sf_dir))
+    return winnow_rows(load_table(spark, "documents", sf_dir))
+
+
+def winnow_rows(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Winnowed fingerprints as (id, fingerprint) ROWS.
+
+    Same algorithm as ``winnow_df`` but expressed relationally: gram
+    hashes posexplode to rows right after the (cheap, one-level) HOF
+    that computes them, and the winnowing min-of-each-window becomes a
+    sliding window frame over gram position — then distinct. NOT
+    derived by exploding winnow_df's output: Catalyst collapses the
+    deep nested-HOF projection chain into the Generate input and
+    optimization/codegen on the duplicated tree takes minutes even on
+    500 rows (measured; the array form alone runs in seconds).
+
+    Cost model vs winnow_df: one shuffle keyed by doc (window
+    partition) + one for distinct, on compact (long, long) gram rows;
+    doc-bounded partitions, no hot keys. winnow_df stays the
+    zero-shuffle choice when the array shape is acceptable."""
+    from ai_iceberg_demo_spark.tables import fan_out_small_input
+
+    docs = fan_out_small_input(docs)
+    powers = [_RK_B ** (_RK_K - 1 - j) % _RK_P for j in range(_RK_K)]
+    with_codes = docs.select(
+        id_col,
+        F.transform(F.split(text_col, ""), lambda c: F.ascii(c).cast("long")).alias("codes"),
+    ).where(F.size("codes") >= _RK_K)  # shorter docs have no k-gram (oracle: empty RANGE)
+
+    def gram_hash(i):
+        h = None
+        for j, p in enumerate(powers):
+            term = F.element_at(F.col("codes"), (i + F.lit(j + 1)).cast("int")) * F.lit(p)
+            h = term if h is None else h + term
+        return h % F.lit(_RK_P)
+
+    grams = with_codes.select(
+        id_col,
+        F.posexplode(
+            F.transform(F.sequence(F.lit(0), F.size("codes") - _RK_K), gram_hash)
+        ).alias("pos", "h"),
+    )
+    from pyspark.sql import Window
+
+    w_slide = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, _RK_W - 1)
+    w_doc = Window.partitionBy(id_col)
+    return (
+        grams.withColumn("win_min", F.min("h").over(w_slide))
+        .withColumn("n_grams", F.count("*").over(w_doc))
+        .filter(F.col("pos") <= F.col("n_grams") - _RK_W)
+        .select(id_col, F.col("win_min").alias("fingerprint"))
+        .distinct()
+    )
 
 
 def winnow_df(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

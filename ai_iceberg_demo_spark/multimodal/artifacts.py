@@ -215,6 +215,62 @@ def markdown_to_html(docs: DataFrame) -> DataFrame:
     return docs.mapInPandas(render, MD_HTML_SCHEMA)
 
 
+PRINT_PAGE_CSS = (
+    "@page { margin: 1in; @bottom-center { content: counter(page); "
+    "font-size: 12px; color: #666; } } "
+    ".content h1 { page-break-before: always; } "
+    "h1, h2, h3 { page-break-after: avoid; } "
+    "p, blockquote, pre { page-break-inside: avoid; }"
+)
+
+DEFAULT_FONT_SIZE = 14
+DEFAULT_PRIMARY_COLOR = "#2c3e50"
+
+
+def print_layout_html(
+    docs: DataFrame,
+    font_size: int = DEFAULT_FONT_SIZE,
+    primary_color: str = DEFAULT_PRIMARY_COLOR,
+) -> DataFrame:
+    """V9 paginated print layout (pdf_generation_activity.py:68-88,
+    107-253): wraps the rendered markdown subset in the reference's full
+    HTML document shell — title block, default CSS themes, @page rules
+    with a centered page-number footer, page-break discipline — plus the
+    two StylingOptions knobs (font_size → body size, primary_color →
+    title/h1/blockquote accents, pdf_generation_activity.py:232-253).
+
+    The WeasyPrint HTML→PDF byte step needs system libs not in this
+    container; this HTML is its exact input, so the seam ends one encode
+    short of the reference. Map-only: content render is the Arrow-batched
+    markdown seam, the shell is JVM string assembly."""
+    content = markdown_to_html(docs)
+    titled = docs.select(
+        "doc_id",
+        F.concat(F.lit("Research Report "), F.col("doc_id").cast("string")).alias("title"),
+    )
+    css = (
+        f"body {{ font-size: {int(font_size)}px; line-height: 1.6; color: #333; }} "
+        f".document-title {{ color: {primary_color}; border-bottom: 3px solid "
+        f"{primary_color}; font-size: 28px; }} "
+        f".content h1 {{ color: {primary_color}; font-size: 24px; }} "
+        f".content blockquote {{ border-left: 4px solid {primary_color}; }} "
+        + PRINT_PAGE_CSS
+    )
+    return content.join(titled, "doc_id").select(
+        "doc_id",
+        F.concat(
+            F.lit('<!DOCTYPE html><html><head><meta charset="UTF-8"><title>'),
+            F.col("title"),
+            F.lit(f"</title><style>{css}</style></head><body>"),
+            F.lit('<div class="container"><h1 class="document-title">'),
+            F.col("title"),
+            F.lit('</h1><div class="content">'),
+            F.col("html"),
+            F.lit("</div></div></body></html>"),
+        ).alias("html"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registered queries
 # ---------------------------------------------------------------------------
@@ -358,6 +414,21 @@ def f26_html_escape(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def f27_markdown_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     return markdown_to_html(load_table(spark, "documents", sf_dir))
+
+
+@REGISTRY.register(
+    name="v9_print_layout",
+    survey_ref="V9",
+    doc="paginated print-layout HTML document per report: the markdown "
+    "render wrapped in the reference's themed document shell with @page "
+    "footer page numbers and page-break rules (pdf_generation_activity"
+    ".py:68-88,107-253). Deterministic but built on the mapInPandas "
+    "markdown seam → rows-only; shell/theme goldens are unit-tested in "
+    "tests/test_multimodal.py.",
+    oracle=None,
+)
+def v9_print_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return print_layout_html(load_table(spark, "documents", sf_dir))
 
 
 # ---------------------------------------------------------------------------

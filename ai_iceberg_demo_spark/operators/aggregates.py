@@ -273,14 +273,18 @@ def a10_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="§2.4 extras",
     doc="approx_count_distinct (HLL++) — sketch aggregates for 100 TB "
     "cardinality estimation. Sketch internals differ across engines, so "
-    "this is a rows-only check (exact distinct is covered by a3).",
+    "this is a rows-only check (exact distinct is covered by a3). "
+    "Quantiles are projected as scalar columns (one per requested "
+    "quantile), never an array — query outputs stay canonicalizable.",
     oracle=None,
 )
 def a8_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
     return li.agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99))").alias("price_quantiles"),
+        F.expr("approx_percentile(l_extendedprice, 0.5)").alias("price_p50"),
+        F.expr("approx_percentile(l_extendedprice, 0.95)").alias("price_p95"),
+        F.expr("approx_percentile(l_extendedprice, 0.99)").alias("price_p99"),
     )
 
 
@@ -290,11 +294,13 @@ def a8_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="exact quartiles of l_extendedprice per returnflag — the "
     "holistic-aggregate surface (percentile = sort-based, no map-side "
     "combine; the approx_percentile twin in a8's family is the "
-    "scale path when exactness can be traded).",
+    "scale path when exactness can be traded). One scalar column per "
+    "quartile (q25/q50/q75), never an array output.",
     oracle="""
         SELECT l_returnflag,
-               LIST_TRANSFORM(QUANTILE_CONT(l_extendedprice, [0.25, 0.5, 0.75]),
-                              x -> ROUND(x, 4)) AS quartiles,
+               ROUND(QUANTILE_CONT(l_extendedprice, 0.25), 4) AS q25,
+               ROUND(QUANTILE_CONT(l_extendedprice, 0.50), 4) AS q50,
+               ROUND(QUANTILE_CONT(l_extendedprice, 0.75), 4) AS q75,
                ROUND(MEDIAN(l_quantity), 4) AS median_qty
         FROM lineitem GROUP BY l_returnflag
     """,
@@ -302,9 +308,9 @@ def a8_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def a11_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
     return li.groupBy("l_returnflag").agg(
-        F.transform(
-            F.percentile("l_extendedprice", F.lit([0.25, 0.5, 0.75])), lambda x: F.round(x, 4)
-        ).alias("quartiles"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("q25"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.50)), 4).alias("q50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("q75"),
         F.round(F.median("l_quantity"), 4).alias("median_qty"),
     )
 

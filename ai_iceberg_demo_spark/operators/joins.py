@@ -58,12 +58,17 @@ def j1_parent_children_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # remains. Valid because the grouping key is the join key and
     # o_orderstatus is functionally dependent on it. Orders without
     # children drop out either way (inner join).
+    #
+    # The agg-below-join is the part that survives scale-up. No
+    # broadcast hint on orders: it is the parent/fact-sized side, so a
+    # forced broadcast would OOM on a real cluster — the size threshold
+    # / AQE picks broadcast at fixture scale and sort-merge at 100 TB.
     per_order = li.groupBy("l_orderkey").agg(
         F.count("*").alias("n_items"),
         F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double").alias("total_price"),
     )
     return (
-        F.broadcast(orders.select("o_orderkey", "o_orderstatus"))
+        orders.select("o_orderkey", "o_orderstatus")
         .join(per_order, F.col("o_orderkey") == F.col("l_orderkey"), "inner")
         .select("o_orderkey", "o_orderstatus", "n_items", "total_price")
     )

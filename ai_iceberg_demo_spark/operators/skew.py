@@ -46,6 +46,8 @@ DEFAULT_SALTS = 16
 def with_salt(df: DataFrame, from_cols: list[str], n_salts: int = DEFAULT_SALTS) -> DataFrame:
     """Append a deterministic `_salt` in [0, n_salts) derived from
     columns that vary within the hot group (NOT the group key)."""
+    if "_salt" in df.columns:
+        raise ValueError("input already has a `_salt` column — rename it before salting")
     return df.withColumn("_salt", F.pmod(F.xxhash64(*[F.col(c) for c in from_cols]), F.lit(n_salts)))
 
 
@@ -59,8 +61,20 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join where the big side's hot keys are spread over n_salts
     reducers; `replicated` is exploded n_salts× so every salted row
-    still finds its match. Result is identical to big.join(replicated,
-    on, how) minus the `_salt` bookkeeping column."""
+    still finds its match. For the supported join types the result is
+    identical to big.join(replicated, on, how) minus the `_salt`
+    bookkeeping column. Join types that preserve unmatched rows of the
+    REPLICATED side (right/full outer) are rejected: the explode
+    duplicates those rows n_salts× and nothing collapses the unmatched
+    copies — salt the other side instead."""
+    allowed = {"inner", "left", "leftouter", "left_outer", "left_semi", "leftsemi", "left_anti", "leftanti", "cross"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: unmatched rows of the "
+            "replicated side would be emitted n_salts times; swap sides or use AQE skew-join"
+        )
+    if "_salt" in replicated.columns:
+        raise ValueError("replicated side already has a `_salt` column — rename it before salting")
     salted_big = with_salt(big, salt_from, n_salts)
     exploded = replicated.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<bigint>"))
@@ -106,6 +120,8 @@ def salted_topk(
     """
     from pyspark.sql import Window
 
+    if "_rn1" in df.columns:
+        raise ValueError("input already has a `_rn1` column — rename it before salted_topk")
     w1 = Window.partitionBy(*keys, "_salt").orderBy(*order)
     pruned = (
         with_salt(df, salt_from, n_salts)

@@ -58,18 +58,22 @@ def read_csv_strict(
     )
 
 
-def split_quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(good_rows_without_corrupt_col, quarantined_raw_lines).
+def split_quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(good_rows_without_corrupt_col, quarantined_raw_lines, parsed).
 
     The parse is materialized (cache) before splitting: Spark disallows
     querying only the corrupt column straight off raw files
     (QUERY_ONLY_CORRUPT_RECORD_COLUMN), and it also guarantees the two
-    branches share ONE parse pass. At 100 TB, replace the cache with a
-    write to a staging table and split from there — same contract."""
-    df = df.cache()
-    good = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
-    bad = df.filter(F.col(CORRUPT_COL).isNotNull()).select(F.col(CORRUPT_COL).alias("raw"))
-    return good, bad
+    branches share ONE parse pass. The third element is the cached
+    parsed frame — the caller MUST ``parsed.unpersist()`` after both
+    branches are consumed, or repeated ingests accumulate storage
+    memory for the session's lifetime. At 100 TB, replace the cache
+    with a write to a staging table and split from there — same
+    contract, no pin."""
+    parsed = df.cache()
+    good = parsed.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    bad = parsed.filter(F.col(CORRUPT_COL).isNotNull()).select(F.col(CORRUPT_COL).alias("raw"))
+    return good, bad, parsed
 
 
 def compact_write(

@@ -102,6 +102,72 @@ def lsh_bucket(vec: Column, planes: np.ndarray) -> Column:
     return bucket
 
 
+def lsh_tables(n_tables: int, n_planes: int, seed: int, dim: int) -> list[np.ndarray]:
+    """The deterministic plane family shared by index build and probe:
+    L tables × k hyperplanes each, drawn from one seeded RNG. Build and
+    probe MUST use identical (n_tables, n_planes, seed, dim) — the
+    persisted index stores them in its meta table."""
+    rng = np.random.RandomState(seed)
+    return [rng.randn(n_planes, dim) for _ in range(n_tables)]
+
+
+def build_lsh_index(
+    corpus: DataFrame,
+    n_tables: int = 8,
+    n_planes: int = 4,
+    seed: int = 42,
+    dim: int = 64,
+) -> DataFrame:
+    """The persistable LSH index relation: (t, b, vec_id) — one row per
+    (table, bucket) membership. This is M5's index artifact: at 100 TB
+    it is written PARTITIONED BY (t, bucket(N, b)) on Iceberg so a
+    probe prunes to L point-partition reads."""
+    tables = lsh_tables(n_tables, n_planes, seed, dim)
+    bucket_structs = [
+        F.struct(F.lit(t).alias("t"), lsh_bucket(F.col("embedding"), planes).alias("b"))
+        for t, planes in enumerate(tables)
+    ]
+    return corpus.select(
+        "vec_id", F.explode(F.array(*bucket_structs)).alias("tb")
+    ).select(F.col("tb.t").alias("t"), F.col("tb.b").alias("b"), "vec_id")
+
+
+def lsh_probe(
+    index: DataFrame,
+    corpus: DataFrame,
+    query_vec: DataFrame,
+    k: int,
+    n_tables: int,
+    n_planes: int,
+    seed: int,
+    dim: int,
+    min_score: float = -1.0,
+) -> DataFrame:
+    """Probe a persisted LSH index: hash the query with the same plane
+    family, equi-join (t, b) against the index for candidates, then
+    exact-rerank candidates by cosine. The corpus is touched only for
+    candidate vec_ids (a semi-join-shaped broadcast at realistic
+    candidate counts)."""
+    tables = lsh_tables(n_tables, n_planes, seed, dim)
+    q_structs = [
+        F.struct(F.lit(t).alias("t"), lsh_bucket(F.col("qvec"), planes).alias("b"))
+        for t, planes in enumerate(tables)
+    ]
+    q_buckets = query_vec.select(F.explode(F.array(*q_structs)).alias("qtb")).select(
+        F.col("qtb.t").alias("t"), F.col("qtb.b").alias("b")
+    )
+    cand_ids = index.join(F.broadcast(q_buckets), ["t", "b"]).select("vec_id").distinct()
+    candidates = corpus.join(cand_ids, "vec_id")
+    score = F.round(cosine(F.col("embedding"), F.col("qvec")), 6)
+    return (
+        candidates.crossJoin(F.broadcast(query_vec))
+        .select("vec_id", score.alias("score"))
+        .filter(F.col("score") >= min_score)
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def ann_topk(
     corpus: DataFrame,
     query_vec: DataFrame,
@@ -125,8 +191,7 @@ def ann_topk(
     into L point-partition reads; the rerank touches only candidates.
     Exact `cosine_topk` remains the correctness surface.
     """
-    rng = np.random.RandomState(seed)
-    tables = [rng.randn(n_planes, dim) for _ in range(n_tables)]
+    tables = lsh_tables(n_tables, n_planes, seed, dim)
     bucket_structs = [
         F.struct(F.lit(t).alias("t"), lsh_bucket(F.col("embedding"), planes).alias("b"))
         for t, planes in enumerate(tables)

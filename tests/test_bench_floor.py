@@ -1,0 +1,65 @@
+"""The bench regression floor actually trips.
+
+tools/sweep.py re-times the queries in tools/bench_floor.json and
+fails when one exceeds max_ratio × (median-drift-normalized) floor.
+These tests prove the guard fires on an injected slowdown and stays
+quiet on sane floors — at sf0.001 so the suite stays fast.
+"""
+
+from __future__ import annotations
+
+import json
+
+from tests.conftest import SF_DIR
+from tools.sweep import _check_bench_floor
+
+# a spread of cheap queries; median drift comes from the fleet
+_NAMES = [
+    "s1_full_scan",
+    "s2_point_lookup",
+    "o4_topk_by_score",
+    "a2_predicated_count",
+    "u2_concat_datasets",
+]
+
+
+def _measure(spark, tmp_path):
+    """One calibration pass: per-query best-of-2 at sf0.001."""
+    import time
+
+    from ai_iceberg_demo_spark.registry import all_registries
+
+    specs = all_registries().specs
+    out = {}
+    for name in _NAMES:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            specs[name].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = best
+    return out
+
+
+def test_floor_trips_on_injected_slowdown_and_passes_on_sane_floors(spark, tmp_path):
+    measured = _measure(spark, tmp_path)
+
+    # sane floors = what we just measured → every ratio ≈ 1, no trips
+    sane = tmp_path / "floor_ok.json"
+    sane.write_text(json.dumps({"sf": 0.001, "max_ratio": 1.5, "queries": measured}))
+    assert _check_bench_floor(spark, SF_DIR, floor_path=sane) == []
+
+    # injected slowdown: pretend one query used to be 100× faster;
+    # drift normalization (median of the others ≈ 1) must NOT mask it
+    slow = dict(measured)
+    slow["o4_topk_by_score"] = measured["o4_topk_by_score"] / 100
+    inj = tmp_path / "floor_inj.json"
+    inj.write_text(json.dumps({"sf": 0.001, "max_ratio": 1.5, "queries": slow}))
+    assert _check_bench_floor(spark, SF_DIR, floor_path=inj) == ["o4_topk_by_score"]
+
+
+def test_floor_skips_other_scale_factors(spark, tmp_path):
+    p = tmp_path / "floor_sf01.json"
+    p.write_text(json.dumps({"sf": 0.1, "max_ratio": 1.5, "queries": {"s1_full_scan": 0.001}}))
+    # floor recorded at sf0.1 must not gate an sf0.001 sweep
+    assert _check_bench_floor(spark, SF_DIR, floor_path=p) == []

@@ -4,6 +4,7 @@ works Spark-backed and preserves its documented semantics."""
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 
 from ai_iceberg_demo_spark.facade import ConversationMemory, VectorRAG
 from ai_iceberg_demo_spark.tables import load_table
@@ -112,3 +113,35 @@ def test_rag_surface(spark):
     assert len(best) == 1 and best[0]["vec_id"] == 0
     ctx = rag.get_relevant_context(qv, k=3, min_score=-1.0)
     assert ctx.count() == 3 and "context" in ctx.columns
+
+
+def test_create_vector_index_idempotent_and_probed(spark):
+    """M5 (neo4j_rag.py:144-157): CREATE VECTOR INDEX IF NOT EXISTS —
+    second call is a no-op; search_similar_results routes through the
+    persisted index and agrees with the exact scan on the easy query
+    (self-match first, scores identical on shared hits)."""
+    emb = load_table(spark, "embeddings", SF_DIR)
+    docs = load_table(spark, "documents", SF_DIR)
+    rag = VectorRAG(emb, docs)
+    name = "t_vec_idx"
+    rag.drop_vector_index(name)
+    try:
+        assert rag.create_vector_index(name) is True
+        # idempotent: second call no-ops and the table is unchanged
+        n_rows = spark.table(name).count()
+        assert rag.create_vector_index(name) is False
+        assert spark.table(name).count() == n_rows
+
+        qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+        via_index = rag.search_similar_results(qv, k=5, min_score=-1.0, index=name).collect()
+        exact = rag.search_similar_results(qv, k=5, min_score=-1.0).collect()
+        assert via_index[0]["vec_id"] == 0  # self-match always collides with itself
+        exact_scores = {r["vec_id"]: r["score"] for r in exact}
+        for r in via_index:  # every probed hit carries the exact score
+            if r["vec_id"] in exact_scores:
+                assert r["score"] == exact_scores[r["vec_id"]]
+
+        missing = pytest.raises(ValueError, rag.search_similar_results, qv, index="no_such_idx")
+        assert "does not exist" in str(missing.value)
+    finally:
+        rag.drop_vector_index(name)

@@ -27,13 +27,17 @@ def test_jsonl_quarantine_splits_bad_rows(spark, tmp_path):
         '{"id": 2, "name": "also ok"}\n'
         '{"id": "not a number", "name": "bad type"}\n'
     )
-    good, bad = split_quarantine(read_jsonl(spark, str(p), SCHEMA))
-    assert {r["id"] for r in good.collect()} == {1, 2}
-    raws = [r["raw"] for r in bad.collect()]
-    assert len(raws) == 2
-    assert any("not json" in r for r in raws)
-    # nothing silently dropped: good + bad == input lines
-    assert good.count() + bad.count() == 4
+    good, bad, parsed = split_quarantine(read_jsonl(spark, str(p), SCHEMA))
+    try:
+        assert {r["id"] for r in good.collect()} == {1, 2}
+        raws = [r["raw"] for r in bad.collect()]
+        assert len(raws) == 2
+        assert any("not json" in r for r in raws)
+        # nothing silently dropped: good + bad == input lines
+        assert good.count() + bad.count() == 4
+    finally:
+        parsed.unpersist()
+    assert not parsed.is_cached
 
 
 def test_compact_write_controls_file_count(spark, tmp_path):

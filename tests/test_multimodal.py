@@ -69,3 +69,34 @@ def test_markdown_to_html_goldens(spark):
     got = {r.doc_id: r.html for r in markdown_to_html(docs).collect()}
     assert got[1] == "<h1>Title</h1>\n<p>Body with <strong>bold</strong> and <code>code</code>.</p>"
     assert got[2] == "<h2>Sub</h2>\n<p>plain</p>"
+
+
+def test_print_layout_theme_parameters(spark):
+    """V9 print layout: document shell carries the @page pagination
+    rules and the StylingOptions knobs land in the CSS exactly like
+    pdf_generation_activity.py:232-253 (font_size -> body, primary_color
+    -> title/h1/blockquote accents)."""
+    from pyspark.sql import functions as F
+
+    from ai_iceberg_demo_spark.multimodal.artifacts import print_layout_html
+    from ai_iceberg_demo_spark.tables import load_table
+
+    docs = load_table(spark, "documents", SF_DIR).filter(F.col("doc_id") < 3)
+    row = print_layout_html(docs, font_size=12, primary_color="#8e44ad").orderBy("doc_id").first()
+    html = row["html"]
+    assert html.startswith("<!DOCTYPE html>") and html.endswith("</body></html>")
+    # pagination contract: 1in page margin + centered page-number footer
+    assert "@page { margin: 1in;" in html
+    assert "content: counter(page);" in html
+    assert "page-break-before: always" in html and "page-break-inside: avoid" in html
+    # themes: both knobs present, defaults absent
+    assert "body { font-size: 12px;" in html
+    assert html.count("#8e44ad") == 4  # title color+border, h1, blockquote
+    assert "#2c3e50" not in html
+    # title block and rendered content are in the shell
+    assert f'<h1 class="document-title">Research Report {row["doc_id"]}</h1>' in html
+    assert '<div class="content">' in html
+
+    # defaults differ from the custom theme only in the CSS constants
+    d = print_layout_html(docs).orderBy("doc_id").first()["html"]
+    assert "body { font-size: 14px;" in d and "#2c3e50" in d

@@ -6,6 +6,13 @@ target SF (default sf0.1), so a pathological plan that only blows up
 beyond oracle scale gets caught before the driver does. Exits nonzero
 on any failure.
 
+It is also the bench REGRESSION GUARD: queries listed in
+``tools/bench_floor.json`` (the committed per-query numbers from
+BENCH_r01.json) are re-timed best-of-2 in the warm session — the same
+methodology bench.py uses — and the sweep fails if any exceeds
+``max_ratio`` (1.5×) of its recorded floor. The floor only applies
+when sweeping the floor's own sf dir (sf0.1).
+
 Usage: python tools/sweep.py [sf_dir] [slow_threshold_sec]
 """
 
@@ -43,7 +50,69 @@ def main() -> int:
           f"{sum(t for t, _ in timings):.1f}s total at {sf_dir}")
     for name, err in failed:
         print(f"FAIL {name}: {err}")
-    return 1 if failed else 0
+
+    regressed = _check_bench_floor(spark, sf_dir)
+    return 1 if (failed or regressed) else 0
+
+
+def _check_bench_floor(spark, sf_dir: str, floor_path: Path | None = None) -> list[str]:
+    """Best-of-2 re-time of the floor queries (bench.py methodology,
+    warm session); returns names breaching max_ratio × floor.
+
+    Machine-drift normalization: the recorded floors were measured on
+    one day's hardware/thermal state; a uniformly slower box would trip
+    every floor at once. The guard therefore compares each query's
+    slowdown ratio against ``max_ratio × max(1, median ratio)`` — a
+    per-query regression stands out from the fleet, while an
+    across-the-board shift (reported as machine drift) does not
+    false-alarm."""
+    import json
+    import statistics
+
+    if floor_path is None:
+        floor_path = REPO / "tools" / "bench_floor.json"
+    if not floor_path.exists():
+        return []
+    floor = json.loads(floor_path.read_text())
+    if f"sf{floor['sf']}" != Path(sf_dir.rstrip("/")).name:
+        print(f"floor check skipped (floor is sf{floor['sf']}, sweeping {sf_dir})")
+        return []
+
+    from ai_iceberg_demo_spark.registry import all_registries
+
+    specs = all_registries().specs
+    max_ratio = floor["max_ratio"]
+    regressed: list[str] = []
+    ratios: dict[str, float] = {}
+    times: dict[str, float] = {}
+    for name, floor_t in floor["queries"].items():
+        if name not in specs:
+            print(f"REGRESS {name}: in bench_floor.json but not registered")
+            regressed.append(name)
+            continue
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        ratios[name] = best / floor_t
+        times[name] = best
+    if not ratios:
+        return regressed
+    drift = max(1.0, statistics.median(ratios.values()))
+    print(f"floor machine-drift factor (median ratio): {drift:.2f}x")
+    for name, ratio in ratios.items():
+        bad = ratio > max_ratio * drift
+        flag = "REGRESS" if bad else "ok"
+        print(
+            f"floor {flag:7s} {name}: {times[name]:.3f}s vs floor "
+            f"{floor['queries'][name]:.3f}s ({ratio:.2f}x)"
+        )
+        if bad:
+            regressed.append(name)
+    if regressed:
+        print(f"bench floor REGRESSIONS: {' '.join(regressed)}")
+    return regressed
 
 
 if __name__ == "__main__":
