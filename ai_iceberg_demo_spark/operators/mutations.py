@@ -93,6 +93,32 @@ def insert_if_absent(target: DataFrame, candidates: DataFrame, keys: Sequence[st
     return target.unionByName(fresh, allowMissingColumns=True)
 
 
+def merge_into_table_sql(
+    spark: SparkSession,
+    target_table: str,
+    source: DataFrame,
+    keys: Sequence[str],
+    update_cols: Sequence[str],
+) -> None:
+    """Live row-level MERGE INTO against a catalog table — the
+    production path on Iceberg (M1, neo4j_memory.py:168-198). The
+    generated statement is the SQL whose relational definition
+    ``merge_into`` implements; when the Iceberg runtime is attached
+    (session.iceberg_available) this executes with copy-on-write /
+    merge-on-read file rewrites and snapshot isolation. Gated tests in
+    tests/test_live_connectors.py run both paths and assert equality
+    the day the jar appears."""
+    view = "_merge_into_source"
+    source.createOrReplaceTempView(view)
+    on = " AND ".join(f"t.{k} <=> s.{k}" for k in keys)
+    sets = ", ".join(f"t.{c} = s.{c}" for c in update_cols)
+    spark.sql(
+        f"MERGE INTO {target_table} t USING {view} s ON {on} "
+        f"WHEN MATCHED THEN UPDATE SET {sets} "
+        f"WHEN NOT MATCHED THEN INSERT *"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracle-checked queries exercising the primitives on fixtures
 # ---------------------------------------------------------------------------

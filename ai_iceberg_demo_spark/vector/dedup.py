@@ -354,6 +354,92 @@ def d7_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# D2b: LSH-seeded exact-Jaccard verify — d2's at-scale spelling
+# ---------------------------------------------------------------------------
+
+
+@REGISTRY.register(
+    name="d2b_lsh_seeded_jaccard",
+    survey_ref="training-data (candidates→verify)",
+    doc="the production near-dup pipeline d2's doc promises: MinHash/LSH "
+    "band collisions (d3's index, full corpus) propose candidate pairs, "
+    "then exact word-3-gram Jaccard ≥ 0.8 verifies ONLY those pairs. "
+    "Cost is O(candidates × shingles/doc) instead of d2's all-shingle "
+    "self-join — the shape that survives 100 TB, with d2 as the "
+    "exactness oracle at fixture scale (any pair here scores "
+    "identically in d2; planted dupes collide in ≥1 band and survive).",
+    oracle=f"""{_bands_sql("TRUE")}
+        , cands AS (
+            SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+             AND a.doc_id < b.doc_id
+        ), sample_docs AS (
+            SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id,
+                   UNNEST(CASE WHEN LEN(toks) >= 3 THEN
+                       LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - 2),
+                                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                   ELSE [] END) AS shingle
+            FROM sample_docs
+        ), sizes AS (
+            SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+        ), inter AS (
+            SELECT c.a_id, c.b_id, COUNT(*) AS n_inter
+            FROM cands c
+            JOIN sh a ON a.doc_id = c.a_id
+            JOIN sh b ON b.doc_id = c.b_id AND b.shingle = a.shingle
+            GROUP BY c.a_id, c.b_id
+        )
+        SELECT i.a_id, i.b_id,
+               CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON i.a_id = sa.doc_id
+        JOIN sizes sb ON i.b_id = sb.doc_id
+        WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.8
+    """,
+)
+def d2b_lsh_seeded_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_iceberg_demo_spark.tables import fan_out_small_input
+
+    docs = fan_out_small_input(load_table(spark, "documents", sf_dir))
+    bands = minhash_bands(docs)
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+    sh = docs.select("doc_id", F.explode(shingles(F.col("text"))).alias("shingle")).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        cands.join(sh.alias("sa2"), F.col("a_id") == F.col("sa2.doc_id"))
+        .join(
+            sh.alias("sb2"),
+            (F.col("b_id") == F.col("sb2.doc_id"))
+            & (F.col("sb2.shingle") == F.col("sa2.shingle")),
+        )
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("nb"))
+    jac = F.col("n_inter").cast("double") / (F.col("na") + F.col("nb") - F.col("n_inter"))
+    return (
+        inter.join(F.broadcast(sa), "a_id")
+        .join(F.broadcast(sb), "b_id")
+        .filter(jac >= 0.8)
+        .select("a_id", "b_id", jac.alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # D4: SimHash near-dup
 # ---------------------------------------------------------------------------
 

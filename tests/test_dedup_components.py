@@ -46,3 +46,26 @@ def test_cc_empty_pairs_yields_no_components(spark):
     every doc as its own singleton component."""
     pairs = spark.createDataFrame([], "a_id BIGINT, b_id BIGINT")
     assert connected_components(pairs).count() == 0
+
+
+def test_d2b_is_sound_subset_of_d2(spark):
+    """LSH-seeded verify (d2b) never invents a pair: every pair it
+    emits appears in the exact all-pairs d2 with the identical jaccard,
+    and the fixture's planted near-dupes survive the LSH seeding."""
+    from ai_iceberg_demo_spark.vector.dedup import d2_ngram_jaccard, d2b_lsh_seeded_jaccard
+
+    exact = {
+        (r["a_id"], r["b_id"]): r["jaccard"]
+        for r in d2_ngram_jaccard(spark, SF_DIR).collect()
+    }
+    seeded = {
+        (r["a_id"], r["b_id"]): r["jaccard"]
+        for r in d2b_lsh_seeded_jaccard(spark, SF_DIR).collect()
+    }
+    assert seeded, "planted dupes must produce LSH candidates"
+    for pair, jac in seeded.items():
+        assert pair in exact and exact[pair] == jac
+    # recall on the planted (~0.99 jaccard) dupes: all high-sim exact
+    # pairs must collide in at least one of the 4 bands
+    high = {p for p, j in exact.items() if j >= 0.95}
+    assert high <= set(seeded)
