@@ -419,6 +419,79 @@ def winnow_df(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return wins
 
 
+_DECON_N = 8  # word n-gram width for contamination matching
+
+
+@REGISTRY.register(
+    name="t17_decontamination",
+    survey_ref="training-data (decontamination)",
+    doc="benchmark decontamination: flag training docs sharing any word "
+    "8-gram with the held-out benchmark set before training. Benchmark "
+    "= docs with doc_id%10=3, each salted with the full text of its "
+    "doc_id+1 neighbor so contamination provably exists (every %10=4 "
+    "doc must be flagged). The benchmark n-gram index is tiny next to "
+    "the corpus → broadcast equi-join on the shingle; the corpus never "
+    "shuffles. Output: per contaminated doc, how many distinct 8-grams "
+    "hit and how many benchmark docs they touch.",
+    oracle=f"""
+        WITH bench_docs AS (
+            SELECT b.doc_id, b.text || ' ' || c.text AS text
+            FROM documents b JOIN documents c ON c.doc_id = b.doc_id + 1
+            WHERE b.doc_id % 10 = 3
+        ), bench_grams AS (
+            SELECT DISTINCT doc_id AS bench_id, UNNEST(
+                CASE WHEN LEN(STRING_SPLIT(text, ' ')) >= {_DECON_N} THEN
+                    LIST_TRANSFORM(GENERATE_SERIES(1, LEN(STRING_SPLIT(text, ' ')) - {_DECON_N - 1}),
+                        i -> ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[i : i + {_DECON_N - 1}], ' '))
+                ELSE [] END) AS gram
+            FROM bench_docs
+        ), corpus_grams AS (
+            SELECT DISTINCT doc_id, UNNEST(
+                CASE WHEN LEN(STRING_SPLIT(text, ' ')) >= {_DECON_N} THEN
+                    LIST_TRANSFORM(GENERATE_SERIES(1, LEN(STRING_SPLIT(text, ' ')) - {_DECON_N - 1}),
+                        i -> ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[i : i + {_DECON_N - 1}], ' '))
+                ELSE [] END) AS gram
+            FROM documents WHERE doc_id % 10 <> 3
+        )
+        SELECT c.doc_id,
+               CAST(COUNT(DISTINCT c.gram) AS BIGINT) AS n_hit_grams,
+               CAST(COUNT(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs
+        FROM corpus_grams c JOIN bench_grams b ON c.gram = b.gram
+        GROUP BY c.doc_id
+    """,
+)
+def t17_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_iceberg_demo_spark.vector.dedup import shingles
+
+    docs = load_table(spark, "documents", sf_dir)
+    bench_docs = (
+        docs.filter(F.col("doc_id") % 10 == 3)
+        .alias("b")
+        .join(docs.alias("c"), F.col("c.doc_id") == F.col("b.doc_id") + 1)
+        .select(
+            F.col("b.doc_id").alias("doc_id"),
+            F.concat(F.col("b.text"), F.lit(" "), F.col("c.text")).alias("text"),
+        )
+    )
+    bench_grams = bench_docs.select(
+        F.col("doc_id").alias("bench_id"),
+        F.explode(shingles(F.col("text"), _DECON_N)).alias("gram"),
+    ).distinct()
+    corpus_grams = (
+        docs.filter(F.col("doc_id") % 10 != 3)
+        .select("doc_id", F.explode(shingles(F.col("text"), _DECON_N)).alias("gram"))
+        .distinct()
+    )
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("gram").alias("n_hit_grams"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+    )
+
+
 @REGISTRY.register(
     name="f29_pii_redaction",
     survey_ref="training-data (scrubbing)",

@@ -149,3 +149,64 @@ def u8_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 10)
         .select("source", "doc_id")
     )
+
+
+PACK_BUDGET = 2048  # tokens per packed training sequence
+_PACK_SHARD = 1000  # docs per prefix-sum shard
+
+
+@REGISTRY.register(
+    name="u9_sequence_packing",
+    survey_ref="training-data (batch packing)",
+    doc="sequence packing for training batches: documents in doc_id "
+    "order are laid head-to-tail into fixed 2048-token bins; each doc "
+    "gets (bin_id, bin_offset). Semantically a GLOBAL running sum — "
+    "but a single ORDER BY window funnels 100 TB through one task, so "
+    "it is computed as the classic two-phase distributed prefix sum: "
+    "cumsum within doc_id-contiguous shards (parallel windows) + tiny "
+    "per-shard totals rolled up and broadcast back. Bit-identical to "
+    "the one-window spelling (the oracle) at any shard size.",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+        )
+        SELECT doc_id, n_tokens,
+               CAST((SUM(n_tokens) OVER w - n_tokens) // {PACK_BUDGET} AS BIGINT) AS bin_id,
+               CAST((SUM(n_tokens) OVER w - n_tokens) % {PACK_BUDGET} AS BIGINT) AS bin_offset
+        FROM toks
+        WINDOW w AS (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+    """,
+)
+def u9_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        # doc_id DIV shard keeps shards contiguous in the global order,
+        # so shard-local order + shard offsets reproduce it exactly
+        (F.col("doc_id") / _PACK_SHARD).cast("bigint").alias("_shard"),
+    )
+    w_shard = Window.partitionBy("_shard").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    local = toks.withColumn("_local_end", F.sum("n_tokens").over(w_shard))
+    # phase 2: per-shard totals are O(corpus / shard) rows — a tiny
+    # frame; its running sum is cheap and the result broadcasts back
+    shard_tot = local.groupBy("_shard").agg(F.sum("n_tokens").alias("_tot"))
+    w_tot = Window.orderBy("_shard").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = shard_tot.select(
+        "_shard", F.coalesce(F.sum("_tot").over(w_tot), F.lit(0)).alias("_offset")
+    )
+    start = F.col("_offset") + F.col("_local_end") - F.col("n_tokens")
+    return (
+        local.join(F.broadcast(offsets), "_shard")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (start / PACK_BUDGET).cast("bigint").alias("bin_id"),
+            (start % PACK_BUDGET).cast("bigint").alias("bin_offset"),
+        )
+    )
