@@ -419,6 +419,62 @@ def winnow_df(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return wins
 
 
+@REGISTRY.register(
+    name="t18_repetition",
+    survey_ref="training-data (quality: repetition)",
+    doc="within-document repetition signals (the Gopher-style quality "
+    "gate the t2 band score doesn't see): duplicate-sentence fraction "
+    "via array HOFs (map-only) and top-word dominance via word explode "
+    "+ two partial-agg groupBys keyed by doc (uniform keys, compact "
+    "rows). Docs that loop one sentence or one token score high on "
+    "either ratio and get culled before training.",
+    oracle="""
+        WITH sents AS (
+            SELECT doc_id,
+                   LEN(STRING_SPLIT(text, '. ')) AS n_sents,
+                   LEN(LIST_DISTINCT(STRING_SPLIT(text, '. '))) AS n_uniq
+            FROM documents
+        ), words AS (
+            SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents
+        ), wc AS (
+            SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY doc_id, w
+        ), dom AS (
+            SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_words
+            FROM wc GROUP BY doc_id
+        )
+        SELECT s.doc_id,
+               CAST(s.n_sents AS BIGINT) AS n_sents,
+               ROUND(1.0 - CAST(s.n_uniq AS DOUBLE) / s.n_sents, 4) AS dup_sent_ratio,
+               ROUND(CAST(d.top_c AS DOUBLE) / d.n_words, 4) AS top_word_ratio
+        FROM sents s JOIN dom d ON s.doc_id = d.doc_id
+    """,
+)
+def t18_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    sents = F.split("text", "\\. ")
+    sent_stats = docs.select(
+        "doc_id",
+        F.size(sents).cast("bigint").alias("n_sents"),
+        F.size(F.array_distinct(sents)).alias("n_uniq"),
+    )
+    wc = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    dom = wc.groupBy("doc_id").agg(
+        F.max("c").alias("top_c"), F.sum("c").alias("n_words")
+    )
+    return sent_stats.join(dom, "doc_id").select(
+        "doc_id",
+        "n_sents",
+        F.round(F.lit(1.0) - F.col("n_uniq").cast("double") / F.col("n_sents"), 4).alias(
+            "dup_sent_ratio"
+        ),
+        F.round(F.col("top_c").cast("double") / F.col("n_words"), 4).alias("top_word_ratio"),
+    )
+
+
 _DECON_N = 8  # word n-gram width for contamination matching
 
 
