@@ -600,3 +600,112 @@ def f29_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all("text", F.lit(email_re), 0)).cast("bigint").alias("n_emails"),
         F.size(F.regexp_extract_all("text", F.lit(num_re), 0)).cast("bigint").alias("n_numbers"),
     )
+
+
+@REGISTRY.register(
+    name="t19_unigram_logprob",
+    survey_ref="training-data (quality: LM perplexity proxy)",
+    doc="CCNet-style language-model quality filter, unigram edition: "
+    "build the corpus unigram frequency table (one word-keyed partial "
+    "agg — vocab-sized output, broadcastable), broadcast-join it back "
+    "onto the exploded words, and score each doc by its mean negative "
+    "log-probability. High scores = rare-token soup (boilerplate, "
+    "code dumps, gibberish); the standard pre-training cull signal "
+    "when a real KenLM isn't in the loop. At 100 TB the freq table is "
+    "top-K-capped with an UNK floor, keeping the join broadcast; the "
+    "per-doc agg keys on doc_id (uniform).",
+    oracle="""
+        WITH words AS (
+            SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w
+            FROM documents
+        ), freq AS (
+            SELECT w, COUNT(*) AS c FROM words GROUP BY w
+        ), tot AS (
+            SELECT SUM(c) AS n FROM freq
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               ROUND(AVG(-LN(CAST(c AS DOUBLE) / n)), 4) AS avg_neg_logprob
+        FROM words JOIN freq USING (w) CROSS JOIN tot
+        GROUP BY doc_id
+    """,
+)
+def t19_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    freq = words.groupBy("w").agg(F.count("*").alias("c"))
+    # total corpus size as a literal-free 1-row broadcast (no collect)
+    tot = freq.agg(F.sum("c").alias("n"))
+    scored = words.join(F.broadcast(freq), "w").join(F.broadcast(tot))
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.round(F.avg(-F.log(F.col("c").cast("double") / F.col("n"))), 4).alias(
+            "avg_neg_logprob"
+        ),
+    )
+
+
+_BOILER_N = 5  # word n-gram width for boilerplate detection
+_BOILER_MIN_DOCS = 20  # shingle must appear in >= this many distinct docs
+
+
+@REGISTRY.register(
+    name="t20_boilerplate_ngrams",
+    survey_ref="training-data (boilerplate detection)",
+    doc="corpus-level boilerplate detector: word 5-gram shingles that "
+    "recur across >= 20 distinct documents (headers, footers, license "
+    "blurbs, nav chrome). Shingle explode is the heavy map stage "
+    "(fanned out); the agg is countDistinct(doc_id) keyed by shingle "
+    "with partial aggregation, then a selective HAVING — output is "
+    "tiny (the boilerplate vocabulary), ready to broadcast back as a "
+    "removal list. The d2/t17 shingle helper is reused so Spark and "
+    "the oracle tokenize identically. The fixture corpus has no "
+    "natural 5-gram shared by 20 docs (max is 3), so every 4th doc is "
+    "deterministically salted with a footer blurb — the f29 pattern — "
+    "so the detector provably fires at every SF.",
+    oracle=f"""
+        WITH salted AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 4 = 0
+                        THEN text || ' copyright footer all rights reserved contact site admin'
+                        ELSE text END AS text
+            FROM documents
+        ), toks AS (
+            SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM salted
+        ), sh AS (
+            SELECT DISTINCT doc_id,
+                   UNNEST(CASE WHEN LEN(toks) >= {_BOILER_N} THEN
+                       LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - {_BOILER_N - 1}),
+                                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                           || ' ' || toks[i+3] || ' ' || toks[i+4])
+                   ELSE [] END) AS gram
+            FROM toks
+        )
+        SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM sh GROUP BY gram
+        HAVING COUNT(*) >= {_BOILER_MIN_DOCS}
+    """,
+)
+def t20_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_iceberg_demo_spark.tables import fan_out_small_input
+    from ai_iceberg_demo_spark.vector.dedup import shingles
+
+    docs = fan_out_small_input(load_table(spark, "documents", sf_dir))
+    salted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" copyright footer all rights reserved contact site admin"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    grams = salted.select(
+        "doc_id", F.explode(shingles(F.col("text"), _BOILER_N)).alias("gram")
+    ).distinct()
+    return (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").cast("bigint").alias("n_docs"))
+        .where(F.col("n_docs") >= _BOILER_MIN_DOCS)
+    )
