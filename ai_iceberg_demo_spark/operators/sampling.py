@@ -210,3 +210,58 @@ def u9_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             (start % PACK_BUDGET).cast("bigint").alias("bin_offset"),
         )
     )
+
+
+MIXTURE_BUDGET_FRAC = 0.5  # token budget as a fraction of the corpus
+
+
+@REGISTRY.register(
+    name="u10_mixture_plan",
+    survey_ref="training-data (mixture planning)",
+    doc="source-mixture planner: given a token budget (50% of the "
+    "corpus) and a uniform target share per source, compute each "
+    "source's sampling rate min(1, target/available), the tokens it "
+    "will contribute, and its unfilled deficit when the source is too "
+    "small to meet its share. This is the static table a DoReMi-style "
+    "weighted sampler consumes; it aggregates the corpus to one row "
+    "per source (one partial-agg shuffle on a tiny key space), so the "
+    "plan itself costs one scan at any corpus size.",
+    oracle=f"""
+        WITH per_source AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY source
+        ), tot AS (
+            SELECT SUM(n_tokens) AS total, COUNT(*) AS k FROM per_source
+        )
+        SELECT s.source, s.n_docs, s.n_tokens,
+               ROUND(LEAST(1.0, ({MIXTURE_BUDGET_FRAC} * t.total / t.k) / s.n_tokens), 6)
+                   AS sample_rate,
+               CAST(ROUND(LEAST(s.n_tokens, {MIXTURE_BUDGET_FRAC} * t.total / t.k), 0)
+                   AS BIGINT) AS planned_tokens,
+               CAST(ROUND(GREATEST(0, {MIXTURE_BUDGET_FRAC} * t.total / t.k - s.n_tokens), 0)
+                   AS BIGINT) AS deficit_tokens
+        FROM per_source s CROSS JOIN tot t
+    """,
+)
+def u10_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    per_source = docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"),
+    )
+    tot = per_source.agg(F.sum("n_tokens").alias("total"), F.count("*").alias("k"))
+    share = F.lit(MIXTURE_BUDGET_FRAC) * F.col("total") / F.col("k")
+    return per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.least(F.lit(1.0), share / F.col("n_tokens")), 6).alias("sample_rate"),
+        F.round(F.least(F.col("n_tokens").cast("double"), share), 0)
+        .cast("bigint")
+        .alias("planned_tokens"),
+        F.round(F.greatest(F.lit(0.0), share - F.col("n_tokens")), 0)
+        .cast("bigint")
+        .alias("deficit_tokens"),
+    )

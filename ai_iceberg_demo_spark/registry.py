@@ -167,7 +167,7 @@ def all_registries() -> Registry:
     from ai_iceberg_demo_spark.pipeline import curation, research
     from ai_iceberg_demo_spark.streaming import events as streaming_events
     from ai_iceberg_demo_spark.streaming import stateful as streaming_stateful
-    from ai_iceberg_demo_spark.vector import dedup, similarity
+    from ai_iceberg_demo_spark.vector import clustering, dedup, similarity
 
     merged = Registry()
     for mod in (
@@ -186,6 +186,7 @@ def all_registries() -> Registry:
         udf_surface,
         similarity,
         dedup,
+        clustering,
         streaming_events,
         streaming_stateful,
         artifacts,

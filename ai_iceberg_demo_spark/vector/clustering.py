@@ -1,0 +1,272 @@
+"""Embedding-space clustering — k-means + SemDeDup (training-data ops).
+
+The reference's vector surface is a Neo4j cosine index over Result
+embeddings (`neo4j_rag.py:144-157`); it never clusters. A 100 TB
+training-data pipeline does: k-means cells power IVF partitioning
+(`similarity.py` promises "production trains k-means" at its
+``ivf_topk`` seam — this module is that trainer) and SemDeDup-style
+semantic dedup (cluster first, then compare only within a cluster, so
+the pair space is corpus²/k instead of corpus²).
+
+Spark-first design:
+- assignment = corpus ⨯ broadcast(centroids) scored map-side, argmin
+  via ``min(struct(dist, cell_id))`` — a partial-aggregable groupBy,
+  no window, no Python;
+- centroid recompute = posexplode to (cell, dim) partials →
+  per-(cell,dim) avg → re-assemble with sort+transform. Shuffle rows
+  per Lloyd round are O(vectors × dim) compact doubles; k×dim output
+  stays broadcastable;
+- each round ``localCheckpoint``s (d6's pattern) so plan depth stays
+  O(1); on a real cluster swap for ``checkpoint()`` to durable
+  storage.
+
+Determinism: centroid init = the first k corpus vectors (vec_id < k),
+distances rounded to 4 before the argmin with cell_id as tie-break —
+the DuckDB oracle replays the identical rule, so single-step
+assignment (v11) and cluster-blocked dedup (d8) are hash-checked;
+the iterative trainer (v11b) is rows-only (loops aren't SQL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ai_iceberg_demo_spark.registry import Registry
+from ai_iceberg_demo_spark.tables import load_table
+from ai_iceberg_demo_spark.vector.similarity import _COS_SQL, as_double, dot, with_norm
+
+REGISTRY = Registry()
+
+KMEANS_K = 8
+KMEANS_ITER = 3
+SEMDEDUP_TAU = 0.98  # same near-dup bar as d5 so the two are comparable
+
+
+def l2_dist(a: Column, b: Column) -> Column:
+    """Euclidean distance via sequential fold — same left-to-right
+    IEEE sum DuckDB's LIST_DISTANCE performs; rounded by callers."""
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def seed_centroids(corpus: DataFrame, k: int = KMEANS_K) -> DataFrame:
+    """Deterministic init: the first k corpus vectors (the rule
+    ``ivf_topk`` already uses for its fixed cells)."""
+    return corpus.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cell_id"), as_double(F.col("embedding")).alias("centroid")
+    )
+
+
+def kmeans_assign(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
+    """One assignment step: nearest centroid by (rounded) euclidean
+    distance, ties to the lowest cell_id. Broadcast the k×dim centroid
+    table; the argmin is ``min(struct(dist, cell_id))`` so it partial-
+    aggregates map-side — the corpus is shuffled once on vec_id and
+    AQE coalesces. Returns (vec_id, cell_id, dist)."""
+    scored = (
+        with_norm(corpus, "embedding", "_v", "_n")
+        .crossJoin(F.broadcast(centroids))
+        .select(
+            "vec_id",
+            "cell_id",
+            F.round(l2_dist(F.col("_v"), F.col("centroid")), 4).alias("dist"),
+        )
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.min(F.struct("dist", "cell_id")).alias("_best")
+    )
+    return best.select(
+        "vec_id", F.col("_best.cell_id").alias("cell_id"), F.col("_best.dist").alias("dist")
+    )
+
+
+def kmeans_train(
+    corpus: DataFrame, k: int = KMEANS_K, n_iter: int = KMEANS_ITER
+) -> DataFrame:
+    """Lloyd's algorithm, DataFrame-native: assign → per-dim mean →
+    new centroids, ``n_iter`` rounds. Centroid recompute explodes to
+    (cell_id, dim_i, x) partials (map-side combine on a uniform
+    (cell, dim) key space) and re-assembles the k×dim table with
+    array_sort+transform — never a driver-side collect of vectors.
+    Empty cells keep their previous centroid (left join + coalesce),
+    matching scikit-learn's no-relocation behavior for this fixture.
+    Returns the final (cell_id, centroid) table."""
+    dcorpus = corpus.select("vec_id", as_double(F.col("embedding")).alias("embedding"))
+    centroids = seed_centroids(corpus, k).localCheckpoint(eager=True)
+    for _ in range(n_iter):
+        assigned = kmeans_assign(dcorpus, centroids).join(dcorpus, "vec_id")
+        dims = assigned.select(
+            "cell_id", F.posexplode("embedding").alias("dim_i", "x")
+        )
+        dim_means = dims.groupBy("cell_id", "dim_i").agg(F.avg("x").alias("m"))
+        new_cen = dim_means.groupBy("cell_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim_i", "m"))), lambda s: s["m"]
+            ).alias("centroid")
+        )
+        centroids = (
+            centroids.select("cell_id", F.col("centroid").alias("_prev"))
+            .join(new_cen, "cell_id", "left")
+            .select("cell_id", F.coalesce("centroid", "_prev").alias("centroid"))
+        ).localCheckpoint(eager=True)
+    return centroids
+
+
+def _assign_sql(src: str) -> str:
+    """DuckDB replay of kmeans_assign over table/CTE ``src``."""
+    return f"""
+        cen AS (
+            SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS centroid
+            FROM {src} WHERE vec_id < {KMEANS_K}
+        ), scored AS (
+            SELECT e.vec_id, c.cell_id,
+                   ROUND(LIST_DISTANCE(CAST(e.embedding AS DOUBLE[]), c.centroid), 4) AS dist
+            FROM {src} e CROSS JOIN cen c
+        ), ranked AS (
+            SELECT vec_id, cell_id, dist,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell_id) AS rn
+            FROM scored
+        )"""
+
+
+@REGISTRY.register(
+    name="v11_kmeans_assign",
+    survey_ref="training-data (clustering); V3 scale path",
+    doc="nearest-centroid assignment over the embeddings table with "
+    "the deterministic seed centroids (vec_id < k): corpus ⨯ broadcast "
+    "k×dim table, rounded euclidean argmin as a partial-aggregable "
+    "min(struct) — the building block ivf_topk's cells and d8's "
+    "SemDeDup blocking both stand on. Hash-checked against DuckDB's "
+    "LIST_DISTANCE replay of the same argmin rule.",
+    oracle="WITH "
+    + _assign_sql("embeddings")
+    + """
+        SELECT vec_id, cell_id, dist FROM ranked WHERE rn = 1
+    """,
+)
+def v11_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = load_table(spark, "embeddings", sf_dir)
+    return kmeans_assign(corpus, seed_centroids(corpus))
+
+
+@REGISTRY.register(
+    name="v11b_kmeans_train",
+    survey_ref="training-data (clustering)",
+    doc=f"{KMEANS_ITER}-round Lloyd k-means (k={KMEANS_K}) over the "
+    "embeddings table, fully distributed (posexplode partial means, "
+    "localCheckpoint per round); output = per-cell size and rounded "
+    "inertia after the final assignment. Iterative fixpoint loops "
+    "aren't ANSI-SQL, so this is a rows-only check; the single "
+    "assignment step it iterates IS hash-checked as v11.",
+    oracle=None,
+)
+def v11b_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = load_table(spark, "embeddings", sf_dir)
+    centroids = kmeans_train(corpus)
+    final = kmeans_assign(corpus, centroids)
+    return (
+        final.groupBy("cell_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.round(F.sum(F.col("dist") * F.col("dist")), 2).alias("inertia"),
+        )
+        .orderBy("cell_id")
+    )
+
+
+_TWIN_OFFSET = 1_000_000  # planted-twin ids: original vec_id + this
+
+
+def salt_near_dups(corpus: DataFrame) -> DataFrame:
+    """Plant deterministic near-duplicates: every 25th vector gets a
+    twin (vec_id + 1e6) whose first component is nudged by +0.01 —
+    cosine ≈ 0.9999 to its original, identically computed by the
+    oracle (same doubles, same ops), so the dedup gate provably fires
+    at every SF. The fixture corpus has no natural near-dups (max
+    same-label cosine 0.47), so without salting d8 would be a 0-row
+    check — the f29/t20 salting convention."""
+    base = corpus.select("vec_id", as_double(F.col("embedding")).alias("embedding"))
+    twins = base.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + _TWIN_OFFSET).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: F.when(i == 0, x + F.lit(0.01)).otherwise(x),
+        ).alias("embedding"),
+    )
+    return base.unionByName(twins)
+
+
+_SALT_SQL = f"""salted AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+            UNION ALL
+            SELECT vec_id + {_TWIN_OFFSET},
+                   LIST_TRANSFORM(CAST(embedding AS DOUBLE[]),
+                                  (x, i) -> CASE WHEN i = 1 THEN x + 0.01 ELSE x END)
+            FROM embeddings WHERE vec_id % 25 = 0
+        )"""
+
+
+@REGISTRY.register(
+    name="d8_semdedup",
+    survey_ref="training-data (semantic dedup); V7",
+    doc=f"SemDeDup: cluster-blocked semantic near-dup removal. Vectors "
+    f"(plus deterministically planted near-twin rows — see "
+    f"salt_near_dups) are assigned to their seed k-means cell (v11's "
+    f"hash-checked argmin), then cosine ≥ {SEMDEDUP_TAU} pairs are "
+    "searched ONLY within a cell — corpus²/k pair space instead of "
+    "d5's label-blocked (oracle-given buckets) or corpus² (none). "
+    "Output = the drop list: vec_id → the smaller-id near-duplicate "
+    "kept in its place. Norms hoisted per row (with_norm), dot per "
+    "surviving pair.",
+    oracle="WITH "
+    + _SALT_SQL
+    + ", "
+    + _assign_sql("salted")
+    + f"""
+        , assigned AS (
+            SELECT vec_id, cell_id FROM ranked WHERE rn = 1
+        ), pairs AS (
+            SELECT b.vec_id AS vec_id, a.vec_id AS kept_id,
+                   ROUND({_COS_SQL.format(a="a.embedding", b="b.embedding")}, 6) AS score
+            FROM assigned aa
+            JOIN assigned bb ON aa.cell_id = bb.cell_id AND aa.vec_id < bb.vec_id
+            JOIN salted a ON a.vec_id = aa.vec_id
+            JOIN salted b ON b.vec_id = bb.vec_id
+            WHERE ROUND({_COS_SQL.format(a="a.embedding", b="b.embedding")}, 6)
+                  >= {SEMDEDUP_TAU}
+        )
+        SELECT vec_id, CAST(MIN(kept_id) AS BIGINT) AS kept_id
+        FROM pairs GROUP BY vec_id
+    """,
+)
+def d8_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = salt_near_dups(load_table(spark, "embeddings", sf_dir))
+    assigned = kmeans_assign(corpus, seed_centroids(corpus)).select("vec_id", "cell_id")
+    side = with_norm(corpus, "embedding", "v", "n").join(assigned, "vec_id")
+    a = side.select(
+        F.col("vec_id").alias("kept_id"),
+        F.col("cell_id").alias("ac"),
+        F.col("v").alias("av"),
+        F.col("n").alias("na"),
+    )
+    b = side.select(
+        F.col("vec_id").alias("vec_id"),
+        F.col("cell_id").alias("bc"),
+        F.col("v").alias("bv"),
+        F.col("n").alias("nb"),
+    )
+    pairs = (
+        a.join(b, (F.col("ac") == F.col("bc")) & (F.col("kept_id") < F.col("vec_id")))
+        .filter(
+            F.round(dot(F.col("av"), F.col("bv")) / (F.col("na") * F.col("nb")), 6)
+            >= SEMDEDUP_TAU
+        )
+        .select("vec_id", "kept_id")
+    )
+    return pairs.groupBy("vec_id").agg(F.min("kept_id").alias("kept_id"))

@@ -1,0 +1,83 @@
+"""k-means + SemDeDup: assignment determinism, Lloyd convergence,
+planted-twin dedup."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ai_iceberg_demo_spark.tables import load_table
+from ai_iceberg_demo_spark.vector.clustering import (
+    KMEANS_K,
+    _TWIN_OFFSET,
+    d8_semdedup,
+    kmeans_assign,
+    kmeans_train,
+    salt_near_dups,
+    seed_centroids,
+)
+from tests.conftest import SF_DIR
+
+
+def _corpus(spark):
+    return load_table(spark, "embeddings", SF_DIR)
+
+
+def test_assign_covers_corpus_once(spark):
+    corpus = _corpus(spark)
+    assigned = kmeans_assign(corpus, seed_centroids(corpus))
+    n = corpus.count()
+    assert assigned.count() == n  # every vector exactly one cell
+    assert assigned.select("vec_id").distinct().count() == n
+    cells = {r["cell_id"] for r in assigned.select("cell_id").distinct().collect()}
+    assert cells <= set(range(KMEANS_K))
+
+
+def test_seed_vectors_assign_to_themselves(spark):
+    corpus = _corpus(spark)
+    assigned = kmeans_assign(corpus, seed_centroids(corpus))
+    seeds = assigned.filter(F.col("vec_id") < KMEANS_K).collect()
+    for r in seeds:
+        assert r["cell_id"] == r["vec_id"] and r["dist"] == 0.0
+
+
+def test_lloyd_iterations_do_not_increase_inertia(spark):
+    corpus = _corpus(spark)
+
+    def inertia(centroids):
+        a = kmeans_assign(corpus, centroids)
+        return a.agg(F.sum(F.col("dist") * F.col("dist"))).first()[0]
+
+    seed_inertia = inertia(seed_centroids(corpus))
+    trained_inertia = inertia(kmeans_train(corpus, n_iter=2))
+    # Lloyd monotonically decreases inertia (up to dist rounding noise)
+    assert trained_inertia <= seed_inertia * 1.001
+
+
+def test_trained_centroids_shape(spark):
+    corpus = _corpus(spark)
+    cen = kmeans_train(corpus, n_iter=1).collect()
+    assert len(cen) == KMEANS_K
+    dim = len(corpus.first()["embedding"])
+    assert all(len(r["centroid"]) == dim for r in cen)
+
+
+def test_semdedup_drops_exactly_planted_twins(spark):
+    corpus = _corpus(spark)
+    n_twins = corpus.filter(F.col("vec_id") % 25 == 0).count()
+    dropped = d8_semdedup(spark, SF_DIR).collect()
+    # every planted twin is dropped in favor of its original; no
+    # original is ever dropped (fixture has no natural near-dups)
+    assert len(dropped) == n_twins
+    for r in dropped:
+        assert r["vec_id"] >= _TWIN_OFFSET
+        assert r["kept_id"] == r["vec_id"] - _TWIN_OFFSET
+
+
+def test_salted_twins_land_with_their_originals(spark):
+    corpus = salt_near_dups(_corpus(spark))
+    assigned = kmeans_assign(corpus, seed_centroids(corpus))
+    cells = {r["vec_id"]: r["cell_id"] for r in assigned.collect()}
+    twins = [v for v in cells if v >= _TWIN_OFFSET]
+    assert twins
+    same = sum(cells[v] == cells[v - _TWIN_OFFSET] for v in twins)
+    assert same == len(twins)  # a +0.01 nudge never flips the argmin here
