@@ -132,12 +132,19 @@ def test_bucketed_join_has_no_exchange(spark):
 
 def test_curation_funnel_shuffles_once(spark):
     """pipeline_curation: filters fuse into the scan stage; the only
-    exchange is the fingerprint-dedup groupBy. v1_hash_embedding: no
-    hash-partitioning shuffle at all (fully map-side; its one
-    round-robin exchange is the deliberate small-input fan-out)."""
+    exchange is the fingerprint-dedup groupBy. v1_hash_embedding
+    (relational formulation): partial-agg shuffles over compact
+    (doc_id, bucket) rows only — never a shuffle of raw text — and
+    map-side combine on the counts agg."""
     plan = plan_of(spark, "pipeline_curation", mode="simple")
     assert plan.count("Exchange") == 1, plan
     assert "partial_" in plan_of(spark, "pipeline_curation")  # map-side combine
 
-    emb_plan = plan_of(spark, "v1_hash_embedding", mode="simple")
-    assert "hashpartitioning" not in emb_plan, emb_plan
+    emb_plan = plan_of(spark, "v1_hash_embedding")
+    assert "partial_sum" in emb_plan, emb_plan  # map-side combine on counts
+    # the wide text column never reaches an exchange: tokens are
+    # bucketed to ints before the first hash partitioning
+    simple = plan_of(spark, "v1_hash_embedding", mode="simple")
+    for line in simple.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text#" not in line, simple
