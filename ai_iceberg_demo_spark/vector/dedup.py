@@ -222,13 +222,14 @@ _MINHASH_A = [_rng.randrange(1, _MERSENNE_P) for _ in range(N_HASHES)]
 _MINHASH_B = [_rng.randrange(0, _MERSENNE_P) for _ in range(N_HASHES)]
 
 
-def _bands_sql(where: str) -> str:
-    """CTE chain toks→sigs→bands for the docs matching ``where`` —
-    the oracle twin of minhash_bands()."""
+def _bands_sql(where: str, src: str = "documents", lead: str = "WITH ") -> str:
+    """CTE chain toks→sigs→bands for the ``src`` docs matching
+    ``where`` — the oracle twin of minhash_bands(). Pass ``lead=", "``
+    to append after an earlier CTE."""
     return f"""
-        WITH toks AS (
+        {lead}toks AS (
             SELECT DISTINCT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok
-            FROM documents WHERE {where}
+            FROM {src} WHERE {where}
         ), tok_x AS (
             SELECT doc_id, ('0x' || SUBSTR(MD5(tok), 1, 7))::BIGINT AS x FROM toks
         ), sigs AS (
@@ -362,20 +363,34 @@ def d7_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     name="d2b_lsh_seeded_jaccard",
     survey_ref="training-data (candidates→verify)",
     doc="the production near-dup pipeline d2's doc promises: MinHash/LSH "
-    "band collisions (d3's index, full corpus) propose candidate pairs, "
-    "then exact word-3-gram Jaccard ≥ 0.8 verifies ONLY those pairs. "
-    "Cost is O(candidates × shingles/doc) instead of d2's all-shingle "
-    "self-join — the shape that survives 100 TB, with d2 as the "
-    "exactness oracle at fixture scale (any pair here scores "
-    "identically in d2; planted dupes collide in ≥1 band and survive).",
-    oracle=f"""{_bands_sql("TRUE")}
+    "band collisions (d3's index, same 1-in-10 sample) propose "
+    "candidate pairs, then exact word-3-gram Jaccard ≥ 0.8 verifies "
+    "ONLY those pairs. Cost is O(candidates × shingles/doc) instead "
+    "of d2's all-shingle self-join — the shape that survives 100 TB, "
+    "with d2 as the exactness oracle at fixture scale (any pair here "
+    "scores identically in d2; planted dupes collide in ≥1 band and "
+    "survive). The sample matches d3's because the fixture's ~30-word "
+    "vocabulary makes full-corpus band collisions approach all-pairs "
+    "(6.5M at sf0.1) — a fixture artifact, not a pipeline property; "
+    "real crawl corpora collide only on near-dups. The fixture's own "
+    "planted dupes never pair two sample ids, so every 5th sampled "
+    "doc gets a deterministic near-twin (4 appended tokens, jaccard "
+    "≈ (n_sh-2)/(n_sh+2)) — the f29/d8 salting convention — proving "
+    "both the LSH recall and the verify gate end-to-end.",
+    oracle=f"""
+        WITH d2b_docs AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+            UNION ALL
+            SELECT doc_id + 1000000, text || ' near duplicate footer variant'
+            FROM documents WHERE doc_id % 50 = 0
+        ){_bands_sql("TRUE", src="d2b_docs", lead=", ")}
         , cands AS (
             SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
             FROM bands a JOIN bands b
               ON a.band_idx = b.band_idx AND a.band_val = b.band_val
              AND a.doc_id < b.doc_id
         ), sample_docs AS (
-            SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents
+            SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM d2b_docs
         ), sh AS (
             SELECT DISTINCT doc_id,
                    UNNEST(CASE WHEN LEN(toks) >= 3 THEN
@@ -403,7 +418,13 @@ def d7_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d2b_lsh_seeded_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ai_iceberg_demo_spark.tables import fan_out_small_input
 
-    docs = fan_out_small_input(load_table(spark, "documents", sf_dir))
+    base = load_table(spark, "documents", sf_dir)
+    sample = base.filter(F.col("doc_id") % 10 == 0).select("doc_id", "text")
+    twins = base.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" near duplicate footer variant")).alias("text"),
+    )
+    docs = fan_out_small_input(sample.unionByName(twins))
     bands = minhash_bands(docs)
     a, b = bands.alias("a"), bands.alias("b")
     cands = (

@@ -49,11 +49,14 @@ def test_cc_empty_pairs_yields_no_components(spark):
 
 
 def test_d2b_is_sound_subset_of_d2(spark):
-    """LSH-seeded verify (d2b) never invents a pair: every pair it
-    emits appears in the exact all-pairs d2 with the identical jaccard,
-    and the fixture's planted near-dupes survive the LSH seeding."""
+    """LSH-seeded verify (d2b) never invents a pair: every natural
+    pair it emits appears in the exact all-pairs d2 with the identical
+    jaccard; every salted-twin pair links a twin to its own original
+    with jaccard ≥ the 0.8 gate; and high-sim exact pairs inside the
+    sample survive the LSH seeding."""
     from ai_iceberg_demo_spark.vector.dedup import d2_ngram_jaccard, d2b_lsh_seeded_jaccard
 
+    TWIN = 1_000_000
     exact = {
         (r["a_id"], r["b_id"]): r["jaccard"]
         for r in d2_ngram_jaccard(spark, SF_DIR).collect()
@@ -62,10 +65,25 @@ def test_d2b_is_sound_subset_of_d2(spark):
         (r["a_id"], r["b_id"]): r["jaccard"]
         for r in d2b_lsh_seeded_jaccard(spark, SF_DIR).collect()
     }
-    assert seeded, "planted dupes must produce LSH candidates"
-    for pair, jac in seeded.items():
+    assert seeded, "salted twins must produce verified pairs"
+    twin_pairs = {p: j for p, j in seeded.items() if p[1] >= TWIN}
+    natural = {p: j for p, j in seeded.items() if p[1] < TWIN}
+    assert twin_pairs, "at least one twin must collide and verify"
+    for (a, b), jac in twin_pairs.items():
+        # a twin matches its own original, a natural near-dup of its
+        # original, or the twin of such a near-dup — never a stranger
+        oa, ob = a % TWIN, b % TWIN
+        assert oa == ob or (min(oa, ob), max(oa, ob)) in exact, (a, b)
+        assert jac >= 0.8
+    # and every twin that surfaced at all did link back to its original
+    for b in {b for _, b in twin_pairs}:
+        assert (b - TWIN, b) in twin_pairs
+    for pair, jac in natural.items():
         assert pair in exact and exact[pair] == jac
-    # recall on the planted (~0.99 jaccard) dupes: all high-sim exact
-    # pairs must collide in at least one of the 4 bands
-    high = {p for p, j in exact.items() if j >= 0.95}
-    assert high <= set(seeded)
+    # recall: high-sim exact pairs whose both ends are in the 1-in-10
+    # sample must collide in at least one band (vacuous if none exist
+    # at this SF — the twins above are the guaranteed-recall probe)
+    high = {
+        p for p, j in exact.items() if j >= 0.95 and p[0] % 10 == 0 and p[1] % 10 == 0
+    }
+    assert high <= set(natural) | set(twin_pairs)
