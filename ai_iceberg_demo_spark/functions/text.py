@@ -517,6 +517,7 @@ _DECON_N = 8  # word n-gram width for contamination matching
     """,
 )
 def t17_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_iceberg_demo_spark.tables import fan_out_small_input
     from ai_iceberg_demo_spark.vector.dedup import shingles
 
     docs = load_table(spark, "documents", sf_dir)
@@ -533,10 +534,12 @@ def t17_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("bench_id"),
         F.explode(shingles(F.col("text"), _DECON_N)).alias("gram"),
     ).distinct()
-    corpus_grams = (
-        docs.filter(F.col("doc_id") % 10 != 3)
-        .select("doc_id", F.explode(shingles(F.col("text"), _DECON_N)).alias("gram"))
-        .distinct()
+    # NO pre-distinct on the corpus side: the final countDistinct
+    # already collapses within-doc repeats, so the raw exploded grams
+    # flow map-side into the broadcast join — the corpus is never
+    # shuffled at its exploded width, only the post-join hits are.
+    corpus_grams = fan_out_small_input(docs.filter(F.col("doc_id") % 10 != 3)).select(
+        "doc_id", F.explode(shingles(F.col("text"), _DECON_N)).alias("gram")
     )
     return (
         corpus_grams.join(F.broadcast(bench_grams), "gram")
