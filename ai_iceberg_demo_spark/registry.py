@@ -79,71 +79,78 @@ class Registry:
 
 # The driver's correctness gate checks the FIRST 50 queries in
 # registration order per round. Round 1 covered the relational core
-# (s*/p*/j*/a*/w*/o*/u1-u3 — 48/50 green, CORRECTNESS_r01.json); this
-# list rotates the previously-unchecked LLM-pipeline surface into the
-# window, with the four round-1 output-shape fixes (a8/a11 driver-ERR,
-# v1/t16 latent) pinned first so their green rows land in the record.
-# Names not listed keep their module registration order after these.
+# (48/50 green, CORRECTNESS_r01.json); round 2 covered the
+# dedup/vector/mutation/pipeline/streaming surface (49/50 green, the one
+# red being t10's ts-type breakage, CORRECTNESS_r02.json). Round 3
+# rotates in the 36 queries the driver has NEVER seen (scalar folds,
+# t17–t20 corpus stats, d2b/d8, v11/v11b, u9/u10, x1/x5, multimodal
+# variants, f27/v9), then re-pins t10 (fixed this round) and every other
+# events-table consumer — the ts normalization (tables.normalize_schema)
+# changed their input type, so their green rows should be re-earned —
+# plus the four round-1 output-shape fixes. Names not listed keep their
+# module registration order after these.
 _DRIVER_WINDOW_PRIORITY = [
-    # round-1 red rows + latent array-output twins, now flattened
+    # --- the 36 never-driver-checked queries ---
+    # scalar function folds (F1-F24)
+    "f1_title_extract",
+    "f3_path_normalize",
+    "f4_trim_lower",
+    "f5_truncate",
+    "f6_split_tokens",
+    "f9_key_synthesis",
+    "f10_text_assembly",
+    "f11_template_enrich",
+    "f12_date_format",
+    "f14_arithmetic",
+    "f16_label_dispatch",
+    "f17_status_derive",
+    "f20_json_extract",
+    "f21_struct_flatten",
+    "f22_any_match",
+    "f23_map_lookup",
+    "f24_posexplode",
+    # corpus statistics / decontamination
+    "t17_decontamination",
+    "t18_repetition",
+    "t19_unigram_logprob",
+    "t20_boilerplate_ngrams",
+    # UDF surface
+    "x1_registered_struct_udf",
+    "x5_error_classification",
+    # clustering / ANN / dedup variants
+    "v11_kmeans_assign",
+    "v11b_kmeans_train",
+    "d8_semdedup",
+    "d2b_lsh_seeded_jaccard",
+    "v3b_ann_topk",
+    "v3c_ivf_topk",
+    # sampling extras
+    "u9_sequence_packing",
+    "u10_mixture_plan",
+    # multimodal variants + rendering
+    "v8b_image_resize",
+    "v8c_frame_sample",
+    "v8d_audio_features",
+    "f27_markdown_html",
+    "v9_print_layout",
+    # --- re-pins ---
+    # fixed this round (r2's one red row)
+    "t10_session_window",
+    # round-1 output-shape fixes, re-confirmed
     "a8_approx_distinct",
     "a11_percentiles",
     "v1_hash_embedding",
     "t16_winnowing_fingerprint",
-    # dedup family
-    "d1_exact_dedup",
-    "d1b_drop_duplicates",
-    "d2_ngram_jaccard",
-    "d3_minhash_lsh",
-    "d4_simhash",
-    "d5_embedding_dedup",
-    "d6_dedup_components",
-    "d7_incremental_dedup",
-    # vector / similarity
-    "v2_chunking",
-    "v3_cosine_topk",
-    "v4_semantic_cache_gate",
-    "v5_context_retrieval",
-    "j6_similarity_join",
-    "v10_text_stats",
-    # mutations
-    "m1_merge_upsert",
-    "m2_point_update",
-    "m3_append_insert",
-    "m4_insert_if_absent",
-    # pipelines
-    "pipeline_run_direct",
-    "pipeline_interactive",
-    "pipeline_curation",
-    # text analysis
-    "t1_token_counting",
-    "t2_quality_score",
-    "t3_langid",
-    "t4_fingerprint",
-    "f28_fuzzy_match",
-    "f29_pii_redaction",
-    # sampling / sets / timeline
-    "u4_except",
-    "u5_hash_sample",
-    "u6_train_test_split",
-    "u7_class_weights",
-    "u8_source_cap",
-    "flagship_timeline",
-    # streaming (batch twins)
-    "t2_topic_routing",
+    # events-table consumers: input type changed by normalize_schema
     "t1_event_envelope",
+    "t2_topic_routing",
     "t3_stream_filter",
     "t8_tumbling_window",
     "t9_sliding_window",
-    "t10_session_window",
     "t11_attribution_join",
     "t12_stream_dedup",
     "t15_resample_gap_fill",
     "t5_stateful_session",
-    # multimodal + encode
-    "v8_artifact_metadata",
-    "f25_base64_roundtrip",
-    "f26_html_escape",
 ]
 
 

@@ -92,26 +92,24 @@ def tumbling_counts(df: DataFrame, width: str = "1 hour") -> DataFrame:
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source readStream over the events fixture. The parquet holds
-    ts as TIMESTAMP(NANOS) which Spark can only read as long — declare
-    the raw long schema and convert in-stream (same rule as
-    tables.load_table). Kafka source drops in by swapping this reader."""
+    """File-source readStream over the events fixture.
+
+    The raw schema is read from the parquet footer itself (NOT assumed
+    — the fixture's physical ts type has drifted between driver rounds:
+    TIMESTAMP(NANOS) → timestamp[us]/NTZ), then normalized to the same
+    canonical TIMESTAMP_LTZ the batch loader produces, so stream≡batch
+    equality holds under any fixture vintage. Kafka source drops in by
+    swapping this reader."""
     import os
 
-    from pyspark.sql.types import LongType, StructType
+    from ai_iceberg_demo_spark.tables import normalize_schema
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch_schema = load_table(spark, "events", sf_dir).schema
-    raw = StructType(
-        [
-            f if f.name != "ts" else type(f)("ts", LongType(), f.nullable)
-            for f in batch_schema.fields
-        ]
-    )
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     # glob (not bare file path): FileStreamSource requires a directory or
     # glob so it can infer a directory basePath
     stream = spark.readStream.schema(raw).parquet(os.path.join(sf_dir, "events*.parquet"))
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return normalize_schema(stream)
 
 
 def streaming_tumbling_counts(spark: SparkSession, sf_dir: str, width: str = "1 hour") -> DataFrame:
@@ -258,7 +256,9 @@ def t10_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     wsum = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(W.unboundedPreceding, W.currentRow)
-    gap = F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+    # unix_timestamp, not cast("long"): legal on both LTZ and NTZ, so a
+    # fixture-type regression can't resurface the r2 AnalysisException.
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
     marked = ev.withColumn(
         "is_new",
         F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0),

@@ -20,6 +20,8 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
 TABLE_NAMES = [
     "region",
@@ -48,13 +50,38 @@ BROADCAST_TABLES = {"region", "nation", "supplier", "part", "customer"}
 _DF_CACHE: dict[tuple[int, str, str], DataFrame] = {}
 
 
+def normalize_schema(df: DataFrame) -> DataFrame:
+    """Pin every timestamp-ish column to TIMESTAMP_LTZ.
+
+    The driver regenerates fixtures between rounds and the parquet
+    physical type has already drifted once (TIMESTAMP(NANOS) → round 2's
+    timestamp[us], which Spark 4 reads as TIMESTAMP_NTZ). This layer
+    makes every downstream query see ONE canonical type regardless:
+
+    - ``long`` named ``ts`` (nanos-as-long legacy read): integer-divide
+      to micros — float division would lose precision above 2^53 ns;
+    - ``TIMESTAMP_NTZ``: cast to TIMESTAMP. The session timezone is
+      pinned UTC (session.py), so the cast is an exact wall-clock
+      reinterpretation, no shifting;
+    - ``TIMESTAMP`` (LTZ): already canonical.
+
+    All arms are metadata-only column rewrites — no shuffle, pushdown
+    on other columns unaffected.
+    """
+    out = df
+    for f in df.schema.fields:
+        if isinstance(f.dataType, TimestampNTZType):
+            out = out.withColumn(f.name, F.col(f.name).cast(TimestampType()))
+        elif f.name == "ts" and isinstance(f.dataType, LongType):
+            out = out.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return out
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     """Load one fixture table as a DataFrame (parquet scan w/ pushdown).
 
-    `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark 4
-    rejects outright ([PARQUET_TYPE_ILLEGAL]). We read nanos as long
-    (legacy conf, session-settable) and convert with integer division
-    — float division would lose precision above 2^53 ns.
+    Schemas are normalized (see normalize_schema) so fixture-physical-
+    type churn between driver rounds never reaches query code.
     """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
@@ -64,16 +91,10 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
         return cached
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
-
+        # Tolerate a future fixture regen back to TIMESTAMP(NANOS),
+        # which Spark 4 otherwise rejects ([PARQUET_TYPE_ILLEGAL]).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        if isinstance(df.schema["ts"].dataType, LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        _DF_CACHE[key] = df
-        return df
-    df = spark.read.parquet(path)
+    df = normalize_schema(spark.read.parquet(path))
     _DF_CACHE[key] = df
     return df
 
