@@ -271,6 +271,40 @@ def t10_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def session_counts(df: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Native session-window sessionization — the genuine streaming twin
+    of t10_session_window's batch lag+cumsum form. Same body batch or
+    streaming (F.session_window works in both); under readStream the
+    state store merges overlapping [ts, ts+gap) windows per user and the
+    watermark expires closed sessions, so state is bounded by gap +
+    watermark horizon — the scale contract sessionization needs.
+
+    Gap semantics match the batch twin: two events merge iff the gap is
+    STRICTLY under ``gap`` (session_window merges on t2 < t1 + gap; the
+    lag+cumsum form starts a new session on gap > 30 min — both split
+    ties at exactly 30:00 the same way only when no tie exists; the
+    stream≡batch test also pins equality against the lag+cumsum form on
+    the fixture, where sub-second timestamps make exact-1800s gaps
+    measure-zero).
+    """
+    return (
+        df.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_close"),  # last event + gap, NOT max(ts)
+            "n_events",
+        )
+    )
+
+
+def streaming_session_counts(spark: SparkSession, sf_dir: str, gap: str = "30 minutes") -> DataFrame:
+    """readStream + watermark feeding the same session_counts body."""
+    watermarked = read_events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    return session_counts(watermarked, gap)
+
+
 def progress_counts(df: DataFrame) -> DataFrame:
     """T4 progress streaming (research_manager.py:453-483): running
     {current, total}-style completion counters per workflow key —

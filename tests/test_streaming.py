@@ -95,6 +95,40 @@ def test_stateful_sessions_match_batch_twin(spark):
     assert (s["end_ts"].to_numpy() == b["end_ts"].to_numpy()).all()
 
 
+def test_streaming_session_window_matches_batch(spark):
+    """t10's genuine streaming twin: F.session_window under readStream
+    equals (a) the same body run in batch and (b) the registered
+    lag+cumsum batch form, per (user_id, session_start, n_events)."""
+    from ai_iceberg_demo_spark.registry import all_registries
+    from ai_iceberg_demo_spark.streaming.events import (
+        session_counts,
+        streaming_session_counts,
+    )
+
+    q = (
+        streaming_session_counts(spark, SF_DIR)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sess_win_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = spark.sql("SELECT * FROM sess_win_out")
+    batch = session_counts(load_table(spark, "events", SF_DIR))
+    assert streamed.count() == batch.count() > 0
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
+
+    key = ["user_id", "session_start", "n_events"]
+    lag_form = all_registries().specs["t10_session_window"].fn(spark, SF_DIR).select(key)
+    sw = streamed.select(key)
+    assert sw.exceptAll(lag_form).count() == 0
+    assert lag_form.exceptAll(sw).count() == 0
+
+
 def test_progress_counts_stream_updates(spark):
     """T4: per-key progress counters under update mode match batch."""
     from ai_iceberg_demo_spark.streaming.events import (
