@@ -389,23 +389,28 @@ def ivf_topk(
     k: int,
     n_cells: int = 16,
     n_probe: int = 4,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF (inverted-file) cells — the second
     scale path next to LSH (``ann_topk``).
 
-    Centroids here are the first ``n_cells`` corpus vectors
-    (deterministic; production trains k-means and stores the centroid
-    table). Probe: rank cells by query-centroid cosine, scan the best
-    ``n_probe`` cells, exact-rerank candidates.
+    ``centroids`` (cell_id, centroid) is normally the k-means table from
+    ``vector.clustering.kmeans_train`` — trained cells follow the data's
+    density, so probes recover more of the true neighborhood than any
+    fixed partition. When omitted, falls back to the first ``n_cells``
+    corpus vectors (deterministic, train-free). Probe: rank cells by
+    query-centroid cosine, scan the best ``n_probe`` cells, exact-rerank
+    candidates.
 
     At 100 TB the corpus is written partition-bucketed by cell_id
     (Iceberg partition transform), so a probe reads n_probe partitions
     — the classic IVF pruning — and the rerank touches only those
     candidates. Recall tuning = n_probe/n_cells ratio.
     """
-    centroids = corpus.filter(F.col("vec_id") < n_cells).select(
-        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
-    )
+    if centroids is None:
+        centroids = corpus.filter(F.col("vec_id") < n_cells).select(
+            F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
+        )
     assigned = assign_cells(corpus, centroids)
     probe_cells = (
         centroids.crossJoin(F.broadcast(query_vec))
@@ -427,12 +432,17 @@ def ivf_topk(
 @REGISTRY.register(
     name="v3c_ivf_topk",
     survey_ref="V3,E2 (scale path)",
-    doc="approximate top-k via IVF cells (ivf_topk): nearest-centroid "
-    "partitioning, n_probe-cell probe, exact rerank — deterministic but "
-    "approximate (no SQL oracle); recall vs exact asserted in "
-    "tests/test_similarity.py.",
+    doc="approximate top-k via IVF cells (ivf_topk) over TRAINED "
+    "k-means centroids (clustering.kmeans_train — Lloyd rounds, "
+    "deterministic seed): nearest-centroid partitioning, n_probe-cell "
+    "probe, exact rerank — deterministic but approximate (no SQL "
+    "oracle); recall vs exact asserted in tests/test_similarity.py for "
+    "both trained and seed centroids.",
     oracle=None,
 )
 def v3c_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_iceberg_demo_spark.vector.clustering import kmeans_train
+
     corpus = load_table(spark, "embeddings", sf_dir)
-    return ivf_topk(corpus, _query_vec(spark, sf_dir), k=5)
+    centroids = kmeans_train(corpus, k=16, n_iter=2)
+    return ivf_topk(corpus, _query_vec(spark, sf_dir), k=5, centroids=centroids)

@@ -50,6 +50,29 @@ def test_ivf_topk_recall_vs_exact(spark):
     assert len(approx & exact) / len(exact) >= 0.5
 
 
+def test_ivf_trained_centroids_recall_at_least_seed(spark):
+    """v3c's trained-centroid path: k-means cells must not lose recall
+    vs the train-free seed cells (on this fixture they reach 1.0)."""
+    from ai_iceberg_demo_spark.vector.clustering import kmeans_train
+    from ai_iceberg_demo_spark.vector.similarity import ivf_topk
+
+    corpus = load_table(spark, "embeddings", SF_DIR)
+    exact = {r["vec_id"] for r in cosine_topk(corpus, _query_vec(spark), k=10).collect()}
+    seed = {
+        r["vec_id"]
+        for r in ivf_topk(corpus, _query_vec(spark), k=10, n_cells=16, n_probe=8).collect()
+    }
+    cen = kmeans_train(corpus, k=16, n_iter=2)
+    trained = {
+        r["vec_id"]
+        for r in ivf_topk(
+            corpus, _query_vec(spark), k=10, n_cells=16, n_probe=8, centroids=cen
+        ).collect()
+    }
+    assert len(trained & exact) >= len(seed & exact)
+    assert len(trained & exact) / len(exact) >= 0.8
+
+
 def test_ivf_deterministic(spark):
     from ai_iceberg_demo_spark.vector.similarity import ivf_topk
 
