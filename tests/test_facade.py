@@ -115,6 +115,80 @@ def test_rag_surface(spark):
     assert ctx.count() == 3 and "context" in ctx.columns
 
 
+def test_research_lifecycle_cache_miss_then_hit(spark):
+    """SURVEY §3.1 steps 4→5→9 replayed end-to-end through the facade
+    (reference backend: ui/backend/main.py:310-414, research_manager.py
+    306-424): a fresh query MISSES the semantic cache (step 4), runs the
+    context probe (step 5), persists its report via add_result and
+    indexes the embedding via index_result_node (step 9 miss arm); the
+    SAME query re-asked then HITS the cache at score ~1.0 and takes the
+    link_existing_result arm, which is idempotent on re-link."""
+    mem, conversations, messages, results = _memory(spark)
+    emb = load_table(spark, "embeddings", SF_DIR)
+    docs = load_table(spark, "documents", SF_DIR)
+    rag = VectorRAG(emb, docs)
+
+    # The finished report (step 8's output) — text unlike any fixture doc.
+    new_doc_id = 10_000_000
+    report = spark.createDataFrame(
+        [(new_doc_id, "quarterly deep research report on zirconium supply chains")],
+        "doc_id long, text string",
+    )
+    # Query embedding = embed the query text (neo4j_rag.py:305-331 embeds
+    # the query before the cosine probe); identical embed fn → the later
+    # cache hit is exact.
+    qv = (
+        VectorRAG(emb, report)
+        .index_result_node()
+        .select(F.col("embedding").alias("qvec"))
+    )
+
+    # Step 4, first ask: cache probe at min_score=0.8 → MISS.
+    assert rag.get_best_match(qv, min_score=0.80).count() == 0
+
+    # Step 5: context probe (limit 3, min_score 0.5) — threshold honored:
+    # every row scores ≥ 0.5, and relaxing the threshold yields exactly 3.
+    ctx = rag.get_relevant_context(qv, k=3, min_score=0.50)
+    assert ctx.filter(F.col("score") < 0.50).count() == 0
+    relaxed = rag.get_relevant_context(qv, k=3, min_score=-1.0)
+    assert relaxed.count() == 3 and "context" in relaxed.columns
+
+    # Step 9, miss arm: add_result (M3) + index_result_node (V1/V6),
+    # "persisted" by unioning the new vector onto the corpus table (the
+    # MERGE the facade delegates to writeTo/merge_into in production).
+    wid = results.select("workflow_id").first()["workflow_id"]
+    new_result = spark.createDataFrame(
+        [(wid, new_doc_id)], "workflow_id string, result_id long"
+    )
+    grown = mem.add_result(new_result)
+    assert grown.count() == results.count() + 1
+
+    indexed = VectorRAG(emb, report).index_result_node()
+    new_vec = indexed.select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("embedding").cast(emb.schema["embedding"].dataType).alias("embedding"),
+    )
+    corpus2 = emb.select("vec_id", "embedding").unionByName(new_vec)
+    rag2 = VectorRAG(corpus2, docs)
+
+    # Step 4, second ask (same query): cache HIT on the indexed report.
+    best = rag2.get_best_match(qv, min_score=0.80).collect()
+    assert len(best) == 1
+    assert best[0]["vec_id"] == new_doc_id
+    assert best[0]["score"] > 0.99
+
+    # Step 9, hit arm: link-don't-copy — first link inserts, re-link no-ops.
+    mem2 = ConversationMemory(conversations, messages, grown)
+    hit_wid = conversations.select("workflow_id").first()["workflow_id"]
+    link = spark.createDataFrame(
+        [(hit_wid, new_doc_id)], "workflow_id string, result_id long"
+    )
+    linked_once = mem2.link_existing_result(link)
+    assert linked_once.count() == grown.count() + 1
+    mem3 = ConversationMemory(conversations, messages, linked_once)
+    assert mem3.link_existing_result(link).count() == linked_once.count()
+
+
 def test_create_vector_index_idempotent_and_probed(spark):
     """M5 (neo4j_rag.py:144-157): CREATE VECTOR INDEX IF NOT EXISTS —
     second call is a no-op; search_similar_results routes through the
