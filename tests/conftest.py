@@ -17,3 +17,29 @@ def spark():
 
     spark = get_spark("tests", cpus=8)
     yield spark
+
+
+def pytest_terminal_summary(terminalreporter, exitstatus, config):
+    """CI-visible live-connector availability line: the day the Iceberg /
+    Kafka jars land in the environment, this flips to 'present' and the
+    gated live tests (tests/test_live_connectors.py) arm with zero code
+    change — making the gate's state auditable per run, not silent."""
+    import glob
+    import os
+
+    import pyspark
+
+    jar_names = [
+        os.path.basename(j)
+        for j in glob.glob(os.path.join(os.path.dirname(pyspark.__file__), "jars", "*.jar"))
+    ]
+    extra = " ".join(
+        os.environ.get(v, "") for v in ("SPARK_CLASSPATH", "PYSPARK_SUBMIT_ARGS")
+    )
+    ice = any("iceberg-spark-runtime" in n for n in jar_names) or "iceberg" in extra
+    kafka = any("spark-sql-kafka" in n for n in jar_names) or "kafka" in extra
+    terminalreporter.write_line(
+        "live connectors: "
+        f"iceberg jar {'PRESENT - live MERGE INTO tests armed' if ice else 'absent (M1-M4 run as oracle-checked DataFrame emulation)'}; "
+        f"kafka jar {'PRESENT - broker tests armed' if kafka else 'absent (streaming tested via file/memory sources)'}"
+    )
