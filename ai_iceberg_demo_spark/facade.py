@@ -156,35 +156,62 @@ class VectorRAG:
         n_planes: int = 4,
         seed: int = 42,
         dim: int = 64,
+        n_cells: int = 16,
+        n_probe: int = 4,
+        n_iter: int = 2,
     ) -> bool:
         """M5: ``CREATE VECTOR INDEX IF NOT EXISTS`` (neo4j_rag.py:144-157).
 
-        Builds the LSH bucket relation (build_lsh_index) over the
-        embeddings table and persists it as a catalog table bucketed by
-        its probe key, plus a one-row ``{name}__meta`` table holding the
-        plane-family parameters so probes rebuild identical hyperplanes.
+        Two index kinds, both persisted as catalog tables clustered by
+        their probe key plus a one-row ``{name}__meta`` table so probes
+        rebuild identical parameters:
+
+        - ``lsh``: random-hyperplane bucket relation (build_lsh_index),
+          bucketed by (table, bucket) — a probe reads L point buckets;
+        - ``ivf``: k-means-trained cells (clustering.kmeans_train →
+          assign_cells), the assignment table bucketed by cell_id and
+          the k×dim centroid table stored as ``{name}__centroids`` —
+          a probe prunes to n_probe cell partitions.
+
         Idempotent like the reference's DDL: a second call is a no-op.
         Returns True when the index was created, False when it already
-        existed. At 100 TB the same relation is an Iceberg table
-        PARTITIONED BY (t, bucket(N, b)) and the probe prunes to L
-        point-partition reads."""
-        if kind != "lsh":
-            raise ValueError(f"unsupported index kind {kind!r} (have: lsh)")
+        existed. At 100 TB both relations are Iceberg tables partitioned
+        by their probe key (``(t, bucket(N, b))`` / ``bucket(N,
+        cell_id)``)."""
+        if kind not in ("lsh", "ivf"):
+            raise ValueError(f"unsupported index kind {kind!r} (have: lsh, ivf)")
         spark = self.embeddings.sparkSession
         if spark.catalog.tableExists(name):
             return False
-        from ai_iceberg_demo_spark.vector.similarity import build_lsh_index
+        if kind == "lsh":
+            from ai_iceberg_demo_spark.vector.similarity import build_lsh_index
 
-        index = build_lsh_index(
-            self.embeddings, n_tables=n_tables, n_planes=n_planes, seed=seed, dim=dim
-        )
-        index.write.format("parquet").mode("errorifexists").bucketBy(
-            16, "t", "b"
-        ).saveAsTable(name)
-        meta = spark.createDataFrame(
-            [(kind, n_tables, n_planes, seed, dim)],
-            "kind string, n_tables int, n_planes int, seed int, dim int",
-        )
+            index = build_lsh_index(
+                self.embeddings, n_tables=n_tables, n_planes=n_planes, seed=seed, dim=dim
+            )
+            index.write.format("parquet").mode("errorifexists").bucketBy(
+                16, "t", "b"
+            ).saveAsTable(name)
+            meta = spark.createDataFrame(
+                [(kind, n_tables, n_planes, seed, dim)],
+                "kind string, n_tables int, n_planes int, seed int, dim int",
+            )
+        else:
+            from ai_iceberg_demo_spark.vector.clustering import kmeans_train
+            from ai_iceberg_demo_spark.vector.similarity import assign_cells
+
+            centroids = kmeans_train(self.embeddings, k=n_cells, n_iter=n_iter)
+            assigned = assign_cells(self.embeddings, centroids)
+            assigned.write.format("parquet").mode("errorifexists").bucketBy(
+                min(16, n_cells), "cell_id"
+            ).saveAsTable(name)
+            centroids.write.format("parquet").mode("overwrite").saveAsTable(
+                f"{name}__centroids"
+            )
+            meta = spark.createDataFrame(
+                [(kind, n_cells, n_probe, n_iter)],
+                "kind string, n_cells int, n_probe int, n_iter int",
+            )
         meta.write.format("parquet").mode("overwrite").saveAsTable(f"{name}__meta")
         return True
 
@@ -192,6 +219,7 @@ class VectorRAG:
         spark = self.embeddings.sparkSession
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         spark.sql(f"DROP TABLE IF EXISTS {name}__meta")
+        spark.sql(f"DROP TABLE IF EXISTS {name}__centroids")
 
     def search_similar_results(
         self,
@@ -202,16 +230,26 @@ class VectorRAG:
     ) -> DataFrame:
         """Top-k ≥ threshold (neo4j_rag.py:216-303) — V3. With ``index``
         set to a table created by create_vector_index, the search routes
-        through the persisted LSH buckets (candidates + exact rerank —
-        the scale path) instead of the exact full scan."""
+        through the persisted index (LSH buckets or IVF cells:
+        candidates + exact rerank — the scale path) instead of the
+        exact full scan; the index kind is read from the meta table."""
         if index is None:
             return cosine_topk(self.embeddings, query_vec, k=k, min_score=min_score)
-        from ai_iceberg_demo_spark.vector.similarity import lsh_probe
+        from ai_iceberg_demo_spark.vector.similarity import ivf_probe, lsh_probe
 
         spark = self.embeddings.sparkSession
         if not spark.catalog.tableExists(index):
             raise ValueError(f"vector index {index!r} does not exist — create_vector_index first")
         m = spark.table(f"{index}__meta").collect()[0]
+        if m["kind"] == "ivf":
+            return ivf_probe(
+                spark.table(index),
+                spark.table(f"{index}__centroids"),
+                query_vec,
+                k=k,
+                n_probe=m["n_probe"],
+                min_score=min_score,
+            )
         return lsh_probe(
             spark.table(index),
             self.embeddings,

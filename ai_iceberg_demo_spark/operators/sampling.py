@@ -212,6 +212,92 @@ def u9_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SHUFFLE_EPOCH = 1  # epoch number keys the shuffle order; bump per epoch
+
+
+@REGISTRY.register(
+    name="u11_epoch_shuffle",
+    survey_ref="training-data (epoch shuffle)",
+    doc="deterministic global training-order shuffle: epoch position = "
+    "rank of md5(epoch || ':' || doc_id). Semantically ONE global ORDER "
+    "BY — but a total sort funnels 100 TB through a range exchange with "
+    "a sampling pass, so it's computed bucket-major instead: the first "
+    "2 hex digits split the hash order into 256 contiguous buckets, a "
+    "per-bucket window ranks locally (256-way parallel), and the 256 "
+    "bucket counts cumsum into offsets broadcast back. Bit-identical "
+    "to the one-window spelling (the oracle) because lexicographic md5 "
+    "order IS (2-hex-prefix, remainder) order. Bump the epoch constant "
+    "and every row gets an independent new position — reshuffle without "
+    "rewriting data.",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY MD5('{_SHUFFLE_EPOCH}:' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+                    AS BIGINT) AS position
+        FROM documents
+    """,
+)
+def u11_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    h = F.md5(F.concat(F.lit(f"{_SHUFFLE_EPOCH}:"), F.col("doc_id").cast("string")))
+    keyed = docs.select("doc_id", h.alias("_h"), F.substring(h, 1, 2).alias("_b"))
+    w_local = Window.partitionBy("_b").orderBy("_h", "doc_id")
+    local = keyed.withColumn("_rn", F.row_number().over(w_local))
+    counts = local.groupBy("_b").agg(F.count("*").alias("_n"))
+    # 256-row frame: the only global window runs over bucket counts,
+    # not the corpus
+    w_off = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_b", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off")
+    )
+    return local.join(F.broadcast(offsets), "_b").select(
+        "doc_id", (F.col("_off") + F.col("_rn") - 1).cast("bigint").alias("position")
+    )
+
+
+STRATA_FRAC = 0.2  # per-stratum sampling fraction
+
+
+@REGISTRY.register(
+    name="u12_stratified_sample",
+    survey_ref="training-data (stratified sampling)",
+    doc=f"proportional stratified sample: exactly ceil({STRATA_FRAC} × "
+    "stratum size) documents per lang, chosen by key-hash order. Unlike "
+    "sampleBy(), per-stratum counts are EXACT, not expected-value, and "
+    "the selection is deterministic under any partitioning. One window "
+    "per stratum + a broadcast of the tiny per-lang quota table.",
+    oracle=f"""
+        WITH counts AS (
+            SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang
+        ), ranked AS (
+            SELECT doc_id, lang,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                                      ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+            FROM documents
+        )
+        SELECT r.doc_id, r.lang
+        FROM ranked r JOIN counts c ON r.lang = c.lang
+        WHERE r.rn <= CEIL({STRATA_FRAC} * c.cnt)
+    """,
+)
+def u12_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    counts = docs.groupBy("lang").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = docs.select("doc_id", "lang").withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.join(F.broadcast(counts), "lang")
+        .filter(F.col("rn") <= F.ceil(F.lit(STRATA_FRAC) * F.col("cnt")))
+        .select("doc_id", "lang")
+    )
+
+
 MIXTURE_BUDGET_FRAC = 0.5  # token budget as a fraction of the corpus
 
 

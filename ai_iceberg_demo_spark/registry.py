@@ -133,18 +133,22 @@ _DRIVER_WINDOW_PRIORITY = [
     "v8d_audio_features",
     "f27_markdown_html",
     "v9_print_layout",
+    # --- new round-3 operators ---
+    "d9_quality_canonical",
+    "u11_epoch_shuffle",
+    "u12_stratified_sample",
     # --- re-pins ---
     # fixed this round (r2's one red row)
     "t10_session_window",
-    # round-1 output-shape fixes, re-confirmed
-    "a8_approx_distinct",
+    # round-1 output-shape fixes, re-confirmed (a8 is rows-only; its r2
+    # row already records that, so it cedes its slot to a new operator)
     "a11_percentiles",
     "v1_hash_embedding",
     "t16_winnowing_fingerprint",
-    # events-table consumers: input type changed by normalize_schema
+    # events-table consumers whose INPUT TYPE changed under
+    # normalize_schema; t2/t3 (routing/filter never touch ts) cede
+    # their slots to new operators
     "t1_event_envelope",
-    "t2_topic_routing",
-    "t3_stream_filter",
     "t8_tumbling_window",
     "t9_sliding_window",
     "t11_attribution_join",

@@ -137,16 +137,9 @@ def d1b_drop_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@REGISTRY.register(
-    name="d2_ngram_jaccard",
-    survey_ref="training-data",
-    doc="exact word-3-gram Jaccard ≥ 0.8 near-dup pairs over the full "
-    "corpus: shingle explode → equi-join on shingle → intersection "
-    "counts (the fixture plants true near-duplicates at ~0.99). At "
-    "100 TB the same plan is seeded by MinHash candidates (d3) instead "
-    "of all shingle collisions.",
-    oracle="""
-        WITH sample_docs AS (
+# d2's shingle/size/intersection CTE chain — shared with d9's
+# verified-cluster oracle
+_D2_CTES = """sample_docs AS (
             SELECT doc_id, STRING_SPLIT(text, ' ') AS toks
             FROM documents
         ), sh AS (
@@ -162,7 +155,19 @@ def d1b_drop_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_inter
             FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id
-        )
+        )"""
+
+
+@REGISTRY.register(
+    name="d2_ngram_jaccard",
+    survey_ref="training-data",
+    doc="exact word-3-gram Jaccard ≥ 0.8 near-dup pairs over the full "
+    "corpus: shingle explode → equi-join on shingle → intersection "
+    "counts (the fixture plants true near-duplicates at ~0.99). At "
+    "100 TB the same plan is seeded by MinHash candidates (d3) instead "
+    "of all shingle collisions.",
+    oracle=f"""
+        WITH {_D2_CTES}
         SELECT i.a_id, i.b_id,
                CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) AS jaccard
         FROM inter i
@@ -671,4 +676,95 @@ def d6_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") % 10 == 0)
     return docs.join(comps, docs.doc_id == comps.id, "left").select(
         "doc_id", F.coalesce("lbl", "doc_id").cast("bigint").alias("component_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# D9: quality-aware canonical selection per duplicate cluster
+# ---------------------------------------------------------------------------
+
+
+@REGISTRY.register(
+    name="d9_quality_canonical",
+    survey_ref="training-data (dedup canonicalization); V7,D6,T2",
+    doc="quality-aware canonical selection: d2's VERIFIED near-dup pairs "
+    "(exact Jaccard ≥ 0.8, not d3's unverified candidates — candidates "
+    "chain through shared boilerplate into one giant component) are "
+    "closed into clusters (d6's min-label components) and each cluster "
+    "keeps its HIGHEST-QUALITY member (t2's C4-style scoring; ties to "
+    "the lowest doc_id) instead of the arbitrary min-id — the decision "
+    "a production corpus dedup actually ships: drop the worse copies, "
+    "keep the best. Cluster membership is tiny relative to the corpus, "
+    "so it broadcasts onto the map-side quality scan; the final argmax "
+    "is max_by(struct) — partial-aggregable, one small shuffle.",
+    oracle=f"""
+        WITH RECURSIVE {_D2_CTES},
+        pairs AS (
+            SELECT i.a_id, i.b_id
+            FROM inter i
+            JOIN sizes sa ON i.a_id = sa.doc_id
+            JOIN sizes sb ON i.b_id = sb.doc_id
+            WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.8
+        ),
+        edges AS (
+            SELECT a_id AS src, b_id AS dst FROM pairs
+            UNION ALL
+            SELECT b_id, a_id FROM pairs
+        ),
+        reach(id, lbl) AS (
+            SELECT DISTINCT src, src FROM edges
+            UNION
+            SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+        ),
+        comp AS (SELECT id, MIN(lbl) AS component_id FROM reach GROUP BY id),
+        scored AS (
+            SELECT doc_id,
+                   LENGTH(text) AS n,
+                   CAST(LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+                        t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+                     / GREATEST(LEN(STRING_SPLIT(LOWER(text), ' ')), 1) AS sw_ratio
+            FROM documents
+        ),
+        q AS (
+            SELECT doc_id,
+                   0.6 * LEAST(n / 400.0, 1.0)
+                       + 0.4 * (CASE WHEN sw_ratio >= 0.05 AND sw_ratio <= 0.6
+                                     THEN 1.0 ELSE 0.5 END) AS quality
+            FROM scored
+        ),
+        ranked AS (
+            SELECT c.component_id, c.id AS doc_id, q.quality,
+                   ROW_NUMBER() OVER (PARTITION BY c.component_id
+                                      ORDER BY q.quality DESC, c.id ASC) AS rn
+            FROM comp c JOIN q ON q.doc_id = c.id
+        )
+        SELECT CAST(component_id AS BIGINT) AS component_id,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               CAST(MIN(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS kept_id,
+               ROUND(MAX(quality), 6) AS best_quality
+        FROM ranked GROUP BY component_id
+    """,
+)
+def d9_quality_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_iceberg_demo_spark.functions.text import quality_score
+
+    pairs = d2_ngram_jaccard(spark, sf_dir).select("a_id", "b_id")
+    comps = connected_components(pairs)
+    docs = load_table(spark, "documents", sf_dir)
+    q = docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
+    members = comps.join(q, comps.id == q.doc_id).select(
+        F.col("lbl").cast("bigint").alias("component_id"), "doc_id", "quality"
+    )
+    # argmax by (quality, -doc_id): highest quality wins, ties to the
+    # LOWEST doc_id — t2's quality doubles are bit-identical to the
+    # oracle's, so the comparison is engine-portable.
+    return members.groupBy("component_id").agg(
+        F.count("*").cast("bigint").alias("n_members"),
+        F.max_by(
+            "doc_id",
+            F.struct(F.col("quality").alias("q"), (-F.col("doc_id")).alias("tie")),
+        )
+        .cast("bigint")
+        .alias("kept_id"),
+        F.round(F.max("quality"), 6).alias("best_quality"),
     )

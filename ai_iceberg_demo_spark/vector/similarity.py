@@ -412,6 +412,25 @@ def ivf_topk(
             F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
         )
     assigned = assign_cells(corpus, centroids)
+    return ivf_probe(assigned, centroids, query_vec, k, n_probe=n_probe)
+
+
+def ivf_probe(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    query_vec: DataFrame,
+    k: int,
+    n_probe: int = 4,
+    min_score: float = -1.0,
+) -> DataFrame:
+    """Probe a prebuilt IVF index: rank cells by query-centroid cosine,
+    scan the best ``n_probe`` cells, exact-rerank the candidates.
+
+    ``assigned`` is the persisted (vec_id, cell_id, embedding) table —
+    bucketed/partitioned by cell_id in production so the probe's
+    equi-join prunes to n_probe partition reads; ``centroids`` is the
+    k×dim table (broadcast twice: once to rank cells, never against the
+    corpus)."""
     probe_cells = (
         centroids.crossJoin(F.broadcast(query_vec))
         .select("cell_id", cosine(F.col("centroid"), F.col("qvec")).alias("c_score"))
@@ -424,6 +443,7 @@ def ivf_topk(
     return (
         candidates.crossJoin(F.broadcast(query_vec))
         .select("vec_id", score.alias("score"))
+        .filter(F.col("score") >= F.lit(min_score))
         .orderBy(F.desc("score"), F.asc("vec_id"))
         .limit(k)
     )

@@ -219,3 +219,37 @@ def test_create_vector_index_idempotent_and_probed(spark):
         assert "does not exist" in str(missing.value)
     finally:
         rag.drop_vector_index(name)
+
+
+def test_create_ivf_index_probed_with_trained_cells(spark):
+    """M5, second kind: kind='ivf' persists the k-means cell assignment
+    + centroid tables; search_similar_results routes through the cell
+    probe, self-match first, scores exactly matching the full scan on
+    shared hits. Second create is a no-op."""
+    emb = load_table(spark, "embeddings", SF_DIR)
+    docs = load_table(spark, "documents", SF_DIR)
+    rag = VectorRAG(emb, docs)
+    name = "t_ivf_idx"
+    rag.drop_vector_index(name)
+    try:
+        assert rag.create_vector_index(name, kind="ivf", n_cells=16, n_probe=8) is True
+        assert rag.create_vector_index(name, kind="ivf") is False
+        assert spark.table(name).count() == emb.count()  # every vector assigned
+        assert spark.table(f"{name}__centroids").count() == 16
+
+        qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+        via_index = rag.search_similar_results(qv, k=5, min_score=-1.0, index=name).collect()
+        exact = rag.search_similar_results(qv, k=5, min_score=-1.0).collect()
+        assert via_index[0]["vec_id"] == 0 and via_index[0]["score"] == 1.0
+        exact_scores = {r["vec_id"]: r["score"] for r in exact}
+        for r in via_index:
+            if r["vec_id"] in exact_scores:
+                assert r["score"] == exact_scores[r["vec_id"]]
+        # min_score threshold honored through the probe path
+        gated = rag.search_similar_results(qv, k=5, min_score=0.99, index=name).collect()
+        assert [r["vec_id"] for r in gated] == [0]
+
+        bad = pytest.raises(ValueError, rag.create_vector_index, "t_other", kind="hnsw")
+        assert "unsupported index kind" in str(bad.value)
+    finally:
+        rag.drop_vector_index(name)
