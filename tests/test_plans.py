@@ -102,6 +102,32 @@ def test_training_data_ops_have_partial_aggs(spark):
     assert "partial_" in plan, "minhash signature agg lacks map-side combine"
 
 
+def test_epoch_shuffle_never_range_partitions(spark):
+    """u11's whole point: the global hash-order rank is computed WITHOUT
+    a total sort — no rangepartitioning exchange anywhere (that's the
+    single-funnel a naive ROW_NUMBER() OVER (ORDER BY ...) would
+    compile to over the whole corpus); only hash exchanges on the
+    256-way bucket key, and the offset table side broadcasts."""
+    plan = plan_of(spark, "u11_epoch_shuffle", mode="simple")
+    corpus_range_lines = [
+        ln
+        for ln in plan.splitlines()
+        if "rangepartitioning" in ln and "doc_id" in ln
+    ]
+    assert corpus_range_lines == [], plan
+    assert "BroadcastHashJoin" in plan  # offsets join, not a shuffle join
+
+
+def test_quality_canonical_broadcasts_membership(spark):
+    """d9: cluster membership (tiny) must broadcast onto the corpus-side
+    quality scan, and the final canonical argmax must partial-aggregate
+    map-side."""
+    plan = plan_of(spark, "d9_quality_canonical")
+    assert "BroadcastHashJoin" in plan
+    assert "partial_" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_bucketed_join_has_no_exchange(spark):
     """The 100 TB layout claim, proven: orders and lineitem written
     bucketed by orderkey into the same bucket count join with NO
