@@ -351,3 +351,41 @@ def u10_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("deficit_tokens"),
     )
+
+
+@REGISTRY.register(
+    name="u10b_mixture_apply",
+    survey_ref="training-data (mixture sampling)",
+    doc="EXECUTE u10's mixture plan: each source keeps the key-hash "
+    "slice matching its planned sample_rate (hash percentile < "
+    "rate × 100) — the planner→sampler link. The per-source rate table "
+    "is tiny and broadcasts onto a map-side corpus scan: applying a "
+    "whole mixture plan to 100 TB costs one pass and zero corpus "
+    "shuffles, and a task retry keeps the identical rows (hash-based, "
+    "not rand()).",
+    oracle=f"""
+        WITH per_source AS (
+            SELECT source,
+                   CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY source
+        ), tot AS (
+            SELECT SUM(n_tokens) AS total, COUNT(*) AS k FROM per_source
+        ), plan AS (
+            SELECT s.source,
+                   ROUND(LEAST(1.0, ({MIXTURE_BUDGET_FRAC} * t.total / t.k) / s.n_tokens), 6)
+                       AS sample_rate
+            FROM per_source s CROSS JOIN tot t
+        )
+        SELECT d.doc_id, d.source
+        FROM documents d JOIN plan p ON d.source = p.source
+        WHERE {_HASH_PCT_SQL.format(key="d.doc_id")} < p.sample_rate * 100
+    """,
+)
+def u10b_mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    rates = u10_mixture_plan(spark, sf_dir).select("source", "sample_rate")
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .filter(hash_pct(F.col("doc_id")) < F.col("sample_rate") * 100)
+        .select("doc_id", "source")
+    )
