@@ -289,6 +289,34 @@ def a8_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @REGISTRY.register(
+    name="a8b_hll_mergeable",
+    survey_ref="§2.4 extras (sketches)",
+    doc="MERGEABLE cardinality sketches — the incremental-analytics "
+    "story at 100 TB: per-shard (think per-day Iceberg partition) "
+    "hll_sketch_agg sketches are hll_union_agg-merged and estimated "
+    "WITHOUT rescanning the corpus; a new day's data costs one "
+    "sketch + one union, never a full recount. Output compares the "
+    "merged estimate with the whole-table estimate (equal by HLL's "
+    "merge semantics — asserted in tests/test_queries_oracle.py). "
+    "Sketch bytes differ across engines, so rows-only.",
+    oracle=None,
+)
+def a8b_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    daily = li.groupBy((F.col("l_orderkey") % 7).alias("shard")).agg(
+        F.hll_sketch_agg("l_partkey").alias("sk")
+    )
+    merged = daily.agg(
+        F.count("*").cast("bigint").alias("n_shards"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_estimate"),
+    )
+    whole = li.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey")).alias("whole_estimate")
+    )
+    return merged.crossJoin(whole)
+
+
+@REGISTRY.register(
     name="a11_percentiles",
     survey_ref="§2.4 extras (holistic)",
     doc="exact quartiles of l_extendedprice per returnflag — the "

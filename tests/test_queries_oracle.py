@@ -36,3 +36,18 @@ def test_query_matches_oracle(spark, duck, name):
     assert len(sdf) == len(odf), f"row count {len(sdf)} != {len(odf)}"
     assert sorted(sdf.columns) == sorted(odf.columns)
     assert value_hash(sdf) == value_hash(odf), "order-insensitive value hash differs"
+
+
+def test_hll_merge_equals_whole_and_is_accurate(spark):
+    """a8b's mergeability claim, enforced: unioning per-shard sketches
+    estimates the same cardinality as sketching the whole table (HLL
+    merge is lossless), and the estimate is within 5% of exact."""
+    from ai_iceberg_demo_spark.tables import load_table
+
+    row = SPECS["a8b_hll_mergeable"].fn(spark, SF_DIR).first()
+    assert row["n_shards"] == 7
+    assert row["merged_estimate"] == row["whole_estimate"]
+    exact = (
+        load_table(spark, "lineitem", SF_DIR).select("l_partkey").distinct().count()
+    )
+    assert abs(row["merged_estimate"] - exact) / exact < 0.05
