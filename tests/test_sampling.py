@@ -83,3 +83,105 @@ def test_decontamination_flags_every_planted_doc(spark):
     assert planted <= set(flagged)
     for d in planted:
         assert flagged[d]["n_bench_docs"] >= 1
+
+
+def test_epoch_shuffle_is_a_permutation(spark):
+    """u11: positions are exactly 0..N-1 with no gaps or collisions —
+    the bucket-major composition must reproduce a total order."""
+    from ai_iceberg_demo_spark.operators.sampling import u11_epoch_shuffle
+    from ai_iceberg_demo_spark.tables import load_table
+
+    out = u11_epoch_shuffle(spark, SF_DIR)
+    n = load_table(spark, "documents", SF_DIR).count()
+    stats = out.agg(
+        F.count("*").alias("rows"),
+        F.countDistinct("position").alias("distinct_pos"),
+        F.min("position").alias("mn"),
+        F.max("position").alias("mx"),
+    ).first()
+    assert stats["rows"] == stats["distinct_pos"] == n
+    assert stats["mn"] == 0 and stats["mx"] == n - 1
+
+
+def test_stratified_sample_hits_exact_quotas(spark):
+    """u12: per-lang counts equal ceil(frac × stratum size) exactly."""
+    import math
+
+    from ai_iceberg_demo_spark.operators.sampling import (
+        STRATA_FRAC,
+        u12_stratified_sample,
+    )
+    from ai_iceberg_demo_spark.tables import load_table
+
+    got = {
+        r["lang"]: r["n"]
+        for r in u12_stratified_sample(spark, SF_DIR).groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    want = {
+        r["lang"]: math.ceil(STRATA_FRAC * r["n"])
+        for r in load_table(spark, "documents", SF_DIR).groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want
+
+
+def test_mixture_apply_respects_planned_rates(spark):
+    """u10b: each source's kept fraction tracks its planned sample_rate
+    (hash percentile is uniform; small strata get wide tolerance), and
+    full-rate sources keep everything."""
+    from ai_iceberg_demo_spark.operators.sampling import (
+        u10_mixture_plan,
+        u10b_mixture_apply,
+    )
+    from ai_iceberg_demo_spark.tables import load_table
+
+    plan = {r["source"]: r for r in u10_mixture_plan(spark, SF_DIR).collect()}
+    kept = {
+        r["source"]: r["n"]
+        for r in u10b_mixture_apply(spark, SF_DIR).groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    docs_per_source = {
+        r["source"]: r["n"]
+        for r in load_table(spark, "documents", SF_DIR).groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    for src, p in plan.items():
+        if p["sample_rate"] == 1.0:
+            assert kept.get(src, 0) == docs_per_source[src], src
+        else:
+            # hash_pct < rate*100 keeps ~rate of rows; ±4 rows absolute
+            # slack for the 0-100 integer percentile granularity
+            expected = p["sample_rate"] * docs_per_source[src]
+            assert abs(kept.get(src, 0) - expected) <= max(4, 0.5 * expected), src
+
+
+def test_quality_canonical_keeps_best_member(spark):
+    """d9: within every cluster the kept doc has the max quality among
+    members (ties to lowest id), and kept_id is itself a member."""
+    from ai_iceberg_demo_spark.functions.text import quality_score
+    from ai_iceberg_demo_spark.vector.dedup import (
+        connected_components,
+        d2_ngram_jaccard,
+        d9_quality_canonical,
+    )
+    from ai_iceberg_demo_spark.tables import load_table
+
+    clusters = {r["component_id"]: r for r in d9_quality_canonical(spark, SF_DIR).collect()}
+    assert clusters, "fixture must produce verified dup clusters"
+    pairs = d2_ngram_jaccard(spark, SF_DIR).select("a_id", "b_id")
+    comps = connected_components(pairs)
+    q = {
+        r["doc_id"]: r["q"]
+        for r in load_table(spark, "documents", SF_DIR)
+        .select("doc_id", quality_score(F.col("text")).alias("q"))
+        .collect()
+    }
+    members: dict = {}
+    for r in comps.collect():
+        members.setdefault(r["lbl"], []).append(r["id"])
+    assert set(members) == set(clusters)
+    for cid, docs in members.items():
+        row = clusters[cid]
+        assert row["n_members"] == len(docs)
+        best_q = max(q[d] for d in docs)
+        best_id = min(d for d in docs if q[d] == best_q)
+        assert row["kept_id"] == best_id
+        assert abs(row["best_quality"] - round(best_q, 6)) < 1e-9
