@@ -128,6 +128,20 @@ def test_quality_canonical_broadcasts_membership(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_training_prep_persists_diamonds_and_never_range_partitions(spark):
+    """pipeline_training_prep chains three diamond-shaped stages
+    (rates, bucket offsets, shard offsets); each must read its reused
+    frame from cache (InMemoryTableScan), not re-expand the upstream
+    plan 2^3 times — and the shuffle+pack stages must never fall back
+    to a corpus-wide rangepartitioning sort."""
+    plan = plan_of(spark, "pipeline_training_prep", mode="simple")
+    assert "InMemoryTableScan" in plan, "diamond persist dropped"
+    assert not [
+        ln for ln in plan.splitlines() if "rangepartitioning" in ln and "doc_id" in ln
+    ], plan
+    assert "CartesianProduct" not in plan
+
+
 def test_bucketed_join_has_no_exchange(spark):
     """The 100 TB layout claim, proven: orders and lineitem written
     bucketed by orderkey into the same bucket count join with NO
