@@ -183,36 +183,43 @@ class VectorRAG:
         spark = self.embeddings.sparkSession
         if spark.catalog.tableExists(name):
             return False
+        # Write order = commit protocol: auxiliary tables (meta,
+        # centroids) land FIRST with overwrite, the probed main table
+        # LAST with errorifexists. tableExists(name) is the existence
+        # check, so a failure mid-create leaves only overwritable aux
+        # tables behind and the next create call simply retries —
+        # never a "exists but unprobeable" index.
         if kind == "lsh":
             from ai_iceberg_demo_spark.vector.similarity import build_lsh_index
 
+            meta = spark.createDataFrame(
+                [(kind, n_tables, n_planes, seed, dim)],
+                "kind string, n_tables int, n_planes int, seed int, dim int",
+            )
+            meta.write.format("parquet").mode("overwrite").saveAsTable(f"{name}__meta")
             index = build_lsh_index(
                 self.embeddings, n_tables=n_tables, n_planes=n_planes, seed=seed, dim=dim
             )
             index.write.format("parquet").mode("errorifexists").bucketBy(
                 16, "t", "b"
             ).saveAsTable(name)
-            meta = spark.createDataFrame(
-                [(kind, n_tables, n_planes, seed, dim)],
-                "kind string, n_tables int, n_planes int, seed int, dim int",
-            )
         else:
             from ai_iceberg_demo_spark.vector.clustering import kmeans_train
             from ai_iceberg_demo_spark.vector.similarity import assign_cells
 
-            centroids = kmeans_train(self.embeddings, k=n_cells, n_iter=n_iter)
-            assigned = assign_cells(self.embeddings, centroids)
-            assigned.write.format("parquet").mode("errorifexists").bucketBy(
-                min(16, n_cells), "cell_id"
-            ).saveAsTable(name)
-            centroids.write.format("parquet").mode("overwrite").saveAsTable(
-                f"{name}__centroids"
-            )
             meta = spark.createDataFrame(
                 [(kind, n_cells, n_probe, n_iter)],
                 "kind string, n_cells int, n_probe int, n_iter int",
             )
-        meta.write.format("parquet").mode("overwrite").saveAsTable(f"{name}__meta")
+            meta.write.format("parquet").mode("overwrite").saveAsTable(f"{name}__meta")
+            centroids = kmeans_train(self.embeddings, k=n_cells, n_iter=n_iter)
+            centroids.write.format("parquet").mode("overwrite").saveAsTable(
+                f"{name}__centroids"
+            )
+            assigned = assign_cells(self.embeddings, spark.table(f"{name}__centroids"))
+            assigned.write.format("parquet").mode("errorifexists").bucketBy(
+                min(16, n_cells), "cell_id"
+            ).saveAsTable(name)
         return True
 
     def drop_vector_index(self, name: str = "result_embeddings_index") -> None:
@@ -238,7 +245,9 @@ class VectorRAG:
         from ai_iceberg_demo_spark.vector.similarity import ivf_probe, lsh_probe
 
         spark = self.embeddings.sparkSession
-        if not spark.catalog.tableExists(index):
+        if not spark.catalog.tableExists(index) or not spark.catalog.tableExists(
+            f"{index}__meta"
+        ):
             raise ValueError(f"vector index {index!r} does not exist — create_vector_index first")
         m = spark.table(f"{index}__meta").collect()[0]
         if m["kind"] == "ivf":

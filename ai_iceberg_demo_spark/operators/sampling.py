@@ -179,40 +179,90 @@ _PACK_SHARD = 1000  # docs per prefix-sum shard
     """,
 )
 def u9_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     docs = load_table(spark, "documents", sf_dir)
     toks = docs.select(
         "doc_id",
         F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
-        # doc_id DIV shard keeps shards contiguous in the global order,
-        # so shard-local order + shard offsets reproduce it exactly
-        (F.col("doc_id") / _PACK_SHARD).cast("bigint").alias("_shard"),
     )
-    w_shard = Window.partitionBy("_shard").orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    local = toks.withColumn("_local_end", F.sum("n_tokens").over(w_shard))
-    # phase 2: per-shard totals are O(corpus / shard) rows — a tiny
-    # frame; its running sum is cheap and the result broadcasts back
-    shard_tot = local.groupBy("_shard").agg(F.sum("n_tokens").alias("_tot"))
-    w_tot = Window.orderBy("_shard").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = shard_tot.select(
-        "_shard", F.coalesce(F.sum("_tot").over(w_tot), F.lit(0)).alias("_offset")
-    )
-    start = F.col("_offset") + F.col("_local_end") - F.col("n_tokens")
-    return (
-        local.join(F.broadcast(offsets), "_shard")
-        .select(
-            "doc_id",
-            "n_tokens",
-            (start / PACK_BUDGET).cast("bigint").alias("bin_id"),
-            (start % PACK_BUDGET).cast("bigint").alias("bin_offset"),
-        )
+    # doc_id DIV shard keeps shards contiguous in the global doc_id
+    # order, so pack_positions' shard-local cumsum + shard offsets
+    # reproduce the single global window exactly
+    return pack_positions(toks, order_col="doc_id").select(
+        "doc_id", "n_tokens", "bin_id", "bin_offset"
     )
 
 
 _SHUFFLE_EPOCH = 1  # epoch number keys the shuffle order; bump per epoch
+
+
+def epoch_shuffle_positions(
+    df: DataFrame, key: str = "doc_id", epoch: int = _SHUFFLE_EPOCH
+) -> DataFrame:
+    """Append a ``position`` column: the row's rank in the global
+    md5(epoch:key) order, computed bucket-major (u11's shape — shared
+    by the standalone query and pipeline_training_prep so the epoch
+    constant can't desync between them).
+
+    The bucket counts aggregate the PRE-window frame, so the corpus
+    window (hash exchange + per-bucket sort) executes exactly once;
+    only the cheap keyed projection is evaluated twice (once for the
+    256-row count table, once for the rank)."""
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.lit(f"{epoch}:"), F.col(key).cast("string")))
+    keyed = df.withColumn("_h", h).withColumn("_b", F.substring(h, 1, 2))
+    counts = keyed.groupBy("_b").agg(F.count("*").alias("_n"))
+    # 256-row frame: the only unpartitioned window runs over bucket
+    # counts, never the corpus
+    w_off = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_b", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off")
+    )
+    w_local = Window.partitionBy("_b").orderBy("_h", key)
+    local = keyed.withColumn("_rn", F.row_number().over(w_local))
+    return (
+        local.join(F.broadcast(offsets), "_b")
+        .withColumn("position", (F.col("_off") + F.col("_rn") - 1).cast("bigint"))
+        .drop("_h", "_b", "_rn", "_off")
+    )
+
+
+def pack_positions(
+    df: DataFrame,
+    order_col: str,
+    tokens_col: str = "n_tokens",
+    budget: int = None,
+    shard_size: int = None,
+) -> DataFrame:
+    """Append ``bin_id``/``bin_offset``: lay rows head-to-tail into
+    fixed token bins following ``order_col`` order — the two-phase
+    distributed prefix sum (u9's shape, shared with
+    pipeline_training_prep). Requires ``order_col DIV shard_size`` to
+    be contiguous in the global order (true for dense positions and
+    for doc_id order). The caller persists ``df`` when its lineage is
+    expensive — this helper reads it twice (shard totals + the ranked
+    pass)."""
+    from pyspark.sql import Window
+
+    budget = PACK_BUDGET if budget is None else budget
+    shard_size = _PACK_SHARD if shard_size is None else shard_size
+    sharded = df.withColumn("_shard", (F.col(order_col) / shard_size).cast("bigint"))
+    s_tot = sharded.groupBy("_shard").agg(F.sum(tokens_col).alias("_tot"))
+    w_soff = Window.orderBy("_shard").rowsBetween(Window.unboundedPreceding, -1)
+    s_offsets = s_tot.select(
+        "_shard", F.coalesce(F.sum("_tot").over(w_soff), F.lit(0)).alias("_soff")
+    )
+    w_shard = Window.partitionBy("_shard").orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    with_end = sharded.withColumn("_local_end", F.sum(tokens_col).over(w_shard))
+    start = F.col("_soff") + F.col("_local_end") - F.col(tokens_col)
+    return (
+        with_end.join(F.broadcast(s_offsets), "_shard")
+        .withColumn("bin_id", (start / budget).cast("bigint"))
+        .withColumn("bin_offset", (start % budget).cast("bigint"))
+        .drop("_shard", "_local_end", "_soff")
+    )
 
 
 @REGISTRY.register(
@@ -238,23 +288,8 @@ _SHUFFLE_EPOCH = 1  # epoch number keys the shuffle order; bump per epoch
     """,
 )
 def u11_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    docs = load_table(spark, "documents", sf_dir)
-    h = F.md5(F.concat(F.lit(f"{_SHUFFLE_EPOCH}:"), F.col("doc_id").cast("string")))
-    keyed = docs.select("doc_id", h.alias("_h"), F.substring(h, 1, 2).alias("_b"))
-    w_local = Window.partitionBy("_b").orderBy("_h", "doc_id")
-    local = keyed.withColumn("_rn", F.row_number().over(w_local))
-    counts = local.groupBy("_b").agg(F.count("*").alias("_n"))
-    # 256-row frame: the only global window runs over bucket counts,
-    # not the corpus
-    w_off = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
-        "_b", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off")
-    )
-    return local.join(F.broadcast(offsets), "_b").select(
-        "doc_id", (F.col("_off") + F.col("_rn") - 1).cast("bigint").alias("position")
-    )
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    return epoch_shuffle_positions(docs).select("doc_id", "position")
 
 
 STRATA_FRAC = 0.2  # per-stratum sampling fraction
@@ -299,6 +334,24 @@ def u12_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 MIXTURE_BUDGET_FRAC = 0.5  # token budget as a fraction of the corpus
+
+
+def mixture_rates(
+    df: DataFrame, tokens_col: str = "n_tokens", frac: float = MIXTURE_BUDGET_FRAC
+) -> DataFrame:
+    """(source, sample_rate) for a uniform per-source token budget of
+    ``frac`` × total — u10's rate computation over any (source, tokens)
+    frame; shared with pipeline_training_prep so the budget constant
+    can't desync between the planner and the pipeline."""
+    per_source = df.groupBy("source").agg(
+        F.sum(tokens_col).cast("bigint").alias("src_tokens")
+    )
+    tot = per_source.agg(F.sum("src_tokens").alias("total"), F.count("*").alias("k"))
+    share = F.lit(frac) * F.col("total") / F.col("k")
+    return per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.round(F.least(F.lit(1.0), share / F.col("src_tokens")), 6).alias("sample_rate"),
+    )
 
 
 @REGISTRY.register(

@@ -33,6 +33,15 @@ from ai_iceberg_demo_spark.functions.text import (
     fingerprint,
     quality_score,
 )
+from ai_iceberg_demo_spark.operators.sampling import (
+    _SHUFFLE_EPOCH,
+    MIXTURE_BUDGET_FRAC,
+    PACK_BUDGET,
+    epoch_shuffle_positions,
+    hash_pct,
+    mixture_rates,
+    pack_positions,
+)
 from ai_iceberg_demo_spark.registry import Registry
 from ai_iceberg_demo_spark.tables import load_table
 
@@ -126,15 +135,17 @@ def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "broadcast rate table), assign the deterministic epoch-shuffle "
     "position (u11's bucket-major rank — no corpus-wide sort), and "
     "pack the shuffled order into 2048-token bins (u9's two-phase "
-    "prefix sum over position shards). Zero rangepartitioning, zero "
-    "staging tables. Each rate/offset stage is a DIAMOND (the same "
-    "frame feeds a tiny aggregate AND the main flow), and chaining "
-    "three diamonds would otherwise re-expand the upstream plan 2^3 "
-    "times — so the three small intermediates persist() explicitly "
-    "(survivor ids + token counts, KBs per 100 GB of input; "
-    "MEMORY_AND_DISK, the standard Spark answer to diamond reuse). "
-    "tests/test_plans.py pins the persists (InMemoryTableScan present) "
-    "so a dropped persist can't silently re-octuple the plan.",
+    "prefix sum over position shards). Stages 3-5 call the SAME "
+    "helpers the standalone operators use (mixture_rates, "
+    "epoch_shuffle_positions, pack_positions), so the epoch/budget "
+    "constants cannot desync. Zero rangepartitioning, zero staging "
+    "tables. The two diamond frames (kept feeds rates AND the "
+    "sampler; positioned feeds shard totals AND the ranked pass) "
+    "persist() explicitly — survivor ids + token counts, KBs per "
+    "100 GB of input — else the upstream plan re-expands per "
+    "consumer; callers batch-processing many corpora should "
+    "spark.catalog.clearCache() between runs. tests/test_plans.py "
+    "pins the persists (InMemoryTableScan present).",
     oracle=f"""
         WITH bench_docs AS (
             SELECT b.doc_id, b.text || ' ' || c.text AS text
@@ -180,7 +191,8 @@ def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT SUM(src_tokens) AS total, COUNT(*) AS k FROM per_source
         ), plan AS (
             SELECT s.source,
-                   ROUND(LEAST(1.0, (0.5 * t.total / t.k) / s.src_tokens), 6) AS sample_rate
+                   ROUND(LEAST(1.0, ({MIXTURE_BUDGET_FRAC} * t.total / t.k) / s.src_tokens), 6)
+                       AS sample_rate
             FROM per_source s CROSS JOIN tot t
         ), sampled AS (
             SELECT k.doc_id, k.source, k.n_tokens
@@ -190,22 +202,19 @@ def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ), positioned AS (
             SELECT doc_id, source, n_tokens,
                    CAST(ROW_NUMBER() OVER (
-                       ORDER BY MD5('1:' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+                       ORDER BY MD5('{_SHUFFLE_EPOCH}:' || CAST(doc_id AS VARCHAR)), doc_id) - 1
                         AS BIGINT) AS position
             FROM sampled
         )
         SELECT doc_id, source, n_tokens, position,
-               CAST((SUM(n_tokens) OVER w - n_tokens) // 2048 AS BIGINT) AS bin_id,
-               CAST((SUM(n_tokens) OVER w - n_tokens) % 2048 AS BIGINT) AS bin_offset
+               CAST((SUM(n_tokens) OVER w - n_tokens) // {PACK_BUDGET} AS BIGINT) AS bin_id,
+               CAST((SUM(n_tokens) OVER w - n_tokens) % {PACK_BUDGET} AS BIGINT) AS bin_offset
         FROM positioned
         WINDOW w AS (ORDER BY position ROWS UNBOUNDED PRECEDING)
     """,
 )
 def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from ai_iceberg_demo_spark.functions.text import t17_decontamination
-    from ai_iceberg_demo_spark.operators.sampling import hash_pct
 
     docs = load_table(spark, "documents", sf_dir)
     corpus = docs.filter(F.col("doc_id") % 10 != 3)
@@ -231,61 +240,24 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
 
-    # 3. mixture-planned per-source sampling (u10b): tiny rate table broadcasts
-    per_source = kept.groupBy("source").agg(
-        F.sum("n_tokens").cast("bigint").alias("src_tokens")
-    )
-    tot = per_source.agg(F.sum("src_tokens").alias("total"), F.count("*").alias("k"))
-    share = F.lit(0.5) * F.col("total") / F.col("k")
-    rates = per_source.crossJoin(F.broadcast(tot)).select(
-        "source",
-        F.round(F.least(F.lit(1.0), share / F.col("src_tokens")), 6).alias("sample_rate"),
-    )
+    # 3. mixture-planned per-source sampling (u10b's rate rule via the
+    # shared mixture_rates helper): tiny rate table broadcasts
     sampled = (
-        kept.join(F.broadcast(rates), "source")
+        kept.join(F.broadcast(mixture_rates(kept)), "source")
         .filter(hash_pct(F.col("doc_id")) < F.col("sample_rate") * 100)
         .select("doc_id", "source", "n_tokens")
     )
 
-    # 4. epoch-shuffle position (u11): bucket-major rank, offsets
-    # broadcast. persist local (diamond: bucket counts + the rank join).
-    h = F.md5(F.concat(F.lit("1:"), F.col("doc_id").cast("string")))
-    keyed = sampled.withColumn("_h", h).withColumn("_b", F.substring(h, 1, 2))
-    w_local = Window.partitionBy("_b").orderBy("_h", "doc_id")
-    local = keyed.withColumn("_rn", F.row_number().over(w_local)).persist()
-    b_counts = local.groupBy("_b").agg(F.count("*").alias("_n"))
-    w_boff = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
-    b_offsets = b_counts.select(
-        "_b", F.coalesce(F.sum("_n").over(w_boff), F.lit(0)).alias("_off")
-    )
-    positioned = local.join(F.broadcast(b_offsets), "_b").select(
-        "doc_id",
-        "source",
-        "n_tokens",
-        (F.col("_off") + F.col("_rn") - 1).cast("bigint").alias("position"),
-    )
-
-    # 5. pack the SHUFFLED order into 2048-token bins (u9's two-phase
-    # prefix sum, sharded on contiguous position ranges). persist the
-    # sharded frame (diamond: shard totals + the offset join).
-    sharded = positioned.withColumn(
-        "_shard", (F.col("position") / 1000).cast("bigint")
+    # 4. epoch-shuffle position (u11's helper: bucket-major rank, the
+    # corpus window runs once, offsets broadcast)
+    # persist: positioned is the second diamond — pack_positions reads
+    # it twice (shard totals + the ranked pass)
+    positioned = epoch_shuffle_positions(sampled).select(
+        "doc_id", "source", "n_tokens", "position"
     ).persist()
-    w_shard = Window.partitionBy("_shard").orderBy("position").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    with_end = sharded.withColumn("_local_end", F.sum("n_tokens").over(w_shard))
-    s_tot = sharded.groupBy("_shard").agg(F.sum("n_tokens").alias("_tot"))
-    w_soff = Window.orderBy("_shard").rowsBetween(Window.unboundedPreceding, -1)
-    s_offsets = s_tot.select(
-        "_shard", F.coalesce(F.sum("_tot").over(w_soff), F.lit(0)).alias("_soff")
-    )
-    start = F.col("_soff") + F.col("_local_end") - F.col("n_tokens")
-    return with_end.join(F.broadcast(s_offsets), "_shard").select(
-        "doc_id",
-        "source",
-        "n_tokens",
-        "position",
-        (start / 2048).cast("bigint").alias("bin_id"),
-        (start % 2048).cast("bigint").alias("bin_offset"),
+
+    # 5. pack the SHUFFLED order into PACK_BUDGET-token bins (u9's
+    # helper; positions are dense so position-DIV shards are contiguous)
+    return pack_positions(positioned, order_col="position").select(
+        "doc_id", "source", "n_tokens", "position", "bin_id", "bin_offset"
     )

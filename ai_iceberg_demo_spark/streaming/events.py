@@ -256,12 +256,15 @@ def t10_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     wsum = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(W.unboundedPreceding, W.currentRow)
-    # unix_timestamp, not cast("long"): legal on both LTZ and NTZ, so a
-    # fixture-type regression can't resurface the r2 AnalysisException.
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    # unix_micros, not unix_timestamp or cast("long"): the fixture has
+    # sub-second timestamps, and whole-second truncation would diverge
+    # from the oracle's full-precision `> INTERVAL '30 minutes'` on any
+    # gap inside (1800s, 1801s). Input is always TIMESTAMP_LTZ here
+    # (tables.normalize_schema), where unix_micros is exact and legal.
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
     marked = ev.withColumn(
         "is_new",
-        F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0),
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0),
     )
     sessions = marked.withColumn("session_id", F.sum("is_new").over(wsum))
     return sessions.groupBy("user_id", F.col("session_id").cast("bigint").alias("session_id")).agg(
@@ -279,13 +282,14 @@ def session_counts(df: DataFrame, gap: str = "30 minutes") -> DataFrame:
     watermark expires closed sessions, so state is bounded by gap +
     watermark horizon — the scale contract sessionization needs.
 
-    Gap semantics match the batch twin: two events merge iff the gap is
-    STRICTLY under ``gap`` (session_window merges on t2 < t1 + gap; the
-    lag+cumsum form starts a new session on gap > 30 min — both split
-    ties at exactly 30:00 the same way only when no tie exists; the
-    stream≡batch test also pins equality against the lag+cumsum form on
-    the fixture, where sub-second timestamps make exact-1800s gaps
-    measure-zero).
+    Gap semantics match the batch twin at full microsecond precision
+    (the lag+cumsum form compares unix_micros): two events merge iff
+    the gap is strictly under ``gap`` (session_window merges on
+    t2 < t1 + gap; the lag+cumsum form starts a new session on
+    gap > 30 min) — the two rules differ only on a gap of EXACTLY
+    30:00.000000, a single microsecond value; the stream≡batch test
+    additionally pins equality against the lag+cumsum form on the
+    fixture.
     """
     return (
         df.groupBy(F.session_window("ts", gap).alias("w"), "user_id")

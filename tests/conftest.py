@@ -36,8 +36,10 @@ def pytest_terminal_summary(terminalreporter, exitstatus, config):
     extra = " ".join(
         os.environ.get(v, "") for v in ("SPARK_CLASSPATH", "PYSPARK_SUBMIT_ARGS")
     )
-    ice = any("iceberg-spark-runtime" in n for n in jar_names) or "iceberg" in extra
-    kafka = any("spark-sql-kafka" in n for n in jar_names) or "kafka" in extra
+    # match the specific artifact prefixes, not bare 'iceberg'/'kafka' —
+    # a path component containing the word must not arm the report
+    ice = any("iceberg-spark-runtime" in n for n in jar_names) or "iceberg-spark-runtime" in extra
+    kafka = any("spark-sql-kafka" in n for n in jar_names) or "spark-sql-kafka" in extra
     terminalreporter.write_line(
         "live connectors: "
         f"iceberg jar {'PRESENT - live MERGE INTO tests armed' if ice else 'absent (M1-M4 run as oracle-checked DataFrame emulation)'}; "

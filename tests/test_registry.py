@@ -16,18 +16,23 @@ def test_driver_window_is_exactly_50_unique_registered_names():
     assert list(reg.specs)[:50] == _DRIVER_WINDOW_PRIORITY
 
 
-def test_every_oracle_belongs_to_a_query_and_no_duplicate_names():
+def test_query_names_are_wellformed_and_documented():
+    import re
+
     reg = all_registries()
-    assert set(reg.oracle_sql()) <= set(reg.queries())
-    # names must be unique post-merge (merge() raises on collision, but
-    # pin the invariant in case merge semantics ever change)
-    names = list(reg.specs)
-    assert len(names) == len(set(names))
+    for name, spec in reg.specs.items():
+        assert re.fullmatch(r"[a-z0-9_]+", name), name
+        assert spec.doc.strip(), f"{name} has no doc"
+        assert callable(spec.fn), name
 
 
-def test_bench_set_is_stable_and_oracled():
-    # every bench query should also be correctness-checkable (oracle or
-    # deliberate rows-only), and the set should stay headline-sized
+def test_bench_set_is_headline_sized_and_fully_oracled():
+    # the bench headline set feeds BENCH_r{N}.json — every member must
+    # be hash-checkable (a perf number for a query whose answer can't
+    # be verified is worthless), and the set stays headline-sized so
+    # round-over-round totals remain comparable
     reg = all_registries()
-    bench = [n for n, s in reg.specs.items() if s.bench]
+    bench = {n: s for n, s in reg.specs.items() if s.bench}
     assert 10 <= len(bench) <= 25
+    unoracled = [n for n, s in bench.items() if s.oracle is None]
+    assert unoracled == [], f"bench queries without oracle: {unoracled}"
