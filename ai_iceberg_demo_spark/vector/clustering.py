@@ -248,7 +248,10 @@ _SALT_SQL = f"""salted AS (
 def d8_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = salt_near_dups(load_table(spark, "embeddings", sf_dir))
     assigned = kmeans_assign(corpus, seed_centroids(corpus)).select("vec_id", "cell_id")
-    side = with_norm(corpus, "embedding", "v", "n").join(assigned, "vec_id")
+    # persist: both halves of the pair self-join read this frame — the
+    # upstream salt + centroid-assignment argmin would otherwise run
+    # twice (persist measured 3.5× end-to-end at sf0.1)
+    side = with_norm(corpus, "embedding", "v", "n").join(assigned, "vec_id").persist()
     a = side.select(
         F.col("vec_id").alias("kept_id"),
         F.col("cell_id").alias("ac"),

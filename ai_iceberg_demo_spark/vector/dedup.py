@@ -195,9 +195,13 @@ def d2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingle construction is heavy per-row map work -> fan out the
     # serial small-file scan (2.9x at sf0.1; inert on real corpora)
     docs = fan_out_small_input(load_table(spark, "documents", sf_dir))
+    # persist: the shingle relation feeds the size table AND both halves
+    # of the intersection self-join — three consumers of an
+    # explode+distinct (a full shuffle) that would otherwise recompute
     sh = (
         docs.select("doc_id", F.explode(shingles(F.col("text"))).alias("shingle"))
         .distinct()
+        .persist()
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
@@ -602,8 +606,9 @@ def d5_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ai_iceberg_demo_spark.vector.similarity import dot, with_norm
 
     # norms per ROW (with_norm), dot per pair — bit-equal to cosine()
-    # but 3.5× faster on the blocked all-pairs join at sf0.1
-    side = with_norm(load_table(spark, "embeddings", sf_dir), "embedding", "v", "n")
+    # but 3.5× faster on the blocked all-pairs join at sf0.1; persisted
+    # because both halves of the self-join read it
+    side = with_norm(load_table(spark, "embeddings", sf_dir), "embedding", "v", "n").persist()
     a = side.select(F.col("vec_id").alias("a_id"), F.col("label").alias("al"), F.col("v").alias("av"), F.col("n").alias("na"))
     b = side.select(F.col("vec_id").alias("b_id"), F.col("label").alias("bl"), F.col("v").alias("bv"), F.col("n").alias("nb"))
     pairs = (
