@@ -137,14 +137,16 @@ _DRIVER_WINDOW_PRIORITY = [
     "d9_quality_canonical",
     "u11_epoch_shuffle",
     "u12_stratified_sample",
+    "u10b_mixture_apply",
+    "a8b_hll_mergeable",
+    "pipeline_training_prep",
     # --- re-pins ---
     # fixed this round (r2's one red row)
     "t10_session_window",
-    # round-1 output-shape fixes, re-confirmed (a8 is rows-only; its r2
-    # row already records that, so it cedes its slot to a new operator)
-    "a11_percentiles",
-    "v1_hash_embedding",
-    "t16_winnowing_fingerprint",
+    # NOT re-pinned: a8/a11/v1/t16 (r1's output-shape fixes) earned
+    # green r2 rows and neither their code nor their input tables
+    # changed since — their slots go to the six new r3 operators above;
+    # likewise t2/t3 routing/filter (ts-independent semantics).
     # events-table consumers whose INPUT TYPE changed under
     # normalize_schema; t2/t3 (routing/filter never touch ts) cede
     # their slots to new operators
