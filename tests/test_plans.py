@@ -128,6 +128,15 @@ def test_quality_canonical_broadcasts_membership(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_pair_search_dedups_persist_their_self_join_side(spark):
+    """d2/d5/d8 feed one frame into both halves of a pair self-join;
+    the persist that stops the upstream recomputing per consumer
+    (measured 1.5-3.5x at sf0.1) must stay in the plan."""
+    for name in ("d2_ngram_jaccard", "d5_embedding_dedup", "d8_semdedup"):
+        plan = plan_of(spark, name, mode="simple")
+        assert "InMemoryTableScan" in plan, f"{name}: self-join side persist dropped"
+
+
 def test_training_prep_persists_diamonds_and_never_range_partitions(spark):
     """pipeline_training_prep chains three diamond-shaped stages
     (rates, bucket offsets, shard offsets); each must read its reused
