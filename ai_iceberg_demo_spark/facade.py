@@ -182,6 +182,15 @@ class VectorRAG:
             raise ValueError(f"unsupported index kind {kind!r} (have: lsh, ivf)")
         spark = self.embeddings.sparkSession
         if spark.catalog.tableExists(name):
+            # IF NOT EXISTS only short-circuits for the SAME kind — a
+            # caller asking for ivf over an existing lsh index would
+            # otherwise silently probe a different index type.
+            existing = spark.table(f"{name}__meta").collect()[0]["kind"]
+            if existing != kind:
+                raise ValueError(
+                    f"vector index {name!r} already exists with kind "
+                    f"{existing!r}, not {kind!r} — drop_vector_index first"
+                )
             return False
         # Write order = commit protocol: auxiliary tables (meta,
         # centroids) land FIRST with overwrite, the probed main table

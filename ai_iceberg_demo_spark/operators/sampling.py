@@ -276,9 +276,11 @@ def pack_positions(
     "per-bucket window ranks locally (256-way parallel), and the 256 "
     "bucket counts cumsum into offsets broadcast back. Bit-identical "
     "to the one-window spelling (the oracle) because lexicographic md5 "
-    "order IS (2-hex-prefix, remainder) order. Bump the epoch constant "
-    "and every row gets an independent new position — reshuffle without "
-    "rewriting data.",
+    "order IS (2-hex-prefix, remainder) order. ``epoch`` is a query "
+    "parameter: each value keys an independent permutation — reshuffle "
+    "per training epoch without rewriting data (u11b pins epoch=2; "
+    "tests/test_sampling.py pins cross-epoch independence via rank "
+    "correlation ≈ 0).",
     oracle=f"""
         SELECT doc_id,
                CAST(ROW_NUMBER() OVER (
@@ -287,9 +289,30 @@ def pack_positions(
         FROM documents
     """,
 )
-def u11_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+def u11_epoch_shuffle(
+    spark: SparkSession, sf_dir: str, epoch: int = _SHUFFLE_EPOCH
+) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir).select("doc_id")
-    return epoch_shuffle_positions(docs).select("doc_id", "position")
+    return epoch_shuffle_positions(docs, epoch=epoch).select("doc_id", "position")
+
+
+@REGISTRY.register(
+    name="u11b_epoch_shuffle_2",
+    survey_ref="training-data (epoch shuffle, epoch 2)",
+    doc="u11 at epoch=2: the SAME corpus, an independent deterministic "
+    "permutation — proof the epoch parameter re-keys the global order "
+    "without any data rewrite. Same bucket-major plan shape (no "
+    "rangepartitioning).",
+    oracle="""
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY MD5('2:' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+                    AS BIGINT) AS position
+        FROM documents
+    """,
+)
+def u11b_epoch_shuffle_2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return u11_epoch_shuffle(spark, sf_dir, epoch=2)
 
 
 STRATA_FRAC = 0.2  # per-stratum sampling fraction
@@ -337,19 +360,31 @@ MIXTURE_BUDGET_FRAC = 0.5  # token budget as a fraction of the corpus
 
 
 def mixture_rates(
-    df: DataFrame, tokens_col: str = "n_tokens", frac: float = MIXTURE_BUDGET_FRAC
+    df: DataFrame,
+    tokens_col: str = "n_tokens",
+    frac: float = MIXTURE_BUDGET_FRAC,
+    extra_aggs: tuple[Column, ...] = (),
 ) -> DataFrame:
-    """(source, sample_rate) for a uniform per-source token budget of
-    ``frac`` × total — u10's rate computation over any (source, tokens)
-    frame; shared with pipeline_training_prep so the budget constant
-    can't desync between the planner and the pipeline."""
+    """Per-source mixture table for a uniform token budget of ``frac``
+    × total: ``(source, src_tokens, share_tokens, sample_rate,
+    *extra_aggs)`` over any per-row (source, tokens) frame. This is THE
+    rate formula — u10_mixture_plan, u10b_mixture_apply (via u10) and
+    pipeline_training_prep all derive their rates here, so the budget
+    constant and the min(1, share/available) rule cannot desync.
+
+    ``extra_aggs`` lets the planner fold additional per-source
+    aggregates (e.g. doc counts) into the SAME groupBy, keeping the
+    whole mixture plan a single corpus scan; ``share_tokens`` is
+    exposed so planned/deficit columns can be derived without
+    re-deriving the share."""
     per_source = df.groupBy("source").agg(
-        F.sum(tokens_col).cast("bigint").alias("src_tokens")
+        F.sum(tokens_col).cast("bigint").alias("src_tokens"), *extra_aggs
     )
     tot = per_source.agg(F.sum("src_tokens").alias("total"), F.count("*").alias("k"))
     share = F.lit(frac) * F.col("total") / F.col("k")
     return per_source.crossJoin(F.broadcast(tot)).select(
-        "source",
+        per_source["*"],
+        share.alias("share_tokens"),
         F.round(F.least(F.lit(1.0), share / F.col("src_tokens")), 6).alias("sample_rate"),
     )
 
@@ -386,21 +421,24 @@ def mixture_rates(
 )
 def u10_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
-    per_source = docs.groupBy("source").agg(
-        F.count("*").cast("bigint").alias("n_docs"),
-        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"),
+    toks = docs.select(
+        "source", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
     )
-    tot = per_source.agg(F.sum("n_tokens").alias("total"), F.count("*").alias("k"))
-    share = F.lit(MIXTURE_BUDGET_FRAC) * F.col("total") / F.col("k")
-    return per_source.crossJoin(F.broadcast(tot)).select(
+    # the shared rate formula; n_docs folds into the same single-scan
+    # groupBy via extra_aggs, and share_tokens comes back so the
+    # planned/deficit columns derive from the SAME share the rate used
+    rates = mixture_rates(
+        toks, extra_aggs=(F.count("*").cast("bigint").alias("n_docs"),)
+    )
+    return rates.select(
         "source",
         "n_docs",
-        "n_tokens",
-        F.round(F.least(F.lit(1.0), share / F.col("n_tokens")), 6).alias("sample_rate"),
-        F.round(F.least(F.col("n_tokens").cast("double"), share), 0)
+        F.col("src_tokens").alias("n_tokens"),
+        "sample_rate",
+        F.round(F.least(F.col("src_tokens").cast("double"), F.col("share_tokens")), 0)
         .cast("bigint")
         .alias("planned_tokens"),
-        F.round(F.greatest(F.lit(0.0), share - F.col("n_tokens")), 0)
+        F.round(F.greatest(F.lit(0.0), F.col("share_tokens") - F.col("src_tokens")), 0)
         .cast("bigint")
         .alias("deficit_tokens"),
     )

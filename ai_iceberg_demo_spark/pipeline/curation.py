@@ -128,6 +128,7 @@ def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 @REGISTRY.register(
     name="pipeline_training_prep",
     survey_ref="training-data (funnel: t17→t2/t3→u10b→u11→u9)",
+    bench=True,
     doc="the last mile before the tokenizer, as ONE declarative plan: "
     "drop benchmark-contaminated docs (t17's 8-gram flags, broadcast "
     "anti-join), apply the language + quality floor (fused into the "

@@ -234,7 +234,7 @@ def t9_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH marked AS (
             SELECT user_id, event_id, ts, value,
                    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                             > INTERVAL '30 minutes' OR
+                             >= INTERVAL '30 minutes' OR
                              LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                         THEN 1 ELSE 0 END AS is_new
             FROM events
@@ -261,10 +261,15 @@ def t10_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     # from the oracle's full-precision `> INTERVAL '30 minutes'` on any
     # gap inside (1800s, 1801s). Input is always TIMESTAMP_LTZ here
     # (tables.normalize_schema), where unix_micros is exact and legal.
+    # >= (not >): session_window merges two events iff the gap is
+    # STRICTLY under the gap duration (t2 < t1 + gap — windows are
+    # [start, end)), so the lag+cumsum twin must start a new session at
+    # exactly 30:00.000000 too; with > the two forms would diverge on
+    # that single microsecond value.
     gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
     marked = ev.withColumn(
         "is_new",
-        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0),
+        F.when(gap.isNull() | (gap >= 30 * 60 * 1_000_000), 1).otherwise(0),
     )
     sessions = marked.withColumn("session_id", F.sum("is_new").over(wsum))
     return sessions.groupBy("user_id", F.col("session_id").cast("bigint").alias("session_id")).agg(
@@ -282,14 +287,12 @@ def session_counts(df: DataFrame, gap: str = "30 minutes") -> DataFrame:
     watermark expires closed sessions, so state is bounded by gap +
     watermark horizon — the scale contract sessionization needs.
 
-    Gap semantics match the batch twin at full microsecond precision
-    (the lag+cumsum form compares unix_micros): two events merge iff
-    the gap is strictly under ``gap`` (session_window merges on
-    t2 < t1 + gap; the lag+cumsum form starts a new session on
-    gap > 30 min) — the two rules differ only on a gap of EXACTLY
-    30:00.000000, a single microsecond value; the stream≡batch test
-    additionally pins equality against the lag+cumsum form on the
-    fixture.
+    Gap semantics match the batch twin EXACTLY at full microsecond
+    precision: both forms merge two events iff the gap is strictly
+    under ``gap`` (session_window merges on t2 < t1 + gap since windows
+    are [start, end); the lag+cumsum twin starts a new session on
+    gap >= 30 min) — aligned including a gap of exactly 30:00.000000.
+    The stream≡batch test additionally pins equality on the fixture.
     """
     return (
         df.groupBy(F.session_window("ts", gap).alias("w"), "user_id")

@@ -22,6 +22,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
+from pyspark.storagelevel import StorageLevel
 
 TABLE_NAMES = [
     "region",
@@ -82,6 +83,18 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
 
     Schemas are normalized (see normalize_schema) so fixture-physical-
     type churn between driver rounds never reaches query code.
+
+    For ``events``, when normalization actually rewrote a column, the
+    normalized frame is ``persist()``-ed (lazy; first action
+    materializes):
+    otherwise every query in the session re-executes the cast on every
+    action — the round-3 bench showed exactly that tax on the events
+    consumers (t8 3.3×, t5 1.8×, j8 1.7×). Locally the cache is a few
+    MB; at 100 TB the equivalent is a ONE-TIME canonical-schema rewrite
+    (Iceberg schema migration / ETL step), not a cache — the persist
+    here stands in for that materialization. A fixture regen that lands
+    on TIMESTAMP_LTZ natively makes ``changed`` False and skips the
+    cache entirely, restoring straight parquet pushdown.
     """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
@@ -94,9 +107,32 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
         # Tolerate a future fixture regen back to TIMESTAMP(NANOS),
         # which Spark 4 otherwise rejects ([PARQUET_TYPE_ILLEGAL]).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = normalize_schema(spark.read.parquet(path))
+    raw = spark.read.parquet(path)
+    df = normalize_schema(raw)
+    if name == "events" and df is not raw:
+        # Only events: its consumers (windows, sessions, as-of joins)
+        # re-scan the whole table, so the cast tax multiplies; lineitem/
+        # orders queries instead rely on parquet predicate pushdown and
+        # column pruning, which an InMemoryRelation would hide — their
+        # single date-column cast rides along with the pruned scan.
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
     _DF_CACHE[key] = df
     return df
+
+
+def clear_table_cache(spark: SparkSession) -> None:
+    """Drop this session's table handles and unpersist their storage.
+
+    Long sweeps (the 140-query registry run, repeated facade use) should
+    call this between phases so session-lifetime persists don't pile up.
+    """
+    sid = id(spark)
+    for key in [k for k in _DF_CACHE if k[0] == sid]:
+        try:
+            _DF_CACHE[key].unpersist()
+        except Exception:
+            pass
+        del _DF_CACHE[key]
 
 
 def register_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:

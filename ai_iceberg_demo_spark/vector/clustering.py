@@ -215,6 +215,7 @@ _SALT_SQL = f"""salted AS (
 @REGISTRY.register(
     name="d8_semdedup",
     survey_ref="training-data (semantic dedup); V7",
+    bench=True,
     doc=f"SemDeDup: cluster-blocked semantic near-dup removal. Vectors "
     f"(plus deterministically planted near-twin rows — see "
     f"salt_near_dups) are assigned to their seed k-means cell (v11's "

@@ -25,6 +25,19 @@ def duck():
     yield con
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _drop_query_persists(spark):
+    """The full-registry sweep builds each query's internal persists
+    (d2/d5/d8/pipeline diamonds) fresh per call; free them when the
+    module finishes so the rest of the suite doesn't carry ~140
+    queries' worth of dead cached partitions."""
+    yield
+    spark.catalog.clearCache()
+    from ai_iceberg_demo_spark.tables import clear_table_cache
+
+    clear_table_cache(spark)
+
+
 @pytest.mark.parametrize("name", sorted(SPECS))
 def test_query_matches_oracle(spark, duck, name):
     spec = SPECS[name]

@@ -103,6 +103,24 @@ def test_epoch_shuffle_is_a_permutation(spark):
     assert stats["mn"] == 0 and stats["mx"] == n - 1
 
 
+def test_epoch_shuffles_are_independent_permutations(spark):
+    """Two epochs must give uncorrelated orders: Spearman rank
+    correlation between epoch-1 and epoch-2 positions ≈ 0 (md5 re-keyed
+    by the epoch prefix), while each epoch alone is a full permutation.
+    |rho| < 0.1 puts us ~25 sigma from a same-order leak at n≈6k
+    (sigma = 1/sqrt(n-1) ≈ 0.013)."""
+    from ai_iceberg_demo_spark.operators.sampling import u11_epoch_shuffle
+
+    e1 = u11_epoch_shuffle(spark, SF_DIR, epoch=1).withColumnRenamed("position", "p1")
+    e2 = u11_epoch_shuffle(spark, SF_DIR, epoch=2).withColumnRenamed("position", "p2")
+    stats = e1.join(e2, "doc_id").agg(
+        F.corr("p1", "p2").alias("rho"), F.count("*").alias("n")
+    ).first()
+    # positions are ranks, so Pearson on them IS Spearman's rho
+    assert stats["n"] > 100
+    assert abs(stats["rho"]) < 0.1, stats["rho"]
+
+
 def test_stratified_sample_hits_exact_quotas(spark):
     """u12: per-lang counts equal ceil(frac × stratum size) exactly."""
     import math

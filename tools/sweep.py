@@ -33,6 +33,8 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     slow_s = float(sys.argv[2]) if len(sys.argv) > 2 else 3.0
 
+    from ai_iceberg_demo_spark.tables import clear_table_cache
+
     spark = get_spark("sweep")
     failed: list[tuple[str, str]] = []
     timings: list[tuple[float, str]] = []
@@ -43,6 +45,14 @@ def main() -> int:
             timings.append((time.perf_counter() - t0, name))
         except Exception as exc:  # noqa: BLE001
             failed.append((name, str(exc).splitlines()[0][:100]))
+        # per-query persists (d2/d5/d8/pipeline diamonds) are built
+        # fresh on every call — drop them so a 140-query sweep doesn't
+        # accumulate a session's worth of dead cached partitions
+        spark.catalog.clearCache()
+    # the global clearCache also dropped the session-lifetime events
+    # persist; rebuild table handles so the floor check (bench.py
+    # methodology) times the same cached-events plans bench.py does
+    clear_table_cache(spark)
     for dt, name in sorted(timings, reverse=True):
         if dt > slow_s:
             print(f"SLOW {dt:6.1f}s  {name}")
