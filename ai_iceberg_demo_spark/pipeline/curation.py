@@ -50,6 +50,37 @@ REGISTRY = Registry()
 QUALITY_MIN = 0.8
 
 
+def curate_oracle_sql(src: str) -> str:
+    """DuckDB spelling of ``curate()`` over relation ``src`` — the
+    scored→kept→canonical-per-fingerprint chain, shared by
+    pipeline_curation (mangled-redelivery corpus) and
+    pipeline_incremental_curation (plain documents) so the two oracles
+    can never drift from one another. Emits the WITH-clause tail:
+    callers prepend ``WITH`` (plus their own CTEs and a comma)."""
+    return f"""scored AS (
+            SELECT doc_id,
+                   MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g')) AS fp,
+                   0.6 * LEAST(LENGTH(text) / 400.0, 1.0)
+                       + 0.4 * (CASE WHEN
+                            (CAST(LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+                                 t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+                               / GREATEST(LEN(STRING_SPLIT(LOWER(text), ' ')), 1))
+                              BETWEEN 0.05 AND 0.6 THEN 1.0 ELSE 0.5 END) AS quality,
+                   CAST(LEN(REGEXP_EXTRACT_ALL(text, '{_BPE_REGEX}')) AS BIGINT) AS n_bpe_tokens,
+                   CASE WHEN text LIKE '%the %' OR text LIKE 'the %' THEN 'en'
+                        ELSE 'und' END AS lang_guess
+            FROM {src}
+        ), kept AS (
+            SELECT * FROM scored WHERE lang_guess = 'en' AND quality >= {QUALITY_MIN}
+        ), ranked AS (
+            SELECT fp, doc_id, quality, n_bpe_tokens,
+                   ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+            FROM kept
+        )
+        SELECT fp, doc_id, quality, n_bpe_tokens FROM ranked WHERE rn = 1
+    """
+
+
 def curate(docs: DataFrame) -> DataFrame:
     """langid → quality → canonical-per-fingerprint over any corpus with
     (doc_id, text). Returns the surviving rows with audit columns."""
@@ -82,34 +113,14 @@ def curate(docs: DataFrame) -> DataFrame:
     "over the corpus with planted mangled redeliveries so every stage "
     "provably drops rows.",
     bench=True,
-    oracle=f"""
+    oracle="""
         WITH corpus AS (
             SELECT doc_id, text FROM documents
             UNION ALL
             SELECT doc_id + 1000000 AS doc_id, '  ' || UPPER(text) || '  ' AS text
             FROM documents WHERE doc_id % 7 = 0
-        ), scored AS (
-            SELECT doc_id,
-                   MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g')) AS fp,
-                   0.6 * LEAST(LENGTH(text) / 400.0, 1.0)
-                       + 0.4 * (CASE WHEN
-                            (CAST(LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
-                                 t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
-                               / GREATEST(LEN(STRING_SPLIT(LOWER(text), ' ')), 1))
-                              BETWEEN 0.05 AND 0.6 THEN 1.0 ELSE 0.5 END) AS quality,
-                   CAST(LEN(REGEXP_EXTRACT_ALL(text, '{_BPE_REGEX}')) AS BIGINT) AS n_bpe_tokens,
-                   CASE WHEN text LIKE '%the %' OR text LIKE 'the %' THEN 'en'
-                        ELSE 'und' END AS lang_guess
-            FROM corpus
-        ), kept AS (
-            SELECT * FROM scored WHERE lang_guess = 'en' AND quality >= {QUALITY_MIN}
-        ), ranked AS (
-            SELECT fp, doc_id, quality, n_bpe_tokens,
-                   ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
-            FROM kept
-        )
-        SELECT fp, doc_id, quality, n_bpe_tokens FROM ranked WHERE rn = 1
-    """,
+        ), """
+    + curate_oracle_sql("corpus"),
 )
 def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)

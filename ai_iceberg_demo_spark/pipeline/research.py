@@ -133,21 +133,57 @@ def pipeline_run_direct(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT * FROM cached UNION ALL SELECT * FROM miss
     """,
 )
-def pipeline_interactive(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pipeline_interactive(
+    spark: SparkSession, sf_dir: str, index: str | None = None
+) -> DataFrame:
     from ai_iceberg_demo_spark.operators.skew import salted_topk
-    from ai_iceberg_demo_spark.vector.similarity import dot, with_norm
+    from ai_iceberg_demo_spark.vector.similarity import (
+        dot,
+        ivf_candidate_pairs,
+        with_norm,
+    )
 
     emb = with_norm(load_table(spark, "embeddings", sf_dir), "embedding", "cv", "cn")
     docs = load_table(spark, "documents", sf_dir)
     probes = with_norm(
         load_table(spark, "embeddings", sf_dir).filter(F.col("vec_id") < 5), "embedding", "qv", "qn"
     ).select(F.col("vec_id").alias("qid"), "qv", "qn")
-    # norms hoisted per corpus row / per probe; only the dot is per pair
-    scored = emb.join(F.broadcast(probes), emb.vec_id != probes.qid).select(
-        "qid",
-        "vec_id",
-        F.round(dot(F.col("cv"), F.col("qv")) / (F.col("cn") * F.col("qn")), 6).alias("score"),
-    )
+    score_expr = F.round(
+        dot(F.col("cv"), F.col("qv")) / (F.col("cn") * F.col("qn")), 6
+    ).alias("score")
+    if index is None:
+        # exact path (the oracle-checked default): norms hoisted per
+        # corpus row / per probe; only the dot is per pair
+        scored = emb.join(F.broadcast(probes), emb.vec_id != probes.qid).select(
+            "qid", "vec_id", score_expr
+        )
+    else:
+        # index path (VERDICT r3 #7): every workflow's cache/context
+        # probe routes through the persisted IVF index created by
+        # facade.create_vector_index(kind="ivf") — candidate pairs from
+        # the cell_id equi-join (n_probe partitions per probe at scale),
+        # exact rerank with the IDENTICAL score arithmetic, so with
+        # n_probe == n_cells the output is bit-equal to the exact path
+        # (tests/test_facade.py pins this) and recall degrades only as
+        # n_probe shrinks.
+        meta = spark.table(f"{index}__meta").collect()[0]  # 1-row read
+        if meta["kind"] != "ivf":
+            raise ValueError(
+                f"pipeline_interactive index routing needs an ivf index; "
+                f"{index!r} is {meta['kind']!r}"
+            )
+        pairs = ivf_candidate_pairs(
+            spark.table(index),
+            spark.table(f"{index}__centroids"),
+            probes.select("qid", "qv"),
+            n_probe=meta["n_probe"],
+        )
+        scored = (
+            pairs.join(emb, "vec_id")
+            .join(F.broadcast(probes), "qid")
+            .filter(F.col("vec_id") != F.col("qid"))
+            .select("qid", "vec_id", score_expr)
+        )
     # Single pruning pass: the top-3 per workflow carries BOTH the
     # cache-probe answer (rn=1) and the context set (rn<=3). A naive
     # formulation branches `ranked` into best/ctx subtrees, which Spark

@@ -171,6 +171,7 @@ def all_registries() -> Registry:
     )
     from ai_iceberg_demo_spark.pipeline import curation, research
     from ai_iceberg_demo_spark.streaming import events as streaming_events
+    from ai_iceberg_demo_spark.streaming import incremental as streaming_incremental
     from ai_iceberg_demo_spark.streaming import stateful as streaming_stateful
     from ai_iceberg_demo_spark.vector import clustering, dedup, similarity
 
@@ -197,6 +198,7 @@ def all_registries() -> Registry:
         artifacts,
         research,
         curation,
+        streaming_incremental,
     ):
         merged.merge(mod.REGISTRY)
 

@@ -1,0 +1,210 @@
+"""Incremental corpus curation — the daily-ingest funnel under
+Structured Streaming.
+
+A 100 TB corpus is not curated once; it GROWS. Each day's crawl batch
+must be (a) language/quality-filtered, (b) deduplicated against
+everything already ingested — without ever re-pairing the existing
+corpus with itself — and (c) appended to the curated store together
+with the signatures future batches will probe. That is
+d7_incremental_dedup's O(new)-per-ingest contract composed with
+pipeline_curation's funnel, run here as a ``foreachBatch`` sink so the
+whole lifecycle is driven by Structured Streaming (file source in this
+sandbox; Kafka on a cluster — same sink body either way).
+
+Reference analog: the interactive research workflow's persistent
+accumulate-and-resume lifecycle
+(``/root/reference/openai_agents/workflows/interactive_research_workflow.py:254-318``)
+— state survives across activations and each new activation only pays
+for the new work.
+
+Per micro-batch (all O(batch), never O(corpus)):
+
+1. ``curate()`` the batch (langid + quality floor + canonical-per-
+   fingerprint within the batch — pipeline_curation's exact rule);
+2. anti-join the batch's fingerprints against the PERSISTED signature
+   table: already-ingested content is dropped (first-arrival wins;
+   with id-ascending arrival this equals the batch-mode min-doc_id
+   rule, which is what the oracle checks);
+3. append survivors to the curated store and their fingerprints to
+   the signature table;
+4. d7's near-dup audit: MinHash-band the survivors' 1-in-10 index
+   sample, probe the PERSISTED band index (plus same-batch smaller
+   ids) for collisions, append the links, then append the new bands
+   to the index.
+
+At 100 TB every state table here is an Iceberg table partitioned by
+its probe key (fp-bucket / (band_idx, band_val-bucket)); the probes
+are equi-joins that touch only the new batch's partitions. Locally
+they are parquet directories — same plan shape.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ai_iceberg_demo_spark.pipeline.curation import curate, curate_oracle_sql
+from ai_iceberg_demo_spark.registry import Registry
+from ai_iceberg_demo_spark.tables import load_table
+from ai_iceberg_demo_spark.vector.dedup import minhash_bands
+
+REGISTRY = Registry()
+
+# state-table subdirectories under a run's state_dir
+CURATED = "curated"
+SIGNATURES = "signatures"
+BAND_INDEX = "band_index"
+NEAR_DUP_LINKS = "near_dup_links"
+
+
+def _read_state(spark: SparkSession, path: str) -> DataFrame | None:
+    """Read a state table, or None before its first append."""
+    try:
+        return spark.read.parquet(path)
+    except Exception:  # noqa: BLE001 — [PATH_NOT_FOUND] on first batch
+        return None
+
+
+def incremental_curation_sink(stream: DataFrame, state_dir: str, checkpoint_dir: str):
+    """Wire the incremental-curation ``foreachBatch`` body onto a
+    (doc_id, text) stream; returns the DataStreamWriter (caller picks
+    trigger and calls ``.start()``).
+
+    The sink is idempotent-per-content across retries of the same
+    arrivals (signature anti-join drops replayed fingerprints) and
+    every step is bounded by the batch size: the corpus-side tables
+    are only ever probed by equi-join, never self-joined.
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_curated = curate(batch_df.select("doc_id", "text"))
+        seen = _read_state(spark, os.path.join(state_dir, SIGNATURES))
+        fresh = (
+            batch_curated
+            if seen is None
+            else batch_curated.join(seen, "fp", "left_anti")
+        )
+        # fresh feeds four consumers (curated append, signature append,
+        # band sample, link probe) AND its lineage READS the signature
+        # table this sink APPENDS to: any lazy re-evaluation after the
+        # append would see the batch's own fingerprints and anti-join
+        # itself to empty. localCheckpoint(eager) snapshots the
+        # batch-sized survivors and CUTS that lineage before the first
+        # write — the required pattern for every read-modify-write
+        # cycle over the same state table (persist() alone is not
+        # enough: a write does not reliably populate the cache, and an
+        # evicted entry would recompute against post-append state).
+        fresh = fresh.localCheckpoint(eager=True)
+        fresh.write.mode("append").parquet(os.path.join(state_dir, CURATED))
+        fresh.select("fp").write.mode("append").parquet(
+            os.path.join(state_dir, SIGNATURES)
+        )
+
+        # d7's near-dup audit on the 1-in-10 indexed sample: probe the
+        # EXISTING index (plus same-batch smaller ids) BEFORE appending
+        # this batch's bands, so each link is priced exactly once
+        sample = (
+            batch_df.select("doc_id", "text")
+            .join(fresh.select("doc_id"), "doc_id", "left_semi")
+            .filter(F.col("doc_id") % 10 == 0)
+        )
+        new_bands = minhash_bands(sample).persist()
+        old_bands = _read_state(spark, os.path.join(state_dir, BAND_INDEX))
+        probe_side = (
+            new_bands if old_bands is None else old_bands.unionByName(new_bands)
+        )
+        links = (
+            new_bands.alias("n")
+            .join(
+                probe_side.alias("c"),
+                (F.col("n.band_idx") == F.col("c.band_idx"))
+                & (F.col("n.band_val") == F.col("c.band_val"))
+                & (F.col("c.doc_id") < F.col("n.doc_id")),
+            )
+            .select(
+                F.col("n.doc_id").alias("new_id"),
+                F.col("c.doc_id").alias("corpus_id"),
+            )
+            .distinct()
+        )
+        # write order matters for the SAME reason fresh is checkpointed:
+        # links' lineage reads the band index, so links must hit disk
+        # BEFORE the batch's bands append to it
+        links.write.mode("append").parquet(os.path.join(state_dir, NEAR_DUP_LINKS))
+        new_bands.write.mode("append").parquet(os.path.join(state_dir, BAND_INDEX))
+        new_bands.unpersist()
+
+    return stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+
+
+def run_incremental_curation(
+    spark: SparkSession, sf_dir: str, n_batches: int = 3, state_dir: str | None = None
+) -> str:
+    """Replay the documents fixture as ``n_batches`` id-ascending
+    ingest files through the incremental sink; returns the state_dir
+    holding the four state tables.
+
+    The batches are contiguous doc_id ranges written as one parquet
+    file each with ascending mtimes, so the file source (sorted by
+    modification time, ``maxFilesPerTrigger=1``) replays them in
+    arrival order — the determinism the stream≡batch oracle needs.
+    """
+    if state_dir is None:
+        state_dir = tempfile.mkdtemp(prefix="incremental_curation_")
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    ingest = os.path.join(state_dir, "incoming")
+    os.makedirs(ingest, exist_ok=True)
+    bounds = docs.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")).first()
+    lo, hi = bounds["lo"], bounds["hi"]
+    step = (hi - lo) // n_batches + 1
+    t0 = time.time() - 600
+    for i in range(n_batches):
+        stage = os.path.join(state_dir, f"_stage{i}")
+        docs.filter(
+            (F.col("doc_id") >= lo + i * step) & (F.col("doc_id") < lo + (i + 1) * step)
+        ).coalesce(1).write.mode("overwrite").parquet(stage)
+        dst = os.path.join(ingest, f"batch_{i}.parquet")
+        shutil.move(glob.glob(os.path.join(stage, "part-*.parquet"))[0], dst)
+        os.utime(dst, (t0 + 60 * i, t0 + 60 * i))
+        shutil.rmtree(stage)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(ingest, "*.parquet"))
+    )
+    q = (
+        incremental_curation_sink(stream, state_dir, os.path.join(state_dir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return state_dir
+
+
+@REGISTRY.register(
+    name="pipeline_incremental_curation",
+    survey_ref="training-data (incremental funnel: d7 + curation under foreachBatch)",
+    doc="the daily-ingest lifecycle end-to-end: the corpus arrives as 3 "
+    "id-ascending micro-batches through a file-source stream; each "
+    "batch is curated, anti-joined against the persisted fingerprint "
+    "table, appended, and band-indexed (O(new) per ingest — the corpus "
+    "never self-joins). The final curated store must equal one-shot "
+    "batch curation over the whole corpus — THE stream≡batch contract "
+    "for the funnel, hash-checked against the same DuckDB spelling "
+    "pipeline_curation uses; tests/test_streaming.py additionally pins "
+    "the near-dup link table against its batch twin.",
+    oracle="WITH " + curate_oracle_sql("documents"),
+)
+def pipeline_incremental_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    state_dir = run_incremental_curation(spark, sf_dir)
+    return spark.read.parquet(os.path.join(state_dir, CURATED))

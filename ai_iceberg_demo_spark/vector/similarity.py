@@ -415,6 +415,35 @@ def ivf_topk(
     return ivf_probe(assigned, centroids, query_vec, k, n_probe=n_probe)
 
 
+def ivf_candidate_pairs(
+    assigned: DataFrame, centroids: DataFrame, probes: DataFrame, n_probe: int = 4
+) -> DataFrame:
+    """(qid, vec_id) candidate pairs from a persisted IVF index for
+    MANY probe vectors at once — the multi-query sibling of
+    ``ivf_probe``, feeding set-oriented pipelines (every workflow's
+    probe in one plan). ``probes`` is (qid, qv).
+
+    Cell ranking runs over the k×|probes| centroid cross — a
+    driver-free frame of a few hundred rows — then the n_probe cells
+    per probe broadcast onto the index table's cell_id equi-join: at
+    100 TB the index is partitioned by cell_id, so each probe touches
+    n_probe partitions and the corpus is never scanned whole. Rerank
+    (exact scoring of the pairs) is the caller's, so score arithmetic
+    stays identical to its exact path."""
+    from pyspark.sql import Window
+
+    cell_scores = centroids.crossJoin(
+        F.broadcast(probes.select("qid", F.col("qv").alias("_pv")))
+    ).select("qid", "cell_id", cosine(F.col("centroid"), F.col("_pv")).alias("c_score"))
+    w = Window.partitionBy("qid").orderBy(F.desc("c_score"), F.asc("cell_id"))
+    cells = (
+        cell_scores.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_probe)
+        .select("qid", "cell_id")
+    )
+    return assigned.join(F.broadcast(cells), "cell_id").select("qid", "vec_id")
+
+
 def ivf_probe(
     assigned: DataFrame,
     centroids: DataFrame,

@@ -253,3 +253,38 @@ def test_create_ivf_index_probed_with_trained_cells(spark):
         assert "unsupported index kind" in str(bad.value)
     finally:
         rag.drop_vector_index(name)
+
+
+def test_pipeline_interactive_routes_through_ivf_index(spark):
+    """The research pipeline's cache/context probes route through a
+    persisted IVF index when one is passed: the plan must carry the
+    index table's cell_id equi-join, a kind mismatch must refuse
+    (silent type swap), and with n_probe == n_cells the routed output
+    is IDENTICAL to the exact path (same rerank arithmetic — recall
+    only degrades as n_probe shrinks)."""
+    from ai_iceberg_demo_spark.pipeline.research import pipeline_interactive
+    from ai_iceberg_demo_spark.plans import explain_str
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    docs = load_table(spark, "documents", SF_DIR)
+    rag = VectorRAG(emb, docs)
+    name = "t_pipe_ivf_idx"
+    rag.drop_vector_index(name)
+    rag.drop_vector_index("t_pipe_lsh_idx")
+    try:
+        rag.create_vector_index(name, kind="ivf", n_cells=16, n_probe=16)
+        routed = pipeline_interactive(spark, SF_DIR, index=name)
+        plan = explain_str(routed, "simple")
+        assert "cell_id" in plan, "index equi-join path missing from plan"
+
+        exact = pipeline_interactive(spark, SF_DIR)
+        assert routed.exceptAll(exact).count() == 0
+        assert exact.exceptAll(routed).count() == 0
+
+        # kind guard: routing through an lsh index must refuse loudly
+        rag.create_vector_index("t_pipe_lsh_idx", kind="lsh")
+        with pytest.raises(ValueError, match="ivf"):
+            pipeline_interactive(spark, SF_DIR, index="t_pipe_lsh_idx")
+    finally:
+        rag.drop_vector_index(name)
+        rag.drop_vector_index("t_pipe_lsh_idx")

@@ -314,3 +314,59 @@ def test_incremental_view_equals_batch(spark, tmp_path):
     )
     assert view.exceptAll(batch).count() == 0
     assert batch.exceptAll(view).count() == 0
+
+
+def test_incremental_curation_matches_batch(spark, tmp_path):
+    """The daily-ingest funnel's stream≡batch contract: replaying the
+    corpus as 3 micro-batches through the foreachBatch sink must leave
+    (a) a curated store identical to one-shot batch curation of the
+    whole corpus, (b) a signature table with exactly one row per kept
+    fingerprint, and (c) a near-dup link table identical to the batch
+    self-join twin over the survivors' 1-in-10 band sample — while
+    each batch only ever probed the persisted state (O(new) joins)."""
+    import os
+
+    from ai_iceberg_demo_spark.pipeline.curation import curate
+    from ai_iceberg_demo_spark.streaming.incremental import (
+        BAND_INDEX,
+        CURATED,
+        NEAR_DUP_LINKS,
+        SIGNATURES,
+        run_incremental_curation,
+    )
+    from ai_iceberg_demo_spark.vector.dedup import minhash_bands
+
+    state = run_incremental_curation(spark, SF_DIR, state_dir=str(tmp_path / "state"))
+    docs = load_table(spark, "documents", SF_DIR).select("doc_id", "text")
+
+    got = spark.read.parquet(os.path.join(state, CURATED))
+    want = curate(docs)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+    sigs = spark.read.parquet(os.path.join(state, SIGNATURES))
+    assert sigs.count() == sigs.distinct().count() == want.count()
+
+    # batch twin of the link audit: all band collisions among the
+    # survivors' doc_id%10==0 sample with corpus_id < new_id
+    sample = docs.join(want.select("doc_id"), "doc_id", "left_semi").filter(
+        F.col("doc_id") % 10 == 0
+    )
+    bands = minhash_bands(sample)
+    twin = (
+        bands.alias("n")
+        .join(
+            bands.alias("c"),
+            (F.col("n.band_idx") == F.col("c.band_idx"))
+            & (F.col("n.band_val") == F.col("c.band_val"))
+            & (F.col("c.doc_id") < F.col("n.doc_id")),
+        )
+        .select(F.col("n.doc_id").alias("new_id"), F.col("c.doc_id").alias("corpus_id"))
+        .distinct()
+    )
+    links = spark.read.parquet(os.path.join(state, NEAR_DUP_LINKS))
+    assert links.exceptAll(twin).count() == 0
+    assert twin.exceptAll(links).count() == 0
+    # and the persisted index holds exactly the sample's bands
+    idx = spark.read.parquet(os.path.join(state, BAND_INDEX))
+    assert idx.count() == bands.count()
