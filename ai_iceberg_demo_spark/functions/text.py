@@ -712,3 +712,59 @@ def t20_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("doc_id").cast("bigint").alias("n_docs"))
         .where(F.col("n_docs") >= _BOILER_MIN_DOCS)
     )
+
+
+_BIGRAM_TOPK = 20
+
+
+@REGISTRY.register(
+    name="t21_bigram_merge_stats",
+    survey_ref="training-data (tokenizer induction)",
+    doc="the statistic a BPE/WordPiece merge step consumes: corpus-wide "
+    "adjacent-token-pair frequencies, top-20 by count (ties broken by "
+    "pair text for a total deterministic order). Pairs are built "
+    "JVM-side with zip_with over two slices of the ONE bound token "
+    "array (the r3 lambda-binding lesson: never re-split inside the "
+    "lambda), so the map side is a single pass; the only shuffle is "
+    "the partial-aggregated pair count and the top-k compiles to "
+    "TakeOrderedAndProject — at 100 TB this is exactly a wordcount.",
+    oracle=f"""
+        WITH toks AS (
+            SELECT STRING_SPLIT(text, ' ') AS t FROM documents
+        ), pairs AS (
+            SELECT UNNEST(
+                CASE WHEN LEN(t) >= 2 THEN
+                    LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - 1),
+                                   i -> t[i] || ' ' || t[i + 1])
+                ELSE [] END) AS pair
+            FROM toks
+        )
+        SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+        FROM pairs GROUP BY pair
+        ORDER BY n DESC, pair
+        LIMIT {_BIGRAM_TOPK}
+    """,
+)
+def t21_bigram_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_iceberg_demo_spark.tables import fan_out_small_input
+
+    docs = fan_out_small_input(load_table(spark, "documents", sf_dir))
+    toks = docs.select(F.split("text", " ").alias("t"))
+    pairs = toks.select(
+        F.explode(
+            F.when(
+                F.size("t") >= 2,
+                F.zip_with(
+                    F.slice(F.col("t"), 1, F.size("t") - 1),
+                    F.slice(F.col("t"), 2, F.size("t") - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(_BIGRAM_TOPK)
+    )

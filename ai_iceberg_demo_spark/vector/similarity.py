@@ -495,3 +495,72 @@ def v3c_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = load_table(spark, "embeddings", sf_dir)
     centroids = kmeans_train(corpus, k=16, n_iter=2)
     return ivf_topk(corpus, _query_vec(spark, sf_dir), k=5, centroids=centroids)
+
+
+_SEM_DECON_TAU = 0.98  # same bar as d5/d8 so the three are comparable
+
+
+@REGISTRY.register(
+    name="t17b_semantic_decontamination",
+    survey_ref="training-data (decontamination, semantic); V3,V7",
+    doc="t17's semantic sibling: flag training vectors whose embedding "
+    "is near-identical (cosine >= 0.98) to ANY held-out benchmark "
+    "vector — catches paraphrased/reformatted leakage that 8-gram "
+    "matching (t17) misses. Benchmark = vec_id%10==3; the corpus is "
+    "salted with planted twins of the benchmark rows (vec_id+1e6, "
+    "first component +0.01 — clustering.salt_near_dups' convention) "
+    "so leakage provably exists at every SF. The benchmark side is "
+    "KBs against a 100 TB corpus: it broadcasts, the corpus is one "
+    "map-side scan (norms hoisted per row), and only flagged pairs "
+    "reach the tiny per-vector aggregation.",
+    oracle=f"""
+        WITH bench AS (
+            SELECT vec_id AS bench_id, CAST(embedding AS DOUBLE[]) AS bvec
+            FROM embeddings WHERE vec_id % 10 = 3
+        ), corpus AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cvec
+            FROM embeddings WHERE vec_id % 10 <> 3
+            UNION ALL
+            SELECT vec_id + 1000000,
+                   LIST_TRANSFORM(CAST(embedding AS DOUBLE[]),
+                                  (x, i) -> CASE WHEN i = 1 THEN x + 0.01 ELSE x END)
+            FROM embeddings WHERE vec_id % 10 = 3
+        ), pairs AS (
+            SELECT c.vec_id, b.bench_id,
+                   ROUND({_COS_SQL.format(a="c.cvec", b="b.bvec")}, 6) AS score
+            FROM corpus c, bench b
+            WHERE ROUND({_COS_SQL.format(a="c.cvec", b="b.bvec")}, 6) >= {_SEM_DECON_TAU}
+        )
+        SELECT vec_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bench_hits,
+               MAX(score) AS best_score
+        FROM pairs GROUP BY vec_id
+    """,
+)
+def t17b_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    base = emb.select("vec_id", as_double(F.col("embedding")).alias("embedding"))
+    bench_raw = base.filter(F.col("vec_id") % 10 == 3)
+    # planted twins OF THE BENCHMARK rows — semantic leakage to catch
+    twins = bench_raw.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: F.when(i == 0, x + F.lit(0.01)).otherwise(x),
+        ).alias("embedding"),
+    )
+    corpus = with_norm(
+        base.filter(F.col("vec_id") % 10 != 3).unionByName(twins), "embedding", "cv", "cn"
+    )
+    bench = with_norm(bench_raw, "embedding", "bv", "bn").select(
+        F.col("vec_id").alias("bench_id"), "bv", "bn"
+    )
+    score = F.round(dot(F.col("cv"), F.col("bv")) / (F.col("cn") * F.col("bn")), 6)
+    pairs = (
+        corpus.crossJoin(F.broadcast(bench))
+        .select("vec_id", "bench_id", score.alias("score"))
+        .filter(F.col("score") >= _SEM_DECON_TAU)
+    )
+    return pairs.groupBy("vec_id").agg(
+        F.count("*").alias("n_bench_hits"), F.max("score").alias("best_score")
+    )

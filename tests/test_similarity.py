@@ -80,3 +80,31 @@ def test_ivf_deterministic(spark):
     a = ivf_topk(corpus, _query_vec(spark), k=5).collect()
     b = ivf_topk(corpus, _query_vec(spark), k=5).collect()
     assert a == b
+
+
+def test_semantic_decontamination_flags_every_planted_twin(spark):
+    """t17b: every planted benchmark twin (vec_id+1e6, cosine ~0.9999
+    to its source) must be flagged with exactly its own benchmark
+    source as the hit; no natural corpus vector reaches the 0.98 bar
+    (fixture max cross-vector cosine ~0.47)."""
+    from ai_iceberg_demo_spark.tables import load_table
+    from ai_iceberg_demo_spark.vector.similarity import (
+        t17b_semantic_decontamination,
+    )
+
+    flagged = {
+        r["vec_id"]: r
+        for r in t17b_semantic_decontamination(spark, SF_DIR).collect()
+    }
+    bench_ids = {
+        r["vec_id"]
+        for r in load_table(spark, "embeddings", SF_DIR)
+        .filter(F.col("vec_id") % 10 == 3)
+        .select("vec_id")
+        .collect()
+    }
+    assert bench_ids, "fixture must contain benchmark vectors"
+    assert set(flagged) == {b + 1_000_000 for b in bench_ids}
+    for vid, row in flagged.items():
+        assert row["n_bench_hits"] == 1
+        assert row["best_score"] >= 0.99
