@@ -786,3 +786,116 @@ def d9_quality_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("kept_id"),
         F.round(F.max("quality"), 6).alias("best_quality"),
     )
+
+
+# ---------------------------------------------------------------------------
+# D10: exact duplicated-span removal (ExactSubstr-style dedup)
+# ---------------------------------------------------------------------------
+
+_SPAN_N = 8  # span width in words for cross-doc exact duplication
+
+
+@REGISTRY.register(
+    name="d10_exact_substring_removal",
+    survey_ref="training-data (exact substring dedup)",
+    doc=f"ExactSubstr-style span dedup: REWRITE each document by "
+    f"deleting every token covered by a word {_SPAN_N}-gram that also "
+    "appears in >= 2 distinct documents — document-level dedup "
+    "(d1/d2) keeps one copy of a duplicated doc, this removes "
+    "duplicated PASSAGES (boilerplate, quoted chunks) inside "
+    "otherwise-unique docs. Plan: positional gram explode → "
+    "cross-doc-duplicated grams (one gram-keyed shuffle with "
+    "count(distinct doc) partials) → covered positions (bounded "
+    f"{_SPAN_N}× explode of dup starts only) → anti-join on token "
+    "position → order-preserving reassembly. At 100 TB the gram "
+    "table is the cost (same table d2/t17 build — compute once, "
+    "serve all three); the giant-suffix-array spelling of the "
+    "literature is the single-machine form, this is its shuffle "
+    "form. Output per doc: original/removed token counts + the "
+    "cleaned text (empty string when fully covered).",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
+        ), grams AS (
+            SELECT doc_id, s, ARRAY_TO_STRING(t[s : s + {_SPAN_N - 1}], ' ') AS g
+            FROM toks, UNNEST(GENERATE_SERIES(1, GREATEST(LEN(t) - {_SPAN_N - 1}, 0))) AS u(s)
+        ), dup AS (
+            SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+        ), covered AS (
+            SELECT DISTINCT gr.doc_id, c.p
+            FROM grams gr JOIN dup USING (g),
+                 UNNEST(GENERATE_SERIES(gr.s, gr.s + {_SPAN_N - 1})) AS c(p)
+        ), toked AS (
+            SELECT doc_id, p, t[p] AS tok
+            FROM toks, UNNEST(GENERATE_SERIES(1, LEN(t))) AS u(p)
+        ), kept AS (
+            SELECT td.doc_id, td.p, td.tok
+            FROM toked td LEFT JOIN covered c
+              ON td.doc_id = c.doc_id AND td.p = c.p
+            WHERE c.p IS NULL
+        ), rebuilt AS (
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_kept,
+                   ARRAY_TO_STRING(LIST(tok ORDER BY p), ' ') AS clean_text
+            FROM kept GROUP BY doc_id
+        )
+        SELECT tk.doc_id,
+               CAST(LEN(tk.t) AS BIGINT) AS n_tokens,
+               CAST(LEN(tk.t) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+               COALESCE(r.clean_text, '') AS clean_text
+        FROM toks tk LEFT JOIN rebuilt r ON tk.doc_id = r.doc_id
+    """,
+)
+def d10_exact_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_iceberg_demo_spark.tables import fan_out_small_input
+
+    docs = fan_out_small_input(load_table(spark, "documents", sf_dir))
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    # positional grams: ONE bound token array (t is a projected column,
+    # the r3 lambda-binding lesson), 1-based starts to match the oracle
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(t) - {_SPAN_N - 1}, 0)), "
+                f"s -> struct(s as s, concat_ws(' ', slice(t, s, {_SPAN_N})) as g))"
+            )
+        ).alias("sg"),
+    ).select("doc_id", F.col("sg.s").alias("s"), F.col("sg.g").alias("g"))
+    dup = (
+        grams.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g")
+    )
+    covered = (
+        grams.join(dup, "g")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("s"), F.col("s") + F.lit(_SPAN_N - 1))).alias("p"),
+        )
+        .distinct()
+    )
+    toked = toks.select(
+        "doc_id", F.posexplode("t").alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "tok")
+    kept = toked.join(covered, ["doc_id", "p"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "tok"))), lambda x: x["tok"]
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return (
+        toks.select("doc_id", F.size("t").cast("bigint").alias("n_tokens"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))).cast("bigint").alias("n_removed"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )

@@ -87,3 +87,25 @@ def test_d2b_is_sound_subset_of_d2(spark):
         p for p, j in exact.items() if j >= 0.95 and p[0] % 10 == 0 and p[1] % 10 == 0
     }
     assert high <= set(natural) | set(twin_pairs)
+
+
+def test_exact_substring_removal_invariants(spark):
+    """d10: the span-dedup rewrite must (a) fire on the fixture's
+    natural cross-doc duplication, (b) keep n_tokens - n_removed
+    exactly equal to the cleaned token count, and (c) leave untouched
+    docs byte-identical to their originals."""
+    from pyspark.sql import functions as F
+
+    from ai_iceberg_demo_spark.tables import load_table
+    from ai_iceberg_demo_spark.vector.dedup import d10_exact_substring_removal
+
+    out = d10_exact_substring_removal(spark, SF_DIR)
+    docs = {r["doc_id"]: r["text"] for r in load_table(spark, "documents", SF_DIR).collect()}
+    rows = out.collect()
+    assert len(rows) == len(docs)
+    assert any(r["n_removed"] > 0 for r in rows), "no duplication found — fixture changed?"
+    for r in rows:
+        kept_toks = r["clean_text"].split(" ") if r["clean_text"] else []
+        assert len(kept_toks) == r["n_tokens"] - r["n_removed"], r["doc_id"]
+        if r["n_removed"] == 0:
+            assert r["clean_text"] == docs[r["doc_id"]], r["doc_id"]
