@@ -274,3 +274,88 @@ def d8_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "kept_id")
     )
     return pairs.groupBy("vec_id").agg(F.min("kept_id").alias("kept_id"))
+
+
+# ---------------------------------------------------------------------------
+# V12: PCA projection — embedding dimensionality reduction
+# ---------------------------------------------------------------------------
+
+PCA_K = 8  # projected dimensions
+
+
+def pca_components(corpus: DataFrame, vec_col: str = "embedding", k: int = PCA_K):
+    """Top-k principal components of the embedding column.
+
+    The only corpus-sized work is distributed: per-dimension sums for
+    the mean and per-(i,j) cross-product sums for the second-moment
+    matrix, both computed as posexplode → compact (index, partial)
+    rows with map-side combine — one exchange on a dim²-sized key
+    space. What reaches the driver is dim + dim² aggregated floats
+    (corpus-INDEPENDENT, like an index meta table — 64-dim → 4 KB +
+    32 KB), and the dim×dim eigensolve runs there; shipping a 64×64
+    eigenproblem to executors would be orchestration, not
+    distribution. Determinism: numpy ``eigh`` on an exact symmetric
+    matrix, each component sign-normalized so its largest-|x| entry
+    is positive.
+
+    Returns (mean: list[float], components: list[list[float]] — k
+    rows of dim floats, descending eigenvalue order).
+    """
+    import numpy as np
+
+    v = as_double(F.col(vec_col))
+    base = corpus.select(v.alias("v"))
+    n = base.count()
+    ei = base.select(F.posexplode("v").alias("i", "xi"))
+    mean_rows = ei.groupBy("i").agg(F.sum("xi").alias("s")).collect()
+    dim = len(mean_rows)
+    mean = np.zeros(dim)
+    for r in mean_rows:
+        mean[r["i"]] = r["s"] / n
+    # second moments: two posexplodes fan each row to dim² compact
+    # (i, j, xi·xj) entries; partial sums collapse map-side so the
+    # exchange carries ≤ dim² rows per task
+    eij = base.select(F.posexplode("v").alias("i", "xi"), F.col("v")).select(
+        "i", "xi", F.posexplode("v").alias("j", "xj")
+    )
+    mom_rows = (
+        eij.groupBy("i", "j").agg(F.sum(F.col("xi") * F.col("xj")).alias("s")).collect()
+    )
+    moment = np.zeros((dim, dim))
+    for r in mom_rows:
+        moment[r["i"], r["j"]] = r["s"] / n
+    cov = moment - np.outer(mean, mean)
+    eigvals, eigvecs = np.linalg.eigh(cov)  # ascending
+    comps = []
+    for idx in range(dim - 1, dim - 1 - k, -1):
+        c = eigvecs[:, idx]
+        if c[np.argmax(np.abs(c))] < 0:
+            c = -c
+        comps.append([float(x) for x in c])
+    return [float(x) for x in mean], comps
+
+
+@REGISTRY.register(
+    name="v12_pca_project",
+    survey_ref="training-data (dimensionality reduction); V3 scale path",
+    doc=f"project every embedding onto its corpus' top-{PCA_K} principal "
+    "components — the standard pre-reduction that makes ANN/clustering "
+    "cheaper at 100 TB (shorter vectors → cheaper dots, denser cells). "
+    "Covariance aggregates distributedly (posexplode partials, one "
+    "dim²-keyed exchange); only the dim²-sized moment matrix reaches "
+    "the driver for the eigensolve (corpus-independent — an index-meta "
+    "read, not a collect of data). Eigensolves aren't ANSI SQL, so "
+    "rows-only; the invariants (variance ordering, orthonormality, "
+    "centering) are pinned in tests/test_clustering.py.",
+    oracle=None,
+)
+def v12_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = load_table(spark, "embeddings", sf_dir)
+    mean, comps = pca_components(corpus)
+    mean_col = F.array(*[F.lit(x) for x in mean])
+    centered = F.zip_with(as_double(F.col("embedding")), mean_col, lambda x, m: x - m)
+    out_cols = [
+        F.round(dot(centered, F.array(*[F.lit(x) for x in comp])), 4).alias(f"pc{i + 1}")
+        for i, comp in enumerate(comps)
+    ]
+    return corpus.select("vec_id", *out_cols)

@@ -81,3 +81,33 @@ def test_salted_twins_land_with_their_originals(spark):
     assert twins
     same = sum(cells[v] == cells[v - _TWIN_OFFSET] for v in twins)
     assert same == len(twins)  # a +0.01 nudge never flips the argmin here
+
+
+def test_pca_projection_invariants(spark):
+    """v12: components are orthonormal, projected coordinates are
+    centered (mean ≈ 0 — they're projections of centered vectors), and
+    their variances come out in descending eigenvalue order."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ai_iceberg_demo_spark.tables import load_table
+    from ai_iceberg_demo_spark.vector.clustering import PCA_K, pca_components
+    from ai_iceberg_demo_spark.vector.clustering import v12_pca_project
+
+    corpus = load_table(spark, "embeddings", SF_DIR)
+    _, comps = pca_components(corpus)
+    C = np.array(comps)
+    assert C.shape[0] == PCA_K
+    assert np.allclose(C @ C.T, np.eye(PCA_K), atol=1e-8), "components not orthonormal"
+
+    out = v12_pca_project(spark, SF_DIR)
+    stats = out.agg(
+        *[F.avg(f"pc{i+1}").alias(f"m{i+1}") for i in range(PCA_K)],
+        *[F.var_pop(f"pc{i+1}").alias(f"v{i+1}") for i in range(PCA_K)],
+    ).first()
+    for i in range(PCA_K):
+        assert abs(stats[f"m{i+1}"]) < 1e-2, f"pc{i+1} not centered"
+    variances = [stats[f"v{i+1}"] for i in range(PCA_K)]
+    # descending up to the rounding the projection applies
+    for a, b in zip(variances, variances[1:]):
+        assert a >= b - 1e-3, variances
