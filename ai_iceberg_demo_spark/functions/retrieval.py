@@ -1,0 +1,247 @@
+"""Lexical retrieval & hybrid fusion — BM25 + reciprocal-rank fusion.
+
+The reference's retrieval layer is vector-only: cosine top-k over
+`Result.embedding` with score thresholds (`neo4j_rag.py:256-279`).
+Production RAG systems pair that with a lexical scorer — exact-term
+matches that embedding similarity blurs (identifiers, rare names) —
+and fuse the two rankings. This module supplies that missing half:
+
+- **BM25 top-k** (`t22`): Okapi BM25 (k1=1.2, b=0.75) over the
+  `documents` table for a fixed query-term set.
+- **Hybrid RRF** (`t23`): reciprocal-rank fusion (Cormack et al.,
+  SIGIR'09: score = Σ 1/(60+rank)) of the BM25 top-20 and the cosine
+  top-20 for the same query.
+
+Scale design — the BM25 plan deliberately avoids the textbook
+inverted-index shuffle. Term frequencies for a *fixed* query-term set
+are array higher-order functions (`F.filter` + `F.size`) evaluated
+per document: corpus-side the whole computation is TWO map-only scans
+(one 1-row stats aggregate, one scoring pass) and a
+TakeOrderedAndProject — the corpus is never shuffled, never exploded.
+At 100 TB that is the difference between streaming the scan and
+materializing a token-level exchange ~20× the corpus size. The fusion
+stage touches only the two k-row top lists.
+
+Float discipline: every scoring expression is written with the SAME
+literal parenthesization in the Spark column expression and the DuckDB
+oracle (left-associative, explicit casts), and the final score is
+rounded to 6 before ordering — so ranking ties break identically on
+both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ai_iceberg_demo_spark.registry import Registry
+from ai_iceberg_demo_spark.tables import load_table
+
+REGISTRY = Registry()
+
+# Fixed query-term set (fixture corpus vocabulary; stands in for the
+# tokenized user query a search endpoint would supply).
+QUERY_TERMS = ["spark", "merge", "stream"]
+BM25_K1 = 1.2
+BM25_B = 0.75
+RRF_K = 60  # the SIGIR'09 constant
+TOPN_PER_LIST = 20  # depth of each list entering the fusion
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document BM25 score for QUERY_TERMS (docs w/ score>0 only).
+
+    Two map-only corpus passes joined through a broadcast 1-row stats
+    frame; no corpus shuffle (see module docstring).
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    toks = F.split(F.col("text"), " ")
+
+    def _tf(term: str):
+        # one-arg closure: F.filter inspects lambda arity, so a
+        # default-arg lambda (2 params) would receive the element
+        # INDEX as its second argument
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    feat_cols = [F.size(toks).alias("dl")] + [
+        _tf(t).alias(f"tf{i}") for i, t in enumerate(QUERY_TERMS)
+    ]
+    feat = docs.select("doc_id", *feat_cols)
+
+    stats = feat.agg(
+        F.count("*").cast("double").alias("nd"),
+        (F.sum("dl").cast("double") / F.count("*").cast("double")).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0))
+            .cast("double")
+            .alias(f"df{i}")
+            for i in range(len(QUERY_TERMS))
+        ],
+    )
+
+    scored = feat.crossJoin(F.broadcast(stats))
+    contribs = []
+    for i in range(len(QUERY_TERMS)):
+        tf = F.col(f"tf{i}").cast("double")
+        df = F.col(f"df{i}")
+        idf = F.log(F.lit(1.0) + (F.col("nd") - df + F.lit(0.5)) / (df + F.lit(0.5)))
+        den = tf + F.lit(BM25_K1) * (
+            F.lit(1.0 - BM25_B)
+            + F.lit(BM25_B) * (F.col("dl").cast("double") / F.col("avgdl"))
+        )
+        contribs.append(idf * (tf * F.lit(BM25_K1 + 1.0)) / den)
+    score = F.round(contribs[0] + contribs[1] + contribs[2], 6)
+    return scored.select("doc_id", score.alias("score")).filter(F.col("score") > 0)
+
+
+# Shared DuckDB replay of _bm25_scored (CTE bodies; callers wrap).
+_BM25_FEAT_SQL = """
+        feat AS (
+            SELECT doc_id,
+                   LEN(STRING_SPLIT(text, ' ')) AS dl,
+                   LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x = 'spark')) AS tf0,
+                   LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x = 'merge')) AS tf1,
+                   LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x = 'stream')) AS tf2
+            FROM documents
+        ), stats AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS nd,
+                   CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl,
+                   CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+                   CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+                   CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+            FROM feat
+        ), bm25 AS (
+            SELECT doc_id,
+                   ROUND(
+                     LN(1.0 + (nd - df0 + 0.5) / (df0 + 0.5))
+                       * (CAST(tf0 AS DOUBLE) * 2.2)
+                       / (CAST(tf0 AS DOUBLE)
+                          + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))
+                     + LN(1.0 + (nd - df1 + 0.5) / (df1 + 0.5))
+                       * (CAST(tf1 AS DOUBLE) * 2.2)
+                       / (CAST(tf1 AS DOUBLE)
+                          + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))
+                     + LN(1.0 + (nd - df2 + 0.5) / (df2 + 0.5))
+                       * (CAST(tf2 AS DOUBLE) * 2.2)
+                       / (CAST(tf2 AS DOUBLE)
+                          + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))),
+                   6) AS score
+            FROM feat CROSS JOIN stats
+        )"""
+
+
+@REGISTRY.register(
+    name="t22_bm25_topk",
+    survey_ref="training-data (lexical retrieval); complements V3",
+    doc="Okapi BM25 top-10 over documents for a fixed query-term set "
+    "(k1=1.2, b=0.75). Corpus-shuffle-free plan: term frequencies are "
+    "array HOFs, global stats a broadcast 1-row aggregate, top-k a "
+    "TakeOrderedAndProject — the lexical half the reference's "
+    "vector-only RAG (neo4j_rag.py:256-279) lacks.",
+    oracle="WITH "
+    + _BM25_FEAT_SQL
+    + """
+        SELECT doc_id, score FROM bm25
+        WHERE score > 0
+        ORDER BY score DESC, doc_id
+        LIMIT 10
+    """,
+)
+def t22_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+@REGISTRY.register(
+    name="t23_hybrid_rrf",
+    survey_ref="training-data (hybrid retrieval); V3+lexical fusion",
+    doc="hybrid retrieval: reciprocal-rank fusion (1/(60+rank), "
+    "Cormack SIGIR'09) of the BM25 top-20 and the cosine top-20 for "
+    "query vec_id=0 (doc_id≡vec_id in the fixtures). Each list is a "
+    "TakeOrderedAndProject over its scan; ranking and fusion touch "
+    "only the 2×20 surviving rows, so the fusion cost is O(k) at any "
+    "corpus size.",
+    oracle="WITH "
+    + _BM25_FEAT_SQL
+    + """
+        , lex AS (
+            SELECT doc_id, score FROM bm25 WHERE score > 0
+            ORDER BY score DESC, doc_id LIMIT 20
+        ), lexr AS (
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS lex_rank
+            FROM lex
+        ), q AS (
+            SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0
+        ), vec AS (
+            SELECT e.vec_id AS doc_id,
+                   ROUND(LIST_DOT_PRODUCT(CAST(e.embedding AS DOUBLE[]), CAST(q.qvec AS DOUBLE[]))
+                         / (SQRT(LIST_DOT_PRODUCT(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                            * SQRT(LIST_DOT_PRODUCT(CAST(q.qvec AS DOUBLE[]), CAST(q.qvec AS DOUBLE[])))),
+                     6) AS vscore
+            FROM embeddings e, q
+            ORDER BY vscore DESC, doc_id LIMIT 20
+        ), vecr AS (
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY vscore DESC, doc_id) AS INT) AS vec_rank
+            FROM vec
+        )
+        SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+               l.lex_rank AS lex_rank,
+               v.vec_rank AS vec_rank,
+               ROUND(COALESCE(1.0 / (60 + l.lex_rank), 0.0)
+                     + COALESCE(1.0 / (60 + v.vec_rank), 0.0), 6) AS rrf
+        FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id
+        ORDER BY rrf DESC, doc_id
+        LIMIT 10
+    """,
+)
+def t23_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ai_iceberg_demo_spark.vector.similarity import cosine
+
+    lex = (
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(TOPN_PER_LIST)
+    )
+    lexr = lex.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+        .alias("lex_rank"),
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    vec = (
+        emb.crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(F.col("embedding"), F.col("qvec")), 6).alias("vscore"),
+        )
+        .orderBy(F.desc("vscore"), F.asc("doc_id"))
+        .limit(TOPN_PER_LIST)
+    )
+    vecr = vec.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("vscore"), F.asc("doc_id")))
+        .alias("vec_rank"),
+    )
+
+    fused = lexr.join(vecr, "doc_id", "full_outer")
+    rrf = F.round(
+        F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("lex_rank")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("vec_rank")), F.lit(0.0)),
+        6,
+    )
+    return (
+        fused.select("doc_id", "lex_rank", "vec_rank", rrf.alias("rrf"))
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(10)
+    )

@@ -480,3 +480,106 @@ def u10b_mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(hash_pct(F.col("doc_id")) < F.col("sample_rate") * 100)
         .select("doc_id", "source")
     )
+
+
+# ---------------------------------------------------------------------------
+# u13: pre-training data card  /  u6b: leakage-safe split
+# ---------------------------------------------------------------------------
+
+
+@REGISTRY.register(
+    name="u13_data_card",
+    survey_ref="training-data (mixture audit)",
+    doc="the pre-training 'data card': docs / whitespace-tokens / chars "
+    "and mean quality per (source, lang, quality-band) cell — the audit "
+    "table a mixture decision (u10) is made FROM. One partial-agg "
+    "shuffle of the tiny group key; quality and token counts are "
+    "map-side column expressions (t2/t1 formulas), so the corpus is "
+    "scanned once and never exploded.",
+    oracle="""
+        WITH scored AS (
+            SELECT source, lang,
+                   LENGTH(text) AS n,
+                   CAST(LEN(REGEXP_SPLIT_TO_ARRAY(text, '\\s+')) AS BIGINT) AS n_tok,
+                   0.6 * LEAST(LENGTH(text) / 400.0, 1.0)
+                     + 0.4 * (CASE WHEN
+                           CAST(LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+                                t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+                             / GREATEST(LEN(STRING_SPLIT(LOWER(text), ' ')), 1)
+                           BETWEEN 0.05 AND 0.6 THEN 1.0 ELSE 0.5 END) AS quality
+            FROM documents
+        )
+        SELECT source, lang,
+               CASE WHEN quality >= 0.9 THEN 'high'
+                    WHEN quality >= 0.6 THEN 'mid'
+                    ELSE 'low' END AS band,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+               CAST(SUM(n) AS BIGINT) AS n_chars,
+               ROUND(AVG(quality), 6) AS avg_quality
+        FROM scored
+        GROUP BY source, lang, band
+    """,
+)
+def u13_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_iceberg_demo_spark.functions.text import quality_score, word_count
+
+    docs = load_table(spark, "documents", sf_dir)
+    q = quality_score(F.col("text"))
+    scored = docs.select(
+        "source",
+        "lang",
+        F.length("text").alias("n"),
+        word_count(F.col("text")).cast("bigint").alias("n_tok"),
+        q.alias("quality"),
+    )
+    band = (
+        F.when(F.col("quality") >= 0.9, "high")
+        .when(F.col("quality") >= 0.6, "mid")
+        .otherwise("low")
+    )
+    return (
+        scored.select("source", "lang", band.alias("band"), "n", "n_tok", "quality")
+        .groupBy("source", "lang", "band")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum("n").cast("bigint").alias("n_chars"),
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
+        )
+    )
+
+
+@REGISTRY.register(
+    name="u6b_group_split",
+    survey_ref="training-data (leakage-safe splits)",
+    doc="contamination-aware train/val/test split: the 80/10/10 hash "
+    "band is keyed on the CONTENT fingerprint (t4's normalized md5), "
+    "not the row id — byte-identical duplicates always land in the "
+    "same split, so an exact dup can never straddle train and test "
+    "(the leakage u6's id-keyed split permits). Map-only; at 100 TB "
+    "the near-dup-safe variant keys the same band on d6's component "
+    "representative instead.",
+    oracle=f"""
+        WITH fp AS (
+            SELECT doc_id,
+                   MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g')) AS fp
+            FROM documents
+        )
+        SELECT doc_id, fp,
+               CASE WHEN {_HASH_PCT_SQL.format(key="fp")} < 80 THEN 'train'
+                    WHEN {_HASH_PCT_SQL.format(key="fp")} < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM fp
+    """,
+)
+def u6b_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_iceberg_demo_spark.functions.text import fingerprint
+
+    docs = load_table(spark, "documents", sf_dir)
+    pct = hash_pct(F.col("fp"))
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp")).select(
+        "doc_id",
+        "fp",
+        F.when(pct < 80, "train").when(pct < 90, "val").otherwise("test").alias("split"),
+    )

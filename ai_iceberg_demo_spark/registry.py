@@ -156,7 +156,13 @@ def all_registries() -> Registry:
     """Import every operator module and merge their registries."""
     # Imports are local so a failure in one module surfaces loudly at
     # entry build time rather than at package import.
-    from ai_iceberg_demo_spark.functions import embedding, scalar, text, udf_surface
+    from ai_iceberg_demo_spark.functions import (
+        embedding,
+        retrieval,
+        scalar,
+        text,
+        udf_surface,
+    )
     from ai_iceberg_demo_spark.multimodal import artifacts
     from ai_iceberg_demo_spark.operators import (
         aggregates,
@@ -189,6 +195,7 @@ def all_registries() -> Registry:
         scalar,
         text,
         embedding,
+        retrieval,
         udf_surface,
         similarity,
         dedup,

@@ -359,3 +359,104 @@ def v12_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, comp in enumerate(comps)
     ]
     return corpus.select("vec_id", *out_cols)
+
+
+# ---------------------------------------------------------------------------
+# v13: per-dimension embedding standardization (z-score)
+# ---------------------------------------------------------------------------
+
+
+def dim_stats(corpus: DataFrame) -> DataFrame:
+    """Per-dimension corpus mean / population std of the embedding
+    column, rounded to 6 (so downstream arithmetic is engine-portable).
+
+    posexplode to (dim_i, x) partials — map-side combine collapses
+    each task to ≤ dim rows, so the exchange moves O(tasks × dim)
+    doubles no matter the corpus size (v12's covariance shape, one
+    order cheaper). Returns (dim_i, m, sd).
+    """
+    dims = corpus.select(
+        as_double(F.col("embedding")).alias("e")
+    ).select(F.posexplode("e").alias("dim_i", "x"))
+    mean = F.sum("x") / F.count(F.lit(1))
+    var = F.sum(F.col("x") * F.col("x")) / F.count(F.lit(1)) - mean * mean
+    return dims.groupBy("dim_i").agg(
+        F.round(mean, 6).alias("m"), F.round(F.sqrt(var), 6).alias("sd")
+    )
+
+
+def standardize(corpus: DataFrame) -> DataFrame:
+    """(vec_id, zvec): the embedding column rescaled to zero-mean /
+    unit-std per dimension — the standard pre-conditioning before
+    k-means (v11) or PCA (v12) so no dimension dominates the metric.
+
+    The dim×2 stats table re-assembles into two broadcast arrays and
+    the rescale is a single map-side ``transform`` over the original
+    array — the corpus is scanned once, never shuffled.
+    """
+    stats_row = dim_stats(corpus).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim_i", "m"))), lambda s: s["m"]
+        ).alias("_ms"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim_i", "sd"))), lambda s: s["sd"]
+        ).alias("_sds"),
+    )
+    zvec = F.transform(
+        as_double(F.col("embedding")),
+        lambda x, i: F.round(
+            (x - F.element_at(F.col("_ms"), i + 1))
+            / F.element_at(F.col("_sds"), i + 1),
+            6,
+        ),
+    )
+    return (
+        corpus.crossJoin(F.broadcast(stats_row))
+        .select("vec_id", zvec.alias("zvec"))
+    )
+
+
+@REGISTRY.register(
+    name="v13_standardize",
+    survey_ref="training-data (feature scaling); feeds V3/v11/v12",
+    doc="per-dimension z-score standardization of the embeddings "
+    "table, exploded to (vec_id, dim_i, z) for the oracle (the array "
+    "form is `standardize()`; same values — pinned in tests). Stats "
+    "aggregate via posexplode partials (map-side combine, O(dim) rows "
+    "per task through the exchange); the rescale joins the broadcast "
+    "dim-stats table back map-side. Mean/std/z all rounded to 6 so "
+    "DuckDB's sequential summation and Spark's partial-merge "
+    "summation agree.",
+    oracle="""
+        WITH dims AS (
+            SELECT vec_id,
+                   UNNEST(CAST(embedding AS DOUBLE[])) AS x,
+                   GENERATE_SUBSCRIPTS(embedding, 1) - 1 AS dim_i
+            FROM embeddings
+        ), st AS (
+            SELECT dim_i,
+                   ROUND(SUM(x) / COUNT(*), 6) AS m,
+                   ROUND(SQRT(SUM(x * x) / COUNT(*)
+                              - (SUM(x) / COUNT(*)) * (SUM(x) / COUNT(*))), 6) AS sd
+            FROM dims GROUP BY dim_i
+        )
+        SELECT d.vec_id, CAST(d.dim_i AS INT) AS dim_i,
+               ROUND((d.x - s.m) / s.sd, 6) AS z
+        FROM dims d JOIN st s USING (dim_i)
+        WHERE s.sd > 0
+    """,
+)
+def v13_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = load_table(spark, "embeddings", sf_dir)
+    dims = corpus.select(
+        "vec_id", as_double(F.col("embedding")).alias("e")
+    ).select("vec_id", F.posexplode("e").alias("dim_i", "x"))
+    st = dim_stats(corpus).filter(F.col("sd") > 0)
+    return (
+        dims.join(F.broadcast(st), "dim_i")
+        .select(
+            "vec_id",
+            F.col("dim_i").cast("int").alias("dim_i"),
+            F.round((F.col("x") - F.col("m")) / F.col("sd"), 6).alias("z"),
+        )
+    )

@@ -24,7 +24,7 @@ _NAMES = [
 
 
 def _measure(spark, tmp_path):
-    """One calibration pass: per-query best-of-2 at sf0.001."""
+    """One calibration pass: per-query best-of-3 at sf0.001."""
     import time
 
     from ai_iceberg_demo_spark.registry import all_registries
@@ -33,7 +33,7 @@ def _measure(spark, tmp_path):
     out = {}
     for name in _NAMES:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             specs[name].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
@@ -44,9 +44,14 @@ def _measure(spark, tmp_path):
 def test_floor_trips_on_injected_slowdown_and_passes_on_sane_floors(spark, tmp_path):
     measured = _measure(spark, tmp_path)
 
-    # sane floors = what we just measured → every ratio ≈ 1, no trips
+    # sane floors = what we just measured → every ratio ≈ 1, no trips.
+    # max_ratio is 2.5 here (not the production 1.5): these sf0.001
+    # queries finish in 0.1–0.4 s, where a single GC pause adds ~0.2 s
+    # of jitter — the production floor file gates ~1 s sf0.1 queries
+    # where 1.5× is signal. The injected check below is 100×, so the
+    # looser ratio costs the trip-proof nothing.
     sane = tmp_path / "floor_ok.json"
-    sane.write_text(json.dumps({"sf": 0.001, "max_ratio": 1.5, "queries": measured}))
+    sane.write_text(json.dumps({"sf": 0.001, "max_ratio": 2.5, "queries": measured}))
     assert _check_bench_floor(spark, SF_DIR, floor_path=sane) == []
 
     # injected slowdown: pretend one query used to be 100× faster;
@@ -54,7 +59,7 @@ def test_floor_trips_on_injected_slowdown_and_passes_on_sane_floors(spark, tmp_p
     slow = dict(measured)
     slow["o4_topk_by_score"] = measured["o4_topk_by_score"] / 100
     inj = tmp_path / "floor_inj.json"
-    inj.write_text(json.dumps({"sf": 0.001, "max_ratio": 1.5, "queries": slow}))
+    inj.write_text(json.dumps({"sf": 0.001, "max_ratio": 2.5, "queries": slow}))
     assert _check_bench_floor(spark, SF_DIR, floor_path=inj) == ["o4_topk_by_score"]
 
 

@@ -111,3 +111,27 @@ def test_pca_projection_invariants(spark):
     # descending up to the rounding the projection applies
     for a, b in zip(variances, variances[1:]):
         assert a >= b - 1e-3, variances
+
+
+def test_v13_standardize_array_form_matches_exploded_and_is_zero_mean_unit_std(spark):
+    from pyspark.sql import functions as F
+
+    from ai_iceberg_demo_spark.tables import load_table
+    from ai_iceberg_demo_spark.vector.clustering import standardize, v13_standardize
+
+    corpus = load_table(spark, "embeddings", SF_DIR)
+    arr = {r["vec_id"]: r["zvec"] for r in standardize(corpus).collect()}
+    exploded = v13_standardize(spark, SF_DIR).collect()
+    assert len(exploded) == len(arr) * len(next(iter(arr.values())))
+    for r in exploded[:2000]:
+        assert abs(arr[r["vec_id"]][r["dim_i"]] - r["z"]) < 1e-9
+
+    stats = (
+        v13_standardize(spark, SF_DIR)
+        .groupBy("dim_i")
+        .agg(F.avg("z").alias("m"), F.stddev_pop("z").alias("sd"))
+        .collect()
+    )
+    for r in stats:
+        assert abs(r["m"]) < 1e-4, r
+        assert abs(r["sd"] - 1.0) < 1e-3, r

@@ -203,3 +203,44 @@ def test_quality_canonical_keeps_best_member(spark):
         best_id = min(d for d in docs if q[d] == best_q)
         assert row["kept_id"] == best_id
         assert abs(row["best_quality"] - round(best_q, 6)) < 1e-9
+
+
+def test_u6b_group_split_never_splits_identical_content(spark):
+    """The leakage guarantee: every doc sharing a content fingerprint
+    lands in the same split, and the bands are roughly 80/10/10."""
+    from ai_iceberg_demo_spark.operators.sampling import u6b_group_split
+
+    out = u6b_group_split(spark, SF_DIR)
+    per_fp = out.groupBy("fp").agg(
+        F.countDistinct("split").alias("k"), F.count("*").alias("n")
+    )
+    assert per_fp.filter(F.col("k") > 1).count() == 0
+    # the fixture has no byte-identical texts, so exercise the property
+    # with planted duplicates: same text under different doc_ids (and
+    # case/whitespace noise the fingerprint normalizes) must co-assign.
+    from ai_iceberg_demo_spark.functions.text import fingerprint
+    from ai_iceberg_demo_spark.operators.sampling import hash_pct
+
+    planted = spark.createDataFrame(
+        [(1, "Same Doc text"), (2, "same  doc TEXT"), (3, " same doc text ")],
+        ["doc_id", "text"],
+    ).select(hash_pct(fingerprint(F.col("text"))).alias("band"))
+    assert planted.distinct().count() == 1
+    shares = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    total = sum(shares.values())
+    assert 0.6 < shares["train"] / total < 0.95
+    assert shares.keys() == {"train", "val", "test"}
+
+
+def test_u13_data_card_cells_partition_the_corpus(spark):
+    from ai_iceberg_demo_spark.operators.sampling import u13_data_card
+    from ai_iceberg_demo_spark.tables import load_table
+
+    card = u13_data_card(spark, SF_DIR).collect()
+    docs = load_table(spark, "documents", SF_DIR)
+    assert sum(r["n_docs"] for r in card) == docs.count()
+    assert sum(r["n_chars"] for r in card) == docs.agg(
+        F.sum(F.length("text"))
+    ).first()[0]
+    assert all(0.0 < r["avg_quality"] <= 1.0 for r in card)
+    assert {r["band"] for r in card} <= {"high", "mid", "low"}
