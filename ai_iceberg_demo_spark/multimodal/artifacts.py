@@ -508,3 +508,116 @@ def audio_features(artifacts: DataFrame, frame: int = AUDIO_FRAME) -> DataFrame:
 )
 def v8d_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_features(artifact_table(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# V8e: perceptual-hash near-duplicate images (aHash + banded hamming join)
+# ---------------------------------------------------------------------------
+
+PHASH_BITS = 64
+PHASH_BANDS = 4  # 4 × 16-bit bands
+PHASH_HAMMING_MAX = 6  # near-dup bar (imagehash library convention ~ ≤ 10/64)
+
+PHASH_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("phash", LongType())]
+)
+
+
+def perceptual_hash(artifacts: DataFrame) -> DataFrame:
+    """(doc_id, phash): 64-bit average-hash of each binary payload.
+
+    Production pipeline: decode → grayscale → downsample to 8×8 →
+    threshold each cell against the mean (the classic aHash). The
+    decode needs Pillow (absent here), so the grid is a deterministic
+    stand-in: cell (k) brightness = sum of payload bytes in the k-th of
+    64 contiguous slices, mod 256 — similar payloads produce mostly
+    equal cells, so near-duplicate artifacts land at small hamming
+    distance exactly as real pixels would. Arrow-batched mapInPandas,
+    map-only; the hash is the ONLY thing that leaves the scan (8 bytes
+    a row), so at 100 TB the pixel work streams through executors and
+    the join below sees compact longs.
+    """
+
+    def hash_batch(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out_ids = pdf["doc_id"].to_numpy()
+            hashes = np.empty(len(pdf), dtype=np.int64)
+            for i, payload in enumerate(pdf["payload"]):
+                buf = np.frombuffer(payload, dtype=np.uint8)
+                # 64 contiguous slices (last cells may be shorter)
+                cells = np.array(
+                    [int(s.sum()) % 256 for s in np.array_split(buf, PHASH_BITS)],
+                    dtype=np.int64,
+                )
+                bits = (cells > cells.mean()).astype(np.uint64)
+                h = np.uint64(0)
+                for b in bits:
+                    h = (h << np.uint64(1)) | b
+                hashes[i] = np.int64(h.astype(np.int64))
+            yield pd.DataFrame({"doc_id": out_ids, "phash": hashes})
+
+    return artifacts.select("doc_id", "payload").mapInPandas(hash_batch, PHASH_SCHEMA)
+
+
+def phash_near_dup_pairs(
+    hashes: DataFrame, hamming_max: int = PHASH_HAMMING_MAX
+) -> DataFrame:
+    """Near-dup artifact pairs by banded hamming join (d4's discipline
+    on the multimodal column): split each 64-bit hash into 4×16-bit
+    bands and equi-join on (band_idx, band_val) — never all-pairs; the
+    exact bit_count(xor) check prices only band collisions. Pigeonhole
+    guarantee: a pair within hamming ≤ 3 (bands−1) ALWAYS shares a
+    band; pairs at hamming 4–6 are caught iff their differing bits
+    leave some band untouched — the standard LSH recall trade (wider
+    bands = selective keys = fewer candidates at scale; completeness
+    to the full threshold would need 8×8-bit bands, whose 256-value
+    space collides quadratically on a large corpus). JVM-side bit ops
+    throughout; the corpus shuffles once on the compact band key.
+    """
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("k"),
+                F.shiftright(F.col("phash"), 16 * k).bitwiseAND(F.lit(0xFFFF)).alias("v"),
+            )
+            for k in range(PHASH_BANDS)
+        ]
+    )
+    banded = hashes.select("doc_id", "phash", F.explode(bands).alias("b"))
+    a = banded.select(
+        F.col("doc_id").alias("a_id"), F.col("phash").alias("a_hash"), "b"
+    )
+    bside = banded.select(
+        F.col("doc_id").alias("b_id"), F.col("phash").alias("b_hash"), "b"
+    )
+    hamming = F.bit_count(F.col("a_hash").bitwiseXOR(F.col("b_hash")))
+    return (
+        a.join(bside, ["b"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= hamming_max)
+        .dropDuplicates(["a_id", "b_id"])
+    )
+
+
+@REGISTRY.register(
+    name="v8e_phash_dedup",
+    survey_ref="training-data (multimodal dedup); V8 family",
+    doc="near-duplicate image detection over the binary artifact "
+    "column: 64-bit perceptual aHash per payload (Arrow mapInPandas "
+    "decode seam, deterministic stand-in for the Pillow path) → "
+    "4×16-bit banded hamming self-join → exact bit_count verify ≤ 6 "
+    "(complete for hamming ≤ 3, LSH-probabilistic above). Pixel math "
+    "isn't ANSI-SQL (rows-only); soundness + hamming≤3 completeness "
+    "are pinned exhaustively in tests/test_multimodal.py.",
+    oracle=None,
+)
+def v8e_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the banded self-join is a diamond over the mapInPandas output —
+    # persist so the Python stage runs once, not once per join side
+    # (cleared by the sweep/driver clearCache between queries)
+    hashes = perceptual_hash(artifact_table(spark, sf_dir)).persist()
+    return phash_near_dup_pairs(hashes).orderBy("a_id", "b_id")

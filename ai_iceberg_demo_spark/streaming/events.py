@@ -534,3 +534,115 @@ def t15_resample_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n", F.lit(0)).alias("n"),
         F.last("v", ignorenulls=True).over(w).cast("double").alias("carried"),
     )
+
+
+# --- T13: watermark late-data audit -------------------------------------
+
+WATERMARK_DELAY_US = 600_000_000  # 10 minutes, matching the stream twins
+_JITTER_S = 1800  # deterministic arrival jitter bound (30 min)
+_SHARD_US = 86_400_000_000  # day-sized arrival shards (the table's
+# natural time-partition at scale)
+
+
+def arrival_order(event_id) -> "F.Column":
+    """Deterministic simulated arrival time (µs): event time plus a
+    key-hashed jitter in [0, 30 min). The fixture stream is perfectly
+    time-ordered; real multi-source ingestion is not — this bounded
+    interleave stands in for network/source lag so watermark semantics
+    have something to classify."""
+    jitter = (
+        F.conv(F.substring(F.md5(event_id.cast("string")), 1, 8), 16, 10).cast("long")
+        % _JITTER_S
+    )
+    return F.unix_micros(F.col("ts")) + jitter * 1_000_000
+
+
+@REGISTRY.register(
+    name="t13_watermark_audit",
+    survey_ref="§2.11 watermarks (policy audit)",
+    doc="watermark tuning audit: classify every event as on_time / "
+    "late_accepted / dropped under a 10-minute watermark, given a "
+    "deterministic bounded-jitter arrival order (the batch replay of "
+    "what `withWatermark('ts','10 minutes')` would admit or drop — "
+    "the query that sizes a delay before committing it to the stream). "
+    "The running event-time max over arrival order is computed "
+    "two-phase (u9's shape): per-day-shard window + broadcast "
+    "prefix-max over the tiny shard-top table — bit-identical to the "
+    "global window (tested) with NO total-order funnel; day shards are "
+    "exactly the table's time partitions at 100 TB.",
+    oracle=f"""
+        WITH arr AS (
+            SELECT event_type, ts, event_id,
+                   EPOCH_US(ts) + (('0x' || SUBSTR(MD5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+                                   % {_JITTER_S}) * 1000000 AS arrival_us
+            FROM events
+        ), ordered AS (
+            SELECT event_type, ts,
+                   MAX(ts) OVER (ORDER BY arrival_us, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run_prev
+            FROM arr
+        ), cls AS (
+            SELECT event_type,
+                   CASE WHEN run_prev IS NULL OR ts >= run_prev THEN 'on_time'
+                        WHEN EPOCH_US(ts) >= EPOCH_US(run_prev) - {WATERMARK_DELAY_US}
+                             THEN 'late_accepted'
+                        ELSE 'dropped' END AS status,
+                   CASE WHEN run_prev IS NOT NULL AND ts < run_prev
+                        THEN EPOCH_US(run_prev) - EPOCH_US(ts) END AS late_us
+            FROM ordered
+        )
+        SELECT event_type, status,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(MAX(late_us) AS BIGINT) AS max_late_us
+        FROM cls GROUP BY event_type, status
+    """,
+)
+def t13_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type", "ts", "event_id", arrival_order(F.col("event_id")).alias("arrival_us")
+    )
+    sharded = ev.withColumn("shard", F.expr(f"arrival_us DIV {_SHARD_US}"))
+
+    w_in = (
+        W.partitionBy("shard")
+        .orderBy("arrival_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    with_prev = sharded.withColumn("prev_in", F.max("ts").over(w_in))
+
+    shard_tops = sharded.groupBy("shard").agg(F.max("ts").alias("smax"))
+    w_sh = W.orderBy("shard").rowsBetween(W.unboundedPreceding, -1)
+    prefix = shard_tops.select("shard", F.max("smax").over(w_sh).alias("prev_shards"))
+
+    joined = with_prev.join(F.broadcast(prefix), "shard")
+    # explicit CASE (not greatest()) so NULL handling is identical to
+    # the oracle's MAX-over-window semantics on both engines
+    run_prev = (
+        F.when(F.col("prev_in").isNull(), F.col("prev_shards"))
+        .when(F.col("prev_shards").isNull(), F.col("prev_in"))
+        .when(F.col("prev_in") >= F.col("prev_shards"), F.col("prev_in"))
+        .otherwise(F.col("prev_shards"))
+    )
+    classified = joined.withColumn("run_prev", run_prev).select(
+        "event_type",
+        F.when(
+            F.col("run_prev").isNull() | (F.col("ts") >= F.col("run_prev")), "on_time"
+        )
+        .when(
+            F.unix_micros(F.col("ts"))
+            >= F.unix_micros(F.col("run_prev")) - WATERMARK_DELAY_US,
+            "late_accepted",
+        )
+        .otherwise("dropped")
+        .alias("status"),
+        F.when(
+            F.col("run_prev").isNotNull() & (F.col("ts") < F.col("run_prev")),
+            F.unix_micros(F.col("run_prev")) - F.unix_micros(F.col("ts")),
+        ).alias("late_us"),
+    )
+    return classified.groupBy("event_type", "status").agg(
+        F.count("*").alias("n"),
+        F.max("late_us").cast("bigint").alias("max_late_us"),
+    )

@@ -100,3 +100,56 @@ def test_print_layout_theme_parameters(spark):
     # defaults differ from the custom theme only in the CSS constants
     d = print_layout_html(docs).orderBy("doc_id").first()["html"]
     assert "body { font-size: 14px;" in d and "#2c3e50" in d
+
+
+def test_v8e_phash_pairs_sound_and_complete_to_pigeonhole_bound(spark):
+    """Exhaustive ground truth at fixture scale: every returned pair
+    really is within hamming ≤ 6 (soundness), every pair within
+    hamming ≤ 3 is returned (the 4-band pigeonhole guarantee), and a
+    planted byte-identical payload surfaces at hamming 0."""
+    import numpy as np
+
+    from ai_iceberg_demo_spark.multimodal.artifacts import (
+        PHASH_HAMMING_MAX,
+        artifact_table,
+        perceptual_hash,
+        phash_near_dup_pairs,
+        v8e_phash_dedup,
+    )
+    from tests.conftest import SF_DIR
+
+    hashes = {
+        r["doc_id"]: r["phash"]
+        for r in perceptual_hash(artifact_table(spark, SF_DIR)).collect()
+    }
+    got = {
+        (r["a_id"], r["b_id"]): r["hamming"]
+        for r in v8e_phash_dedup(spark, SF_DIR).collect()
+    }
+    assert got, "fixture must produce near-dup artifact pairs"
+
+    ids = sorted(hashes)
+    arr = np.array([hashes[i] for i in ids], dtype=np.int64).view(np.uint64)
+    xor = arr[:, None] ^ arr[None, :]
+    ham = np.array(
+        [[bin(int(x)).count("1") for x in row] for row in xor], dtype=np.int64
+    )
+    for (a, b), h in got.items():
+        assert ham[ids.index(a)][ids.index(b)] == h <= PHASH_HAMMING_MAX
+    iu = np.triu_indices(len(ids), k=1)
+    within3 = {
+        (ids[i], ids[j])
+        for i, j in zip(*iu)
+        if ham[i][j] <= 3
+    }
+    assert within3 <= set(got), "hamming<=3 pair missed by the band join"
+
+    # planted byte-identical payloads hash identically (hamming 0)
+    dup = spark.createDataFrame(
+        [(900001, bytearray(b"same payload bytes")), (900002, bytearray(b"same payload bytes"))],
+        "doc_id long, payload binary",
+    )
+    planted = phash_near_dup_pairs(perceptual_hash(dup)).collect()
+    assert [(r["a_id"], r["b_id"], r["hamming"]) for r in planted] == [
+        (900001, 900002, 0)
+    ]

@@ -370,3 +370,48 @@ def test_incremental_curation_matches_batch(spark, tmp_path):
     # and the persisted index holds exactly the sample's bands
     idx = spark.read.parquet(os.path.join(state, BAND_INDEX))
     assert idx.count() == bands.count()
+
+
+def test_watermark_audit_two_phase_equals_global_window(spark):
+    """t13's day-sharded running max must be bit-identical to the
+    one-window global spelling, and the fixture must exercise all
+    three statuses."""
+    from pyspark.sql import Window as W
+
+    from ai_iceberg_demo_spark.streaming.events import (
+        WATERMARK_DELAY_US,
+        arrival_order,
+        t13_watermark_audit,
+    )
+
+    ev = load_table(spark, "events", SF_DIR).select(
+        "event_type", "ts", "event_id", arrival_order(F.col("event_id")).alias("a")
+    )
+    w = W.orderBy("a", "event_id").rowsBetween(W.unboundedPreceding, -1)
+    run_prev = F.max("ts").over(w)
+    classified = ev.select(
+        "event_type",
+        F.when(run_prev.isNull() | (F.col("ts") >= run_prev), "on_time")
+        .when(
+            F.unix_micros(F.col("ts")) >= F.unix_micros(run_prev) - WATERMARK_DELAY_US,
+            "late_accepted",
+        )
+        .otherwise("dropped")
+        .alias("status"),
+        F.when(
+            run_prev.isNotNull() & (F.col("ts") < run_prev),
+            F.unix_micros(run_prev) - F.unix_micros(F.col("ts")),
+        ).alias("late_us"),
+    )
+    golden = {
+        (r["event_type"], r["status"]): (r["n"], r["max_late_us"])
+        for r in classified.groupBy("event_type", "status")
+        .agg(F.count("*").alias("n"), F.max("late_us").cast("bigint").alias("max_late_us"))
+        .collect()
+    }
+    got = {
+        (r["event_type"], r["status"]): (r["n"], r["max_late_us"])
+        for r in t13_watermark_audit(spark, SF_DIR).collect()
+    }
+    assert got == golden
+    assert {"on_time", "late_accepted", "dropped"} <= {k[1] for k in got}
