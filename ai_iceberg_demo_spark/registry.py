@@ -166,6 +166,7 @@ def all_registries() -> Registry:
     from ai_iceberg_demo_spark.multimodal import artifacts
     from ai_iceberg_demo_spark.operators import (
         aggregates,
+        graph,
         joins,
         mutations,
         ordering_sets,
@@ -185,6 +186,7 @@ def all_registries() -> Registry:
     for mod in (
         scans_filters,
         joins,
+        graph,
         skew,
         aggregates,
         windows,

@@ -899,3 +899,98 @@ def d10_exact_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# D11: cross-source overlap matrix
+# ---------------------------------------------------------------------------
+
+_OVL_N = 8  # word n-gram width (same bar as t17 decontamination / d10)
+
+_OVL_GRAMS_SQL = f"""
+        grams AS (
+            SELECT DISTINCT doc_id, source, UNNEST(
+                CASE WHEN LEN(STRING_SPLIT(text, ' ')) >= {_OVL_N} THEN
+                    LIST_TRANSFORM(GENERATE_SERIES(1, LEN(STRING_SPLIT(text, ' ')) - {_OVL_N - 1}),
+                        i -> ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[i : i + {_OVL_N - 1}], ' '))
+                ELSE [] END) AS gram
+            FROM documents
+        ), gsrc AS (
+            SELECT DISTINCT source, gram FROM grams
+        )"""
+
+
+@REGISTRY.register(
+    name="d11_source_overlap",
+    survey_ref="training-data (curation audit); d2/t17 family",
+    doc="cross-source duplication matrix: for every source pair, how "
+    "many distinct 8-grams they share and how many docs on each side "
+    "carry shared material — the audit that tells a curator WHICH "
+    "feeds copy from each other before any dedup decision. Built on "
+    "the same shingle table d2/t17/d10 use (compute once, serve all). "
+    "The per-gram join fan-out is bounded by the source count (the "
+    "gram→source table is distinct), so no gram — however boilerplate "
+    "— explodes the join; the corpus explodes once to grams and "
+    "shuffles on the uniform gram key.",
+    oracle="WITH "
+    + _OVL_GRAMS_SQL
+    + """
+        , shared AS (
+            SELECT a.source AS source_a, b.source AS source_b,
+                   CAST(COUNT(DISTINCT a.gram) AS BIGINT) AS n_shared_grams
+            FROM gsrc a JOIN gsrc b ON a.gram = b.gram AND a.source < b.source
+            GROUP BY a.source, b.source
+        ), dochits AS (
+            SELECT g.source, o.source AS other,
+                   CAST(COUNT(DISTINCT g.doc_id) AS BIGINT) AS n_docs
+            FROM grams g JOIN gsrc o ON g.gram = o.gram AND g.source <> o.source
+            GROUP BY g.source, o.source
+        )
+        SELECT s.source_a, s.source_b, s.n_shared_grams,
+               da.n_docs AS n_docs_a, db.n_docs AS n_docs_b
+        FROM shared s
+        JOIN dochits da ON da.source = s.source_a AND da.other = s.source_b
+        JOIN dochits db ON db.source = s.source_b AND db.other = s.source_a
+    """,
+)
+def d11_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_iceberg_demo_spark.tables import fan_out_small_input, load_table
+
+    docs = fan_out_small_input(load_table(spark, "documents", sf_dir))
+    grams = (
+        docs.select(
+            "doc_id", "source", F.explode(shingles(F.col("text"), _OVL_N)).alias("gram")
+        )
+        .distinct()
+        # three consumers below (gsrc twice via a/b, dochits) — pay the
+        # explode+distinct shuffle once
+        .persist()
+    )
+    gsrc = grams.select("source", "gram").distinct()
+    shared = (
+        gsrc.alias("a")
+        .join(
+            gsrc.alias("b"),
+            (F.col("a.gram") == F.col("b.gram")) & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b"))
+        .agg(F.countDistinct("a.gram").alias("n_shared_grams"))
+    )
+    dochits = (
+        grams.alias("g")
+        .join(
+            gsrc.alias("o"),
+            (F.col("g.gram") == F.col("o.gram")) & (F.col("g.source") != F.col("o.source")),
+        )
+        .groupBy(F.col("g.source").alias("source"), F.col("o.source").alias("other"))
+        .agg(F.countDistinct("g.doc_id").alias("n_docs"))
+    )
+    da = dochits.select(
+        F.col("source").alias("source_a"), F.col("other").alias("source_b"),
+        F.col("n_docs").alias("n_docs_a"),
+    )
+    db = dochits.select(
+        F.col("other").alias("source_a"), F.col("source").alias("source_b"),
+        F.col("n_docs").alias("n_docs_b"),
+    )
+    return shared.join(da, ["source_a", "source_b"]).join(db, ["source_a", "source_b"])

@@ -109,3 +109,26 @@ def test_exact_substring_removal_invariants(spark):
         assert len(kept_toks) == r["n_tokens"] - r["n_removed"], r["doc_id"]
         if r["n_removed"] == 0:
             assert r["clean_text"] == docs[r["doc_id"]], r["doc_id"]
+
+
+def test_d11_overlap_matrix_counts_bounded_by_source_sizes(spark):
+    from pyspark.sql import functions as F
+
+    from ai_iceberg_demo_spark.tables import load_table
+    from ai_iceberg_demo_spark.vector.dedup import d11_source_overlap
+    from tests.conftest import SF_DIR
+
+    sizes = {
+        r["source"]: r["n"]
+        for r in load_table(spark, "documents", SF_DIR)
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    rows = d11_source_overlap(spark, SF_DIR).collect()
+    assert rows, "fixture corpus must share 8-grams across sources"
+    for r in rows:
+        assert r["source_a"] < r["source_b"]
+        assert r["n_shared_grams"] >= 1
+        assert 1 <= r["n_docs_a"] <= sizes[r["source_a"]]
+        assert 1 <= r["n_docs_b"] <= sizes[r["source_b"]]
