@@ -646,3 +646,118 @@ def t13_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.max("late_us").cast("bigint").alias("max_late_us"),
     )
+
+
+# --- T14: funnel + cohort retention (event analytics) -------------------
+
+
+@REGISTRY.register(
+    name="t14_funnel",
+    survey_ref="§2.11 analytics (ordered funnel)",
+    doc="strict-order conversion funnel per user: first view → first "
+    "click after it → first purchase after that, with the stage "
+    "reached. ONE user-keyed shuffle: events collect into a per-user "
+    "time-sorted array and the funnel state machine runs as array "
+    "filters map-side — not three correlated scans (the oracle's "
+    "spelling, same semantics, is the 3-pass min-ts form). At 100 TB "
+    "per-user event counts are bounded (sessions expire), so the "
+    "arrays stay small while the shuffle stays single.",
+    oracle="""
+        WITH s1 AS (
+            SELECT user_id, MIN(ts) AS view_ts FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ), s2 AS (
+            SELECT e.user_id, MIN(e.ts) AS click_ts
+            FROM events e JOIN s1 ON e.user_id = s1.user_id
+            WHERE e.event_type = 'click' AND e.ts > s1.view_ts
+            GROUP BY e.user_id
+        ), s3 AS (
+            SELECT e.user_id, MIN(e.ts) AS purchase_ts
+            FROM events e JOIN s2 ON e.user_id = s2.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > s2.click_ts
+            GROUP BY e.user_id
+        )
+        SELECT u.user_id, s1.view_ts, s2.click_ts, s3.purchase_ts,
+               CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+                         WHEN s2.user_id IS NOT NULL THEN 2
+                         WHEN s1.user_id IS NOT NULL THEN 1
+                         ELSE 0 END AS INT) AS stage
+        FROM (SELECT DISTINCT user_id FROM events) u
+        LEFT JOIN s1 ON u.user_id = s1.user_id
+        LEFT JOIN s2 ON u.user_id = s2.user_id
+        LEFT JOIN s3 ON u.user_id = s3.user_id
+    """,
+)
+def t14_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    arr = F.array_sort(F.collect_list(F.struct("ts", "event_type")))
+    per_user = ev.groupBy("user_id").agg(arr.alias("evs"))
+
+    def first_after(evs, etype: str, after):
+        hits = F.filter(
+            evs,
+            lambda x: (x["event_type"] == F.lit(etype))
+            & (x["ts"] > after if after is not None else F.lit(True)),
+        )
+        return F.element_at(hits, 1)["ts"]
+
+    with_s1 = per_user.withColumn("view_ts", first_after(F.col("evs"), "view", None))
+    with_s2 = with_s1.withColumn(
+        "click_ts", first_after(F.col("evs"), "click", F.col("view_ts"))
+    )
+    with_s3 = with_s2.withColumn(
+        "purchase_ts", first_after(F.col("evs"), "purchase", F.col("click_ts"))
+    )
+    stage = (
+        F.when(F.col("purchase_ts").isNotNull(), 3)
+        .when(F.col("click_ts").isNotNull(), 2)
+        .when(F.col("view_ts").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return with_s3.select(
+        "user_id", "view_ts", "click_ts", "purchase_ts", stage.cast("int").alias("stage")
+    )
+
+
+@REGISTRY.register(
+    name="t14b_retention",
+    survey_ref="§2.11 analytics (cohort retention)",
+    doc="cohort retention matrix: users grouped by first-activity day, "
+    "distinct active users per (cohort_day, day_offset). Two partial-"
+    "agg shuffles (first-day per user, then the matrix); the per-user "
+    "cohort day rejoins on the same user_id key so AQE reuses the "
+    "exchange layout.",
+    oracle="""
+        WITH first_day AS (
+            SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+            FROM events GROUP BY user_id
+        ), activity AS (
+            SELECT DISTINCT e.user_id, f.cohort_day,
+                   DATE_DIFF('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+            FROM events e JOIN first_day f ON e.user_id = f.user_id
+        )
+        -- cohort day as a formatted string: raw DATE columns render
+        -- differently through the two engines' pandas paths (date vs
+        -- midnight Timestamp) and would hash-mismatch on type alone
+        SELECT STRFTIME(cohort_day, '%Y-%m-%d') AS cohort_day,
+               CAST(day_offset AS INT) AS day_offset,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM activity GROUP BY cohort_day, day_offset
+    """,
+)
+def t14b_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    first_day = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort_day"))
+    activity = (
+        ev.join(first_day, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.to_date("ts"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+        F.col("day_offset").cast("int").alias("day_offset"),
+    ).agg(F.count("*").alias("n_users"))

@@ -415,3 +415,20 @@ def test_watermark_audit_two_phase_equals_global_window(spark):
     }
     assert got == golden
     assert {"on_time", "late_accepted", "dropped"} <= {k[1] for k in got}
+
+
+def test_funnel_stages_are_monotone_and_ordered(spark):
+    from ai_iceberg_demo_spark.streaming.events import t14_funnel
+
+    rows = t14_funnel(spark, SF_DIR).collect()
+    assert rows
+    n_at = {k: sum(1 for r in rows if r["stage"] >= k) for k in (1, 2, 3)}
+    assert n_at[1] >= n_at[2] >= n_at[3]
+    assert n_at[3] > 0, "fixture must convert some users through the funnel"
+    for r in rows:
+        # stage k reached exactly when the k-th timestamp exists
+        assert (r["stage"] >= 1) == (r["view_ts"] is not None)
+        assert (r["stage"] >= 2) == (r["click_ts"] is not None)
+        assert (r["stage"] >= 3) == (r["purchase_ts"] is not None)
+        if r["stage"] == 3:
+            assert r["view_ts"] < r["click_ts"] < r["purchase_ts"]
