@@ -394,3 +394,104 @@ def a13_pivot_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)))
         .na.fill(0)
     )
+
+
+# ---------------------------------------------------------------------------
+# a11b: mergeable histogram quantile sketch
+# ---------------------------------------------------------------------------
+
+_HIST_BINS = 64
+_HIST_LO = 0.0
+_HIST_HI = 110_000.0  # l_extendedprice upper bound (TPC-H price model);
+# fixed a-priori bounds are the equi-width sketch's contract — values
+# outside clamp into the edge bins
+_HIST_W = (_HIST_HI - _HIST_LO) / _HIST_BINS
+_HIST_PS = (0.25, 0.50, 0.75, 0.95)
+
+
+def price_histogram(df: DataFrame) -> DataFrame:
+    """(l_returnflag, bin, cnt): the mergeable sketch. The ONLY
+    corpus-touching step — one partial-agg shuffle of ≤ groups×bins
+    rows; per-shard histograms merge by integer addition, so the
+    sketch is exactly incremental (new partition = new histogram +
+    elementwise sum), unlike the holistic a11 it approximates."""
+    bin_col = F.least(
+        F.greatest(F.floor((F.col("l_extendedprice") - _HIST_LO) / _HIST_W), F.lit(0)),
+        F.lit(_HIST_BINS - 1),
+    ).cast("int")
+    return df.groupBy("l_returnflag", bin_col.alias("bin")).agg(
+        F.count("*").alias("cnt")
+    )
+
+
+@REGISTRY.register(
+    name="a11b_histogram_quantiles",
+    survey_ref="§2.4 extras (mergeable sketch; approximates a11)",
+    doc=f"approximate quartiles+p95 of l_extendedprice per returnflag "
+    f"from a {_HIST_BINS}-bin equi-width histogram with linear "
+    "interpolation — the MERGEABLE quantile sketch (per-shard "
+    "histograms sum elementwise; a8b's HLL is the cardinality "
+    "sibling). Error is bounded by one bin width "
+    f"({_HIST_W:.0f}), asserted against exact a11 in tests. The "
+    "histogram is deterministic, so unlike t-digest the sketch is "
+    "exactly SQL-replayable and hash-checked.",
+    oracle=f"""
+        WITH hist AS (
+            SELECT l_returnflag,
+                   CAST(LEAST(GREATEST(FLOOR((l_extendedprice - {_HIST_LO}) / {_HIST_W}), 0),
+                              {_HIST_BINS - 1}) AS INT) AS bin,
+                   COUNT(*) AS cnt
+            FROM lineitem GROUP BY 1, 2
+        ), cum AS (
+            SELECT l_returnflag, bin, cnt,
+                   SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                   SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+            FROM hist
+        )
+        SELECT l_returnflag,
+        {",".join(
+            f'''       (SELECT ROUND({_HIST_LO} + c.bin * {_HIST_W} + {_HIST_W}
+                         * (({p} * c2.n - (c.cum - c.cnt)) / c.cnt), 4)
+                 FROM cum c WHERE c.l_returnflag = c2.l_returnflag
+                   AND c.cum >= {p} * c2.n
+                 ORDER BY c.bin LIMIT 1) AS q{int(p * 100)}'''
+            for p in _HIST_PS
+        )}
+        FROM (SELECT DISTINCT l_returnflag, n FROM cum) c2
+    """,
+)
+def a11b_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, "lineitem", sf_dir)
+    hist = price_histogram(li)
+    w_cum = W.partitionBy("l_returnflag").orderBy("bin").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    w_all = W.partitionBy("l_returnflag").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    cum = hist.select(
+        "l_returnflag",
+        "bin",
+        "cnt",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    out = None
+    for p in _HIST_PS:
+        target = F.lit(p) * F.col("n")
+        q = F.round(
+            F.lit(_HIST_LO)
+            + F.col("bin") * F.lit(_HIST_W)
+            + F.lit(_HIST_W) * ((target - (F.col("cum") - F.col("cnt"))) / F.col("cnt")),
+            4,
+        )
+        picked = (
+            cum.filter(F.col("cum") >= target)
+            .groupBy("l_returnflag")
+            .agg(F.min_by(q, F.col("bin")).alias(f"q{int(p * 100)}"))
+        )
+        out = picked if out is None else out.join(picked, "l_returnflag")
+    return out

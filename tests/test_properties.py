@@ -146,3 +146,53 @@ def test_winnowing_robust_to_padding(spark):
         inter = len(fps & b[doc_id])
         union = len(fps | b[doc_id])
         assert inter / union >= 0.8, f"doc {doc_id}: jaccard {inter/union:.2f}"
+
+
+def test_histogram_sketch_is_mergeable_and_within_one_bin_of_exact(spark):
+    """a11b's contract: (1) per-shard histograms sum elementwise to the
+    whole-table histogram (the mergeability that makes it incremental);
+    (2) every interpolated quantile sits within one bin width of the
+    exact holistic percentile (a11)."""
+    from ai_iceberg_demo_spark.operators.aggregates import (
+        _HIST_PS,
+        _HIST_W,
+        a11b_histogram_quantiles,
+        price_histogram,
+    )
+    from ai_iceberg_demo_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    li = load_table(spark, "lineitem", SF_DIR)
+
+    direct = {
+        (r["l_returnflag"], r["bin"]): r["cnt"]
+        for r in price_histogram(li).collect()
+    }
+    # build 7 genuinely independent per-shard histograms, then merge by
+    # elementwise addition — must equal the whole-table histogram
+    shards = [
+        price_histogram(li.filter(F.col("l_orderkey") % 7 == k)) for k in range(7)
+    ]
+    merged: dict = {}
+    for shard in shards:
+        for r in shard.collect():
+            key = (r["l_returnflag"], r["bin"])
+            merged[key] = merged.get(key, 0) + r["cnt"]
+    assert merged == direct
+
+    exact = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            *[
+                F.percentile("l_extendedprice", F.lit(p)).alias(f"q{int(p*100)}")
+                for p in _HIST_PS
+            ]
+        )
+        .collect()
+    }
+    for r in a11b_histogram_quantiles(spark, SF_DIR).collect():
+        for p in _HIST_PS:
+            col = f"q{int(p*100)}"
+            assert abs(r[col] - exact[r["l_returnflag"]][col]) <= _HIST_W, (
+                r["l_returnflag"], col)
