@@ -263,3 +263,106 @@ def m4_insert_if_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).distinct()
     return insert_if_absent(links, candidates, keys=["l_orderkey", "l_suppkey"])
+
+
+# ---------------------------------------------------------------------------
+# M6: SCD Type-2 versioned upsert
+# ---------------------------------------------------------------------------
+
+_SCD2_T0 = "2024-01-01"
+_SCD2_T1 = "2024-06-01"
+
+
+def scd2_apply(
+    dim: DataFrame,
+    updates: DataFrame,
+    key: str,
+    tracked: str,
+    effective: str,
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: apply an update batch to a
+    versioned dimension, closing the current row of every changed key
+    (valid_to = effective date) and opening a new current row.
+
+    Contract: ``dim`` has (key, tracked, valid_from, valid_to) with
+    valid_to NULL marking current rows; ``updates`` has (key, tracked).
+    No-op updates (same tracked value) do NOT create a version — the
+    standard SCD2 change-detection rule. Plan: one broadcast-able join
+    of the update batch against current rows; history rows pass
+    through untouched. On Iceberg this is the two-branch MERGE INTO
+    (`WHEN MATCHED THEN UPDATE` close + appended inserts) — same
+    relational definition, which is what the oracle checks.
+    """
+    current = dim.filter(F.col("valid_to").isNull())
+    history = dim.filter(F.col("valid_to").isNotNull())
+    changed = (
+        current.alias("c")
+        .join(F.broadcast(updates).alias("u"), key)
+        .filter(F.col(f"c.{tracked}") != F.col(f"u.{tracked}"))
+    )
+    closed = changed.select(
+        key,
+        F.col(f"c.{tracked}").alias(tracked),
+        F.col("c.valid_from").alias("valid_from"),
+        F.lit(effective).alias("valid_to"),
+    )
+    opened = changed.select(
+        key,
+        F.col(f"u.{tracked}").alias(tracked),
+        F.lit(effective).alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+    )
+    unchanged = current.join(
+        changed.select(key), key, "left_anti"
+    )
+    return history.unionByName(unchanged).unionByName(closed).unionByName(opened)
+
+
+@REGISTRY.register(
+    name="m6_scd2_upsert",
+    survey_ref="M-family extra (temporal versioning)",
+    doc="SCD Type-2 upsert over a customer dimension: an update batch "
+    "(+100.00 to acctbal for custkey%10==0, effective "
+    f"{_SCD2_T1}) closes each changed current row and opens a new one; "
+    "unchanged keys pass through; validity dates are strings so both "
+    "engines hash the same rendering. The Iceberg form is a two-branch "
+    "MERGE INTO; the relational definition here is what the oracle "
+    "verifies (same jar-gated pattern as M1-M4).",
+    oracle=f"""
+        WITH dim AS (
+            SELECT c_custkey, ROUND(CAST(c_acctbal AS DOUBLE), 2) AS acctbal,
+                   '{_SCD2_T0}' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to
+            FROM customer
+        ), updates AS (
+            SELECT c_custkey, ROUND(CAST(c_acctbal AS DOUBLE) + 100.0, 2) AS acctbal
+            FROM customer WHERE c_custkey % 10 = 0
+        ), changed AS (
+            SELECT d.c_custkey, d.acctbal AS old_bal, u.acctbal AS new_bal,
+                   d.valid_from
+            FROM dim d JOIN updates u ON d.c_custkey = u.c_custkey
+            WHERE d.acctbal <> u.acctbal
+        )
+        SELECT c_custkey, old_bal AS acctbal, valid_from,
+               '{_SCD2_T1}' AS valid_to FROM changed
+        UNION ALL
+        SELECT c_custkey, new_bal AS acctbal, '{_SCD2_T1}' AS valid_from,
+               CAST(NULL AS VARCHAR) AS valid_to FROM changed
+        UNION ALL
+        SELECT d.c_custkey, d.acctbal, d.valid_from, d.valid_to
+        FROM dim d WHERE NOT EXISTS (SELECT 1 FROM changed c
+                                     WHERE c.c_custkey = d.c_custkey)
+    """,
+)
+def m6_scd2_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    dim = cust.select(
+        "c_custkey",
+        F.round(F.col("c_acctbal").cast("double"), 2).alias("acctbal"),
+        F.lit(_SCD2_T0).alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+    )
+    updates = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        (F.round(F.col("c_acctbal").cast("double") + F.lit(100.0), 2)).alias("acctbal"),
+    )
+    return scd2_apply(dim, updates, key="c_custkey", tracked="acctbal", effective=_SCD2_T1)

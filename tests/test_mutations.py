@@ -54,3 +54,37 @@ def test_insert_if_absent_is_idempotent(spark):
     twice = insert_if_absent(once, cand, keys=["k"])
     assert sorted(r["k"] for r in once.collect()) == [1, 2, 3]
     assert sorted(r["k"] for r in twice.collect()) == [1, 2, 3]
+
+
+def test_scd2_versions_are_consistent(spark):
+    """Every key keeps exactly one current row; changed keys gain one
+    closed version whose valid_to equals the new row's valid_from."""
+    from pyspark.sql import functions as F
+
+    from ai_iceberg_demo_spark.operators.mutations import m6_scd2_upsert
+    from ai_iceberg_demo_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    out = m6_scd2_upsert(spark, SF_DIR)
+    n_cust = load_table(spark, "customer", SF_DIR).count()
+    per_key = out.groupBy("c_custkey").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("valid_to").isNull(), 1).otherwise(0)).alias("n_current"),
+    )
+    assert per_key.filter(F.col("n_current") != 1).count() == 0
+    assert per_key.filter(F.col("n") > 2).count() == 0
+    n_changed = per_key.filter(F.col("n") == 2).count()
+    assert n_changed > 0
+    assert out.count() == n_cust + n_changed
+    # the closed and opened versions seam at the effective date
+    seams = (
+        out.filter(F.col("valid_to").isNotNull())
+        .select("c_custkey", F.col("valid_to").alias("closed_to"))
+        .join(
+            out.filter(F.col("valid_to").isNull()).select(
+                "c_custkey", F.col("valid_from").alias("opened_from")
+            ),
+            "c_custkey",
+        )
+    )
+    assert seams.filter(F.col("closed_to") != F.col("opened_from")).count() == 0
