@@ -245,3 +245,130 @@ def t23_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf"), F.asc("doc_id"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# v14: MMR diverse re-ranking
+# ---------------------------------------------------------------------------
+
+MMR_LAMBDA = 0.7
+MMR_K = 5  # diverse results selected from the top-20 candidate pool
+
+_COS6 = (
+    "ROUND(LIST_DOT_PRODUCT(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+    " / (SQRT(LIST_DOT_PRODUCT(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))"
+    " * SQRT(LIST_DOT_PRODUCT(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[])))), 6)"
+)
+
+
+def _mmr_oracle_sql() -> str:
+    """Unrolled MMR selection: one CTE pair (pick, cumulative selected
+    set) per rank — the greedy loop is exactly SQL-expressible because
+    K is fixed and every score is rounded before the argmax."""
+    sim = _COS6.format(a="c.embedding", b="se.embedding")
+    parts = [
+        f"""cand AS (
+            SELECT e.vec_id, e.embedding,
+                   {_COS6.format(a="e.embedding", b="q.qvec")} AS rel
+            FROM embeddings e, (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0) q
+            ORDER BY rel DESC, e.vec_id LIMIT 20
+        )"""
+    ]
+    for k in range(1, MMR_K + 1):
+        if k == 1:
+            maxsim = "0.0"
+            not_in = ""
+        else:
+            maxsim = (
+                f"(SELECT MAX({sim}) FROM cand se "
+                f"WHERE se.vec_id IN (SELECT vec_id FROM sel{k - 1}))"
+            )
+            not_in = f"WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{k - 1})"
+        parts.append(
+            f"""s{k} AS (
+            SELECT c.vec_id, CAST({k} AS INT) AS rank,
+                   ROUND({MMR_LAMBDA} * c.rel - {round(1 - MMR_LAMBDA, 10)} * {maxsim}, 6) AS mmr
+            FROM cand c {not_in}
+            ORDER BY mmr DESC, c.vec_id LIMIT 1
+        )"""
+        )
+        union = " UNION ALL ".join(f"SELECT vec_id FROM s{i}" for i in range(1, k + 1))
+        parts.append(f"sel{k} AS ({union})")
+    final = " UNION ALL ".join(
+        f"SELECT vec_id, rank, mmr FROM s{k}" for k in range(1, MMR_K + 1)
+    )
+    return "WITH " + ", ".join(parts) + " " + final
+
+
+@REGISTRY.register(
+    name="v14_mmr_rerank",
+    survey_ref="training-data (diverse retrieval); V3 family",
+    doc=f"maximal-marginal-relevance re-rank (λ={MMR_LAMBDA}): greedily "
+    f"pick {MMR_K} results from the cosine top-20 maximizing "
+    "λ·relevance − (1−λ)·max-similarity-to-already-selected — the "
+    "standard RAG diversity step the reference's plain top-k "
+    "(neo4j_rag.py:256-279) lacks. The candidate pool is a "
+    "TakeOrderedAndProject over the corpus; the greedy loop touches "
+    "only the 20-row pool (persisted), so selection cost is O(K²·k) "
+    "at any corpus size. Every score rounds before each argmax, which "
+    "is what makes the fixed-K greedy loop exactly SQL-replayable.",
+    oracle=_mmr_oracle_sql(),
+)
+def v14_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_iceberg_demo_spark.vector.similarity import cosine
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    cand = (
+        emb.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "embedding",
+            F.round(cosine(F.col("embedding"), F.col("qvec")), 6).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(20)
+        # the greedy loop reads the pool K times — persist the 20 rows
+        # so the corpus top-k scan runs once (driver clearCache reclaims)
+        .persist()
+    )
+    lam, mu = MMR_LAMBDA, round(1 - MMR_LAMBDA, 10)
+    selected: DataFrame | None = None
+    for k in range(1, MMR_K + 1):
+        if selected is None:
+            scored = cand.select(
+                "vec_id",
+                "embedding",
+                F.round(F.lit(lam) * F.col("rel") - F.lit(mu) * F.lit(0.0), 6).alias("mmr"),
+            )
+        else:
+            sel_embs = cand.join(selected.select("vec_id"), "vec_id").select(
+                F.col("embedding").alias("sel_emb")
+            )
+            maxsim = (
+                cand.join(selected.select("vec_id"), "vec_id", "left_anti")
+                .crossJoin(F.broadcast(sel_embs))
+                .groupBy("vec_id", "embedding", "rel")
+                .agg(
+                    F.max(
+                        F.round(cosine(F.col("embedding"), F.col("sel_emb")), 6)
+                    ).alias("maxsim")
+                )
+            )
+            scored = maxsim.select(
+                "vec_id",
+                "embedding",
+                F.round(
+                    F.lit(lam) * F.col("rel") - F.lit(mu) * F.col("maxsim"), 6
+                ).alias("mmr"),
+            )
+        pick = (
+            scored.orderBy(F.desc("mmr"), F.asc("vec_id"))
+            .limit(1)
+            .select("vec_id", F.lit(k).cast("int").alias("rank"), "mmr")
+        )
+        # localCheckpoint: each pick's plan otherwise nests all prior
+        # rounds' joins; K tiny frames cut lineage instead
+        pick = pick.localCheckpoint(eager=True)
+        selected = pick if selected is None else selected.unionByName(pick)
+    return selected

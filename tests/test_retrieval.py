@@ -61,3 +61,58 @@ def test_hybrid_rrf_both_lists_are_topk_not_global_sorts(spark):
     plan = plan_of(spark, "t23_hybrid_rrf")
     assert plan.count("TakeOrderedAndProject") >= 2
     assert "Generate" not in plan
+
+
+def test_mmr_matches_greedy_replay(spark):
+    """Replay the MMR greedy loop in plain Python over the collected
+    candidate pool — selection order and scores must match exactly."""
+    from ai_iceberg_demo_spark.functions.retrieval import (
+        MMR_K,
+        MMR_LAMBDA,
+        v14_mmr_rerank,
+    )
+    from ai_iceberg_demo_spark.tables import load_table
+    from ai_iceberg_demo_spark.vector.similarity import cosine
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    cand = (
+        emb.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "embedding",
+            F.round(cosine(F.col("embedding"), F.col("qvec")), 6).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(20)
+        .collect()
+    )
+    import math
+
+    def cos6(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        den = math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        return round(num / den, 6)
+
+    pool = {r["vec_id"]: (r["rel"], [float(x) for x in r["embedding"]]) for r in cand}
+    selected, expect = [], []
+    mu = round(1 - MMR_LAMBDA, 10)
+    for k in range(1, MMR_K + 1):
+        best = None
+        for vid, (rel, e) in sorted(pool.items()):
+            if vid in selected:
+                continue
+            maxsim = max((cos6(e, pool[s][1]) for s in selected), default=0.0)
+            mmr = round(MMR_LAMBDA * rel - mu * maxsim, 6)
+            if best is None or mmr > best[1]:
+                best = (vid, mmr)
+        selected.append(best[0])
+        expect.append((best[0], k, best[1]))
+
+    got = [
+        (r["vec_id"], r["rank"], r["mmr"])
+        for r in sorted(v14_mmr_rerank(spark, SF_DIR).collect(), key=lambda r: r["rank"])
+    ]
+    assert got == expect
+    assert len({v for v, _, _ in got}) == MMR_K
