@@ -460,3 +460,60 @@ def v13_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((F.col("x") - F.col("m")) / F.col("sd"), 6).alias("z"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# v15: topic-cluster term summaries (k-means × text composition)
+# ---------------------------------------------------------------------------
+
+_TOPIC_TOPK = 5
+
+
+@REGISTRY.register(
+    name="v15_topic_terms",
+    survey_ref="training-data (topic modeling lite); composes v11 + text",
+    doc=f"top-{_TOPIC_TOPK} characteristic terms per embedding cluster: "
+    "v11's deterministic k-means assignment joined to the documents "
+    "(doc_id ≡ vec_id), token counts per (cell, term), ranked within "
+    "cell — the human-readable 'what is this cluster about' summary a "
+    "SemDeDup/mixture decision is reviewed with. Plan: broadcast "
+    "k×dim centroids → map-side argmin, token explode → one "
+    "(cell, term)-keyed partial-agg shuffle, then a window over the "
+    "vocab×k count table (corpus-independent size). Deterministic "
+    "assignment makes the whole composition hash-checkable.",
+    oracle="WITH "
+    + _assign_sql("embeddings")
+    + f"""
+        , assign AS (
+            SELECT vec_id, cell_id FROM ranked WHERE rn = 1
+        ), toks AS (
+            SELECT a.cell_id, UNNEST(STRING_SPLIT(d.text, ' ')) AS term
+            FROM assign a JOIN documents d ON d.doc_id = a.vec_id
+        ), counts AS (
+            SELECT cell_id, term, CAST(COUNT(*) AS BIGINT) AS n
+            FROM toks GROUP BY cell_id, term
+        ), topk AS (
+            SELECT cell_id, term, n,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY cell_id
+                                           ORDER BY n DESC, term) AS INT) AS rank
+            FROM counts
+        )
+        SELECT cell_id, term, n, rank FROM topk WHERE rank <= {_TOPIC_TOPK}
+    """,
+)
+def v15_topic_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    corpus = load_table(spark, "embeddings", sf_dir)
+    docs = load_table(spark, "documents", sf_dir)
+    assign = kmeans_assign(corpus, seed_centroids(corpus)).select("vec_id", "cell_id")
+    toks = (
+        assign.join(docs, assign.vec_id == docs.doc_id)
+        .select("cell_id", F.explode(F.split("text", " ")).alias("term"))
+    )
+    counts = toks.groupBy("cell_id", "term").agg(F.count("*").alias("n"))
+    w = W.partitionBy("cell_id").orderBy(F.desc("n"), F.asc("term"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _TOPIC_TOPK)
+    )
