@@ -94,6 +94,16 @@ class Registry:
 # (u11b_epoch_shuffle_2, pipeline_incremental_curation) ride the
 # pytest oracle this round and take window slots in r5. Names not
 # listed keep their module registration order after these.
+#
+# r5 slot queue (registered this round, pytest-oracle-verified, no
+# driver row yet): u11b_epoch_shuffle_2, pipeline_incremental_curation,
+# t17b_semantic_decontamination, t21_bigram_merge_stats,
+# d10_exact_substring_removal, v12_pca_project, t22_bm25_topk,
+# t23_hybrid_rrf, u13_data_card, u6b_group_split, v13_standardize,
+# t13_watermark_audit, v8e_phash_dedup, d11_source_overlap,
+# g1_pagerank, t14_funnel, t14b_retention, a11b_histogram_quantiles,
+# m6_scd2_upsert, v14_mmr_rerank, v15_topic_terms — plus any r2-core
+# queries whose newest driver row is then 3 rounds old.
 _DRIVER_WINDOW_PRIORITY = [
     # --- the 48 r1-core queries, stalest first-evidence in the fleet ---
     "s1_full_scan",
