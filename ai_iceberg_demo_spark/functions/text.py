@@ -768,3 +768,77 @@ def t21_bigram_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(_BIGRAM_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# F30: unicode normalization / accent folding (Arrow UDF seam)
+# ---------------------------------------------------------------------------
+
+_F30_SALT = " Café naïve touché señor über Ångström"
+
+
+def fold_accents_udf():
+    """Vectorized NFC-normalize + accent-fold (NFD → drop combining
+    marks → NFC). This is the one text operator Spark's built-ins
+    genuinely can't express (no unicode-normalize function), so it is
+    a pandas UDF by design — Arrow-batched, self-contained closure,
+    map-only. DuckDB's utf8proc-backed strip_accents(nfc_normalize())
+    replays it exactly for the Latin accent repertoire the fixture
+    salt uses (parity asserted in tests for the salt characters)."""
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints: pandas is imported locally, so hint resolution
+    # couldn't see `pd`; SCALAR eval type is the default (same pattern
+    # as udf_surface.register_report_parser)
+    def fold(s):
+        import unicodedata
+
+        def one(x):
+            if x is None:
+                return None
+            nfd = unicodedata.normalize("NFD", x)
+            stripped = "".join(c for c in nfd if unicodedata.category(c) != "Mn")
+            return unicodedata.normalize("NFC", stripped)
+
+        return s.map(one)
+
+    return pandas_udf(fold, "string")
+
+
+@REGISTRY.register(
+    name="f30_unicode_fold",
+    survey_ref="training-data (multilingual normalization)",
+    doc="unicode NFC + accent folding over the corpus, salted with a "
+    "deterministic non-ASCII suffix on doc_id%11==0 (the fixture text "
+    "is ASCII, so the salt is what proves the fold fires). The fold "
+    "is an Arrow-batched pandas UDF — the documented exception to the "
+    "built-ins-only rule, since Spark has no unicode-normalize "
+    "expression; map-only, no shuffle.",
+    oracle=f"""
+        WITH salted AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 11 = 0 THEN text || '{_F30_SALT}'
+                        ELSE text END AS text
+            FROM documents
+        )
+        SELECT doc_id,
+               STRIP_ACCENTS(NFC_NORMALIZE(text)) AS folded,
+               CAST(CASE WHEN STRIP_ACCENTS(NFC_NORMALIZE(text)) <> text
+                         THEN 1 ELSE 0 END AS INT) AS changed
+        FROM salted
+    """,
+)
+def f30_unicode_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    salted = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 11 == 0, F.concat("text", F.lit(_F30_SALT)))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    fold = fold_accents_udf()
+    return salted.select(
+        "doc_id",
+        fold(F.col("text")).alias("folded"),
+        F.when(fold(F.col("text")) != F.col("text"), 1).otherwise(0).cast("int").alias("changed"),
+    )

@@ -166,3 +166,92 @@ def a9_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("_sum").cast("double").alias("total"),
         F.round(F.sum("_sum") / F.sum("_n"), 4).cast("double").alias("avg_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# a14: join-key skew diagnostics
+# ---------------------------------------------------------------------------
+
+_SKEW_TOPK = 5
+
+
+@REGISTRY.register(
+    name="a14_skew_report",
+    survey_ref="§2.4 extras (skew diagnostics)",
+    doc="the 'should I salt this join' audit: for each candidate join "
+    "key of the fact tables (lineitem.l_orderkey, lineitem.l_suppkey, "
+    "events.user_id), the distinct-key count, mean and max rows per "
+    "key, the max/mean ratio (the skew factor AQE or salting must "
+    "absorb), and the share of the table owned by the hottest "
+    f"{_SKEW_TOPK} keys. One partial-agg pass per key (the per-key "
+    "count table), then a 1-row rollup — the report is three tiny "
+    "rows however large the facts are.",
+    oracle=f"""
+        WITH stats AS (
+            SELECT 'lineitem.l_orderkey' AS key_name, COUNT(*) AS n_keys,
+                   SUM(c) AS n_rows, MAX(c) AS max_rows,
+                   SUM(c) FILTER (WHERE r <= {_SKEW_TOPK}) AS top_rows
+            FROM (SELECT COUNT(*) AS c,
+                         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, l_orderkey) AS r
+                  FROM lineitem GROUP BY l_orderkey)
+            UNION ALL
+            SELECT 'lineitem.l_suppkey', COUNT(*), SUM(c), MAX(c),
+                   SUM(c) FILTER (WHERE r <= {_SKEW_TOPK})
+            FROM (SELECT COUNT(*) AS c,
+                         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, l_suppkey) AS r
+                  FROM lineitem GROUP BY l_suppkey)
+            UNION ALL
+            SELECT 'events.user_id', COUNT(*), SUM(c), MAX(c),
+                   SUM(c) FILTER (WHERE r <= {_SKEW_TOPK})
+            FROM (SELECT COUNT(*) AS c,
+                         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, user_id) AS r
+                  FROM events GROUP BY user_id)
+        )
+        SELECT key_name,
+               CAST(n_keys AS BIGINT) AS n_keys,
+               CAST(n_rows AS BIGINT) AS n_rows,
+               CAST(max_rows AS BIGINT) AS max_rows,
+               ROUND(CAST(max_rows AS DOUBLE) / (CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE)), 4) AS skew_factor,
+               ROUND(CAST(top_rows AS DOUBLE) / CAST(n_rows AS DOUBLE), 4) AS top{_SKEW_TOPK}_share
+        FROM stats
+    """,
+)
+def a14_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def one(table: str, key: str) -> DataFrame:
+        df = load_table(spark, table, sf_dir)
+        # diamond: the per-key count table feeds both the rollup and
+        # the top-k — persist so the fact scan+agg runs once
+        counts = df.groupBy(key).agg(F.count("*").alias("c")).persist()
+        base = counts.agg(
+            F.lit(f"{table}.{key}").alias("key_name"),
+            F.count("*").alias("n_keys"),
+            F.sum("c").alias("n_rows"),
+            F.max("c").alias("max_rows"),
+        )
+        # top-k share via TakeOrderedAndProject (map-side partial
+        # top-k) — NOT a global row_number window, which would funnel
+        # the n_keys-sized count table through one task at scale; the
+        # (c DESC, key ASC) tie-break matches the oracle's ROW_NUMBER
+        top = (
+            counts.orderBy(F.desc("c"), F.asc(key))
+            .limit(_SKEW_TOPK)
+            .agg(F.sum("c").alias("top_rows"))
+        )
+        return base.crossJoin(F.broadcast(top))
+
+    stats = (
+        one("lineitem", "l_orderkey")
+        .unionByName(one("lineitem", "l_suppkey"))
+        .unionByName(one("events", "user_id"))
+    )
+    mean = F.col("n_rows").cast("double") / F.col("n_keys").cast("double")
+    return stats.select(
+        "key_name",
+        "n_keys",
+        "n_rows",
+        "max_rows",
+        F.round(F.col("max_rows").cast("double") / mean, 4).alias("skew_factor"),
+        F.round(F.col("top_rows").cast("double") / F.col("n_rows").cast("double"), 4).alias(
+            f"top{_SKEW_TOPK}_share"
+        ),
+    )

@@ -61,3 +61,29 @@ def test_struct_udf_in_sql(spark):
     assert row.title == "The Title"
     assert row.n_words == 6
     assert row.n_chars == len("# The Title\n\nbody words here")
+
+
+def test_unicode_fold_parity_and_salt_fires(spark):
+    """The pandas-UDF fold must agree with DuckDB's utf8proc fold on
+    the salt repertoire, and exactly the doc_id%11 rows change."""
+    import duckdb
+
+    from ai_iceberg_demo_spark.functions.text import _F30_SALT, f30_unicode_fold
+    from tests.conftest import SF_DIR
+
+    duck = duckdb.sql(
+        "select strip_accents(nfc_normalize(?))", params=[_F30_SALT]
+    ).fetchone()[0]
+    import unicodedata
+
+    nfd = unicodedata.normalize("NFD", _F30_SALT)
+    py = unicodedata.normalize(
+        "NFC", "".join(c for c in nfd if unicodedata.category(c) != "Mn")
+    )
+    assert py == duck
+
+    rows = f30_unicode_fold(spark, SF_DIR).collect()
+    for r in rows:
+        assert r["changed"] == (1 if r["doc_id"] % 11 == 0 else 0), r["doc_id"]
+        if r["changed"]:
+            assert r["folded"].endswith(py)
