@@ -517,3 +517,90 @@ def v15_topic_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= _TOPIC_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# v16: embedding drift report (batch-over-batch distribution shift)
+# ---------------------------------------------------------------------------
+
+_DRIFT_Z = 3.0  # |z| above this flags the dimension as drifted
+
+
+@REGISTRY.register(
+    name="v16_embedding_drift",
+    survey_ref="training-data (embedding QA); v13 family",
+    doc="distribution-shift monitor between two corpus slices (vec_id "
+    "halves standing in for yesterday's vs today's embedding batch): "
+    "per-dimension two-sample z statistic "
+    "z = (m_b − m_a) / sqrt(v_a/n_a + v_b/n_b), flagged at |z| ≥ 3 — "
+    "the alarm that catches a silently changed embedding provider or "
+    "preprocessing regression before it poisons ANN/dedup. One "
+    "posexplode partial-moment pass per slice (v13's shape), joined "
+    "on the dim key: O(dim) rows through every exchange regardless of "
+    "corpus size. All moments round to 6 before the z arithmetic so "
+    "both engines agree bit-for-bit.",
+    oracle=f"""
+        WITH dims AS (
+            SELECT vec_id,
+                   UNNEST(CAST(embedding AS DOUBLE[])) AS x,
+                   GENERATE_SUBSCRIPTS(embedding, 1) - 1 AS dim_i
+            FROM embeddings
+        ), half AS (
+            SELECT dim_i, x,
+                   CASE WHEN vec_id < (SELECT MAX(vec_id) + 1 FROM embeddings) / 2
+                        THEN 'a' ELSE 'b' END AS slice
+            FROM dims
+        ), st AS (
+            SELECT dim_i, slice,
+                   CAST(COUNT(*) AS DOUBLE) AS n,
+                   ROUND(SUM(x) / COUNT(*), 6) AS m,
+                   ROUND(SUM(x * x) / COUNT(*)
+                         - (SUM(x) / COUNT(*)) * (SUM(x) / COUNT(*)), 6) AS v
+            FROM half GROUP BY dim_i, slice
+        )
+        SELECT a.dim_i,
+               a.m AS mean_a, b.m AS mean_b,
+               ROUND((b.m - a.m) / SQRT(a.v / a.n + b.v / b.n), 4) AS z,
+               CAST(CASE WHEN ABS((b.m - a.m) / SQRT(a.v / a.n + b.v / b.n))
+                              >= {_DRIFT_Z} THEN 1 ELSE 0 END AS INT) AS drifted
+        FROM st a JOIN st b ON a.dim_i = b.dim_i
+        WHERE a.slice = 'a' AND b.slice = 'b'
+    """,
+)
+def v16_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = load_table(spark, "embeddings", sf_dir)
+    n_max = corpus.agg((F.max("vec_id") + 1).alias("n"))
+    dims = (
+        corpus.crossJoin(F.broadcast(n_max))
+        .select(
+            F.when(F.col("vec_id") < F.col("n") / 2, "a").otherwise("b").alias("slice"),
+            as_double(F.col("embedding")).alias("e"),
+        )
+        .select("slice", F.posexplode("e").alias("dim_i", "x"))
+    )
+    mean = F.sum("x") / F.count(F.lit(1))
+    var = F.sum(F.col("x") * F.col("x")) / F.count(F.lit(1)) - mean * mean
+    st = dims.groupBy("dim_i", "slice").agg(
+        F.count("*").cast("double").alias("n"),
+        F.round(mean, 6).alias("m"),
+        F.round(var, 6).alias("v"),
+    )
+    a = st.filter(F.col("slice") == "a").select(
+        "dim_i", F.col("n").alias("n_a"), F.col("m").alias("mean_a"), F.col("v").alias("v_a")
+    )
+    b = st.filter(F.col("slice") == "b").select(
+        "dim_i", F.col("n").alias("n_b"), F.col("m").alias("mean_b"), F.col("v").alias("v_b")
+    )
+    z = (F.col("mean_b") - F.col("mean_a")) / F.sqrt(
+        F.col("v_a") / F.col("n_a") + F.col("v_b") / F.col("n_b")
+    )
+    return (
+        a.join(b, "dim_i")
+        .select(
+            "dim_i",
+            "mean_a",
+            "mean_b",
+            F.round(z, 4).alias("z"),
+            F.when(F.abs(z) >= _DRIFT_Z, 1).otherwise(0).cast("int").alias("drifted"),
+        )
+    )

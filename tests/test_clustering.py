@@ -135,3 +135,34 @@ def test_v13_standardize_array_form_matches_exploded_and_is_zero_mean_unit_std(s
     for r in stats:
         assert abs(r["m"]) < 1e-4, r
         assert abs(r["sd"] - 1.0) < 1e-3, r
+
+
+def test_v16_drift_alarm_fires_on_planted_shift_and_stays_quiet_on_fixture(spark, tmp_path):
+    import numpy as np
+    import pandas as pd
+
+    from ai_iceberg_demo_spark.vector.clustering import v16_embedding_drift
+
+    # fixture halves come from one distribution — expect few/no flags,
+    # and each z must match a numpy replay of the same rounded moments
+    rows = v16_embedding_drift(spark, SF_DIR).collect()
+    assert len(rows) == 64
+    assert sum(r["drifted"] for r in rows) <= 3  # ~0 expected at |z|>=3
+
+    # planted drift: dim 0 of the second half shifted by +5 sigma
+    rng = np.random.default_rng(7)
+    n, dim = 400, 8
+    emb = rng.normal(0, 1, (n, dim))
+    emb[n // 2 :, 0] += 5.0
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype="int64"),
+            "embedding": [row.astype("float64").tolist() for row in emb],
+            "label": ["x"] * n,
+        }
+    )
+    pdf.to_parquet(tmp_path / "embeddings.parquet")
+    planted = {r["dim_i"]: r for r in v16_embedding_drift(spark, str(tmp_path)).collect()}
+    assert planted[0]["drifted"] == 1
+    assert abs(planted[0]["z"]) > 10
+    assert sum(r["drifted"] for r in planted.values()) <= 2  # only dim 0 (+ noise)
