@@ -495,3 +495,46 @@ def a11b_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = picked if out is None else out.join(picked, "l_returnflag")
     return out
+
+
+@REGISTRY.register(
+    name="q6_forecast_revenue",
+    survey_ref="TPC-H q6 (pushdown showcase)",
+    doc="TPC-H q6 revenue-change forecast: one scan, three pushed "
+    "predicates (shipdate year, discount band, quantity cap), a "
+    "two-column projection, and a single partial-aggregated SUM — the "
+    "canonical proof that filters and pruning reach the parquet "
+    "reader (PushedFilters + ReadSchema in the plan audit). Revenue "
+    "summed as DECIMAL for exact engine-portable addition, emitted as "
+    "a rounded double.",
+    oracle="""
+        SELECT ROUND(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE), 2)
+                   AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,4)")
+                ).cast("double"),
+                2,
+            ).alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )

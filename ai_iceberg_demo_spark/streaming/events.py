@@ -761,3 +761,74 @@ def t14b_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
         F.col("day_offset").cast("int").alias("day_offset"),
     ).agg(F.count("*").alias("n_users"))
+
+
+# --- T25: sessionized training sequences --------------------------------
+
+
+@REGISTRY.register(
+    name="t25_session_sequences",
+    survey_ref="§2.11 × training-data bridge",
+    doc="events → sequence-model training examples: per (user, 30-min "
+    "session), the time-ordered event-type sequence split into "
+    "input-prefix and next-event label — the extraction step that "
+    "turns the clickstream surface into supervised training data "
+    "(sessions of <2 events have no label and are dropped). Session "
+    "ids are t10's lag+cumsum rule (gap ≥ 30 min starts a session); "
+    "the sequence assembles map-side from one user-keyed window pass "
+    "+ one (user, session) partial agg — arrays are session-bounded, "
+    "so they stay small at any corpus size.",
+    oracle="""
+        WITH marked AS (
+            SELECT user_id, event_id, ts, event_type,
+                   CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             >= INTERVAL '30 minutes' OR
+                             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+        ), sessions AS (
+            SELECT user_id, event_id, ts, event_type,
+                   SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+            FROM marked
+        ), seqs AS (
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   LIST(event_type ORDER BY ts, event_id) AS arr
+            FROM sessions GROUP BY user_id, session_id
+        )
+        SELECT user_id, session_id,
+               ARRAY_TO_STRING(arr[1:LEN(arr) - 1], '>') AS input_seq,
+               arr[LEN(arr)] AS label,
+               CAST(LEN(arr) AS INT) AS n_events
+        FROM seqs WHERE LEN(arr) >= 2
+    """,
+)
+def t25_session_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, "events", sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    sessions = ev.withColumn(
+        "session_id",
+        F.sum(
+            F.when(gap.isNull() | (gap >= 30 * 60 * 1_000_000), 1).otherwise(0)
+        ).over(wsum),
+    )
+    seqs = sessions.groupBy(
+        "user_id", F.col("session_id").cast("bigint").alias("session_id")
+    ).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+            lambda s: s["event_type"],
+        ).alias("arr")
+    )
+    n = F.size("arr")
+    return seqs.filter(n >= 2).select(
+        "user_id",
+        "session_id",
+        F.concat_ws(">", F.slice("arr", 1, n - 1)).alias("input_seq"),
+        F.element_at("arr", -1).alias("label"),
+        n.cast("int").alias("n_events"),
+    )
