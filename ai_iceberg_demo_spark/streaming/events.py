@@ -832,3 +832,82 @@ def t25_session_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("arr", -1).alias("label"),
         n.cast("int").alias("n_events"),
     )
+
+
+# --- T26: burst detection over windowed counts --------------------------
+
+_BURST_TRAIL = 24  # trailing windows in the baseline
+_BURST_Z = 3.0
+
+
+@REGISTRY.register(
+    name="t26_burst_detection",
+    survey_ref="§2.11 analytics (anomaly alerting)",
+    doc="burst detector over the t8 hourly counts: per event_type, each "
+    "hour's count is scored against the mean/std of the preceding "
+    f"{_BURST_TRAIL} hours and flagged at z ≥ {_BURST_Z} — the "
+    "alerting query a stream consumer hangs off the windowed agg. The "
+    "window runs over the (type × hour) count table (corpus-"
+    "independent size), partitioned by type — never over raw events; "
+    "moments round to 6 before the z so both engines agree. Hours "
+    "with an incomplete or flat baseline (fewer than "
+    f"{_BURST_TRAIL} predecessors, or zero variance) emit z NULL.",
+    oracle=f"""
+        WITH hourly AS (
+            SELECT event_type, TIME_BUCKET(INTERVAL '1 hour', ts) AS hr,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1, 2
+        ), scored AS (
+            SELECT event_type, hr, n,
+                   COUNT(*) OVER w AS n_base,
+                   ROUND(SUM(n) OVER w / COUNT(*) OVER w, 6) AS m,
+                   ROUND(SQRT(SUM(n * n) OVER w / COUNT(*) OVER w
+                              - (SUM(n) OVER w / COUNT(*) OVER w)
+                                * (SUM(n) OVER w / COUNT(*) OVER w)), 6) AS sd
+            FROM hourly
+            WINDOW w AS (PARTITION BY event_type ORDER BY hr
+                         ROWS BETWEEN {_BURST_TRAIL} PRECEDING AND 1 PRECEDING)
+        )
+        SELECT event_type, hr, CAST(n AS BIGINT) AS n,
+               CASE WHEN n_base >= {_BURST_TRAIL} AND sd > 0
+                    THEN ROUND((n - m) / sd, 4) END AS z,
+               CAST(CASE WHEN n_base >= {_BURST_TRAIL} AND sd > 0
+                              AND (n - m) / sd >= {_BURST_Z}
+                         THEN 1 ELSE 0 END AS INT) AS burst
+        FROM scored
+    """,
+)
+def t26_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, "events", sf_dir)
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count("*").alias("n"))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(-_BURST_TRAIL, -1)
+    )
+    cnt = F.count("*").over(w)
+    m = F.round(F.sum("n").over(w) / cnt, 6)
+    sd = F.round(
+        F.sqrt(
+            F.sum(F.col("n") * F.col("n")).over(w) / cnt
+            - (F.sum("n").over(w) / cnt) * (F.sum("n").over(w) / cnt)
+        ),
+        6,
+    )
+    scored = hourly.select(
+        "event_type", "hr", F.col("n").cast("bigint").alias("n"),
+        cnt.alias("n_base"), m.alias("m"), sd.alias("sd"),
+    )
+    ok = (F.col("n_base") >= _BURST_TRAIL) & (F.col("sd") > 0)
+    z = (F.col("n") - F.col("m")) / F.col("sd")
+    return scored.select(
+        "event_type",
+        "hr",
+        "n",
+        F.when(ok, F.round(z, 4)).alias("z"),
+        F.when(ok & (z >= _BURST_Z), 1).otherwise(0).cast("int").alias("burst"),
+    )
