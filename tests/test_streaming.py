@@ -432,3 +432,35 @@ def test_funnel_stages_are_monotone_and_ordered(spark):
         assert (r["stage"] >= 3) == (r["purchase_ts"] is not None)
         if r["stage"] == 3:
             assert r["view_ts"] < r["click_ts"] < r["purchase_ts"]
+
+
+def test_burst_alarm_fires_on_planted_spike(spark, tmp_path):
+    """A synthetic stream with a 10x spike in one hour must flag that
+    hour (and only hours with a full 24h baseline are ever scored)."""
+    import numpy as np
+    import pandas as pd
+
+    from ai_iceberg_demo_spark.streaming.events import t26_burst_detection
+
+    hours = pd.date_range("2024-01-01", periods=60, freq="h")
+    rows = []
+    eid = 0
+    for i, h in enumerate(hours):
+        n = 100 if i == 50 else 10 + (i % 3)  # flat-ish baseline, one spike
+        for j in range(n):
+            rows.append((eid, h + pd.Timedelta(seconds=j), 1, "view", 1.0, "{}"))
+            eid += 1
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    pdf["event_id"] = pdf["event_id"].astype("int64")
+    pdf["user_id"] = pdf["user_id"].astype("int64")
+    pdf.to_parquet(tmp_path / "events.parquet")
+
+    out = {r["hr"]: r for r in t26_burst_detection(spark, str(tmp_path)).collect()}
+    spike_hr = hours[50].to_pydatetime()
+    assert out[spike_hr]["burst"] == 1 and out[spike_hr]["z"] > 10
+    assert sum(r["burst"] for r in out.values()) == 1
+    for i, h in enumerate(hours):
+        if i < 24:  # incomplete baseline → never scored
+            assert out[h.to_pydatetime()]["z"] is None
