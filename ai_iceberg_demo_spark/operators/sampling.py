@@ -583,3 +583,75 @@ def u6b_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fp",
         F.when(pct < 80, "train").when(pct < 90, "val").otherwise("test").alias("split"),
     )
+
+
+# ---------------------------------------------------------------------------
+# u14: curriculum ordering
+# ---------------------------------------------------------------------------
+
+
+@REGISTRY.register(
+    name="u14_curriculum_order",
+    survey_ref="training-data (curriculum learning)",
+    doc="curriculum data order: every document ranked globally by "
+    "quality band (high → mid → low, t2/u13 thresholds) with a "
+    "deterministic hash shuffle WITHIN each band — easy-to-hard "
+    "ordering that still decorrelates neighbors inside a band. Same "
+    "two-phase shape as u11: per-(band, hash-prefix-bucket) windows + "
+    "a broadcast prefix-count table (3×256 rows), bit-identical to "
+    "the one global ROW_NUMBER (the oracle's spelling) with no "
+    "total-order funnel.",
+    oracle="""
+        WITH scored AS (
+            SELECT doc_id,
+                   CASE WHEN q >= 0.9 THEN 2 WHEN q >= 0.6 THEN 1 ELSE 0 END AS band
+            FROM (
+                SELECT doc_id,
+                       0.6 * LEAST(LENGTH(text) / 400.0, 1.0)
+                         + 0.4 * (CASE WHEN
+                               CAST(LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+                                    t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+                                 / GREATEST(LEN(STRING_SPLIT(LOWER(text), ' ')), 1)
+                               BETWEEN 0.05 AND 0.6 THEN 1.0 ELSE 0.5 END) AS q
+                FROM documents
+            )
+        )
+        SELECT doc_id, CAST(band AS INT) AS band,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY band DESC, MD5(CAST(doc_id AS VARCHAR)), doc_id) - 1
+                    AS BIGINT) AS position
+        FROM scored
+    """,
+)
+def u14_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ai_iceberg_demo_spark.functions.text import quality_score
+
+    docs = load_table(spark, "documents", sf_dir)
+    q = quality_score(F.col("text"))
+    band = F.when(q >= 0.9, 2).when(q >= 0.6, 1).otherwise(0)
+    h = F.md5(F.col("doc_id").cast("string"))
+    keyed = docs.select(
+        "doc_id", band.alias("band"), h.alias("_h"), F.substring(h, 1, 2).alias("_b")
+    )
+    counts = keyed.groupBy("band", "_b").agg(F.count("*").alias("_n"))
+    # the only unpartitioned window runs over the 3×256 count table,
+    # never the corpus — global order is (band DESC, md5, id), and the
+    # md5-hex prefix keeps each (band, bucket) range contiguous in it
+    w_off = Window.orderBy(F.desc("band"), F.asc("_b")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "band", "_b", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off")
+    )
+    w_local = Window.partitionBy("band", "_b").orderBy("_h", "doc_id")
+    local = keyed.withColumn("_rn", F.row_number().over(w_local))
+    return (
+        local.join(F.broadcast(offsets), ["band", "_b"])
+        .select(
+            "doc_id",
+            F.col("band").cast("int").alias("band"),
+            (F.col("_off") + F.col("_rn") - 1).cast("bigint").alias("position"),
+        )
+    )

@@ -604,3 +604,51 @@ def v16_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.abs(z) >= _DRIFT_Z, 1).otherwise(0).cast("int").alias("drifted"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# v17: cluster-balanced (diversity) sampling
+# ---------------------------------------------------------------------------
+
+_DIVERSE_PER_CELL = 10
+
+
+@REGISTRY.register(
+    name="v17_diverse_sample",
+    survey_ref="training-data (eval-set construction); v11/u12 family",
+    doc=f"embedding-diversity sample: up to {_DIVERSE_PER_CELL} vectors "
+    "per k-means cell, chosen by key-hash order — the eval-set "
+    "construction that covers the embedding space instead of letting "
+    "a uniform sample mirror the corpus' densest mode (u12's exact "
+    "stratified quota with v11's cells as the strata). Broadcast "
+    "centroids assign map-side; the per-cell window shuffles once on "
+    "cell_id — at production k (thousands) the key space spreads; at "
+    "toy k, salt the window like a9.",
+    oracle="WITH "
+    + _assign_sql("embeddings")
+    + f"""
+        , assign AS (
+            SELECT vec_id, cell_id FROM ranked WHERE rn = 1
+        ), ordered AS (
+            SELECT vec_id, cell_id,
+                   ROW_NUMBER() OVER (PARTITION BY cell_id
+                                      ORDER BY MD5(CAST(vec_id AS VARCHAR)), vec_id) AS r
+            FROM assign
+        )
+        SELECT vec_id, CAST(cell_id AS BIGINT) AS cell_id
+        FROM ordered WHERE r <= {_DIVERSE_PER_CELL}
+    """,
+)
+def v17_diverse_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    corpus = load_table(spark, "embeddings", sf_dir)
+    assign = kmeans_assign(corpus, seed_centroids(corpus)).select("vec_id", "cell_id")
+    w = W.partitionBy("cell_id").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    return (
+        assign.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= _DIVERSE_PER_CELL)
+        .select("vec_id", F.col("cell_id").cast("bigint").alias("cell_id"))
+    )

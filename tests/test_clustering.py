@@ -166,3 +166,34 @@ def test_v16_drift_alarm_fires_on_planted_shift_and_stays_quiet_on_fixture(spark
     assert planted[0]["drifted"] == 1
     assert abs(planted[0]["z"]) > 10
     assert sum(r["drifted"] for r in planted.values()) <= 2  # only dim 0 (+ noise)
+
+
+def test_diverse_sample_quota_is_exact_per_cell(spark):
+    from pyspark.sql import functions as F
+
+    from ai_iceberg_demo_spark.tables import load_table
+    from ai_iceberg_demo_spark.vector.clustering import (
+        _DIVERSE_PER_CELL,
+        kmeans_assign,
+        seed_centroids,
+        v17_diverse_sample,
+    )
+
+    corpus = load_table(spark, "embeddings", SF_DIR)
+    sizes = {
+        r["cell_id"]: r["n"]
+        for r in kmeans_assign(corpus, seed_centroids(corpus))
+        .groupBy("cell_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    got = {
+        r["cell_id"]: r["n"]
+        for r in v17_diverse_sample(spark, SF_DIR)
+        .groupBy("cell_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(sizes)
+    for cell, n in got.items():
+        assert n == min(_DIVERSE_PER_CELL, sizes[cell])

@@ -244,3 +244,19 @@ def test_u13_data_card_cells_partition_the_corpus(spark):
     ).first()[0]
     assert all(0.0 < r["avg_quality"] <= 1.0 for r in card)
     assert {r["band"] for r in card} <= {"high", "mid", "low"}
+
+
+def test_curriculum_positions_are_a_band_monotone_permutation(spark):
+    from ai_iceberg_demo_spark.operators.sampling import u14_curriculum_order
+
+    rows = u14_curriculum_order(spark, SF_DIR).collect()
+    positions = sorted(r["position"] for r in rows)
+    assert positions == list(range(len(rows)))
+    # every higher band finishes before any lower band starts
+    by_band = {}
+    for r in rows:
+        by_band.setdefault(r["band"], []).append(r["position"])
+    bands = sorted(by_band, reverse=True)
+    assert len(bands) >= 2, "fixture must populate several bands"
+    for hi, lo in zip(bands, bands[1:]):
+        assert max(by_band[hi]) < min(by_band[lo])
