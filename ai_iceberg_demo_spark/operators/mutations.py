@@ -366,3 +366,55 @@ def m6_scd2_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.col("c_acctbal").cast("double") + F.lit(100.0), 2)).alias("acctbal"),
     )
     return scd2_apply(dim, updates, key="c_custkey", tracked="acctbal", effective=_SCD2_T1)
+
+
+# ---------------------------------------------------------------------------
+# M7: retention TTL + user erasure (compliance deletes)
+# ---------------------------------------------------------------------------
+
+_RETAIN_CUTOFF = "2024-01-20 00:00:00"
+
+
+def apply_retention(
+    df: DataFrame, erased_users: DataFrame, cutoff: str = _RETAIN_CUTOFF
+) -> DataFrame:
+    """Surviving rows after compliance deletes: every row of an erased
+    user goes (right-to-be-forgotten dominates), then anything older
+    than the TTL cutoff. Map-only: the erasure list broadcasts into a
+    left-anti join, the TTL is a pushed predicate. On Iceberg both are
+    `DELETE FROM` (position/equality deletes); the audit twin
+    (m7_retention_audit) is what the oracle checks."""
+    return df.join(F.broadcast(erased_users), "user_id", "left_anti").filter(
+        F.col("ts") >= F.lit(cutoff).cast("timestamp")
+    )
+
+
+@REGISTRY.register(
+    name="m7_retention_audit",
+    survey_ref="M-family extra (TTL + right-to-be-forgotten)",
+    doc="compliance-delete audit over events: per event_type, rows "
+    "kept, dropped by the TTL cutoff, and erased for the user-erasure "
+    f"list (user_id%37==0; erasure dominates TTL). Cutoff "
+    f"{_RETAIN_CUTOFF}. One conditional-aggregation scan — the "
+    "before/after counts a DELETE FROM job must report; "
+    "`apply_retention` is the surviving-table form (kept == its "
+    "count, pinned in tests).",
+    oracle=f"""
+        SELECT event_type,
+               CAST(SUM(CASE WHEN user_id % 37 <> 0 AND ts >= TIMESTAMP '{_RETAIN_CUTOFF}'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(SUM(CASE WHEN user_id % 37 <> 0 AND ts < TIMESTAMP '{_RETAIN_CUTOFF}'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_ttl_dropped,
+               CAST(SUM(CASE WHEN user_id % 37 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_erased
+        FROM events GROUP BY event_type
+    """,
+)
+def m7_retention_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    erased = F.col("user_id") % 37 == 0
+    ttl = F.col("ts") < F.lit(_RETAIN_CUTOFF).cast("timestamp")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.when(~erased & ~ttl, 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(~erased & ttl, 1).otherwise(0)).alias("n_ttl_dropped"),
+        F.sum(F.when(erased, 1).otherwise(0)).alias("n_erased"),
+    )

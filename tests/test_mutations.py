@@ -88,3 +88,25 @@ def test_scd2_versions_are_consistent(spark):
         )
     )
     assert seams.filter(F.col("closed_to") != F.col("opened_from")).count() == 0
+
+
+def test_retention_survivors_reconcile_with_audit(spark):
+    from pyspark.sql import functions as F
+
+    from ai_iceberg_demo_spark.operators.mutations import (
+        apply_retention,
+        m7_retention_audit,
+    )
+    from ai_iceberg_demo_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, "events", SF_DIR)
+    erased_users = ev.filter(F.col("user_id") % 37 == 0).select("user_id").distinct()
+    survivors = apply_retention(ev, erased_users)
+    audit = m7_retention_audit(spark, SF_DIR).collect()
+    assert sum(r["n_kept"] for r in audit) == survivors.count()
+    assert sum(r["n_kept"] + r["n_ttl_dropped"] + r["n_erased"] for r in audit) == ev.count()
+    # no erased user survives
+    assert survivors.join(erased_users, "user_id").count() == 0
+    assert sum(r["n_erased"] for r in audit) > 0, "fixture must exercise erasure"
+    assert sum(r["n_ttl_dropped"] for r in audit) > 0, "fixture must exercise TTL"
