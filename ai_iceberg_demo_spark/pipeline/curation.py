@@ -273,3 +273,136 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_positions(positioned, order_col="position").select(
         "doc_id", "source", "n_tokens", "position", "bin_id", "bin_offset"
     )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_eval_prep: decontaminate → diversity-sample → leakage-safe split
+# ---------------------------------------------------------------------------
+
+_EVAL_PER_CELL = 10
+_EVAL_N = 8  # word n-gram width (t17's bar)
+
+
+@REGISTRY.register(
+    name="pipeline_eval_prep",
+    survey_ref="lifecycle composition: t17 + t17b + v11/v17 + u6b",
+    doc="eval-set construction as ONE plan: drop the benchmark docs "
+    "and everything contaminated against them — lexically (shared "
+    "8-gram, t17) or semantically (cosine ≥ 0.98, t17b) — then take "
+    f"an embedding-diversity quota of {_EVAL_PER_CELL} per k-means "
+    "cell (v17) and assign val/test by content-fingerprint hash "
+    "(u6b), so near-identical eval docs can never straddle the two "
+    "halves. Scale: the benchmark side broadcasts into both "
+    "contamination probes (the corpus never shuffles for them), "
+    "centroids broadcast for the assignment, and the only corpus "
+    "exchanges are the gram-hit aggregation and the per-cell quota "
+    "window.",
+    oracle=f"""
+        WITH bench_docs AS (
+            SELECT b.doc_id, b.text || ' ' || c.text AS text
+            FROM documents b JOIN documents c ON c.doc_id = b.doc_id + 1
+            WHERE b.doc_id % 10 = 3
+        ), bench_grams AS (
+            SELECT DISTINCT UNNEST(
+                CASE WHEN LEN(STRING_SPLIT(text, ' ')) >= {_EVAL_N} THEN
+                    LIST_TRANSFORM(GENERATE_SERIES(1, LEN(STRING_SPLIT(text, ' ')) - {_EVAL_N - 1}),
+                        i -> ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[i : i + {_EVAL_N - 1}], ' '))
+                ELSE [] END) AS gram
+            FROM bench_docs
+        ), lex_flagged AS (
+            SELECT DISTINCT g.doc_id FROM (
+                SELECT doc_id, UNNEST(
+                    CASE WHEN LEN(STRING_SPLIT(text, ' ')) >= {_EVAL_N} THEN
+                        LIST_TRANSFORM(GENERATE_SERIES(1, LEN(STRING_SPLIT(text, ' ')) - {_EVAL_N - 1}),
+                            i -> ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[i : i + {_EVAL_N - 1}], ' '))
+                    ELSE [] END) AS gram
+                FROM documents WHERE doc_id % 10 <> 3
+            ) g JOIN bench_grams b ON g.gram = b.gram
+        ), bench_vecs AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS bvec
+            FROM embeddings WHERE vec_id % 10 = 3
+        ), sem_flagged AS (
+            SELECT DISTINCT e.vec_id AS doc_id
+            FROM embeddings e, bench_vecs b
+            WHERE e.vec_id % 10 <> 3
+              AND ROUND(LIST_DOT_PRODUCT(CAST(e.embedding AS DOUBLE[]), b.bvec)
+                        / (SQRT(LIST_DOT_PRODUCT(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                           * SQRT(LIST_DOT_PRODUCT(b.bvec, b.bvec))), 6) >= 0.98
+        ), clean AS (
+            SELECT d.doc_id FROM documents d
+            WHERE d.doc_id % 10 <> 3
+              AND d.doc_id NOT IN (SELECT doc_id FROM lex_flagged)
+              AND d.doc_id NOT IN (SELECT doc_id FROM sem_flagged)
+        ), cen AS (
+            SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS centroid
+            FROM embeddings WHERE vec_id < 8
+        ), scored AS (
+            SELECT e.vec_id, c.cell_id,
+                   ROUND(LIST_DISTANCE(CAST(e.embedding AS DOUBLE[]), c.centroid), 4) AS dist
+            FROM embeddings e JOIN clean cl ON e.vec_id = cl.doc_id
+            CROSS JOIN cen c
+        ), assigned AS (
+            SELECT vec_id, cell_id,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell_id) AS rn
+            FROM scored
+        ), quota AS (
+            SELECT vec_id, cell_id,
+                   ROW_NUMBER() OVER (PARTITION BY cell_id
+                                      ORDER BY MD5(CAST(vec_id AS VARCHAR)), vec_id) AS r
+            FROM assigned WHERE rn = 1
+        )
+        SELECT q.vec_id AS doc_id, CAST(q.cell_id AS BIGINT) AS cell_id,
+               CASE WHEN (('0x' || SUBSTR(MD5(MD5(REGEXP_REPLACE(LOWER(TRIM(d.text)), '\\s+', ' ', 'g'))), 1, 8))::BIGINT % 100) < 50
+                    THEN 'val' ELSE 'test' END AS split
+        FROM quota q JOIN documents d ON d.doc_id = q.vec_id
+        WHERE q.r <= {_EVAL_PER_CELL}
+    """,
+)
+def pipeline_eval_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ai_iceberg_demo_spark.functions.text import fingerprint, t17_decontamination
+    from ai_iceberg_demo_spark.operators.sampling import hash_pct
+    from ai_iceberg_demo_spark.vector.clustering import kmeans_assign, seed_centroids
+    from ai_iceberg_demo_spark.vector.similarity import as_double, dot, with_norm
+
+    docs = load_table(spark, "documents", sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
+
+    lex_flagged = t17_decontamination(spark, sf_dir).select("doc_id")
+
+    base = emb.select("vec_id", as_double(F.col("embedding")).alias("embedding"))
+    bench = with_norm(base.filter(F.col("vec_id") % 10 == 3), "embedding", "bv", "bn")
+    corpus = with_norm(base.filter(F.col("vec_id") % 10 != 3), "embedding", "cv", "cn")
+    score = F.round(dot(F.col("cv"), F.col("bv")) / (F.col("cn") * F.col("bn")), 6)
+    sem_flagged = (
+        corpus.crossJoin(F.broadcast(bench.select("bv", "bn")))
+        .select("vec_id", score.alias("s"))
+        .filter(F.col("s") >= 0.98)
+        .select(F.col("vec_id").alias("doc_id"))
+        .distinct()
+    )
+
+    clean_ids = (
+        docs.filter(F.col("doc_id") % 10 != 3)
+        .select("doc_id")
+        .join(F.broadcast(lex_flagged), "doc_id", "left_anti")
+        .join(F.broadcast(sem_flagged), "doc_id", "left_anti")
+    )
+    clean_vecs = emb.join(
+        clean_ids.select(F.col("doc_id").alias("vec_id")), "vec_id"
+    )
+    assigned = kmeans_assign(clean_vecs, seed_centroids(emb)).select("vec_id", "cell_id")
+    w = W.partitionBy("cell_id").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    quota = (
+        assigned.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= _EVAL_PER_CELL)
+        .select(F.col("vec_id").alias("doc_id"), "cell_id")
+    )
+    split = F.when(hash_pct(fingerprint(F.col("text"))) < 50, "val").otherwise("test")
+    return (
+        quota.join(docs, "doc_id")
+        .select("doc_id", F.col("cell_id").cast("bigint").alias("cell_id"), split.alias("split"))
+    )

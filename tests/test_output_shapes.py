@@ -34,3 +34,36 @@ def test_output_schema_is_scalar_only(spark, name):
         "pandas canonicalizer cannot hash these; explode to rows or "
         "project scalar columns instead"
     )
+
+
+def test_eval_prep_excludes_all_contamination_and_fills_quota(spark):
+    """No benchmark or contaminated doc reaches the eval set; the
+    per-cell quota holds; both split halves are populated."""
+    from pyspark.sql import functions as F
+
+    from ai_iceberg_demo_spark.functions.text import t17_decontamination
+    from ai_iceberg_demo_spark.pipeline.curation import (
+        _EVAL_PER_CELL,
+        pipeline_eval_prep,
+    )
+    from ai_iceberg_demo_spark.vector.similarity import t17b_semantic_decontamination
+    from tests.conftest import SF_DIR
+
+    rows = pipeline_eval_prep(spark, SF_DIR).collect()
+    assert rows
+    ids = {r["doc_id"] for r in rows}
+    assert not any(i % 10 == 3 for i in ids), "benchmark doc leaked into eval"
+    lex = {r["doc_id"] for r in t17_decontamination(spark, SF_DIR).collect()}
+    assert not ids & lex, "lexically contaminated doc leaked"
+    sem = {
+        r["vec_id"]
+        for r in t17b_semantic_decontamination(spark, SF_DIR).collect()
+        if r["vec_id"] < 1_000_000  # planted twins aren't real corpus rows
+    }
+    assert not ids & sem, "semantically contaminated doc leaked"
+    per_cell: dict = {}
+    for r in rows:
+        per_cell[r["cell_id"]] = per_cell.get(r["cell_id"], 0) + 1
+    assert all(n <= _EVAL_PER_CELL for n in per_cell.values())
+    assert len(per_cell) >= 2, "eval set must span multiple cells"
+    assert {r["split"] for r in rows} == {"val", "test"}
