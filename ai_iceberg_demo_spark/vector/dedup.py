@@ -994,3 +994,108 @@ def d11_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_docs").alias("n_docs_b"),
     )
     return shared.join(da, ["source_a", "source_b"]).join(db, ["source_a", "source_b"])
+
+
+# ---------------------------------------------------------------------------
+# D12: containment similarity (asymmetric near-dup)
+# ---------------------------------------------------------------------------
+
+_CONTAIN_TAU = 0.8
+
+
+@REGISTRY.register(
+    name="d12_containment",
+    survey_ref="training-data (Broder containment); d2 family",
+    doc="asymmetric containment pairs: containment(A→B) = |shingles(A)"
+    "∩shingles(B)| / |shingles(A)| ≥ 0.8 — flags a document mostly "
+    "CONTAINED in another (quoted passages, doc-in-doc duplication) "
+    "that symmetric Jaccard misses whenever the container is much "
+    "larger. Output is directional (contained_id → container_id, both "
+    "directions can fire). The corpus is salted with planted "
+    "containers (doc_id%13==0's text concatenated with its neighbor, "
+    "id+2e6) so containment-without-Jaccard provably exists — the "
+    "fixture's own near-dups are all symmetric. Same shingle table "
+    "and equi-join discipline as d2; pairs already within "
+    "Jaccard ≥ 0.8 are excluded so the operator reports exactly what "
+    "d2 CANNOT see.",
+    oracle=f"""
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT a.doc_id + 2000000 AS doc_id, a.text || ' ' || b.text AS text
+            FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+            WHERE a.doc_id % 13 = 0
+        ), {_D2_CTES.replace("FROM documents", "FROM corpus")}
+        SELECT i.a_id AS contained_id, i.b_id AS container_id,
+               ROUND(CAST(i.n_inter AS DOUBLE) / sa.n_sh, 6) AS containment
+        FROM inter i
+        JOIN sizes sa ON i.a_id = sa.doc_id
+        JOIN sizes sb ON i.b_id = sb.doc_id
+        WHERE CAST(i.n_inter AS DOUBLE) / sa.n_sh >= {_CONTAIN_TAU}
+          AND CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) < 0.8
+        UNION ALL
+        SELECT i.b_id, i.a_id,
+               ROUND(CAST(i.n_inter AS DOUBLE) / sb.n_sh, 6) AS containment
+        FROM inter i
+        JOIN sizes sa ON i.a_id = sa.doc_id
+        JOIN sizes sb ON i.b_id = sb.doc_id
+        WHERE CAST(i.n_inter AS DOUBLE) / sb.n_sh >= {_CONTAIN_TAU}
+          AND CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) < 0.8
+    """,
+)
+def d12_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_iceberg_demo_spark.tables import fan_out_small_input
+
+    base = load_table(spark, "documents", sf_dir)
+    containers = (
+        base.filter(F.col("doc_id") % 13 == 0)
+        .alias("a")
+        .join(base.alias("b"), F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .select(
+            (F.col("a.doc_id") + 2_000_000).alias("doc_id"),
+            F.concat(F.col("a.text"), F.lit(" "), F.col("b.text")).alias("text"),
+        )
+    )
+    docs = fan_out_small_input(
+        base.select("doc_id", "text").unionByName(containers)
+    )
+    sh = (
+        docs.select("doc_id", F.explode(shingles(F.col("text"))).alias("shingle"))
+        .distinct()
+        .persist()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    joined = (
+        inter.join(
+            F.broadcast(sizes).withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_sh", "na"),
+            "a_id",
+        )
+        .join(
+            F.broadcast(sizes).withColumnRenamed("doc_id", "b_id").withColumnRenamed("n_sh", "nb"),
+            "b_id",
+        )
+    )
+    jac = F.col("n_inter").cast("double") / (F.col("na") + F.col("nb") - F.col("n_inter"))
+    c_ab = F.col("n_inter").cast("double") / F.col("na")
+    c_ba = F.col("n_inter").cast("double") / F.col("nb")
+    fwd = joined.filter((c_ab >= _CONTAIN_TAU) & (jac < 0.8)).select(
+        F.col("a_id").alias("contained_id"),
+        F.col("b_id").alias("container_id"),
+        F.round(c_ab, 6).alias("containment"),
+    )
+    rev = joined.filter((c_ba >= _CONTAIN_TAU) & (jac < 0.8)).select(
+        F.col("b_id").alias("contained_id"),
+        F.col("a_id").alias("container_id"),
+        F.round(c_ba, 6).alias("containment"),
+    )
+    return fwd.unionByName(rev)

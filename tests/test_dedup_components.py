@@ -132,3 +132,37 @@ def test_d11_overlap_matrix_counts_bounded_by_source_sizes(spark):
         assert r["n_shared_grams"] >= 1
         assert 1 <= r["n_docs_a"] <= sizes[r["source_a"]]
         assert 1 <= r["n_docs_b"] <= sizes[r["source_b"]]
+
+
+def test_containment_finds_planted_containers_and_excludes_jaccard_pairs(spark):
+    """Every planted (doc, container) pair must surface with
+    containment ≈ 1 in the doc→container direction, and nothing the
+    symmetric Jaccard operator already reports may reappear."""
+    from pyspark.sql import functions as F
+
+    from ai_iceberg_demo_spark.tables import load_table
+    from ai_iceberg_demo_spark.vector.dedup import d12_containment, d2_ngram_jaccard
+    from tests.conftest import SF_DIR
+
+    rows = d12_containment(spark, SF_DIR).collect()
+    assert rows
+    got = {(r["contained_id"], r["container_id"]): r["containment"] for r in rows}
+    docs = load_table(spark, "documents", SF_DIR)
+    ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    planted = {d for d in ids if d % 13 == 0 and d + 1 in ids}
+    assert planted
+    # a planted pair surfaces iff the neighbor is big enough to push
+    # the pair's Jaccard under 0.8 (tiny neighbors make the container
+    # ≈ the doc itself and the exclusion rightly drops it) — so assert
+    # the planted family is well-represented, and every surfaced one
+    # shows near-total containment
+    surfaced = {d for d in planted if (d, d + 2_000_000) in got}
+    assert len(surfaced) >= max(2, len(planted) // 2), (len(surfaced), len(planted))
+    for d in surfaced:
+        assert got[(d, d + 2_000_000)] > 0.95, d
+    jac_pairs = {
+        (r["a_id"], r["b_id"])
+        for r in d2_ngram_jaccard(spark, SF_DIR).collect()
+    }
+    overlap = {(a, b) for a, b in got} | {(b, a) for a, b in got}
+    assert not (jac_pairs & overlap), "containment must exclude d2's pairs"
