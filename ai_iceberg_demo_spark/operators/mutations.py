@@ -418,3 +418,52 @@ def m7_retention_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(~erased & ttl, 1).otherwise(0)).alias("n_ttl_dropped"),
         F.sum(F.when(erased, 1).otherwise(0)).alias("n_erased"),
     )
+
+
+_ASOF_DATE = "2024-07-01"  # after the m6 update batch took effect
+
+
+@REGISTRY.register(
+    name="m6b_asof_dimension",
+    survey_ref="M-family extra (temporal point-in-time query)",
+    doc=f"point-in-time dimension lookup over m6's SCD2 output: the "
+    f"balance of every customer AS OF {_ASOF_DATE} (after the update "
+    "batch), i.e. the version whose [valid_from, valid_to) interval "
+    "covers the date — the query shape that makes SCD2 worth its "
+    "storage. Map-only filter over the versioned table (on Iceberg: "
+    "partition/zone pruning on valid_from).",
+    oracle=f"""
+        WITH dim AS (
+            SELECT c_custkey, ROUND(CAST(c_acctbal AS DOUBLE), 2) AS acctbal,
+                   '{_SCD2_T0}' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to
+            FROM customer
+        ), updates AS (
+            SELECT c_custkey, ROUND(CAST(c_acctbal AS DOUBLE) + 100.0, 2) AS acctbal
+            FROM customer WHERE c_custkey % 10 = 0
+        ), changed AS (
+            SELECT d.c_custkey, d.acctbal AS old_bal, u.acctbal AS new_bal,
+                   d.valid_from
+            FROM dim d JOIN updates u ON d.c_custkey = u.c_custkey
+            WHERE d.acctbal <> u.acctbal
+        ), versioned AS (
+            SELECT c_custkey, old_bal AS acctbal, valid_from,
+                   '{_SCD2_T1}' AS valid_to FROM changed
+            UNION ALL
+            SELECT c_custkey, new_bal, '{_SCD2_T1}', CAST(NULL AS VARCHAR) FROM changed
+            UNION ALL
+            SELECT d.c_custkey, d.acctbal, d.valid_from, d.valid_to
+            FROM dim d WHERE NOT EXISTS (SELECT 1 FROM changed c
+                                         WHERE c.c_custkey = d.c_custkey)
+        )
+        SELECT c_custkey, acctbal, valid_from
+        FROM versioned
+        WHERE valid_from <= '{_ASOF_DATE}'
+          AND (valid_to IS NULL OR valid_to > '{_ASOF_DATE}')
+    """,
+)
+def m6b_asof_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    versioned = m6_scd2_upsert(spark, sf_dir)
+    return versioned.filter(
+        (F.col("valid_from") <= _ASOF_DATE)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > _ASOF_DATE))
+    ).select("c_custkey", "acctbal", "valid_from")

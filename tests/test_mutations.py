@@ -110,3 +110,25 @@ def test_retention_survivors_reconcile_with_audit(spark):
     assert survivors.join(erased_users, "user_id").count() == 0
     assert sum(r["n_erased"] for r in audit) > 0, "fixture must exercise erasure"
     assert sum(r["n_ttl_dropped"] for r in audit) > 0, "fixture must exercise TTL"
+
+
+def test_asof_lookup_returns_one_version_per_key_with_updated_balances(spark):
+    from pyspark.sql import functions as F
+
+    from ai_iceberg_demo_spark.operators.mutations import m6b_asof_dimension
+    from ai_iceberg_demo_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    cust = load_table(spark, "customer", SF_DIR)
+    out = m6b_asof_dimension(spark, SF_DIR)
+    assert out.count() == cust.count()
+    assert out.groupBy("c_custkey").count().filter(F.col("count") > 1).count() == 0
+    # after the effective date, every changed key shows the NEW balance
+    joined = out.join(
+        cust.select("c_custkey", F.round(F.col("c_acctbal").cast("double"), 2).alias("orig")),
+        "c_custkey",
+    )
+    changed = joined.filter(F.col("c_custkey") % 10 == 0)
+    assert changed.filter(F.col("acctbal") != F.round(F.col("orig") + 100.0, 2)).count() == 0
+    same = joined.filter(F.col("c_custkey") % 10 != 0)
+    assert same.filter(F.col("acctbal") != F.col("orig")).count() == 0
