@@ -197,3 +197,30 @@ def test_curation_funnel_shuffles_once(spark):
     for line in simple.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "text#" not in line, simple
+
+
+def test_curriculum_order_never_range_partitions(spark):
+    """u14 inherits u11's contract: a global easy-to-hard rank with NO
+    total-sort exchange over the corpus — only (band, bucket) hash
+    windows plus the broadcast prefix-count join."""
+    plan = plan_of(spark, "u14_curriculum_order", mode="simple")
+    corpus_range_lines = [
+        ln
+        for ln in plan.splitlines()
+        if "rangepartitioning" in ln and "doc_id" in ln
+    ]
+    assert corpus_range_lines == [], plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_watermark_audit_never_range_partitions(spark):
+    """t13's running max is day-sharded: no total-order exchange over
+    the events table; the shard-top prefix table broadcasts."""
+    plan = plan_of(spark, "t13_watermark_audit", mode="simple")
+    corpus_range_lines = [
+        ln
+        for ln in plan.splitlines()
+        if "rangepartitioning" in ln and "event_id" in ln
+    ]
+    assert corpus_range_lines == [], plan
+    assert "BroadcastHashJoin" in plan
