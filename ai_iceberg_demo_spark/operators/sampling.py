@@ -655,3 +655,74 @@ def u14_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("_off") + F.col("_rn") - 1).cast("bigint").alias("position"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# u16: source interleaving
+# ---------------------------------------------------------------------------
+
+
+@REGISTRY.register(
+    name="u16_interleave_sources",
+    survey_ref="training-data (post-mixing order)",
+    doc="deterministic round-robin source interleave: rank docs within "
+    "each source by key-hash, then order globally by (rank, source) — "
+    "after mixing (u10b), this is the pass that prevents long "
+    "single-source runs in the training stream. The global position "
+    "is computed in CLOSED FORM from the per-source rank and the "
+    "broadcast size table — position = Σ_s min(rank−1, n_s) + "
+    "|{s' < s : n_s' ≥ rank}| — so the plan has per-source windows "
+    "plus a map-side array fold, and NO total-order exchange (the "
+    "oracle is the global ROW_NUMBER spelling; the two are proven "
+    "equal).",
+    oracle="""
+        WITH ranked AS (
+            SELECT doc_id, source,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+            FROM documents
+        )
+        SELECT doc_id, source,
+               CAST(ROW_NUMBER() OVER (ORDER BY rn, source, doc_id) - 1 AS BIGINT)
+                   AS position
+        FROM ranked
+    """,
+)
+def u16_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, "documents", sf_dir)
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = docs.select("doc_id", "source").withColumn("rn", F.row_number().over(w))
+    sizes_row = (
+        docs.groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .agg(
+            F.array_sort(F.collect_list(F.struct("source", "n"))).alias("_sz")
+        )
+    )
+    # closed-form global position — no rangepartitioning/total sort:
+    # every doc before (rn, source) in the interleave order is either a
+    # doc of ANY source with a smaller rank (min caps exhausted
+    # sources) or a doc of an earlier source at the same rank
+    before_ranks = F.aggregate(
+        F.col("_sz"),
+        F.lit(0).cast("bigint"),
+        lambda acc, s: acc + F.least(F.col("rn").cast("bigint") - 1, s["n"]),
+    )
+    earlier_same_rank = F.size(
+        F.filter(
+            F.col("_sz"),
+            lambda s: (s["source"] < F.col("source")) & (s["n"] >= F.col("rn")),
+        )
+    ).cast("bigint")
+    return (
+        ranked.crossJoin(F.broadcast(sizes_row))
+        .select(
+            "doc_id",
+            "source",
+            (before_ranks + earlier_same_rank).alias("position"),
+        )
+    )

@@ -260,3 +260,21 @@ def test_curriculum_positions_are_a_band_monotone_permutation(spark):
     assert len(bands) >= 2, "fixture must populate several bands"
     for hi, lo in zip(bands, bands[1:]):
         assert max(by_band[hi]) < min(by_band[lo])
+
+
+def test_interleave_is_a_permutation_with_no_long_source_runs(spark):
+    """u16: positions form a permutation, and consecutive positions
+    rarely share a source (the whole point vs. a source-sorted order) —
+    with ~20 active sources, same-source adjacency should be rare."""
+    from ai_iceberg_demo_spark.operators.sampling import u16_interleave_sources
+
+    rows = sorted(
+        u16_interleave_sources(spark, SF_DIR).collect(), key=lambda r: r["position"]
+    )
+    assert [r["position"] for r in rows] == list(range(len(rows)))
+    runs = sum(
+        1 for a, b in zip(rows, rows[1:]) if a["source"] == b["source"]
+    )
+    # tail ranks can repeat a source once its peers are exhausted;
+    # anything beyond a small fraction means interleaving failed
+    assert runs < len(rows) * 0.1, runs
