@@ -911,3 +911,58 @@ def t26_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok, F.round(z, 4)).alias("z"),
         F.when(ok & (z >= _BURST_Z), 1).otherwise(0).cast("int").alias("burst"),
     )
+
+
+@REGISTRY.register(
+    name="t29_conversion_latency",
+    survey_ref="§2.11 analytics (funnel latency)",
+    doc="time-to-convert distribution for funnel completers (t14's "
+    "stage-3 users): per first-touch hour cohort, how many users "
+    "converted and the min/median/max seconds from first view to "
+    "first purchase — the latency lens on the funnel. Built on t14's "
+    "one-shuffle funnel output; the stats aggregate its user-sized "
+    "result, so the added cost is independent of event volume.",
+    oracle="""
+        WITH s1 AS (
+            SELECT user_id, MIN(ts) AS view_ts FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ), s2 AS (
+            SELECT e.user_id, MIN(e.ts) AS click_ts
+            FROM events e JOIN s1 ON e.user_id = s1.user_id
+            WHERE e.event_type = 'click' AND e.ts > s1.view_ts
+            GROUP BY e.user_id
+        ), s3 AS (
+            SELECT e.user_id, MIN(e.ts) AS purchase_ts
+            FROM events e JOIN s2 ON e.user_id = s2.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > s2.click_ts
+            GROUP BY e.user_id
+        ), conv AS (
+            SELECT s1.user_id,
+                   TIME_BUCKET(INTERVAL '1 hour', s1.view_ts) AS cohort_hr,
+                   (EPOCH_US(s3.purchase_ts) - EPOCH_US(s1.view_ts)) / 1000000.0 AS secs
+            FROM s1 JOIN s3 ON s1.user_id = s3.user_id
+        )
+        SELECT cohort_hr, CAST(COUNT(*) AS BIGINT) AS n_converted,
+               ROUND(MIN(secs), 3) AS min_s,
+               ROUND(MEDIAN(secs), 3) AS median_s,
+               ROUND(MAX(secs), 3) AS max_s
+        FROM conv GROUP BY cohort_hr
+    """,
+)
+def t29_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    funnel = t14_funnel(spark, sf_dir).filter(F.col("stage") == 3)
+    secs = (
+        F.unix_micros(F.col("purchase_ts")) - F.unix_micros(F.col("view_ts"))
+    ) / 1_000_000.0
+    return (
+        funnel.select(
+            F.date_trunc("hour", "view_ts").alias("cohort_hr"), secs.alias("secs")
+        )
+        .groupBy("cohort_hr")
+        .agg(
+            F.count("*").alias("n_converted"),
+            F.round(F.min("secs"), 3).alias("min_s"),
+            F.round(F.median("secs"), 3).alias("median_s"),
+            F.round(F.max("secs"), 3).alias("max_s"),
+        )
+    )
