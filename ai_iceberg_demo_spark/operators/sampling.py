@@ -726,3 +726,126 @@ def u16_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             (before_ranks + earlier_same_rank).alias("position"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# u17: weighted sampling without replacement (Efraimidis–Spirakis)
+# ---------------------------------------------------------------------------
+
+_WS_K = 50  # sample size
+# deterministic uniform in (0,1): first 12 md5 hex digits → [0, 16^12),
+# +0.5 then divide — never exactly 0 or 1, so ln(u) is always finite
+_WS_U_SQL = (
+    "((('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT + 0.5)"
+    " / 281474976710656.0)"
+)
+
+
+def weighted_sample_keys(key: Column, weight: Column) -> Column:
+    """Efraimidis–Spirakis A-ES sort key: ln(u)/w with u a deterministic
+    per-key uniform. Taking the k LARGEST keys draws a weighted sample
+    without replacement where P(i in sample) scales with w_i — the
+    one-pass, merge-friendly spelling of weighted reservoir sampling
+    (Efraimidis & Spirakis 2006, Inf. Proc. Letters 97(5)).
+
+    Map-only: each row's key depends only on its own (id, weight).
+    At 100 TB the top-k by this key is a per-partition partial top-k
+    merged on the driver (TakeOrderedAndProject) — no global sort, no
+    shuffle of the corpus. Reference analog: the research pipeline
+    samples k search tasks from a weighted plan
+    (research_manager.py:464-472 fan-out; weights implicit in plan
+    order) — this is that selection made explicit and reproducible.
+    """
+    u = (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 12), 16, 10).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(281474976710656.0)  # 16^12
+    return F.log(u) / weight
+
+
+@REGISTRY.register(
+    name="u17_weighted_sample",
+    survey_ref="training-data (weighted sampling)",
+    doc=f"weighted sample WITHOUT replacement, k={_WS_K}: quality-"
+    "weighted document selection by the Efraimidis–Spirakis key "
+    "ln(u)/w (u = deterministic md5 uniform, w = n_chars) — longer "
+    "docs proportionally likelier, yet the draw is exactly "
+    "reproducible on any partitioning and appends never evict prior "
+    "picks with a fixed u. Plan: map-only key + TakeOrderedAndProject "
+    "(per-partition partial top-k, no corpus shuffle/total sort).",
+    oracle=f"""
+        SELECT doc_id, source, n_chars,
+               ROUND(LN({_WS_U_SQL}) / n_chars, 6) AS es_key
+        FROM documents
+        ORDER BY LN({_WS_U_SQL}) / n_chars DESC, doc_id
+        LIMIT {_WS_K}
+    """,
+)
+def u17_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    es = weighted_sample_keys(F.col("doc_id"), F.col("n_chars"))
+    return (
+        docs.select("doc_id", "source", "n_chars", es.alias("_es"))
+        .orderBy(F.col("_es").desc(), "doc_id")
+        .limit(_WS_K)
+        .select("doc_id", "source", "n_chars", F.round("_es", 6).alias("es_key"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# u15: per-source quality-threshold calibration
+# ---------------------------------------------------------------------------
+
+
+@REGISTRY.register(
+    name="u15_quality_calibration",
+    survey_ref="training-data (per-source filter calibration)",
+    doc="calibrate a per-source quality cutoff to a 20% keep-rate: the "
+    "p80 of the quality proxy (n_chars) WITHIN each source becomes "
+    "that source's threshold, so one noisy crawl can't consume the "
+    "whole quality budget. Output is the audit table: threshold, "
+    "totals, kept count, realized keep-rate per source. Plan: one "
+    "groupBy(source) agg (exact interpolated percentile) → broadcast "
+    "thresholds → map-side conditional count. At 100 TB swap "
+    "percentile() for percentile_approx() — a mergeable sketch with "
+    "the same plan shape; exact keys the oracle here.",
+    oracle="""
+        WITH thr AS (
+            SELECT source,
+                   ROUND(QUANTILE_CONT(n_chars, 0.8), 4) AS threshold,
+                   CAST(COUNT(*) AS BIGINT) AS n_total
+            FROM documents GROUP BY source
+        )
+        SELECT d.source, t.threshold, t.n_total,
+               CAST(COUNT(*) FILTER (WHERE d.n_chars >= t.threshold) AS BIGINT)
+                   AS n_kept,
+               ROUND(COUNT(*) FILTER (WHERE d.n_chars >= t.threshold)
+                     / CAST(t.n_total AS DOUBLE), 4) AS keep_rate
+        FROM documents d JOIN thr t ON d.source = t.source
+        GROUP BY d.source, t.threshold, t.n_total
+    """,
+)
+def u15_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    thr = docs.groupBy("source").agg(
+        F.round(F.expr("percentile(n_chars, 0.8)"), 4).alias("threshold"),
+        F.count("*").alias("n_total"),
+    )
+    return (
+        docs.join(F.broadcast(thr), "source")
+        .groupBy("source", "threshold", "n_total")
+        .agg(
+            F.sum(F.when(F.col("n_chars") >= F.col("threshold"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+        .select(
+            "source",
+            "threshold",
+            "n_total",
+            "n_kept",
+            F.round(F.col("n_kept") / F.col("n_total").cast("double"), 4).alias(
+                "keep_rate"
+            ),
+        )
+    )

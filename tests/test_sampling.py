@@ -278,3 +278,46 @@ def test_interleave_is_a_permutation_with_no_long_source_runs(spark):
     # tail ranks can repeat a source once its peers are exhausted;
     # anything beyond a small fraction means interleaving failed
     assert runs < len(rows) * 0.1, runs
+
+
+def test_weighted_sample_favors_heavy_docs_and_is_layout_stable(spark):
+    """u17: the A-ES draw is (a) identical under repartition, (b) biased
+    toward high-weight docs vs the unweighted hash sample."""
+    from ai_iceberg_demo_spark.operators.sampling import (
+        _WS_K,
+        u17_weighted_sample,
+        weighted_sample_keys,
+    )
+
+    picked = u17_weighted_sample(spark, SF_DIR).collect()
+    assert len(picked) == _WS_K
+    ids = {r["doc_id"] for r in picked}
+
+    docs = load_table(spark, "documents", SF_DIR)
+    es = weighted_sample_keys(F.col("doc_id"), F.col("n_chars"))
+    re_ids = {
+        r["doc_id"]
+        for r in docs.repartition(17)
+        .select("doc_id", es.alias("k"))
+        .orderBy(F.col("k").desc(), "doc_id")
+        .limit(_WS_K)
+        .collect()
+    }
+    assert ids == re_ids
+
+    mean_all = docs.agg(F.avg("n_chars")).first()[0]
+    mean_picked = sum(r["n_chars"] for r in picked) / len(picked)
+    # weighting by n_chars must pull the sample mean above the corpus mean
+    assert mean_picked > mean_all
+
+
+def test_quality_calibration_hits_target_keep_rate(spark):
+    """u15: each source's realized keep-rate lands near the 20% target
+    (exact p80 threshold; ties can only push the rate UP)."""
+    from ai_iceberg_demo_spark.operators.sampling import u15_quality_calibration
+
+    rows = u15_quality_calibration(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["n_kept"] <= r["n_total"]
+        assert 0.15 <= r["keep_rate"] <= 0.35, (r["source"], r["keep_rate"])
