@@ -467,3 +467,190 @@ def m6b_asof_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("valid_from") <= _ASOF_DATE)
         & (F.col("valid_to").isNull() | (F.col("valid_to") > _ASOF_DATE))
     ).select("c_custkey", "acctbal", "valid_from")
+
+
+# ---------------------------------------------------------------------------
+# M8: snapshot diff (CDC between two table versions)
+# ---------------------------------------------------------------------------
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """Change-data-capture diff of two snapshots of the same table:
+    one row per changed key with change_type ∈ {insert, delete,
+    update} and the old/new values of every compared column.
+
+    This is the relational definition of an Iceberg changelog read
+    (`CALL system.create_changelog_view` between two snapshot ids) —
+    on Iceberg the engine serves it from metadata + changed data files
+    only, never rescanning unchanged files. The fallback here is a
+    full-outer join on the key: both sides hash-partition by key (the
+    same co-location a bucketed layout gets for free), unchanged rows
+    are dropped by a null-safe column comparison, and nothing wide
+    crosses the exchange beyond the compared columns. Reference
+    analog: the workflow resumes from Temporal event history by
+    replaying only NEW events (interactive_research_workflow.py:197-207)
+    — the delta, not the world.
+    """
+    o = old.alias("o")
+    n = new.alias("n")
+    cond = None
+    for k in keys:
+        c = F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}"))
+        cond = c if cond is None else (cond & c)
+    joined = o.join(n, cond, "full_outer")
+    old_present = F.col(f"o.{keys[0]}").isNotNull()
+    new_present = F.col(f"n.{keys[0]}").isNotNull()
+    same = None
+    for c in compare_cols:
+        eq = F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+        same = eq if same is None else (same & eq)
+    change = (
+        F.when(old_present & ~new_present, "delete")
+        .when(new_present & ~old_present, "insert")
+        .when(~same, "update")
+    )
+    out_cols = [F.coalesce(F.col(f"o.{k}"), F.col(f"n.{k}")).alias(k) for k in keys]
+    out_cols.append(change.alias("change_type"))
+    for c in compare_cols:
+        out_cols.append(F.col(f"o.{c}").alias(f"old_{c}"))
+        out_cols.append(F.col(f"n.{c}").alias(f"new_{c}"))
+    return joined.select(*out_cols).filter(F.col("change_type").isNotNull())
+
+
+@REGISTRY.register(
+    name="m8_snapshot_diff",
+    survey_ref="M-family extra (CDC / changelog read)",
+    doc="snapshot-to-snapshot CDC over orders: day-1 state vs a "
+    "simulated day-2 state (keys %17==3 deleted, %10==0 repriced "
+    "+250.00, %23==5 cloned to new keys) → one row per changed key with "
+    "change_type insert/delete/update and old/new totalprice. "
+    "Relational definition of Iceberg's changelog view: full-outer "
+    "join on the key, null-safe value compare, unchanged keys never "
+    "emitted; with metadata-backed snapshots only changed files are "
+    "even read.",
+    oracle="""
+        WITH snap0 AS (
+            SELECT o_orderkey, ROUND(CAST(o_totalprice AS DOUBLE), 2) AS price
+            FROM orders
+        ), snap1 AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 10 = 0
+                        THEN ROUND(CAST(o_totalprice AS DOUBLE), 2) + 250.0
+                        ELSE ROUND(CAST(o_totalprice AS DOUBLE), 2) END AS price
+            FROM orders WHERE o_orderkey % 17 <> 3
+            UNION ALL
+            SELECT o_orderkey + 10000000,
+                   ROUND(CAST(o_totalprice AS DOUBLE), 2)
+            FROM orders WHERE o_orderkey % 23 = 5
+        )
+        SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+               CASE WHEN n.o_orderkey IS NULL THEN 'delete'
+                    WHEN o.o_orderkey IS NULL THEN 'insert'
+                    WHEN o.price <> n.price THEN 'update' END AS change_type,
+               o.price AS old_o_totalprice,
+               n.price AS new_o_totalprice
+        FROM snap0 o FULL OUTER JOIN snap1 n ON o.o_orderkey = n.o_orderkey
+        WHERE (n.o_orderkey IS NULL OR o.o_orderkey IS NULL OR o.price <> n.price)
+    """,
+)
+def m8_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    snap0 = orders.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice").cast("double"), 2).alias("o_totalprice"),
+    )
+    survivors = snap0.filter(F.col("o_orderkey") % 17 != 3).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 10 == 0,
+            F.col("o_totalprice") + 250.0,
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    inserts = snap0.filter(F.col("o_orderkey") % 23 == 5).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"), "o_totalprice"
+    )
+    snap1 = survivors.unionByName(inserts)
+    return snapshot_diff(
+        snap0, snap1, keys=["o_orderkey"], compare_cols=["o_totalprice"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# M9: small-file compaction planning (table maintenance)
+# ---------------------------------------------------------------------------
+
+_COMPACT_TARGET = 5_000  # bin capacity in size units (stands in for 128 MB)
+
+
+@REGISTRY.register(
+    name="m9_compaction_plan",
+    survey_ref="M-family extra (table maintenance / OPTIMIZE)",
+    doc="small-file compaction planner: a per-partition file inventory "
+    "(pseudo-files keyed by l_orderkey%40 per ship-month, sized by "
+    "summed quantity) is bin-packed into rewrite groups — files at or "
+    "above the target stay put (group -1); smaller files get "
+    "group = floor(exclusive-running-size / target) in file order "
+    "within their partition. This is the planning half of Iceberg "
+    "rewrite_data_files / Delta OPTIMIZE binPack: one tiny inventory "
+    "agg, then a per-partition window over the file list — partitions "
+    "plan in parallel and the corpus itself is never reshuffled (at "
+    "100 TB the inventory comes from the metadata tables, not a scan).",
+    oracle=f"""
+        WITH files AS (
+            SELECT STRFTIME(CAST(l_shipdate AS DATE), '%Y-%m') AS part_month,
+                   l_orderkey % 40 AS file_id,
+                   CAST(SUM(l_quantity) AS BIGINT) AS size_units
+            FROM lineitem
+            GROUP BY 1, 2
+        ), cum AS (
+            SELECT part_month, file_id, size_units,
+                   SUM(CASE WHEN size_units < {_COMPACT_TARGET}
+                            THEN size_units ELSE 0 END)
+                       OVER (PARTITION BY part_month ORDER BY file_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS before_sz
+            FROM files
+        )
+        SELECT part_month, file_id, size_units,
+               CASE WHEN size_units >= {_COMPACT_TARGET} THEN CAST(-1 AS BIGINT)
+                    ELSE CAST(COALESCE(before_sz, 0) // {_COMPACT_TARGET} AS BIGINT)
+               END AS compaction_group
+        FROM cum
+    """,
+)
+def m9_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, "lineitem", sf_dir)
+    files = li.groupBy(
+        F.date_format(F.col("l_shipdate").cast("date"), "yyyy-MM").alias("part_month"),
+        (F.col("l_orderkey") % 40).alias("file_id"),
+    ).agg(F.sum("l_quantity").cast("bigint").alias("size_units"))
+    # single pass: the running sum counts ONLY small files, so at-target
+    # files ride through the same window (marked -1) instead of forcing
+    # a second agg/scan through a union branch — one inventory shuffle,
+    # one window, one lineitem scan.
+    w = (
+        W.partitionBy("part_month")
+        .orderBy("file_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    small_sz = F.when(
+        F.col("size_units") < _COMPACT_TARGET, F.col("size_units")
+    ).otherwise(F.lit(0))
+    before = F.coalesce(F.sum(small_sz).over(w), F.lit(0))
+    return files.select(
+        "part_month",
+        "file_id",
+        "size_units",
+        F.when(F.col("size_units") >= _COMPACT_TARGET, F.lit(-1).cast("bigint"))
+        .otherwise((before / _COMPACT_TARGET).cast("bigint"))
+        .alias("compaction_group"),
+    )

@@ -132,3 +132,61 @@ def test_asof_lookup_returns_one_version_per_key_with_updated_balances(spark):
     assert changed.filter(F.col("acctbal") != F.round(F.col("orig") + 100.0, 2)).count() == 0
     same = joined.filter(F.col("c_custkey") % 10 != 0)
     assert same.filter(F.col("acctbal") != F.col("orig")).count() == 0
+
+
+def test_snapshot_diff_classifies_planted_changes_exactly(spark):
+    """m8: the emitted change set matches the planted mutation rules
+    key-for-key — no unchanged row leaks through, none is missed."""
+    from ai_iceberg_demo_spark.operators.mutations import m8_snapshot_diff
+    from ai_iceberg_demo_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    keys = [
+        r["o_orderkey"]
+        for r in load_table(spark, "orders", SF_DIR).select("o_orderkey").collect()
+    ]
+    want_deletes = {k for k in keys if k % 17 == 3}
+    want_inserts = {k + 10_000_000 for k in keys if k % 23 == 5}
+    want_updates = {k for k in keys if k % 10 == 0 and k % 17 != 3}
+
+    got = m8_snapshot_diff(spark, SF_DIR).collect()
+    by_type = {}
+    for r in got:
+        by_type.setdefault(r["change_type"], set()).add(r["o_orderkey"])
+        if r["change_type"] == "update":
+            assert r["new_o_totalprice"] == r["old_o_totalprice"] + 250.0
+        elif r["change_type"] == "delete":
+            assert r["new_o_totalprice"] is None
+        else:
+            assert r["old_o_totalprice"] is None
+    assert by_type.get("delete", set()) == want_deletes
+    assert by_type.get("insert", set()) == want_inserts
+    assert by_type.get("update", set()) == want_updates
+
+
+def test_compaction_plan_bins_are_bounded_and_cover_inventory(spark):
+    """m9: every file appears exactly once; group -1 iff already at
+    target size; each rewrite group stays under target + its largest
+    member (the exclusive-running-sum bound)."""
+    from collections import defaultdict
+
+    from ai_iceberg_demo_spark.operators.mutations import (
+        _COMPACT_TARGET,
+        m9_compaction_plan,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = m9_compaction_plan(spark, SF_DIR).collect()
+    seen = {(r["part_month"], r["file_id"]) for r in rows}
+    assert len(seen) == len(rows)  # inventory covered exactly once
+
+    groups = defaultdict(list)
+    for r in rows:
+        if r["compaction_group"] == -1:
+            assert r["size_units"] >= _COMPACT_TARGET
+        else:
+            assert r["size_units"] < _COMPACT_TARGET
+            groups[(r["part_month"], r["compaction_group"])].append(r["size_units"])
+    assert groups
+    for sizes in groups.values():
+        assert sum(sizes) < _COMPACT_TARGET + max(sizes)
