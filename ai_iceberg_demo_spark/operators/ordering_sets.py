@@ -242,3 +242,74 @@ def u4_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_orderkey").alias("o_orderkey"))
     )
     return o.subtract(li)  # EXCEPT DISTINCT semantics, matching the SQL oracle
+
+
+# ---------------------------------------------------------------------------
+# O6: z-order (Morton) layout keys — multi-dimensional clustering
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 8  # 8 bits per dimension → 16-bit interleaved key
+_Z_FILE_SPAN = 256  # z-values per target file
+
+
+def zorder_key(x, y, bits: int = _Z_BITS):
+    """Morton/z-order interleave of two bucketed dimensions:
+    z = Σ_i bit_i(x)·2^(2i) + bit_i(y)·2^(2i+1).
+
+    Spelled with div/mod arithmetic (not bitwise ops) so the exact
+    expression is portable to any ANSI engine — the oracle replays it
+    verbatim. Map-only and branch-free: 2·bits terms folded by
+    Catalyst into one projection, whole-stage-codegen'd.
+    """
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        z = z + ((x / (1 << i)).cast("bigint") % 2) * (1 << (2 * i))
+        z = z + ((y / (1 << i)).cast("bigint") % 2) * (1 << (2 * i + 1))
+    return z
+
+
+def _zorder_sql(x: str, y: str, bits: int = _Z_BITS) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"(({x} // {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"(({y} // {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+@REGISTRY.register(
+    name="o6_zorder_key",
+    survey_ref="O-family extra (multi-dimensional clustering layout)",
+    doc="z-order layout keys over events: user bucket (user_id%256) "
+    "and day-of-year bucket interleaved into a 16-bit Morton key, "
+    "plus the target file (z // 256) a clustering write would place "
+    "the row in. This is the key-computation half of OPTIMIZE ZORDER "
+    "/ Iceberg sort-order z-ordering: rows close in BOTH dimensions "
+    "share files, so a (user range × date range) box query prunes to "
+    "O(perimeter) files instead of scanning one full dimension. "
+    "Map-only projection; the layout write is one "
+    "repartitionByRange(z) at write time and queries never pay it.",
+    oracle=f"""
+        WITH b AS (
+            SELECT event_id, user_id % 256 AS xb,
+                   DAYOFYEAR(CAST(ts AS DATE)) % 256 AS yb
+            FROM events
+        )
+        SELECT event_id, xb, yb,
+               {_zorder_sql("xb", "yb")} AS zvalue,
+               {_zorder_sql("xb", "yb")} // {_Z_FILE_SPAN} AS zfile
+        FROM b
+    """,
+)
+def o6_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    xb = (F.col("user_id") % 256).alias("xb")
+    yb = (F.dayofyear(F.col("ts").cast("date")) % 256).alias("yb")
+    b = ev.select("event_id", xb, yb)
+    z = zorder_key(F.col("xb"), F.col("yb"))
+    return b.select(
+        "event_id",
+        "xb",
+        "yb",
+        z.alias("zvalue"),
+        (z / _Z_FILE_SPAN).cast("bigint").alias("zfile"),
+    )

@@ -196,3 +196,33 @@ def test_histogram_sketch_is_mergeable_and_within_one_bin_of_exact(spark):
             col = f"q{int(p*100)}"
             assert abs(r[col] - exact[r["l_returnflag"]][col]) <= _HIST_W, (
                 r["l_returnflag"], col)
+
+
+def test_zorder_key_is_bijective_and_prunes_box_queries(spark):
+    """o6: the Morton key is a bijection of the (xb, yb) bucket pair,
+    stays in [0, 2^16), and a 2-d box query touches no more target
+    files under the z layout than under a single-dimension linear
+    layout — the property that justifies paying for the clustering
+    write."""
+    from ai_iceberg_demo_spark.operators.ordering_sets import (
+        _Z_FILE_SPAN,
+        o6_zorder_key,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = o6_zorder_key(spark, SF_DIR).collect()
+    assert rows
+    pairs = {(r["xb"], r["yb"]) for r in rows}
+    zvals = {r["zvalue"] for r in rows}
+    assert len(zvals) == len(pairs)  # bijection on observed buckets
+    assert all(0 <= r["zvalue"] < 1 << 16 for r in rows)
+    assert all(r["zfile"] == r["zvalue"] // _Z_FILE_SPAN for r in rows)
+
+    # 16x16 box anchored at the densest observed corner
+    x0 = min(r["xb"] for r in rows)
+    y0 = min(r["yb"] for r in rows)
+    box = [r for r in rows if x0 <= r["xb"] < x0 + 16 and y0 <= r["yb"] < y0 + 16]
+    assert box
+    z_files = {r["zfile"] for r in box}
+    linear_files = {(r["xb"] * 256 + r["yb"]) // _Z_FILE_SPAN for r in box}
+    assert len(z_files) <= len(linear_files)
