@@ -564,3 +564,76 @@ def t17b_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame
     return pairs.groupBy("vec_id").agg(
         F.count("*").alias("n_bench_hits"), F.max("score").alias("best_score")
     )
+
+
+# ---------------------------------------------------------------------------
+# V18: k-NN graph construction (LSH-blocked)
+# ---------------------------------------------------------------------------
+
+
+def knn_graph(
+    corpus: DataFrame,
+    k: int = 3,
+    n_tables: int = 12,
+    n_planes: int = 3,
+    seed: int = 42,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate k-nearest-neighbor graph: for every vector, its top-k
+    cosine neighbors among LSH candidates (any pair colliding in ≥1 of
+    L hash tables). The substrate for graph-based dedup-clustering,
+    HNSW-style index seeding, and label propagation.
+
+    Never all-pairs: candidate edges come from the (t, b) equi-self-join
+    of the bucket index — the d3/d5 banded-join shape — then ONE
+    exact-rerank join pins scores and a per-src window keeps k. At
+    100 TB the index is the persisted M5 artifact partitioned by
+    (t, bucket(b)), so candidate generation is co-located per bucket
+    and the per-src top-k window partitions by src (uniform key), no
+    skew. Recall vs brute force is pinned in tests/test_similarity.py.
+    """
+    from pyspark.sql import Window as W
+
+    index = build_lsh_index(corpus, n_tables, n_planes, seed, dim)
+    a, b = index.alias("a"), index.alias("b")
+    cand = (
+        a.join(b, ["t", "b"])
+        .filter(F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst"))
+        .distinct()
+    )
+    src_side = with_norm(corpus, "embedding", "sv", "sn").select(
+        F.col("vec_id").alias("src"), "sv", "sn"
+    )
+    dst_side = with_norm(corpus, "embedding", "dv", "dn").select(
+        F.col("vec_id").alias("dst"), "dv", "dn"
+    )
+    score = F.round(dot(F.col("sv"), F.col("dv")) / (F.col("sn") * F.col("dn")), 6)
+    scored = (
+        cand.join(src_side, "src")
+        .join(dst_side, "dst")
+        .select("src", "dst", score.alias("score"))
+    )
+    w = W.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("src", "dst", "score", "rank")
+    )
+
+
+@REGISTRY.register(
+    name="v18_knn_graph",
+    survey_ref="V3/E2 extra (k-NN graph)",
+    doc="approximate 3-NN graph over the embedding corpus: candidate "
+    "edges from the LSH bucket-index self-join (never all-pairs), "
+    "exact cosine rerank, per-src top-3 by window. 12 tables x 3 "
+    "planes calibrates mean recall@3 ~ 0.95 at fixture scale (plane "
+    "count grows with log(corpus) to keep buckets bounded at 100 TB). "
+    "Deterministic (seeded planes) but approximate, so no SQL oracle; "
+    "recall vs brute force is asserted in tests/test_similarity.py.",
+    oracle=None,
+)
+def v18_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = load_table(spark, "embeddings", sf_dir)
+    return knn_graph(corpus, k=3)

@@ -108,3 +108,39 @@ def test_semantic_decontamination_flags_every_planted_twin(spark):
     for vid, row in flagged.items():
         assert row["n_bench_hits"] == 1
         assert row["best_score"] >= 0.99
+
+
+def test_knn_graph_recall_against_brute_force(spark):
+    """v18: mean recall@3 of the LSH-blocked graph vs exact brute
+    force ≥ 0.8, every node emits ≤ 3 ranked edges, no self-loops."""
+    import numpy as np
+
+    from ai_iceberg_demo_spark.vector.similarity import v18_knn_graph
+    from ai_iceberg_demo_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    rows = v18_knn_graph(spark, SF_DIR).collect()
+    by_src = {}
+    for r in rows:
+        assert r["src"] != r["dst"]
+        by_src.setdefault(r["src"], []).append(r)
+    assert all(len(v) <= 3 for v in by_src.values())
+    assert all(sorted(e["rank"] for e in v) == list(range(1, len(v) + 1))
+               for v in by_src.values())
+
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=float)
+        for r in load_table(spark, "embeddings", SF_DIR).collect()
+    }
+    ids = sorted(emb)
+    m = np.stack([emb[i] / np.linalg.norm(emb[i]) for i in ids])
+    sims = m @ m.T
+    np.fill_diagonal(sims, -2.0)
+    order = np.array(ids)
+    hits = total = 0
+    for pos, i in enumerate(ids):
+        true3 = set(order[np.argsort(-sims[pos])[:3]])
+        got = {e["dst"] for e in by_src.get(i, [])}
+        hits += len(got & true3)
+        total += 3
+    assert hits / total >= 0.8
