@@ -654,3 +654,118 @@ def m9_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise((before / _COMPACT_TARGET).cast("bigint"))
         .alias("compaction_group"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M10: write-audit-publish gate
+# ---------------------------------------------------------------------------
+
+_WAP_CUTOFF = "2001-01-01"  # staging = orders on/after; production = before
+_WAP_MAX_NULL_RATE = 0.01
+_WAP_MAX_DOMAIN_VIOLATIONS = 0
+_WAP_MAX_MEAN_DRIFT = 0.10  # |staging mean / prod mean - 1|
+_WAP_MIN_ROW_FRACTION = 0.001  # staging must carry ≥ 0.1% of prod rows
+
+
+@REGISTRY.register(
+    name="m10_wap_audit",
+    survey_ref="M-family extra (write-audit-publish gate)",
+    doc="the audit half of write-audit-publish: a staged batch "
+    f"(orders from {_WAP_CUTOFF}) is checked against production "
+    "(orders before it) before any publish/branch-swap — row volume, "
+    "null rate on the money column, status-domain violations, and "
+    "mean-price drift, each emitted as (check, observed, threshold, "
+    "ok). On Iceberg the staging side is a branch and publishing is a "
+    "metadata fast-forward; the audit is the only part that reads "
+    "data, and it is two single-pass partial aggs (one per side, "
+    "pushdown-pruned to 3 columns) joined on nothing bigger than a "
+    "broadcast 1-row stats frame. Gate discipline: a publish runs "
+    "iff every row has ok=true.",
+    oracle=f"""
+        WITH prod AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                   AVG(o_totalprice) AS mean_price
+            FROM orders WHERE o_orderdate < '{_WAP_CUTOFF}'
+        ), stg AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                   AVG(o_totalprice) AS mean_price,
+                   CAST(COUNT(*) FILTER (WHERE o_totalprice IS NULL) AS DOUBLE)
+                       / COUNT(*) AS null_rate,
+                   CAST(COUNT(*) FILTER (WHERE o_orderstatus NOT IN
+                       ('F', 'O', 'P')) AS DOUBLE) AS domain_violations
+            FROM orders WHERE o_orderdate >= '{_WAP_CUTOFF}'
+        )
+        SELECT * FROM (
+            SELECT 'row_fraction' AS check_name,
+                   ROUND(s.n / p.n, 6) AS observed,
+                   {_WAP_MIN_ROW_FRACTION} AS threshold,
+                   s.n / p.n >= {_WAP_MIN_ROW_FRACTION} AS ok
+            FROM stg s, prod p
+            UNION ALL
+            SELECT 'null_rate', ROUND(s.null_rate, 6), {_WAP_MAX_NULL_RATE},
+                   s.null_rate <= {_WAP_MAX_NULL_RATE} FROM stg s
+            UNION ALL
+            SELECT 'domain_violations', s.domain_violations,
+                   {_WAP_MAX_DOMAIN_VIOLATIONS},
+                   s.domain_violations <= {_WAP_MAX_DOMAIN_VIOLATIONS} FROM stg s
+            UNION ALL
+            SELECT 'mean_drift', ROUND(ABS(s.mean_price / p.mean_price - 1), 6),
+                   {_WAP_MAX_MEAN_DRIFT},
+                   ABS(s.mean_price / p.mean_price - 1) <= {_WAP_MAX_MEAN_DRIFT}
+            FROM stg s, prod p
+        ) checks
+    """,
+)
+def m10_wap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    cutoff = F.lit(_WAP_CUTOFF).cast("timestamp")
+    prod = orders.filter(F.col("o_orderdate") < cutoff).agg(
+        F.count("*").cast("double").alias("p_n"),
+        F.avg("o_totalprice").alias("p_mean"),
+    )
+    stg = orders.filter(F.col("o_orderdate") >= cutoff).agg(
+        F.count("*").cast("double").alias("s_n"),
+        F.avg("o_totalprice").alias("s_mean"),
+        (
+            F.sum(F.when(F.col("o_totalprice").isNull(), 1).otherwise(0)).cast("double")
+            / F.count("*")
+        ).alias("null_rate"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("F", "O", "P"), 1).otherwise(0)
+        )
+        .cast("double")
+        .alias("domain_violations"),
+    )
+    stats = stg.crossJoin(F.broadcast(prod))
+
+    # one row → explode 4 check structs: the whole report is ONE plan
+    # with one agg per side (a 4-way union would re-run both aggs per
+    # branch — 8 exchanges instead of 2)
+    frac = F.col("s_n") / F.col("p_n")
+    drift = F.abs(F.col("s_mean") / F.col("p_mean") - 1)
+
+    def check(name: str, observed, threshold: float, ok):
+        return F.struct(
+            F.lit(name).alias("check_name"),
+            observed.cast("double").alias("observed"),
+            F.lit(threshold).cast("double").alias("threshold"),
+            ok.alias("ok"),
+        )
+
+    checks = F.array(
+        check("row_fraction", F.round(frac, 6), _WAP_MIN_ROW_FRACTION,
+              frac >= _WAP_MIN_ROW_FRACTION),
+        check("null_rate", F.round(F.col("null_rate"), 6), _WAP_MAX_NULL_RATE,
+              F.col("null_rate") <= _WAP_MAX_NULL_RATE),
+        check("domain_violations", F.col("domain_violations"),
+              float(_WAP_MAX_DOMAIN_VIOLATIONS),
+              F.col("domain_violations") <= _WAP_MAX_DOMAIN_VIOLATIONS),
+        check("mean_drift", F.round(drift, 6), _WAP_MAX_MEAN_DRIFT,
+              drift <= _WAP_MAX_MEAN_DRIFT),
+    )
+    return stats.select(F.explode(checks).alias("c")).select(
+        F.col("c.check_name").alias("check_name"),
+        F.col("c.observed").alias("observed"),
+        F.col("c.threshold").alias("threshold"),
+        F.col("c.ok").alias("ok"),
+    )
