@@ -966,3 +966,83 @@ def t29_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("secs"), 3).alias("max_s"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# t27: A/B experiment significance (two-proportion z-test)
+# ---------------------------------------------------------------------------
+
+
+@REGISTRY.register(
+    name="t27_ab_test",
+    survey_ref="§2.11 analytics (experimentation)",
+    doc="A/B readout with significance: users split by the standard "
+    "deterministic hash (user_id%2 → control/treatment), the "
+    "experimental unit is the user-day (converted = any purchase "
+    "that day — cluster-randomized by user so assignment is stable), "
+    "and the two-proportion z-test (pooled SE) decides at |z|≥1.96. "
+    "One unit-keyed partial-agg shuffle to the per-unit flag, then a "
+    "1-row closed-form stats agg — event volume never reaches the z "
+    "computation, so the readout costs the same as a count at any "
+    "scale.",
+    oracle="""
+        WITH per_unit AS (
+            SELECT user_id % 2 AS variant,
+                   MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+            FROM events GROUP BY user_id, CAST(ts AS DATE)
+        ), stats AS (
+            SELECT
+                CAST(COUNT(*) FILTER (WHERE variant = 0) AS BIGINT) AS n_a,
+                CAST(COUNT(*) FILTER (WHERE variant = 1) AS BIGINT) AS n_b,
+                CAST(SUM(conv) FILTER (WHERE variant = 0) AS BIGINT) AS conv_a,
+                CAST(SUM(conv) FILTER (WHERE variant = 1) AS BIGINT) AS conv_b
+            FROM per_unit
+        )
+        SELECT n_a, n_b, conv_a, conv_b,
+               ROUND(CAST(conv_a AS DOUBLE) / n_a, 6) AS rate_a,
+               ROUND(CAST(conv_b AS DOUBLE) / n_b, 6) AS rate_b,
+               ROUND(
+                 (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+                 / SQRT((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                        * (1 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)), 6) AS z_score,
+               ABS((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+                 / SQRT((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                        * (1 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b))) >= 1.96 AS significant
+        FROM stats
+    """,
+)
+def t27_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    per_unit = ev.groupBy("user_id", F.col("ts").cast("date").alias("d")).agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("conv")
+    ).select((F.col("user_id") % 2).alias("variant"), "conv")
+    stats = per_unit.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("variant") == 0, F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("variant") == 1, F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_b"),
+    )
+    rate_a = F.col("conv_a").cast("double") / F.col("n_a")
+    rate_b = F.col("conv_b").cast("double") / F.col("n_b")
+    pooled = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = (rate_a - rate_b) / F.sqrt(
+        pooled * (1 - pooled) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    return stats.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.round(rate_a, 6).alias("rate_a"),
+        F.round(rate_b, 6).alias("rate_b"),
+        F.round(z, 6).alias("z_score"),
+        (F.abs(z) >= 1.96).alias("significant"),
+    )
