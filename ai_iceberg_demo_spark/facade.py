@@ -231,6 +231,60 @@ class VectorRAG:
             ).saveAsTable(name)
         return True
 
+    def upsert_vector_index(
+        self,
+        new_vectors: DataFrame,
+        name: str = "result_embeddings_index",
+    ) -> int:
+        """Incremental index maintenance — d7's new-batch-only
+        discipline applied to the M5 lifecycle: only vec_ids NOT yet in
+        the index get their bucket/cell rows computed and appended;
+        re-upserting a batch is a no-op. Parameters come from the
+        persisted ``{name}__meta`` so the appended rows are
+        probe-compatible by construction.
+
+        Cost is O(new batch): an anti-join against the index's id set
+        (at 100 TB: a partition-pruned id scan / bloom probe on the
+        bucketed table) plus hashing the fresh vectors. IVF rows are
+        assigned to the EXISTING trained centroids — the standard
+        freshness/drift trade; retrain (drop + create) when the
+        appended fraction grows past rebuild policy, which v16's drift
+        monitor is the alarm for. Returns the number of vectors
+        appended."""
+        spark = self.embeddings.sparkSession
+        if not spark.catalog.tableExists(name) or not spark.catalog.tableExists(
+            f"{name}__meta"
+        ):
+            raise ValueError(
+                f"vector index {name!r} does not exist — create_vector_index first"
+            )
+        m = spark.table(f"{name}__meta").collect()[0]
+        existing_ids = spark.table(name).select("vec_id").distinct()
+        fresh = new_vectors.join(existing_ids, "vec_id", "left_anti")
+        if m["kind"] == "lsh":
+            from ai_iceberg_demo_spark.vector.similarity import build_lsh_index
+
+            rows = build_lsh_index(
+                fresh,
+                n_tables=m["n_tables"],
+                n_planes=m["n_planes"],
+                seed=m["seed"],
+                dim=m["dim"],
+            )
+            n_new = rows.select("vec_id").distinct().count()
+            rows.write.format("parquet").mode("append").bucketBy(
+                16, "t", "b"
+            ).saveAsTable(name)
+        else:
+            from ai_iceberg_demo_spark.vector.similarity import assign_cells
+
+            rows = assign_cells(fresh, spark.table(f"{name}__centroids"))
+            n_new = rows.select("vec_id").distinct().count()
+            rows.write.format("parquet").mode("append").bucketBy(
+                min(16, int(m["n_cells"])), "cell_id"
+            ).saveAsTable(name)
+        return n_new
+
     def drop_vector_index(self, name: str = "result_embeddings_index") -> None:
         spark = self.embeddings.sparkSession
         spark.sql(f"DROP TABLE IF EXISTS {name}")

@@ -288,3 +288,41 @@ def test_pipeline_interactive_routes_through_ivf_index(spark):
     finally:
         rag.drop_vector_index(name)
         rag.drop_vector_index("t_pipe_lsh_idx")
+
+
+def test_upsert_vector_index_appends_only_new_vectors(spark):
+    """M5 lifecycle: upsert indexes ONLY unseen vec_ids (re-upsert is a
+    0-row no-op), appended rows are probe-compatible, and a probe for a
+    new vector's own embedding finds it (self-collision)."""
+    emb = load_table(spark, "embeddings", SF_DIR)
+    docs = load_table(spark, "documents", SF_DIR)
+    base = emb.filter(F.col("vec_id") < 400)
+    rag = VectorRAG(base, docs)
+    name = "t_vec_idx_upsert"
+    rag.drop_vector_index(name)
+    try:
+        assert rag.create_vector_index(name) is True
+        n0 = spark.table(name).count()
+
+        batch = emb.filter(F.col("vec_id") >= 400)
+        n_batch = batch.count()
+        assert rag.upsert_vector_index(batch, name) == n_batch
+        assert spark.table(name).count() > n0
+        # idempotent: the same batch again appends nothing
+        assert rag.upsert_vector_index(batch, name) == 0
+
+        # a probe with a new vector's embedding must find that vector
+        new_id = batch.select(F.min("vec_id")).first()[0]
+        qv = emb.filter(F.col("vec_id") == new_id).select(
+            F.col("embedding").alias("qvec")
+        )
+        full = VectorRAG(emb, docs)
+        hits = full.search_similar_results(qv, k=3, min_score=-1.0, index=name)
+        assert hits.first()["vec_id"] == new_id
+
+        missing = pytest.raises(
+            ValueError, rag.upsert_vector_index, batch, "no_such_idx"
+        )
+        assert "does not exist" in str(missing.value)
+    finally:
+        rag.drop_vector_index(name)
