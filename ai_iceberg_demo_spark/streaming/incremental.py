@@ -208,3 +208,200 @@ def run_incremental_curation(
 def pipeline_incremental_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     state_dir = run_incremental_curation(spark, sf_dir)
     return spark.read.parquet(os.path.join(state_dir, CURATED))
+
+
+# ---------------------------------------------------------------------------
+# t28: audit-gated streaming publish (WAP under foreachBatch)
+# ---------------------------------------------------------------------------
+
+PUBLISHED = "published"
+QUARANTINE = "quarantine"
+AUDIT_LOG = "audit_log"
+
+_WAP_KNOWN_TYPES = ("view", "click", "purchase", "signup", "error")
+_WAP_MAX_NULL_RATE = 0.01
+_WAP_MAX_DRIFT = 0.15
+
+
+def wap_gated_sink(
+    stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    known_types: tuple[str, ...] = _WAP_KNOWN_TYPES,
+    max_null_rate: float = _WAP_MAX_NULL_RATE,
+    max_drift: float = _WAP_MAX_DRIFT,
+):
+    """m10's write-audit-publish gate as a streaming sink: every
+    micro-batch is audited (value null rate, event_type domain, mean
+    drift vs the ALREADY-PUBLISHED store) before it may append to the
+    published table; a failing batch lands in quarantine instead, and
+    every check is logged to the audit table either way.
+
+    The gate stats are two 1-row aggs (batch side + published side) —
+    collecting one row to make a control-flow decision is the
+    foreachBatch idiom, not a data move. The published store is never
+    rescanned beyond its running mean (at scale: maintained as a
+    (count, sum) accumulator table instead — same decision, O(1) read).
+    The first batch has no history, so its drift check is skipped —
+    bootstrap-trust, exactly like Iceberg's first snapshot."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        st = batch_df.agg(
+            F.count("*").alias("n"),
+            F.avg("value").alias("mean"),
+            (
+                F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).cast("double")
+                / F.count("*")
+            ).alias("null_rate"),
+            F.sum(
+                F.when(~F.col("event_type").isin(*known_types), 1).otherwise(0)
+            ).cast("double").alias("domain_violations"),
+        ).first()
+        published = _read_state(spark, os.path.join(state_dir, PUBLISHED))
+        checks = [
+            ("null_rate", st["null_rate"], max_null_rate,
+             st["null_rate"] <= max_null_rate),
+            ("domain_violations", st["domain_violations"], 0.0,
+             st["domain_violations"] <= 0),
+        ]
+        if published is not None:
+            pub_mean = published.agg(F.avg("value")).first()[0]
+            drift = abs(st["mean"] / pub_mean - 1)
+            checks.append(("mean_drift", drift, max_drift, drift <= max_drift))
+        ok_all = all(ok for _, _, _, ok in checks)
+        audit = spark.createDataFrame(
+            [(batch_id, name, round(obs, 6), thr, bool(ok), ok_all)
+             for name, obs, thr, ok in checks],
+            "batch_id long, check_name string, observed double, "
+            "threshold double, ok boolean, published boolean",
+        )
+        audit.coalesce(1).write.mode("append").parquet(
+            os.path.join(state_dir, AUDIT_LOG)
+        )
+        dest = PUBLISHED if ok_all else QUARANTINE
+        batch_df.write.mode("append").parquet(os.path.join(state_dir, dest))
+
+    return stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+
+
+def run_wap_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    state_dir: str | None = None,
+    dirty_batch: DataFrame | None = None,
+) -> str:
+    """Replay events as 3 id-keyed micro-batches (event_id%3 — the
+    split the oracle unrolls) through the WAP gate in ascending batch
+    order; optionally append a 4th planted-dirty batch (tests). Returns
+    the state_dir with published/quarantine/audit_log tables."""
+    if state_dir is None:
+        state_dir = tempfile.mkdtemp(prefix="wap_stream_")
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "event_type", "value"
+    )
+    ingest = os.path.join(state_dir, "incoming")
+    os.makedirs(ingest, exist_ok=True)
+    t0 = time.time() - 600
+    batches = [ev.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    if dirty_batch is not None:
+        batches.append(dirty_batch)
+    for i, b in enumerate(batches):
+        stage = os.path.join(state_dir, f"_stage{i}")
+        b.coalesce(1).write.mode("overwrite").parquet(stage)
+        dst = os.path.join(ingest, f"batch_{i}.parquet")
+        shutil.move(glob.glob(os.path.join(stage, "part-*.parquet"))[0], dst)
+        os.utime(dst, (t0 + 60 * i, t0 + 60 * i))
+        shutil.rmtree(stage)
+    stream = (
+        spark.readStream.schema(batches[0].schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(ingest, "*.parquet"))
+    )
+    q = (
+        wap_gated_sink(stream, state_dir, os.path.join(state_dir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return state_dir
+
+
+def _wap_batch_sql(i: int) -> str:
+    return (
+        f"SELECT event_type, value FROM events WHERE event_id % 3 = {i}"
+    )
+
+
+@REGISTRY.register(
+    name="t28_streaming_wap",
+    survey_ref="training-data (streaming write-audit-publish)",
+    doc="m10's publish gate run as a live foreachBatch stream: events "
+    "arrive as 3 id-keyed micro-batches; each batch's null-rate, "
+    "domain, and mean-drift-vs-published checks are logged and decide "
+    "publish vs quarantine. Output is the audit log — the oracle "
+    "unrolls the same 3 fixed batches in SQL (drift of batch i "
+    "against the union of published batches before it), which is "
+    "exact because the gate is deterministic. tests pin that a "
+    "planted dirty batch quarantines without poisoning the published "
+    "store.",
+    oracle=f"""
+        WITH b0 AS ({_wap_batch_sql(0)}),
+             b1 AS ({_wap_batch_sql(1)}),
+             b2 AS ({_wap_batch_sql(2)}),
+        s0 AS (SELECT AVG(value) AS mean,
+                      COUNT(*) FILTER (WHERE value IS NULL)
+                          / CAST(COUNT(*) AS DOUBLE) AS null_rate,
+                      CAST(COUNT(*) FILTER (WHERE event_type NOT IN
+                          {_WAP_KNOWN_TYPES!r}) AS DOUBLE) AS dv
+               FROM b0),
+        s1 AS (SELECT AVG(value) AS mean,
+                      COUNT(*) FILTER (WHERE value IS NULL)
+                          / CAST(COUNT(*) AS DOUBLE) AS null_rate,
+                      CAST(COUNT(*) FILTER (WHERE event_type NOT IN
+                          {_WAP_KNOWN_TYPES!r}) AS DOUBLE) AS dv
+               FROM b1),
+        s2 AS (SELECT AVG(value) AS mean,
+                      COUNT(*) FILTER (WHERE value IS NULL)
+                          / CAST(COUNT(*) AS DOUBLE) AS null_rate,
+                      CAST(COUNT(*) FILTER (WHERE event_type NOT IN
+                          {_WAP_KNOWN_TYPES!r}) AS DOUBLE) AS dv
+               FROM b2),
+        p1 AS (SELECT AVG(value) AS mean FROM b0),
+        p2 AS (SELECT AVG(value) AS mean FROM (SELECT * FROM b0
+                                               UNION ALL SELECT * FROM b1))
+        SELECT * FROM (
+          SELECT CAST(0 AS BIGINT) AS batch_id, 'null_rate' AS check_name,
+                 ROUND(s0.null_rate, 6) AS observed,
+                 {_WAP_MAX_NULL_RATE} AS threshold,
+                 s0.null_rate <= {_WAP_MAX_NULL_RATE} AS ok FROM s0
+          UNION ALL
+          SELECT 0, 'domain_violations', s0.dv, 0.0, s0.dv <= 0 FROM s0
+          UNION ALL
+          SELECT 1, 'null_rate', ROUND(s1.null_rate, 6), {_WAP_MAX_NULL_RATE},
+                 s1.null_rate <= {_WAP_MAX_NULL_RATE} FROM s1
+          UNION ALL
+          SELECT 1, 'domain_violations', s1.dv, 0.0, s1.dv <= 0 FROM s1
+          UNION ALL
+          SELECT 1, 'mean_drift', ROUND(ABS(s1.mean / p1.mean - 1), 6),
+                 {_WAP_MAX_DRIFT}, ABS(s1.mean / p1.mean - 1) <= {_WAP_MAX_DRIFT}
+          FROM s1, p1
+          UNION ALL
+          SELECT 2, 'null_rate', ROUND(s2.null_rate, 6), {_WAP_MAX_NULL_RATE},
+                 s2.null_rate <= {_WAP_MAX_NULL_RATE} FROM s2
+          UNION ALL
+          SELECT 2, 'domain_violations', s2.dv, 0.0, s2.dv <= 0 FROM s2
+          UNION ALL
+          SELECT 2, 'mean_drift', ROUND(ABS(s2.mean / p2.mean - 1), 6),
+                 {_WAP_MAX_DRIFT}, ABS(s2.mean / p2.mean - 1) <= {_WAP_MAX_DRIFT}
+          FROM s2, p2
+        ) t
+    """,
+)
+def t28_streaming_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    state_dir = run_wap_stream(spark, sf_dir)
+    return spark.read.parquet(os.path.join(state_dir, AUDIT_LOG)).select(
+        "batch_id", "check_name", "observed", "threshold", "ok"
+    )

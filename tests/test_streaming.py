@@ -493,3 +493,44 @@ def test_ab_test_flags_planted_effect_and_not_null_effect(spark):
     pa, pb, pool = ka / na, kb / nb, (ka + kb) / (na + nb)
     z = (pa - pb) / ((pool * (1 - pool) * (1 / na + 1 / nb)) ** 0.5)
     assert abs(z) >= 1.96 and (z > 0) == (pa > pb)
+
+
+def test_wap_stream_quarantines_dirty_batch_without_poisoning_publish(spark):
+    """t28: three clean batches publish; a planted 4th batch (nulls +
+    unknown event type + shifted mean) fails its checks, lands in
+    quarantine, and the published store holds exactly the clean rows."""
+    import os
+
+    from ai_iceberg_demo_spark.streaming.incremental import (
+        AUDIT_LOG,
+        PUBLISHED,
+        QUARANTINE,
+        run_wap_stream,
+    )
+    from ai_iceberg_demo_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    dirty = spark.createDataFrame(
+        [(10_000_000 + i,
+          "mystery_type" if i % 7 == 0 else "view",
+          None if i % 4 == 0 else 500.0)
+         for i in range(200)],
+        "event_id long, event_type string, value double",
+    )
+    state = run_wap_stream(spark, SF_DIR, dirty_batch=dirty)
+
+    clean_n = load_table(spark, "events", SF_DIR).count()
+    pub = spark.read.parquet(os.path.join(state, PUBLISHED))
+    quar = spark.read.parquet(os.path.join(state, QUARANTINE))
+    assert pub.count() == clean_n
+    assert quar.count() == 200
+    assert pub.filter(pub.event_id >= 10_000_000).count() == 0
+
+    audit = spark.read.parquet(os.path.join(state, AUDIT_LOG)).collect()
+    by_batch = {}
+    for r in audit:
+        by_batch.setdefault(r["batch_id"], []).append(r)
+    assert all(r["ok"] for b in (0, 1, 2) for r in by_batch[b])
+    dirty_checks = {r["check_name"]: r["ok"] for r in by_batch[3]}
+    assert dirty_checks == {"null_rate": False, "domain_violations": False,
+                            "mean_drift": False}
