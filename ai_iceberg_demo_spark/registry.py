@@ -102,8 +102,12 @@ class Registry:
 # t23_hybrid_rrf, u13_data_card, u6b_group_split, v13_standardize,
 # t13_watermark_audit, v8e_phash_dedup, d11_source_overlap,
 # g1_pagerank, t14_funnel, t14b_retention, a11b_histogram_quantiles,
-# m6_scd2_upsert, v14_mmr_rerank, v15_topic_terms — plus any r2-core
-# queries whose newest driver row is then 3 rounds old.
+# m6_scd2_upsert, v14_mmr_rerank, v15_topic_terms, and the operators
+# registered later in r4 (u17_weighted_sample, u15_quality_calibration,
+# m8_snapshot_diff, m9_compaction_plan, o6_zorder_key, v18_knn_graph,
+# v19_contrastive_mining, g2_label_propagation, m10_wap_audit,
+# t27_ab_test, t28_streaming_wap) — plus any r2-core queries whose
+# newest driver row is then 3 rounds old.
 _DRIVER_WINDOW_PRIORITY = [
     # --- the 48 r1-core queries, stalest first-evidence in the fleet ---
     "s1_full_scan",

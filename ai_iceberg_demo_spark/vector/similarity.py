@@ -710,3 +710,55 @@ def v19_contrastive_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(~F.col("is_pos"), F.col("vec_id"))).alias("neg_id"),
         F.max(F.when(~F.col("is_pos"), F.col("score"))).alias("neg_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# V20: int8 scalar quantization of the embedding column
+# ---------------------------------------------------------------------------
+
+
+@REGISTRY.register(
+    name="v20_quantize_embeddings",
+    survey_ref="V-family extra (scalar quantization)",
+    doc="int8 scalar quantization: per-dimension [min, max] over the "
+    "corpus (v13's posexplode partial-moment shape — O(dim) rows per "
+    "task through one exchange), then each component maps to "
+    "floor((x-min)/(max-min)*254)-127 ∈ [-127,127] — the 4× "
+    "memory/bandwidth reduction ANN serving runs on. floor (not "
+    "round) keys the oracle: identical across engines, no half-way "
+    "ties. Output is the exploded (vec_id, dim, q) relation — exact "
+    "integers, fully hash-checked; cosine fidelity of the dequantized "
+    "vectors is pinned in tests/test_similarity.py.",
+    oracle="""
+        WITH expl AS (
+            SELECT vec_id,
+                   GENERATE_SUBSCRIPTS(embedding, 1) - 1 AS dim,
+                   UNNEST(CAST(embedding AS DOUBLE[])) AS x
+            FROM embeddings
+        ), stats AS (
+            SELECT dim, MIN(x) AS lo, MAX(x) AS hi FROM expl GROUP BY dim
+        )
+        SELECT e.vec_id, e.dim,
+               CAST(CASE WHEN s.hi = s.lo THEN 0
+                    ELSE FLOOR((e.x - s.lo) / (s.hi - s.lo) * 254) - 127
+               END AS INT) AS q
+        FROM expl e JOIN stats s ON e.dim = s.dim
+    """,
+)
+def v20_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    expl = emb.select(
+        "vec_id", F.posexplode(as_double(F.col("embedding"))).alias("dim", "x")
+    )
+    stats = expl.groupBy("dim").agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    return expl.join(F.broadcast(stats), "dim").select(
+        "vec_id",
+        "dim",
+        F.when(F.col("hi") == F.col("lo"), F.lit(0))
+        .otherwise(
+            F.floor((F.col("x") - F.col("lo")) / (F.col("hi") - F.col("lo")) * 254)
+            - 127
+        )
+        .cast("int")
+        .alias("q"),
+    )

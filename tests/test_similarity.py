@@ -144,3 +144,39 @@ def test_knn_graph_recall_against_brute_force(spark):
         hits += len(got & true3)
         total += 3
     assert hits / total >= 0.8
+
+
+def test_quantization_preserves_cosine_geometry(spark):
+    """v20: dequantized int8 vectors reproduce pairwise cosine within
+    2e-2 — the fidelity bound that makes the 4x compression usable for
+    candidate generation (exact rerank stays fp)."""
+    import numpy as np
+
+    from ai_iceberg_demo_spark.vector.similarity import v20_quantize_embeddings
+    from ai_iceberg_demo_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    emb = {r["vec_id"]: np.array(r["embedding"], dtype=float)
+           for r in load_table(spark, "embeddings", SF_DIR).collect()}
+    dim = len(next(iter(emb.values())))
+    lo = np.min(np.stack(list(emb.values())), axis=0)
+    hi = np.max(np.stack(list(emb.values())), axis=0)
+
+    q = {}
+    for r in v20_quantize_embeddings(spark, SF_DIR).collect():
+        q.setdefault(r["vec_id"], np.zeros(dim))[r["dim"]] = r["q"]
+        assert -127 <= r["q"] <= 127
+    assert set(q) == set(emb)
+
+    ids = sorted(emb)[:50]
+    span = np.where(hi > lo, hi - lo, 1.0)
+    for i in ids[:10]:
+        deq_i = (q[i] + 127) / 254 * span + lo
+        for j in ids:
+            if i == j:
+                continue
+            a, b = emb[i], emb[j]
+            deq_j = (q[j] + 127) / 254 * span + lo
+            true = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+            approx = deq_i @ deq_j / (np.linalg.norm(deq_i) * np.linalg.norm(deq_j))
+            assert abs(true - approx) < 2e-2, (i, j, true, approx)
