@@ -769,3 +769,57 @@ def m10_wap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c.threshold").alias("threshold"),
         F.col("c.ok").alias("ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M11: orphan-file detection (remove_orphan_files planning)
+# ---------------------------------------------------------------------------
+
+
+@REGISTRY.register(
+    name="m11_orphan_files",
+    survey_ref="M-family extra (table maintenance / orphan cleanup)",
+    doc="the planning half of Iceberg remove_orphan_files: the object-"
+    "store listing is anti-joined against the metadata's referenced "
+    "file set; anything listed but unreferenced (failed-write debris, "
+    "aborted compactions) is an orphan slated for deletion. The "
+    "simulated listing = m9's referenced inventory plus planted "
+    "debris (file_id+1000 for file_id%7==0, mimicking retried "
+    "writes); the plan is one broadcast anti-join per partition "
+    "branch — at 100 TB the referenced set comes from metadata (KBs "
+    "per partition) and broadcasts against the listing scan.",
+    oracle=f"""
+        WITH referenced AS (
+            SELECT STRFTIME(CAST(l_shipdate AS DATE), '%Y-%m') AS part_month,
+                   l_orderkey % 40 AS file_id,
+                   CAST(SUM(l_quantity) AS BIGINT) AS size_units
+            FROM lineitem GROUP BY 1, 2
+        ), listing AS (
+            SELECT part_month, file_id, size_units FROM referenced
+            UNION ALL
+            SELECT part_month, file_id + 1000, CAST(0 AS BIGINT)
+            FROM referenced WHERE file_id % 7 = 0
+        )
+        SELECT l.part_month, l.file_id
+        FROM listing l
+        WHERE NOT EXISTS (SELECT 1 FROM referenced r
+                          WHERE r.part_month = l.part_month
+                            AND r.file_id = l.file_id)
+    """,
+)
+def m11_orphan_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    referenced = li.groupBy(
+        F.date_format(F.col("l_shipdate").cast("date"), "yyyy-MM").alias("part_month"),
+        (F.col("l_orderkey") % 40).alias("file_id"),
+    ).agg(F.sum("l_quantity").cast("bigint").alias("size_units")).persist()
+    debris = referenced.filter(F.col("file_id") % 7 == 0).select(
+        "part_month", (F.col("file_id") + 1000).alias("file_id"),
+        F.lit(0).cast("bigint").alias("size_units"),
+    )
+    listing = referenced.unionByName(debris)
+    return listing.join(
+        F.broadcast(referenced.select("part_month", "file_id")),
+        ["part_month", "file_id"],
+        "left_anti",
+    ).select("part_month", "file_id")

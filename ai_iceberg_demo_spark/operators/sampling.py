@@ -849,3 +849,69 @@ def u15_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# u18: repeat-aware upsampling (mixture rates above 1.0)
+# ---------------------------------------------------------------------------
+
+_UPSAMPLE_CAP = 4.0  # max epochs per source (overfitting guard)
+
+
+@REGISTRY.register(
+    name="u18_upsample_mix",
+    survey_ref="training-data (upsampling / multi-epoch mixture)",
+    doc="the other half of mixture application: u10b can only THIN a "
+    "source (rate ≤ 1); high-quality small sources need rates ABOVE "
+    "1 — seeing the corpus multiple times. Each source gets a "
+    "deterministic rate in [0.5, 2.5] (0.5 + (src#%5)/2, capped at "
+    f"{_UPSAMPLE_CAP} epochs — the standard repeat-cap guard); every "
+    "doc emits floor(rate) copies plus one more iff its key-hash "
+    "percentile falls under the fractional part, as (doc_id, source, "
+    "copy_idx) rows. Map-only sequence-explode — expansion is bounded "
+    "by the rate cap, no shuffle; retry-deterministic (hash, not "
+    "rand()).",
+    oracle=f"""
+        WITH rated AS (
+            SELECT doc_id, source,
+                   LEAST(0.5 + (CAST(REGEXP_EXTRACT(source, 'src(\\d+)', 1)
+                                     AS BIGINT) % 5) / 2.0,
+                         {_UPSAMPLE_CAP}) AS rate
+            FROM documents
+        ), counted AS (
+            SELECT doc_id, source,
+                   CAST(FLOOR(rate) AS BIGINT)
+                   + CASE WHEN {_HASH_PCT_SQL.format(key="doc_id")}
+                               < (rate - FLOOR(rate)) * 100
+                          THEN 1 ELSE 0 END AS n_copies
+            FROM rated
+        )
+        SELECT doc_id, source, CAST(UNNEST(GENERATE_SERIES(1, n_copies)) AS BIGINT)
+                   AS copy_idx
+        FROM counted WHERE n_copies >= 1
+    """,
+)
+def u18_upsample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    rate = F.least(
+        F.lit(0.5)
+        + (F.regexp_extract(F.col("source"), r"src(\d+)", 1).cast("bigint") % 5)
+        / 2.0,
+        F.lit(_UPSAMPLE_CAP),
+    )
+    frac = rate - F.floor(rate)
+    n_copies = (
+        F.floor(rate).cast("bigint")
+        + F.when(hash_pct(F.col("doc_id")) < frac * 100, 1).otherwise(0)
+    )
+    counted = docs.select("doc_id", "source", n_copies.alias("n_copies"))
+    return (
+        counted.filter(F.col("n_copies") >= 1)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.sequence(F.lit(1).cast("bigint"), F.col("n_copies"))).alias(
+                "copy_idx"
+            ),
+        )
+    )

@@ -321,3 +321,35 @@ def test_quality_calibration_hits_target_keep_rate(spark):
     for r in rows:
         assert r["n_kept"] <= r["n_total"]
         assert 0.15 <= r["keep_rate"] <= 0.35, (r["source"], r["keep_rate"])
+
+
+def test_upsample_mix_copy_counts_match_rates(spark):
+    """u18: per-source expansion factor ≈ its rate (exact on the hash
+    fraction), every copy_idx sequence is 1..n with no gaps, and the
+    output is identical under repartition."""
+    from collections import Counter
+
+    from ai_iceberg_demo_spark.operators.sampling import u18_upsample_mix
+
+    rows = u18_upsample_mix(spark, SF_DIR).collect()
+    assert rows
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault((r["doc_id"], r["source"]), []).append(r["copy_idx"])
+    for (doc, src), idxs in per_doc.items():
+        assert sorted(idxs) == list(range(1, len(idxs) + 1))
+
+    docs_per_source = Counter(s for _, s in per_doc)
+    copies_per_source = Counter()
+    for (d, s), idxs in per_doc.items():
+        copies_per_source[s] += len(idxs)
+    for src, n_docs in docs_per_source.items():
+        n = int(src.removeprefix("src"))
+        rate = min(0.5 + (n % 5) / 2.0, 4.0)
+        factor = copies_per_source[src] / n_docs
+        # whole part exact; fractional part realized by hash percentile
+        assert abs(factor - rate) <= 0.5, (src, rate, factor)
+
+    again = {(r["doc_id"], r["source"], r["copy_idx"])
+             for r in u18_upsample_mix(spark, SF_DIR).collect()}
+    assert again == {(r["doc_id"], r["source"], r["copy_idx"]) for r in rows}
