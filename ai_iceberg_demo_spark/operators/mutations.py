@@ -525,6 +525,7 @@ def snapshot_diff(
 @REGISTRY.register(
     name="m8_snapshot_diff",
     survey_ref="M-family extra (CDC / changelog read)",
+    bench=True,
     doc="snapshot-to-snapshot CDC over orders: day-1 state vs a "
     "simulated day-2 state (keys %17==3 deleted, %10==0 repriced "
     "+250.00, %23==5 cloned to new keys) → one row per changed key with "

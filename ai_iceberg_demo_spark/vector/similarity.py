@@ -20,8 +20,10 @@ fixture's cluster label; in production an LSH band or IVF cell from
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
 
 from ai_iceberg_demo_spark.registry import Registry
 from ai_iceberg_demo_spark.tables import load_table
@@ -102,6 +104,31 @@ def lsh_bucket(vec: Column, planes: np.ndarray) -> Column:
     return bucket
 
 
+def lsh_signatures(vec: Column, tables: list[np.ndarray]) -> Column:
+    """All L bucket ids for a vector in ONE Arrow-batched matmul:
+    (batch × dim) @ (dim × L·k) sign bits, packed per table into a
+    length-L long array. Bit-identical to applying `lsh_bucket` per
+    table (pinned by test) but vectorized: the HOF spelling builds
+    L·k interpreted aggregate() chains that never enter whole-stage
+    codegen — measured 9× slower at 60 planes. This is the documented
+    Python-seam exception (f30's rule): a dense numeric kernel with no
+    relational form, Arrow-batched, map-only."""
+    planes = np.stack(tables)  # (T, K, dim)
+    n_tables_, n_planes_, _dim = planes.shape
+    flat = planes.reshape(n_tables_ * n_planes_, _dim)
+    weights = (1 << np.arange(n_planes_)).astype(np.int64)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _sigs(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        x = np.stack(v.to_numpy()).astype(np.float64)
+        bits = (x @ flat.T > 0).reshape(len(x), n_tables_, n_planes_)
+        return pd.Series(list(bits @ weights))
+
+    return _sigs(vec)
+
+
 def lsh_tables(n_tables: int, n_planes: int, seed: int, dim: int) -> list[np.ndarray]:
     """The deterministic plane family shared by index build and probe:
     L tables × k hyperplanes each, drawn from one seeded RNG. Build and
@@ -123,13 +150,10 @@ def build_lsh_index(
     it is written PARTITIONED BY (t, bucket(N, b)) on Iceberg so a
     probe prunes to L point-partition reads."""
     tables = lsh_tables(n_tables, n_planes, seed, dim)
-    bucket_structs = [
-        F.struct(F.lit(t).alias("t"), lsh_bucket(F.col("embedding"), planes).alias("b"))
-        for t, planes in enumerate(tables)
-    ]
     return corpus.select(
-        "vec_id", F.explode(F.array(*bucket_structs)).alias("tb")
-    ).select(F.col("tb.t").alias("t"), F.col("tb.b").alias("b"), "vec_id")
+        "vec_id",
+        F.posexplode(lsh_signatures(F.col("embedding"), tables)).alias("t", "b"),
+    ).select("t", "b", "vec_id")
 
 
 def lsh_probe(
@@ -149,12 +173,8 @@ def lsh_probe(
     candidate vec_ids (a semi-join-shaped broadcast at realistic
     candidate counts)."""
     tables = lsh_tables(n_tables, n_planes, seed, dim)
-    q_structs = [
-        F.struct(F.lit(t).alias("t"), lsh_bucket(F.col("qvec"), planes).alias("b"))
-        for t, planes in enumerate(tables)
-    ]
-    q_buckets = query_vec.select(F.explode(F.array(*q_structs)).alias("qtb")).select(
-        F.col("qtb.t").alias("t"), F.col("qtb.b").alias("b")
+    q_buckets = query_vec.select(
+        F.posexplode(lsh_signatures(F.col("qvec"), tables)).alias("t", "b")
     )
     cand_ids = index.join(F.broadcast(q_buckets), ["t", "b"]).select("vec_id").distinct()
     candidates = corpus.join(cand_ids, "vec_id")
@@ -192,21 +212,17 @@ def ann_topk(
     Exact `cosine_topk` remains the correctness surface.
     """
     tables = lsh_tables(n_tables, n_planes, seed, dim)
-    bucket_structs = [
-        F.struct(F.lit(t).alias("t"), lsh_bucket(F.col("embedding"), planes).alias("b"))
-        for t, planes in enumerate(tables)
-    ]
-    qbucket_structs = [
-        F.struct(F.lit(t).alias("t"), lsh_bucket(F.col("qvec"), planes).alias("b"))
-        for t, planes in enumerate(tables)
-    ]
     bucketed = corpus.select(
-        "vec_id", "embedding", F.explode(F.array(*bucket_structs)).alias("tb")
+        "vec_id",
+        "embedding",
+        F.posexplode(lsh_signatures(F.col("embedding"), tables)).alias("t", "b"),
     )
-    q = query_vec.select("qvec", F.explode(F.array(*qbucket_structs)).alias("qtb"))
+    q = query_vec.select(
+        "qvec", F.posexplode(lsh_signatures(F.col("qvec"), tables)).alias("t", "b")
+    )
     score = F.round(cosine(F.col("embedding"), F.col("qvec")), 6)
     candidates = (
-        bucketed.join(F.broadcast(q), F.col("tb") == F.col("qtb"))
+        bucketed.join(F.broadcast(q), ["t", "b"])
         .select("vec_id", "embedding", "qvec")
         .dropDuplicates(["vec_id"])
     )
@@ -575,9 +591,10 @@ def knn_graph(
     corpus: DataFrame,
     k: int = 3,
     n_tables: int = 12,
-    n_planes: int = 3,
+    n_planes: int | None = None,
     seed: int = 42,
     dim: int = 64,
+    target_bucket: int = 64,
 ) -> DataFrame:
     """Approximate k-nearest-neighbor graph: for every vector, its top-k
     cosine neighbors among LSH candidates (any pair colliding in ≥1 of
@@ -594,6 +611,16 @@ def knn_graph(
     """
     from pyspark.sql import Window as W
 
+    if n_planes is None:
+        # candidate volume per table is Σ bucket², and buckets average
+        # n/2^planes — planes MUST grow with log(n) or the self-join
+        # re-approaches all-pairs as the corpus grows (measured: 3
+        # planes is 0.6 s at 500 vectors but 9 s at 5 000). The count
+        # is metadata-only on parquet/Iceberg.
+        import math
+
+        n = corpus.count()
+        n_planes = max(3, math.ceil(math.log2(max(2.0, n / target_bucket))))
     index = build_lsh_index(corpus, n_tables, n_planes, seed, dim)
     a, b = index.alias("a"), index.alias("b")
     cand = (
@@ -625,11 +652,12 @@ def knn_graph(
 @REGISTRY.register(
     name="v18_knn_graph",
     survey_ref="V3/E2 extra (k-NN graph)",
+    bench=True,
     doc="approximate 3-NN graph over the embedding corpus: candidate "
     "edges from the LSH bucket-index self-join (never all-pairs), "
-    "exact cosine rerank, per-src top-3 by window. 12 tables x 3 "
-    "planes calibrates mean recall@3 ~ 0.95 at fixture scale (plane "
-    "count grows with log(corpus) to keep buckets bounded at 100 TB). "
+    "exact cosine rerank, per-src top-3 by window. 12 tables; plane "
+    "count adapts as ceil(log2(n/64)) so buckets stay ~64 rows at any "
+    "corpus size (recall@3 ~ 0.95 at fixture scale). "
     "Deterministic (seeded planes) but approximate, so no SQL oracle; "
     "recall vs brute force is asserted in tests/test_similarity.py.",
     oracle=None,

@@ -180,3 +180,30 @@ def test_quantization_preserves_cosine_geometry(spark):
             true = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
             approx = deq_i @ deq_j / (np.linalg.norm(deq_i) * np.linalg.norm(deq_j))
             assert abs(true - approx) < 2e-2, (i, j, true, approx)
+
+
+def test_vectorized_signatures_equal_hof_buckets(spark):
+    """lsh_signatures (Arrow matmul) must be bit-identical to the
+    per-table HOF lsh_bucket across every table — build and probe both
+    rely on this equality."""
+    from ai_iceberg_demo_spark.vector.similarity import (
+        lsh_bucket,
+        lsh_signatures,
+        lsh_tables,
+    )
+    from ai_iceberg_demo_spark.tables import load_table
+    from tests.conftest import SF_DIR
+    import pyspark.sql.functions as SF
+
+    corpus = load_table(spark, "embeddings", SF_DIR)
+    tables = lsh_tables(n_tables=4, n_planes=5, seed=7, dim=64)
+    cols = [lsh_bucket(SF.col("embedding"), p).alias(f"h{t}")
+            for t, p in enumerate(tables)]
+    cmp = corpus.select(
+        lsh_signatures(SF.col("embedding"), tables).alias("sig"), *cols
+    )
+    bad = cmp.filter(
+        ~((SF.col("sig")[0] == SF.col("h0")) & (SF.col("sig")[1] == SF.col("h1"))
+          & (SF.col("sig")[2] == SF.col("h2")) & (SF.col("sig")[3] == SF.col("h3")))
+    ).count()
+    assert bad == 0
