@@ -915,3 +915,73 @@ def u18_upsample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# u19: token-exact packing with document splitting (no padding)
+# ---------------------------------------------------------------------------
+
+
+@REGISTRY.register(
+    name="u19_packing_split",
+    survey_ref="training-data (token-exact packing)",
+    doc="u9 assigns each doc ONE (bin, offset) and lets the last doc "
+    "of a bin overflow; real pretraining packs token-exact — a doc "
+    "crossing a 2048-token boundary SPLITS, its tail continuing in "
+    "the next bin, so every bin is exactly full and no padding tokens "
+    "are wasted. Each doc at global token start S with n tokens emits "
+    "one segment row per bin it touches: (bin_id, doc_offset, "
+    "bin_offset, seg_len). Built on u9's two-phase prefix sum (no "
+    "total-order exchange); the bin fan-out is a map-side "
+    "sequence-explode bounded by ceil(n/2048)+1 segments per doc. The "
+    "oracle spells the same segments from the single global window.",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n
+            FROM documents
+        ), pos AS (
+            SELECT doc_id, n,
+                   COALESCE(SUM(n) OVER (ORDER BY doc_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING), 0) AS s
+            FROM toks
+        )
+        SELECT doc_id,
+               b AS bin_id,
+               GREATEST(s, b * {PACK_BUDGET}) - s AS doc_offset,
+               GREATEST(s, b * {PACK_BUDGET}) - b * {PACK_BUDGET} AS bin_offset,
+               LEAST(s + n, (b + 1) * {PACK_BUDGET})
+                   - GREATEST(s, b * {PACK_BUDGET}) AS seg_len
+        FROM pos,
+             UNNEST(GENERATE_SERIES(CAST(s // {PACK_BUDGET} AS BIGINT),
+                                    CAST((s + n - 1) // {PACK_BUDGET} AS BIGINT)))
+                 AS t(b)
+        WHERE n > 0
+    """,
+)
+def u19_packing_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n")
+    ).filter(F.col("n") > 0)
+    packed = pack_positions(toks, order_col="doc_id", tokens_col="n")
+    budget = F.lit(PACK_BUDGET).cast("bigint")
+    s = F.col("bin_id") * budget + F.col("bin_offset")
+    end = s + F.col("n")
+    segs = packed.select(
+        "doc_id",
+        "n",
+        s.alias("s"),
+        F.explode(
+            F.sequence((s / budget).cast("bigint"), ((end - 1) / budget).cast("bigint"))
+        ).alias("b"),
+    )
+    seg_start = F.greatest(F.col("s"), F.col("b") * budget)
+    seg_end = F.least(F.col("s") + F.col("n"), (F.col("b") + 1) * budget)
+    return segs.select(
+        "doc_id",
+        F.col("b").alias("bin_id"),
+        (seg_start - F.col("s")).alias("doc_offset"),
+        (seg_start - F.col("b") * budget).alias("bin_offset"),
+        (seg_end - seg_start).alias("seg_len"),
+    )

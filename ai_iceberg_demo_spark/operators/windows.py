@@ -196,3 +196,64 @@ def w6_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_orderkey").over(w_full).alias("cheapest_key"),
         F.nth_value("o_orderkey", 2).over(w_full).alias("second_key"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W7: cumulative distinct users (growth accounting)
+# ---------------------------------------------------------------------------
+
+
+@REGISTRY.register(
+    name="w7_cumulative_uniques",
+    survey_ref="W-family extra (cumulative distinct)",
+    doc="daily actives + cumulative unique users: COUNT(DISTINCT) "
+    "over an expanding window is unshuffleable at scale, so the "
+    "cumulative series uses the FIRST-SEEN trick — min(day) per user "
+    "(one user-keyed partial agg), count first-appearances per day, "
+    "running-sum the corpus-independent day table. The running window "
+    "orders ~365 rows, never events (t13's tiny-table discipline); "
+    "the alternative exact spelling shuffles the full (day × user) "
+    "prefix per day. Mergeable-sketch variant: a8b's HLL unions give "
+    "the same series approximately with incremental dailies.",
+    oracle="""
+        WITH days AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+            FROM events GROUP BY 1
+        ), first_seen AS (
+            SELECT user_id, MIN(CAST(ts AS DATE)) AS day FROM events
+            GROUP BY user_id
+        ), news AS (
+            SELECT day, CAST(COUNT(*) AS BIGINT) AS n_new FROM first_seen
+            GROUP BY day
+        )
+        SELECT CAST(d.day AS VARCHAR) AS day, d.n_events, d.n_active,
+               CAST(COALESCE(n.n_new, 0) AS BIGINT) AS n_new,
+               CAST(SUM(COALESCE(n.n_new, 0))
+                    OVER (ORDER BY d.day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS n_cumulative
+        FROM days d LEFT JOIN news n ON d.day = n.day
+    """,
+)
+def w7_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    day = F.col("ts").cast("date")
+    days = ev.groupBy(day.alias("day")).agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_active"),
+    )
+    first_seen = ev.groupBy("user_id").agg(F.min(day).alias("day"))
+    news = first_seen.groupBy("day").agg(F.count("*").alias("n_new"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        days.join(news, "day", "left")
+        .select(
+            "day",
+            "n_events",
+            "n_active",
+            F.coalesce(F.col("n_new"), F.lit(0)).cast("bigint").alias("n_new"),
+        )
+        .withColumn("n_cumulative", F.sum("n_new").over(w).cast("bigint"))
+        .withColumn("day", F.col("day").cast("string"))
+    )

@@ -353,3 +353,36 @@ def test_upsample_mix_copy_counts_match_rates(spark):
     again = {(r["doc_id"], r["source"], r["copy_idx"])
              for r in u18_upsample_mix(spark, SF_DIR).collect()}
     assert again == {(r["doc_id"], r["source"], r["copy_idx"]) for r in rows}
+
+
+def test_packing_split_bins_are_exactly_full(spark):
+    """u19: segments tile every doc completely (Σ seg_len per doc =
+    its token count), every interior bin is exactly PACK_BUDGET full,
+    and no segment crosses a bin boundary."""
+    from collections import defaultdict
+
+    from ai_iceberg_demo_spark.operators.sampling import (
+        PACK_BUDGET,
+        u19_packing_split,
+    )
+    from ai_iceberg_demo_spark.tables import load_table
+
+    rows = u19_packing_split(spark, SF_DIR).collect()
+    toks = {
+        r["doc_id"]: r["n"]
+        for r in load_table(spark, "documents", SF_DIR)
+        .select("doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n"))
+        .collect()
+    }
+    per_doc = defaultdict(int)
+    per_bin = defaultdict(int)
+    for r in rows:
+        assert r["seg_len"] > 0
+        assert r["bin_offset"] + r["seg_len"] <= PACK_BUDGET  # never crosses
+        per_doc[r["doc_id"]] += r["seg_len"]
+        per_bin[r["bin_id"]] += r["seg_len"]
+    assert per_doc == toks  # full tiling, nothing lost or duplicated
+    last_bin = max(per_bin)
+    for b, filled in per_bin.items():
+        if b != last_bin:
+            assert filled == PACK_BUDGET, (b, filled)  # token-exact, no padding
