@@ -842,3 +842,66 @@ def f30_unicode_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         fold(F.col("text")).alias("folded"),
         F.when(fold(F.col("text")) != F.col("text"), 1).otherwise(0).cast("int").alias("changed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# f31: GPT-style regex pretokenizer statistics
+# ---------------------------------------------------------------------------
+
+# the GPT-2 pretokenizer family, minus lookbehind (Java and RE2
+# compatible): contractions | space?-letters | space?-digits |
+# space?-punctuation-runs | stray apostrophe
+_PRETOK_PAT = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9']+|'"
+
+
+def pretokenize(text: Column) -> Column:
+    """The BPE pre-tokenization split every GPT-family tokenizer runs
+    before merges — whitespace-prefixed word/number/punct runs plus
+    English contractions. Map-only regexp_extract_all; the SAME
+    pattern string executes identically under Java regex (Spark) and
+    RE2 (DuckDB) because it needs no lookbehind/backrefs — verified by
+    the f31 oracle hash."""
+    return F.regexp_extract_all(text, F.lit(_PRETOK_PAT), 0)
+
+
+@REGISTRY.register(
+    name="f31_pretokenize",
+    survey_ref="F/t-family extra (BPE pre-tokenization)",
+    doc="pretokenizer statistics per document: total pretokens and the "
+    "word / numeric / contraction / punctuation class counts the "
+    "GPT-2-style split produces — the exact row a tokenizer-training "
+    "pipeline (t21's merge stats) consumes upstream of merges, and "
+    "the token-budget estimator that beats whitespace counting on "
+    "punctuation-heavy text. One regexp pass + array filters, "
+    "map-only, zero shuffle beyond the final row.",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   REGEXP_EXTRACT_ALL(text,
+                       '{_PRETOK_PAT.replace("'", "''")}') AS t
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(LEN(t) AS BIGINT) AS n_pretokens,
+               CAST(LEN(LIST_FILTER(t, x -> REGEXP_MATCHES(x, '^ ?[A-Za-z]+$')))
+                   AS BIGINT) AS n_word,
+               CAST(LEN(LIST_FILTER(t, x -> REGEXP_MATCHES(x, '^ ?[0-9]+$')))
+                   AS BIGINT) AS n_numeric,
+               CAST(LEN(LIST_FILTER(t, x -> REGEXP_MATCHES(x, '^''')))
+                   AS BIGINT) AS n_contraction
+        FROM toks
+    """,
+)
+def f31_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select("doc_id", pretokenize(F.col("text")).alias("t"))
+    def count_class(pat: str) -> Column:
+        return F.size(F.filter(F.col("t"), lambda x: x.rlike(pat))).cast("bigint")
+
+    return toks.select(
+        "doc_id",
+        F.size("t").cast("bigint").alias("n_pretokens"),
+        count_class("^ ?[A-Za-z]+$").alias("n_word"),
+        count_class("^ ?[0-9]+$").alias("n_numeric"),
+        count_class("^'").alias("n_contraction"),
+    )

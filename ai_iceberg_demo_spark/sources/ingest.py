@@ -89,3 +89,31 @@ def compact_write(
     else:
         out = df.repartition(target_files)
     out.write.mode("overwrite").parquet(path)
+
+
+def read_evolved_parquet(
+    spark: SparkSession, *paths: str, expect: StructType | None = None
+) -> DataFrame:
+    """Read parquet written under EVOLVING schemas as one frame:
+    ``mergeSchema`` unions column sets across files (rows from files
+    missing a column read NULL there — Iceberg's add-column semantics
+    without a metastore). With ``expect`` set, the merged frame is
+    then projected onto exactly that schema — extra columns dropped,
+    still-missing ones materialized as typed NULLs — so downstream
+    code binds against ONE contract regardless of which file vintage
+    a partition came from.
+
+    Scale note: mergeSchema footer-merges at planning time (no data
+    pass); per-file pushdown/pruning is unaffected. Type-WIDENING
+    conflicts (int file + string file) still fail loudly — that is a
+    real break, not evolution, and should route through a backfill."""
+    merged = spark.read.option("mergeSchema", "true").parquet(*paths)
+    if expect is None:
+        return merged
+    cols = []
+    for f in expect.fields:
+        if f.name in merged.columns:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return merged.select(*cols)

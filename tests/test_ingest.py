@@ -61,3 +61,42 @@ def test_compact_write_controls_file_count(spark, tmp_path):
     )
     for (_, prev_max), (nxt_min, _) in zip(ranges, ranges[1:]):
         assert prev_max <= nxt_min
+
+
+def test_read_evolved_parquet_merges_vintages_onto_one_contract(spark, tmp_path):
+    """Schema evolution: v1 files (id, a) and v2 files (id, a, b) read
+    as one frame; rows from v1 carry NULL b; with `expect` the output
+    binds to exactly the contract schema including a never-written
+    column."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ai_iceberg_demo_spark.sources.ingest import read_evolved_parquet
+
+    v1 = str(tmp_path / "v1")
+    v2 = str(tmp_path / "v2")
+    spark.createDataFrame([(1, "x"), (2, "y")], "id long, a string").write.parquet(v1)
+    spark.createDataFrame(
+        [(3, "z", 1.5)], "id long, a string, b double"
+    ).write.parquet(v2)
+
+    merged = read_evolved_parquet(spark, v1, v2)
+    assert set(merged.columns) == {"id", "a", "b"}
+    rows = {r["id"]: r for r in merged.collect()}
+    assert rows[1]["b"] is None and rows[3]["b"] == 1.5
+
+    contract = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("b", DoubleType()),
+            StructField("c", StringType()),  # never written anywhere
+        ]
+    )
+    bound = read_evolved_parquet(spark, v1, v2, expect=contract)
+    assert [f.name for f in bound.schema.fields] == ["id", "b", "c"]
+    assert all(r["c"] is None for r in bound.collect())
