@@ -824,3 +824,89 @@ def m11_orphan_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["part_month", "file_id"],
         "left_anti",
     ).select("part_month", "file_id")
+
+
+# ---------------------------------------------------------------------------
+# M12: nightly maintenance plan (compaction + orphan cleanup composed)
+# ---------------------------------------------------------------------------
+
+
+@REGISTRY.register(
+    name="m12_maintenance_plan",
+    survey_ref="M-family extra (composed table maintenance)",
+    doc="the nightly-maintenance work list as ONE plan: every m9 "
+    "compaction rewrite group collapsed to an action row (files to "
+    "merge + bytes to rewrite) unioned with every m11 orphan as a "
+    "delete action — what an Iceberg maintenance scheduler would "
+    "submit, ordered by nothing (the driver hashes order-free). Both "
+    "branches reuse the same file-inventory agg; the compaction "
+    "branch adds only a tiny per-group rollup and the orphan branch "
+    "a broadcast anti-join.",
+    oracle=f"""
+        WITH files AS (
+            SELECT STRFTIME(CAST(l_shipdate AS DATE), '%Y-%m') AS part_month,
+                   l_orderkey % 40 AS file_id,
+                   CAST(SUM(l_quantity) AS BIGINT) AS size_units
+            FROM lineitem GROUP BY 1, 2
+        ), cum AS (
+            SELECT part_month, file_id, size_units,
+                   SUM(CASE WHEN size_units < {_COMPACT_TARGET}
+                            THEN size_units ELSE 0 END)
+                       OVER (PARTITION BY part_month ORDER BY file_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS before_sz
+            FROM files
+        ), groups AS (
+            SELECT part_month,
+                   CAST(COALESCE(before_sz, 0) // {_COMPACT_TARGET} AS BIGINT)
+                       AS item,
+                   COUNT(*) AS n_files,
+                   SUM(size_units) AS total_units
+            FROM cum WHERE size_units < {_COMPACT_TARGET}
+            GROUP BY 1, 2
+        ), listing AS (
+            SELECT part_month, file_id FROM files
+            UNION ALL
+            SELECT part_month, file_id + 1000 FROM files WHERE file_id % 7 = 0
+        ), orphans AS (
+            SELECT l.part_month, l.file_id FROM listing l
+            WHERE NOT EXISTS (SELECT 1 FROM files r
+                              WHERE r.part_month = l.part_month
+                                AND r.file_id = l.file_id)
+        )
+        SELECT 'compact' AS action, part_month, item,
+               CAST(n_files AS BIGINT) AS n_files,
+               CAST(total_units AS BIGINT) AS total_units
+        FROM groups WHERE n_files > 1
+        UNION ALL
+        SELECT 'delete_orphan', part_month, file_id, CAST(1 AS BIGINT),
+               CAST(0 AS BIGINT)
+        FROM orphans
+    """,
+)
+def m12_maintenance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    plan = m9_compaction_plan(spark, sf_dir)
+    compact = (
+        plan.filter(F.col("compaction_group") >= 0)
+        .groupBy("part_month", F.col("compaction_group").alias("item"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_files"),
+            F.sum("size_units").cast("bigint").alias("total_units"),
+        )
+        .filter(F.col("n_files") > 1)  # single-file groups are no-ops
+        .select(
+            F.lit("compact").alias("action"),
+            "part_month",
+            "item",
+            "n_files",
+            "total_units",
+        )
+    )
+    orphans = m11_orphan_files(spark, sf_dir).select(
+        F.lit("delete_orphan").alias("action"),
+        "part_month",
+        F.col("file_id").alias("item"),
+        F.lit(1).cast("bigint").alias("n_files"),
+        F.lit(0).cast("bigint").alias("total_units"),
+    )
+    return compact.unionByName(orphans)

@@ -226,3 +226,51 @@ def test_zorder_key_is_bijective_and_prunes_box_queries(spark):
     z_files = {r["zfile"] for r in box}
     linear_files = {(r["xb"] * 256 + r["yb"]) // _Z_FILE_SPAN for r in box}
     assert len(z_files) <= len(linear_files)
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=5000), min_size=1, max_size=60)
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_packing_split_tiles_any_token_distribution(spark, token_counts):
+    """u19's segment math on arbitrary doc sizes (including docs far
+    larger than one bin): complete tiling, interior bins exactly full,
+    segments never cross boundaries."""
+    from collections import defaultdict
+
+    from ai_iceberg_demo_spark.operators.sampling import (
+        PACK_BUDGET,
+        pack_positions,
+    )
+    import pyspark.sql.functions as PF
+
+    rows = [(i, n) for i, n in enumerate(token_counts)]
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    packed = pack_positions(df, order_col="doc_id", tokens_col="n")
+    budget = PF.lit(PACK_BUDGET).cast("bigint")
+    s = PF.col("bin_id") * budget + PF.col("bin_offset")
+    end = s + PF.col("n")
+    segs = packed.select(
+        "doc_id", "n", s.alias("s"),
+        PF.explode(PF.sequence((s / budget).cast("bigint"),
+                               ((end - 1) / budget).cast("bigint"))).alias("b"),
+    )
+    seg_start = PF.greatest(PF.col("s"), PF.col("b") * budget)
+    seg_end = PF.least(PF.col("s") + PF.col("n"), (PF.col("b") + 1) * budget)
+    out = segs.select(
+        "doc_id", "b", (seg_end - seg_start).alias("seg_len"),
+        (seg_start - PF.col("b") * budget).alias("bin_offset"),
+    ).collect()
+
+    per_doc = defaultdict(int)
+    per_bin = defaultdict(int)
+    for r in out:
+        assert r["seg_len"] > 0
+        assert r["bin_offset"] + r["seg_len"] <= PACK_BUDGET
+        per_doc[r["doc_id"]] += r["seg_len"]
+        per_bin[r["b"]] += r["seg_len"]
+    assert per_doc == dict(rows)
+    for b, filled in per_bin.items():
+        if b != max(per_bin):
+            assert filled == PACK_BUDGET
