@@ -1046,3 +1046,56 @@ def t27_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("z_score"),
         (F.abs(z) >= 1.96).alias("significant"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t30: sliding-window rate limiting (throttle audit)
+# ---------------------------------------------------------------------------
+
+_RATE_CAP = 5  # max events allowed per user per window
+_RATE_WINDOW_S = 600  # sliding window, seconds
+
+
+@REGISTRY.register(
+    name="t30_rate_limit",
+    survey_ref="§2.11 extra (per-key throttling)",
+    doc=f"sliding-window rate limiter in event time: an event is "
+    f"DENIED when its user already has ≥{_RATE_CAP} events in the "
+    f"preceding {_RATE_WINDOW_S}s (inclusive window counts itself — "
+    "allowed iff count ≤ cap). The audit form of the reference's "
+    "producer-side throttle concern (redpanda best-effort publish): "
+    "one user-keyed RANGE-frame window pass, no self-join of events "
+    "against events (the correlated-count spelling is quadratic on "
+    "hot users); per-user ordering is what the streaming twin's "
+    "applyInPandasWithState would see. Output: denied events only, "
+    "with the in-window count that tripped them.",
+    oracle=f"""
+        WITH counted AS (
+            SELECT event_id, user_id, ts,
+                   COUNT(*) OVER (PARTITION BY user_id ORDER BY EPOCH_US(ts)
+                                  RANGE BETWEEN {_RATE_WINDOW_S * 1_000_000 - 1}
+                                  PRECEDING AND CURRENT ROW) AS n_in_window
+            FROM events
+        )
+        SELECT event_id, user_id,
+               CAST(n_in_window AS BIGINT) AS n_in_window
+        FROM counted WHERE n_in_window > {_RATE_CAP}
+    """,
+)
+def t30_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, "events", sf_dir)
+    # integer microseconds on BOTH sides (oracle: EPOCH_US) — a
+    # seconds-truncated key would shift membership at sub-second gaps
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-(_RATE_WINDOW_S * 1_000_000 - 1), 0)
+    )
+    counted = ev.select(
+        "event_id", "user_id", F.count("*").over(w).alias("n_in_window")
+    )
+    return counted.filter(F.col("n_in_window") > _RATE_CAP).select(
+        "event_id", "user_id", F.col("n_in_window").cast("bigint").alias("n_in_window")
+    )

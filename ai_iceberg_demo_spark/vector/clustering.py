@@ -652,3 +652,70 @@ def v17_diverse_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_r") <= _DIVERSE_PER_CELL)
         .select("vec_id", F.col("cell_id").cast("bigint").alias("cell_id"))
     )
+
+
+# ---------------------------------------------------------------------------
+# v21: cluster quality (simplified silhouette)
+# ---------------------------------------------------------------------------
+
+
+@REGISTRY.register(
+    name="v21_cluster_quality",
+    survey_ref="training-data (clustering diagnostics)",
+    doc="per-cell separation report over v11's assignment: for every "
+    "vector, s = (d2−d1)/max(d1,d2) with d1 = distance to its own "
+    "centroid and d2 = to the runner-up (the simplified silhouette "
+    "that needs only k distances per vector, not O(n) — the full "
+    "silhouette's pairwise form is unpayable at corpus scale). "
+    "Aggregated per cell: size, mean separation, mean own-distance — "
+    "the report that decides whether d8/IVF's k needs retraining. "
+    "Same broadcast k×dim cross + per-vector window as v11, one "
+    "tiny per-cell agg; exactly SQL-replayable via v11's ranked CTE.",
+    oracle="WITH "
+    + _assign_sql("embeddings")
+    + """
+        , both_d AS (
+            SELECT vec_id,
+                   MAX(CASE WHEN rn = 1 THEN cell_id END) AS cell_id,
+                   MAX(CASE WHEN rn = 1 THEN dist END) AS d1,
+                   MAX(CASE WHEN rn = 2 THEN dist END) AS d2
+            FROM ranked WHERE rn <= 2 GROUP BY vec_id
+        )
+        SELECT cell_id,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               ROUND(AVG(CASE WHEN GREATEST(d1, d2) = 0 THEN 0
+                              ELSE (d2 - d1) / GREATEST(d1, d2) END), 4)
+                   AS mean_separation,
+               ROUND(AVG(d1), 4) AS mean_own_dist
+        FROM both_d GROUP BY cell_id
+    """,
+)
+def v21_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    corpus = load_table(spark, "embeddings", sf_dir)
+    cen = seed_centroids(corpus)
+    scored = (
+        with_norm(corpus, "embedding", "_v", "_n")
+        .crossJoin(F.broadcast(cen))
+        .select(
+            "vec_id",
+            "cell_id",
+            F.round(l2_dist(F.col("_v"), F.col("centroid")), 4).alias("dist"),
+        )
+    )
+    w = W.partitionBy("vec_id").orderBy("dist", "cell_id")
+    ranked = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 2)
+    both = ranked.groupBy("vec_id").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("cell_id"))).alias("cell_id"),
+        F.max(F.when(F.col("rn") == 1, F.col("dist"))).alias("d1"),
+        F.max(F.when(F.col("rn") == 2, F.col("dist"))).alias("d2"),
+    )
+    sep = F.when(F.greatest("d1", "d2") == 0, F.lit(0.0)).otherwise(
+        (F.col("d2") - F.col("d1")) / F.greatest("d1", "d2")
+    )
+    return both.groupBy("cell_id").agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.round(F.avg(sep), 4).alias("mean_separation"),
+        F.round(F.avg("d1"), 4).alias("mean_own_dist"),
+    )

@@ -30,9 +30,28 @@ def test_bench_set_is_headline_sized_and_fully_oracled():
     # the bench headline set feeds BENCH_r{N}.json — every member must
     # be hash-checkable (a perf number for a query whose answer can't
     # be verified is worthless), and the set stays headline-sized so
-    # round-over-round totals remain comparable
+    # round-over-round totals remain comparable. Approximate operators
+    # may join the set ONLY via the explicit exception list below, and
+    # each must be (a) invariant-tested against an exact twin and
+    # (b) floor-guarded, so the perf number still describes a verified
+    # computation.
+    APPROX_BENCH_OK = {
+        # recall@3 ≥ 0.8 vs brute force: tests/test_similarity.py
+        "v18_knn_graph",
+    }
     reg = all_registries()
     bench = {n: s for n, s in reg.specs.items() if s.bench}
     assert 10 <= len(bench) <= 25
-    unoracled = [n for n, s in bench.items() if s.oracle is None]
+    unoracled = [n for n, s in bench.items()
+                 if s.oracle is None and n not in APPROX_BENCH_OK]
     assert unoracled == [], f"bench queries without oracle: {unoracled}"
+
+    import json
+    from pathlib import Path
+
+    floors = json.loads(
+        (Path(__file__).resolve().parent.parent / "tools" / "bench_floor.json")
+        .read_text()
+    )["queries"]
+    for name in APPROX_BENCH_OK:
+        assert name in floors, f"{name} bench-flagged without a floor guard"
