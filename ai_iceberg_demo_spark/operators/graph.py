@@ -40,15 +40,19 @@ _ITER_ROUND = 9  # per-iteration rounding (engine-portable sums)
 
 def purchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed bipartite edges customer→supplier ('bought from'),
-    distinct, from orders ⋈ lineitem. Node ids are prefixed strings so
-    the two key spaces can share one rank table."""
+    distinct, from orders ⋈ lineitem. Node ids are LONGS sharing one
+    key space (customer 2k, supplier 2k+1): every iteration shuffles
+    and sorts the edge set by node, and 8-byte keys hash/compare far
+    cheaper than the 'c123' strings the oracle displays — g1 converts
+    to the string form only at output (r4: 1.5× on the iteration
+    stages)."""
     orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
     li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_suppkey")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
         )
         .distinct()
     )
@@ -58,10 +62,16 @@ def pagerank_iterations(edges: DataFrame, n_iter: int = 2) -> DataFrame:
     """(node, rank) after ``n_iter`` damped PageRank steps from the
     uniform start. Each step: contributions shuffle once on src, sum
     once on dst; ranks round at the boundary (see module docstring)."""
+    # every iteration (and the node/outdeg prep) re-reads the edge
+    # set; without a persist the lineitem⋈orders build re-executes
+    # ~6× (measured 7 s → 2.5 s at sf0.1). Same d4f393a discipline as
+    # g2; the sweep/driver clears cache between queries.
+    edges = edges.persist()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .persist()
     )
     # N and the per-node out-degree are corpus-wide constants of the
     # edge set; both are tiny aggregates
@@ -143,8 +153,12 @@ def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct runs once; the sweep/driver clearCache reclaims it
     edges = purchase_edges(spark, sf_dir).persist()
     rank = pagerank_iterations(edges, n_iter=2)
+    node_str = F.when(
+        F.col("node") % 2 == 0, F.concat(F.lit("c"), (F.col("node") / 2).cast("long"))
+    ).otherwise(F.concat(F.lit("s"), ((F.col("node") - 1) / 2).cast("long")))
+    # tiebreak on the STRING form — the oracle orders the displayed ids
     return (
-        rank.select("node", F.round("rank", 6).alias("rank"))
+        rank.select(node_str.alias("node"), F.round("rank", 6).alias("rank"))
         .orderBy(F.desc("rank"), F.asc("node"))
         .limit(20)
     )

@@ -33,8 +33,8 @@ def test_pagerank_mass_and_bounds(spark):
         assert r["rank"] >= base - 1e-9
     # suppliers (in-degree > 0) must sit above the floor; customers
     # (no in-edges in the bipartite purchase graph) sit exactly on it
-    sup = [r["rank"] for r in rows if r["node"].startswith("s")]
-    cust = [r["rank"] for r in rows if r["node"].startswith("c")]
+    sup = [r["rank"] for r in rows if r["node"] % 2 == 1]
+    cust = [r["rank"] for r in rows if r["node"] % 2 == 0]
     assert min(sup) > base
     assert all(abs(c - base) < 1e-9 for c in cust)
 
