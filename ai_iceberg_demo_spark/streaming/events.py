@@ -1052,8 +1052,8 @@ def t27_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 # t30: sliding-window rate limiting (throttle audit)
 # ---------------------------------------------------------------------------
 
-_RATE_CAP = 5  # max events allowed per user per window
-_RATE_WINDOW_S = 600  # sliding window, seconds
+_RATE_CAP = 6  # max events allowed per user per window
+_RATE_WINDOW_S = 86_400  # sliding window, seconds (24 h)
 
 
 @REGISTRY.register(
@@ -1061,7 +1061,7 @@ _RATE_WINDOW_S = 600  # sliding window, seconds
     survey_ref="§2.11 extra (per-key throttling)",
     doc=f"sliding-window rate limiter in event time: an event is "
     f"DENIED when its user already has ≥{_RATE_CAP} events in the "
-    f"preceding {_RATE_WINDOW_S}s (inclusive window counts itself — "
+    f"preceding 24 h (inclusive window counts itself — "
     "allowed iff count ≤ cap). The audit form of the reference's "
     "producer-side throttle concern (redpanda best-effort publish): "
     "one user-keyed RANGE-frame window pass, no self-join of events "

@@ -36,6 +36,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BooleanType,
     DoubleType,
     LongType,
@@ -190,4 +191,75 @@ def events_until_first_signal(events: DataFrame, end_signal: str = "error") -> D
             F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("total_value"),
             F.max("ts").alias("end_ts"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming twin of t30_rate_limit (per-key sliding-window throttle)
+# ---------------------------------------------------------------------------
+
+#: one denied event per output row
+RATE_OUTPUT = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("n_in_window", LongType()),
+    ]
+)
+
+#: per-key state: event-time stamps (µs) still inside the window —
+#: bounded by the per-user arrival rate × window, NOT stream length
+RATE_STATE = StructType([StructField("ts_us", ArrayType(LongType()))])
+
+
+def rate_limiter(cap: int = 6, window_s: int = 86_400):
+    """applyInPandasWithState body for the sliding-window rate limiter:
+    per key, fold events in event-time order keeping the timestamps
+    inside the trailing window; an event whose inclusive in-window
+    count exceeds ``cap`` is emitted as denied — bit-identical to
+    t30's batch RANGE-frame window when batches arrive in event-time
+    order (the stream≡batch test's harness guarantee, and Kafka's
+    per-key ordering guarantee in production). Self-contained closure
+    (cloudpickle-by-value, as session_collector documents)."""
+    import pandas as pd  # noqa: F811
+
+    win_us = window_s * 1_000_000
+
+    def limit(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: "GroupState"
+    ) -> Iterator[pd.DataFrame]:
+        buf = list(state.get[0]) if state.exists else []
+        denied_ids, denied_counts = [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for _, r in pdf.iterrows():
+                t = int(pd.Timestamp(r["ts"]).value // 1_000)
+                lo = t - (win_us - 1)
+                buf = [x for x in buf if x >= lo]
+                buf.append(t)
+                if len(buf) > cap:
+                    denied_ids.append(int(r["event_id"]))
+                    denied_counts.append(len(buf))
+        state.update((buf,))
+        if denied_ids:
+            yield pd.DataFrame(
+                {
+                    "event_id": denied_ids,
+                    "user_id": [key[0]] * len(denied_ids),
+                    "n_in_window": denied_counts,
+                }
+            )
+
+    return limit
+
+
+def stateful_rate_limit(events: DataFrame, cap: int = 6, window_s: int = 86_400) -> DataFrame:
+    """t30's streaming form: denied events from a keyed stateful fold;
+    works on streaming (update mode) or batch input."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        rate_limiter(cap, window_s),
+        outputStructType=RATE_OUTPUT,
+        stateStructType=RATE_STATE,
+        outputMode="update",
+        timeoutConf="NoTimeout",
     )

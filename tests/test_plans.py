@@ -224,3 +224,46 @@ def test_watermark_audit_never_range_partitions(spark):
     ]
     assert corpus_range_lines == [], plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_snapshot_diff_joins_key_partitioned_and_filters_unchanged(spark):
+    """m8: the CDC join must be a key-partitioned SortMergeJoin (both
+    sides fact-sized — broadcasting either would OOM at scale) with
+    the change filter ABOVE it, and no unchanged-row explosion shape
+    (no cartesian, no nested-loop)."""
+    plan = plan_of(spark, "m8_snapshot_diff")
+    assert "SortMergeJoin" in plan and "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_knn_graph_never_goes_all_pairs(spark):
+    """v18: candidates must come from the (t,b) bucket equi-join —
+    an all-pairs fallback shows up as cartesian/nested-loop over the
+    corpus. The Python stage must be the Arrow signature kernel, not
+    row-at-a-time eval."""
+    plan = plan_of(spark, "v18_knn_graph")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_maintenance_plans_keep_inventory_aggs_partial(spark):
+    """m9/m11/m12: the file-inventory aggregation must map-side
+    combine (partial_sum) — at 100 TB the inventory agg is the only
+    data-touching stage, so losing the partial doubles the shuffle."""
+    for name in ("m9_compaction_plan", "m11_orphan_files", "m12_maintenance_plan"):
+        plan = plan_of(spark, name)
+        assert "partial_" in plan, f"{name}: inventory agg lost its partial"
+
+
+def test_rate_limit_is_one_window_pass(spark):
+    """t30: exactly one exchange (the user-keyed window shuffle) — a
+    correlated-count spelling would add a second events scan + join."""
+    import re
+
+    plan = plan_of(spark, "t30_rate_limit")
+    n_ex = len(set(re.findall(r"(?<![A-Za-z])Exchange \((\d+)\)", plan)))
+    assert n_ex == 1, plan[:500]
+    assert "Join" not in plan

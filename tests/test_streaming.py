@@ -534,3 +534,63 @@ def test_wap_stream_quarantines_dirty_batch_without_poisoning_publish(spark):
     dirty_checks = {r["check_name"]: r["ok"] for r in by_batch[3]}
     assert dirty_checks == {"null_rate": False, "domain_violations": False,
                             "mean_drift": False}
+
+
+def test_stateful_rate_limit_matches_batch_window(spark, tmp_path):
+    """t30's streaming twin: events replayed as 3 event-TIME-ordered
+    micro-batches through the stateful fold deny exactly the rows the
+    batch RANGE-frame window denies, with identical counts."""
+    import glob
+    import os
+    import shutil
+    import time as _time
+
+    from ai_iceberg_demo_spark.streaming.events import t30_rate_limit
+    from ai_iceberg_demo_spark.streaming.stateful import stateful_rate_limit
+    from ai_iceberg_demo_spark.tables import load_table
+
+    ev = load_table(spark, "events", SF_DIR).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    cuts = [lo + (hi - lo) * i / 3 for i in (1, 2)]
+    batches = [
+        ev.filter(F.col("ts") < cuts[0]),
+        ev.filter((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])),
+        ev.filter(F.col("ts") >= cuts[1]),
+    ]
+    ingest = tmp_path / "incoming"
+    ingest.mkdir()
+    t0 = _time.time() - 600
+    for i, b in enumerate(batches):
+        stage = str(tmp_path / f"_stage{i}")
+        b.coalesce(1).write.mode("overwrite").parquet(stage)
+        dst = str(ingest / f"batch_{i}.parquet")
+        shutil.move(glob.glob(os.path.join(stage, "part-*.parquet"))[0], dst)
+        os.utime(dst, (t0 + 60 * i, t0 + 60 * i))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(ingest / "*.parquet"))
+    )
+    q = (
+        stateful_rate_limit(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("rate_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = {
+        (r["event_id"], r["n_in_window"])
+        for r in spark.sql("SELECT event_id, n_in_window FROM rate_out").collect()
+    }
+    batch = {
+        (r["event_id"], r["n_in_window"])
+        for r in t30_rate_limit(spark, SF_DIR).collect()
+    }
+    assert streamed and streamed == batch
