@@ -621,3 +621,80 @@ def v8e_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (cleared by the sweep/driver clearCache between queries)
     hashes = perceptual_hash(artifact_table(spark, sf_dir)).persist()
     return phash_near_dup_pairs(hashes).orderBy("a_id", "b_id")
+
+
+# ---------------------------------------------------------------------------
+# v8f: scene-cut detection over frame sequences
+# ---------------------------------------------------------------------------
+
+_SCENE_CUT_DELTA = 8.0  # ≈ p97 of consecutive-frame luma diffs
+
+
+@REGISTRY.register(
+    name="v8f_scene_cut",
+    survey_ref="V8/training-data (video segmentation)",
+    doc="content-detector scene cuts over v8c's frame sequence: each "
+    "64-byte frame reduces to one 'luma' scalar (mean byte value — "
+    "the deterministic stand-in for decoded-frame luminance, same "
+    "seam v8b/v8d stub), a per-video lag window takes consecutive "
+    f"diffs, and |Δ| ≥ {_SCENE_CUT_DELTA} marks a cut (~2-3% of "
+    "frames) — PySceneDetect's content-detector shape. Map-only "
+    "feature extraction (at 100 TB: the Arrow decode seam emits one "
+    "scalar per frame, pixels never shuffle) + one video-keyed window "
+    "over frame counts bounded per video.",
+    oracle=f"""
+        WITH frames AS (
+            SELECT d.doc_id, f.frame_no,
+                   SUBSTR(d.text, CAST(f.frame_no * 64 + 1 AS INT), 64) AS frame
+            FROM documents d,
+                 LATERAL (SELECT UNNEST(RANGE(0,
+                     CAST(CEIL(OCTET_LENGTH(ENCODE(d.text)) / 64.0) AS BIGINT),
+                     1)) AS frame_no) f
+        ), feat AS (
+            SELECT doc_id, frame_no,
+                   ROUND(LIST_AVG(LIST_TRANSFORM(SPLIT(frame, ''),
+                                                 x -> UNICODE(x))), 4) AS luma
+            FROM frames
+        ), diffs AS (
+            SELECT doc_id, frame_no, luma,
+                   ABS(luma - LAG(luma) OVER (PARTITION BY doc_id
+                                              ORDER BY frame_no)) AS delta
+            FROM feat
+        )
+        SELECT doc_id, frame_no, ROUND(delta, 4) AS delta
+        FROM diffs WHERE delta >= {_SCENE_CUT_DELTA}
+    """,
+)
+def v8f_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, "documents", sf_dir)
+    n_frames = F.ceil(F.octet_length("text") / F.lit(64.0)).cast("bigint")
+    starts = F.sequence(F.lit(0).cast("bigint"), n_frames - 1)
+    frames = docs.select("doc_id", "text", F.explode(starts).alias("frame_no")).select(
+        "doc_id",
+        "frame_no",
+        F.substring(F.col("text"), F.col("frame_no").cast("int") * 64 + 1, 64).alias(
+            "frame"
+        ),
+    )
+    chars = F.filter(F.split(F.col("frame"), ""), lambda x: x != "")
+    luma = F.round(
+        F.aggregate(
+            F.transform(chars, lambda c: F.ascii(c).cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        / F.size(chars),
+        4,
+    )
+    feat = frames.select("doc_id", "frame_no", luma.alias("luma"))
+    w = W.partitionBy("doc_id").orderBy("frame_no")
+    diffs = feat.select(
+        "doc_id",
+        "frame_no",
+        F.abs(F.col("luma") - F.lag("luma").over(w)).alias("delta"),
+    )
+    return diffs.filter(F.col("delta") >= _SCENE_CUT_DELTA).select(
+        "doc_id", "frame_no", F.round("delta", 4).alias("delta")
+    )

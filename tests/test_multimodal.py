@@ -153,3 +153,37 @@ def test_v8e_phash_pairs_sound_and_complete_to_pigeonhole_bound(spark):
     assert [(r["a_id"], r["b_id"], r["hamming"]) for r in planted] == [
         (900001, 900002, 0)
     ]
+
+
+def test_scene_cut_fires_on_planted_boundary(spark):
+    """v8f: a synthetic two-scene 'video' (low-byte frames then
+    high-byte frames) yields exactly one cut, at the boundary frame."""
+    from ai_iceberg_demo_spark.multimodal.artifacts import v8f_scene_cut
+    from ai_iceberg_demo_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    # fixture sanity: some cuts, all above threshold, every frame_no > 0
+    rows = v8f_scene_cut(spark, SF_DIR).collect()
+    assert rows
+    assert all(r["delta"] >= 8.0 and r["frame_no"] > 0 for r in rows)
+
+    # planted boundary via the same pipeline body on a crafted doc
+    import pyspark.sql.functions as MF
+
+    text = "a" * 192 + "z" * 192  # scene 1: 'a'(97)x3 frames, scene 2: 'z'(122)
+    crafted = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    real_docs = load_table(spark, "documents", SF_DIR)
+
+    import ai_iceberg_demo_spark.multimodal.artifacts as A
+    import ai_iceberg_demo_spark.tables as T
+
+    orig = T.load_table
+    try:
+        def fake_load(spark_, name, sf_dir):
+            return crafted if name == "documents" else orig(spark_, name, sf_dir)
+        A.load_table = fake_load
+        cuts = v8f_scene_cut(spark, SF_DIR).collect()
+    finally:
+        A.load_table = orig
+    assert [(r["doc_id"], r["frame_no"]) for r in cuts] == [(1, 3)]
+    assert abs(cuts[0]["delta"] - 25.0) < 1e-6  # |122 - 97|
