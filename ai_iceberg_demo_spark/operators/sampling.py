@@ -985,3 +985,64 @@ def u19_packing_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         (seg_start - F.col("b") * budget).alias("bin_offset"),
         (seg_end - seg_start).alias("seg_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# u20: quality deciles without a global NTILE
+# ---------------------------------------------------------------------------
+
+
+@REGISTRY.register(
+    name="u20_quality_deciles",
+    survey_ref="training-data (quality calibration curve)",
+    doc="the quality calibration curve: corpus documents bucketed into "
+    "deciles of the quality proxy (n_chars) with per-decile doc/token "
+    "counts and score stats — the table that turns 'keep the top X%' "
+    "into a concrete threshold. NTILE(10) OVER (ORDER BY score) is a "
+    "global sort (rangepartition funnel); instead the nine decile "
+    "boundaries come from ONE exact-percentile agg, broadcast, and "
+    "bucket assignment is a map-side filter count — u11's "
+    "no-total-order discipline applied to ranking buckets. At 100 TB "
+    "swap percentile() for percentile_approx (mergeable), same shape.",
+    oracle="""
+        WITH b AS (
+            SELECT QUANTILE_CONT(n_chars, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                           0.6, 0.7, 0.8, 0.9]) AS bs
+            FROM documents
+        ), assigned AS (
+            SELECT d.doc_id,
+                   d.n_chars,
+                   CAST(LEN(STRING_SPLIT(d.text, ' ')) AS BIGINT) AS n_tokens,
+                   1 + LEN(LIST_FILTER(b.bs, x -> x < d.n_chars)) AS decile
+            FROM documents d CROSS JOIN b
+        )
+        SELECT CAST(decile AS INT) AS decile,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+               ROUND(AVG(n_chars), 2) AS mean_chars,
+               CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+               CAST(MAX(n_chars) AS BIGINT) AS max_chars
+        FROM assigned GROUP BY decile
+    """,
+)
+def u20_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    bounds = docs.agg(
+        F.expr(
+            "percentile(n_chars, array(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9))"
+        ).alias("bs")
+    )
+    assigned = docs.crossJoin(F.broadcast(bounds)).select(
+        "n_chars",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        (
+            1 + F.size(F.filter(F.col("bs"), lambda x: x < F.col("n_chars")))
+        ).alias("decile"),
+    )
+    return assigned.groupBy("decile").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round(F.avg("n_chars"), 2).alias("mean_chars"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+    ).withColumn("decile", F.col("decile").cast("int"))
