@@ -213,3 +213,65 @@ def p8_drop_null_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .na.drop(subset=["text", "lang"])
         .select("doc_id", "lang", "source")
     )
+
+
+# ---------------------------------------------------------------------------
+# S10: column profiling (Deequ-style completeness/cardinality report)
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                 "o_orderpriority"]
+
+
+@REGISTRY.register(
+    name="s10_column_profile",
+    survey_ref="S-family extra (data-quality profiling)",
+    doc="per-column profile of orders in long format: row count, null "
+    "count, exact distinct cardinality, lexicographic min/max — the "
+    "Deequ/Glue-style table profile every quality gate (m10) and FK "
+    "audit reads first. ONE scan: all non-distinct metrics fold into "
+    "a single agg; the per-column exact distincts each add a "
+    "partial-aggregated expansion locally and swap for "
+    "approx_count_distinct (one HLL pass, a8's family) at 100 TB — "
+    "same report schema, same single-scan shape.",
+    oracle="\n        UNION ALL\n".join(
+        f"""
+        SELECT '{c}' AS column_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) FILTER (WHERE {c} IS NULL) AS BIGINT) AS n_nulls,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               CAST(MIN({c}) AS VARCHAR) AS min_val,
+               CAST(MAX({c}) AS VARCHAR) AS max_val
+        FROM orders
+        """
+        for c in _PROFILE_COLS
+    ),
+)
+def s10_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs.extend(
+            [
+                F.count("*").alias(f"{c}__n"),
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+                F.countDistinct(c).alias(f"{c}__distinct"),
+                F.min(c).cast("string").alias(f"{c}__min"),
+                F.max(c).cast("string").alias(f"{c}__max"),
+            ]
+        )
+    one = orders.agg(*aggs)
+    metrics = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(f"{c}__n").cast("bigint").alias("n_rows"),
+                F.col(f"{c}__nulls").cast("bigint").alias("n_nulls"),
+                F.col(f"{c}__distinct").cast("bigint").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_val"),
+                F.col(f"{c}__max").alias("max_val"),
+            )
+            for c in _PROFILE_COLS
+        ]
+    )
+    return one.select(F.explode(metrics).alias("m")).select("m.*")
