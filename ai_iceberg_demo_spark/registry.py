@@ -106,8 +106,12 @@ class Registry:
 # registered later in r4 (u17_weighted_sample, u15_quality_calibration,
 # m8_snapshot_diff, m9_compaction_plan, o6_zorder_key, v18_knn_graph,
 # v19_contrastive_mining, g2_label_propagation, m10_wap_audit,
-# t27_ab_test, t28_streaming_wap) — plus any r2-core queries whose
-# newest driver row is then 3 rounds old.
+# t27_ab_test, t28_streaming_wap, u18_upsample_mix, m11_orphan_files,
+# v20_quantize_embeddings, m12_maintenance_plan, u19_packing_split,
+# w7_cumulative_uniques, f31_pretokenize, v21_cluster_quality,
+# t30_rate_limit, v8f_scene_cut, u20_quality_deciles,
+# s10_column_profile) — plus any r2-core queries whose newest driver
+# row is then 3 rounds old.
 _DRIVER_WINDOW_PRIORITY = [
     # --- the 48 r1-core queries, stalest first-evidence in the fleet ---
     "s1_full_scan",
