@@ -275,3 +275,76 @@ def s10_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return one.select(F.explode(metrics).alias("m")).select("m.*")
+
+
+# ---------------------------------------------------------------------------
+# S11: FK-inclusion profiling (key containment across tables)
+# ---------------------------------------------------------------------------
+
+_FK_CANDIDATES = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    # deliberate NON-key pair: order keys are not customer keys — the
+    # profiler must report partial inclusion, not assume
+    ("orders", "o_orderkey", "customer", "c_custkey"),
+]
+
+
+@REGISTRY.register(
+    name="s11_fk_inclusion",
+    survey_ref="S-family extra (FK discovery profiling)",
+    doc="foreign-key inclusion audit: for each candidate (child, "
+    "parent) column pair, the fraction of distinct child values "
+    "present in the parent — 1.0 certifies referential integrity "
+    "(is_fk), anything lower quantifies orphaned keys; a planted "
+    "non-key pair proves the profiler reports partial containment "
+    "instead of assuming. Per pair: two distinct-key aggs + one "
+    "left-semi-shaped join on DISTINCT sets only (never the fact "
+    "rows); at 100 TB the parent key sets are dimension-sized "
+    "broadcasts and the child distincts are a8's sketch family.",
+    oracle="\n        UNION ALL\n".join(
+        f"""
+        SELECT '{ct}.{cc}' AS child, '{pt}.{pc}' AS parent,
+               CAST((SELECT COUNT(DISTINCT {cc}) FROM {ct}) AS BIGINT)
+                   AS n_child,
+               CAST((SELECT COUNT(DISTINCT c.{cc}) FROM {ct} c
+                     WHERE EXISTS (SELECT 1 FROM {pt} p
+                                   WHERE p.{pc} = c.{cc})) AS BIGINT)
+                   AS n_matched,
+               ROUND((SELECT COUNT(DISTINCT c.{cc}) FROM {ct} c
+                      WHERE EXISTS (SELECT 1 FROM {pt} p
+                                    WHERE p.{pc} = c.{cc}))
+                     / CAST((SELECT COUNT(DISTINCT {cc}) FROM {ct}) AS DOUBLE),
+                     4) AS inclusion,
+               (SELECT COUNT(DISTINCT c.{cc}) FROM {ct} c
+                WHERE EXISTS (SELECT 1 FROM {pt} p WHERE p.{pc} = c.{cc}))
+                   = (SELECT COUNT(DISTINCT {cc}) FROM {ct}) AS is_fk
+        """
+        for ct, cc, pt, pc in _FK_CANDIDATES
+    ),
+)
+def s11_fk_inclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for ct, cc, pt, pc in _FK_CANDIDATES:
+        child = load_table(spark, ct, sf_dir).select(F.col(cc).alias("k")).distinct()
+        parent = load_table(spark, pt, sf_dir).select(F.col(pc).alias("k")).distinct()
+        matched = child.join(parent, "k", "left_semi")
+        row = (
+            child.agg(F.count("*").alias("n_child"))
+            .crossJoin(F.broadcast(matched.agg(F.count("*").alias("n_matched"))))
+            .select(
+                F.lit(f"{ct}.{cc}").alias("child"),
+                F.lit(f"{pt}.{pc}").alias("parent"),
+                F.col("n_child").cast("bigint").alias("n_child"),
+                F.col("n_matched").cast("bigint").alias("n_matched"),
+                F.round(
+                    F.col("n_matched") / F.col("n_child").cast("double"), 4
+                ).alias("inclusion"),
+                (F.col("n_matched") == F.col("n_child")).alias("is_fk"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

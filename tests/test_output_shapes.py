@@ -67,3 +67,20 @@ def test_eval_prep_excludes_all_contamination_and_fills_quota(spark):
     assert all(n <= _EVAL_PER_CELL for n in per_cell.values())
     assert len(per_cell) >= 2, "eval set must span multiple cells"
     assert {r["split"] for r in rows} == {"val", "test"}
+
+
+def test_fk_profiler_certifies_real_keys_and_flags_the_planted_non_key(spark):
+    """s11: the five real star-schema FKs report inclusion 1.0/is_fk;
+    the deliberately planted non-key pair reports partial containment."""
+    from ai_iceberg_demo_spark.operators.scans_filters import s11_fk_inclusion
+    from tests.conftest import SF_DIR
+
+    rows = {(r["child"], r["parent"]): r
+            for r in s11_fk_inclusion(spark, SF_DIR).collect()}
+    assert len(rows) == 6
+    for key, r in rows.items():
+        if key == ("orders.o_orderkey", "customer.c_custkey"):
+            assert not r["is_fk"] and r["inclusion"] < 1.0
+        else:
+            assert r["is_fk"] and r["inclusion"] == 1.0
+        assert r["n_matched"] <= r["n_child"]
