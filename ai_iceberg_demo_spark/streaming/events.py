@@ -1099,3 +1099,61 @@ def t30_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counted.filter(F.col("n_in_window") > _RATE_CAP).select(
         "event_id", "user_id", F.col("n_in_window").cast("bigint").alias("n_in_window")
     )
+
+
+# ---------------------------------------------------------------------------
+# t31: seasonal-baseline deviation (dow × hour profile)
+# ---------------------------------------------------------------------------
+
+_SEASONAL_RATIO = 1.5
+
+
+@REGISTRY.register(
+    name="t31_seasonality",
+    survey_ref="§2.11 analytics (seasonal anomaly)",
+    doc="seasonal anomaly detection, the complement of t26's trailing-"
+    "window burst alarm: every (date, hour) traffic cell is compared "
+    "to its OWN seasonal baseline — the average count of the same "
+    "(day-of-week, hour) slot across history — and flagged when the "
+    f"ratio reaches {_SEASONAL_RATIO} (t26 would miss a spike that "
+    "builds over hours; this misses novel one-off bursts — ops runs "
+    "both). Two aggs over the corpus-independent 720-cell count "
+    "table; raw events shuffle once into (date, hour) partial "
+    "counts and never again.",
+    oracle=f"""
+        WITH cells AS (
+            SELECT CAST(ts AS DATE) AS d,
+                   DAYOFWEEK(CAST(ts AS DATE)) AS dow,
+                   HOUR(ts) AS h,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2, 3
+        ), base AS (
+            SELECT dow, h, AVG(n) AS expected FROM cells GROUP BY 1, 2
+        )
+        SELECT CAST(c.d AS VARCHAR) AS day, CAST(c.h AS INT) AS hr, c.n,
+               ROUND(b.expected, 4) AS expected,
+               ROUND(c.n / b.expected, 4) AS ratio
+        FROM cells c JOIN base b ON c.dow = b.dow AND c.h = b.h
+        WHERE c.n / b.expected >= {_SEASONAL_RATIO}
+    """,
+)
+def t31_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    cells = ev.groupBy(
+        F.col("ts").cast("date").alias("d"),
+        F.dayofweek(F.col("ts").cast("date")).alias("dow"),
+        F.hour("ts").alias("h"),
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    base = cells.groupBy("dow", "h").agg(F.avg("n").alias("expected"))
+    ratio = F.col("n") / F.col("expected")
+    return (
+        cells.join(F.broadcast(base), ["dow", "h"])
+        .filter(ratio >= _SEASONAL_RATIO)
+        .select(
+            F.col("d").cast("string").alias("day"),
+            F.col("h").cast("int").alias("hr"),
+            "n",
+            F.round("expected", 4).alias("expected"),
+            F.round(ratio, 4).alias("ratio"),
+        )
+    )
