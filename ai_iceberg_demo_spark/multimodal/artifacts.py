@@ -698,3 +698,55 @@ def v8f_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     return diffs.filter(F.col("delta") >= _SCENE_CUT_DELTA).select(
         "doc_id", "frame_no", F.round("delta", 4).alias("delta")
     )
+
+
+# ---------------------------------------------------------------------------
+# pipeline: multimodal training-data preparation
+# ---------------------------------------------------------------------------
+
+
+@REGISTRY.register(
+    name="pipeline_multimodal_prep",
+    survey_ref="training-data (multimodal funnel: v8e ∘ v8b ∘ v8c ∘ v8f)",
+    doc="the multimodal sibling of pipeline_training_prep, as ONE "
+    "plan: perceptual-hash near-dup removal (v8e pairs, smaller id "
+    "is canonical) → resize plan for survivors (v8b) → per-artifact "
+    "frame and scene-cut counts (v8c/v8f) joined into a prep "
+    "manifest — the row a vision/video training job reads per "
+    "artifact. The Arrow hash stage runs once (persisted diamond); "
+    "pixels never shuffle — only 8-byte hashes, dims, and per-frame "
+    "scalars move; the dedup anti-join carries compact ids. Pixel "
+    "math isn't ANSI-SQL (rows-only); the funnel's set algebra and "
+    "manifest arithmetic are pinned in tests/test_multimodal.py.",
+    oracle=None,
+)
+def pipeline_multimodal_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    arts = artifact_table(spark, sf_dir)
+    hashes = perceptual_hash(arts).persist()
+    pairs = phash_near_dup_pairs(hashes)
+    # smaller id is canonical — exactly d9's keep rule on the v8e pairs
+    dropped = pairs.select(F.col("b_id").alias("doc_id")).distinct()
+    survivors = arts.join(dropped, "doc_id", "left_anti")
+
+    resized = resize_images(survivors).select(
+        "doc_id", "mime", "new_width", "new_height"
+    )
+    n_frames = F.ceil(F.octet_length("payload") / F.lit(64.0)).cast("bigint")
+    frames = survivors.select("doc_id", n_frames.alias("n_frames"))
+    cuts = (
+        v8f_scene_cut(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_cuts"))
+    )
+    return (
+        resized.join(frames, "doc_id")
+        .join(cuts, "doc_id", "left")
+        .select(
+            "doc_id",
+            "mime",
+            "new_width",
+            "new_height",
+            "n_frames",
+            F.coalesce(F.col("n_cuts"), F.lit(0)).cast("bigint").alias("n_cuts"),
+        )
+    )

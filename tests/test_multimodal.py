@@ -187,3 +187,40 @@ def test_scene_cut_fires_on_planted_boundary(spark):
         A.load_table = orig
     assert [(r["doc_id"], r["frame_no"]) for r in cuts] == [(1, 3)]
     assert abs(cuts[0]["delta"] - 25.0) < 1e-6  # |122 - 97|
+
+
+def test_multimodal_prep_funnel_algebra(spark):
+    """pipeline_multimodal_prep: survivors = artifacts minus the
+    larger-id member of every near-dup pair; manifest dims obey the
+    resize rule; frame counts match payload size; cut counts match
+    v8f per doc."""
+    from ai_iceberg_demo_spark.multimodal.artifacts import (
+        TARGET_WIDTH,
+        artifact_table,
+        perceptual_hash,
+        phash_near_dup_pairs,
+        pipeline_multimodal_prep,
+        v8f_scene_cut,
+    )
+    from tests.conftest import SF_DIR
+
+    manifest = {r["doc_id"]: r for r in pipeline_multimodal_prep(spark, SF_DIR).collect()}
+    arts = {r["doc_id"]: r for r in artifact_table(spark, SF_DIR).collect()}
+    pairs = phash_near_dup_pairs(perceptual_hash(artifact_table(spark, SF_DIR))).collect()
+    dropped = {p["b_id"] for p in pairs}
+
+    assert set(manifest) == set(arts) - dropped
+    for doc_id, r in manifest.items():
+        a = arts[doc_id]
+        if a["width"] > TARGET_WIDTH:
+            assert r["new_width"] == TARGET_WIDTH
+            assert r["new_height"] == int(a["height"] * TARGET_WIDTH / a["width"])  # int() truncation, the reference formula
+        else:
+            assert (r["new_width"], r["new_height"]) == (a["width"], a["height"])
+        assert r["n_frames"] == -(-len(a["payload"]) // 64)
+
+    cuts = {}
+    for c in v8f_scene_cut(spark, SF_DIR).collect():
+        cuts[c["doc_id"]] = cuts.get(c["doc_id"], 0) + 1
+    for doc_id, r in manifest.items():
+        assert r["n_cuts"] == cuts.get(doc_id, 0)
