@@ -498,9 +498,13 @@ def snapshot_diff(
     """
     o = old.alias("o")
     n = new.alias("n")
+    # plain equality, not eqNullSafe: CDC keys are primary keys (never
+    # null) and <=> join keys defeat bucketed co-location — with == the
+    # bucketed layout joins with ZERO exchange
+    # (tests/test_plans.py::test_bucketed_snapshot_diff_has_no_exchange)
     cond = None
     for k in keys:
-        c = F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}"))
+        c = F.col(f"o.{k}") == F.col(f"n.{k}")
         cond = c if cond is None else (cond & c)
     joined = o.join(n, cond, "full_outer")
     old_present = F.col(f"o.{keys[0]}").isNotNull()

@@ -267,3 +267,43 @@ def test_rate_limit_is_one_window_pass(spark):
     n_ex = len(set(re.findall(r"(?<![A-Za-z])Exchange \((\d+)\)", plan)))
     assert n_ex == 1, plan[:500]
     assert "Join" not in plan
+
+
+def test_bucketed_snapshot_diff_has_no_exchange(spark):
+    """m8's scale claim, proven: two snapshots written bucketed by the
+    merge key diff with ZERO shuffle exchange — the full-outer CDC
+    join runs co-located per bucket, so a 100 TB changelog fallback
+    costs one pass over each side. (Iceberg: bucket(N, key) on both
+    snapshots.)"""
+    from ai_iceberg_demo_spark.operators.mutations import snapshot_diff
+    from ai_iceberg_demo_spark.tables import load_table, write_bucketed
+
+    snap0 = load_table(spark, "orders", SF_DIR).select(
+        "o_orderkey", "o_totalprice"
+    )
+    snap1 = snap0.filter("o_orderkey % 7 != 3").withColumn(
+        "o_totalprice", snap0.o_totalprice + 1.0
+    )
+    write_bucketed(snap0, "b_snap0", "o_orderkey", 8)
+    write_bucketed(snap1, "b_snap1", "o_orderkey", 8)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        diff = snapshot_diff(
+            spark.table("b_snap0"),
+            spark.table("b_snap1"),
+            keys=["o_orderkey"],
+            compare_cols=["o_totalprice"],
+        )
+        jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        plan = diff._jdf.queryExecution().explainString(jmode)
+        assert "SortMergeJoin" in plan and "FullOuter" in plan
+        assert "Exchange" not in plan, "bucketed CDC join still shuffles"
+        n_deleted = diff.filter("change_type = 'delete'").count()
+        assert n_deleted == snap0.filter("o_orderkey % 7 = 3").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_snap0")
+        spark.sql("DROP TABLE IF EXISTS b_snap1")
