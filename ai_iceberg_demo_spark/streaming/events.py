@@ -1001,15 +1001,22 @@ def t29_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT n_a, n_b, conv_a, conv_b,
                ROUND(CAST(conv_a AS DOUBLE) / n_a, 6) AS rate_a,
                ROUND(CAST(conv_b AS DOUBLE) / n_b, 6) AS rate_b,
-               ROUND(
+               -- degenerate experiment (0% or 100% overall) has SE 0:
+               -- NULL z / false significance on BOTH engines, never
+               -- an engine-specific error/NaN divergence
+               CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b
+                    THEN NULL
+                    ELSE ROUND(
                  (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
                  / SQRT((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
                         * (1 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
-                        * (1.0 / n_a + 1.0 / n_b)), 6) AS z_score,
-               ABS((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+                        * (1.0 / n_a + 1.0 / n_b)), 6) END AS z_score,
+               CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b
+                    THEN FALSE
+                    ELSE ABS((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
                  / SQRT((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
                         * (1 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
-                        * (1.0 / n_a + 1.0 / n_b))) >= 1.96 AS significant
+                        * (1.0 / n_a + 1.0 / n_b))) >= 1.96 END AS significant
         FROM stats
     """,
 )
@@ -1033,8 +1040,11 @@ def t27_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     pooled = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
         F.col("n_a") + F.col("n_b")
     )
-    z = (rate_a - rate_b) / F.sqrt(
-        pooled * (1 - pooled) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    degenerate = (pooled == 0) | (pooled == 1)  # SE 0 → no inference
+    z = F.when(
+        ~degenerate,
+        (rate_a - rate_b)
+        / F.sqrt(pooled * (1 - pooled) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))),
     )
     return stats.select(
         "n_a",
@@ -1044,7 +1054,9 @@ def t27_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rate_a, 6).alias("rate_a"),
         F.round(rate_b, 6).alias("rate_b"),
         F.round(z, 6).alias("z_score"),
-        (F.abs(z) >= 1.96).alias("significant"),
+        F.when(degenerate, F.lit(False))
+        .otherwise(F.abs(z) >= 1.96)
+        .alias("significant"),
     )
 
 
