@@ -775,15 +775,18 @@ def weighted_sample_keys(key: Column, weight: Column) -> Column:
     "(per-partition partial top-k, no corpus shuffle/total sort).",
     oracle=f"""
         SELECT doc_id, source, n_chars,
-               ROUND(LN({_WS_U_SQL}) / n_chars, 6) AS es_key
+               ROUND(LN({_WS_U_SQL}) / GREATEST(n_chars, 1), 6) AS es_key
         FROM documents
-        ORDER BY LN({_WS_U_SQL}) / n_chars DESC, doc_id
+        ORDER BY LN({_WS_U_SQL}) / GREATEST(n_chars, 1) DESC, doc_id
         LIMIT {_WS_K}
     """,
 )
 def u17_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
-    es = weighted_sample_keys(F.col("doc_id"), F.col("n_chars"))
+    # GREATEST(w,1): an empty doc in a future fixture would otherwise
+    # hit ANSI double-division-by-zero (weights are counts, never <1
+    # when meaningful)
+    es = weighted_sample_keys(F.col("doc_id"), F.greatest(F.col("n_chars"), F.lit(1)))
     return (
         docs.select("doc_id", "source", "n_chars", es.alias("_es"))
         .orderBy(F.col("_es").desc(), "doc_id")
