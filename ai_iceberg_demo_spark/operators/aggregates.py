@@ -538,3 +538,35 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_rows"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# a15: frequent-items sketch (DataSketches approx_top_k)
+# ---------------------------------------------------------------------------
+
+
+@REGISTRY.register(
+    name="a15_frequent_tokens",
+    survey_ref="§2.4 extra (mergeable frequent-items sketch)",
+    doc="heavy-hitter tokens via Spark 4's built-in approx_top_k "
+    "(DataSketches frequent-items): the third mergeable-sketch family "
+    "member after a8b's HLL and a11b's histogram — per-partition "
+    "sketches merge, so the corpus token stream never shuffles, only "
+    "sketch partials do. The sketch is EXACT whenever distinct items "
+    "fit its tracked capacity (the DataSketches guarantee; the "
+    "fixture vocabulary is 31 ≪ 10k), which is what licenses a full "
+    "SQL oracle here — at web scale the same query is approximate "
+    "with bounded error and the report schema is unchanged.",
+    oracle="""
+        SELECT tok AS token, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents)
+        GROUP BY tok
+    """,
+)
+def a15_frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    sk = toks.agg(F.expr("approx_top_k(tok, 50, 10000)").alias("top"))
+    return sk.select(F.explode("top").alias("t")).select(
+        F.col("t.item").alias("token"), F.col("t.count").cast("bigint").alias("cnt")
+    )
