@@ -914,3 +914,77 @@ def m12_maintenance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("bigint").alias("total_units"),
     )
     return compact.unionByName(orphans)
+
+
+# ---------------------------------------------------------------------------
+# M8b: changelog apply (the CDC consumer)
+# ---------------------------------------------------------------------------
+
+
+def changelog_apply(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    value_cols: Sequence[str],
+) -> DataFrame:
+    """Apply a snapshot_diff changelog to a base snapshot — the CDC
+    CONSUMER: downstream replicas sync by applying the delta instead
+    of re-copying the table. deletes drop, updates rewrite their
+    value columns, inserts append; by construction
+    ``changelog_apply(old, snapshot_diff(old, new)) ≡ new``
+    (the round-trip law, property-tested). One key-partitioned left
+    join against the (changed-keys-only) changelog plus a union of
+    inserts — O(delta) work beyond the base scan, zero shuffles on a
+    bucketed layout (m8's co-location carries over)."""
+    ch = changes
+    upd = ch.filter(F.col("change_type") == "update").select(
+        *keys, *[F.col(f"new_{c}").alias(f"__new_{c}") for c in value_cols]
+    )
+    dels = ch.filter(F.col("change_type") == "delete").select(*keys)
+    ins = ch.filter(F.col("change_type") == "insert").select(
+        *keys, *[F.col(f"new_{c}").alias(c) for c in value_cols]
+    )
+    kept = base.join(dels, list(keys), "left_anti")
+    merged = kept.join(upd, list(keys), "left")
+    for c in value_cols:
+        merged = merged.withColumn(
+            c, F.coalesce(F.col(f"__new_{c}"), F.col(c))
+        ).drop(f"__new_{c}")
+    return merged.unionByName(ins)
+
+
+@REGISTRY.register(
+    name="m8b_changelog_apply",
+    survey_ref="M-family extra (CDC apply / replica sync)",
+    doc="the consumer half of m8: applying the changelog to the day-1 "
+    "snapshot reconstructs the day-2 snapshot exactly — how a "
+    "downstream replica syncs at O(delta) cost instead of re-copying "
+    "the table. The registered query materializes "
+    "changelog_apply(snap0, m8's diff) and the oracle is simply the "
+    "day-2 state's own definition, so the hash check IS the "
+    "round-trip proof on the fixture (the property test generalizes "
+    "it to arbitrary mutation sets).",
+    oracle="""
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 10 = 0
+                    THEN ROUND(CAST(o_totalprice AS DOUBLE), 2) + 250.0
+                    ELSE ROUND(CAST(o_totalprice AS DOUBLE), 2) END
+                   AS o_totalprice
+        FROM orders WHERE o_orderkey % 17 <> 3
+        UNION ALL
+        SELECT o_orderkey + 10000000, ROUND(CAST(o_totalprice AS DOUBLE), 2)
+        FROM orders WHERE o_orderkey % 23 = 5
+    """,
+)
+def m8b_changelog_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    snap0 = orders.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice").cast("double"), 2).alias("o_totalprice"),
+    )
+    # the changelog is a diamond (update/delete/insert branches all
+    # read it) — persist so the CDC join runs once, not three times
+    diff = m8_snapshot_diff(spark, sf_dir).persist()
+    return changelog_apply(
+        snap0, diff, keys=["o_orderkey"], value_cols=["o_totalprice"]
+    )

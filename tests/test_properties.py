@@ -313,3 +313,40 @@ def test_snapshot_diff_recovers_arbitrary_mutations(spark, old_rows, data):
     assert by_type.get("delete", set()) == deletes
     assert by_type.get("insert", set()) == set(inserts)
     assert by_type.get("update", set()) == updates
+
+
+@given(
+    st.dictionaries(st.integers(0, 60), st.integers(0, 5), min_size=1, max_size=40),
+    st.data(),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_changelog_roundtrip_is_identity(spark, old_rows, data):
+    """The CDC round-trip law: changelog_apply(old, snapshot_diff(old,
+    new)) reconstructs new EXACTLY, for any old snapshot and any
+    delete/update/insert combination."""
+    from ai_iceberg_demo_spark.operators.mutations import (
+        changelog_apply,
+        snapshot_diff,
+    )
+
+    keys = sorted(old_rows)
+    deletes = set(data.draw(st.lists(st.sampled_from(keys), unique=True,
+                                     max_size=len(keys))))
+    updatable = [k for k in keys if k not in deletes]
+    updates = set(data.draw(st.lists(st.sampled_from(updatable), unique=True,
+                                     max_size=len(updatable)))) if updatable else set()
+    inserts = {k + 1000: 9 for k in data.draw(
+        st.lists(st.integers(0, 60), unique=True, max_size=10))}
+
+    new_rows = {
+        k: (v + 100 if k in updates else v)
+        for k, v in old_rows.items() if k not in deletes
+    }
+    new_rows.update(inserts)
+
+    old_df = spark.createDataFrame(list(old_rows.items()), "k long, v long")
+    new_df = spark.createDataFrame(list(new_rows.items()), "k long, v long")
+    diff = snapshot_diff(old_df, new_df, keys=["k"], compare_cols=["v"])
+    rebuilt = changelog_apply(old_df, diff, keys=["k"], value_cols=["v"])
+    assert {(r["k"], r["v"]) for r in rebuilt.collect()} == set(new_rows.items())
