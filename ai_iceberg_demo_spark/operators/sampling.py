@@ -1049,3 +1049,70 @@ def u20_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").cast("bigint").alias("min_chars"),
         F.max("n_chars").cast("bigint").alias("max_chars"),
     ).withColumn("decile", F.col("decile").cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# u21: length-bucketed dynamic batching
+# ---------------------------------------------------------------------------
+
+_BATCH_SIZE = 16  # sequences per batch
+
+
+@REGISTRY.register(
+    name="u21_length_batching",
+    survey_ref="training-data (dynamic batching)",
+    doc="length-bucketed batch construction (the fairseq/HF dynamic-"
+    "batching rule): docs bucket by floor(log2(tokens)) so same-batch "
+    "sequences have within-2× lengths, order by key-hash within the "
+    f"band, and group {_BATCH_SIZE} per batch. Output is the batch "
+    "manifest: per (band, batch) the doc count, the max length that "
+    "sets the padded width, and padding_frac — the waste a naive "
+    "unbucketed batcher pays on mixed lengths. Plan: map-side band "
+    "assignment + u12's per-band window (bands are balanced strata, "
+    "no skew) + one tiny batch-keyed agg; u19 is the zero-padding "
+    "packing alternative when samples need not stay whole.",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n
+            FROM documents
+        ), banded AS (
+            SELECT doc_id, n, CAST(FLOOR(LOG2(n)) AS INT) AS band
+            FROM toks WHERE n > 0
+        ), numbered AS (
+            SELECT band, n,
+                   CAST((ROW_NUMBER() OVER (PARTITION BY band
+                         ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id) - 1)
+                        // {_BATCH_SIZE} AS BIGINT) AS batch_idx
+            FROM banded
+        )
+        SELECT band, batch_idx,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(MAX(n) AS BIGINT) AS padded_width,
+               ROUND(1 - SUM(n) / CAST(COUNT(*) * MAX(n) AS DOUBLE), 4)
+                   AS padding_frac
+        FROM numbered GROUP BY band, batch_idx
+    """,
+)
+def u21_length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n")
+    ).filter(F.col("n") > 0)
+    banded = toks.withColumn("band", F.floor(F.log2("n")).cast("int"))
+    w = W.partitionBy("band").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    numbered = banded.withColumn(
+        "batch_idx",
+        ((F.row_number().over(w) - 1) / _BATCH_SIZE).cast("bigint"),
+    )
+    return numbered.groupBy("band", "batch_idx").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.max("n").cast("bigint").alias("padded_width"),
+        F.round(
+            1 - F.sum("n") / (F.count("*") * F.max("n")).cast("double"), 4
+        ).alias("padding_frac"),
+    )

@@ -386,3 +386,40 @@ def test_packing_split_bins_are_exactly_full(spark):
     for b, filled in per_bin.items():
         if b != last_bin:
             assert filled == PACK_BUDGET, (b, filled)  # token-exact, no padding
+
+
+def test_length_batching_bounds_padding(spark):
+    """u21: every batch's members share a log2 band (≤2× length
+    spread → padding_frac < 0.5), only the last batch of a band is
+    short, and the mean padding beats a naive single global batch of
+    the same size taken across mixed bands."""
+    from ai_iceberg_demo_spark.operators.sampling import (
+        _BATCH_SIZE,
+        u21_length_batching,
+    )
+
+    rows = u21_length_batching(spark, SF_DIR).collect()
+    assert rows
+    by_band = {}
+    for r in rows:
+        assert 0 < r["n_docs"] <= _BATCH_SIZE
+        assert 0.0 <= r["padding_frac"] < 0.5  # within-band 2x bound
+        by_band.setdefault(r["band"], []).append(r)
+    for band, batches in by_band.items():
+        short = [b for b in batches if b["n_docs"] < _BATCH_SIZE]
+        assert len(short) <= 1  # only the remainder batch is short
+
+    docs = load_table(spark, "documents", SF_DIR)
+    lens = sorted(
+        r["n"]
+        for r in docs.select(
+            F.size(F.split("text", " ")).cast("bigint").alias("n")
+        ).collect()
+    )
+    # naive: same batch size, hash order across ALL lengths — padding
+    # is governed by the global max/mean gap
+    naive_waste = 1 - sum(lens) / (len(lens) * max(lens))
+    total_tokens = sum(lens)
+    padded = sum(r["n_docs"] * r["padded_width"] for r in rows)
+    banded_waste = 1 - total_tokens / padded
+    assert banded_waste < naive_waste
