@@ -790,3 +790,87 @@ def v20_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("q"),
     )
+
+
+# ---------------------------------------------------------------------------
+# V22: Matryoshka-prefix retrieval evaluation
+# ---------------------------------------------------------------------------
+
+_MRL_PREFIXES = (8, 16, 32, 64)
+_MRL_K = 5
+
+
+@REGISTRY.register(
+    name="v22_matryoshka_eval",
+    survey_ref="V3 extra (dimension-truncation evaluation)",
+    doc="Matryoshka evaluation: how much of exact top-5 retrieval "
+    "survives truncating embeddings to their first 8/16/32/64 dims — "
+    "the table that decides how short MRL-style prefixes can get "
+    "before recall pays (shorter prefixes = proportionally cheaper "
+    "ANN serving). For each prefix: top-5 by prefix-cosine vs the "
+    "full-dim top-5, overlap counted. One scan per prefix of the "
+    "slice-projected corpus + TakeOrderedAndProject; the overlap join "
+    "touches 2×k rows. Exact and fully SQL-oracled (list slicing on "
+    "both engines).",
+    oracle=f"""
+        WITH q AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+            WHERE vec_id = 0
+        ),
+        full_top AS (
+            SELECT e.vec_id
+            FROM embeddings e, q
+            ORDER BY ROUND({_COS_SQL.format(a="e.embedding", b="q.qv")}, 6) DESC,
+                     e.vec_id
+            LIMIT {_MRL_K}
+        )
+        """
+        + "\n        UNION ALL\n".join(
+            f"""
+        SELECT CAST({p} AS INT) AS prefix_dim,
+               CAST((SELECT COUNT(*) FROM (
+                   SELECT e.vec_id
+                   FROM embeddings e, q
+                   ORDER BY ROUND({_COS_SQL.format(
+                       a=f"(CAST(e.embedding AS DOUBLE[]))[1:{p}]",
+                       b=f"q.qv[1:{p}]")}, 6) DESC, e.vec_id
+                   LIMIT {_MRL_K}) t
+                   WHERE t.vec_id IN (SELECT vec_id FROM full_top))
+               AS BIGINT) AS overlap_at_{_MRL_K}
+        FROM (SELECT 1)
+        """
+            for p in _MRL_PREFIXES
+        ),
+)
+def v22_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        as_double(F.col("embedding")).alias("qv")
+    )
+
+    def topk(prefix: int | None):
+        if prefix is None:
+            a, b = F.col("embedding"), F.col("qv")
+        else:
+            a = F.slice(as_double(F.col("embedding")), 1, prefix)
+            b = F.slice(F.col("qv"), 1, prefix)
+        score = F.round(cosine(a, b), 6)
+        return (
+            emb.crossJoin(F.broadcast(qv))
+            .select("vec_id", score.alias("score"))
+            .orderBy(F.desc("score"), F.asc("vec_id"))
+            .limit(_MRL_K)
+            .select("vec_id")
+        )
+
+    full = topk(None).persist()
+    out = None
+    for p in _MRL_PREFIXES:
+        row = (
+            topk(p)
+            .join(full, "vec_id", "left_semi")
+            .agg(F.count("*").cast("bigint").alias(f"overlap_at_{_MRL_K}"))
+            .select(F.lit(p).cast("int").alias("prefix_dim"), f"overlap_at_{_MRL_K}")
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

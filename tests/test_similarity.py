@@ -207,3 +207,21 @@ def test_vectorized_signatures_equal_hof_buckets(spark):
           & (SF.col("sig")[2] == SF.col("h2")) & (SF.col("sig")[3] == SF.col("h3")))
     ).count()
     assert bad == 0
+
+
+def test_matryoshka_eval_self_consistency(spark):
+    """v22: the full-dimension prefix must recover its own top-5
+    exactly (overlap 5); every overlap is in [0, 5]; one row per
+    configured prefix."""
+    from ai_iceberg_demo_spark.vector.similarity import (
+        _MRL_K,
+        _MRL_PREFIXES,
+        v22_matryoshka_eval,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = {r["prefix_dim"]: r[f"overlap_at_{_MRL_K}"]
+            for r in v22_matryoshka_eval(spark, SF_DIR).collect()}
+    assert set(rows) == set(_MRL_PREFIXES)
+    assert rows[64] == _MRL_K
+    assert all(0 <= v <= _MRL_K for v in rows.values())
