@@ -313,3 +313,109 @@ def o6_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("zvalue"),
         (z / _Z_FILE_SPAN).cast("bigint").alias("zfile"),
     )
+
+
+# ---------------------------------------------------------------------------
+# O7: consistent-hash sharding + elasticity audit
+# ---------------------------------------------------------------------------
+
+_CH_WORKERS = 8
+
+
+def ring_position(key: Column) -> Column:
+    """Position on the 2^48 hash ring (md5-derived, engine-portable)."""
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 12), 16, 10).cast(
+        "long"
+    )
+
+
+@REGISTRY.register(
+    name="o7_consistent_hashing",
+    survey_ref="O-family extra (elastic shard assignment)",
+    doc=f"consistent-hash sharding: docs map to {_CH_WORKERS} workers "
+    "by ring position (first worker mark at-or-after the key, "
+    "wrapping) — and the elasticity audit: re-sharding to "
+    f"{_CH_WORKERS + 1} workers moves ONLY the keys landing in the "
+    "new worker's ring arc (~1/(N+1) of the corpus), where modulo "
+    "sharding would reshuffle nearly everything. Output: per-worker "
+    "load under both ring sizes + moved-key count per worker. Plan: "
+    "map-side ring position + broadcast worker-mark array folded per "
+    "row (array_min over HOF — no join, no shuffle beyond the tiny "
+    "load agg). Single-mark rings have high arc-length variance "
+    "(visible in the per-worker loads); production smooths with "
+    "~100 virtual nodes per worker — same expression, longer mark "
+    "list.",
+    oracle=f"""
+        WITH marks AS (
+            SELECT w,
+                   ('0x' || SUBSTR(MD5('worker_' || CAST(w AS VARCHAR)), 1, 12))::BIGINT
+                       AS pos
+            FROM UNNEST(GENERATE_SERIES(0, {_CH_WORKERS})) AS t(w)
+        ), keyed AS (
+            SELECT doc_id,
+                   ('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+                       AS kpos
+            FROM documents
+        ), assign8 AS (
+            SELECT k.doc_id,
+                   COALESCE(
+                     (SELECT m.w FROM marks m
+                      WHERE m.w < {_CH_WORKERS} AND m.pos >= k.kpos
+                      ORDER BY m.pos, m.w LIMIT 1),
+                     (SELECT m.w FROM marks m WHERE m.w < {_CH_WORKERS}
+                      ORDER BY m.pos, m.w LIMIT 1)) AS worker
+            FROM keyed k
+        ), assign9 AS (
+            SELECT k.doc_id,
+                   COALESCE(
+                     (SELECT m.w FROM marks m WHERE m.pos >= k.kpos
+                      ORDER BY m.pos, m.w LIMIT 1),
+                     (SELECT m.w FROM marks m ORDER BY m.pos, m.w LIMIT 1)) AS worker
+            FROM keyed k
+        )
+        SELECT a8.worker AS worker,
+               CAST(COUNT(*) AS BIGINT) AS load_n,
+               CAST(COUNT(*) FILTER (WHERE a9.worker <> a8.worker) AS BIGINT)
+                   AS moved_out
+        FROM assign8 a8 JOIN assign9 a9 ON a8.doc_id = a9.doc_id
+        GROUP BY a8.worker
+    """,
+)
+def o7_consistent_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    docs = load_table(spark, "documents", sf_dir)
+
+    def marks(n: int) -> list[tuple[int, int]]:
+        # same md5-ring positions the oracle derives in SQL
+        return sorted(
+            (
+                int(hashlib.md5(f"worker_{w}".encode()).hexdigest()[:12], 16),
+                w,
+            )
+            for w in range(n)
+        )
+
+    def assign(n: int) -> Column:
+        ms = marks(n)
+        kpos = ring_position(F.col("doc_id"))
+        # first mark at-or-after the key, wrap to the smallest mark:
+        # folded as nested whens over the (tiny, sorted) mark list —
+        # a broadcast-free per-row expression
+        expr = F.lit(ms[0][1])  # wrap default: smallest position's worker
+        for pos, w in reversed(ms):
+            expr = F.when(kpos <= pos, F.lit(w)).otherwise(expr)
+        return expr
+
+    a8 = assign(_CH_WORKERS)
+    a9 = assign(_CH_WORKERS + 1)
+    return (
+        docs.select(a8.alias("worker"), a9.alias("w9"))
+        .groupBy("worker")
+        .agg(
+            F.count("*").cast("bigint").alias("load_n"),
+            F.sum(F.when(F.col("w9") != F.col("worker"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("moved_out"),
+        )
+    )

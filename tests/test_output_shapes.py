@@ -84,3 +84,21 @@ def test_fk_profiler_certifies_real_keys_and_flags_the_planted_non_key(spark):
         else:
             assert r["is_fk"] and r["inclusion"] == 1.0
         assert r["n_matched"] <= r["n_child"]
+
+
+def test_consistent_hashing_moves_only_the_split_arc(spark):
+    """o7: growing the ring by one worker moves keys out of EXACTLY
+    one existing worker (the one whose arc the new mark splits), the
+    loads partition the corpus, and nothing else changes."""
+    from ai_iceberg_demo_spark.operators.ordering_sets import (
+        o7_consistent_hashing,
+    )
+    from ai_iceberg_demo_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    rows = o7_consistent_hashing(spark, SF_DIR).collect()
+    total = sum(r["load_n"] for r in rows)
+    assert total == load_table(spark, "documents", SF_DIR).count()
+    movers = [r for r in rows if r["moved_out"] > 0]
+    assert len(movers) == 1
+    assert movers[0]["moved_out"] < movers[0]["load_n"]
