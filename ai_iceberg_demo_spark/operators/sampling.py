@@ -1116,3 +1116,108 @@ def u21_length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
             1 - F.sum("n") / (F.count("*") * F.max("n")).cast("double"), 4
         ).alias("padding_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# u22: dedup-aware mixture planning
+# ---------------------------------------------------------------------------
+
+
+@REGISTRY.register(
+    name="u22_dedup_aware_mixture",
+    survey_ref="training-data (mixture planning × dedup)",
+    doc="mixture planning on DEDUPED token counts: duplicates inflate "
+    "a source's apparent size, so budgeting rates from raw counts "
+    "over-samples duplicate-heavy feeds — the classic mixture bug. "
+    "The corpus is salted with d1's whitespace-mangled copies "
+    "(doc_id%7==0 → +1e6) so inflation provably exists; canonical = "
+    "min doc_id per normalized fingerprint, and sample_rate comes "
+    "from the SHARED mixture_rates formula over canonical tokens "
+    "only, reported next to the raw counts and the per-source "
+    "inflation factor. One fp-keyed shuffle (d1's) + two tiny "
+    "per-source aggs; the rate table broadcasts to u10b's map-side "
+    "apply unchanged.",
+    oracle=f"""
+        WITH corpus AS (
+            SELECT doc_id, source, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000, source, '  ' || UPPER(text) || '  '
+            FROM documents WHERE doc_id % 7 = 0
+        ), fp AS (
+            SELECT doc_id, source,
+                   CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+                   MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g')) AS f
+            FROM corpus
+        ), canon AS (
+            SELECT * FROM (
+                SELECT doc_id, source, n_tokens,
+                       ROW_NUMBER() OVER (PARTITION BY f ORDER BY doc_id) AS rn
+                FROM fp) t WHERE rn = 1
+        ), raw_stats AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs_raw,
+                   CAST(SUM(n_tokens) AS BIGINT) AS tokens_raw
+            FROM fp GROUP BY source
+        ), canon_stats AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs_canon,
+                   CAST(SUM(n_tokens) AS BIGINT) AS tokens_canon
+            FROM canon GROUP BY source
+        ), tot AS (
+            SELECT SUM(tokens_canon) AS total, COUNT(*) AS k FROM canon_stats
+        )
+        SELECT r.source, r.n_docs_raw, c.n_docs_canon,
+               r.tokens_raw, c.tokens_canon,
+               ROUND(r.tokens_raw / CAST(c.tokens_canon AS DOUBLE), 4)
+                   AS inflation,
+               ROUND(LEAST(1.0, ({MIXTURE_BUDGET_FRAC} * t.total / t.k)
+                                / c.tokens_canon), 6) AS sample_rate
+        FROM raw_stats r
+        JOIN canon_stats c ON r.source = c.source
+        CROSS JOIN tot t
+    """,
+)
+def u22_dedup_aware_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ai_iceberg_demo_spark.functions.text import fingerprint
+
+    docs = load_table(spark, "documents", sf_dir)
+    mangled = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        "source",
+        F.concat(F.lit("  "), F.upper("text"), F.lit("  ")).alias("text"),
+    )
+    corpus = docs.select("doc_id", "source", "text").unionByName(mangled)
+    # raw stats and the canonical window both read the fingerprinted
+    # frame — persist so normalization+md5 run once (d4f393a pattern)
+    fp = corpus.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        fingerprint(F.col("text")).alias("f"),
+    ).persist()
+    w = W.partitionBy("f").orderBy("doc_id")
+    canon = fp.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+
+    raw_stats = fp.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs_raw"),
+        F.sum("n_tokens").cast("bigint").alias("tokens_raw"),
+    )
+    rates = mixture_rates(
+        canon,
+        tokens_col="n_tokens",
+        extra_aggs=(F.count("*").cast("bigint").alias("n_docs_canon"),),
+    )
+    return (
+        raw_stats.join(F.broadcast(rates), "source")
+        .select(
+            "source",
+            "n_docs_raw",
+            "n_docs_canon",
+            "tokens_raw",
+            F.col("src_tokens").alias("tokens_canon"),
+            F.round(
+                F.col("tokens_raw") / F.col("src_tokens").cast("double"), 4
+            ).alias("inflation"),
+            "sample_rate",
+        )
+    )

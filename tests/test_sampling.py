@@ -423,3 +423,26 @@ def test_length_batching_bounds_padding(spark):
     padded = sum(r["n_docs"] * r["padded_width"] for r in rows)
     banded_waste = 1 - total_tokens / padded
     assert banded_waste < naive_waste
+
+
+def test_dedup_aware_mixture_removes_duplicate_inflation(spark):
+    """u22: sources with salted duplicates show inflation > 1, their
+    canonical counts subtract exactly the planted copies, and rates
+    computed on canonical tokens are >= what raw counts would give
+    (duplicates can only deflate a source's justified rate)."""
+    from ai_iceberg_demo_spark.operators.sampling import (
+        u22_dedup_aware_mixture,
+    )
+
+    rows = {r["source"]: r for r in u22_dedup_aware_mixture(spark, SF_DIR).collect()}
+    assert rows
+    docs = load_table(spark, "documents", SF_DIR).collect()
+    planted = {}
+    for d in docs:
+        if d["doc_id"] % 7 == 0:
+            planted[d["source"]] = planted.get(d["source"], 0) + 1
+    for src, r in rows.items():
+        assert r["n_docs_raw"] - r["n_docs_canon"] == planted.get(src, 0)
+        if planted.get(src):
+            assert r["inflation"] > 1.0
+        assert 0 < r["sample_rate"] <= 1.0
