@@ -40,6 +40,7 @@ from pyspark.sql.types import (
     BooleanType,
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
     TimestampType,
@@ -262,4 +263,112 @@ def stateful_rate_limit(events: DataFrame, cap: int = 6, window_s: int = 86_400)
         stateStructType=RATE_STATE,
         outputMode="update",
         timeoutConf="NoTimeout",
+    )
+
+
+# ---------------------------------------------------------------------------
+# event-time TIMEOUT sessions (the reference's workflow-timeout analog)
+# ---------------------------------------------------------------------------
+
+#: flushed-session row: how it ended distinguishes signal vs timeout
+TIMEOUT_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("last_us", LongType()),
+        StructField("ended_by", StringType()),
+    ]
+)
+
+TIMEOUT_STATE = StructType(
+    [
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("last_us", LongType()),
+        StructField("done", BooleanType()),
+    ]
+)
+
+
+def timeout_session_collector(gap_s: int = 6 * 3600, end_signal: str = "error"):
+    """applyInPandasWithState body with EVENT-TIME TIMEOUT: per key,
+    fold events; the first end-signal row closes the session
+    (ended_by='signal'); a key silent for ``gap_s`` of EVENT time —
+    the watermark passing last_event + gap — flushes a partial
+    session (ended_by='timeout'). This is the reference's
+    workflow-timeout rule (`interactive_research_workflow.py`
+    wait_condition deadline) on distributed state: abandoned keys
+    can't pin the state store. Self-contained closure (cloudpickle
+    by value)."""
+    import pandas as pd  # noqa: F811
+
+    gap_us = gap_s * 1_000_000
+
+    def collect(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: "GroupState"
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            n, total, last_us, done = state.get
+            state.remove()
+            if not done:  # tombstones never re-emit
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]],
+                        "n_events": [n],
+                        "total_value": [round(total, 2)],
+                        "last_us": [last_us],
+                        "ended_by": ["timeout"],
+                    }
+                )
+            return
+        n, total, last_us, done = (
+            state.get if state.exists else (0, 0.0, 0, False)
+        )
+        for pdf in pdfs:
+            if done:
+                break
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for _, r in pdf.iterrows():
+                if done:  # t5 parity: a closed session stays closed
+                    break
+                n += 1
+                total += float(r["value"])
+                last_us = int(pd.Timestamp(r["ts"]).value // 1_000)
+                if r["event_type"] == end_signal:
+                    done = True
+        if done and not (state.exists and state.get[3]):
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 2)],
+                    "last_us": [last_us],
+                    "ended_by": ["signal"],
+                }
+            )
+        # keep the tombstone but let it expire with the same timeout so
+        # closed keys cannot pin the state store forever
+        state.update((n, total, last_us, done))
+        state.setTimeoutTimestamp(last_us // 1_000 + gap_s * 1_000)
+
+    return collect
+
+
+def stateful_sessions_with_timeout(
+    events: DataFrame, gap_s: int = 6 * 3600, end_signal: str = "error"
+) -> DataFrame:
+    """T5/T6 + timeout: collect-until-signal sessions whose abandoned
+    keys flush when the watermark passes last_event + gap. Requires a
+    watermark on ``ts`` (event-time timeout contract)."""
+    return (
+        events.withWatermark("ts", "1 second")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            timeout_session_collector(gap_s, end_signal),
+            outputStructType=TIMEOUT_OUTPUT,
+            stateStructType=TIMEOUT_STATE,
+            outputMode="update",
+            timeoutConf="EventTimeTimeout",
+        )
     )

@@ -594,3 +594,67 @@ def test_stateful_rate_limit_matches_batch_window(spark, tmp_path):
         for r in t30_rate_limit(spark, SF_DIR).collect()
     }
     assert streamed and streamed == batch
+
+
+def test_timeout_sessions_flush_abandoned_keys(spark, tmp_path):
+    """Event-time timeout sessions: a key that receives the end signal
+    closes as 'signal' and never re-emits; a key that goes silent
+    flushes as 'timeout' once the watermark passes last_event + gap
+    (driven by a late heartbeat batch); counts are exact."""
+    import glob
+    import os
+    import shutil
+    import time as _time
+    from datetime import datetime, timedelta
+
+    from ai_iceberg_demo_spark.streaming.stateful import (
+        stateful_sessions_with_timeout,
+    )
+
+    t0 = datetime(2024, 1, 1)
+
+    def ev(i, ts_min, uid, etype, val):
+        return (i, t0 + timedelta(minutes=ts_min), uid, etype, float(val))
+
+    batch1 = [ev(1, 0, 1, "view", 10), ev(2, 5, 1, "error", 1),  # closes u1
+              ev(3, 0, 2, "view", 20), ev(4, 7, 2, "click", 5)]
+    batch2 = [ev(5, 30, 1, "view", 99),   # after close — must be ignored
+              ev(6, 40, 2, "view", 7)]    # u2 last event at t+40min
+    heartbeat = [ev(7, 24 * 60, 3, "view", 0)]  # watermark >> u2+gap
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ingest = tmp_path / "in"
+    ingest.mkdir()
+    base = _time.time() - 600
+    for i, rows in enumerate((batch1, batch2, heartbeat)):
+        df = spark.createDataFrame(rows, schema)
+        stage = str(tmp_path / f"_s{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        dst = str(ingest / f"b{i}.parquet")
+        shutil.move(glob.glob(os.path.join(stage, "part-*.parquet"))[0], dst)
+        os.utime(dst, (base + 60 * i, base + 60 * i))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(ingest / "*.parquet"))
+    )
+    q = (
+        stateful_sessions_with_timeout(stream, gap_s=3600)  # 1h gap
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("tout_sessions")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {r["user_id"]: r for r in spark.sql(
+        "SELECT * FROM tout_sessions").collect()}
+    assert rows[1]["ended_by"] == "signal"
+    assert rows[1]["n_events"] == 2 and rows[1]["total_value"] == 11.0
+    assert rows[2]["ended_by"] == "timeout"
+    assert rows[2]["n_events"] == 3 and rows[2]["total_value"] == 32.0
+    # one emission per closed key, nothing for the heartbeat user yet
+    assert set(rows) == {1, 2}
