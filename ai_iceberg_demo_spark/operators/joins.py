@@ -445,3 +445,47 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(rev).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), "n_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H q4: order-priority checking (correlated EXISTS as semi-join)
+# ---------------------------------------------------------------------------
+
+
+@REGISTRY.register(
+    name="q4_order_priority",
+    survey_ref="J3/A2 composition (TPC-H q4)",
+    doc="TPC-H q4's shape on the fixture's columns: orders placed in "
+    "1996-Q1 with at least one lineitem shipped more than 90 days "
+    "after the order date, counted per priority — the canonical "
+    "correlated-EXISTS benchmark (the fixture carries l_shipdate, "
+    "not commit/receipt dates, so lateness is ship-vs-order). "
+    "Spark-first: EXISTS is a LEFT SEMI join with the correlated "
+    "date condition in the join predicate (the lineitem side never "
+    "widens the row), the quarter filter prunes the orders scan "
+    "BEFORE the join, and the priority rollup is a tiny partial agg. "
+    "At 100 TB both sides are date-partitioned and prune to a few "
+    "partitions each.",
+    oracle="""
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        FROM orders
+        WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_shipdate")
+    cond = (orders.o_orderkey == li.l_orderkey) & (
+        li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 90 DAYS")
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("bigint").alias("order_count"))
+    )
