@@ -95,78 +95,72 @@ class Registry:
 # pytest oracle this round and take window slots in r5. Names not
 # listed keep their module registration order after these.
 #
-# r5 slot queue (registered this round, pytest-oracle-verified, no
-# driver row yet): u11b_epoch_shuffle_2, pipeline_incremental_curation,
-# t17b_semantic_decontamination, t21_bigram_merge_stats,
-# d10_exact_substring_removal, v12_pca_project, t22_bm25_topk,
-# t23_hybrid_rrf, u13_data_card, u6b_group_split, v13_standardize,
-# t13_watermark_audit, v8e_phash_dedup, d11_source_overlap,
-# g1_pagerank, t14_funnel, t14b_retention, a11b_histogram_quantiles,
-# m6_scd2_upsert, v14_mmr_rerank, v15_topic_terms, and the operators
-# registered later in r4 (u17_weighted_sample, u15_quality_calibration,
-# m8_snapshot_diff, m9_compaction_plan, o6_zorder_key, v18_knn_graph,
-# v19_contrastive_mining, g2_label_propagation, m10_wap_audit,
-# t27_ab_test, t28_streaming_wap, u18_upsample_mix, m11_orphan_files,
-# v20_quantize_embeddings, m12_maintenance_plan, u19_packing_split,
-# w7_cumulative_uniques, f31_pretokenize, v21_cluster_quality,
-# t30_rate_limit, v8f_scene_cut, u20_quality_deciles,
-# s10_column_profile) — plus any r2-core queries whose newest driver
-# row is then 3 rounds old.
+# Round 5 executes the r4-queued rotation: 68 registered queries had
+# NEVER held a driver slot (everything first registered in r3/r4).
+# "Never checked" beats any staleness tier, so all 50 slots go to
+# first-timers: the 44 names queued in the r4 comment plus the 6
+# remaining hash-oracled first-timers (s11, q4, q6, a14, a15, o7).
+# The 18 first-timers that still don't fit (u14, u16, u21, u22, m6b,
+# m7, m8b, f30, v16, v17, v22, t25, t26, t29, t31, d12,
+# pipeline_eval_prep, pipeline_multimodal_prep) head the r6 queue,
+# followed by the r2-core cohort (42 queries, newest row r2 — then 4
+# rounds stale). All rotated-out queries stay covered by the per-round
+# pytest oracle sweep (tests/test_queries_oracle.py). t22/t23 changed
+# code this round (shared f31 pretokenizer) — their slots double as
+# the post-change re-pin.
 _DRIVER_WINDOW_PRIORITY = [
-    # --- the 48 r1-core queries, stalest first-evidence in the fleet ---
-    "s1_full_scan",
-    "s2_point_lookup",
-    "s3_filtered_count",
-    "p1_projection_rename",
-    "p2_threshold_filter",
-    "p3_notnull_filter",
-    "p4_compound_predicate",
-    "p5_category_equality",
-    "p6_substring_routing",
-    "p7_status_not_in",
-    "p8_drop_null_rows",
-    "j1_parent_children_join",
-    "j2_union_edge_join",
-    "j3_semi_join_exists",
-    "j4_anti_join_guard",
-    "j5_adjacent_sequence",
-    "j7_star_join",
-    "j8_asof_join",
-    "j9_interval_join",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "a9_skew_salted_agg",
-    "a1_max_per_group",
-    "a2_predicated_count",
-    "a3_progress_counters",
-    "a4_collect_list_fanin",
-    "a5_next_sequence",
-    "a6_usage_accumulation",
-    "q1_pricing_summary",
-    "a7_rollup",
-    "a10_cube",
-    "a12_moment_stats",
-    "a13_pivot_matrix",
-    "w1_last_per_group",
-    "w2_sequence_numbering",
-    "w3_lag_predecessor",
-    "w4_ranked_topk",
-    "w5_moving_window_frame",
-    "w6_distribution_ranks",
-    "o1_newest_first",
-    "o2_ordered_replay",
-    "o3_pagination",
-    "o3_keyset_pagination",
-    "o4_topk_by_score",
-    "o5_limited_replay",
-    "u1_union_timeline",
-    "u2_concat_datasets",
-    "u3_intersect",
-    # (a8_approx_distinct / a11_percentiles were in the r1 window too,
-    # but re-earned r2 rows — only 1 round stale, no slot needed.)
-    # --- code changed this round → re-pin ---
-    "u11_epoch_shuffle",
-    "u10_mixture_plan",
+    # --- r3/r4 first-timers, in r4-queue order ---
+    "u11b_epoch_shuffle_2",
+    "pipeline_incremental_curation",
+    "t17b_semantic_decontamination",
+    "t21_bigram_merge_stats",
+    "d10_exact_substring_removal",
+    "v12_pca_project",
+    "t22_bm25_topk",
+    "t23_hybrid_rrf",
+    "u13_data_card",
+    "u6b_group_split",
+    "v13_standardize",
+    "t13_watermark_audit",
+    "v8e_phash_dedup",
+    "d11_source_overlap",
+    "g1_pagerank",
+    "t14_funnel",
+    "t14b_retention",
+    "a11b_histogram_quantiles",
+    "m6_scd2_upsert",
+    "v14_mmr_rerank",
+    "v15_topic_terms",
+    "u17_weighted_sample",
+    "u15_quality_calibration",
+    "m8_snapshot_diff",
+    "m9_compaction_plan",
+    "o6_zorder_key",
+    "v18_knn_graph",
+    "v19_contrastive_mining",
+    "g2_label_propagation",
+    "m10_wap_audit",
+    "t27_ab_test",
+    "t28_streaming_wap",
+    "u18_upsample_mix",
+    "m11_orphan_files",
+    "v20_quantize_embeddings",
+    "m12_maintenance_plan",
+    "u19_packing_split",
+    "w7_cumulative_uniques",
+    "f31_pretokenize",
+    "v21_cluster_quality",
+    "t30_rate_limit",
+    "v8f_scene_cut",
+    "u20_quality_deciles",
+    "s10_column_profile",
+    # --- the 6 remaining hash-oracled first-timers ---
+    "s11_fk_inclusion",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "a14_skew_report",
+    "a15_frequent_tokens",
+    "o7_consistent_hashing",
 ]
 
 
