@@ -348,3 +348,23 @@ class VectorRAG:
 
     def verify_connection(self) -> bool:
         return self.embeddings.sparkSession is not None
+
+
+def release_caches(spark: SparkSession) -> int:
+    """Session-level cache cleanup hook for long sweeps.
+
+    Registered queries build per-call persists (d2b/d5/d8/g1/g2/v14/v18
+    diamonds, pipeline intermediates) that only pay off within their own
+    plan; harnesses that run many queries in one session (the driver's
+    gate, tools/oracle_check.py, tools/sweep.py) should call this
+    between queries or phases. Drops every persisted RDD AND this
+    session's table handles (so the canonical events persist is rebuilt
+    cleanly on next use, not left as a dangling unpersisted handle).
+    Returns the number of persisted RDDs that remain afterwards — 0 in
+    a healthy session; callers can assert on it.
+    """
+    from ai_iceberg_demo_spark.tables import clear_table_cache
+
+    clear_table_cache(spark)
+    spark.catalog.clearCache()
+    return len(spark.sparkContext._jsc.getPersistentRDDs())

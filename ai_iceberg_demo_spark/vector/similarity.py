@@ -601,49 +601,71 @@ def knn_graph(
     L hash tables). The substrate for graph-based dedup-clustering,
     HNSW-style index seeding, and label propagation.
 
-    Never all-pairs: candidate edges come from the (t, b) equi-self-join
-    of the bucket index — the d3/d5 banded-join shape — then ONE
-    exact-rerank join pins scores and a per-src window keeps k. At
-    100 TB the index is the persisted M5 artifact partitioned by
-    (t, bucket(b)), so candidate generation is co-located per bucket
-    and the per-src top-k window partitions by src (uniform key), no
-    skew. Recall vs brute force is pinned in tests/test_similarity.py.
+    Never all-pairs: candidate pairs are vectors sharing an LSH bucket
+    in ≥1 of L tables. The rerank is BUCKET-LOCAL: one groupBy (t, b)
+    shuffle co-locates each bucket's members (vector payload moves
+    exactly L times per row — bounded by table count, NOT by candidate
+    degree), then one Arrow-batched numpy matmul per bucket scores all
+    its pairs. Compare the pair-join spelling (candidate distinct +
+    two vector joins + interpreted-HOF dot per pair): it moves vectors
+    once per CANDIDATE EDGE — on this corpus' geometry avg degree ~650
+    vs L=12, a 50× payload difference — and was measured 2× slower
+    end-to-end (r4's variance flag on this query). Cross-table
+    duplicate pairs carry bit-identical scores (same two operand
+    vectors), so one (src, dst) max-agg dedupes them, and a per-src
+    window keeps k. At 100 TB the bucket index is the persisted M5
+    artifact partitioned by (t, bucket(b)); the plane count grows as
+    log2(n/target_bucket) so bucket-local matmuls stay
+    ~target_bucket², and the per-src top-k window partitions by src
+    (uniform key), no skew. Recall vs brute force is pinned in
+    tests/test_similarity.py. The normalized corpus is persisted once
+    (the plane-sizing count doubles as its materializing action); the
+    harness releases it via facade.release_caches.
     """
+    import math
+
     from pyspark.sql import Window as W
 
+    norm = (
+        with_norm(corpus, "embedding", "v", "n")
+        .select("vec_id", "v", "n")
+        .persist()
+    )
+    # candidate volume per table is Σ bucket², and buckets average
+    # n/2^planes — planes MUST grow with log(n) or the bucket matmuls
+    # re-approach all-pairs as the corpus grows (measured: 3 planes is
+    # 0.6 s at 500 vectors but 9 s at 5 000).
+    n = norm.count()
     if n_planes is None:
-        # candidate volume per table is Σ bucket², and buckets average
-        # n/2^planes — planes MUST grow with log(n) or the self-join
-        # re-approaches all-pairs as the corpus grows (measured: 3
-        # planes is 0.6 s at 500 vectors but 9 s at 5 000). The count
-        # is metadata-only on parquet/Iceberg.
-        import math
-
-        n = corpus.count()
         n_planes = max(3, math.ceil(math.log2(max(2.0, n / target_bucket))))
-    index = build_lsh_index(corpus, n_tables, n_planes, seed, dim)
-    a, b = index.alias("a"), index.alias("b")
-    cand = (
-        a.join(b, ["t", "b"])
-        .filter(F.col("a.vec_id") != F.col("b.vec_id"))
-        .select(F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst"))
-        .distinct()
+    tables = lsh_tables(n_tables, n_planes, seed, dim)
+    bucketed = norm.select(
+        "vec_id", "v", "n",
+        F.posexplode(lsh_signatures(F.col("v"), tables)).alias("t", "b"),
     )
-    src_side = with_norm(corpus, "embedding", "sv", "sn").select(
-        F.col("vec_id").alias("src"), "sv", "sn"
+
+    def _bucket_scores(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame({"src": [], "dst": [], "score": []}).astype(
+                {"src": "int64", "dst": "int64", "score": "float64"}
+            )
+        ids = pdf["vec_id"].to_numpy()
+        vecs = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        norms = pdf["n"].to_numpy(dtype=np.float64)
+        sims = (vecs @ vecs.T) / np.outer(norms, norms)
+        i, j = np.nonzero(~np.eye(m, dtype=bool))
+        return pd.DataFrame(
+            {"src": ids[i], "dst": ids[j], "score": np.round(sims[i, j], 6)}
+        )
+
+    scored = bucketed.groupBy("t", "b").applyInPandas(
+        _bucket_scores, "src long, dst long, score double"
     )
-    dst_side = with_norm(corpus, "embedding", "dv", "dn").select(
-        F.col("vec_id").alias("dst"), "dv", "dn"
-    )
-    score = F.round(dot(F.col("sv"), F.col("dv")) / (F.col("sn") * F.col("dn")), 6)
-    scored = (
-        cand.join(src_side, "src")
-        .join(dst_side, "dst")
-        .select("src", "dst", score.alias("score"))
-    )
+    edges = scored.groupBy("src", "dst").agg(F.max("score").alias("score"))
     w = W.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        edges.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("src", "dst", "score", "rank")
     )

@@ -88,6 +88,12 @@ def main() -> int:
             n_fail += 1
             failures.append(name)
             continue
+        finally:
+            # per-query persists (d2/d5/d8/g1/g2/v14/v18/pipeline
+            # diamonds) are rebuilt on every call — drop them so a full
+            # 200+-query sweep doesn't accumulate a session's worth of
+            # dead cached partitions (mirrors tools/sweep.py).
+            spark.catalog.clearCache()
         if name not in oracles:
             print(f"ROWS  {name}: {len(spdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
             n_rows_only += 1
@@ -127,7 +133,11 @@ def main() -> int:
             print(f"PASS  {name}: {len(spdf)} rows [{time.time()-t0:.1f}s]")
             n_pass += 1
 
+    from ai_iceberg_demo_spark.facade import release_caches
+
+    leftover = release_caches(spark)
     print(f"\n{n_pass} pass, {n_rows_only} rows-only, {n_fail} fail out of {len(names)}")
+    print(f"cached RDDs after cleanup: {leftover}")
     if failures:
         print("failures:", " ".join(failures))
     return 1 if n_fail else 0
