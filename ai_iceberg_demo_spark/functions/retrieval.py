@@ -55,18 +55,33 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame; no corpus shuffle (see module docstring).
     """
     docs = load_table(spark, "documents", sf_dir)
-    toks = F.split(F.col("text"), " ")
+    return bm25_scores(docs)
+
+
+def bm25_scores(docs: DataFrame) -> DataFrame:
+    """BM25 scoring over any (doc_id, text) frame.
+
+    Terms come from the f31 class-aware pretokenizer
+    (``lexical_terms``: lowercase + GPT-style class split + leading
+    space stripped), NOT a bare split(' ') — so 'Spark.' and 'spark'
+    are the same term (pinned by tests/test_retrieval_tokens.py).
+    """
+    from ai_iceberg_demo_spark.functions.text import lexical_terms
+
+    # materialize the term array once per row — the regex extract is
+    # the expensive part; the per-term counts are cheap array HOFs
+    toked = docs.select("doc_id", lexical_terms(F.col("text")).alias("t"))
 
     def _tf(term: str):
         # one-arg closure: F.filter inspects lambda arity, so a
         # default-arg lambda (2 params) would receive the element
         # INDEX as its second argument
-        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+        return F.size(F.filter(F.col("t"), lambda x: x == F.lit(term)))
 
-    feat_cols = [F.size(toks).alias("dl")] + [
+    feat_cols = [F.size("t").alias("dl")] + [
         _tf(t).alias(f"tf{i}") for i, t in enumerate(QUERY_TERMS)
     ]
-    feat = docs.select("doc_id", *feat_cols)
+    feat = toked.select("doc_id", *feat_cols)
 
     stats = feat.agg(
         F.count("*").cast("double").alias("nd"),
@@ -95,15 +110,26 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Shared DuckDB replay of _bm25_scored (CTE bodies; callers wrap).
-_BM25_FEAT_SQL = """
-        feat AS (
-            SELECT doc_id,
-                   LEN(STRING_SPLIT(text, ' ')) AS dl,
-                   LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x = 'spark')) AS tf0,
-                   LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x = 'merge')) AS tf1,
-                   LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x = 'stream')) AS tf2
+# Term extraction is the lexical_terms_sql twin of the f31
+# pretokenizer — the same normalization the Spark side uses.
+def _feat_sql() -> str:
+    from ai_iceberg_demo_spark.functions.text import lexical_terms_sql
+
+    return f"""
+        toks AS (
+            SELECT doc_id, {lexical_terms_sql("text")} AS t
             FROM documents
-        ), stats AS (
+        ), feat AS (
+            SELECT doc_id,
+                   LEN(t) AS dl,
+                   LEN(LIST_FILTER(t, x -> x = 'spark')) AS tf0,
+                   LEN(LIST_FILTER(t, x -> x = 'merge')) AS tf1,
+                   LEN(LIST_FILTER(t, x -> x = 'stream')) AS tf2
+            FROM toks
+        ), stats AS ("""
+
+
+_BM25_FEAT_SQL = _feat_sql() + """
             SELECT CAST(COUNT(*) AS DOUBLE) AS nd,
                    CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl,
                    CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,

@@ -864,6 +864,23 @@ def pretokenize(text: Column) -> Column:
     return F.regexp_extract_all(text, F.lit(_PRETOK_PAT), 0)
 
 
+def lexical_terms(text: Column) -> Column:
+    """Normalized lexical terms for retrieval scoring (t22 BM25, t23
+    fusion): lowercase, then the SAME class-aware pretokenizer split
+    f31 uses for BPE statistics, with the leading space each pretoken
+    carries stripped. This is what makes 'Spark.' and 'spark' the same
+    term — a bare split(' ') would count them apart (invisible on the
+    fixture's 31-token vocab, wrong on real text). Map-only; DuckDB
+    replay is LIST_TRANSFORM(REGEXP_EXTRACT_ALL(LOWER(..)), LTRIM)."""
+    return F.transform(pretokenize(F.lower(text)), lambda x: F.ltrim(x))
+
+
+def lexical_terms_sql(col: str) -> str:
+    """The DuckDB twin of ``lexical_terms`` over column ``col``."""
+    pat = _PRETOK_PAT.replace("'", "''")
+    return f"LIST_TRANSFORM(REGEXP_EXTRACT_ALL(LOWER({col}), '{pat}'), x -> LTRIM(x))"
+
+
 @REGISTRY.register(
     name="f31_pretokenize",
     survey_ref="F/t-family extra (BPE pre-tokenization)",
