@@ -367,4 +367,14 @@ def release_caches(spark: SparkSession) -> int:
 
     clear_table_cache(spark)
     spark.catalog.clearCache()
+    # localCheckpoint blocks (incremental sink, MMR pool) are persisted
+    # RDDs outside the catalog cache manager — clearCache misses them.
+    # Unpersisting truncated-lineage RDDs is only safe once their
+    # DataFrames are done, which is this hook's contract.
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for jrdd in jmap.values():
+        try:
+            jrdd.unpersist(False)
+        except Exception:
+            pass
     return len(spark.sparkContext._jsc.getPersistentRDDs())

@@ -71,10 +71,34 @@ def _read_state(spark: SparkSession, path: str) -> DataFrame | None:
         return None
 
 
-def incremental_curation_sink(stream: DataFrame, state_dir: str, checkpoint_dir: str):
-    """Wire the incremental-curation ``foreachBatch`` body onto a
-    (doc_id, text) stream; returns the DataStreamWriter (caller picks
-    trigger and calls ``.start()``).
+def stage_batch_files(
+    state_dir: str, batches: list[DataFrame], start_idx: int = 0
+) -> str:
+    """Write each batch DataFrame as ONE parquet file under
+    ``state_dir/incoming`` with ascending mtimes so a file source
+    (sorted by modification time, maxFilesPerTrigger=1) replays them in
+    arrival order. ``start_idx`` lets a restart test append later
+    arrivals to an ingest directory that already holds processed files.
+    Returns the ingest directory."""
+    ingest = os.path.join(state_dir, "incoming")
+    os.makedirs(ingest, exist_ok=True)
+    t0 = time.time() - 600
+    for j, b in enumerate(batches):
+        i = start_idx + j
+        stage = os.path.join(state_dir, f"_stage{i}")
+        b.coalesce(1).write.mode("overwrite").parquet(stage)
+        dst = os.path.join(ingest, f"batch_{i}.parquet")
+        shutil.move(glob.glob(os.path.join(stage, "part-*.parquet"))[0], dst)
+        os.utime(dst, (t0 + 60 * i, t0 + 60 * i))
+        shutil.rmtree(stage)
+    return ingest
+
+
+def curation_batch_sink(state_dir: str):
+    """The incremental-curation ``foreachBatch`` body as a standalone
+    callable — exposed so the checkpoint-recovery test can replay a
+    committed batch directly (simulating a sink retry whose checkpoint
+    commit was lost mid-run) and assert the state tables don't change.
 
     The sink is idempotent-per-content across retries of the same
     arrivals (signature anti-join drops replayed fingerprints) and
@@ -141,7 +165,14 @@ def incremental_curation_sink(stream: DataFrame, state_dir: str, checkpoint_dir:
         new_bands.write.mode("append").parquet(os.path.join(state_dir, BAND_INDEX))
         new_bands.unpersist()
 
-    return stream.writeStream.foreachBatch(sink).option(
+    return sink
+
+
+def incremental_curation_sink(stream: DataFrame, state_dir: str, checkpoint_dir: str):
+    """Wire the incremental-curation ``foreachBatch`` body onto a
+    (doc_id, text) stream; returns the DataStreamWriter (caller picks
+    trigger and calls ``.start()``)."""
+    return stream.writeStream.foreachBatch(curation_batch_sink(state_dir)).option(
         "checkpointLocation", checkpoint_dir
     )
 
@@ -161,21 +192,19 @@ def run_incremental_curation(
     if state_dir is None:
         state_dir = tempfile.mkdtemp(prefix="incremental_curation_")
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
-    ingest = os.path.join(state_dir, "incoming")
-    os.makedirs(ingest, exist_ok=True)
     bounds = docs.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")).first()
     lo, hi = bounds["lo"], bounds["hi"]
     step = (hi - lo) // n_batches + 1
-    t0 = time.time() - 600
-    for i in range(n_batches):
-        stage = os.path.join(state_dir, f"_stage{i}")
-        docs.filter(
-            (F.col("doc_id") >= lo + i * step) & (F.col("doc_id") < lo + (i + 1) * step)
-        ).coalesce(1).write.mode("overwrite").parquet(stage)
-        dst = os.path.join(ingest, f"batch_{i}.parquet")
-        shutil.move(glob.glob(os.path.join(stage, "part-*.parquet"))[0], dst)
-        os.utime(dst, (t0 + 60 * i, t0 + 60 * i))
-        shutil.rmtree(stage)
+    ingest = stage_batch_files(
+        state_dir,
+        [
+            docs.filter(
+                (F.col("doc_id") >= lo + i * step)
+                & (F.col("doc_id") < lo + (i + 1) * step)
+            )
+            for i in range(n_batches)
+        ],
+    )
 
     stream = (
         spark.readStream.schema(docs.schema)
@@ -302,19 +331,10 @@ def run_wap_stream(
     ev = load_table(spark, "events", sf_dir).select(
         "event_id", "event_type", "value"
     )
-    ingest = os.path.join(state_dir, "incoming")
-    os.makedirs(ingest, exist_ok=True)
-    t0 = time.time() - 600
     batches = [ev.filter(F.col("event_id") % 3 == i) for i in range(3)]
     if dirty_batch is not None:
         batches.append(dirty_batch)
-    for i, b in enumerate(batches):
-        stage = os.path.join(state_dir, f"_stage{i}")
-        b.coalesce(1).write.mode("overwrite").parquet(stage)
-        dst = os.path.join(ingest, f"batch_{i}.parquet")
-        shutil.move(glob.glob(os.path.join(stage, "part-*.parquet"))[0], dst)
-        os.utime(dst, (t0 + 60 * i, t0 + 60 * i))
-        shutil.rmtree(stage)
+    ingest = stage_batch_files(state_dir, batches)
     stream = (
         spark.readStream.schema(batches[0].schema)
         .option("maxFilesPerTrigger", 1)
