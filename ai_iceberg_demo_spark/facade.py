@@ -20,6 +20,8 @@ Differences by design:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -286,10 +288,20 @@ class VectorRAG:
         return n_new
 
     def drop_vector_index(self, name: str = "result_embeddings_index") -> None:
+        """DROP ... IF EXISTS for all three index tables, plus a purge
+        of orphaned warehouse locations: the session catalog is
+        in-memory, so a table created by a PREVIOUS session is unknown
+        to DROP TABLE yet its directory still blocks saveAsTable with
+        LOCATION_ALREADY_EXISTS. (Iceberg's DROP TABLE ... PURGE is
+        the cluster equivalent.)"""
+        import shutil
+        from urllib.parse import urlparse
+
         spark = self.embeddings.sparkSession
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
-        spark.sql(f"DROP TABLE IF EXISTS {name}__meta")
-        spark.sql(f"DROP TABLE IF EXISTS {name}__centroids")
+        warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        for t in (name, f"{name}__meta", f"{name}__centroids"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(os.path.join(warehouse, t.lower()), ignore_errors=True)
 
     def search_similar_results(
         self,

@@ -188,7 +188,7 @@ def all_registries() -> Registry:
         timeline,
         windows,
     )
-    from ai_iceberg_demo_spark.pipeline import curation, research
+    from ai_iceberg_demo_spark.pipeline import curation, index_maintenance, research
     from ai_iceberg_demo_spark.streaming import events as streaming_events
     from ai_iceberg_demo_spark.streaming import incremental as streaming_incremental
     from ai_iceberg_demo_spark.streaming import stateful as streaming_stateful
@@ -220,6 +220,7 @@ def all_registries() -> Registry:
         research,
         curation,
         streaming_incremental,
+        index_maintenance,
     ):
         merged.merge(mod.REGISTRY)
 

@@ -526,6 +526,51 @@ def v15_topic_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIFT_Z = 3.0  # |z| above this flags the dimension as drifted
 
 
+def drift_from_sliced(dims: DataFrame) -> DataFrame:
+    """Per-dimension two-sample z report from a (slice∈{a,b}, dim_i, x)
+    frame — the v16 arithmetic, shared with the index-maintenance
+    pipeline's drift gate. O(dim) rows through every exchange."""
+    mean = F.sum("x") / F.count(F.lit(1))
+    var = F.sum(F.col("x") * F.col("x")) / F.count(F.lit(1)) - mean * mean
+    st = dims.groupBy("dim_i", "slice").agg(
+        F.count("*").cast("double").alias("n"),
+        F.round(mean, 6).alias("m"),
+        F.round(var, 6).alias("v"),
+    )
+    a = st.filter(F.col("slice") == "a").select(
+        "dim_i", F.col("n").alias("n_a"), F.col("m").alias("mean_a"), F.col("v").alias("v_a")
+    )
+    b = st.filter(F.col("slice") == "b").select(
+        "dim_i", F.col("n").alias("n_b"), F.col("m").alias("mean_b"), F.col("v").alias("v_b")
+    )
+    z = (F.col("mean_b") - F.col("mean_a")) / F.sqrt(
+        F.col("v_a") / F.col("n_a") + F.col("v_b") / F.col("n_b")
+    )
+    return (
+        a.join(b, "dim_i")
+        .select(
+            "dim_i",
+            "mean_a",
+            "mean_b",
+            F.round(z, 4).alias("z"),
+            F.when(F.abs(z) >= _DRIFT_Z, 1).otherwise(0).cast("int").alias("drifted"),
+        )
+    )
+
+
+def drift_zscores(a_corpus: DataFrame, b_corpus: DataFrame) -> DataFrame:
+    """Drift report between two explicit (vec_id, embedding) slices —
+    yesterday's indexed corpus vs today's arrival batch."""
+    dims = (
+        a_corpus.select(F.lit("a").alias("slice"), as_double(F.col("embedding")).alias("e"))
+        .unionByName(
+            b_corpus.select(F.lit("b").alias("slice"), as_double(F.col("embedding")).alias("e"))
+        )
+        .select("slice", F.posexplode("e").alias("dim_i", "x"))
+    )
+    return drift_from_sliced(dims)
+
+
 @REGISTRY.register(
     name="v16_embedding_drift",
     survey_ref="training-data (embedding QA); v13 family",
@@ -567,6 +612,7 @@ _DRIFT_Z = 3.0  # |z| above this flags the dimension as drifted
         WHERE a.slice = 'a' AND b.slice = 'b'
     """,
 )
+
 def v16_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = load_table(spark, "embeddings", sf_dir)
     n_max = corpus.agg((F.max("vec_id") + 1).alias("n"))
@@ -578,32 +624,7 @@ def v16_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("slice", F.posexplode("e").alias("dim_i", "x"))
     )
-    mean = F.sum("x") / F.count(F.lit(1))
-    var = F.sum(F.col("x") * F.col("x")) / F.count(F.lit(1)) - mean * mean
-    st = dims.groupBy("dim_i", "slice").agg(
-        F.count("*").cast("double").alias("n"),
-        F.round(mean, 6).alias("m"),
-        F.round(var, 6).alias("v"),
-    )
-    a = st.filter(F.col("slice") == "a").select(
-        "dim_i", F.col("n").alias("n_a"), F.col("m").alias("mean_a"), F.col("v").alias("v_a")
-    )
-    b = st.filter(F.col("slice") == "b").select(
-        "dim_i", F.col("n").alias("n_b"), F.col("m").alias("mean_b"), F.col("v").alias("v_b")
-    )
-    z = (F.col("mean_b") - F.col("mean_a")) / F.sqrt(
-        F.col("v_a") / F.col("n_a") + F.col("v_b") / F.col("n_b")
-    )
-    return (
-        a.join(b, "dim_i")
-        .select(
-            "dim_i",
-            "mean_a",
-            "mean_b",
-            F.round(z, 4).alias("z"),
-            F.when(F.abs(z) >= _DRIFT_Z, 1).otherwise(0).cast("int").alias("drifted"),
-        )
-    )
+    return drift_from_sliced(dims)
 
 
 # ---------------------------------------------------------------------------
