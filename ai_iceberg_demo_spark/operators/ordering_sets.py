@@ -268,6 +268,18 @@ def zorder_key(x, y, bits: int = _Z_BITS):
     return z
 
 
+def zorder_layout_write(keyed: DataFrame, path: str, n_files: int = 64) -> None:
+    """The layout-write half of OPTIMIZE ZORDER: range-partition the
+    rows by their Morton key and write one file per partition, so each
+    file covers a compact (x, y) box and per-file column min/max stats
+    prune box scans in EITHER dimension. ``keyed`` must carry the
+    zvalue column (o6's projection). At 100 TB this is the same
+    one-shuffle write, just with Iceberg's write.distribution-mode=
+    range on a z sort order; tests/test_zorder_layout.py measures the
+    resulting file-skipping on disk against a linear layout."""
+    keyed.repartitionByRange(n_files, "zvalue").write.mode("overwrite").parquet(path)
+
+
 def _zorder_sql(x: str, y: str, bits: int = _Z_BITS) -> str:
     terms = []
     for i in range(bits):
@@ -300,18 +312,6 @@ def _zorder_sql(x: str, y: str, bits: int = _Z_BITS) -> str:
         FROM b
     """,
 )
-def zorder_layout_write(keyed: DataFrame, path: str, n_files: int = 64) -> None:
-    """The layout-write half of OPTIMIZE ZORDER: range-partition the
-    rows by their Morton key and write one file per partition, so each
-    file covers a compact (x, y) box and per-file column min/max stats
-    prune box scans in EITHER dimension. ``keyed`` must carry the
-    zvalue column (o6's projection). At 100 TB this is the same
-    one-shuffle write, just with Iceberg's write.distribution-mode=
-    range on a z sort order; tests/test_zorder_layout.py measures the
-    resulting file-skipping on disk against a linear layout."""
-    keyed.repartitionByRange(n_files, "zvalue").write.mode("overwrite").parquet(path)
-
-
 def o6_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
     xb = (F.col("user_id") % 256).alias("xb")

@@ -1221,3 +1221,81 @@ def u22_dedup_aware_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sample_rate",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# u23: DSIR-style importance weights (domain-targeted data selection)
+# ---------------------------------------------------------------------------
+
+_DSIR_TARGET_LANG = "en"
+
+
+@REGISTRY.register(
+    name="u23_dsir_weights",
+    survey_ref="training-data (domain-targeted selection; DSIR)",
+    doc="Data Selection via Importance Resampling (Xie et al. 2023), "
+    "unigram edition: score every document by the log-likelihood "
+    "ratio of its tokens under the TARGET domain's unigram LM (the "
+    f"lang='{_DSIR_TARGET_LANG}' slice standing in for 'wiki-quality "
+    "text') vs the RAW corpus LM, add-1 smoothed over the joint "
+    "vocabulary. High weight = looks like the target domain; sampling "
+    "proportional to it is the standard cheap alternative to training "
+    "a classifier. ONE wordcount shuffle builds both LMs (conditional "
+    "aggregation, single corpus pass), the vocab-sized ratio table "
+    "broadcasts back onto the exploded tokens, and the per-doc sum "
+    "keys on doc_id (uniform) — at 100 TB the corpus is never "
+    "shuffled, only its token partials; the LM table is top-K-capped "
+    "with an UNK floor like t19's.",
+    oracle=f"""
+        WITH words AS (
+            SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS w
+            FROM documents
+        ), freq AS (
+            SELECT w,
+                   COUNT(*) AS c_raw,
+                   COUNT(*) FILTER (WHERE lang = '{_DSIR_TARGET_LANG}') AS c_tgt
+            FROM words GROUP BY w
+        ), tot AS (
+            SELECT SUM(c_raw) AS n_raw, SUM(c_tgt) AS n_tgt,
+                   COUNT(*) AS v
+            FROM freq
+        ), ratio AS (
+            SELECT w,
+                   LN(((c_tgt + 1.0) / (n_tgt + v))
+                      / ((c_raw + 1.0) / (n_raw + v))) AS llr
+            FROM freq CROSS JOIN tot
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               ROUND(SUM(llr), 4) AS dsir_weight
+        FROM words JOIN ratio USING (w)
+        GROUP BY doc_id
+    """,
+)
+def u23_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    words = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
+    )
+    freq = words.groupBy("w").agg(
+        F.count("*").alias("c_raw"),
+        F.count(F.when(F.col("lang") == _DSIR_TARGET_LANG, 1)).alias("c_tgt"),
+    )
+    tot = freq.agg(
+        F.sum("c_raw").alias("n_raw"),
+        F.sum("c_tgt").alias("n_tgt"),
+        F.count("*").alias("v"),
+    )
+    llr = F.log(
+        ((F.col("c_tgt") + 1.0) / (F.col("n_tgt") + F.col("v")))
+        / ((F.col("c_raw") + 1.0) / (F.col("n_raw") + F.col("v")))
+    )
+    ratio = freq.join(F.broadcast(tot)).select("w", llr.alias("llr"))
+    return (
+        words.join(F.broadcast(ratio), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.round(F.sum("llr"), 4).alias("dsir_weight"),
+        )
+    )
