@@ -570,3 +570,123 @@ def a15_frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sk.select(F.explode("top").alias("t")).select(
         F.col("t.item").alias("token"), F.col("t.count").cast("bigint").alias("cnt")
     )
+
+
+# ---------------------------------------------------------------------------
+# a16: count-min sketch — mergeable frequency table with probe audit
+# ---------------------------------------------------------------------------
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 64
+_CMS_PROBES = ("spark", "merge", "stream", "table", "window")
+
+
+def cms_bucket(tok: Column, row: Column) -> Column:
+    """Row-salted md5 bucket in [0, width): the engine-portable stand-in
+    for the d pairwise-independent hash functions (production: xxhash64
+    with integer seeds — same semantics, no hex round-trip)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(row.cast("string"), F.lit(":"), tok)), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _CMS_WIDTH
+    )
+
+
+_CMS_BUCKET_SQL = (
+    "(('0x' || SUBSTR(MD5(CAST({row} AS VARCHAR) || ':' || {tok}), 1, 8))::BIGINT"
+    f" % {_CMS_WIDTH})"
+)
+
+
+def countmin_sketch(tokens: DataFrame, tok_col: str = "tok") -> DataFrame:
+    """Build the (row, bucket, cnt) count-min table over a token frame:
+    d×w counters (256 cells here), built with ONE shuffle on the
+    (row, bucket) key after a d-way map-side fan-out. The table is
+    MERGEABLE (cell-wise sum — pinned by test), so at 100 TB each
+    partition/day sketches independently and the union groupBy-sums:
+    the token stream itself never moves twice."""
+    rows = F.explode(F.sequence(F.lit(0), F.lit(_CMS_DEPTH - 1))).alias("row")
+    fanned = tokens.select(F.col(tok_col).alias("tok"), rows)
+    return (
+        fanned.select("row", cms_bucket(F.col("tok"), F.col("row")).alias("bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+
+
+@REGISTRY.register(
+    name="a16_countmin_probe",
+    survey_ref="§2.4 extra (mergeable count-min frequency sketch)",
+    doc=f"count-min sketch ({_CMS_DEPTH}×{_CMS_WIDTH} md5-salted "
+    "counters) over the corpus token stream, probed for a fixed term "
+    "set: estimate = min over rows of the hashed cell, reported next "
+    "to the exact count and the overestimate the collision structure "
+    "produced. Count-min never underestimates (property-tested over "
+    "every token) and cell-wise summing two shard sketches equals the "
+    "union sketch (mergeability test) — the sketch family member for "
+    "frequencies a15's top-k tracker doesn't cover: point-queryable, "
+    "fixed 256-cell memory at ANY vocabulary size, and the right "
+    "answer when 100 TB token streams need per-shard sketching with "
+    "one tiny merge. Deterministic hashing makes the whole pipeline "
+    "SQL-replayable, so this is hash-oracled, not rows-only.",
+    oracle=f"""
+        WITH words AS (
+            SELECT UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents
+        ), fanned AS (
+            SELECT tok, UNNEST(GENERATE_SERIES(0, {_CMS_DEPTH - 1})) AS row
+            FROM words
+        ), sketch AS (
+            SELECT row, {_CMS_BUCKET_SQL.format(row="row", tok="tok")} AS bucket,
+                   COUNT(*) AS cnt
+            FROM fanned GROUP BY 1, 2
+        ), probes AS (
+            SELECT UNNEST({list(_CMS_PROBES)!r}) AS token
+        ), pcells AS (
+            SELECT p.token, s.cnt
+            FROM probes p
+            JOIN sketch s
+              ON s.bucket = {_CMS_BUCKET_SQL.format(row="s.row", tok="p.token")}
+        ), est AS (
+            SELECT token, MIN(cnt) AS estimate FROM pcells GROUP BY token
+        ), exact AS (
+            SELECT tok AS token, COUNT(*) AS exact_cnt
+            FROM words GROUP BY tok
+        )
+        SELECT e.token,
+               CAST(e.estimate AS BIGINT) AS estimate,
+               CAST(COALESCE(x.exact_cnt, 0) AS BIGINT) AS exact_cnt,
+               CAST(e.estimate - COALESCE(x.exact_cnt, 0) AS BIGINT)
+                   AS overestimate
+        FROM est e LEFT JOIN exact x USING (token)
+    """,
+)
+def a16_countmin_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    sketch = countmin_sketch(toks)
+    probes = spark.createDataFrame([(t,) for t in _CMS_PROBES], "token string")
+    pbuckets = probes.select(
+        "token",
+        F.explode(F.sequence(F.lit(0), F.lit(_CMS_DEPTH - 1))).alias("row"),
+    ).select("token", "row", cms_bucket(F.col("token"), F.col("row")).alias("bucket"))
+    pcells = F.broadcast(pbuckets).join(sketch, ["row", "bucket"])
+    est = pcells.groupBy("token").agg(F.min("cnt").alias("estimate"))
+    exact = toks.groupBy("tok").agg(F.count("*").alias("exact_cnt"))
+    return (
+        est.join(
+            F.broadcast(exact.withColumnRenamed("tok", "token")), "token", "left"
+        )
+        .select(
+            "token",
+            F.col("estimate").cast("bigint").alias("estimate"),
+            F.coalesce("exact_cnt", F.lit(0)).cast("bigint").alias("exact_cnt"),
+            (F.col("estimate") - F.coalesce("exact_cnt", F.lit(0)))
+            .cast("bigint")
+            .alias("overestimate"),
+        )
+    )

@@ -350,3 +350,46 @@ def test_changelog_roundtrip_is_identity(spark, old_rows, data):
     diff = snapshot_diff(old_df, new_df, keys=["k"], compare_cols=["v"])
     rebuilt = changelog_apply(old_df, diff, keys=["k"], value_cols=["v"])
     assert {(r["k"], r["v"]) for r in rebuilt.collect()} == set(new_rows.items())
+
+
+def test_countmin_never_underestimates_and_merges(spark):
+    """a16: for EVERY vocabulary token the sketch estimate >= the exact
+    count (the count-min guarantee), and summing the sketches of two
+    disjoint corpus halves cell-wise equals the whole-corpus sketch
+    (mergeability — what lets 100 TB shards sketch independently)."""
+    import pyspark.sql.functions as PF
+
+    from ai_iceberg_demo_spark.operators.aggregates import (
+        cms_bucket,
+        countmin_sketch,
+    )
+    from ai_iceberg_demo_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, "documents", SF_DIR)
+    toks = docs.select("doc_id", PF.explode(PF.split("text", " ")).alias("tok"))
+    sketch = countmin_sketch(toks)
+
+    vocab = toks.groupBy("tok").agg(PF.count("*").alias("exact"))
+    vb = vocab.select(
+        "tok",
+        "exact",
+        PF.explode(PF.sequence(PF.lit(0), PF.lit(3))).alias("row"),
+    ).select("tok", "exact", "row", cms_bucket(PF.col("tok"), PF.col("row")).alias("bucket"))
+    est = (
+        vb.join(sketch, ["row", "bucket"])
+        .groupBy("tok", "exact")
+        .agg(PF.min("cnt").alias("estimate"))
+    )
+    bad = est.filter(PF.col("estimate") < PF.col("exact")).count()
+    assert bad == 0
+
+    half_a = countmin_sketch(toks.filter(PF.col("doc_id") % 2 == 0))
+    half_b = countmin_sketch(toks.filter(PF.col("doc_id") % 2 == 1))
+    merged = (
+        half_a.unionByName(half_b)
+        .groupBy("row", "bucket")
+        .agg(PF.sum("cnt").alias("cnt"))
+    )
+    assert merged.exceptAll(sketch).count() == 0
+    assert sketch.exceptAll(merged).count() == 0
