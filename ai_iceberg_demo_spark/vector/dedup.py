@@ -1099,3 +1099,131 @@ def d12_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(c_ba, 6).alias("containment"),
     )
     return fwd.unionByName(rev)
+
+
+# ---------------------------------------------------------------------------
+# D13: intra-document repeated-span elision
+# ---------------------------------------------------------------------------
+
+_INTRA_N = 5  # span width in words for within-doc repetition
+
+
+@REGISTRY.register(
+    name="d13_intradoc_span_dedup",
+    survey_ref="training-data (within-doc span dedup; d10's intra-doc twin)",
+    doc=f"within-document repetition elision: delete every token "
+    f"covered by a word {_INTRA_N}-gram occurrence AFTER that gram's "
+    "first occurrence in the SAME document — the cleanup for "
+    "model-looped generations, scraper stutter, and template echo "
+    "that t18's repetition SCORE only flags. d10 removes passages "
+    "shared ACROSS docs; this removes passages a doc repeats "
+    "internally. Entirely doc-local: the per-(doc,gram) first-"
+    "occurrence agg, the covered-position set, and the reassembly all "
+    "key on doc_id — no corpus-wide gram table, so shuffles stay "
+    "uniform at any corpus size and the operator composes with d10 "
+    "(cross-doc pass) in either order. The fixture corpus has no "
+    "natural within-doc repeated 5-gram (measured: 0 docs), so every "
+    "6th doc is salted with a doubled stutter tail — the t20/f29 "
+    "planted-signal pattern — making the elision provably fire at "
+    "every SF (pinned by test).",
+    oracle=f"""
+        WITH salted AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 6 = 0
+                        THEN text || ' loop echo loop echo stutter loop echo loop echo stutter'
+                        ELSE text END AS text
+            FROM documents
+        ), toks AS (
+            SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM salted
+        ), grams AS (
+            SELECT doc_id, s, ARRAY_TO_STRING(t[s : s + {_INTRA_N - 1}], ' ') AS g
+            FROM toks, UNNEST(GENERATE_SERIES(1, GREATEST(LEN(t) - {_INTRA_N - 1}, 0))) AS u(s)
+        ), firsts AS (
+            SELECT doc_id, g, MIN(s) AS first_s FROM grams GROUP BY doc_id, g
+        ), covered AS (
+            SELECT DISTINCT gr.doc_id, c.p
+            FROM grams gr JOIN firsts f
+              ON gr.doc_id = f.doc_id AND gr.g = f.g AND gr.s > f.first_s,
+                 UNNEST(GENERATE_SERIES(gr.s, gr.s + {_INTRA_N - 1})) AS c(p)
+        ), toked AS (
+            SELECT doc_id, p, t[p] AS tok
+            FROM toks, UNNEST(GENERATE_SERIES(1, LEN(t))) AS u(p)
+        ), kept AS (
+            SELECT td.doc_id, td.p, td.tok
+            FROM toked td LEFT JOIN covered c
+              ON td.doc_id = c.doc_id AND td.p = c.p
+            WHERE c.p IS NULL
+        ), rebuilt AS (
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_kept,
+                   ARRAY_TO_STRING(LIST(tok ORDER BY p), ' ') AS clean_text
+            FROM kept GROUP BY doc_id
+        )
+        SELECT tk.doc_id,
+               CAST(LEN(tk.t) AS BIGINT) AS n_tokens,
+               CAST(LEN(tk.t) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+               COALESCE(r.clean_text, '') AS clean_text
+        FROM toks tk LEFT JOIN rebuilt r ON tk.doc_id = r.doc_id
+    """,
+)
+def d13_intradoc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_iceberg_demo_spark.tables import fan_out_small_input
+
+    docs = fan_out_small_input(load_table(spark, "documents", sf_dir))
+    salted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 6 == 0,
+            F.concat(
+                "text",
+                F.lit(" loop echo loop echo stutter loop echo loop echo stutter"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    toks = salted.select("doc_id", tokens(F.col("text")).alias("t"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(t) - {_INTRA_N - 1}, 0)), "
+                f"s -> struct(s as s, concat_ws(' ', slice(t, s, {_INTRA_N})) as g))"
+            )
+        ).alias("sg"),
+    ).select("doc_id", F.col("sg.s").alias("s"), F.col("sg.g").alias("g"))
+    firsts = grams.groupBy("doc_id", "g").agg(F.min("s").alias("first_s"))
+    covered = (
+        grams.join(firsts, ["doc_id", "g"])
+        .filter(F.col("s") > F.col("first_s"))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("s"), F.col("s") + F.lit(_INTRA_N - 1))).alias("p"),
+        )
+        .distinct()
+    )
+    toked = toks.select("doc_id", F.posexplode("t").alias("p0", "tok")).select(
+        "doc_id", (F.col("p0") + 1).alias("p"), "tok"
+    )
+    kept = toked.join(covered, ["doc_id", "p"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "tok"))), lambda x: x["tok"]
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return (
+        toks.select("doc_id", F.size("t").cast("bigint").alias("n_tokens"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )
