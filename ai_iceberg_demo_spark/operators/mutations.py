@@ -988,3 +988,88 @@ def m8b_changelog_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return changelog_apply(
         snap0, diff, keys=["o_orderkey"], value_cols=["o_totalprice"]
     )
+
+
+# ---------------------------------------------------------------------------
+# m13: k-anonymity audit with generalization ladder
+# ---------------------------------------------------------------------------
+
+_KANON_K = 5
+_KANON_BUCKETS = 16
+
+
+@REGISTRY.register(
+    name="m13_k_anonymity",
+    survey_ref="M-family extra (privacy release audit); m7's governance sibling",
+    doc=f"k-anonymity audit before a data release: group events by the "
+    f"quasi-identifier triple (event_type, day, user_id%{_KANON_BUCKETS}) "
+    f"and require every group to hold ≥ k={_KANON_K} rows — singletons "
+    "re-identify. Each violating group gets its ladder verdict: "
+    "'generalize' when dropping the finest QI (the user bucket) lifts "
+    "its group past k, 'suppress' when even the coarse group stays "
+    "small. The m7 retention audit governs WHAT may be kept; this "
+    "governs what may be PUBLISHED. Plan: one fine groupBy; the "
+    "coarse counts are a re-agg of the fine PARTIALS (sum over "
+    "buckets), not a second corpus scan; the verdict join broadcasts "
+    "the coarse table (date×type-sized). At 100 TB the fine key space "
+    "is uniform (day×type×bucket) — no skew, one shuffle. The fixture "
+    "density varies with SF (sf0.001 has no fine group at k; sf0.01 "
+    "has no small coarse group), so two planted slices are unioned "
+    "in: a singleton 'debug' event (proves 'suppress') and six "
+    "identical 'audit' events (proves 'keep') — t20's salting "
+    "pattern, making all three ladder rungs fire at every SF.",
+    oracle=f"""
+        WITH salted AS (
+            SELECT event_type, ts, user_id FROM events
+            UNION ALL
+            SELECT 'debug', TIMESTAMP '2030-01-01 00:00:00', 7
+            UNION ALL
+            SELECT 'audit', TIMESTAMP '2030-01-02 00:00:00', 9
+            FROM GENERATE_SERIES(1, 6)
+        ), fine AS (
+            SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                   user_id % {_KANON_BUCKETS} AS user_bucket,
+                   COUNT(*) AS n_fine
+            FROM salted GROUP BY 1, 2, 3
+        ), coarse AS (
+            SELECT event_type, day, SUM(n_fine) AS n_coarse
+            FROM fine GROUP BY 1, 2
+        )
+        SELECT f.event_type, f.day, f.user_bucket,
+               CAST(f.n_fine AS BIGINT) AS n_fine,
+               CAST(c.n_coarse AS BIGINT) AS n_coarse,
+               CASE WHEN f.n_fine >= {_KANON_K} THEN 'keep'
+                    WHEN c.n_coarse >= {_KANON_K} THEN 'generalize'
+                    ELSE 'suppress' END AS action
+        FROM fine f JOIN coarse c
+          ON f.event_type = c.event_type AND f.day = c.day
+    """,
+)
+def m13_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).select("event_type", "ts", "user_id")
+    planted = [("debug", "2030-01-01 00:00:00", 7)] + [
+        ("audit", "2030-01-02 00:00:00", 9)
+    ] * 6
+    rogue = ev.sparkSession.createDataFrame(
+        planted, "event_type string, ts string, user_id long"
+    ).select("event_type", F.col("ts").cast("timestamp").alias("ts"), "user_id")
+    ev = ev.unionByName(rogue)
+    fine = ev.groupBy(
+        "event_type",
+        F.col("ts").cast("date").cast("string").alias("day"),
+        (F.col("user_id") % _KANON_BUCKETS).alias("user_bucket"),
+    ).agg(F.count("*").alias("n_fine"))
+    coarse = fine.groupBy("event_type", "day").agg(
+        F.sum("n_fine").alias("n_coarse")
+    )
+    return fine.join(F.broadcast(coarse), ["event_type", "day"]).select(
+        "event_type",
+        "day",
+        "user_bucket",
+        F.col("n_fine").cast("bigint").alias("n_fine"),
+        F.col("n_coarse").cast("bigint").alias("n_coarse"),
+        F.when(F.col("n_fine") >= _KANON_K, "keep")
+        .when(F.col("n_coarse") >= _KANON_K, "generalize")
+        .otherwise("suppress")
+        .alias("action"),
+    )

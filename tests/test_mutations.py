@@ -222,3 +222,26 @@ def test_wap_audit_gate_passes_clean_staging_and_catches_planted_drift(spark):
     dirty_mean = dirty.agg(SF.avg("o_totalprice")).first()[0]
     clean_mean = orders.agg(SF.avg("o_totalprice")).first()[0]
     assert abs(dirty_mean / clean_mean - 1) > 0.10  # would trip mean_drift
+
+
+def test_k_anonymity_ladder_all_rungs_fire(spark):
+    """m13: the fixture exercises keep and generalize; the planted
+    'debug' singleton must come back 'suppress' (n_fine = n_coarse = 1
+    — dropping the user bucket can't save it); and no group labeled
+    keep may be below k."""
+    from ai_iceberg_demo_spark.operators.mutations import (
+        _KANON_K,
+        m13_k_anonymity,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = m13_k_anonymity(spark, SF_DIR).collect()
+    actions = {r["action"] for r in rows}
+    assert actions == {"keep", "generalize", "suppress"}
+    rogue = [r for r in rows if r["event_type"] == "debug"]
+    assert len(rogue) == 1 and rogue[0]["action"] == "suppress"
+    assert rogue[0]["n_fine"] == rogue[0]["n_coarse"] == 1
+    assert all(r["n_fine"] >= _KANON_K for r in rows if r["action"] == "keep")
+    assert all(
+        r["n_coarse"] >= _KANON_K for r in rows if r["action"] == "generalize"
+    )
