@@ -1169,3 +1169,131 @@ def t31_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(ratio, 4).alias("ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# t34: preference-pair mining (RLHF data construction from feedback)
+# ---------------------------------------------------------------------------
+
+
+@REGISTRY.register(
+    name="t34_preference_pairs",
+    survey_ref="training-data (RLHF preference pairs from feedback logs)",
+    doc="preference-pair construction from implicit feedback: per "
+    "user, the highest-valued rated item becomes CHOSEN and the "
+    "lowest REJECTED (ties broken by item id on both ends — the "
+    "determinism every RLHF data pipeline needs for replayable "
+    "datasets). Items come from the event props JSON ('k'), ratings "
+    "from value; users whose ratings are all equal yield no signal "
+    "and are dropped. ONE user-keyed partial-agg shuffle: both "
+    "argmaxes are min/max(struct) aggregates, so event volume "
+    "combines map-side and never funnels — the classic 100 TB "
+    "feedback log reduces at scan speed.",
+    oracle="""
+        WITH rated AS (
+            SELECT user_id,
+                   json_extract_string(props, '$.k') AS item,
+                   ROUND(value, 6) AS rating
+            FROM events
+            WHERE value IS NOT NULL AND json_extract_string(props, '$.k') IS NOT NULL
+        ), agg AS (
+            SELECT user_id,
+                   MAX({'rating': rating, 'item': item}) AS ch,
+                   MIN({'rating': rating, 'item': item}) AS rj
+            FROM rated GROUP BY user_id
+        )
+        SELECT user_id,
+               ch.item AS chosen_item,
+               ch.rating AS chosen_rating,
+               rj.item AS rejected_item,
+               rj.rating AS rejected_rating,
+               ROUND(ch.rating - rj.rating, 6) AS margin
+        FROM agg
+        WHERE ch.rating > rj.rating
+    """,
+)
+def t34_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    rated = ev.select(
+        "user_id",
+        F.get_json_object("props", "$.k").alias("item"),
+        F.round("value", 6).alias("rating"),
+    ).filter(F.col("rating").isNotNull() & F.col("item").isNotNull())
+    agg = rated.groupBy("user_id").agg(
+        F.max(F.struct("rating", "item")).alias("ch"),
+        F.min(F.struct("rating", "item")).alias("rj"),
+    )
+    return agg.filter(F.col("ch.rating") > F.col("rj.rating")).select(
+        "user_id",
+        F.col("ch.item").alias("chosen_item"),
+        F.col("ch.rating").alias("chosen_rating"),
+        F.col("rj.item").alias("rejected_item"),
+        F.col("rj.rating").alias("rejected_rating"),
+        F.round(F.col("ch.rating") - F.col("rj.rating"), 6).alias("margin"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# t33: weak-labeler agreement (Cohen's kappa)
+# ---------------------------------------------------------------------------
+
+
+@REGISTRY.register(
+    name="t33_rater_agreement",
+    survey_ref="training-data (label QA: inter-rater agreement)",
+    doc="Cohen's kappa between two deterministic weak labelers over "
+    "events — rater A: value ≥ 5 ('high-engagement'), rater B: "
+    "event_type in (click, purchase, signup) ('active intent'). "
+    "Kappa = (po − pe) / (1 − pe) corrects raw agreement for chance — "
+    "the label-quality gate every weak-supervision pipeline runs "
+    "before trusting auto-labels for training. ONE 1-row closed-form "
+    "aggregate (t27's shape): the event volume partial-aggregates "
+    "map-side, the kappa arithmetic runs on four counters.",
+    oracle="""
+        WITH labeled AS (
+            SELECT CASE WHEN value >= 5 THEN 1 ELSE 0 END AS a,
+                   CASE WHEN event_type IN ('click', 'purchase', 'signup')
+                        THEN 1 ELSE 0 END AS b
+            FROM events WHERE value IS NOT NULL
+        ), c AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(SUM(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n11,
+                   CAST(SUM(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n00,
+                   CAST(SUM(a) AS DOUBLE) AS na,
+                   CAST(SUM(b) AS DOUBLE) AS nb
+            FROM labeled
+        )
+        SELECT CAST(n AS BIGINT) AS n_items,
+               ROUND((n11 + n00) / n, 6) AS po,
+               ROUND((na / n) * (nb / n) + (1 - na / n) * (1 - nb / n), 6) AS pe,
+               ROUND(((n11 + n00) / n
+                      - ((na / n) * (nb / n) + (1 - na / n) * (1 - nb / n)))
+                     / (1 - ((na / n) * (nb / n) + (1 - na / n) * (1 - nb / n))),
+                     6) AS kappa
+        FROM c
+    """,
+)
+def t33_rater_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).filter(F.col("value").isNotNull())
+    a = F.when(F.col("value") >= 5, 1).otherwise(0)
+    b = F.when(F.col("event_type").isin("click", "purchase", "signup"), 1).otherwise(0)
+    c = ev.select(a.alias("a"), b.alias("b")).agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(F.when((F.col("a") == 1) & (F.col("b") == 1), 1).otherwise(0))
+        .cast("double")
+        .alias("n11"),
+        F.sum(F.when((F.col("a") == 0) & (F.col("b") == 0), 1).otherwise(0))
+        .cast("double")
+        .alias("n00"),
+        F.sum("a").cast("double").alias("na"),
+        F.sum("b").cast("double").alias("nb"),
+    )
+    po = (F.col("n11") + F.col("n00")) / F.col("n")
+    pa, pb = F.col("na") / F.col("n"), F.col("nb") / F.col("n")
+    pe = pa * pb + (1 - pa) * (1 - pb)
+    return c.select(
+        F.col("n").cast("bigint").alias("n_items"),
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round((po - pe) / (1 - pe), 6).alias("kappa"),
+    )
