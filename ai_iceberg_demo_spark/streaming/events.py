@@ -1297,3 +1297,62 @@ def t33_rater_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pe, 6).alias("pe"),
         F.round((po - pe) / (1 - pe), 6).alias("kappa"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t35: next-item training examples (sequence-model dataset construction)
+# ---------------------------------------------------------------------------
+
+_NEXTITEM_CTX = 3  # context length (preceding items)
+
+
+@REGISTRY.register(
+    name="t35_next_item_examples",
+    survey_ref="training-data (sequence-model examples from event logs)",
+    doc="supervised next-item examples from the event log: per user in "
+    f"time order, each event becomes (context = the {_NEXTITEM_CTX} "
+    "preceding item ids, target = this item) — the dataset every "
+    "sequential recommender / session-LM trains on. Rows without a "
+    "full context (the first items of each user) are dropped, so "
+    "every example has fixed shape. ONE user-keyed window pass "
+    "(partitionBy user_id — uniform key) with a bounded ROWS frame "
+    "builds the context arrays; no self-joins, no explode: at 100 TB "
+    "this is a sort within each user's partition and a map.",
+    oracle=f"""
+        WITH seq AS (
+            SELECT user_id,
+                   json_extract_string(props, '$.k') AS item,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn,
+                   LIST(json_extract_string(props, '$.k')) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN {_NEXTITEM_CTX} PRECEDING AND 1 PRECEDING
+                   ) AS context
+            FROM events
+            WHERE json_extract_string(props, '$.k') IS NOT NULL
+        )
+        SELECT user_id, CAST(rn AS BIGINT) AS rn, context, item AS target
+        FROM seq WHERE rn > {_NEXTITEM_CTX}
+    """,
+)
+def t35_next_item_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, "events", sf_dir)
+    items = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.get_json_object("props", "$.k").alias("item"),
+    ).filter(F.col("item").isNotNull())
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ctx = w.rowsBetween(-_NEXTITEM_CTX, -1)
+    return (
+        items.select(
+            "user_id",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+            F.collect_list("item").over(ctx).alias("context"),
+            F.col("item").alias("target"),
+        )
+        .filter(F.col("rn") > _NEXTITEM_CTX)
+    )
