@@ -1299,3 +1299,50 @@ def u23_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("llr"), 4).alias("dsir_weight"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# u25: dataset manifest — content-addressed split integrity
+# ---------------------------------------------------------------------------
+
+
+@REGISTRY.register(
+    name="u25_dataset_manifest",
+    survey_ref="training-data (dataset versioning / release manifest)",
+    doc="content-addressed release manifest: per (source, split) — the "
+    "u6 hash-split rule — row count, token total, and an ORDER-"
+    "INDEPENDENT content digest (sum of per-row md5-derived 48-bit "
+    "ints; commutative, so any partitioning/engine reproduces it). "
+    "This is the row a dataset card pins so a retraining run can "
+    "verify it read EXACTLY the bytes the paper trained on — Iceberg "
+    "snapshots version files, the manifest versions CONTENT. One "
+    "partial-agg scan, group key space = sources × 2.",
+    oracle=f"""
+        SELECT source,
+               CASE WHEN {_HASH_PCT_SQL.format(key="doc_id")} < 80
+                    THEN 'train' ELSE 'test' END AS split,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS n_tokens,
+               CAST(SUM(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 12))::BIGINT)
+                   AS BIGINT) AS content_digest
+        FROM documents
+        GROUP BY 1, 2
+    """,
+)
+def u25_dataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    row_digest = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("text"))),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    split = F.when(hash_pct(F.col("doc_id")) < 80, "train").otherwise("test")
+    return docs.groupBy("source", split.alias("split")).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"),
+        F.sum(row_digest).cast("bigint").alias("content_digest"),
+    )

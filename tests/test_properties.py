@@ -393,3 +393,55 @@ def test_countmin_never_underestimates_and_merges(spark):
     )
     assert merged.exceptAll(sketch).count() == 0
     assert sketch.exceptAll(merged).count() == 0
+
+
+def test_dataset_manifest_digest_is_layout_free_and_tamper_evident(spark):
+    """u25: the content digest must be identical under any partition
+    layout (commutative sum) and must CHANGE when any single row's
+    text changes (tamper evidence for dataset releases)."""
+    import pyspark.sql.functions as PF
+
+    from ai_iceberg_demo_spark.operators.sampling import u25_dataset_manifest
+    from ai_iceberg_demo_spark.tables import load_table, clear_table_cache
+    from tests.conftest import SF_DIR
+
+    base = {
+        (r["source"], r["split"]): r["content_digest"]
+        for r in u25_dataset_manifest(spark, SF_DIR).collect()
+    }
+    assert base
+
+    docs = load_table(spark, "documents", SF_DIR)
+    # layout independence: same digest from a deliberately reshuffled frame
+    row_digest = PF.conv(
+        PF.substring(
+            PF.md5(PF.concat(PF.col("doc_id").cast("string"), PF.lit(":"), PF.col("text"))),
+            1, 12,
+        ), 16, 10,
+    ).cast("long")
+    shuffled = (
+        docs.repartition(7, "lang")
+        .groupBy("source")
+        .agg(PF.sum(row_digest).alias("d"))
+        .collect()
+    )
+    per_source = {}
+    for (src, _), d in base.items():
+        per_source[src] = per_source.get(src, 0) + d
+    assert {r["source"]: r["d"] for r in shuffled} == per_source
+
+    # tamper evidence: flip one doc's text → that (source, split) digest moves
+    victim = docs.orderBy("doc_id").first()
+    tampered = docs.withColumn(
+        "text",
+        PF.when(PF.col("doc_id") == victim["doc_id"], PF.concat(PF.col("text"), PF.lit(" x")))
+        .otherwise(PF.col("text")),
+    )
+    t_digest = {
+        r["source"]: r["d"]
+        for r in tampered.groupBy("source").agg(PF.sum(row_digest).alias("d")).collect()
+    }
+    assert t_digest[victim["source"]] != per_source[victim["source"]]
+    assert all(
+        t_digest[s] == per_source[s] for s in per_source if s != victim["source"]
+    )
