@@ -103,11 +103,17 @@ class Registry:
 # The 18 first-timers that still don't fit (u14, u16, u21, u22, m6b,
 # m7, m8b, f30, v16, v17, v22, t25, t26, t29, t31, d12,
 # pipeline_eval_prep, pipeline_multimodal_prep) head the r6 queue,
-# followed by the r2-core cohort (42 queries, newest row r2 — then 4
-# rounds stale). All rotated-out queries stay covered by the per-round
-# pytest oracle sweep (tests/test_queries_oracle.py). t22/t23 changed
-# code this round (shared f31 pretokenizer) — their slots double as
-# the post-change re-pin.
+# joined by the 9 operators registered in r5 (u23_dsir_weights,
+# u25_dataset_manifest, a16_countmin_probe, d13_intradoc_span_dedup,
+# m13_k_anonymity, t33_rater_agreement, t34_preference_pairs,
+# t35_next_item_examples, pipeline_index_maintenance — all
+# pytest-oracle-verified this round), followed by the r2-core cohort
+# (42 queries, newest row r2 — then 4 rounds stale). That is 27
+# first-timers + 23 r2-core slots for r6. All rotated-out queries
+# stay covered by the per-round pytest oracle sweep
+# (tests/test_queries_oracle.py). t22/t23 changed code this round
+# (shared f31 pretokenizer) — their slots double as the post-change
+# re-pin.
 _DRIVER_WINDOW_PRIORITY = [
     # --- r3/r4 first-timers, in r4-queue order ---
     "u11b_epoch_shuffle_2",
