@@ -896,3 +896,62 @@ def v22_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# V24: label-noise detection via k-NN disagreement
+# ---------------------------------------------------------------------------
+
+
+@REGISTRY.register(
+    name="v24_label_noise",
+    survey_ref="training-data (label QA: k-NN disagreement); composes v18",
+    doc="mislabeled-example detector (Confident-Learning-lite): flag "
+    "every vector whose 3 approximate nearest neighbors (v18's "
+    "LSH-blocked graph) UNANIMOUSLY carry one label that differs from "
+    "its own — the curation step that catches annotation errors and "
+    "join bugs before they poison supervised fine-tuning. One "
+    "edge⋈label broadcast join + a per-src vote agg on top of the "
+    "persisted v18 graph — at 100 TB the graph is the already-built "
+    "index artifact, so the audit costs one scan of its edges. "
+    "Approximate (LSH candidates), so no SQL oracle; a planted "
+    "flipped-label point is proven flagged in "
+    "tests/test_similarity.py, and unanimity makes the verdict "
+    "robust to individual noisy neighbors.",
+    oracle=None,
+)
+def v24_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = load_table(spark, "embeddings", sf_dir)
+    return label_noise(corpus)
+
+
+def label_noise(corpus: DataFrame) -> DataFrame:
+    """v24's core over any (vec_id, embedding, label) frame — split out
+    so tests can plant a flipped-label clone cluster and prove the
+    detector fires."""
+    graph = knn_graph(corpus, k=3)
+    labels = corpus.select("vec_id", F.col("label").alias("l"))
+    edges = graph.join(
+        F.broadcast(labels.withColumnRenamed("vec_id", "dst").withColumnRenamed("l", "dst_label")),
+        "dst",
+    )
+    votes = edges.groupBy("src").agg(
+        F.count("*").alias("n_neighbors"),
+        F.min("dst_label").alias("min_l"),
+        F.max("dst_label").alias("max_l"),
+    )
+    own = labels.withColumnRenamed("vec_id", "src").withColumnRenamed("l", "own_label")
+    return (
+        votes.join(F.broadcast(own), "src")
+        .filter(
+            (F.col("n_neighbors") == 3)
+            & (F.col("min_l") == F.col("max_l"))
+            & (F.col("min_l") != F.col("own_label"))
+        )
+        .select(
+            "src",
+            F.col("own_label").cast("int").alias("own_label"),
+            F.col("min_l").cast("int").alias("neighbor_label"),
+        )
+        .orderBy("src")
+    )

@@ -225,3 +225,38 @@ def test_matryoshka_eval_self_consistency(spark):
     assert set(rows) == set(_MRL_PREFIXES)
     assert rows[64] == _MRL_K
     assert all(0 <= v <= _MRL_K for v in rows.values())
+
+
+def test_label_noise_flags_planted_flip_only_in_clone_cluster(spark):
+    """v24: plant a tight 4-clone cluster (3 × label 7, 1 × label 2)
+    far inside its own cosine cone — the label-2 member's 3-NN are its
+    unanimous label-7 twins, so it MUST be flagged; its twins (whose
+    neighborhoods include each other and the victim, non-unanimous or
+    matching) must NOT be."""
+    import numpy as np
+
+    from ai_iceberg_demo_spark.tables import load_table
+    from ai_iceberg_demo_spark.vector.similarity import label_noise
+    from tests.conftest import SF_DIR
+
+    base = load_table(spark, "embeddings", SF_DIR)
+    rng = np.random.RandomState(7)
+    center = rng.randn(64)
+    center /= np.linalg.norm(center)
+    clones = []
+    for i in range(4):
+        v = center + 0.001 * rng.randn(64)
+        clones.append(
+            (int(2_000_000 + i), [float(x) for x in v], 2 if i == 0 else 7)
+        )
+    planted = spark.createDataFrame(
+        clones, "vec_id long, embedding array<float>, label int"
+    )
+    flagged = {
+        r["src"]: r for r in label_noise(base.unionByName(planted)).collect()
+    }
+    assert 2_000_000 in flagged
+    assert flagged[2_000_000]["own_label"] == 2
+    assert flagged[2_000_000]["neighbor_label"] == 7
+    for twin in (2_000_001, 2_000_002, 2_000_003):
+        assert twin not in flagged
