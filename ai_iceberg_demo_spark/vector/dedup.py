@@ -304,12 +304,10 @@ def d3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def minhash_bands(docs: DataFrame) -> DataFrame:
-    """(doc_id, band_idx, band_val) LSH band keys — the signature
-    "index" side of every MinHash pipeline (d3 full self-dedup, d7
-    incremental batch-vs-corpus). In production the corpus' bands are
-    PERSISTED (bucketed by band_val) so each new crawl batch only
-    hashes itself and probes the index."""
+def minhash_sigs(docs: DataFrame) -> DataFrame:
+    """(doc_id, h0..h15) MinHash signature table — the shared substrate
+    of the band index (minhash_bands) and the calibration audit (d14).
+    One distinct-token explode + one doc-keyed min-agg."""
     from ai_iceberg_demo_spark.tables import fan_out_small_input
 
     docs = fan_out_small_input(docs)
@@ -320,12 +318,21 @@ def minhash_bands(docs: DataFrame) -> DataFrame:
         .cast("long")
         .alias("x"),
     )
-    sigs = tok_x.groupBy("doc_id").agg(
+    return tok_x.groupBy("doc_id").agg(
         *[
             F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(_MERSENNE_P)).alias(f"h{i}")
             for i, (a, b) in enumerate(zip(_MINHASH_A, _MINHASH_B))
         ]
     )
+
+
+def minhash_bands(docs: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_val) LSH band keys — the signature
+    "index" side of every MinHash pipeline (d3 full self-dedup, d7
+    incremental batch-vs-corpus). In production the corpus' bands are
+    PERSISTED (bucketed by band_val) so each new crawl batch only
+    hashes itself and probes the index."""
+    sigs = minhash_sigs(docs)
     band_cols = [
         F.struct(
             F.lit(b).alias("band_idx"),
@@ -1225,5 +1232,117 @@ def d13_intradoc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("n_removed"),
             F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# D14: MinHash calibration audit — estimated vs exact Jaccard
+# ---------------------------------------------------------------------------
+
+
+@REGISTRY.register(
+    name="d14_minhash_calibration",
+    survey_ref="training-data (dedup tuning audit); d3's error meter",
+    doc="calibration audit for the d3 MinHash index: for every LSH "
+    "candidate pair, the signature-estimated Jaccard (agreeing hashes "
+    "/ 16) next to the EXACT distinct-token Jaccard and the absolute "
+    "error — the table that answers 'can I trust 16 hashes / 4 bands "
+    "at my dedup threshold, or do I pay for more?'. The audit costs "
+    "O(candidates): signatures join the (already tiny) banded pair "
+    "set, and the exact intersection is computed only for those "
+    "pairs via the token equi-join — the corpus never self-joins. "
+    "At 100 TB this runs on a sampled candidate slice on the same "
+    "persisted band index d3/d7 probe; pure integer/md5 arithmetic "
+    "keeps it hash-oracled.",
+    oracle=f"""{_bands_sql("doc_id % 10 = 0")}
+        , cand AS (
+            SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+             AND a.doc_id < b.doc_id
+        ), est AS (
+            SELECT c.a_id, c.b_id,
+                   ({" + ".join(f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(N_HASHES))})
+                   / {N_HASHES}.0 AS est_j
+            FROM cand c
+            JOIN sigs sa ON sa.doc_id = c.a_id
+            JOIN sigs sb ON sb.doc_id = c.b_id
+        ), sizes AS (
+            SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY doc_id
+        ), inter AS (
+            SELECT c.a_id, c.b_id, COUNT(*) AS n_i
+            FROM cand c
+            JOIN toks ta ON ta.doc_id = c.a_id
+            JOIN toks tb ON tb.doc_id = c.b_id AND tb.tok = ta.tok
+            GROUP BY c.a_id, c.b_id
+        )
+        SELECT e.a_id, e.b_id,
+               ROUND(e.est_j, 6) AS est_jaccard,
+               ROUND(CAST(COALESCE(i.n_i, 0) AS DOUBLE)
+                     / (sa.n_tok + sb.n_tok - COALESCE(i.n_i, 0)), 6) AS true_jaccard,
+               ROUND(ABS(e.est_j - CAST(COALESCE(i.n_i, 0) AS DOUBLE)
+                     / (sa.n_tok + sb.n_tok - COALESCE(i.n_i, 0))), 6) AS abs_err
+        FROM est e
+        LEFT JOIN inter i ON i.a_id = e.a_id AND i.b_id = e.b_id
+        JOIN sizes sa ON sa.doc_id = e.a_id
+        JOIN sizes sb ON sb.doc_id = e.b_id
+    """,
+)
+def d14_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sample = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") % 10 == 0)
+    sigs = minhash_sigs(sample).persist()
+    bands = minhash_bands(sample)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+    agree = sum(
+        F.when(F.col(f"sa.h{i}") == F.col(f"sb.h{i}"), 1).otherwise(0)
+        for i in range(N_HASHES)
+    )
+    est = (
+        cand.join(F.broadcast(sigs.alias("sa")), F.col("sa.doc_id") == F.col("a_id"))
+        .join(F.broadcast(sigs.alias("sb")), F.col("sb.doc_id") == F.col("b_id"))
+        .select("a_id", "b_id", (agree / float(N_HASHES)).alias("est_j"))
+    )
+    toks = sample.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok")).distinct()
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    ta, tb = toks.alias("ta"), toks.alias("tb")
+    inter = (
+        cand.join(ta, F.col("ta.doc_id") == F.col("a_id"))
+        .join(
+            tb,
+            (F.col("tb.doc_id") == F.col("b_id")) & (F.col("tb.tok") == F.col("ta.tok")),
+        )
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("n_i"))
+    )
+    true_j = F.coalesce(F.col("n_i"), F.lit(0)).cast("double") / (
+        F.col("sa_n") + F.col("sb_n") - F.coalesce(F.col("n_i"), F.lit(0))
+    )
+    return (
+        est.join(inter, ["a_id", "b_id"], "left")
+        .join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("a_id"), F.col("n_tok").alias("sa_n"))),
+            "a_id",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("b_id"), F.col("n_tok").alias("sb_n"))),
+            "b_id",
+        )
+        .select(
+            "a_id",
+            "b_id",
+            F.round("est_j", 6).alias("est_jaccard"),
+            F.round(true_j, 6).alias("true_jaccard"),
+            F.round(F.abs(F.col("est_j") - true_j), 6).alias("abs_err"),
         )
     )
