@@ -750,3 +750,87 @@ def pipeline_multimodal_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_cuts"), F.lit(0)).cast("bigint").alias("n_cuts"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# v8g: corrupt-blob detection (magic bytes vs declared mime)
+# ---------------------------------------------------------------------------
+
+# printable stand-ins for the real magic byte sequences (the container
+# has no image libs — the frame layout, not the codec, is under test)
+_MAGICS = {"image/png": "<89PNG>", "image/jpeg": "<FFD8FF>", "image/webp": "<RIFF>"}
+_MIN_BYTES = 12
+
+
+@REGISTRY.register(
+    name="v8g_corrupt_blobs",
+    survey_ref="V8 extra (multimodal ingest QA)",
+    doc="corrupt-artifact triage before any decode is paid: each blob's "
+    "leading magic bytes must match its DECLARED mime and the payload "
+    "must clear a minimum length — the two checks that catch "
+    "truncated downloads and mislabeled content at ingest, per-row "
+    "and map-only, reading ONLY a prefix of each blob (at 100 TB: "
+    "a range-read of the first KB, never full payloads). Verdicts: "
+    "ok / bad_magic (planted: doc_id%13 carries another format's "
+    "magic) / truncated (planted: doc_id%19 cut to 4 bytes; "
+    "truncation outranks magic). The Spark side validates REAL binary "
+    "columns (substring+decode over BinaryType); the oracle re-derives "
+    "the same verdicts from the generative rule.",
+    oracle=f"""
+        WITH framed AS (
+            SELECT doc_id,
+                   ['image/png','image/jpeg','image/webp'][CAST(doc_id % 3 AS INT) + 1] AS mime,
+                   ['<89PNG>','<FFD8FF>','<RIFF>'][CAST(doc_id % 3 AS INT) + 1] AS own_magic,
+                   ['<89PNG>','<FFD8FF>','<RIFF>'][CAST((doc_id + 1) % 3 AS INT) + 1] AS wrong_magic,
+                   text
+            FROM documents
+        ), blob AS (
+            SELECT doc_id, mime,
+                   CASE WHEN doc_id % 19 = 0
+                        THEN SUBSTRING(CASE WHEN doc_id % 13 = 0
+                                            THEN wrong_magic || text
+                                            ELSE own_magic || text END, 1, 4)
+                        WHEN doc_id % 13 = 0 THEN wrong_magic || text
+                        ELSE own_magic || text END AS content
+            FROM framed
+        )
+        SELECT b.doc_id, b.mime,
+               CAST(OCTET_LENGTH(ENCODE(b.content)) AS BIGINT) AS n_bytes,
+               CASE WHEN OCTET_LENGTH(ENCODE(b.content)) < {_MIN_BYTES} THEN 'truncated'
+                    WHEN NOT STARTS_WITH(b.content, f.own_magic) THEN 'bad_magic'
+                    ELSE 'ok' END AS verdict
+        FROM blob b JOIN framed f ON b.doc_id = f.doc_id
+    """,
+)
+def v8g_corrupt_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    own = F.element_at(
+        F.array(*[F.lit(_MAGICS[m]) for m in _MIMES]), (F.col("doc_id") % 3 + 1).cast("int")
+    )
+    wrong = F.element_at(
+        F.array(*[F.lit(_MAGICS[m]) for m in _MIMES]),
+        ((F.col("doc_id") + 1) % 3 + 1).cast("int"),
+    )
+    mime = F.element_at(
+        F.array(*[F.lit(m) for m in _MIMES]), (F.col("doc_id") % 3 + 1).cast("int")
+    )
+    content = F.when(F.col("doc_id") % 13 == 0, F.concat(wrong, F.col("text"))).otherwise(
+        F.concat(own, F.col("text"))
+    )
+    content = F.when(F.col("doc_id") % 19 == 0, F.substring(content, 1, 4)).otherwise(content)
+    # the artifact frame: a REAL BinaryType payload column, as ingested
+    blobs = docs.select(
+        "doc_id", mime.alias("mime"), own.alias("own_magic"),
+        F.encode(content, "UTF-8").alias("payload"),
+    )
+    # prefix-only validation on the binary column: slice bytes, decode
+    prefix = F.decode(F.substring(F.col("payload"), 1, 8), "UTF-8")
+    return blobs.select(
+        "doc_id",
+        "mime",
+        F.octet_length("payload").cast("bigint").alias("n_bytes"),
+        F.when(F.octet_length("payload") < _MIN_BYTES, "truncated")
+        .when(~prefix.startswith(F.col("own_magic")), "bad_magic")
+        .otherwise("ok")
+        .alias("verdict"),
+    )
