@@ -348,3 +348,83 @@ def s11_fk_inclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# S12: subject-access inventory (GDPR Art. 15 export audit)
+# ---------------------------------------------------------------------------
+
+_SUBJECT_KEY = 7  # the data subject under audit (customer/user key)
+
+
+@REGISTRY.register(
+    name="s12_subject_access",
+    survey_ref="S-family extra (data-subject inventory); m7/m13's governance sibling",
+    doc=f"subject-access inventory for data subject key={_SUBJECT_KEY}: "
+    "one row per table holding the subject's data — row count plus an "
+    "order-independent content digest of the matching primary keys "
+    "(u25's commutative md5-int sum) — the audit that backs both a "
+    "GDPR Art. 15 export and the Art. 17 erasure verification (m7): "
+    "re-run after deletion, every n_rows must hit 0. Direct tables "
+    "filter on the subject key (partition/stats-prunable scans); "
+    "lineitem reaches the subject through an orderkey semi-join "
+    "against the subject's orders (dim-sized broadcast). No full "
+    "scan is unpruned; at 100 TB each branch reads only the "
+    "subject's partitions.",
+    oracle=f"""
+        WITH ords AS (
+            SELECT o_orderkey FROM orders WHERE o_custkey = {_SUBJECT_KEY}
+        )
+        SELECT 'customer' AS table_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COALESCE(SUM(('0x' || SUBSTR(MD5(CAST(c_custkey AS VARCHAR)), 1, 12))::BIGINT), 0) AS BIGINT) AS key_digest
+        FROM customer WHERE c_custkey = {_SUBJECT_KEY}
+        UNION ALL
+        SELECT 'orders',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(COALESCE(SUM(('0x' || SUBSTR(MD5(CAST(o_orderkey AS VARCHAR)), 1, 12))::BIGINT), 0) AS BIGINT)
+        FROM orders WHERE o_custkey = {_SUBJECT_KEY}
+        UNION ALL
+        SELECT 'lineitem',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(COALESCE(SUM(('0x' || SUBSTR(MD5(CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR)), 1, 12))::BIGINT), 0) AS BIGINT)
+        FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM ords)
+        UNION ALL
+        SELECT 'events',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(COALESCE(SUM(('0x' || SUBSTR(MD5(CAST(event_id AS VARCHAR)), 1, 12))::BIGINT), 0) AS BIGINT)
+        FROM events WHERE user_id = {_SUBJECT_KEY}
+    """,
+)
+def s12_subject_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir).filter(
+        F.col("c_custkey") == _SUBJECT_KEY
+    )
+    orders = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_custkey") == _SUBJECT_KEY
+    )
+    li = load_table(spark, "lineitem", sf_dir).join(
+        F.broadcast(orders.select(F.col("o_orderkey").alias("l_orderkey"))),
+        "l_orderkey",
+        "left_semi",
+    )
+    ev = load_table(spark, "events", sf_dir).filter(F.col("user_id") == _SUBJECT_KEY)
+    li_key = F.concat(
+        F.col("l_orderkey").cast("string"), F.lit("_"), F.col("l_linenumber").cast("string")
+    )
+
+    def inv_expr(df, name, key_expr):
+        return df.agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.coalesce(
+                F.sum(F.conv(F.substring(F.md5(key_expr), 1, 12), 16, 10).cast("long")),
+                F.lit(0),
+            ).cast("bigint").alias("key_digest"),
+        ).select(F.lit(name).alias("table_name"), "n_rows", "key_digest")
+
+    return (
+        inv_expr(cust, "customer", F.col("c_custkey").cast("string"))
+        .unionByName(inv_expr(orders, "orders", F.col("o_orderkey").cast("string")))
+        .unionByName(inv_expr(li, "lineitem", li_key))
+        .unionByName(inv_expr(ev, "events", F.col("event_id").cast("string")))
+    )
