@@ -425,3 +425,191 @@ def t28_streaming_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(state_dir, AUDIT_LOG)).select(
         "batch_id", "check_name", "observed", "threshold", "ok"
     )
+
+
+# ---------------------------------------------------------------------------
+# t36: streaming embedding-drift monitor (v16 under foreachBatch)
+# ---------------------------------------------------------------------------
+
+MOMENTS = "moments"
+DRIFT_LOG = "drift_log"
+_DRIFT_Z_STREAM = 3.0
+
+
+def drift_gated_sink(stream: DataFrame, state_dir: str, checkpoint_dir: str):
+    """v16's two-sample z drift gate run continuously: each micro-batch
+    of embeddings is tested per-dimension against the ACCUMULATED
+    moments of everything already ingested, the verdict appended to the
+    drift log, and the batch's (n, Σx, Σx²) partials merged into the
+    baseline. The baseline is a moments table — O(dim) rows however
+    much history accumulates — so the stream never rescans old
+    embeddings (the same accumulated-partials trick the WAP gate uses
+    for its running mean). Write order: log BEFORE moments append
+    (the read-modify-write discipline every sink here follows). First
+    batch bootstraps the baseline with no check, like t28."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from ai_iceberg_demo_spark.vector.similarity import as_double
+
+        spark = batch_df.sparkSession
+        dims = batch_df.select(
+            F.posexplode(as_double(F.col("embedding"))).alias("dim_i", "x")
+        )
+        partials = dims.groupBy("dim_i").agg(
+            F.count("*").cast("double").alias("n"),
+            F.sum("x").alias("s"),
+            F.sum(F.col("x") * F.col("x")).alias("s2"),
+        )
+        base = _read_state(spark, os.path.join(state_dir, MOMENTS))
+        if base is not None:
+            acc = base.groupBy("dim_i").agg(
+                F.sum("n").alias("n_a"), F.sum("s").alias("s_a"), F.sum("s2").alias("s2_a")
+            )
+            mean_a = F.round(F.col("s_a") / F.col("n_a"), 6)
+            var_a = F.round(
+                F.col("s2_a") / F.col("n_a") - (F.col("s_a") / F.col("n_a")) * (F.col("s_a") / F.col("n_a")),
+                6,
+            )
+            mean_b = F.round(F.col("s") / F.col("n"), 6)
+            var_b = F.round(
+                F.col("s2") / F.col("n") - (F.col("s") / F.col("n")) * (F.col("s") / F.col("n")),
+                6,
+            )
+            z = F.round(
+                (mean_b - mean_a) / F.sqrt(var_a / F.col("n_a") + var_b / F.col("n")), 4
+            )
+            verdict = (
+                acc.join(partials, "dim_i")
+                .select(F.abs(z).alias("az"))
+                .agg(
+                    F.count("*").cast("bigint").alias("n_dims"),
+                    F.sum(F.when(F.col("az") >= _DRIFT_Z_STREAM, 1).otherwise(0))
+                    .cast("bigint")
+                    .alias("n_drifted"),
+                    F.max("az").alias("max_abs_z"),
+                )
+                .select(
+                    F.lit(batch_id).cast("long").alias("batch_id"),
+                    "n_dims",
+                    "n_drifted",
+                    "max_abs_z",
+                    (F.col("n_drifted") > 0).alias("alarm"),
+                )
+            )
+            verdict.coalesce(1).write.mode("append").parquet(
+                os.path.join(state_dir, DRIFT_LOG)
+            )
+        partials.write.mode("append").parquet(os.path.join(state_dir, MOMENTS))
+
+    return stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+
+
+def run_drift_stream(
+    spark: SparkSession, sf_dir: str, state_dir: str | None = None
+) -> str:
+    """Replay embeddings as 3 id-keyed micro-batches (vec_id%3) with a
+    PLANTED +0.5 shift on dimension 0 of batch 2 — the provable-alarm
+    salting every monitor here carries. Returns the state_dir."""
+    if state_dir is None:
+        state_dir = tempfile.mkdtemp(prefix="drift_stream_")
+    from ai_iceberg_demo_spark.vector.similarity import as_double
+
+    # all batches staged as array<double>: the +0.5 shift promotes
+    # float->double, and a mixed-type file set would break the fixed
+    # stream schema; double everywhere also makes the arithmetic
+    # bit-identical to the oracle's CAST(... AS DOUBLE) spelling
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", as_double(F.col("embedding")).alias("embedding")
+    )
+    shifted = F.transform(
+        F.col("embedding"), lambda x, i: F.when(i == 0, x + F.lit(0.5)).otherwise(x)
+    )
+    batches = [
+        emb.filter(F.col("vec_id") % 3 == i).select(
+            "vec_id",
+            (shifted if i == 2 else F.col("embedding")).alias("embedding"),
+        )
+        for i in range(3)
+    ]
+    ingest = stage_batch_files(state_dir, batches)
+    stream = (
+        spark.readStream.schema(batches[0].schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(ingest, "*.parquet"))
+    )
+    q = (
+        drift_gated_sink(stream, state_dir, os.path.join(state_dir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return state_dir
+
+
+def _drift_batch_moments_sql(pred: str, shift: bool) -> str:
+    vec = (
+        "LIST_TRANSFORM(CAST(embedding AS DOUBLE[]), x -> x)"
+        if not shift
+        else "LIST_CONCAT([CAST(embedding[1] AS DOUBLE) + 0.5],"
+        " CAST(embedding[2:] AS DOUBLE[]))"
+    )
+    return f"""
+            SELECT GENERATE_SUBSCRIPTS(v, 1) - 1 AS dim_i, UNNEST(v) AS x
+            FROM (SELECT {vec} AS v FROM embeddings WHERE {pred})
+    """
+
+
+@REGISTRY.register(
+    name="t36_streaming_drift",
+    survey_ref="training-data (streaming drift monitor; v16 + t28 composed)",
+    doc="v16's per-dimension z drift gate run as a live foreachBatch "
+    "stream over 3 embedding micro-batches, baseline = accumulated "
+    "(n, Σx, Σx²) moments (O(dim) state, old embeddings never "
+    "rescanned). Batch 2 carries a planted +0.5 shift on dim 0, so "
+    "the log must show batch 1 clean and batch 2 alarmed — the "
+    "deterministic gate lets the oracle unroll both checks exactly "
+    "in SQL, hash-checking the streaming path end-to-end.",
+    oracle=f"""
+        WITH d0 AS ({_drift_batch_moments_sql("vec_id % 3 = 0", False)}),
+        d1 AS ({_drift_batch_moments_sql("vec_id % 3 = 1", False)}),
+        d2 AS ({_drift_batch_moments_sql("vec_id % 3 = 2", True)}),
+        m0 AS (SELECT dim_i, CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS s, SUM(x*x) AS s2 FROM d0 GROUP BY dim_i),
+        m1 AS (SELECT dim_i, CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS s, SUM(x*x) AS s2 FROM d1 GROUP BY dim_i),
+        m2 AS (SELECT dim_i, CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS s, SUM(x*x) AS s2 FROM d2 GROUP BY dim_i),
+        acc1 AS (SELECT dim_i, n, s, s2 FROM m0),
+        acc2 AS (SELECT dim_i, SUM(n) AS n, SUM(s) AS s, SUM(s2) AS s2
+                 FROM (SELECT * FROM m0 UNION ALL SELECT * FROM m1) GROUP BY dim_i),
+        z1 AS (
+            SELECT ABS(ROUND(
+                (ROUND(b.s/b.n, 6) - ROUND(a.s/a.n, 6))
+                / SQRT(ROUND(a.s2/a.n - (a.s/a.n)*(a.s/a.n), 6)/a.n
+                       + ROUND(b.s2/b.n - (b.s/b.n)*(b.s/b.n), 6)/b.n), 4)) AS az
+            FROM acc1 a JOIN m1 b USING (dim_i)
+        ),
+        z2 AS (
+            SELECT ABS(ROUND(
+                (ROUND(b.s/b.n, 6) - ROUND(a.s/a.n, 6))
+                / SQRT(ROUND(a.s2/a.n - (a.s/a.n)*(a.s/a.n), 6)/a.n
+                       + ROUND(b.s2/b.n - (b.s/b.n)*(b.s/b.n), 6)/b.n), 4)) AS az
+            FROM acc2 a JOIN m2 b USING (dim_i)
+        )
+        SELECT CAST(1 AS BIGINT) AS batch_id,
+               CAST(COUNT(*) AS BIGINT) AS n_dims,
+               CAST(SUM(CASE WHEN az >= {_DRIFT_Z_STREAM} THEN 1 ELSE 0 END) AS BIGINT) AS n_drifted,
+               MAX(az) AS max_abs_z,
+               SUM(CASE WHEN az >= {_DRIFT_Z_STREAM} THEN 1 ELSE 0 END) > 0 AS alarm
+        FROM z1
+        UNION ALL
+        SELECT CAST(2 AS BIGINT),
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN az >= {_DRIFT_Z_STREAM} THEN 1 ELSE 0 END) AS BIGINT),
+               MAX(az),
+               SUM(CASE WHEN az >= {_DRIFT_Z_STREAM} THEN 1 ELSE 0 END) > 0
+        FROM z2
+    """,
+)
+def t36_streaming_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    state_dir = run_drift_stream(spark, sf_dir)
+    return spark.read.parquet(os.path.join(state_dir, DRIFT_LOG))

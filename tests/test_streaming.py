@@ -790,3 +790,26 @@ def test_wap_checkpoint_restart_no_double_publish(spark, tmp_path):
     }
     # batch 0 bootstraps (2 checks); later batches add the drift check
     assert per_batch == {0: 2, 1: 3, 2: 3}
+
+
+def test_streaming_drift_alarm_fires_only_on_shifted_batch(spark):
+    """t36: batch 1 (same distribution as baseline) must log clean;
+    batch 2 (planted +0.5 on dim 0) must alarm with dim-0-sized z —
+    and only its shifted dimension counts as drifted."""
+    import os
+
+    from ai_iceberg_demo_spark.streaming.incremental import (
+        DRIFT_LOG,
+        run_drift_stream,
+    )
+
+    state = run_drift_stream(spark, SF_DIR)
+    log = {
+        r["batch_id"]: r
+        for r in spark.read.parquet(os.path.join(state, DRIFT_LOG)).collect()
+    }
+    assert set(log) == {1, 2}
+    assert log[1]["alarm"] is False and log[1]["n_drifted"] == 0
+    assert log[2]["alarm"] is True and log[2]["n_drifted"] == 1
+    assert log[2]["max_abs_z"] > 10  # +0.5 on a ~unit-scale component
+    assert log[1]["n_dims"] == log[2]["n_dims"] == 64
