@@ -1314,7 +1314,8 @@ _NEXTITEM_CTX = 3  # context length (preceding items)
     "preceding item ids, target = this item) — the dataset every "
     "sequential recommender / session-LM trains on. Rows without a "
     "full context (the first items of each user) are dropped, so "
-    "every example has fixed shape. ONE user-keyed window pass "
+    "every example has fixed shape (context flattened to a "
+    "space-joined string — driver-hashable scalar). ONE user-keyed window pass "
     "(partitionBy user_id — uniform key) with a bounded ROWS frame "
     "builds the context arrays; no self-joins, no explode: at 100 TB "
     "this is a sort within each user's partition and a map.",
@@ -1324,10 +1325,10 @@ _NEXTITEM_CTX = 3  # context length (preceding items)
                    json_extract_string(props, '$.k') AS item,
                    ROW_NUMBER() OVER (PARTITION BY user_id
                                       ORDER BY ts, event_id) AS rn,
-                   LIST(json_extract_string(props, '$.k')) OVER (
+                   ARRAY_TO_STRING(LIST(json_extract_string(props, '$.k')) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id
                        ROWS BETWEEN {_NEXTITEM_CTX} PRECEDING AND 1 PRECEDING
-                   ) AS context
+                   ), ' ') AS context
             FROM events
             WHERE json_extract_string(props, '$.k') IS NOT NULL
         )
@@ -1351,7 +1352,7 @@ def t35_next_item_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
         items.select(
             "user_id",
             F.row_number().over(w).cast("bigint").alias("rn"),
-            F.collect_list("item").over(ctx).alias("context"),
+            F.array_join(F.collect_list("item").over(ctx), " ").alias("context"),
             F.col("item").alias("target"),
         )
         .filter(F.col("rn") > _NEXTITEM_CTX)
