@@ -613,3 +613,118 @@ def _drift_batch_moments_sql(pred: str, shift: bool) -> str:
 def t36_streaming_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     state_dir = run_drift_stream(spark, sf_dir)
     return spark.read.parquet(os.path.join(state_dir, DRIFT_LOG))
+
+
+# ---------------------------------------------------------------------------
+# t37: streaming frequency sketch (count-min accumulated per batch)
+# ---------------------------------------------------------------------------
+
+SKETCH = "sketch"
+SKETCH_LOG = "sketch_log"
+_T37_PROBES = ("spark", "merge", "stream")
+
+
+def sketch_accumulating_sink(stream: DataFrame, state_dir: str, checkpoint_dir: str):
+    """a16's count-min sketch kept fresh by a stream: each micro-batch
+    of documents sketches its own tokens (256 cells), appends the
+    partials to the sketch table, and logs the ACCUMULATED estimate for
+    the probe terms — frequency monitoring whose state is O(1) in both
+    vocabulary and history (the mergeability a16 pins is exactly what
+    makes the per-batch append correct). Log BEFORE append would show
+    pre-batch counts; this sink logs AFTER (ingest-inclusive), and the
+    oracle unrolls the same cumulative order."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from ai_iceberg_demo_spark.operators.aggregates import (
+            cms_bucket,
+            countmin_sketch,
+        )
+
+        spark = batch_df.sparkSession
+        toks = batch_df.select(F.explode(F.split("text", " ")).alias("tok"))
+        partials = countmin_sketch(toks)
+        partials.write.mode("append").parquet(os.path.join(state_dir, SKETCH))
+        acc = (
+            spark.read.parquet(os.path.join(state_dir, SKETCH))
+            .groupBy("row", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        probes = spark.createDataFrame([(t,) for t in _T37_PROBES], "token string")
+        pb = probes.select(
+            "token", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("row")
+        ).select("token", "row", cms_bucket(F.col("token"), F.col("row")).alias("bucket"))
+        est = (
+            F.broadcast(pb)
+            .join(acc, ["row", "bucket"])
+            .groupBy("token")
+            .agg(F.min("cnt").cast("bigint").alias("estimate"))
+            .select(F.lit(batch_id).cast("long").alias("batch_id"), "token", "estimate")
+        )
+        est.coalesce(1).write.mode("append").parquet(
+            os.path.join(state_dir, SKETCH_LOG)
+        )
+
+    return stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+
+
+@REGISTRY.register(
+    name="t37_streaming_sketch",
+    survey_ref="training-data (streaming frequency monitor; a16 + t28 composed)",
+    doc="count-min frequency monitoring under Structured Streaming: "
+    "documents arrive as 3 id-keyed micro-batches, each appends its "
+    "256-cell sketch partials, and the probe-term estimates from the "
+    "ACCUMULATED sketch are logged per batch. Deterministic md5 "
+    "hashing makes the cumulative estimates SQL-unrollable, so the "
+    "streaming path is hash-checked — and the final batch's estimates "
+    "must equal a16's batch-mode numbers on the same corpus (pinned "
+    "by test: stream ≡ batch for sketches is exactly cell-wise "
+    "mergeability).",
+    oracle=f"""
+        WITH words AS (
+            SELECT doc_id % 3 AS b,
+                   UNNEST(STRING_SPLIT(text, ' ')) AS tok
+            FROM documents
+        ), fanned AS (
+            SELECT b, tok, UNNEST(GENERATE_SERIES(0, 3)) AS row FROM words
+        ), cells AS (
+            SELECT b, row,
+                   (('0x' || SUBSTR(MD5(CAST(row AS VARCHAR) || ':' || tok), 1, 8))::BIGINT % 64) AS bucket,
+                   COUNT(*) AS cnt
+            FROM fanned GROUP BY 1, 2, 3
+        ), probes AS (
+            SELECT UNNEST({list(_T37_PROBES)!r}) AS token
+        ), pb AS (
+            SELECT token, row,
+                   (('0x' || SUBSTR(MD5(CAST(row AS VARCHAR) || ':' || token), 1, 8))::BIGINT % 64) AS bucket
+            FROM probes, (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS row) r
+        ), cum AS (
+            SELECT hi.hi AS batch_id, c.row, c.bucket, SUM(c.cnt) AS cnt
+            FROM cells c JOIN (SELECT UNNEST(GENERATE_SERIES(0, 2)) AS hi) hi
+              ON c.b <= hi.hi
+            GROUP BY 1, 2, 3
+        )
+        SELECT cu.batch_id, p.token,
+               CAST(MIN(cu.cnt) AS BIGINT) AS estimate
+        FROM pb p JOIN cum cu ON cu.row = p.row AND cu.bucket = p.bucket
+        GROUP BY cu.batch_id, p.token
+    """,
+)
+def t37_streaming_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    state_dir = tempfile.mkdtemp(prefix="sketch_stream_")
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    batches = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    ingest = stage_batch_files(state_dir, batches)
+    stream = (
+        spark.readStream.schema(batches[0].schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(ingest, "*.parquet"))
+    )
+    q = (
+        sketch_accumulating_sink(stream, state_dir, os.path.join(state_dir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.read.parquet(os.path.join(state_dir, SKETCH_LOG))

@@ -813,3 +813,26 @@ def test_streaming_drift_alarm_fires_only_on_shifted_batch(spark):
     assert log[2]["alarm"] is True and log[2]["n_drifted"] == 1
     assert log[2]["max_abs_z"] > 10  # +0.5 on a ~unit-scale component
     assert log[1]["n_dims"] == log[2]["n_dims"] == 64
+
+
+def test_streaming_sketch_final_batch_equals_batch_mode(spark):
+    """t37: after the last micro-batch, the accumulated sketch's probe
+    estimates must equal a16's one-shot batch estimates over the same
+    corpus — cell-wise mergeability IS stream≡batch for sketches."""
+    from ai_iceberg_demo_spark.operators.aggregates import a16_countmin_probe
+    from ai_iceberg_demo_spark.streaming.incremental import t37_streaming_sketch
+
+    log = t37_streaming_sketch(spark, SF_DIR).collect()
+    final = {r["token"]: r["estimate"] for r in log if r["batch_id"] == 2}
+    batch = {
+        r["token"]: r["estimate"]
+        for r in a16_countmin_probe(spark, SF_DIR).collect()
+        if r["token"] in final
+    }
+    assert final == batch
+    # estimates are monotone in ingested batches
+    by_token = {}
+    for r in log:
+        by_token.setdefault(r["token"], {})[r["batch_id"]] = r["estimate"]
+    for est in by_token.values():
+        assert est[0] <= est[1] <= est[2]
