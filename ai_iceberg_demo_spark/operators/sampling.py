@@ -1273,13 +1273,18 @@ _DSIR_TARGET_LANG = "en"
     """,
 )
 def u23_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir)
+    return dsir_weights(load_table(spark, "documents", sf_dir))
+
+
+def dsir_weights(docs: DataFrame, target_lang: str = _DSIR_TARGET_LANG) -> DataFrame:
+    """u23's core over any (doc_id, lang, text) frame — shared with the
+    composed selection pipeline."""
     words = docs.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
     )
     freq = words.groupBy("w").agg(
         F.count("*").alias("c_raw"),
-        F.count(F.when(F.col("lang") == _DSIR_TARGET_LANG, 1)).alias("c_tgt"),
+        F.count(F.when(F.col("lang") == target_lang, 1)).alias("c_tgt"),
     )
     tot = freq.agg(
         F.sum("c_raw").alias("n_raw"),

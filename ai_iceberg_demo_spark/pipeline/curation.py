@@ -406,3 +406,106 @@ def pipeline_eval_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         quota.join(docs, "doc_id")
         .select("doc_id", F.col("cell_id").cast("bigint").alias("cell_id"), split.alias("split"))
     )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_dsir_selection: domain-targeted selection → dedup → manifest
+# ---------------------------------------------------------------------------
+
+_DSIR_SELECT_PCT = 0.70  # keep docs at or above the 70th weight percentile
+
+
+@REGISTRY.register(
+    name="pipeline_dsir_selection",
+    survey_ref="training-data (composed: u23 + d1b + u25)",
+    doc="the domain-targeted curation funnel end-to-end: score every "
+    "doc with u23's DSIR log-likelihood ratio, keep the top-30% most "
+    "target-like (≥ the exact 70th percentile — one 1-row broadcast, "
+    "no global sort), collapse exact duplicates to their canonical "
+    "min-id survivor (d1b's rule), and emit the per-source release "
+    "manifest with u25's order-independent content digest. Every "
+    "stage is deterministic, so the three-operator composition is "
+    "hash-oracled as ONE query — the integration evidence that the "
+    "pieces compose, not just pass alone. Shuffles: one wordcount "
+    "(u23), one fingerprint groupBy (d1b), one source agg (u25); the "
+    "corpus itself moves once per stage, never pairwise.",
+    oracle=f"""
+        WITH words AS (
+            SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS w
+            FROM documents
+        ), freq AS (
+            SELECT w,
+                   COUNT(*) AS c_raw,
+                   COUNT(*) FILTER (WHERE lang = 'en') AS c_tgt
+            FROM words GROUP BY w
+        ), tot AS (
+            SELECT SUM(c_raw) AS n_raw, SUM(c_tgt) AS n_tgt, COUNT(*) AS v
+            FROM freq
+        ), ratio AS (
+            SELECT w,
+                   LN(((c_tgt + 1.0) / (n_tgt + v))
+                      / ((c_raw + 1.0) / (n_raw + v))) AS llr
+            FROM freq CROSS JOIN tot
+        ), weighted AS (
+            SELECT doc_id, ROUND(SUM(llr), 4) AS dsir_weight
+            FROM words JOIN ratio USING (w)
+            GROUP BY doc_id
+        ), cut AS (
+            SELECT QUANTILE_CONT(dsir_weight, {_DSIR_SELECT_PCT}) AS thr
+            FROM weighted
+        ), selected AS (
+            SELECT d.doc_id, d.source, d.text
+            FROM documents d JOIN weighted w ON d.doc_id = w.doc_id, cut
+            WHERE w.dsir_weight >= cut.thr
+        ), fp AS (
+            SELECT doc_id, source, text,
+                   MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g')) AS f
+            FROM selected
+        ), canon AS (
+            SELECT doc_id, source, text
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY f ORDER BY doc_id) AS rn
+                  FROM fp)
+            WHERE rn = 1
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS n_tokens,
+               CAST(SUM(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 12))::BIGINT)
+                   AS BIGINT) AS content_digest
+        FROM canon
+        GROUP BY source
+    """,
+)
+def pipeline_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ai_iceberg_demo_spark.operators.sampling import dsir_weights
+
+    docs = load_table(spark, "documents", sf_dir)
+    weighted = dsir_weights(docs).select("doc_id", "dsir_weight")
+    thr = weighted.agg(
+        F.expr(f"percentile(dsir_weight, {_DSIR_SELECT_PCT})").alias("thr")
+    )
+    selected = (
+        docs.join(weighted, "doc_id")
+        .join(F.broadcast(thr))
+        .filter(F.col("dsir_weight") >= F.col("thr"))
+        .select("doc_id", "source", "text")
+    )
+    fp = selected.withColumn("f", fingerprint(F.col("text")))
+    w = W.partitionBy("f").orderBy("doc_id")
+    canon = fp.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    row_digest = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("text"))),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return canon.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"),
+        F.sum(row_digest).cast("bigint").alias("content_digest"),
+    )
