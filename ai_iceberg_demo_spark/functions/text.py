@@ -922,3 +922,136 @@ def f31_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         count_class("^ ?[0-9]+$").alias("n_numeric"),
         count_class("^'").alias("n_contraction"),
     )
+
+
+# ---------------------------------------------------------------------------
+# f32: BPE merge application (2 unrolled rounds)
+# ---------------------------------------------------------------------------
+
+_BPE_JOIN = "<+>"  # display separator for merged sequences (not in vocab)
+
+
+def _fold_merge(toks: Column, p1: Column, p2: Column) -> Column:
+    """One BPE merge pass: rebuild the token sequence with every
+    leftmost non-overlapping (p1, p2) adjacency fused into one token —
+    a left fold (aggregate) whose accumulator is the merged prefix.
+    Leftmost-first falls out of the fold order; non-overlap falls out
+    of the fused token no longer equalling p1. Runs entirely in the
+    JVM per row; at 100 TB this is a map-only pass per merge round."""
+    return F.aggregate(
+        toks,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == p1)
+            & (x == p2),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.concat(p1, F.lit(" "), p2)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def _top_pair(seq_df: DataFrame, col: str) -> DataFrame:
+    """(p1, p2) of the most frequent adjacent pair across all sequences
+    in ``seq_df[col]`` — count DESC, then pair text, the deterministic
+    tiebreak both engines share. One pair-count shuffle + top-1."""
+    pairs = seq_df.select(
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(size({col}) - 1, 1)),"
+                f" i -> struct(element_at({col}, i) as p1,"
+                f" element_at({col}, i + 1) as p2))"
+            )
+        ).alias("pr")
+    ).filter(F.col("pr.p2").isNotNull())
+    return (
+        pairs.groupBy(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "p1", "p2")
+        .limit(1)
+        .select("p1", "p2")
+    )
+
+
+def _bpe_round_sql(src_seq: str, pair_cte: str) -> str:
+    """DuckDB twin of one merge round over CTE column ``m`` of
+    ``src_seq`` using the 1-row pair CTE ``pair_cte``."""
+    return f"""
+            SELECT s.doc_id,
+                   list_reduce(
+                       LIST_TRANSFORM(s.m, x -> [x]),
+                       (acc, x) -> CASE
+                           WHEN LEN(acc) > 0 AND acc[-1] = p.p1 AND x[1] = p.p2
+                           THEN acc[1:LEN(acc) - 1] || [p.p1 || ' ' || p.p2]
+                           ELSE acc || x END
+                   ) AS m
+            FROM {src_seq} s CROSS JOIN {pair_cte} p
+    """
+
+
+_BPE_PAIR_SQL = """
+            SELECT m[i] AS p1, m[i + 1] AS p2, COUNT(*) AS c
+            FROM {src} s, UNNEST(GENERATE_SERIES(1, GREATEST(LEN(s.m) - 1, 0))) u(i)
+            GROUP BY 1, 2
+            ORDER BY c DESC, p1, p2
+            LIMIT 1
+"""
+
+
+@REGISTRY.register(
+    name="f32_bpe_merge_apply",
+    survey_ref="training-data (tokenizer induction: t21's consumer)",
+    doc="BPE merge APPLICATION — the step t21's pair statistics feed: "
+    "two unrolled merge rounds, each fusing the corpus-wide most "
+    "frequent adjacent pair (count desc, pair text as the shared "
+    "tiebreak) into single tokens via a leftmost-non-overlapping left "
+    "fold. Per doc: token counts after rounds 0/1/2 and the final "
+    "merged sequence. The fold is a JVM aggregate() (map-only per "
+    "round); each round adds ONE pair-count shuffle + a broadcast "
+    "1-row pair — so R rounds at 100 TB cost R wordcounts, no corpus "
+    "re-shuffles. The same fold spelled list_reduce in DuckDB makes "
+    "the whole 2-round loop hash-oracled — fixed unrolls of "
+    "data-dependent iteration, the g1/g2 discipline applied to "
+    "tokenizer training.",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, STRING_SPLIT(text, ' ') AS m FROM documents
+        ), pair1 AS ({_BPE_PAIR_SQL.format(src="toks")}
+        ), m1 AS ({_bpe_round_sql("toks", "pair1")}
+        ), pair2 AS ({_BPE_PAIR_SQL.format(src="m1")}
+        ), m2 AS ({_bpe_round_sql("m1", "pair2")}
+        )
+        SELECT t.doc_id,
+               CAST(LEN(t.m) AS BIGINT) AS n_tokens_0,
+               CAST(LEN(a.m) AS BIGINT) AS n_tokens_1,
+               CAST(LEN(b.m) AS BIGINT) AS n_tokens_2,
+               ARRAY_TO_STRING(b.m, '{_BPE_JOIN}') AS merged_seq
+        FROM toks t JOIN m1 a ON t.doc_id = a.doc_id
+        JOIN m2 b ON t.doc_id = b.doc_id
+    """,
+)
+def f32_bpe_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select("doc_id", F.split("text", " ").alias("m"))
+    pair1 = _top_pair(toks, "m")
+    m1 = toks.crossJoin(F.broadcast(pair1)).select(
+        "doc_id", _fold_merge(F.col("m"), F.col("p1"), F.col("p2")).alias("m")
+    )
+    pair2 = _top_pair(m1, "m")
+    m2 = m1.crossJoin(F.broadcast(pair2)).select(
+        "doc_id", _fold_merge(F.col("m"), F.col("p1"), F.col("p2")).alias("m")
+    )
+    return (
+        toks.select("doc_id", F.size("m").cast("bigint").alias("n_tokens_0"))
+        .join(m1.select("doc_id", F.size("m").cast("bigint").alias("n_tokens_1")), "doc_id")
+        .join(
+            m2.select(
+                "doc_id",
+                F.size("m").cast("bigint").alias("n_tokens_2"),
+                F.array_join("m", _BPE_JOIN).alias("merged_seq"),
+            ),
+            "doc_id",
+        )
+    )

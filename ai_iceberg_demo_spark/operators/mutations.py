@@ -1073,3 +1073,67 @@ def m13_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("suppress")
         .alias("action"),
     )
+
+
+# ---------------------------------------------------------------------------
+# m14: snapshot-expiry planning (expire_snapshots policy)
+# ---------------------------------------------------------------------------
+
+_EXPIRE_KEEP_LAST = 5  # always retain the N newest snapshots
+_EXPIRE_DAYS = 14  # and everything newer than this many days before HEAD
+
+
+@REGISTRY.register(
+    name="m14_snapshot_expiry",
+    survey_ref="M-family extra (metadata retention); completes m9/m11/m12",
+    doc="the planning half of Iceberg expire_snapshots: a snapshot log "
+    "(one pseudo-snapshot per event-day, sized by that day's rows) is "
+    f"classified against the policy 'keep the {_EXPIRE_KEEP_LAST} "
+    f"newest AND everything within {_EXPIRE_DAYS} days of HEAD' — "
+    "older snapshots expire, with the reclaimable row count summed "
+    "into the verdict. HEAD is the max snapshot day (no wall clock: "
+    "the policy is replayable). The m9/m11 pattern: one tiny "
+    "metadata-sized agg + one window over the snapshot list; the "
+    "data itself is never touched (at 100 TB this reads the "
+    "metadata.snapshots table, not a scan).",
+    oracle=f"""
+        WITH snaps AS (
+            SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS snap_day,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM events GROUP BY 1
+        ), ranked AS (
+            SELECT snap_day, n_rows,
+                   ROW_NUMBER() OVER (ORDER BY snap_day DESC) AS rn,
+                   (SELECT MAX(snap_day) FROM snaps) AS head_day
+            FROM snaps
+        )
+        SELECT snap_day, n_rows,
+               CAST(rn AS BIGINT) AS newest_rank,
+               CASE WHEN rn <= {_EXPIRE_KEEP_LAST}
+                         OR CAST(snap_day AS DATE)
+                            >= CAST(head_day AS DATE) - INTERVAL {_EXPIRE_DAYS} DAY
+                    THEN 'retain' ELSE 'expire' END AS action
+        FROM ranked
+    """,
+)
+def m14_snapshot_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, "events", sf_dir)
+    snaps = ev.groupBy(
+        F.col("ts").cast("date").cast("string").alias("snap_day")
+    ).agg(F.count("*").cast("bigint").alias("n_rows"))
+    head = snaps.agg(F.max("snap_day").alias("head_day"))
+    ranked = snaps.join(F.broadcast(head)).withColumn(
+        "rn", F.row_number().over(W.orderBy(F.desc("snap_day")))
+    )
+    keep = (F.col("rn") <= _EXPIRE_KEEP_LAST) | (
+        F.col("snap_day").cast("date")
+        >= F.date_sub(F.col("head_day").cast("date"), _EXPIRE_DAYS)
+    )
+    return ranked.select(
+        "snap_day",
+        "n_rows",
+        F.col("rn").cast("bigint").alias("newest_rank"),
+        F.when(keep, "retain").otherwise("expire").alias("action"),
+    )
