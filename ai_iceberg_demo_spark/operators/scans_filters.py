@@ -428,3 +428,93 @@ def s12_subject_access(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(inv_expr(li, "lineitem", li_key))
         .unionByName(inv_expr(ev, "events", F.col("event_id").cast("string")))
     )
+
+
+# ---------------------------------------------------------------------------
+# S13: multi-format round-trip (CSV / JSONL / ORC source breadth)
+# ---------------------------------------------------------------------------
+
+_RT_FORMATS = ("csv", "json", "orc")
+
+
+@REGISTRY.register(
+    name="s13_multiformat_roundtrip",
+    survey_ref="S-family extra (source-format breadth)",
+    doc="format round-trip audit: the nation table is staged to CSV "
+    "(header, quoted), JSONL, and ORC, read back through each "
+    "source's reader with an explicit schema, and reduced to a "
+    "row-count + order-independent all-column digest per format — "
+    "which must equal the parquet baseline row (hash-checked: the "
+    "oracle recomputes the SAME digest from the parquet view for "
+    "every format label, so any reader/writer that drops, reorders, "
+    "mis-quotes, or retypes a value breaks the hash). A planted "
+    "hostile row (embedded commas, double quotes, pipes, leading/"
+    "trailing spaces) forces the CSV writer/reader through its "
+    "quoting and escape paths — without it the fixture's clean "
+    "strings would round-trip under a broken quoting config too. "
+    "Map-only per format; the staging write is a 25-row dim.",
+    oracle="""
+        SELECT f.fmt AS format,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(('0x' || SUBSTR(MD5(
+                   CAST(n_nationkey AS VARCHAR) || '|' || n_name || '|'
+                   || CAST(n_regionkey AS VARCHAR)
+               ), 1, 12))::BIGINT) AS BIGINT) AS content_digest
+        FROM (SELECT n_nationkey, n_name, n_regionkey FROM nation
+              UNION ALL
+              SELECT 990, '  "quoted, name" | with, commas  ', 99) n
+        CROSS JOIN (SELECT UNNEST(['parquet', 'csv', 'json', 'orc']) AS fmt) f
+        GROUP BY f.fmt
+    """,
+)
+def s13_multiformat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    nation = (
+        load_table(spark, "nation", sf_dir)
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .unionByName(
+            spark.createDataFrame(
+                [(990, '  "quoted, name" | with, commas  ', 99)],
+                "n_nationkey long, n_name string, n_regionkey long",
+            )
+        )
+    )
+    schema = nation.schema
+    base = tempfile.mkdtemp(prefix="roundtrip_")
+
+    def digest_frame(df: DataFrame, fmt: str) -> DataFrame:
+        row = F.concat_ws(
+            "|",
+            F.col("n_nationkey").cast("string"),
+            "n_name",
+            F.col("n_regionkey").cast("string"),
+        )
+        d = F.conv(F.substring(F.md5(row), 1, 12), 16, 10).cast("long")
+        return df.agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(d).cast("bigint").alias("content_digest"),
+        ).select(F.lit(fmt).alias("format"), "n_rows", "content_digest")
+
+    out = digest_frame(nation, "parquet")
+    for fmt in _RT_FORMATS:
+        path = f"{base}/{fmt}"
+        w = nation.write.mode("overwrite")
+        if fmt == "csv":
+            # the planted row caught Spark's CSV WRITER default:
+            # ignore(Leading|Trailing)WhiteSpace=true silently trims
+            # padded fields on write — flip both off so the relation,
+            # not a trimmed copy, is what round-trips
+            (w.option("header", "true")
+             .option("ignoreLeadingWhiteSpace", "false")
+             .option("ignoreTrailingWhiteSpace", "false")
+             .csv(path))
+            back = spark.read.schema(schema).option("header", "true").csv(path)
+        elif fmt == "json":
+            w.json(path)
+            back = spark.read.schema(schema).json(path)
+        else:
+            w.orc(path)
+            back = spark.read.schema(schema).orc(path)
+        out = out.unionByName(digest_frame(back, fmt))
+    return out
