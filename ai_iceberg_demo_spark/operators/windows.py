@@ -257,3 +257,74 @@ def w7_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_cumulative", F.sum("n_new").over(w).cast("bigint"))
         .withColumn("day", F.col("day").cast("string"))
     )
+
+
+# ---------------------------------------------------------------------------
+# W8: gaps-and-islands — longest consecutive-day activity streak
+# ---------------------------------------------------------------------------
+
+
+@REGISTRY.register(
+    name="w8_activity_streaks",
+    survey_ref="W-family extra (gaps-and-islands)",
+    doc="longest consecutive-day activity streak per user — the "
+    "canonical gaps-and-islands window: distinct active days, then "
+    "day − ROW_NUMBER() (as a date offset) is CONSTANT within each "
+    "unbroken run, so one groupBy on (user, island key) measures every "
+    "streak and a max-struct agg keeps the longest (ties to the "
+    "earliest start). Two window/agg passes over per-user compact "
+    "day rows — no self-join, no sequence explode; at 100 TB the "
+    "per-user day lists are tiny regardless of event volume because "
+    "the distinct-day reduction happens FIRST (partial-aggregable).",
+    oracle="""
+        WITH days AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+        ), islands AS (
+            SELECT user_id, d,
+                   d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                            AS INTEGER) AS isl
+            FROM days
+        ), streaks AS (
+            SELECT user_id, isl,
+                   CAST(COUNT(*) AS BIGINT) AS len,
+                   MIN(d) AS streak_start
+            FROM islands GROUP BY user_id, isl
+        )
+        SELECT user_id,
+               MAX(len) AS longest_streak,
+               CAST(MIN(streak_start) FILTER (
+                   WHERE len = (SELECT MAX(s2.len) FROM streaks s2
+                                WHERE s2.user_id = streaks.user_id)
+               ) AS VARCHAR) AS streak_start,
+               CAST(COUNT(*) AS BIGINT) AS n_streaks
+        FROM streaks
+        GROUP BY user_id
+    """,
+)
+def w8_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    days = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = days.withColumn(
+        "isl", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    streaks = islands.groupBy("user_id", "isl").agg(
+        F.count("*").cast("bigint").alias("len"),
+        F.min("d").alias("streak_start"),
+    )
+    # longest streak w/ earliest-start tiebreak: max(struct(len, -epoch))
+    best = streaks.groupBy("user_id").agg(
+        F.max(
+            F.struct(
+                F.col("len"),
+                (-F.unix_date(F.col("streak_start"))).alias("neg_start"),
+            )
+        ).alias("b"),
+        F.count("*").cast("bigint").alias("n_streaks"),
+    )
+    return best.select(
+        "user_id",
+        F.col("b.len").alias("longest_streak"),
+        F.date_from_unix_date(-F.col("b.neg_start")).cast("string").alias("streak_start"),
+        "n_streaks",
+    )
