@@ -955,3 +955,153 @@ def label_noise(corpus: DataFrame) -> DataFrame:
         )
         .orderBy("src")
     )
+
+
+# ---------------------------------------------------------------------------
+# V25: IVF tuning curve — recall@3 vs n_probe
+# ---------------------------------------------------------------------------
+
+_V25_PROBES_MOD = 97  # probe set: vec_id % 97 == 0
+_V25_NPROBES = (1, 2, 4, 8)
+_V25_CELLS = 8
+
+
+@REGISTRY.register(
+    name="v25_ivf_tuning_curve",
+    survey_ref="V3 family (index tuning); closes the n_probe question",
+    doc="the recall/cost curve an operator consults before fixing "
+    "n_probe: for each n_probe in (1,2,4,8) over the v11 seed-centroid "
+    "cells, mean recall@3 of the IVF-pruned search vs exact brute "
+    "force, next to the mean candidate count (the cost axis). Cells "
+    "rank once per probe; a candidate is any vector whose assigned "
+    "cell ranks ≤ n_probe, so all four curve points come from ONE "
+    "assignment table and ONE ranked-cell table — the sweep costs "
+    "one probe-set scan, not four. Every score rounds before every "
+    "argmax (v11's rule), making the whole tuning table hash-exact "
+    "in SQL. At 100 TB the probe set is a sample and the assignment "
+    "table is the persisted M5 index — same plan, metadata-priced.",
+    oracle=f"""
+        WITH cen AS (
+            SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS centroid
+            FROM embeddings WHERE vec_id < {_V25_CELLS}
+        ), assign_scored AS (
+            SELECT e.vec_id, c.cell_id,
+                   ROUND(LIST_DISTANCE(CAST(e.embedding AS DOUBLE[]), c.centroid), 4) AS dist
+            FROM embeddings e CROSS JOIN cen c
+        ), assigned AS (
+            SELECT vec_id, cell_id FROM (
+                SELECT vec_id, cell_id,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell_id) AS rn
+                FROM assign_scored) WHERE rn = 1
+        ), probes AS (
+            SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id % {_V25_PROBES_MOD} = 0
+        ), cellrank AS (
+            SELECT p.qid, c.cell_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p.qid
+                       ORDER BY ROUND({_COS_SQL.format(a="c.centroid", b="p.qv")}, 6) DESC,
+                                c.cell_id) AS crank
+            FROM probes p CROSS JOIN cen c
+        ), scored AS (
+            SELECT p.qid, e.vec_id, a.cell_id,
+                   ROUND({_COS_SQL.format(a="e.embedding", b="p.qv")}, 6) AS s
+            FROM probes p
+            JOIN embeddings e ON e.vec_id <> p.qid
+            JOIN assigned a ON a.vec_id = e.vec_id
+        ), exact3 AS (
+            SELECT qid, vec_id FROM (
+                SELECT qid, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY qid ORDER BY s DESC, vec_id) AS rn
+                FROM scored) WHERE rn <= 3
+        ), np AS (
+            SELECT UNNEST({list(_V25_NPROBES)!r}) AS n_probe
+        ), cand AS (
+            SELECT np.n_probe, s.qid, s.vec_id, s.s
+            FROM scored s
+            JOIN cellrank r ON r.qid = s.qid AND r.cell_id = s.cell_id
+            CROSS JOIN np
+            WHERE r.crank <= np.n_probe
+        ), approx3 AS (
+            SELECT n_probe, qid, vec_id FROM (
+                SELECT n_probe, qid, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY n_probe, qid
+                                          ORDER BY s DESC, vec_id) AS rn
+                FROM cand) WHERE rn <= 3
+        ), hits AS (
+            SELECT a.n_probe, a.qid, COUNT(*) AS h
+            FROM approx3 a JOIN exact3 x ON x.qid = a.qid AND x.vec_id = a.vec_id
+            GROUP BY 1, 2
+        ), costs AS (
+            SELECT n_probe, qid, COUNT(*) AS nc FROM cand GROUP BY 1, 2
+        )
+        SELECT c.n_probe,
+               ROUND(SUM(COALESCE(h.h, 0))
+                     / (3.0 * (SELECT COUNT(*) FROM probes)), 4) AS recall_at_3,
+               ROUND(AVG(c.nc), 2) AS avg_candidates
+        FROM costs c
+        LEFT JOIN hits h ON h.n_probe = c.n_probe AND h.qid = c.qid
+        GROUP BY c.n_probe
+    """,
+)
+def v25_ivf_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ai_iceberg_demo_spark.vector.clustering import kmeans_assign, seed_centroids
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cen = seed_centroids(emb, _V25_CELLS)
+    assigned = kmeans_assign(emb, cen).select("vec_id", "cell_id")
+    probes = emb.filter(F.col("vec_id") % _V25_PROBES_MOD == 0).select(
+        F.col("vec_id").alias("qid"), as_double(F.col("embedding")).alias("qv")
+    )
+    n_probes_count = probes.count()
+
+    cr_w = W.partitionBy("qid").orderBy(
+        F.desc(F.round(cosine(F.col("centroid"), F.col("qv")), 6)), F.asc("cell_id")
+    )
+    cellrank = (
+        cen.crossJoin(F.broadcast(probes))
+        .withColumn("crank", F.row_number().over(cr_w))
+        .select("qid", "cell_id", "crank")
+    )
+    scored = (
+        emb.join(F.broadcast(probes), emb.vec_id != F.col("qid"))
+        .join(assigned, "vec_id")
+        .select(
+            "qid", "vec_id", "cell_id",
+            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("s"),
+        )
+    )
+    ex_w = W.partitionBy("qid").orderBy(F.desc("s"), F.asc("vec_id"))
+    exact3 = (
+        scored.withColumn("rn", F.row_number().over(ex_w))
+        .filter(F.col("rn") <= 3)
+        .select("qid", "vec_id")
+    )
+    np_df = spark.createDataFrame([(n,) for n in _V25_NPROBES], "n_probe int")
+    cand = (
+        scored.join(F.broadcast(cellrank), ["qid", "cell_id"])
+        .join(F.broadcast(np_df), F.col("crank") <= F.col("n_probe"))
+        .select("n_probe", "qid", "vec_id", "s")
+    )
+    ap_w = W.partitionBy("n_probe", "qid").orderBy(F.desc("s"), F.asc("vec_id"))
+    approx3 = (
+        cand.withColumn("rn", F.row_number().over(ap_w))
+        .filter(F.col("rn") <= 3)
+        .select("n_probe", "qid", "vec_id")
+    )
+    hits = approx3.join(exact3, ["qid", "vec_id"]).groupBy("n_probe", "qid").agg(
+        F.count("*").alias("h")
+    )
+    costs = cand.groupBy("n_probe", "qid").agg(F.count("*").alias("nc"))
+    return (
+        costs.join(hits, ["n_probe", "qid"], "left")
+        .groupBy("n_probe")
+        .agg(
+            F.round(
+                F.sum(F.coalesce("h", F.lit(0))) / (3.0 * n_probes_count), 4
+            ).alias("recall_at_3"),
+            F.round(F.avg("nc"), 2).alias("avg_candidates"),
+        )
+    )

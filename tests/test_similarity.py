@@ -260,3 +260,21 @@ def test_label_noise_flags_planted_flip_only_in_clone_cluster(spark):
     assert flagged[2_000_000]["neighbor_label"] == 7
     for twin in (2_000_001, 2_000_002, 2_000_003):
         assert twin not in flagged
+
+
+def test_ivf_tuning_curve_is_monotone_and_exact_at_full_probe(spark):
+    """v25: recall@3 and candidate cost must be non-decreasing in
+    n_probe, and probing every cell (n_probe = n_cells = 8) must
+    reproduce brute force exactly — recall 1.0."""
+    from ai_iceberg_demo_spark.vector.similarity import v25_ivf_tuning_curve
+    from tests.conftest import SF_DIR
+
+    rows = sorted(
+        v25_ivf_tuning_curve(spark, SF_DIR).collect(), key=lambda r: r["n_probe"]
+    )
+    assert [r["n_probe"] for r in rows] == [1, 2, 4, 8]
+    recalls = [r["recall_at_3"] for r in rows]
+    cands = [r["avg_candidates"] for r in rows]
+    assert recalls == sorted(recalls)
+    assert cands == sorted(cands)
+    assert rows[-1]["recall_at_3"] == 1.0
