@@ -690,3 +690,52 @@ def a16_countmin_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("overestimate"),
         )
     )
+
+
+@REGISTRY.register(
+    name="q14_promo_revenue",
+    survey_ref="§7 (TPC-H Q14)",
+    doc="TPC-H Q14-shaped promotion effect: the share of one month's "
+    "lineitem revenue on PROMO-type parts — lineitem(month) ⋈ "
+    "broadcast part, one conditional-sum agg, a 1-row percentage. "
+    "The date filter pushes to the lineitem scan; part is dim-sized "
+    "so the join never shuffles the fact; the CASE-sum and total-sum "
+    "come from the SAME aggregate pass (no second scan). Decimal "
+    "casts follow q3's rule so both engines sum identically.",
+    oracle="""
+        SELECT CAST(ROUND(
+            100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                             THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                                  * CAST(1 - l_discount AS DECIMAL(3,2))
+                             ELSE 0 END)
+            / SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * CAST(1 - l_discount AS DECIMAL(3,2))), 4) AS DOUBLE)
+            AS promo_revenue_pct,
+        CAST(COUNT(*) AS BIGINT) AS n_lineitems
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-02-01 00:00:00'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1996-02-01 00:00:00").cast("timestamp")
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    )
+    part = load_table(spark, "part", sf_dir).select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(3,2)")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return joined.agg(
+        F.round(
+            100.0
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)))
+            / F.sum(rev),
+            4,
+        )
+        .cast("double")
+        .alias("promo_revenue_pct"),
+        F.count("*").cast("bigint").alias("n_lineitems"),
+    )
