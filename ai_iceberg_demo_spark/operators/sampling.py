@@ -1233,6 +1233,7 @@ _DSIR_TARGET_LANG = "en"
 @REGISTRY.register(
     name="u23_dsir_weights",
     survey_ref="training-data (domain-targeted selection; DSIR)",
+    bench=True,
     doc="Data Selection via Importance Resampling (Xie et al. 2023), "
     "unigram edition: score every document by the log-likelihood "
     "ratio of its tokens under the TARGET domain's unigram LM (the "

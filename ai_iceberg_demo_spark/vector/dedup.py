@@ -1118,6 +1118,7 @@ _INTRA_N = 5  # span width in words for within-doc repetition
 @REGISTRY.register(
     name="d13_intradoc_span_dedup",
     survey_ref="training-data (within-doc span dedup; d10's intra-doc twin)",
+    bench=True,
     doc=f"within-document repetition elision: delete every token "
     f"covered by a word {_INTRA_N}-gram occurrence AFTER that gram's "
     "first occurrence in the SAME document — the cleanup for "
