@@ -1357,3 +1357,109 @@ def t35_next_item_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") > _NEXTITEM_CTX)
     )
+
+
+# ---------------------------------------------------------------------------
+# t38: CUSUM change-point detection over the daily event series
+# ---------------------------------------------------------------------------
+
+_CUSUM_K = 0.5  # slack, in std units
+_CUSUM_H = 4.0  # alarm threshold, in std units
+_CUSUM_SHIFT_DAY = "2024-01-25"  # planted incident start
+_CUSUM_SHIFT = 150  # planted extra events/day
+
+
+@REGISTRY.register(
+    name="t38_cusum_changepoint",
+    survey_ref="§2.11 analytics extra (drift/change-point); t26/t31's sibling",
+    doc="one-sided CUSUM over the daily event-count series: "
+    "s_i = max(0, s_{i-1} + z_i − k) on standardized counts, alarm at "
+    f"s ≥ {_CUSUM_H} — the slow-shift detector that catches level "
+    "changes t26's trailing-window burst test and t31's seasonal "
+    "baseline both miss. The recurrence is a LEFT FOLD over the "
+    "(corpus-independent, ~365-row) day series — f32's "
+    "aggregate/list_reduce discipline, so the whole detector is "
+    "hash-oracled despite being a stateful recursion. A deterministic "
+    f"+{_CUSUM_SHIFT}/day incident is planted from {_CUSUM_SHIFT_DAY} "
+    "(t20's salting pattern): the alarm must fire inside the planted "
+    "window and never before (pinned by test). Event volume reduces "
+    "to day partials map-side; everything after is tiny-table work.",
+    oracle=f"""
+        WITH days AS (
+            SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                   COUNT(*)
+                   + CASE WHEN CAST(ts AS DATE) >= DATE '{_CUSUM_SHIFT_DAY}'
+                          THEN {_CUSUM_SHIFT} ELSE 0 END AS n
+            FROM events GROUP BY CAST(ts AS DATE)
+        ), stats AS (
+            SELECT AVG(n) AS m, STDDEV_SAMP(n) AS sd FROM days
+        ), series AS (
+            SELECT LIST(ROUND((n - m) / sd, 6) ORDER BY day) AS zs,
+                   LIST(day ORDER BY day) AS ds,
+                   LIST(n ORDER BY day) AS ns
+            FROM days CROSS JOIN stats
+        ), folded AS (
+            SELECT ds, ns,
+                   list_reduce(
+                       [[0.0]] || LIST_TRANSFORM(zs, z -> [z]),
+                       (acc, x) -> acc ||
+                           [GREATEST(0.0, acc[-1] + x[1] - {_CUSUM_K})]
+                   ) AS ss
+            FROM series
+        )
+        SELECT ds[i] AS day,
+               CAST(ns[i] AS BIGINT) AS n_events,
+               ROUND(ss[i + 1], 4) AS cusum,
+               ss[i + 1] >= {_CUSUM_H} AS alarm
+        FROM folded, UNNEST(GENERATE_SERIES(1, LEN(ds))) u(i)
+    """,
+)
+def t38_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    days = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        (
+            F.count("*")
+            + F.when(
+                F.col("ts").cast("date") >= F.lit(_CUSUM_SHIFT_DAY).cast("date"),
+                _CUSUM_SHIFT,
+            ).otherwise(0).cast("bigint")
+        ).alias("n")
+    )
+    stats = days.agg(
+        F.avg("n").alias("m"), F.stddev_samp("n").alias("sd")
+    )
+    series = days.join(F.broadcast(stats)).groupBy().agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("d").cast("string").alias("day"),
+                    F.col("n").alias("n"),
+                    F.round((F.col("n") - F.col("m")) / F.col("sd"), 6).alias("z"),
+                )
+            )
+        ).alias("rows")
+    )
+    folded = series.select(
+        "rows",
+        F.aggregate(
+            F.col("rows"),
+            F.array(F.lit(0.0)),
+            lambda acc, x: F.concat(
+                acc,
+                F.array(
+                    F.greatest(
+                        F.lit(0.0),
+                        F.element_at(acc, -1) + x["z"] - F.lit(_CUSUM_K),
+                    )
+                ),
+            ),
+        ).alias("ss"),
+    )
+    return folded.select(
+        F.posexplode("rows").alias("i0", "r"), F.col("ss")
+    ).select(
+        F.col("r.day").alias("day"),
+        F.col("r.n").cast("bigint").alias("n_events"),
+        F.round(F.element_at(F.col("ss"), F.col("i0") + 2), 4).alias("cusum"),
+        (F.element_at(F.col("ss"), F.col("i0") + 2) >= _CUSUM_H).alias("alarm"),
+    )

@@ -836,3 +836,24 @@ def test_streaming_sketch_final_batch_equals_batch_mode(spark):
         by_token.setdefault(r["token"], {})[r["batch_id"]] = r["estimate"]
     for est in by_token.values():
         assert est[0] <= est[1] <= est[2]
+
+
+def test_cusum_alarms_only_inside_planted_incident(spark):
+    """t38: the CUSUM alarm must first fire on or after the planted
+    incident start (no false positives on the stationary prefix), fire
+    within 4 days of it (detection latency bound), and the statistic
+    must be strictly positive from the shift onward."""
+    from ai_iceberg_demo_spark.streaming.events import (
+        _CUSUM_SHIFT_DAY,
+        t38_cusum_changepoint,
+    )
+
+    rows = sorted(
+        t38_cusum_changepoint(spark, SF_DIR).collect(), key=lambda r: r["day"]
+    )
+    alarms = [r["day"] for r in rows if r["alarm"]]
+    assert alarms, "planted shift never alarmed"
+    assert min(alarms) >= _CUSUM_SHIFT_DAY
+    shifted = [r for r in rows if r["day"] >= _CUSUM_SHIFT_DAY]
+    assert min(alarms) <= shifted[min(3, len(shifted) - 1)]["day"]
+    assert all(r["cusum"] > 0 for r in shifted)
