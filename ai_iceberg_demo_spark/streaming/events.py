@@ -1463,3 +1463,128 @@ def t38_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at(F.col("ss"), F.col("i0") + 2), 4).alias("cusum"),
         (F.element_at(F.col("ss"), F.col("i0") + 2) >= _CUSUM_H).alias("alarm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# u28: deterministic negative sampling (contrastive dataset construction)
+# ---------------------------------------------------------------------------
+
+_NEG_PER_PAIR = 3
+
+
+@REGISTRY.register(
+    name="u28_negative_samples",
+    survey_ref="training-data (contrastive negatives; t34's downstream)",
+    doc=f"{_NEG_PER_PAIR} random-but-deterministic negatives per t34 "
+    "preference pair, drawn md5-uniformly from the item vocabulary "
+    "EXCLUDING that user's chosen/rejected items — the exclusion is "
+    "exact order-statistics arithmetic (index into the vocab minus "
+    "the two excluded ranks, shifting past each excluded rank in "
+    "ascending order), not rejection sampling, so every pair gets "
+    "exactly 3 negatives on any engine, any retry, any partitioning. "
+    "The vocab table is tiny and broadcasts; the per-user fan-out is "
+    "a 3-row explode — the whole dataset-construction step is one "
+    "map pass over t34's output. Embedding-space hard negatives are "
+    "v19; this is the uniform-negative baseline every contrastive "
+    "recipe starts from.",
+    oracle=f"""
+        WITH rated AS (
+            SELECT user_id,
+                   json_extract_string(props, '$.k') AS item,
+                   ROUND(value, 6) AS rating
+            FROM events
+            WHERE value IS NOT NULL AND json_extract_string(props, '$.k') IS NOT NULL
+        ), agg AS (
+            SELECT user_id,
+                   MAX({{'rating': rating, 'item': item}}) AS ch,
+                   MIN({{'rating': rating, 'item': item}}) AS rj
+            FROM rated GROUP BY user_id
+        ), pairs AS (
+            SELECT user_id, ch.item AS chosen_item, rj.item AS rejected_item
+            FROM agg WHERE ch.rating > rj.rating
+        ), vocab AS (
+            SELECT item, ROW_NUMBER() OVER (ORDER BY item) - 1 AS r,
+                   COUNT(*) OVER () AS nv
+            FROM (SELECT DISTINCT item FROM rated)
+        ), ranked_pairs AS (
+            SELECT p.user_id, p.chosen_item, p.rejected_item,
+                   LEAST(vc.r, vr.r) AS e1, GREATEST(vc.r, vr.r) AS e2,
+                   vc.nv AS nv
+            FROM pairs p
+            JOIN vocab vc ON vc.item = p.chosen_item
+            JOIN vocab vr ON vr.item = p.rejected_item
+        ), drawn AS (
+            SELECT user_id, chosen_item, rejected_item, j,
+                   (('0x' || SUBSTR(MD5(CAST(user_id AS VARCHAR) || '#' || CAST(j AS VARCHAR)), 1, 8))::BIGINT
+                    % (nv - 2)) AS idx0, e1, e2
+            FROM ranked_pairs, (SELECT UNNEST(GENERATE_SERIES(1, {_NEG_PER_PAIR})) AS j) u
+        ), shifted AS (
+            SELECT user_id, chosen_item, rejected_item, j,
+                   CASE WHEN (CASE WHEN idx0 >= e1 THEN idx0 + 1 ELSE idx0 END) >= e2
+                        THEN (CASE WHEN idx0 >= e1 THEN idx0 + 1 ELSE idx0 END) + 1
+                        ELSE (CASE WHEN idx0 >= e1 THEN idx0 + 1 ELSE idx0 END) END AS idx
+            FROM drawn
+        )
+        SELECT s.user_id, s.chosen_item, s.rejected_item,
+               CAST(s.j AS INT) AS neg_rank, v.item AS negative_item
+        FROM shifted s JOIN vocab v ON v.r = s.idx
+    """,
+)
+def u28_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, "events", sf_dir)
+    rated = ev.select(
+        "user_id",
+        F.get_json_object("props", "$.k").alias("item"),
+        F.round("value", 6).alias("rating"),
+    ).filter(F.col("rating").isNotNull() & F.col("item").isNotNull())
+    agg = rated.groupBy("user_id").agg(
+        F.max(F.struct("rating", "item")).alias("ch"),
+        F.min(F.struct("rating", "item")).alias("rj"),
+    )
+    pairs = agg.filter(F.col("ch.rating") > F.col("rj.rating")).select(
+        "user_id",
+        F.col("ch.item").alias("chosen_item"),
+        F.col("rj.item").alias("rejected_item"),
+    )
+    vocab = (
+        rated.select("item")
+        .distinct()
+        .withColumn("r", F.row_number().over(W.orderBy("item")) - 1)
+        .withColumn("nv", F.count("*").over(W.partitionBy()))
+    )
+    vc = vocab.select(F.col("item").alias("chosen_item"), F.col("r").alias("rc"), "nv")
+    vr = vocab.select(F.col("item").alias("rejected_item"), F.col("r").alias("rr"))
+    ranked = (
+        pairs.join(F.broadcast(vc), "chosen_item")
+        .join(F.broadcast(vr), "rejected_item")
+        .select(
+            "user_id", "chosen_item", "rejected_item", "nv",
+            F.least("rc", "rr").alias("e1"), F.greatest("rc", "rr").alias("e2"),
+        )
+    )
+    drawn = ranked.select(
+        "*", F.explode(F.sequence(F.lit(1), F.lit(_NEG_PER_PAIR))).alias("j")
+    ).withColumn(
+        "idx0",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit("#"), F.col("j").cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+        % (F.col("nv") - 2),
+    )
+    step1 = F.when(F.col("idx0") >= F.col("e1"), F.col("idx0") + 1).otherwise(F.col("idx0"))
+    idx = F.when(step1 >= F.col("e2"), step1 + 1).otherwise(step1)
+    shifted = drawn.withColumn("idx", idx)
+    vneg = vocab.select(F.col("r").alias("idx"), F.col("item").alias("negative_item"))
+    return shifted.join(F.broadcast(vneg), "idx").select(
+        "user_id",
+        "chosen_item",
+        "rejected_item",
+        F.col("j").cast("int").alias("neg_rank"),
+        "negative_item",
+    )

@@ -857,3 +857,31 @@ def test_cusum_alarms_only_inside_planted_incident(spark):
     shifted = [r for r in rows if r["day"] >= _CUSUM_SHIFT_DAY]
     assert min(alarms) <= shifted[min(3, len(shifted) - 1)]["day"]
     assert all(r["cusum"] > 0 for r in shifted)
+
+
+def test_negative_samples_never_collide_and_are_complete(spark):
+    """u28: every preference pair gets exactly 3 negatives; no negative
+    ever equals that user's chosen or rejected item (the exact
+    order-statistics exclusion); draws are deterministic across
+    repeated runs."""
+    from ai_iceberg_demo_spark.streaming.events import (
+        t34_preference_pairs,
+        u28_negative_samples,
+    )
+
+    negs = u28_negative_samples(spark, SF_DIR).collect()
+    pairs = t34_preference_pairs(spark, SF_DIR).collect()
+    assert len(negs) == 3 * len(pairs)
+    by_user = {}
+    for r in negs:
+        assert r["negative_item"] != r["chosen_item"]
+        assert r["negative_item"] != r["rejected_item"]
+        by_user.setdefault(r["user_id"], set()).add(r["neg_rank"])
+    assert all(v == {1, 2, 3} for v in by_user.values())
+    again = {
+        (r["user_id"], r["neg_rank"]): r["negative_item"]
+        for r in u28_negative_samples(spark, SF_DIR).collect()
+    }
+    assert again == {
+        (r["user_id"], r["neg_rank"]): r["negative_item"] for r in negs
+    }
