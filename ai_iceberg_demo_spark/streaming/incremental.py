@@ -273,6 +273,20 @@ def wap_gated_sink(
     (count, sum) accumulator table instead — same decision, O(1) read).
     The first batch has no history, so its drift check is skipped —
     bootstrap-trust, exactly like Iceberg's first snapshot."""
+    return stream.writeStream.foreachBatch(
+        wap_batch_sink(state_dir, known_types, max_null_rate, max_drift)
+    ).option("checkpointLocation", checkpoint_dir)
+
+
+def wap_batch_sink(
+    state_dir: str,
+    known_types: tuple[str, ...] = _WAP_KNOWN_TYPES,
+    max_null_rate: float = _WAP_MAX_NULL_RATE,
+    max_drift: float = _WAP_MAX_DRIFT,
+):
+    """The WAP foreachBatch body standalone — exposed so the
+    retry-idempotence test can re-apply a committed batch_id and assert
+    the partition overwrite replaces rather than doubles."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -288,6 +302,14 @@ def wap_gated_sink(
             ).cast("double").alias("domain_violations"),
         ).first()
         published = _read_state(spark, os.path.join(state_dir, PUBLISHED))
+        if published is not None:
+            # a RETRY of this batch_id must not compare the batch
+            # against history that includes its own prior write — drop
+            # the current partition from the baseline, and treat a
+            # baseline emptied that way as bootstrap (first-batch rule)
+            published = published.filter(F.col("batch_id") != batch_id)
+            if published.isEmpty():
+                published = None
         checks = [
             ("null_rate", st["null_rate"], max_null_rate,
              st["null_rate"] <= max_null_rate),
@@ -305,15 +327,23 @@ def wap_gated_sink(
             "batch_id long, check_name string, observed double, "
             "threshold double, ok boolean, published boolean",
         )
-        audit.coalesce(1).write.mode("append").parquet(
-            os.path.join(state_dir, AUDIT_LOG)
-        )
+        # batch_id-partitioned DYNAMIC overwrite instead of blind append:
+        # a foreachBatch retry whose checkpoint commit was lost re-runs
+        # the same batch_id, and overwrite-by-partition REPLACES that
+        # batch's rows instead of doubling them — the sink-side half of
+        # exactly-once (the checkpoint restart test pins the source
+        # half; test_wap_sink_retry_is_idempotent pins this one).
+        audit.coalesce(1).write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("batch_id").parquet(os.path.join(state_dir, AUDIT_LOG))
         dest = PUBLISHED if ok_all else QUARANTINE
-        batch_df.write.mode("append").parquet(os.path.join(state_dir, dest))
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "overwrite"
+        ).option("partitionOverwriteMode", "dynamic").partitionBy(
+            "batch_id"
+        ).parquet(os.path.join(state_dir, dest))
 
-    return stream.writeStream.foreachBatch(sink).option(
-        "checkpointLocation", checkpoint_dir
-    )
+    return sink
 
 
 def run_wap_stream(
@@ -422,8 +452,11 @@ def _wap_batch_sql(i: int) -> str:
 )
 def t28_streaming_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
     state_dir = run_wap_stream(spark, sf_dir)
+    # batch_id comes back as a discovered partition column — cast it so
+    # partition-type inference can never drift the contract schema
     return spark.read.parquet(os.path.join(state_dir, AUDIT_LOG)).select(
-        "batch_id", "check_name", "observed", "threshold", "ok"
+        F.col("batch_id").cast("long").alias("batch_id"),
+        "check_name", "observed", "threshold", "ok",
     )
 
 
@@ -447,6 +480,13 @@ def drift_gated_sink(stream: DataFrame, state_dir: str, checkpoint_dir: str):
     for its running mean). Write order: log BEFORE moments append
     (the read-modify-write discipline every sink here follows). First
     batch bootstraps the baseline with no check, like t28."""
+    return stream.writeStream.foreachBatch(drift_batch_sink(state_dir)).option(
+        "checkpointLocation", checkpoint_dir
+    )
+
+
+def drift_batch_sink(state_dir: str):
+    """t36's foreachBatch body standalone (retry-idempotence tests)."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         from ai_iceberg_demo_spark.vector.similarity import as_double
@@ -461,6 +501,12 @@ def drift_gated_sink(stream: DataFrame, state_dir: str, checkpoint_dir: str):
             F.sum(F.col("x") * F.col("x")).alias("s2"),
         )
         base = _read_state(spark, os.path.join(state_dir, MOMENTS))
+        if base is not None:
+            # retry hygiene (the WAP rule): this batch's own prior
+            # partials must not sit in its baseline
+            base = base.filter(F.col("batch_id") != batch_id)
+            if base.isEmpty():
+                base = None
         if base is not None:
             acc = base.groupBy("dim_i").agg(
                 F.sum("n").alias("n_a"), F.sum("s").alias("s_a"), F.sum("s2").alias("s2_a")
@@ -496,14 +542,18 @@ def drift_gated_sink(stream: DataFrame, state_dir: str, checkpoint_dir: str):
                     (F.col("n_drifted") > 0).alias("alarm"),
                 )
             )
-            verdict.coalesce(1).write.mode("append").parquet(
-                os.path.join(state_dir, DRIFT_LOG)
-            )
-        partials.write.mode("append").parquet(os.path.join(state_dir, MOMENTS))
+            verdict.coalesce(1).write.mode("overwrite").option(
+                "partitionOverwriteMode", "dynamic"
+            ).partitionBy("batch_id").parquet(os.path.join(state_dir, DRIFT_LOG))
+        # moments partials carry batch_id too: a sink retry REPLACES its
+        # own partials instead of double-counting them in the baseline
+        partials.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "overwrite"
+        ).option("partitionOverwriteMode", "dynamic").partitionBy(
+            "batch_id"
+        ).parquet(os.path.join(state_dir, MOMENTS))
 
-    return stream.writeStream.foreachBatch(sink).option(
-        "checkpointLocation", checkpoint_dir
-    )
+    return sink
 
 
 def run_drift_stream(
@@ -612,7 +662,10 @@ def _drift_batch_moments_sql(pred: str, shift: bool) -> str:
 )
 def t36_streaming_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     state_dir = run_drift_stream(spark, sf_dir)
-    return spark.read.parquet(os.path.join(state_dir, DRIFT_LOG))
+    return spark.read.parquet(os.path.join(state_dir, DRIFT_LOG)).select(
+        F.col("batch_id").cast("long").alias("batch_id"),
+        "n_dims", "n_drifted", "max_abs_z", "alarm",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -633,6 +686,13 @@ def sketch_accumulating_sink(stream: DataFrame, state_dir: str, checkpoint_dir: 
     makes the per-batch append correct). Log BEFORE append would show
     pre-batch counts; this sink logs AFTER (ingest-inclusive), and the
     oracle unrolls the same cumulative order."""
+    return stream.writeStream.foreachBatch(sketch_batch_sink(state_dir)).option(
+        "checkpointLocation", checkpoint_dir
+    )
+
+
+def sketch_batch_sink(state_dir: str):
+    """t37's foreachBatch body standalone (retry-idempotence tests)."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         from ai_iceberg_demo_spark.operators.aggregates import (
@@ -643,7 +703,11 @@ def sketch_accumulating_sink(stream: DataFrame, state_dir: str, checkpoint_dir: 
         spark = batch_df.sparkSession
         toks = batch_df.select(F.explode(F.split("text", " ")).alias("tok"))
         partials = countmin_sketch(toks)
-        partials.write.mode("append").parquet(os.path.join(state_dir, SKETCH))
+        partials.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "overwrite"
+        ).option("partitionOverwriteMode", "dynamic").partitionBy(
+            "batch_id"
+        ).parquet(os.path.join(state_dir, SKETCH))
         acc = (
             spark.read.parquet(os.path.join(state_dir, SKETCH))
             .groupBy("row", "bucket")
@@ -660,13 +724,11 @@ def sketch_accumulating_sink(stream: DataFrame, state_dir: str, checkpoint_dir: 
             .agg(F.min("cnt").cast("bigint").alias("estimate"))
             .select(F.lit(batch_id).cast("long").alias("batch_id"), "token", "estimate")
         )
-        est.coalesce(1).write.mode("append").parquet(
-            os.path.join(state_dir, SKETCH_LOG)
-        )
+        est.coalesce(1).write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("batch_id").parquet(os.path.join(state_dir, SKETCH_LOG))
 
-    return stream.writeStream.foreachBatch(sink).option(
-        "checkpointLocation", checkpoint_dir
-    )
+    return sink
 
 
 @REGISTRY.register(
@@ -727,4 +789,6 @@ def t37_streaming_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination(600)
-    return spark.read.parquet(os.path.join(state_dir, SKETCH_LOG))
+    return spark.read.parquet(os.path.join(state_dir, SKETCH_LOG)).select(
+        F.col("batch_id").cast("long").alias("batch_id"), "token", "estimate"
+    )

@@ -885,3 +885,64 @@ def test_negative_samples_never_collide_and_are_complete(spark):
     assert again == {
         (r["user_id"], r["neg_rank"]): r["negative_item"] for r in negs
     }
+
+
+def test_sink_retry_is_idempotent_for_wap_drift_and_sketch(spark, tmp_path):
+    """A foreachBatch retry that re-runs an already-committed batch_id
+    (checkpoint commit lost mid-crash) must leave every state table
+    IDENTICAL — the batch_id-partitioned dynamic overwrite replaces the
+    batch's own rows instead of doubling them. Covers the WAP published
+    store, the drift moments/log, and the sketch cells/log — the three
+    sinks whose blind-append spelling would silently double-count."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ai_iceberg_demo_spark.streaming.incremental import (
+        AUDIT_LOG,
+        DRIFT_LOG,
+        MOMENTS,
+        PUBLISHED,
+        SKETCH,
+        SKETCH_LOG,
+        drift_batch_sink,
+        sketch_batch_sink,
+        wap_batch_sink,
+    )
+
+    def snapshot(state, tables):
+        out = {}
+        for t in tables:
+            path = os.path.join(state, t)
+            df = spark.read.parquet(path)
+            out[t] = sorted(map(str, df.collect()))
+        return out
+
+    # WAP
+    ev = load_table(spark, "events", SF_DIR).select("event_id", "event_type", "value")
+    b0 = ev.filter(F.col("event_id") % 3 == 0)
+    wap_state = str(tmp_path / "wap")
+    sink = wap_batch_sink(wap_state)
+    sink(b0, 0)
+    before = snapshot(wap_state, (PUBLISHED, AUDIT_LOG))
+    sink(b0, 0)  # retry of the SAME batch id
+    assert snapshot(wap_state, (PUBLISHED, AUDIT_LOG)) == before
+
+    # drift
+    emb = load_table(spark, "embeddings", SF_DIR).select("vec_id", "embedding")
+    d_state = str(tmp_path / "drift")
+    dsink = drift_batch_sink(d_state)
+    dsink(emb.filter(F.col("vec_id") % 3 == 0), 0)
+    dsink(emb.filter(F.col("vec_id") % 3 == 1), 1)
+    before = snapshot(d_state, (MOMENTS, DRIFT_LOG))
+    dsink(emb.filter(F.col("vec_id") % 3 == 1), 1)
+    assert snapshot(d_state, (MOMENTS, DRIFT_LOG)) == before
+
+    # sketch
+    docs = load_table(spark, "documents", SF_DIR).select("doc_id", "text")
+    s_state = str(tmp_path / "sketch")
+    ssink = sketch_batch_sink(s_state)
+    ssink(docs.filter(F.col("doc_id") % 2 == 0), 0)
+    before = snapshot(s_state, (SKETCH, SKETCH_LOG))
+    ssink(docs.filter(F.col("doc_id") % 2 == 0), 0)
+    assert snapshot(s_state, (SKETCH, SKETCH_LOG)) == before
