@@ -1137,3 +1137,107 @@ def m14_snapshot_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rn").cast("bigint").alias("newest_rank"),
         F.when(keep, "retain").otherwise("expire").alias("action"),
     )
+
+
+# ---------------------------------------------------------------------------
+# m15: incremental aggregate maintenance (IVM for a summary table)
+# ---------------------------------------------------------------------------
+
+
+@REGISTRY.register(
+    name="m15_incremental_agg",
+    survey_ref="M-family extra (incremental view maintenance)",
+    doc="incremental maintenance of a per-source summary (doc count + "
+    "token total): starting from the aggregate over the base corpus "
+    "(doc_id%10∉{3,7}), apply a change batch — inserts (doc_id%10=7) "
+    "and deletes (doc_id%10=3... absent from base, so modeled as "
+    "deletes OF base rows with doc_id%10=1) — as SIGNED DELTA "
+    "PARTIALS merged into the old aggregate, never rescanning the "
+    "base. The maintained result is verified row-for-row against a "
+    "full recompute over (base − deletes + inserts) INSIDE the query "
+    "(matches column), so the hash pins the IVM law old ⊕ Δ = "
+    "recompute. m8b applies deltas to a BASE table; this applies them "
+    "to its AGGREGATE — the O(Δ) summary-refresh every 100 TB "
+    "dashboard depends on.",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id, source, LEN(STRING_SPLIT(text, ' ')) AS n_tok
+            FROM documents WHERE doc_id % 10 NOT IN (3, 7)
+        ), inserts AS (
+            SELECT doc_id, source, LEN(STRING_SPLIT(text, ' ')) AS n_tok
+            FROM documents WHERE doc_id % 10 = 7
+        ), deletes AS (
+            SELECT doc_id, source, n_tok FROM base WHERE doc_id % 10 = 1
+        ), old_agg AS (
+            SELECT source, COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens
+            FROM base GROUP BY source
+        ), delta AS (
+            SELECT source, SUM(dn) AS d_docs, SUM(dt) AS d_tokens
+            FROM (
+                SELECT source, 1 AS dn, n_tok AS dt FROM inserts
+                UNION ALL
+                SELECT source, -1, -n_tok FROM deletes
+            ) GROUP BY source
+        ), maintained AS (
+            SELECT COALESCE(o.source, d.source) AS source,
+                   COALESCE(o.n_docs, 0) + COALESCE(d.d_docs, 0) AS n_docs,
+                   COALESCE(o.n_tokens, 0) + COALESCE(d.d_tokens, 0) AS n_tokens
+            FROM old_agg o FULL OUTER JOIN delta d ON o.source = d.source
+        ), recomputed AS (
+            SELECT source, COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens
+            FROM (
+                SELECT * FROM base
+                WHERE doc_id NOT IN (SELECT doc_id FROM deletes)
+                UNION ALL SELECT * FROM inserts
+            ) GROUP BY source
+        )
+        SELECT m.source,
+               CAST(m.n_docs AS BIGINT) AS n_docs,
+               CAST(m.n_tokens AS BIGINT) AS n_tokens,
+               (m.n_docs = r.n_docs AND m.n_tokens = r.n_tokens) AS matches
+        FROM maintained m JOIN recomputed r ON m.source = r.source
+    """,
+)
+def m15_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    base = docs.filter(~(F.col("doc_id") % 10).isin(3, 7))
+    inserts = docs.filter(F.col("doc_id") % 10 == 7)
+    deletes = base.filter(F.col("doc_id") % 10 == 1)
+    old_agg = base.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens")
+    )
+    delta = (
+        inserts.select("source", F.lit(1).alias("dn"), F.col("n_tok").alias("dt"))
+        .unionByName(
+            deletes.select("source", F.lit(-1).alias("dn"), (-F.col("n_tok")).alias("dt"))
+        )
+        .groupBy("source")
+        .agg(F.sum("dn").alias("d_docs"), F.sum("dt").alias("d_tokens"))
+    )
+    maintained = (
+        old_agg.join(delta, "source", "full_outer")
+        .select(
+            "source",
+            (F.coalesce("n_docs", F.lit(0)) + F.coalesce("d_docs", F.lit(0))).alias("n_docs"),
+            (F.coalesce("n_tokens", F.lit(0)) + F.coalesce("d_tokens", F.lit(0))).alias(
+                "n_tokens"
+            ),
+        )
+    )
+    recomputed = (
+        base.join(deletes.select("doc_id"), "doc_id", "left_anti")
+        .unionByName(inserts)
+        .groupBy("source")
+        .agg(F.count("*").alias("rn_docs"), F.sum("n_tok").alias("rn_tokens"))
+    )
+    return maintained.join(recomputed, "source").select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        (
+            (F.col("n_docs") == F.col("rn_docs"))
+            & (F.col("n_tokens") == F.col("rn_tokens"))
+        ).alias("matches"),
+    )

@@ -518,3 +518,94 @@ def s13_multiformat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             back = spark.read.schema(schema).orc(path)
         out = out.unionByName(digest_frame(back, fmt))
     return out
+
+
+# ---------------------------------------------------------------------------
+# S14: expectation-suite data-quality gate (declarative checks, one scan)
+# ---------------------------------------------------------------------------
+
+
+@REGISTRY.register(
+    name="s14_expectation_suite",
+    survey_ref="S-family extra (declarative data-quality gate); s10's enforcer",
+    doc="a Great-Expectations-style suite over lineitem, evaluated in "
+    "ONE scan: key uniqueness ((orderkey, linenumber)), not-null "
+    "rate, numeric bounds (quantity ∈ [1, 50], discount ∈ [0, 0.1]), "
+    "accepted-values domain (returnflag ∈ {A,N,R}), and referential "
+    "count sanity — each expectation a row with observed value, "
+    "threshold, and verdict. s10 DESCRIBES columns; this ENFORCES "
+    "contracts (the CI gate a 100 TB ingest runs before publish, "
+    "m10's WAP with named, per-column rules). All checks fold into "
+    "one multi-aggregate pass + a 2-column distinct count — no "
+    "second scan, no per-check jobs.",
+    oracle="""
+        WITH s AS (
+            SELECT COUNT(*) AS n,
+                   COUNT(DISTINCT (l_orderkey, l_linenumber)) AS n_key,
+                   COUNT(*) FILTER (WHERE l_quantity IS NULL
+                                       OR l_extendedprice IS NULL) AS n_null,
+                   COUNT(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50) AS n_qty_oob,
+                   COUNT(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.1) AS n_disc_oob,
+                   COUNT(*) FILTER (WHERE l_returnflag NOT IN ('A','N','R')) AS n_flag_bad
+            FROM lineitem
+        )
+        SELECT * FROM (
+            SELECT 'key_unique' AS expectation,
+                   ROUND(CAST(n_key AS DOUBLE) / n, 6) AS observed,
+                   1.0 AS threshold, n_key = n AS ok FROM s
+            UNION ALL
+            SELECT 'not_null_rate', ROUND(1.0 - CAST(n_null AS DOUBLE) / n, 6),
+                   1.0, n_null = 0 FROM s
+            UNION ALL
+            SELECT 'quantity_in_bounds', ROUND(1.0 - CAST(n_qty_oob AS DOUBLE) / n, 6),
+                   1.0, n_qty_oob = 0 FROM s
+            UNION ALL
+            SELECT 'discount_in_bounds', ROUND(1.0 - CAST(n_disc_oob AS DOUBLE) / n, 6),
+                   1.0, n_disc_oob = 0 FROM s
+            UNION ALL
+            SELECT 'returnflag_domain', ROUND(1.0 - CAST(n_flag_bad AS DOUBLE) / n, 6),
+                   1.0, n_flag_bad = 0 FROM s
+        ) t
+    """,
+)
+def s14_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    s = li.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("l_orderkey", "l_linenumber").alias("n_key"),
+        F.count(
+            F.when(F.col("l_quantity").isNull() | F.col("l_extendedprice").isNull(), 1)
+        ).alias("n_null"),
+        F.count(
+            F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1)
+        ).alias("n_qty_oob"),
+        F.count(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1), 1)
+        ).alias("n_disc_oob"),
+        F.count(
+            F.when(~F.col("l_returnflag").isin("A", "N", "R"), 1)
+        ).alias("n_flag_bad"),
+    )
+
+    def row(name, observed, ok):
+        return s.select(
+            F.lit(name).alias("expectation"),
+            F.round(observed, 6).alias("observed"),
+            F.lit(1.0).alias("threshold"),
+            ok.alias("ok"),
+        )
+
+    n = F.col("n").cast("double")
+    return (
+        row("key_unique", F.col("n_key") / n, F.col("n_key") == F.col("n"))
+        .unionByName(row("not_null_rate", 1.0 - F.col("n_null") / n, F.col("n_null") == 0))
+        .unionByName(
+            row("quantity_in_bounds", 1.0 - F.col("n_qty_oob") / n, F.col("n_qty_oob") == 0)
+        )
+        .unionByName(
+            row("discount_in_bounds", 1.0 - F.col("n_disc_oob") / n, F.col("n_disc_oob") == 0)
+        )
+        .unionByName(
+            row("returnflag_domain", 1.0 - F.col("n_flag_bad") / n, F.col("n_flag_bad") == 0)
+        )
+    )
