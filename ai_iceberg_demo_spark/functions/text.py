@@ -1003,7 +1003,7 @@ _BPE_PAIR_SQL = """
 @REGISTRY.register(
     name="f32_bpe_merge_apply",
     survey_ref="training-data (tokenizer induction: t21's consumer)",
-    doc="BPE merge APPLICATION — the step t21's pair statistics feed: "
+    doc="BPE merge APPLICATION (Sennrich et al., ACL 2016) — the step t21's pair statistics feed: "
     "two unrolled merge rounds, each fusing the corpus-wide most "
     "frequent adjacent pair (count desc, pair text as the shared "
     "tiebreak) into single tokens via a leftmost-non-overlapping left "

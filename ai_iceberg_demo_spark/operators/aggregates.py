@@ -622,7 +622,8 @@ def countmin_sketch(tokens: DataFrame, tok_col: str = "tok") -> DataFrame:
 @REGISTRY.register(
     name="a16_countmin_probe",
     survey_ref="§2.4 extra (mergeable count-min frequency sketch)",
-    doc=f"count-min sketch ({_CMS_DEPTH}×{_CMS_WIDTH} md5-salted "
+    doc=f"count-min sketch (Cormode & Muthukrishnan, J. Algorithms 2005) "
+    f"— {_CMS_DEPTH}×{_CMS_WIDTH} md5-salted "
     "counters) over the corpus token stream, probed for a fixed term "
     "set: estimate = min over rows of the hashed cell, reported next "
     "to the exact count and the overestimate the collision structure "

@@ -1001,7 +1001,7 @@ _KANON_BUCKETS = 16
 @REGISTRY.register(
     name="m13_k_anonymity",
     survey_ref="M-family extra (privacy release audit); m7's governance sibling",
-    doc=f"k-anonymity audit before a data release: group events by the "
+    doc=f"k-anonymity (Sweeney, IJUFKS 2002) audit before a data release: group events by the "
     f"quasi-identifier triple (event_type, day, user_id%{_KANON_BUCKETS}) "
     f"and require every group to hold ≥ k={_KANON_K} rows — singletons "
     "re-identify. Each violating group gets its ladder verdict: "

@@ -1241,7 +1241,7 @@ def t34_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @REGISTRY.register(
     name="t33_rater_agreement",
     survey_ref="training-data (label QA: inter-rater agreement)",
-    doc="Cohen's kappa between two deterministic weak labelers over "
+    doc="Cohen's kappa (Cohen 1960) between two deterministic weak labelers over "
     "events — rater A: value ≥ 5 ('high-engagement'), rater B: "
     "event_type in (click, purchase, signup) ('active intent'). "
     "Kappa = (po − pe) / (1 − pe) corrects raw agreement for chance — "
@@ -1372,7 +1372,7 @@ _CUSUM_SHIFT = 150  # planted extra events/day
 @REGISTRY.register(
     name="t38_cusum_changepoint",
     survey_ref="§2.11 analytics extra (drift/change-point); t26/t31's sibling",
-    doc="one-sided CUSUM over the daily event-count series: "
+    doc="one-sided CUSUM (Page, Biometrika 1954) over the daily event-count series: "
     "s_i = max(0, s_{i-1} + z_i − k) on standardized counts, alarm at "
     f"s ≥ {_CUSUM_H} — the slow-shift detector that catches level "
     "changes t26's trailing-window burst test and t31's seasonal "

@@ -906,7 +906,7 @@ def v22_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 @REGISTRY.register(
     name="v24_label_noise",
     survey_ref="training-data (label QA: k-NN disagreement); composes v18",
-    doc="mislabeled-example detector (Confident-Learning-lite): flag "
+    doc="mislabeled-example detector (Confident-Learning-lite; Northcutt et al., JAIR 2021): flag "
     "every vector whose 3 approximate nearest neighbors (v18's "
     "LSH-blocked graph) UNANIMOUSLY carry one label that differs from "
     "its own — the curation step that catches annotation errors and "
