@@ -245,3 +245,32 @@ def test_k_anonymity_ladder_all_rungs_fire(spark):
     assert all(
         r["n_coarse"] >= _KANON_K for r in rows if r["action"] == "generalize"
     )
+
+
+def test_snapshot_expiry_policy_invariants(spark):
+    """m14: the newest keep-last-N snapshots are always retained, the
+    HEAD day is always retained, every expired snapshot is both older
+    than the time window and outside the newest-N, and ranks are a
+    contiguous 1..n permutation."""
+    from ai_iceberg_demo_spark.operators.mutations import (
+        _EXPIRE_DAYS,
+        _EXPIRE_KEEP_LAST,
+        m14_snapshot_expiry,
+    )
+    from tests.conftest import SF_DIR
+    import datetime
+
+    rows = m14_snapshot_expiry(spark, SF_DIR).collect()
+    assert rows
+    ranks = sorted(r["newest_rank"] for r in rows)
+    assert ranks == list(range(1, len(rows) + 1))
+    head = max(r["snap_day"] for r in rows)
+    cutoff = (
+        datetime.date.fromisoformat(head) - datetime.timedelta(days=_EXPIRE_DAYS)
+    ).isoformat()
+    for r in rows:
+        if r["newest_rank"] <= _EXPIRE_KEEP_LAST or r["snap_day"] >= cutoff:
+            assert r["action"] == "retain", r
+        else:
+            assert r["action"] == "expire", r
+    assert next(r for r in rows if r["snap_day"] == head)["action"] == "retain"
