@@ -1352,3 +1352,53 @@ def u25_dataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"),
         F.sum(row_digest).cast("bigint").alias("content_digest"),
     )
+
+
+# ---------------------------------------------------------------------------
+# u31: deterministic k-fold cross-validation splits
+# ---------------------------------------------------------------------------
+
+_KFOLD = 5
+
+
+@REGISTRY.register(
+    name="u31_kfold_splits",
+    survey_ref="training-data (evaluation protocol); u5/u6 family",
+    doc=f"{_KFOLD}-fold cross-validation assignment: every doc's fold "
+    "is its key-hash mod k (u5's partition-layout-independent rule), "
+    "and the output enumerates all (fold_id, role) memberships — one "
+    "'val' row in its own fold, k−1 'train' rows elsewhere — so a CV "
+    "harness joins this table instead of re-deriving splits (and two "
+    "engines/retries can never disagree about membership). Map-only "
+    f"with a bounded {_KFOLD}× fan-out; append-stable like every "
+    "hash split here: new docs never move old ones between folds.",
+    oracle=f"""
+        WITH assigned AS (
+            SELECT doc_id, source,
+                   {_HASH_PCT_SQL.format(key="doc_id")} % {_KFOLD} AS own_fold
+            FROM documents
+        )
+        SELECT doc_id, source,
+               CAST(f.fold_id AS INT) AS fold_id,
+               CASE WHEN f.fold_id = own_fold THEN 'val' ELSE 'train' END AS role
+        FROM assigned,
+             (SELECT UNNEST(GENERATE_SERIES(0, {_KFOLD - 1})) AS fold_id) f
+    """,
+)
+def u31_kfold_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    own = (hash_pct(F.col("doc_id")) % _KFOLD).alias("own_fold")
+    assigned = docs.select("doc_id", "source", own)
+    return assigned.select(
+        "doc_id",
+        "source",
+        F.explode(F.sequence(F.lit(0), F.lit(_KFOLD - 1))).alias("fold_id"),
+        "own_fold",
+    ).select(
+        "doc_id",
+        "source",
+        F.col("fold_id").cast("int").alias("fold_id"),
+        F.when(F.col("fold_id") == F.col("own_fold"), "val")
+        .otherwise("train")
+        .alias("role"),
+    )

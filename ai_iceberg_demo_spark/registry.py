@@ -112,9 +112,10 @@ class Registry:
 # pipeline_dsir_selection, m14_snapshot_expiry, f32_bpe_merge_apply,
 # s13_multiformat_roundtrip, w8_activity_streaks, v25_ivf_tuning_curve,
 # q10_returned_items, q14_promo_revenue, t38_cusum_changepoint, u28_negative_samples,
-# s14_expectation_suite, m15_incremental_agg — all
+# s14_expectation_suite, m15_incremental_agg, u31_kfold_splits,
+# t41_retention_decay_fit — all
 # pytest-oracle-verified this round), followed by the r2-core cohort
-# (42 queries, newest row r2 — then 4 rounds stale). That is 45
+# (42 queries, newest row r2 — then 4 rounds stale). That is 47
 # first-timers + 23 r2-core slots for r6. All rotated-out queries
 # stay covered by the per-round pytest oracle sweep
 # (tests/test_queries_oracle.py). t22/t23 changed code this round

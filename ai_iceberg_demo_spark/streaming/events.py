@@ -1588,3 +1588,87 @@ def u28_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("j").cast("int").alias("neg_rank"),
         "negative_item",
     )
+
+
+# ---------------------------------------------------------------------------
+# t41: retention-decay fit (log-linear least squares over the cohort matrix)
+# ---------------------------------------------------------------------------
+
+
+@REGISTRY.register(
+    name="t41_retention_decay_fit",
+    survey_ref="§2.11 analytics extra (t14b's model layer)",
+    doc="exponential-decay fit of the retention curve: t14b's cohort "
+    "matrix collapses to overall retention-rate-by-day-offset, and "
+    "ln(rate) regresses on offset with CLOSED-FORM least squares "
+    "(slope/intercept from the five sum terms — one aggregate, no "
+    "solver). Output: per-offset observed vs fitted rate plus the "
+    "daily decay multiplier exp(slope) — the single number a "
+    "growth team quotes. Everything is partial-aggregable sums over "
+    "the tiny offset table; the heavy lift (per-user first-day) is "
+    "the SAME user-keyed shuffle t14b already prices.",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id
+        ), active AS (
+            SELECT DISTINCT e.user_id,
+                   DATEDIFF('day', f.d0, CAST(e.ts AS DATE)) AS day_off
+            FROM events e JOIN firsts f ON e.user_id = f.user_id
+        ), cohort_n AS (
+            SELECT COUNT(*) AS n0 FROM firsts
+        ), rates AS (
+            SELECT day_off,
+                   ROUND(CAST(COUNT(*) AS DOUBLE) / (SELECT n0 FROM cohort_n), 6) AS rate
+            FROM active WHERE day_off >= 1 GROUP BY day_off
+        ), fit AS (
+            SELECT COUNT(*) AS n, SUM(day_off) AS sx, SUM(LN(rate)) AS sy,
+                   SUM(day_off * day_off) AS sxx, SUM(day_off * LN(rate)) AS sxy
+            FROM rates WHERE rate > 0
+        ), coefs AS (
+            SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+                   (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+                       AS intercept
+            FROM fit
+        )
+        SELECT r.day_off AS day_offset, r.rate AS observed_rate,
+               ROUND(EXP(c.intercept + c.slope * r.day_off), 6) AS fitted_rate,
+               ROUND(EXP(c.slope), 6) AS daily_decay
+        FROM rates r CROSS JOIN coefs c
+    """,
+)
+def t41_retention_decay_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    firsts = ev.groupBy("user_id").agg(F.min(F.col("ts").cast("date")).alias("d0"))
+    active = (
+        ev.join(firsts, "user_id")
+        .select("user_id", F.datediff(F.col("ts").cast("date"), F.col("d0")).alias("day_off"))
+        .distinct()
+    )
+    n0 = firsts.count()
+    rates = (
+        active.filter(F.col("day_off") >= 1)
+        .groupBy("day_off")
+        .agg(F.round(F.count("*") / F.lit(float(n0)), 6).alias("rate"))
+    )
+    fit = rates.filter(F.col("rate") > 0).agg(
+        F.count("*").alias("n"),
+        F.sum("day_off").alias("sx"),
+        F.sum(F.log("rate")).alias("sy"),
+        F.sum(F.col("day_off") * F.col("day_off")).alias("sxx"),
+        F.sum(F.col("day_off") * F.log("rate")).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    coefs = fit.select(
+        slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("intercept"),
+    )
+    return rates.crossJoin(F.broadcast(coefs)).select(
+        F.col("day_off").alias("day_offset"),
+        F.col("rate").alias("observed_rate"),
+        F.round(F.exp(F.col("intercept") + F.col("slope") * F.col("day_off")), 6).alias(
+            "fitted_rate"
+        ),
+        F.round(F.exp("slope"), 6).alias("daily_decay"),
+    )
