@@ -740,3 +740,115 @@ def v21_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(sep), 4).alias("mean_separation"),
         F.round(F.avg("d1"), 4).alias("mean_own_dist"),
     )
+
+
+# ---------------------------------------------------------------------------
+# v11c: unrolled Lloyd trainer with per-round rounding (hash-oracled)
+# ---------------------------------------------------------------------------
+
+_V11C_ROUNDS = 2
+_V11C_DP = 6  # centroid rounding per round — what makes the unroll replayable
+
+
+def kmeans_train_rounded(
+    corpus: DataFrame, k: int = KMEANS_K, n_iter: int = _V11C_ROUNDS
+) -> DataFrame:
+    """Lloyd's algorithm with centroids ROUNDED to 6 decimals after
+    every recompute — numerically a hair off `kmeans_train`, but the
+    rounding quantizes away cross-engine float-sum noise, so a fixed
+    unroll replays exactly in SQL (g1/g2's discipline applied to
+    clustering). Same distributed shape as kmeans_train: posexplode
+    partial means, broadcast centroids, localCheckpoint per round."""
+    dcorpus = corpus.select("vec_id", as_double(F.col("embedding")).alias("embedding"))
+    centroids = seed_centroids(corpus, k).localCheckpoint(eager=True)
+    for _ in range(n_iter):
+        assigned = kmeans_assign(dcorpus, centroids).join(dcorpus, "vec_id")
+        dims = assigned.select("cell_id", F.posexplode("embedding").alias("dim_i", "x"))
+        dim_means = dims.groupBy("cell_id", "dim_i").agg(
+            F.round(F.avg("x"), _V11C_DP).alias("m")
+        )
+        new_cen = dim_means.groupBy("cell_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim_i", "m"))), lambda s: s["m"]
+            ).alias("centroid")
+        )
+        centroids = (
+            centroids.select("cell_id", F.col("centroid").alias("_prev"))
+            .join(new_cen, "cell_id", "left")
+            .select("cell_id", F.coalesce("centroid", "_prev").alias("centroid"))
+        ).localCheckpoint(eager=True)
+    return centroids
+
+
+def _v11c_round_sql(prev_cen: str, idx: int) -> str:
+    """One Lloyd round in SQL: assign against ``prev_cen`` (rounded-
+    distance argmin, v11's rule), then per-(cell, dim) rounded means
+    re-assembled into centroid arrays, empty cells carrying forward."""
+    return f"""
+        sc{idx} AS (
+            SELECT e.vec_id, c.cell_id,
+                   ROUND(LIST_DISTANCE(CAST(e.embedding AS DOUBLE[]), c.centroid), 4) AS dist
+            FROM embeddings e CROSS JOIN {prev_cen} c
+        ), as{idx} AS (
+            SELECT vec_id, cell_id FROM (
+                SELECT vec_id, cell_id,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell_id) AS rn
+                FROM sc{idx}) WHERE rn = 1
+        ), dm{idx} AS (
+            SELECT a.cell_id,
+                   GENERATE_SUBSCRIPTS(CAST(e.embedding AS DOUBLE[]), 1) - 1 AS dim_i,
+                   UNNEST(CAST(e.embedding AS DOUBLE[])) AS x
+            FROM as{idx} a JOIN embeddings e ON e.vec_id = a.vec_id
+        ), mm{idx} AS (
+            SELECT cell_id, dim_i, ROUND(AVG(x), {_V11C_DP}) AS m
+            FROM dm{idx} GROUP BY cell_id, dim_i
+        ), nc{idx} AS (
+            SELECT cell_id, LIST(m ORDER BY dim_i) AS centroid
+            FROM mm{idx} GROUP BY cell_id
+        ), cen{idx} AS (
+            SELECT p.cell_id, COALESCE(n.centroid, p.centroid) AS centroid
+            FROM {prev_cen} p LEFT JOIN nc{idx} n ON p.cell_id = n.cell_id
+        )"""
+
+
+@REGISTRY.register(
+    name="v11c_kmeans_unrolled",
+    survey_ref="training-data (clustering); upgrades v11b's evidence tier",
+    doc=f"{_V11C_ROUNDS}-round Lloyd k-means (k={KMEANS_K}) with "
+    f"centroids rounded to {_V11C_DP} decimals per round — the "
+    "quantization that turns the iterative trainer into a fixed "
+    "SQL-replayable unroll (g1/g2's per-iteration-rounding "
+    "discipline), so clustering TRAINING is hash-checked end-to-end, "
+    "not just the single assignment step (v11) or rows-only "
+    "invariants (v11b). Output: per-cell size + rounded inertia "
+    "after the final assignment. Same distributed plan as v11b.",
+    oracle=f"""
+        WITH cen0 AS (
+            SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS centroid
+            FROM embeddings WHERE vec_id < {KMEANS_K}
+        ), {_v11c_round_sql("cen0", 1)[9:]}
+        , {_v11c_round_sql("cen1", 2)[9:]}
+        , fsc AS (
+            SELECT e.vec_id, c.cell_id,
+                   ROUND(LIST_DISTANCE(CAST(e.embedding AS DOUBLE[]), c.centroid), 4) AS dist
+            FROM embeddings e CROSS JOIN cen2 c
+        ), fas AS (
+            SELECT vec_id, cell_id, dist FROM (
+                SELECT vec_id, cell_id, dist,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell_id) AS rn
+                FROM fsc) WHERE rn = 1
+        )
+        SELECT CAST(cell_id AS BIGINT) AS cell_id,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               ROUND(SUM(dist * dist), 2) AS inertia
+        FROM fas GROUP BY cell_id
+    """,
+)
+def v11c_kmeans_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = load_table(spark, "embeddings", sf_dir)
+    centroids = kmeans_train_rounded(corpus)
+    final = kmeans_assign(corpus, centroids)
+    return final.groupBy(F.col("cell_id").cast("bigint").alias("cell_id")).agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.round(F.sum(F.col("dist") * F.col("dist")), 2).alias("inertia"),
+    )
