@@ -852,3 +852,162 @@ def v11c_kmeans_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_vecs"),
         F.round(F.sum(F.col("dist") * F.col("dist")), 2).alias("inertia"),
     )
+
+
+# ---------------------------------------------------------------------------
+# v12b: top principal component by power iteration (hash-oracled)
+# ---------------------------------------------------------------------------
+
+_PI_ROUNDS = 3
+_PI_DP = 6
+
+
+def _pi_round_sql(prev: str, idx: int) -> str:
+    """One power-iteration round in SQL: matvec w = C·v, then
+    normalization, ROUNDING ONLY the normalized vector. Rounding w or
+    the norm would quantize values whose sums land EXACTLY on rounding
+    ties (quantized cv × dyadic v), where Spark (HALF_UP) and DuckDB
+    (HALF_EVEN) disagree; dividing by the irrational norm first makes
+    the rounded quantity generic, so ties never occur."""
+    return f"""
+        w{idx} AS (
+            SELECT c.i AS dim_i, SUM(c.cv * v.val) AS w
+            FROM cov c JOIN {prev} v ON v.dim_i = c.j
+            GROUP BY c.i
+        ), n{idx} AS (
+            SELECT SQRT(SUM(w * w)) AS nrm FROM w{idx}
+        ), v{idx} AS (
+            SELECT dim_i, ROUND(w / (SELECT nrm FROM n{idx}), {_PI_DP}) AS val
+            FROM w{idx}
+        )"""
+
+
+@REGISTRY.register(
+    name="v12b_power_iteration",
+    survey_ref="training-data (dimensionality reduction); upgrades v12's evidence tier",
+    doc=f"top principal component by {_PI_ROUNDS}-round power iteration "
+    "over the ROUNDED covariance matrix, every matvec and "
+    "normalization rounded per round — v11c's quantized-unroll "
+    "discipline applied to the eigenproblem, so the PCA core is "
+    "hash-checked in SQL instead of trusted to a driver eigensolver "
+    "(v12 stays the production path; this pins its arithmetic). "
+    "Sign fixed by the first component. The covariance build is the "
+    "standard distributed shape — per-vector outer-product partials "
+    "summed into a dim²-bounded table (the ONLY quadratic term is "
+    "dim², never rows); each matvec is a dim²-row join. Output: the "
+    "64 eigenvector components + the Rayleigh quotient (top "
+    "eigenvalue estimate). The fixture embeddings are near-isotropic "
+    "(flat spectrum — 3 rounds can't separate eigenvectors, and any "
+    "claimed convergence would be vacuous), so a rank-1 spike is "
+    "planted: vec_id%5==0 vectors shift +0.5 on dim 0, making e0 "
+    "dominant — the test pins that the iteration actually recovers "
+    "it against numpy's exact eigendecomposition.",
+    oracle=f"""
+        WITH spiked AS (
+            SELECT vec_id,
+                   CASE WHEN vec_id % 5 = 0
+                        THEN LIST_CONCAT([CAST(embedding[1] AS DOUBLE) + 0.5],
+                                         CAST(embedding[2:] AS DOUBLE[]))
+                        ELSE CAST(embedding AS DOUBLE[]) END AS embedding
+            FROM embeddings
+        ), dims AS (
+            SELECT vec_id,
+                   GENERATE_SUBSCRIPTS(embedding, 1) - 1 AS dim_i,
+                   UNNEST(embedding) AS x
+            FROM spiked
+        ), mu AS (
+            SELECT dim_i, ROUND(AVG(x), 6) AS m FROM dims GROUP BY dim_i
+        ), centered AS (
+            SELECT d.vec_id, d.dim_i, d.x - m.m AS x
+            FROM dims d JOIN mu m ON m.dim_i = d.dim_i
+        ), cov AS (
+            SELECT a.dim_i AS i, b.dim_i AS j,
+                   ROUND(SUM(a.x * b.x) / (SELECT COUNT(DISTINCT vec_id) FROM dims),
+                         {_PI_DP}) AS cv
+            FROM centered a JOIN centered b ON a.vec_id = b.vec_id
+            GROUP BY a.dim_i, b.dim_i
+        ), v0 AS (
+            SELECT dim_i, ROUND(1.0 / SQRT(COUNT(*) OVER ()), {_PI_DP}) AS val
+            FROM mu
+        ), {_pi_round_sql("v0", 1)[9:]}
+        , {_pi_round_sql("v1", 2)[9:]}
+        , {_pi_round_sql("v2", 3)[9:]}
+        , signfix AS (
+            SELECT CASE WHEN (SELECT val FROM v3 WHERE dim_i = 0) < 0
+                        THEN -1.0 ELSE 1.0 END AS s
+        ), rayleigh AS (
+            SELECT ROUND(SUM(v.val * c.cv * u.val), 4) AS lam
+            FROM v3 v JOIN cov c ON c.i = v.dim_i JOIN v3 u ON u.dim_i = c.j
+        )
+        SELECT v.dim_i,
+               ROUND(v.val * f.s, {_PI_DP}) AS pc1,
+               r.lam AS eigenvalue
+        FROM v3 v CROSS JOIN signfix f CROSS JOIN rayleigh r
+    """,
+)
+def v12b_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id",
+        F.when(
+            F.col("vec_id") % 5 == 0,
+            F.transform(
+                as_double(F.col("embedding")),
+                lambda x, i: F.when(i == 0, x + F.lit(0.5)).otherwise(x),
+            ),
+        )
+        .otherwise(as_double(F.col("embedding")))
+        .alias("embedding"),
+    )
+    dims = emb.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("dim_i", "x")
+    )
+    mu = dims.groupBy("dim_i").agg(F.round(F.avg("x"), _PI_DP).alias("m"))
+    centered = dims.join(F.broadcast(mu), "dim_i").select(
+        "vec_id", "dim_i", (F.col("x") - F.col("m")).alias("x")
+    )
+    n_vec = emb.count()
+    a = centered.alias("a")
+    b = centered.alias("b")
+    cov = (
+        a.join(b, F.col("a.vec_id") == F.col("b.vec_id"))
+        .groupBy(F.col("a.dim_i").alias("i"), F.col("b.dim_i").alias("j"))
+        .agg(F.round(F.sum(F.col("a.x") * F.col("b.x")) / n_vec, _PI_DP).alias("cv"))
+        .persist()
+    )
+    dim = mu.count()
+    v = mu.select(
+        "dim_i", F.round(F.lit(1.0 / dim**0.5), _PI_DP).alias("val")
+    )
+    for _ in range(_PI_ROUNDS):
+        w = (
+            cov.join(F.broadcast(v), F.col("dim_i") == F.col("j"))
+            .groupBy(F.col("i").alias("wdim"))
+            .agg(F.sum(F.col("cv") * F.col("val")).alias("w"))
+        )
+        nrm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+        v = (
+            w.crossJoin(F.broadcast(nrm))
+            .select(
+                F.col("wdim").alias("dim_i"),
+                F.round(F.col("w") / F.col("nrm"), _PI_DP).alias("val"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    s = v.filter(F.col("dim_i") == 0).select(
+        F.when(F.col("val") < 0, -1.0).otherwise(1.0).alias("s")
+    )
+    u1, u2 = v.alias("u1"), v.alias("u2")
+    rayleigh = (
+        cov.join(F.broadcast(u1), F.col("u1.dim_i") == F.col("i"))
+        .join(F.broadcast(u2), F.col("u2.dim_i") == F.col("j"))
+        .agg(F.round(F.sum(F.col("u1.val") * F.col("cv") * F.col("u2.val")), 4).alias("lam"))
+    )
+    return (
+        v.crossJoin(F.broadcast(s))
+        .crossJoin(F.broadcast(rayleigh))
+        .select(
+            "dim_i",
+            F.round(F.col("val") * F.col("s"), _PI_DP).alias("pc1"),
+            F.col("lam").alias("eigenvalue"),
+        )
+    )

@@ -197,3 +197,42 @@ def test_diverse_sample_quota_is_exact_per_cell(spark):
     assert set(got) == set(sizes)
     for cell, n in got.items():
         assert n == min(_DIVERSE_PER_CELL, sizes[cell])
+
+
+def test_power_iteration_converges_to_numpy_top_eigenvector(spark):
+    """v12b: after 3 rounds the SQL-replayable power iteration must
+    align with numpy's exact top covariance eigenvector (|cos| ≥ 0.9)
+    and the Rayleigh quotient must be within 10% of the true top
+    eigenvalue — the quantized unroll is real PCA, not just
+    cross-engine-stable arithmetic."""
+    import numpy as np
+
+    from ai_iceberg_demo_spark.tables import load_table
+    from ai_iceberg_demo_spark.vector.clustering import v12b_power_iteration
+    from tests.conftest import SF_DIR
+
+    rows = v12b_power_iteration(spark, SF_DIR).collect()
+    v = np.zeros(64)
+    for r in rows:
+        v[r["dim_i"]] = r["pc1"]
+    lam = rows[0]["eigenvalue"]
+
+    X = np.stack(
+        [
+            np.array(r["embedding"], dtype=float)
+            for r in load_table(spark, "embeddings", SF_DIR).collect()
+        ]
+    )
+    # replicate the planted rank-1 spike the operator applies
+    ids = [r["vec_id"] for r in load_table(spark, "embeddings", SF_DIR).collect()]
+    for row_i, vid in enumerate(ids):
+        if vid % 5 == 0:
+            X[row_i, 0] += 0.5
+    Xc = X - X.mean(axis=0)
+    C = (Xc.T @ Xc) / len(X)
+    evals, evecs = np.linalg.eigh(C)
+    top_vec = evecs[:, -1]
+    top_val = evals[-1]
+    cos = abs(float(v @ top_vec) / (np.linalg.norm(v) * np.linalg.norm(top_vec)))
+    assert cos >= 0.9, cos
+    assert abs(lam - top_val) / top_val <= 0.1, (lam, top_val)
