@@ -509,3 +509,86 @@ def pipeline_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"),
         F.sum(row_digest).cast("bigint").alias("content_digest"),
     )
+
+
+
+# ---------------------------------------------------------------------------
+# pipeline_governance: release-readiness report (s14 + m13 + m7 composed)
+# ---------------------------------------------------------------------------
+
+
+def _governance_oracle() -> str:
+    """Compose the EXACT oracle strings of the constituent operators as
+    subqueries — the composition is then hash-checked against the same
+    SQL the parts are checked against, so a drift in any part's oracle
+    drifts this one identically (single source of truth)."""
+    from ai_iceberg_demo_spark.operators.mutations import (
+        REGISTRY as _MUT_REGISTRY,
+    )
+    from ai_iceberg_demo_spark.operators.scans_filters import (
+        REGISTRY as _SCAN_REGISTRY,
+    )
+
+    s14 = _SCAN_REGISTRY.specs["s14_expectation_suite"].oracle
+    m13 = _MUT_REGISTRY.specs["m13_k_anonymity"].oracle
+    m7 = _MUT_REGISTRY.specs["m7_retention_audit"].oracle
+    return f"""
+        SELECT 'expectations' AS family, expectation AS check_name,
+               CAST(SUM(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS n_violations
+        FROM ({s14}) GROUP BY expectation
+        UNION ALL
+        SELECT 'k_anonymity', action,
+               CAST(COUNT(*) AS BIGINT)
+        FROM ({m13}) WHERE action <> 'keep' GROUP BY action
+        UNION ALL
+        SELECT 'retention', 'rows_requiring_deletion',
+               CAST(SUM(n_ttl_dropped + n_erased) AS BIGINT)
+        FROM ({m7})
+    """
+
+
+@REGISTRY.register(
+    name="pipeline_governance",
+    survey_ref="training-data (composed: s14 + m13 + m7 release gate)",
+    doc="the pre-release governance report: schema-contract violations "
+    "(s14), quasi-identifier groups needing generalization or "
+    "suppression (m13), and rows the retention/erasure policy says "
+    "must go (m7) — one verdict table a release manager reads before "
+    "publishing a dataset. The oracle REUSES the constituent "
+    "operators' exact oracle strings as subqueries, so the "
+    "composition can never drift from its parts. Cost = the three "
+    "parts' scans; nothing new moves.",
+    oracle=_governance_oracle(),
+)
+def pipeline_governance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_iceberg_demo_spark.operators.mutations import (
+        m7_retention_audit,
+        m13_k_anonymity,
+    )
+    from ai_iceberg_demo_spark.operators.scans_filters import s14_expectation_suite
+
+    s14 = (
+        s14_expectation_suite(spark, sf_dir)
+        .groupBy(F.col("expectation").alias("check_name"))
+        .agg(
+            F.sum(F.when(F.col("ok"), 0).otherwise(1)).cast("bigint").alias("n_violations")
+        )
+        .select(F.lit("expectations").alias("family"), "check_name", "n_violations")
+    )
+    m13 = (
+        m13_k_anonymity(spark, sf_dir)
+        .filter(F.col("action") != "keep")
+        .groupBy(F.col("action").alias("check_name"))
+        .agg(F.count("*").cast("bigint").alias("n_violations"))
+        .select(F.lit("k_anonymity").alias("family"), "check_name", "n_violations")
+    )
+    m7 = m7_retention_audit(spark, sf_dir).agg(
+        F.sum(F.col("n_ttl_dropped") + F.col("n_erased"))
+        .cast("bigint")
+        .alias("n_violations")
+    ).select(
+        F.lit("retention").alias("family"),
+        F.lit("rows_requiring_deletion").alias("check_name"),
+        "n_violations",
+    )
+    return s14.unionByName(m13).unionByName(m7)
