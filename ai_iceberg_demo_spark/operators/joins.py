@@ -545,3 +545,58 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
+
+
+@REGISTRY.register(
+    name="q18_large_volume_customers",
+    survey_ref="§7 (TPC-H Q18)",
+    doc="TPC-H Q18-shaped large-volume customers: orders whose total "
+    "lineitem quantity exceeds 250, joined to their customers, top-20 "
+    "by quantity. The HAVING pre-aggregation runs BEFORE any join "
+    "(one orderkey-keyed partial agg over lineitem) and survivors are "
+    "a tiny set — so the orders/customer joins are broadcast-sized "
+    "and the fact table is touched exactly once. The classic "
+    "semi-join-through-aggregation shape.",
+    oracle="""
+        WITH big AS (
+            SELECT l_orderkey, SUM(l_quantity) AS total_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING SUM(l_quantity) > 250
+        )
+        SELECT c.c_custkey, c.c_name, o.o_orderkey,
+               CAST(CAST(o.o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
+               CAST(ROUND(CAST(o.o_totalprice AS DECIMAL(14,2)), 2) AS DOUBLE)
+                   AS o_totalprice,
+               b.total_qty
+        FROM big b
+        JOIN orders o ON o.o_orderkey = b.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        ORDER BY b.total_qty DESC, o.o_orderkey
+        LIMIT 20
+    """,
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_name")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").cast("string").alias("o_orderdate"),
+            F.round(F.col("o_totalprice").cast("decimal(14,2)"), 2)
+            .cast("double")
+            .alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+        .limit(20)
+    )
