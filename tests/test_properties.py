@@ -445,3 +445,66 @@ def test_dataset_manifest_digest_is_layout_free_and_tamper_evident(spark):
     assert all(
         t_digest[s] == per_source[s] for s in per_source if s != victim["source"]
     )
+
+
+@given(
+    st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=24),
+    st.sampled_from([("a", "a"), ("a", "b"), ("b", "c"), ("c", "c")]),
+)
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_fold_merge_matches_python_reference(spark, toks, pair):
+    """f32's JVM fold must equal a straightforward Python BPE merge
+    pass (leftmost, non-overlapping) on arbitrary token sequences —
+    including pathological self-overlapping runs like a,a,a."""
+    from ai_iceberg_demo_spark.functions.text import _fold_merge
+
+    p1, p2 = pair
+
+    def ref(ts):
+        out = []
+        for t in ts:
+            if out and out[-1] == p1 and t == p2:
+                out[-1] = f"{p1} {p2}"
+            else:
+                out.append(t)
+        return out
+
+    df = spark.createDataFrame([(toks,)], "m array<string>")
+    got = df.select(
+        _fold_merge(F.col("m"), F.lit(p1), F.lit(p2)).alias("m")
+    ).first()["m"]
+    assert got == ref(toks)
+
+
+@given(st.lists(st.floats(min_value=-3, max_value=3, allow_nan=False),
+                min_size=2, max_size=20))
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_cusum_fold_matches_python_reference(spark, zs):
+    """t38's aggregate() recursion must equal the textbook CUSUM
+    recurrence computed in Python on arbitrary standardized series."""
+    k = 0.5
+    zs = [round(z, 6) for z in zs]
+
+    def ref(series):
+        s, out = 0.0, []
+        for z in series:
+            s = max(0.0, s + z - k)
+            out.append(s)
+        return out
+
+    df = spark.createDataFrame([(zs,)], "zs array<double>")
+    got = df.select(
+        F.aggregate(
+            F.col("zs"),
+            F.array(F.lit(0.0)),
+            lambda acc, z: F.concat(
+                acc,
+                F.array(F.greatest(F.lit(0.0), F.element_at(acc, -1) + z - F.lit(k))),
+            ),
+        ).alias("ss")
+    ).first()["ss"][1:]
+    assert len(got) == len(zs)
+    for g, r in zip(got, ref(zs)):
+        assert abs(g - r) < 1e-9
