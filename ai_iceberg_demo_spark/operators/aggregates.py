@@ -740,3 +740,58 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("promo_revenue_pct"),
         F.count("*").cast("bigint").alias("n_lineitems"),
     )
+
+
+@REGISTRY.register(
+    name="a17_mode_entropy",
+    survey_ref="§2.4 extra (distributional per-group features)",
+    doc="per-user behavioral distribution features: modal event type "
+    "(deterministic tie-break by type name) and Shannon entropy of "
+    "the user's event-type distribution in bits — the diversity "
+    "feature behavioral models consume, and the classic two-level "
+    "aggregation: (user, type) partial counts first (map-side "
+    "combine), then per-user mode via max-struct and entropy via "
+    "Σ −p·log2(p) — the corpus shuffles once into compact count "
+    "rows, never raw events twice.",
+    oracle="""
+        WITH counts AS (
+            SELECT user_id, event_type, COUNT(*) AS c
+            FROM events GROUP BY user_id, event_type
+        ), tot AS (
+            SELECT user_id, SUM(c) AS n FROM counts GROUP BY user_id
+        )
+        SELECT c.user_id,
+               MAX(CASE WHEN r.rn = 1 THEN c.event_type END) AS modal_type,
+               CAST(MAX(CASE WHEN r.rn = 1 THEN c.c END) AS BIGINT) AS modal_count,
+               ROUND(SUM(-(CAST(c.c AS DOUBLE) / t.n)
+                         * LOG2(CAST(c.c AS DOUBLE) / t.n)), 6) AS entropy_bits
+        FROM counts c
+        JOIN tot t ON t.user_id = c.user_id
+        JOIN (
+            SELECT user_id, event_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY c DESC, event_type) AS rn
+            FROM counts
+        ) r ON r.user_id = c.user_id AND r.event_type = c.event_type
+        GROUP BY c.user_id
+    """,
+)
+def a17_mode_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    tot = counts.groupBy("user_id").agg(F.sum("c").alias("n"))
+    joined = counts.join(tot, "user_id")
+    p = F.col("c").cast("double") / F.col("n")
+    # mode via max(struct(count, reversed-name)): count desc, then the
+    # LEXICOGRAPHICALLY SMALLEST type — negate by using min over
+    # struct(-c, type)
+    agg = joined.groupBy("user_id").agg(
+        F.min(F.struct((-F.col("c")).alias("nc"), F.col("event_type").alias("t"))).alias("m"),
+        F.round(F.sum(-p * F.log2(p)), 6).alias("entropy_bits"),
+    )
+    return agg.select(
+        "user_id",
+        F.col("m.t").alias("modal_type"),
+        (-F.col("m.nc")).cast("bigint").alias("modal_count"),
+        "entropy_bits",
+    )
