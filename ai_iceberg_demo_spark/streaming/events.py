@@ -1672,3 +1672,62 @@ def t41_retention_decay_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.exp("slope"), 6).alias("daily_decay"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t42: stream-static join enrichment (native streaming join + agg)
+# ---------------------------------------------------------------------------
+
+
+@REGISTRY.register(
+    name="t42_stream_static_enrich",
+    survey_ref="§2.11 (stream-static join; completes the streaming join modes)",
+    doc="NATIVE stream-static join: the replayed event stream joins "
+    "the static customer dimension (user→market segment) inside the "
+    "streaming query itself — no foreachBatch — and a streaming "
+    "aggregation in complete mode maintains per-segment event counts "
+    "and value sums into a memory sink. This is the third streaming "
+    "join mode next to t11's stream-stream interval join and the "
+    "foreachBatch enrichments: the static side is re-broadcast per "
+    "micro-batch (planner guarantee — a dim table UPDATE is picked "
+    "up by later batches), and the final table must equal the batch "
+    "join·groupBy (hash-checked against the SQL spelling).",
+    oracle="""
+        SELECT c.c_mktsegment AS segment,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(e.value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+        FROM events e JOIN customer c ON c.c_custkey = e.user_id
+        GROUP BY c.c_mktsegment
+    """,
+)
+def t42_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ai_iceberg_demo_spark.streaming.incremental import stage_batch_files
+
+    ev = load_table(spark, "events", sf_dir).select("event_id", "user_id", "value")
+    state = tempfile.mkdtemp(prefix="stream_static_")
+    batches = [ev.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    ingest = stage_batch_files(state, batches)
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_mktsegment")
+
+    stream = (
+        spark.readStream.schema(batches[0].schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{ingest}/*.parquet")
+    )
+    enriched = stream.join(cust, stream.user_id == cust.c_custkey)
+    agg = enriched.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("total_value"),
+    )
+    qname = "t42_segments"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(qname)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.table(qname)
