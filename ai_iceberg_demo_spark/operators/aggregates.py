@@ -795,3 +795,55 @@ def a17_mode_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-F.col("m.nc")).cast("bigint").alias("modal_count"),
         "entropy_bits",
     )
+
+
+@REGISTRY.register(
+    name="a18_gini_concentration",
+    survey_ref="§2.4 extra (inequality/concentration metric)",
+    doc="Gini coefficient of revenue concentration across customers "
+    "(0 = equal, →1 = concentrated) from the rank formula "
+    "G = Σ(2i−n−1)·x_i / (n·Σx) over per-customer revenue sorted "
+    "ascending — the customer-concentration risk metric, and for "
+    "training data the source-imbalance metric (same query over "
+    "per-source token counts). The corpus reduces to per-customer "
+    "revenue first (ONE fact shuffle); the rank window then orders "
+    "only the customer-sized table — at 100 TB swap that tail for "
+    "the binned approximation over a11b's histogram, same report.",
+    oracle="""
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS rev
+            FROM orders GROUP BY o_custkey
+        ), ranked AS (
+            SELECT rev, ROW_NUMBER() OVER (ORDER BY rev, o_custkey) AS i,
+                   COUNT(*) OVER () AS n
+            FROM per_cust
+        )
+        SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+               ROUND(SUM(rev), 2) AS total_revenue,
+               ROUND(SUM((2.0 * i - n - 1) * rev) / (MAX(n) * SUM(rev)), 6) AS gini
+        FROM ranked
+    """,
+)
+def a18_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, "orders", sf_dir)
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("double").alias("rev")
+    )
+    w = W.orderBy("rev", "o_custkey")
+    ranked = per_cust.select(
+        "rev",
+        F.row_number().over(w).alias("i"),
+        F.count("*").over(W.partitionBy()).alias("n"),
+    )
+    return ranked.agg(
+        F.max("n").cast("bigint").alias("n_customers"),
+        F.round(F.sum("rev"), 2).alias("total_revenue"),
+        F.round(
+            F.sum((2.0 * F.col("i") - F.col("n") - 1) * F.col("rev"))
+            / (F.max("n") * F.sum("rev")),
+            6,
+        ).alias("gini"),
+    )

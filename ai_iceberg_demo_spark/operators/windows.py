@@ -328,3 +328,64 @@ def w8_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_from_unix_date(-F.col("b.neg_start")).cast("string").alias("streak_start"),
         "n_streaks",
     )
+
+
+# ---------------------------------------------------------------------------
+# W9: month-over-month growth per segment
+# ---------------------------------------------------------------------------
+
+
+@REGISTRY.register(
+    name="w9_mom_growth",
+    survey_ref="W-family extra (period-over-period reporting)",
+    doc="month-over-month revenue growth per market segment: lineitem "
+    "revenue rolls up to (segment, ship-month) — the corpus' ONE "
+    "shuffle — then a lag window over the tiny month table computes "
+    "the delta and pct change (NULL on each segment's first month, "
+    "both engines). The canonical period-over-period report shape: "
+    "heavy data reduces before any window sees it.",
+    oracle="""
+        WITH monthly AS (
+            SELECT c.c_mktsegment AS segment,
+                   STRFTIME(CAST(l.l_shipdate AS DATE), '%Y-%m') AS month,
+                   CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                            * CAST(1 - l.l_discount AS DECIMAL(3,2))) AS DOUBLE)
+                       AS revenue
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            GROUP BY 1, 2
+        )
+        SELECT segment, month, ROUND(revenue, 2) AS revenue,
+               ROUND(revenue - LAG(revenue) OVER w, 2) AS delta,
+               ROUND((revenue - LAG(revenue) OVER w)
+                     / LAG(revenue) OVER w * 100, 4) AS pct_change
+        FROM monthly
+        WINDOW w AS (PARTITION BY segment ORDER BY month)
+    """,
+)
+def w9_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_mktsegment")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(3,2)")
+    monthly = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.date_format(F.col("l_shipdate").cast("date"), "yyyy-MM").alias("month"),
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+    w = Window.partitionBy("segment").orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "segment",
+        "month",
+        F.round("revenue", 2).alias("revenue"),
+        F.round(F.col("revenue") - prev, 2).alias("delta"),
+        F.round((F.col("revenue") - prev) / prev * 100, 4).alias("pct_change"),
+    )

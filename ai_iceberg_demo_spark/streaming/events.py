@@ -1731,3 +1731,62 @@ def t42_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(600)
     return spark.table(qname)
+
+
+# ---------------------------------------------------------------------------
+# t43: DAU/WAU stickiness
+# ---------------------------------------------------------------------------
+
+
+@REGISTRY.register(
+    name="t43_dau_wau_stickiness",
+    survey_ref="§2.11 analytics extra (engagement ratio); w7's sibling",
+    doc="DAU/WAU stickiness per day: daily active users over trailing-"
+    "7-day distinct actives, the engagement ratio every growth "
+    "dashboard tracks. The corpus reduces FIRST to the compact "
+    "(day, user) distinct table (one partial-agg shuffle); the "
+    "trailing-7-day distinct then joins that tiny table to the "
+    "day spine within the window — exact here, and at 100 TB the "
+    "trailing term swaps for merged daily HLL sketches (a8b's "
+    "family) with the identical report schema.",
+    oracle="""
+        WITH du AS (
+            SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+        ), days AS (
+            SELECT DISTINCT d FROM du
+        ), dau AS (
+            SELECT d, COUNT(*) AS dau FROM du GROUP BY d
+        ), wau AS (
+            SELECT days.d, COUNT(DISTINCT du.user_id) AS wau
+            FROM days JOIN du
+              ON du.d <= days.d AND du.d > days.d - INTERVAL 7 DAY
+            GROUP BY days.d
+        )
+        SELECT CAST(dau.d AS VARCHAR) AS day,
+               CAST(dau.dau AS BIGINT) AS dau,
+               CAST(wau.wau AS BIGINT) AS wau,
+               ROUND(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
+        FROM dau JOIN wau ON wau.d = dau.d
+    """,
+)
+def t43_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    du = ev.select(F.col("ts").cast("date").alias("d"), "user_id").distinct()
+    days = du.select("d").distinct()
+    dau = du.groupBy("d").agg(F.count("*").alias("dau"))
+    wau = (
+        days.alias("s")
+        .join(
+            du.alias("u"),
+            (F.col("u.d") <= F.col("s.d"))
+            & (F.col("u.d") > F.date_sub(F.col("s.d"), 7)),
+        )
+        .groupBy(F.col("s.d").alias("d"))
+        .agg(F.countDistinct("u.user_id").alias("wau"))
+    )
+    return dau.join(wau, "d").select(
+        F.col("d").cast("string").alias("day"),
+        F.col("dau").cast("bigint").alias("dau"),
+        F.col("wau").cast("bigint").alias("wau"),
+        F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias("stickiness"),
+    )
