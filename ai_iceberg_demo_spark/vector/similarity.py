@@ -1105,3 +1105,97 @@ def v25_ivf_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("nc"), 2).alias("avg_candidates"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# V26: embedding ingest QA (degenerate-vector triage)
+# ---------------------------------------------------------------------------
+
+
+@REGISTRY.register(
+    name="v26_embedding_qa",
+    survey_ref="V-family extra (embedding ingest QA); v8g's vector sibling",
+    doc="degenerate-embedding triage before anything indexes: per "
+    "vector, its L2 norm, zero-component count, and dimension check, "
+    "classified ok / zero_vector (unusable for cosine) / wrong_dim "
+    "(pipeline bug) / norm_outlier (|z| ≥ 3 vs corpus norm stats — "
+    "a silently-scaled provider). The fixture is unit-norm by "
+    "construction (every check would be vacuous), so three "
+    "degenerates are planted: a zero vector, a 32-dim stub, and a "
+    "10× -scaled copy — each must land in its class (pinned by the "
+    "oracle hash itself). Map-only over the scan plus one broadcast "
+    "1-row stats agg; the triage reads every vector ONCE and is the "
+    "gate in front of M5 index builds.",
+    oracle=f"""
+        WITH planted AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+            UNION ALL
+            SELECT 9000001, LIST_TRANSFORM(GENERATE_SERIES(1, 64), i -> 0.0)
+            UNION ALL
+            SELECT 9000002, LIST_TRANSFORM(GENERATE_SERIES(1, 32), i -> 0.1)
+            UNION ALL
+            SELECT 9000003,
+                   LIST_TRANSFORM(CAST((SELECT embedding FROM embeddings
+                                        WHERE vec_id = 0) AS DOUBLE[]),
+                                  x -> x * 10.0)
+        ), feat AS (
+            SELECT vec_id,
+                   LEN(e) AS dim,
+                   ROUND(SQRT(LIST_DOT_PRODUCT(e, e)), 6) AS nrm,
+                   LEN(LIST_FILTER(e, x -> x = 0.0)) AS n_zero
+            FROM planted
+        ), stats AS (
+            SELECT ROUND(AVG(nrm), 6) AS m, ROUND(STDDEV_SAMP(nrm), 6) AS sd
+            FROM feat WHERE dim = 64 AND nrm > 0
+        )
+        SELECT f.vec_id, CAST(f.dim AS INT) AS dim, f.nrm AS l2_norm,
+               CAST(f.n_zero AS BIGINT) AS n_zero,
+               CASE WHEN f.dim <> 64 THEN 'wrong_dim'
+                    WHEN f.nrm = 0 THEN 'zero_vector'
+                    WHEN ABS((f.nrm - s.m) / s.sd) >= 3 THEN 'norm_outlier'
+                    ELSE 'ok' END AS verdict
+        FROM feat f CROSS JOIN stats s
+    """,
+)
+def v26_embedding_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", as_double(F.col("embedding")).alias("e")
+    )
+    spark_planted = emb.unionByName(
+        spark.range(1)
+        .select(
+            F.lit(9000001).alias("vec_id"),
+            F.expr("transform(sequence(1, 64), i -> 0.0d)").alias("e"),
+        )
+    ).unionByName(
+        spark.range(1).select(
+            F.lit(9000002).alias("vec_id"),
+            F.expr("transform(sequence(1, 32), i -> 0.1d)").alias("e"),
+        )
+    ).unionByName(
+        emb.filter(F.col("vec_id") == 0).select(
+            F.lit(9000003).alias("vec_id"),
+            F.transform(F.col("e"), lambda x: x * 10.0).alias("e"),
+        )
+    )
+    feat = spark_planted.select(
+        "vec_id",
+        F.size("e").alias("dim"),
+        F.round(F.sqrt(dot(F.col("e"), F.col("e"))), 6).alias("nrm"),
+        F.size(F.filter(F.col("e"), lambda x: x == 0.0)).alias("n_zero"),
+    )
+    stats = feat.filter((F.col("dim") == 64) & (F.col("nrm") > 0)).agg(
+        F.round(F.avg("nrm"), 6).alias("m"),
+        F.round(F.stddev_samp("nrm"), 6).alias("sd"),
+    )
+    return feat.crossJoin(F.broadcast(stats)).select(
+        "vec_id",
+        F.col("dim").cast("int").alias("dim"),
+        F.col("nrm").alias("l2_norm"),
+        F.col("n_zero").cast("bigint").alias("n_zero"),
+        F.when(F.col("dim") != 64, "wrong_dim")
+        .when(F.col("nrm") == 0, "zero_vector")
+        .when(F.abs((F.col("nrm") - F.col("m")) / F.col("sd")) >= 3, "norm_outlier")
+        .otherwise("ok")
+        .alias("verdict"),
+    )
