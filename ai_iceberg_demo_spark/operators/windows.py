@@ -356,8 +356,13 @@ def w8_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
             JOIN customer c ON c.c_custkey = o.o_custkey
             GROUP BY 1, 2
         )
-        SELECT segment, month, ROUND(revenue, 2) AS revenue,
-               ROUND(revenue - LAG(revenue) OVER w, 2) AS delta,
+        -- revenue/delta stay UNROUNDED: they are sums of exact
+        -- DECIMAL(12,2)×DECIMAL(3,2) products (4 decimal places), so
+        -- the doubles are bit-identical on both engines, while
+        -- ROUND(x, 2) would land exactly on half-cent ties where
+        -- HALF_UP (Spark) and HALF_EVEN (DuckDB) diverge (q1's rule)
+        SELECT segment, month, revenue,
+               revenue - LAG(revenue) OVER w AS delta,
                ROUND((revenue - LAG(revenue) OVER w)
                      / LAG(revenue) OVER w * 100, 4) AS pct_change
         FROM monthly
@@ -385,7 +390,7 @@ def w9_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return monthly.select(
         "segment",
         "month",
-        F.round("revenue", 2).alias("revenue"),
-        F.round(F.col("revenue") - prev, 2).alias("delta"),
+        "revenue",
+        (F.col("revenue") - prev).alias("delta"),
         F.round((F.col("revenue") - prev) / prev * 100, 4).alias("pct_change"),
     )
