@@ -426,3 +426,60 @@ def f21_struct_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k",
         F.to_json(F.struct("k")).alias("rejson"),
     )
+
+
+# ---------------------------------------------------------------------------
+# f36: JSON payload contract validation
+# ---------------------------------------------------------------------------
+
+
+@REGISTRY.register(
+    name="f36_json_contract",
+    survey_ref="F-family extra (ingest payload validation); f20's enforcer",
+    doc="JSON payload contract check over the event props column: "
+    "well-formedness, required key 'k' present, and integer-typed — "
+    "per-row verdict valid / malformed / missing_key / bad_type. The "
+    "fixture payloads are all clean (the check would be vacuous), so "
+    "planted corruption cycles through all three failure classes "
+    "(doc-salting pattern): event_id%31==1 truncated JSON, %31==2 "
+    "wrong key, %31==3 string-typed value. Map-only; this is the "
+    "quarantine predicate an ingest stream applies before parsing "
+    "payloads for real (f20/x5's upstream).",
+    oracle="""
+        WITH salted AS (
+            SELECT event_id,
+                   CASE WHEN event_id % 31 = 1 THEN SUBSTR(props, 1, 4)
+                        WHEN event_id % 31 = 2 THEN REPLACE(props, '"k"', '"x"')
+                        WHEN event_id % 31 = 3 THEN '{"k": "oops"}'
+                        ELSE props END AS props
+            FROM events
+        )
+        SELECT event_id,
+               CASE WHEN TRY_CAST(props AS JSON) IS NULL THEN 'malformed'
+                    WHEN json_extract(props, '$.k') IS NULL THEN 'missing_key'
+                    WHEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+                         IS NULL THEN 'bad_type'
+                    ELSE 'valid' END AS verdict
+        FROM salted
+    """,
+)
+def f36_json_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    salted = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 31 == 1, F.substring("props", 1, 4))
+        .when(F.col("event_id") % 31 == 2, F.replace(F.col("props"), F.lit('"k"'), F.lit('"x"')))
+        .when(F.col("event_id") % 31 == 3, F.lit('{"k": "oops"}'))
+        .otherwise(F.col("props"))
+        .alias("props"),
+    )
+    parsed = F.try_parse_json(F.col("props"))
+    k = F.get_json_object("props", "$.k")
+    return salted.select(
+        "event_id",
+        F.when(parsed.isNull(), "malformed")
+        .when(k.isNull(), "missing_key")
+        .when(k.try_cast("bigint").isNull(), "bad_type")
+        .otherwise("valid")
+        .alias("verdict"),
+    )

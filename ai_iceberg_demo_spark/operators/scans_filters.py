@@ -609,3 +609,49 @@ def s14_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             row("returnflag_domain", 1.0 - F.col("n_flag_bad") / n, F.col("n_flag_bad") == 0)
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# S15: data-freshness SLO monitor
+# ---------------------------------------------------------------------------
+
+_FRESH_SLO_HOURS = 24
+
+
+@REGISTRY.register(
+    name="s15_freshness_slo",
+    survey_ref="S-family extra (pipeline freshness monitoring)",
+    doc=f"per-feed freshness against a {_FRESH_SLO_HOURS}h SLO: each "
+    "event_type's newest timestamp lags the LATEST ingested event "
+    "(the wall-clock-free reference — policy stays replayable, "
+    "m14's rule), with lag hours and the SLO verdict. At 100 TB max "
+    "timestamps come from partition metadata (no scan); here it is "
+    "one partial-agg pass + a broadcast 1-row max. The page an "
+    "on-call loads first when a feed stalls.",
+    oracle=f"""
+        WITH per_feed AS (
+            SELECT event_type, MAX(ts) AS newest FROM events GROUP BY event_type
+        ), head AS (
+            SELECT MAX(newest) AS head_ts FROM per_feed
+        )
+        SELECT p.event_type,
+               CAST(p.newest AS VARCHAR) AS newest,
+               ROUND(EPOCH(h.head_ts - p.newest) / 3600.0, 4) AS lag_hours,
+               EPOCH(h.head_ts - p.newest) / 3600.0 <= {_FRESH_SLO_HOURS}
+                   AS within_slo
+        FROM per_feed p CROSS JOIN head h
+    """,
+)
+def s15_freshness_slo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    per_feed = ev.groupBy("event_type").agg(F.max("ts").alias("newest"))
+    head = per_feed.agg(F.max("newest").alias("head_ts"))
+    lag_h = (
+        F.col("head_ts").cast("double") - F.col("newest").cast("double")
+    ) / 3600.0
+    return per_feed.crossJoin(F.broadcast(head)).select(
+        "event_type",
+        F.col("newest").cast("string").alias("newest"),
+        F.round(lag_h, 4).alias("lag_hours"),
+        (lag_h <= _FRESH_SLO_HOURS).alias("within_slo"),
+    )

@@ -1790,3 +1790,63 @@ def t43_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("wau").cast("bigint").alias("wau"),
         F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias("stickiness"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t45: cohort LTV curves (cumulative value by cohort-day offset)
+# ---------------------------------------------------------------------------
+
+
+@REGISTRY.register(
+    name="t45_cohort_ltv",
+    survey_ref="§2.11 analytics extra (t14b + value; the LTV read)",
+    doc="cumulative lifetime value per acquisition cohort: users "
+    "cohort on their first-activity day (t14b's rule), purchase "
+    "value rolls up to (cohort, day-offset) — the corpus' one "
+    "user-keyed pass — and a running-sum window over the tiny "
+    "(cohort × offset) table yields the LTV curve plus its per-user "
+    "normalization. The payback-period read every acquisition budget "
+    "hangs on; the window orders corpus-independent rows only.",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id
+        ), cohort_sizes AS (
+            SELECT d0, COUNT(*) AS n_users FROM firsts GROUP BY d0
+        ), spend AS (
+            SELECT f.d0, DATEDIFF('day', f.d0, CAST(e.ts AS DATE)) AS day_off,
+                   SUM(CAST(e.value AS DECIMAL(14,2))) AS v
+            FROM events e JOIN firsts f ON f.user_id = e.user_id
+            WHERE e.event_type = 'purchase'
+            GROUP BY 1, 2
+        )
+        SELECT CAST(s.d0 AS VARCHAR) AS cohort_day,
+               CAST(s.day_off AS INT) AS day_offset,
+               CAST(SUM(s.v) OVER (PARTITION BY s.d0 ORDER BY s.day_off) AS DOUBLE)
+                   AS cum_value,
+               ROUND(CAST(SUM(s.v) OVER (PARTITION BY s.d0 ORDER BY s.day_off)
+                          AS DOUBLE) / c.n_users, 6) AS ltv_per_user
+        FROM spend s JOIN cohort_sizes c ON c.d0 = s.d0
+    """,
+)
+def t45_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, "events", sf_dir)
+    firsts = ev.groupBy("user_id").agg(F.min(F.col("ts").cast("date")).alias("d0"))
+    cohort_sizes = firsts.groupBy("d0").agg(F.count("*").alias("n_users"))
+    spend = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .groupBy(
+            "d0", F.datediff(F.col("ts").cast("date"), F.col("d0")).alias("day_off")
+        )
+        .agg(F.sum(F.col("value").cast("decimal(14,2)")).alias("v"))
+    )
+    w = W.partitionBy("d0").orderBy("day_off")
+    cum = F.sum("v").over(w).cast("double")
+    return spend.join(F.broadcast(cohort_sizes), "d0").select(
+        F.col("d0").cast("string").alias("cohort_day"),
+        F.col("day_off").cast("int").alias("day_offset"),
+        cum.alias("cum_value"),
+        F.round(cum / F.col("n_users"), 6).alias("ltv_per_user"),
+    )
