@@ -398,3 +398,113 @@ def v14_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick = pick.localCheckpoint(eager=True)
         selected = pick if selected is None else selected.unionByName(pick)
     return selected
+
+
+# ---------------------------------------------------------------------------
+# t46: nDCG@10 evaluation of the BM25 ranking
+# ---------------------------------------------------------------------------
+
+
+@REGISTRY.register(
+    name="t46_ndcg_eval",
+    survey_ref="training-data (retrieval evaluation); t22's meter",
+    doc="nDCG@10 of the t22 BM25 ranking against a graded relevance "
+    "standard (relevance = how many distinct query terms the doc "
+    "contains, 0-3 — deterministic, so the whole metric is exact): "
+    "DCG over the BM25 top-10, ideal DCG over the true top relevance "
+    "grades, one ratio. THE ranking-quality number every retrieval "
+    "change is judged by; computing it in-engine means eval runs "
+    "where the index lives, on the full corpus, not a sampled "
+    "notebook. Costs one extra corpus pass for grades (map-only "
+    "HOFs) on top of t22's plan; the DCG arithmetic touches 10 rows.",
+    oracle="WITH "
+    + _feat_sql()
+    + """
+            SELECT CAST(COUNT(*) AS DOUBLE) AS nd,
+                   CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl,
+                   CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+                   CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+                   CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+            FROM feat
+        ), bm25 AS (
+            SELECT doc_id,
+                   ROUND(
+                     LN(1.0 + (nd - df0 + 0.5) / (df0 + 0.5))
+                       * (CAST(tf0 AS DOUBLE) * 2.2)
+                       / (CAST(tf0 AS DOUBLE)
+                          + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))
+                     + LN(1.0 + (nd - df1 + 0.5) / (df1 + 0.5))
+                       * (CAST(tf1 AS DOUBLE) * 2.2)
+                       / (CAST(tf1 AS DOUBLE)
+                          + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))
+                     + LN(1.0 + (nd - df2 + 0.5) / (df2 + 0.5))
+                       * (CAST(tf2 AS DOUBLE) * 2.2)
+                       / (CAST(tf2 AS DOUBLE)
+                          + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))),
+                   6) AS score
+            FROM feat CROSS JOIN stats
+        ), rel AS (
+            SELECT doc_id,
+                   (CASE WHEN tf0 > 0 THEN 1 ELSE 0 END
+                    + CASE WHEN tf1 > 0 THEN 1 ELSE 0 END
+                    + CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS grade
+            FROM feat
+        ), ranked AS (
+            SELECT b.doc_id, r.grade,
+                   ROW_NUMBER() OVER (ORDER BY b.score DESC, b.doc_id) AS pos
+            FROM bm25 b JOIN rel r ON r.doc_id = b.doc_id
+            WHERE b.score > 0
+        ), dcg AS (
+            SELECT SUM((POWER(2, grade) - 1) / LOG2(pos + 1.0)) AS dcg
+            FROM ranked WHERE pos <= 10
+        ), ideal AS (
+            SELECT SUM((POWER(2, grade) - 1) / LOG2(ipos + 1.0)) AS idcg
+            FROM (SELECT grade,
+                         ROW_NUMBER() OVER (ORDER BY grade DESC, doc_id) AS ipos
+                  FROM rel) WHERE ipos <= 10
+        )
+        SELECT ROUND(dcg.dcg, 6) AS dcg_at_10,
+               ROUND(ideal.idcg, 6) AS idcg_at_10,
+               ROUND(dcg.dcg / ideal.idcg, 6) AS ndcg_at_10
+        FROM dcg CROSS JOIN ideal
+    """,
+)
+def t46_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ai_iceberg_demo_spark.functions.text import lexical_terms
+
+    docs = load_table(spark, "documents", sf_dir)
+    toked = docs.select("doc_id", lexical_terms(F.col("text")).alias("t"))
+    grade = sum(
+        F.when(F.size(F.filter(F.col("t"), lambda x: x == F.lit(term))) > 0, 1).otherwise(0)
+        for term in QUERY_TERMS
+    )
+    rel = toked.select("doc_id", grade.alias("grade"))
+    scored = _bm25_scored(spark, sf_dir)
+    ranked = (
+        scored.join(rel, "doc_id")
+        .withColumn(
+            "pos", F.row_number().over(W.orderBy(F.desc("score"), F.asc("doc_id")))
+        )
+        .filter(F.col("pos") <= 10)
+    )
+    dcg = ranked.agg(
+        F.sum((F.pow(2.0, F.col("grade")) - 1) / F.log2(F.col("pos") + 1.0)).alias("dcg")
+    )
+    ideal = (
+        rel.withColumn(
+            "ipos", F.row_number().over(W.orderBy(F.desc("grade"), F.asc("doc_id")))
+        )
+        .filter(F.col("ipos") <= 10)
+        .agg(
+            F.sum((F.pow(2.0, F.col("grade")) - 1) / F.log2(F.col("ipos") + 1.0)).alias(
+                "idcg"
+            )
+        )
+    )
+    return dcg.crossJoin(F.broadcast(ideal)).select(
+        F.round("dcg", 6).alias("dcg_at_10"),
+        F.round("idcg", 6).alias("idcg_at_10"),
+        F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg_at_10"),
+    )

@@ -1850,3 +1850,69 @@ def t45_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         cum.alias("cum_value"),
         F.round(cum / F.col("n_users"), 6).alias("ltv_per_user"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t47: classifier evaluation report (confusion matrix + P/R/F1)
+# ---------------------------------------------------------------------------
+
+
+@REGISTRY.register(
+    name="t47_classifier_eval",
+    survey_ref="training-data (model eval: confusion matrix); t33's metric layer",
+    doc="full binary-classifier evaluation of the weak labeler pair "
+    "t33 scores for agreement: rater A (value ≥ 5) PREDICTING rater "
+    "B's 'active intent' label — confusion counts (tp/fp/fn/tn), "
+    "precision, recall, F1, accuracy in one closed-form row. THE "
+    "report every auto-labeling pipeline prints before its labels "
+    "train anything; one map-side aggregate (t27's shape), event "
+    "volume reduces to four counters.",
+    oracle="""
+        WITH labeled AS (
+            SELECT CASE WHEN value >= 5 THEN 1 ELSE 0 END AS pred,
+                   CASE WHEN event_type IN ('click', 'purchase', 'signup')
+                        THEN 1 ELSE 0 END AS actual
+            FROM events WHERE value IS NOT NULL
+        ), c AS (
+            SELECT CAST(SUM(CASE WHEN pred = 1 AND actual = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                   CAST(SUM(CASE WHEN pred = 1 AND actual = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                   CAST(SUM(CASE WHEN pred = 0 AND actual = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+                   CAST(SUM(CASE WHEN pred = 0 AND actual = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+            FROM labeled
+        )
+        SELECT tp, fp, fn, tn,
+               ROUND(CAST(tp AS DOUBLE) / (tp + fp), 6) AS precision,
+               ROUND(CAST(tp AS DOUBLE) / (tp + fn), 6) AS recall,
+               ROUND(2.0 * tp / (2.0 * tp + fp + fn), 6) AS f1,
+               ROUND(CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn), 6) AS accuracy
+        FROM c
+    """,
+)
+def t47_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).filter(F.col("value").isNotNull())
+    pred = F.when(F.col("value") >= 5, 1).otherwise(0)
+    actual = F.when(
+        F.col("event_type").isin("click", "purchase", "signup"), 1
+    ).otherwise(0)
+    c = ev.select(pred.alias("p"), actual.alias("a")).agg(
+        F.sum(F.when((F.col("p") == 1) & (F.col("a") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tp"),
+        F.sum(F.when((F.col("p") == 1) & (F.col("a") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fp"),
+        F.sum(F.when((F.col("p") == 0) & (F.col("a") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fn"),
+        F.sum(F.when((F.col("p") == 0) & (F.col("a") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tn"),
+    )
+    tp, fp, fn, tn = (F.col(x).cast("double") for x in ("tp", "fp", "fn", "tn"))
+    return c.select(
+        "tp", "fp", "fn", "tn",
+        F.round(tp / (tp + fp), 6).alias("precision"),
+        F.round(tp / (tp + fn), 6).alias("recall"),
+        F.round(2.0 * tp / (2.0 * tp + fp + fn), 6).alias("f1"),
+        F.round((tp + tn) / (tp + fp + fn + tn), 6).alias("accuracy"),
+    )
