@@ -483,3 +483,79 @@ def f36_json_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("valid")
         .alias("verdict"),
     )
+
+
+# ---------------------------------------------------------------------------
+# f37: suffixed-numeric normalization ("3.5k" → 3500)
+# ---------------------------------------------------------------------------
+
+
+@REGISTRY.register(
+    name="f37_numeric_normalize",
+    survey_ref="F-family extra (messy-numeric ingest); f12/f14's sibling",
+    doc="normalization of human-formatted numerics — '3.5k', '2M', "
+    "'75%', '1,250' — into doubles, the scrubber every scraped-metrics "
+    "ingest needs before arithmetic. The fixture has no messy numbers "
+    "(planted: event_id%7 cycles the four formats built from value), "
+    "and parse failures (planted 'n/a' at %29==0) yield NULL + a "
+    "parseable=false flag instead of poisoning the pipeline. Pure "
+    "regexp/CASE column expressions — map-only, codegen'd, no UDF.",
+    oracle="""
+        WITH salted AS (
+            SELECT event_id,
+                   CASE WHEN event_id % 29 = 0 THEN 'n/a'
+                        WHEN event_id % 7 = 1 THEN CAST(ROUND(value, 1) AS VARCHAR) || 'k'
+                        WHEN event_id % 7 = 2 THEN CAST(ROUND(value, 1) AS VARCHAR) || 'M'
+                        WHEN event_id % 7 = 3 THEN CAST(ROUND(value, 1) AS VARCHAR) || '%'
+                        WHEN event_id % 7 = 4 THEN '1,' || LPAD(CAST(CAST(ROUND(value * 10, 0) AS BIGINT) AS VARCHAR), 3, '0')
+                        ELSE CAST(ROUND(value, 2) AS VARCHAR) END AS raw
+            FROM events
+        ), parsed AS (
+            SELECT event_id, raw,
+                   TRY_CAST(REGEXP_EXTRACT(REPLACE(raw, ',', ''),
+                                           '^([0-9]+(?:\\.[0-9]+)?)', 1) AS DOUBLE) AS base,
+                   CASE WHEN raw LIKE '%k' THEN 1000.0
+                        WHEN raw LIKE '%M' THEN 1000000.0
+                        WHEN raw LIKE '%\\%' ESCAPE '\\' THEN 0.01
+                        ELSE 1.0 END AS mult
+            FROM salted
+        )
+        SELECT event_id, raw,
+               ROUND(base * mult, 6) AS normalized,
+               base IS NOT NULL AS parseable
+        FROM parsed
+    """,
+)
+def f37_numeric_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    v1 = F.round("value", 1).cast("string")
+    raw = (
+        F.when(F.col("event_id") % 29 == 0, F.lit("n/a"))
+        .when(F.col("event_id") % 7 == 1, F.concat(v1, F.lit("k")))
+        .when(F.col("event_id") % 7 == 2, F.concat(v1, F.lit("M")))
+        .when(F.col("event_id") % 7 == 3, F.concat(v1, F.lit("%")))
+        .when(
+            F.col("event_id") % 7 == 4,
+            F.concat(
+                F.lit("1,"),
+                F.lpad(F.round(F.col("value") * 10, 0).cast("bigint").cast("string"), 3, "0"),
+            ),
+        )
+        .otherwise(F.round("value", 2).cast("string"))
+    )
+    salted = ev.select("event_id", raw.alias("raw"))
+    base = F.regexp_extract(
+        F.replace(F.col("raw"), F.lit(","), F.lit("")), r"^([0-9]+(?:\.[0-9]+)?)", 1
+    ).try_cast("double")
+    mult = (
+        F.when(F.col("raw").endswith("k"), 1000.0)
+        .when(F.col("raw").endswith("M"), 1000000.0)
+        .when(F.col("raw").endswith("%"), 0.01)
+        .otherwise(1.0)
+    )
+    return salted.select(
+        "event_id",
+        "raw",
+        F.round(base * mult, 6).alias("normalized"),
+        base.isNotNull().alias("parseable"),
+    )

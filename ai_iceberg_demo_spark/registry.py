@@ -115,9 +115,9 @@ class Registry:
 # s14_expectation_suite, m15_incremental_agg, u31_kfold_splits,
 # t41_retention_decay_fit, v11c_kmeans_unrolled, v12b_power_iteration, pipeline_governance, q18_large_volume_customers, a17_mode_entropy, t42_stream_static_enrich, w9_mom_growth, a18_gini_concentration,
 # t43_dau_wau_stickiness, v26_embedding_qa, f36_json_contract, t45_cohort_ltv,
-# s15_freshness_slo, t46_ndcg_eval, t47_classifier_eval — all
+# s15_freshness_slo, t46_ndcg_eval, t47_classifier_eval, f37_numeric_normalize — all
 # pytest-oracle-verified this round), followed by the r2-core cohort
-# (42 queries, newest row r2 — then 4 rounds stale). The 18 + 44 = 62
+# (42 queries, newest row r2 — then 4 rounds stale). The 18 + 45 = 63
 # first-timers overfill the r6 window by one; the overflow and the
 # r2-core cohort head the r7 queue. All rotated-out queries
 # stay covered by the per-round pytest oracle sweep
