@@ -951,10 +951,11 @@ def u18_upsample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT doc_id,
                b AS bin_id,
-               GREATEST(s, b * {PACK_BUDGET}) - s AS doc_offset,
-               GREATEST(s, b * {PACK_BUDGET}) - b * {PACK_BUDGET} AS bin_offset,
-               LEAST(s + n, (b + 1) * {PACK_BUDGET})
-                   - GREATEST(s, b * {PACK_BUDGET}) AS seg_len
+               CAST(GREATEST(s, b * {PACK_BUDGET}) - s AS BIGINT) AS doc_offset,
+               CAST(GREATEST(s, b * {PACK_BUDGET}) - b * {PACK_BUDGET}
+                    AS BIGINT) AS bin_offset,
+               CAST(LEAST(s + n, (b + 1) * {PACK_BUDGET})
+                    - GREATEST(s, b * {PACK_BUDGET}) AS BIGINT) AS seg_len
         FROM pos,
              UNNEST(GENERATE_SERIES(CAST(s // {PACK_BUDGET} AS BIGINT),
                                     CAST((s + n - 1) // {PACK_BUDGET} AS BIGINT)))

@@ -51,6 +51,18 @@ def test_query_matches_oracle(spark, duck, name):
     assert value_hash(sdf) == value_hash(odf), "order-insensitive value hash differs"
 
 
+def test_no_oracle_emits_forbidden_duckdb_types():
+    """No oracle may output HUGEINT/INT128 columns: pandas renders them
+    as float64 while Spark emits BIGINT, so the driver's value-hash
+    diverges even when every value matches (u19's r5 red row).  The
+    lint DESCRIBEs every oracle — it catches the class, not just the
+    instance."""
+    from tools.oracle_check import lint_oracle_types
+
+    hits = lint_oracle_types(SF_DIR)
+    assert hits == [], f"oracles with forbidden output types: {hits}"
+
+
 def test_hll_merge_equals_whole_and_is_accurate(spark):
     """a8b's mergeability claim, enforced: unioning per-shard sketches
     estimates the same cardinality as sketching the whole table (HLL

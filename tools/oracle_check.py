@@ -58,7 +58,48 @@ def value_hash(df: pd.DataFrame) -> str:
     return hashlib.md5("\x1e".join(rows).encode()).hexdigest()
 
 
+#: DuckDB output types that pandas renders as float64 (or otherwise
+#: differently from Spark), silently breaking the driver's value-hash
+#: even when every value matches.  u19 hit this in r5: a window SUM over
+#: BIGINT promotes to HUGEINT (int128), pandas shows `32.0`, Spark `32`.
+_FORBIDDEN_ORACLE_TYPES = ("HUGEINT", "INT128", "UHUGEINT")
+
+
+def lint_oracle_types(sf_dir: str = "/root/testdata/sf0.001") -> list[str]:
+    """Scan every oracle's DuckDB *output schema* for forbidden types.
+
+    Uses ``DESCRIBE <sql>`` (plans, doesn't execute) so the scan is cheap
+    at any sf.  Returns ["name: col TYPE", ...] — empty means clean.
+    """
+    import __spark_entry__ as e
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    hits = []
+    for name, sql in e.oracle_sql().items():
+        try:
+            desc = con.execute(f"DESCRIBE {sql}").fetchall()
+        except Exception as exc:  # DESCRIBE chokes → surface, don't hide
+            hits.append(f"{name}: DESCRIBE failed: {exc}")
+            continue
+        for col, ctype, *_ in desc:
+            if any(bad in str(ctype).upper() for bad in _FORBIDDEN_ORACLE_TYPES):
+                hits.append(f"{name}: {col} {ctype}")
+    con.close()
+    return hits
+
+
 def main() -> int:
+    if "--lint-types" in sys.argv[1:]:
+        rest = [a for a in sys.argv[1:] if a != "--lint-types"]
+        sf_dir = rest[0] if rest else "/root/testdata/sf0.001"
+        hits = lint_oracle_types(sf_dir)
+        for h in hits:
+            print(f"TYPE-LINT  {h}")
+        print(f"{len(hits)} forbidden-typed oracle output columns")
+        return 1 if hits else 0
+
     sf_dir = sys.argv[1] if len(sys.argv) > 1 and "/" in sys.argv[1] else "/root/testdata/sf0.01"
     only = [a for a in sys.argv[1:] if "/" not in a]
 
