@@ -124,59 +124,72 @@ class Registry:
 # (tests/test_queries_oracle.py). t22/t23 changed code this round
 # (shared f31 pretokenizer) — their slots double as the post-change
 # re-pin.
+# Round 6 executes the r5-queued rotation: 63 first-timers for 50
+# slots. The 18 r4-overflow names that have waited longest go first,
+# then the 45 operators first registered in r5, in r5-comment order;
+# the last 13 of those (q18_large_volume_customers, a17_mode_entropy,
+# t42_stream_static_enrich, w9_mom_growth, a18_gini_concentration,
+# t43_dau_wau_stickiness, v26_embedding_qa, f36_json_contract,
+# t45_cohort_ltv, s15_freshness_slo, t46_ndcg_eval,
+# t47_classifier_eval, f37_numeric_normalize) overflow to r7, followed
+# by the r2-core cohort (42 queries, newest driver row r2 — 5 rounds
+# stale by then). u28_negative_samples changed code this round (the
+# same-item exclusion fix) — its slot doubles as the post-change
+# re-pin. Operators first registered in r6 ride the per-round pytest
+# oracle sweep (tests/test_queries_oracle.py) and queue for r7 behind
+# the overflow. All rotated-out queries stay covered by that same
+# sweep every round.
 _DRIVER_WINDOW_PRIORITY = [
-    # --- r3/r4 first-timers, in r4-queue order ---
-    "u11b_epoch_shuffle_2",
-    "pipeline_incremental_curation",
-    "t17b_semantic_decontamination",
-    "t21_bigram_merge_stats",
-    "d10_exact_substring_removal",
-    "v12_pca_project",
-    "t22_bm25_topk",
-    "t23_hybrid_rrf",
-    "u13_data_card",
-    "u6b_group_split",
-    "v13_standardize",
-    "t13_watermark_audit",
-    "v8e_phash_dedup",
-    "d11_source_overlap",
-    "g1_pagerank",
-    "t14_funnel",
-    "t14b_retention",
-    "a11b_histogram_quantiles",
-    "m6_scd2_upsert",
-    "v14_mmr_rerank",
-    "v15_topic_terms",
-    "u17_weighted_sample",
-    "u15_quality_calibration",
-    "m8_snapshot_diff",
-    "m9_compaction_plan",
-    "o6_zorder_key",
-    "v18_knn_graph",
-    "v19_contrastive_mining",
-    "g2_label_propagation",
-    "m10_wap_audit",
-    "t27_ab_test",
-    "t28_streaming_wap",
-    "u18_upsample_mix",
-    "m11_orphan_files",
-    "v20_quantize_embeddings",
-    "m12_maintenance_plan",
-    "u19_packing_split",
-    "w7_cumulative_uniques",
-    "f31_pretokenize",
-    "v21_cluster_quality",
-    "t30_rate_limit",
-    "v8f_scene_cut",
-    "u20_quality_deciles",
-    "s10_column_profile",
-    # --- the 6 remaining hash-oracled first-timers ---
-    "s11_fk_inclusion",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "a14_skew_report",
-    "a15_frequent_tokens",
-    "o7_consistent_hashing",
+    "u14_curriculum_order",
+    "u16_interleave_sources",
+    "u21_length_batching",
+    "u22_dedup_aware_mixture",
+    "m6b_asof_dimension",
+    "m7_retention_audit",
+    "m8b_changelog_apply",
+    "f30_unicode_fold",
+    "v16_embedding_drift",
+    "v17_diverse_sample",
+    "v22_matryoshka_eval",
+    "t25_session_sequences",
+    "t26_burst_detection",
+    "t29_conversion_latency",
+    "t31_seasonality",
+    "d12_containment",
+    "pipeline_eval_prep",
+    "pipeline_multimodal_prep",
+    "u23_dsir_weights",
+    "u25_dataset_manifest",
+    "a16_countmin_probe",
+    "d13_intradoc_span_dedup",
+    "m13_k_anonymity",
+    "t33_rater_agreement",
+    "t34_preference_pairs",
+    "t35_next_item_examples",
+    "pipeline_index_maintenance",
+    "v24_label_noise",
+    "d14_minhash_calibration",
+    "v8g_corrupt_blobs",
+    "s12_subject_access",
+    "t36_streaming_drift",
+    "t37_streaming_sketch",
+    "pipeline_dsir_selection",
+    "m14_snapshot_expiry",
+    "f32_bpe_merge_apply",
+    "s13_multiformat_roundtrip",
+    "w8_activity_streaks",
+    "v25_ivf_tuning_curve",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "t38_cusum_changepoint",
+    "u28_negative_samples",
+    "s14_expectation_suite",
+    "m15_incremental_agg",
+    "u31_kfold_splits",
+    "t41_retention_decay_fit",
+    "v11c_kmeans_unrolled",
+    "v12b_power_iteration",
+    "pipeline_governance",
 ]
 
 

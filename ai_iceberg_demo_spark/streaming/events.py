@@ -1514,13 +1514,16 @@ _NEG_PER_PAIR = 3
             JOIN vocab vc ON vc.item = p.chosen_item
             JOIN vocab vr ON vr.item = p.rejected_item
         ), drawn AS (
+            -- a user whose argmax and argmin ratings land on the SAME
+            -- item excludes only ONE rank: draw modulo nv-1, not nv-2
             SELECT user_id, chosen_item, rejected_item, j,
                    (('0x' || SUBSTR(MD5(CAST(user_id AS VARCHAR) || '#' || CAST(j AS VARCHAR)), 1, 8))::BIGINT
-                    % (nv - 2)) AS idx0, e1, e2
+                    % (nv - CASE WHEN e1 = e2 THEN 1 ELSE 2 END)) AS idx0, e1, e2
             FROM ranked_pairs, (SELECT UNNEST(GENERATE_SERIES(1, {_NEG_PER_PAIR})) AS j) u
         ), shifted AS (
             SELECT user_id, chosen_item, rejected_item, j,
-                   CASE WHEN (CASE WHEN idx0 >= e1 THEN idx0 + 1 ELSE idx0 END) >= e2
+                   CASE WHEN e1 <> e2
+                             AND (CASE WHEN idx0 >= e1 THEN idx0 + 1 ELSE idx0 END) >= e2
                         THEN (CASE WHEN idx0 >= e1 THEN idx0 + 1 ELSE idx0 END) + 1
                         ELSE (CASE WHEN idx0 >= e1 THEN idx0 + 1 ELSE idx0 END) END AS idx
             FROM drawn
@@ -1575,10 +1578,14 @@ def u28_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             16, 10,
         ).cast("long")
-        % (F.col("nv") - 2),
+        # same-item edge: argmax and argmin on one item exclude a
+        # single rank, so the draw space is nv-1, not nv-2
+        % (F.col("nv") - F.when(F.col("e1") == F.col("e2"), 1).otherwise(2)),
     )
     step1 = F.when(F.col("idx0") >= F.col("e1"), F.col("idx0") + 1).otherwise(F.col("idx0"))
-    idx = F.when(step1 >= F.col("e2"), step1 + 1).otherwise(step1)
+    idx = F.when(
+        (F.col("e1") != F.col("e2")) & (step1 >= F.col("e2")), step1 + 1
+    ).otherwise(step1)
     shifted = drawn.withColumn("idx", idx)
     vneg = vocab.select(F.col("r").alias("idx"), F.col("item").alias("negative_item"))
     return shifted.join(F.broadcast(vneg), "idx").select(

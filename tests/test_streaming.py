@@ -887,6 +887,58 @@ def test_negative_samples_never_collide_and_are_complete(spark):
     }
 
 
+def test_negative_samples_same_item_pair_draws_from_nv_minus_1(spark, tmp_path):
+    """The same-item edge (VERDICT r5 #2): a user whose argmax and
+    argmin ratings land on the SAME item excludes only ONE vocab rank,
+    so the draw space is nv-1 — the old nv-2 modulo over-shifted past
+    the duplicate rank and silently dropped an innocent item.  Plants
+    such a user and checks the drawn negatives against the exact
+    order-statistics arithmetic computed independently in Python."""
+    import hashlib
+    import json
+
+    import pandas as pd
+
+    from ai_iceberg_demo_spark.streaming.events import u28_negative_samples
+
+    items = ["apple", "banana", "cherry", "date", "elder", "fig", "grape"]
+    rows = []
+    eid = 0
+    # normal users: two distinct items each, keeps vocab populated
+    for uid, (hi, lo) in enumerate([(0, 3), (1, 4), (2, 5), (3, 6)], start=1):
+        for item, rating in ((items[hi], 5.0), (items[lo], 1.0)):
+            rows.append((eid, pd.Timestamp("2024-01-01") + pd.Timedelta(hours=eid),
+                         uid, "rate", rating, json.dumps({"k": item})))
+            eid += 1
+    # the planted user: item "cherry" rated twice (max AND min), plus a
+    # middle-rated distinct item so the dup isn't the only rating
+    dup_uid = 99
+    for item, rating in (("cherry", 5.0), ("date", 3.0), ("cherry", 1.0)):
+        rows.append((eid, pd.Timestamp("2024-01-01") + pd.Timedelta(hours=eid),
+                     dup_uid, "rate", rating, json.dumps({"k": item})))
+        eid += 1
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"])
+    sf_dir = str(tmp_path / "planted")
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(f"{sf_dir}/events.parquet")
+
+    out = u28_negative_samples(spark, sf_dir).collect()
+    dup_rows = sorted(
+        (r for r in out if r["user_id"] == dup_uid), key=lambda r: r["neg_rank"]
+    )
+    assert len(dup_rows) == 3
+    assert all(r["chosen_item"] == r["rejected_item"] == "cherry" for r in dup_rows)
+    # independent order-statistics replay: ONE excluded rank, draw mod nv-1
+    vocab = sorted(items)
+    nv = len(vocab)
+    e1 = vocab.index("cherry")
+    for r in dup_rows:
+        h = hashlib.md5(f"{dup_uid}#{r['neg_rank']}".encode()).hexdigest()
+        idx0 = int(h[:8], 16) % (nv - 1)
+        idx = idx0 + 1 if idx0 >= e1 else idx0
+        assert r["negative_item"] == vocab[idx]
+        assert r["negative_item"] != "cherry"
+
+
 def test_sink_retry_is_idempotent_for_wap_drift_and_sketch(spark, tmp_path):
     """A foreachBatch retry that re-runs an already-committed batch_id
     (checkpoint commit lost mid-crash) must leave every state table
