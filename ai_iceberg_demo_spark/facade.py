@@ -161,6 +161,7 @@ class VectorRAG:
         n_cells: int = 16,
         n_probe: int = 4,
         n_iter: int = 2,
+        qa_norm_z: float | None = None,
     ) -> bool:
         """M5: ``CREATE VECTOR INDEX IF NOT EXISTS`` (neo4j_rag.py:144-157).
 
@@ -194,6 +195,17 @@ class VectorRAG:
                     f"{existing!r}, not {kind!r} — drop_vector_index first"
                 )
             return False
+        # v26 as the build gate (VERDICT r5 missing #4): a zero vector
+        # or wrong-dim row never enters the index tables silently. The
+        # default gate is map-only (no extra shuffle); qa_norm_z adds
+        # the norm-outlier class. Quarantined rows are exposed for
+        # review via the session-scoped ``{name}__quarantine`` view.
+        from ai_iceberg_demo_spark.vector.similarity import embedding_qa_gate
+
+        vectors, quarantined = embedding_qa_gate(
+            self.embeddings, dim=dim, norm_z=qa_norm_z
+        )
+        quarantined.createOrReplaceTempView(f"{name}__quarantine")
         # Write order = commit protocol: auxiliary tables (meta,
         # centroids) land FIRST with overwrite, the probed main table
         # LAST with errorifexists. tableExists(name) is the existence
@@ -209,7 +221,7 @@ class VectorRAG:
             )
             meta.write.format("parquet").mode("overwrite").saveAsTable(f"{name}__meta")
             index = build_lsh_index(
-                self.embeddings, n_tables=n_tables, n_planes=n_planes, seed=seed, dim=dim
+                vectors, n_tables=n_tables, n_planes=n_planes, seed=seed, dim=dim
             )
             index.write.format("parquet").mode("errorifexists").bucketBy(
                 16, "t", "b"
@@ -219,15 +231,15 @@ class VectorRAG:
             from ai_iceberg_demo_spark.vector.similarity import assign_cells
 
             meta = spark.createDataFrame(
-                [(kind, n_cells, n_probe, n_iter)],
-                "kind string, n_cells int, n_probe int, n_iter int",
+                [(kind, n_cells, n_probe, n_iter, dim)],
+                "kind string, n_cells int, n_probe int, n_iter int, dim int",
             )
             meta.write.format("parquet").mode("overwrite").saveAsTable(f"{name}__meta")
-            centroids = kmeans_train(self.embeddings, k=n_cells, n_iter=n_iter)
+            centroids = kmeans_train(vectors, k=n_cells, n_iter=n_iter)
             centroids.write.format("parquet").mode("overwrite").saveAsTable(
                 f"{name}__centroids"
             )
-            assigned = assign_cells(self.embeddings, spark.table(f"{name}__centroids"))
+            assigned = assign_cells(vectors, spark.table(f"{name}__centroids"))
             assigned.write.format("parquet").mode("errorifexists").bucketBy(
                 min(16, n_cells), "cell_id"
             ).saveAsTable(name)
@@ -260,9 +272,14 @@ class VectorRAG:
             raise ValueError(
                 f"vector index {name!r} does not exist — create_vector_index first"
             )
+        from ai_iceberg_demo_spark.vector.similarity import embedding_qa_gate
+
         m = spark.table(f"{name}__meta").collect()[0]
+        # the same v26 gate the build ran: an upserted batch is the
+        # likeliest place a provider regression lands a degenerate row
+        gated, _ = embedding_qa_gate(new_vectors, dim=int(m["dim"]))
         existing_ids = spark.table(name).select("vec_id").distinct()
-        fresh = new_vectors.join(existing_ids, "vec_id", "left_anti")
+        fresh = gated.join(existing_ids, "vec_id", "left_anti")
         if m["kind"] == "lsh":
             from ai_iceberg_demo_spark.vector.similarity import build_lsh_index
 

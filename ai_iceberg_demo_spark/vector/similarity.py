@@ -1112,6 +1112,56 @@ def v25_ivf_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def embedding_qa_gate(
+    vectors: DataFrame,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    norm_z: float | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """v26's triage as the reusable gate in front of every M5 index
+    build: split ``vectors`` into (clean, quarantined) so a zero
+    vector (unusable for cosine) or wrong-dim row (pipeline bug) never
+    enters an LSH/IVF table silently.
+
+    The default gate is MAP-ONLY — dim check + L2-norm-zero check add
+    zero shuffles to the build. ``norm_z`` optionally adds v26's
+    norm-outlier class (|z| >= norm_z vs corpus norm stats) at the
+    cost of one broadcast 1-row aggregate; off by default because a
+    legitimate re-scale should quarantine at ingest review, not
+    silently drop mass from the index.
+
+    Quarantined rows carry a ``qa_verdict`` column naming their class.
+    Reference analog: the reference indexes only rows with a non-null
+    embedding property (neo4j_rag.py:236-241); this is that discipline
+    with the degenerate classes made explicit."""
+    e = as_double(F.col(vec_col))
+    nrm = F.sqrt(dot(e, e))
+    verdict = F.when(F.size(F.col(vec_col)) != dim, "wrong_dim").when(
+        nrm == 0, "zero_vector"
+    )
+    if norm_z is not None:
+        stats = (
+            vectors.select(nrm.alias("_n"), F.size(F.col(vec_col)).alias("_d"))
+            .filter((F.col("_d") == dim) & (F.col("_n") > 0))
+            .agg(
+                F.avg("_n").alias("_m"), F.stddev_samp("_n").alias("_sd")
+            )
+        )
+        tagged = vectors.crossJoin(F.broadcast(stats)).withColumn(
+            "qa_verdict",
+            verdict.when(
+                (F.col("_sd") > 0)
+                & (F.abs((nrm - F.col("_m")) / F.col("_sd")) >= norm_z),
+                "norm_outlier",
+            ).otherwise("ok"),
+        ).drop("_m", "_sd")
+    else:
+        tagged = vectors.withColumn("qa_verdict", verdict.otherwise("ok"))
+    clean = tagged.filter(F.col("qa_verdict") == "ok").drop("qa_verdict")
+    quarantined = tagged.filter(F.col("qa_verdict") != "ok")
+    return clean, quarantined
+
+
 @REGISTRY.register(
     name="v26_embedding_qa",
     survey_ref="V-family extra (embedding ingest QA); v8g's vector sibling",

@@ -326,3 +326,58 @@ def test_upsert_vector_index_appends_only_new_vectors(spark):
         assert "does not exist" in str(missing.value)
     finally:
         rag.drop_vector_index(name)
+
+
+def test_index_build_quarantines_degenerate_vectors(spark):
+    """VERDICT r5 task #3: v26's QA gate fronts every M5 index build —
+    a planted zero vector and wrong-dim row reach NEITHER the LSH nor
+    the IVF index tables (and not via upsert either); both surface in
+    the session's ``{name}__quarantine`` view with their class."""
+    emb = load_table(spark, "embeddings", SF_DIR).select("vec_id", "embedding")
+    docs = load_table(spark, "documents", SF_DIR)
+    degenerates = spark.range(1).select(
+        F.lit(9000001).cast("long").alias("vec_id"),
+        F.expr("transform(sequence(1, 64), i -> 0.0d)").alias("embedding"),
+    ).unionByName(
+        spark.range(1).select(
+            F.lit(9000002).cast("long").alias("vec_id"),
+            F.expr("transform(sequence(1, 32), i -> 0.1d)").alias("embedding"),
+        )
+    )
+    poisoned = emb.filter(F.col("vec_id") < 200).unionByName(degenerates)
+
+    for kind in ("lsh", "ivf"):
+        name = f"t_vec_idx_qa_{kind}"
+        rag = VectorRAG(poisoned, docs)
+        rag.drop_vector_index(name)
+        try:
+            assert rag.create_vector_index(name, kind=kind) is True
+            indexed = {
+                r["vec_id"] for r in spark.table(name).select("vec_id").collect()
+            }
+            assert 9000001 not in indexed and 9000002 not in indexed
+            assert len(indexed) > 0
+            q = {
+                r["vec_id"]: r["qa_verdict"]
+                for r in spark.table(f"{name}__quarantine").collect()
+            }
+            assert q == {9000001: "zero_vector", 9000002: "wrong_dim"}
+
+            # the upsert path runs the same gate: a batch mixing one
+            # clean new vector with one degenerate appends only the
+            # clean one
+            batch = emb.filter(F.col("vec_id") == 499).unionByName(
+                spark.range(1).select(
+                    F.lit(9000003).cast("long").alias("vec_id"),
+                    F.expr("transform(sequence(1, 64), i -> 0.0d)").alias(
+                        "embedding"
+                    ),
+                )
+            )
+            assert rag.upsert_vector_index(batch, name) == 1
+            after = {
+                r["vec_id"] for r in spark.table(name).select("vec_id").collect()
+            }
+            assert 499 in after and 9000003 not in after
+        finally:
+            rag.drop_vector_index(name)
