@@ -104,7 +104,9 @@ def lsh_bucket(vec: Column, planes: np.ndarray) -> Column:
     return bucket
 
 
-def lsh_signatures(vec: Column, tables: list[np.ndarray]) -> Column:
+def lsh_signatures(
+    vec: Column, tables: list[np.ndarray], round_digits: int | None = None
+) -> Column:
     """All L bucket ids for a vector in ONE Arrow-batched matmul:
     (batch × dim) @ (dim × L·k) sign bits, packed per table into a
     length-L long array. Bit-identical to applying `lsh_bucket` per
@@ -112,7 +114,11 @@ def lsh_signatures(vec: Column, tables: list[np.ndarray]) -> Column:
     L·k interpreted aggregate() chains that never enter whole-stage
     codegen — measured 9× slower at 60 planes. This is the documented
     Python-seam exception (f30's rule): a dense numeric kernel with no
-    relational form, Arrow-batched, map-only."""
+    relational form, Arrow-batched, map-only.
+
+    ``round_digits`` rounds each plane·vec dot before the sign test —
+    the quantization that makes a signature replayable bit-exactly by
+    a SQL engine summing in a different order (v27/v3d's oracles)."""
     planes = np.stack(tables)  # (T, K, dim)
     n_tables_, n_planes_, _dim = planes.shape
     flat = planes.reshape(n_tables_ * n_planes_, _dim)
@@ -123,10 +129,64 @@ def lsh_signatures(vec: Column, tables: list[np.ndarray]) -> Column:
         if len(v) == 0:
             return pd.Series([], dtype=object)
         x = np.stack(v.to_numpy()).astype(np.float64)
-        bits = (x @ flat.T > 0).reshape(len(x), n_tables_, n_planes_)
+        dots = x @ flat.T
+        if round_digits is not None:
+            dots = np.round(dots, round_digits)
+        bits = (dots > 0).reshape(len(x), n_tables_, n_planes_)
         return pd.Series(list(bits @ weights))
 
     return _sigs(vec)
+
+
+def md5_planes(n_tables: int, n_planes: int, dim: int) -> list[np.ndarray]:
+    """A PINNED hyperplane family derived from MD5, not an RNG: plane
+    component (t, p, i) = (int(md5(f"lsh#{t}#{p}#{i}")[:8], 16) % 2001
+    - 1000) / 1000. Same recall behavior as seeded Gaussian planes for
+    sign-test LSH (only the direction matters), but every component is
+    replayable in ANSI SQL — which upgrades the LSH index family from
+    rows-only recall tests to hash-checked oracles (v27/v3d), the
+    discipline v11c/v12b applied to clustering."""
+    import hashlib
+
+    out = []
+    for t in range(n_tables):
+        tbl = np.empty((n_planes, dim))
+        for p in range(n_planes):
+            for i in range(dim):
+                h = int(
+                    hashlib.md5(f"lsh#{t}#{p}#{i}".encode()).hexdigest()[:8], 16
+                )
+                tbl[p, i] = (h % 2001 - 1000) / 1000.0
+        out.append(tbl)
+    return out
+
+
+#: SQL twin of ``md5_planes`` — one (t, p, i, w) row per component.
+_MD5_PLANES_SQL = """
+        SELECT t.t, p.p, i.i,
+               ((('0x' || SUBSTR(MD5('lsh#' || CAST(t.t AS VARCHAR) || '#'
+                                  || CAST(p.p AS VARCHAR) || '#'
+                                  || CAST(i.i AS VARCHAR)), 1, 8))::BIGINT
+                 % 2001) - 1000) / 1000.0 AS w
+        FROM (SELECT UNNEST(GENERATE_SERIES(0, {tmax})) AS t) t,
+             (SELECT UNNEST(GENERATE_SERIES(0, {pmax})) AS p) p,
+             (SELECT UNNEST(GENERATE_SERIES(0, {imax})) AS i) i
+"""
+
+#: SQL twin of the signature step: expects CTEs ``planes`` (t, p, i, w)
+#: and ``comps`` (vec_id, i, x); defines ``dots`` then ``sigs``
+#: (vec_id, t, b) — per-table bucket ids from rounded-dot sign bits.
+_MD5_SIGS_SQL = """
+        dots AS (
+            SELECT c.vec_id, pl.t, pl.p, ROUND(SUM(pl.w * c.x), 6) AS d
+            FROM comps c JOIN planes pl ON pl.i = c.i
+            GROUP BY c.vec_id, pl.t, pl.p
+        ), sigs AS (
+            SELECT vec_id, t,
+                   SUM(CASE WHEN d > 0 THEN (1::BIGINT << p) ELSE 0 END) AS b
+            FROM dots GROUP BY vec_id, t
+        )
+"""
 
 
 def lsh_tables(n_tables: int, n_planes: int, seed: int, dim: int) -> list[np.ndarray]:

@@ -44,12 +44,18 @@ def main() -> None:
     # numbers measure the plans, not session startup
     spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
 
-    # steady-state timing: best of N runs per query (first executions
-    # absorb one-time whole-stage-codegen compilation and broadcast
-    # thread-pool spin-up that a long-lived cluster pays once)
+    # steady-state timing: ONE UNTIMED WARM RUN per query, then best of
+    # N timed runs. The warm run absorbs per-plan one-time costs —
+    # whole-stage-codegen JIT, broadcast thread-pool spin-up, shuffle
+    # service init for the widest pipelines — that a long-lived cluster
+    # pays once but that best-of-2 alone couldn't amortize for the
+    # heaviest plans (r5: pipeline_interactive read 1.9–2.0× its floor
+    # in-suite yet converged to ~1.1× after one warm execution). The
+    # guard measures plans, not JIT.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for name, spec in specs.items():
+        spec.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         best = float("inf")
         for _ in range(runs):
             t0 = time.perf_counter()
