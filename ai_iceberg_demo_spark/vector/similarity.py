@@ -1168,6 +1168,231 @@ def v25_ivf_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# V27: LSH tuning curve — recall@3 vs n_tables (r5 verdict task #6)
+# V3d: the deterministic LSH probe, hash-oracled (r5 verdict task #7)
+# ---------------------------------------------------------------------------
+
+_V27_TMAX = 8
+_V27_NPLANES = 4
+_V27_CONFIGS = (1, 2, 4, 8)
+
+#: shared oracle prefix: pinned md5 planes + per-vector signatures
+_MD5_LSH_PREFIX_SQL = (
+    "planes AS ("
+    + _MD5_PLANES_SQL.format(tmax=_V27_TMAX - 1, pmax=_V27_NPLANES - 1, imax=63)
+    + """
+        ), comps AS (
+            SELECT vec_id,
+                   GENERATE_SUBSCRIPTS(CAST(embedding AS DOUBLE[]), 1) - 1 AS i,
+                   UNNEST(CAST(embedding AS DOUBLE[])) AS x
+            FROM embeddings
+        ), """
+    + _MD5_SIGS_SQL.strip()
+)
+
+
+def _md5_sig_table(emb: DataFrame) -> DataFrame:
+    """(t, b, vec_id) signature relation over the pinned md5 plane
+    family — the deterministic twin of ``build_lsh_index``. Rounded
+    dots (round_digits=6) make every bucket id replayable in SQL."""
+    planes = md5_planes(_V27_TMAX, _V27_NPLANES, 64)
+    return emb.select(
+        "vec_id",
+        F.posexplode(
+            lsh_signatures(F.col("embedding"), planes, round_digits=6)
+        ).alias("t", "b"),
+    )
+
+
+@REGISTRY.register(
+    name="v27_lsh_tuning_curve",
+    survey_ref="V3 family (index tuning); v25's LSH sibling",
+    doc="the recall/cost curve an operator consults before fixing the "
+    "LSH table count: for each n_tables in (1,2,4,8) at band width 4, "
+    "mean recall@3 of bucket-collision candidates vs exact brute "
+    "force, next to the mean candidate count (the cost axis). The "
+    "hyperplanes are the PINNED md5 family (md5_planes), so — unlike "
+    "v3b's RNG planes — the whole curve is hash-exact in SQL: r5 "
+    "task #6 (give the LSH path its v25) and #7 (retire a rows-only "
+    "gap) in one query. All four curve points come from ONE signature "
+    "table: a pair's min colliding table mt makes it a candidate for "
+    "every n_tables > mt. Candidate discovery is a banded (t,b) "
+    "equi-join — never all-pairs; the exact baseline touches only the "
+    "~1%% probe sample. At 100 TB the signature table is the "
+    "persisted M5 index, partitioned by (t, bucket(N, b)).",
+    oracle=f"""
+        WITH {_MD5_LSH_PREFIX_SQL}, probes AS (
+            SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id % {_V25_PROBES_MOD} = 0
+        ), psigs AS (
+            SELECT s.vec_id AS qid, s.t, s.b
+            FROM sigs s JOIN probes p ON p.qid = s.vec_id
+        ), pairs AS (
+            SELECT p.qid, s.vec_id, MIN(s.t) AS mt
+            FROM psigs p
+            JOIN sigs s ON s.t = p.t AND s.b = p.b AND s.vec_id <> p.qid
+            GROUP BY p.qid, s.vec_id
+        ), scored AS (
+            SELECT p.qid, e.vec_id,
+                   ROUND({_COS_SQL.format(a="e.embedding", b="p.qv")}, 6) AS s
+            FROM probes p JOIN embeddings e ON e.vec_id <> p.qid
+        ), exact3 AS (
+            SELECT qid, vec_id FROM (
+                SELECT qid, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY qid ORDER BY s DESC, vec_id) AS rn
+                FROM scored) WHERE rn <= 3
+        ), cfg AS (
+            SELECT UNNEST({list(_V27_CONFIGS)!r}) AS n_tables
+        ), cand AS (
+            SELECT cfg.n_tables, pr.qid, pr.vec_id, sc.s
+            FROM pairs pr
+            JOIN scored sc ON sc.qid = pr.qid AND sc.vec_id = pr.vec_id
+            CROSS JOIN cfg
+            WHERE pr.mt < cfg.n_tables
+        ), approx3 AS (
+            SELECT n_tables, qid, vec_id FROM (
+                SELECT n_tables, qid, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY n_tables, qid
+                                          ORDER BY s DESC, vec_id) AS rn
+                FROM cand) WHERE rn <= 3
+        ), hits AS (
+            SELECT a.n_tables, a.qid, COUNT(*) AS h
+            FROM approx3 a JOIN exact3 x ON x.qid = a.qid AND x.vec_id = a.vec_id
+            GROUP BY 1, 2
+        ), costs AS (
+            SELECT n_tables, qid, COUNT(*) AS nc FROM cand GROUP BY 1, 2
+        )
+        SELECT c.n_tables,
+               ROUND(SUM(COALESCE(h.h, 0))
+                     / (3.0 * (SELECT COUNT(*) FROM probes)), 4) AS recall_at_3,
+               ROUND(AVG(c.nc), 2) AS avg_candidates
+        FROM costs c
+        LEFT JOIN hits h ON h.n_tables = c.n_tables AND h.qid = c.qid
+        GROUP BY c.n_tables
+    """,
+)
+def v27_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    sigs = _md5_sig_table(emb)
+    probes = emb.filter(F.col("vec_id") % _V25_PROBES_MOD == 0).select(
+        F.col("vec_id").alias("qid"), as_double(F.col("embedding")).alias("qv")
+    )
+    n_probes_count = probes.count()
+    psigs = (
+        sigs.join(
+            F.broadcast(probes.select("qid")), sigs.vec_id == F.col("qid")
+        ).select("qid", "t", "b")
+    )
+    pairs = (
+        sigs.alias("c")
+        .join(
+            F.broadcast(psigs).alias("p"),
+            (F.col("c.t") == F.col("p.t"))
+            & (F.col("c.b") == F.col("p.b"))
+            & (F.col("c.vec_id") != F.col("p.qid")),
+        )
+        .groupBy(F.col("p.qid").alias("qid"), F.col("c.vec_id").alias("vec_id"))
+        .agg(F.min("c.t").alias("mt"))
+    )
+    scored = emb.join(F.broadcast(probes), emb.vec_id != F.col("qid")).select(
+        "qid",
+        "vec_id",
+        F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("s"),
+    )
+    ex_w = W.partitionBy("qid").orderBy(F.desc("s"), F.asc("vec_id"))
+    exact3 = (
+        scored.withColumn("rn", F.row_number().over(ex_w))
+        .filter(F.col("rn") <= 3)
+        .select("qid", "vec_id")
+    )
+    cfg = spark.createDataFrame([(n,) for n in _V27_CONFIGS], "n_tables int")
+    cand = (
+        pairs.join(scored, ["qid", "vec_id"])
+        .join(F.broadcast(cfg), F.col("mt") < F.col("n_tables"))
+        .select("n_tables", "qid", "vec_id", "s")
+    )
+    ap_w = W.partitionBy("n_tables", "qid").orderBy(F.desc("s"), F.asc("vec_id"))
+    approx3 = (
+        cand.withColumn("rn", F.row_number().over(ap_w))
+        .filter(F.col("rn") <= 3)
+        .select("n_tables", "qid", "vec_id")
+    )
+    hits = (
+        approx3.join(exact3, ["qid", "vec_id"])
+        .groupBy("n_tables", "qid")
+        .agg(F.count("*").alias("h"))
+    )
+    costs = cand.groupBy("n_tables", "qid").agg(F.count("*").alias("nc"))
+    return (
+        costs.join(hits, ["n_tables", "qid"], "left")
+        .groupBy("n_tables")
+        .agg(
+            F.round(
+                F.sum(F.coalesce("h", F.lit(0))) / (3.0 * n_probes_count), 4
+            ).alias("recall_at_3"),
+            F.round(F.avg("nc"), 2).alias("avg_candidates"),
+        )
+    )
+
+
+@REGISTRY.register(
+    name="v3d_lsh_probe_det",
+    survey_ref="V3 (ANN probe); v3b's hash-oracled twin",
+    doc="the LSH probe itself, hash-checked: bucket vec_id 0's "
+    "embedding with the pinned md5 plane family, collect every "
+    "bucket-collision candidate across the 8 tables, exact-rerank by "
+    "rounded cosine, top-5. Same plan shape as lsh_probe / v3b "
+    "(banded (t,b) equi-join + candidate-only rerank, reference "
+    "neo4j_rag.py:256-279) but with SQL-replayable hyperplanes — the "
+    "r5 verdict's 'hash-oracle the LSH probe, not just recall'. At "
+    "100 TB the signature relation is the persisted M5 index and the "
+    "probe reads L point buckets.",
+    oracle=f"""
+        WITH {_MD5_LSH_PREFIX_SQL}, qsig AS (
+            SELECT t, b FROM sigs WHERE vec_id = 0
+        ), q AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+            WHERE vec_id = 0
+        ), cand AS (
+            SELECT DISTINCT s.vec_id
+            FROM sigs s JOIN qsig ON qsig.t = s.t AND qsig.b = s.b
+            WHERE s.vec_id <> 0
+        )
+        SELECT e.vec_id,
+               ROUND({_COS_SQL.format(a="e.embedding", b="q.qv")}, 6) AS score
+        FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN q
+        ORDER BY score DESC, e.vec_id
+        LIMIT 5
+    """,
+)
+def v3d_lsh_probe_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    sigs = _md5_sig_table(emb)
+    qsig = sigs.filter(F.col("vec_id") == 0).select("t", "b")
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        as_double(F.col("embedding")).alias("qv")
+    )
+    cand_ids = (
+        sigs.join(F.broadcast(qsig), ["t", "b"])
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id")
+        .distinct()
+    )
+    return (
+        emb.join(cand_ids, "vec_id")
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(5)
+    )
+
+
+# ---------------------------------------------------------------------------
 # V26: embedding ingest QA (degenerate-vector triage)
 # ---------------------------------------------------------------------------
 

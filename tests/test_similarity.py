@@ -278,3 +278,57 @@ def test_ivf_tuning_curve_is_monotone_and_exact_at_full_probe(spark):
     assert recalls == sorted(recalls)
     assert cands == sorted(cands)
     assert rows[-1]["recall_at_3"] == 1.0
+
+
+def test_lsh_tuning_curve_is_monotone(spark):
+    """v27: candidate sets are NESTED in n_tables (a pair is a candidate
+    for every n_tables > its min colliding table), so recall@3 and
+    candidate volume must both be non-decreasing — and any candidate
+    displacing a true top-3 hit from the approx top-3 outscores it, so
+    it is itself a true top-3 member: hits can only grow."""
+    from ai_iceberg_demo_spark.vector.similarity import v27_lsh_tuning_curve
+    from tests.conftest import SF_DIR
+
+    rows = sorted(
+        v27_lsh_tuning_curve(spark, SF_DIR).collect(),
+        key=lambda r: r["n_tables"],
+    )
+    assert [r["n_tables"] for r in rows] == [1, 2, 4, 8]
+    recalls = [r["recall_at_3"] for r in rows]
+    cands = [r["avg_candidates"] for r in rows]
+    assert recalls == sorted(recalls)
+    assert cands == sorted(cands)
+    assert cands[-1] > cands[0]  # more tables must actually widen the net
+    assert all(0.0 <= r <= 1.0 for r in recalls)
+    assert recalls[-1] > 0.0  # 8 tables x 4 planes finds SOME true hits
+
+
+def test_lsh_probe_det_is_replayable_and_scores_exact(spark):
+    """v3d: the pinned-plane probe must be bit-replayable (no RNG), its
+    scores descending, the query itself excluded, and every returned
+    score must equal the numpy cosine of that pair to 6dp — the rerank
+    is exact, only the candidate set is approximate."""
+    import numpy as np
+
+    from ai_iceberg_demo_spark.vector.similarity import v3d_lsh_probe_det
+    from tests.conftest import SF_DIR
+
+    rows = v3d_lsh_probe_det(spark, SF_DIR).collect()
+    again = v3d_lsh_probe_det(spark, SF_DIR).collect()
+    assert rows == again
+    assert len(rows) == 5
+    assert all(r["vec_id"] != 0 for r in rows)
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+    emb = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, "embeddings", SF_DIR)
+        .filter(F.col("vec_id").isin([0] + [r["vec_id"] for r in rows]))
+        .collect()
+    }
+    q = emb[0]
+    for r in rows:
+        v = emb[r["vec_id"]]
+        exact = float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v)))
+        assert abs(round(exact, 6) - r["score"]) < 2e-6
