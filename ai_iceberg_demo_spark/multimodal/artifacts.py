@@ -522,6 +522,40 @@ PHASH_SCHEMA = StructType(
     [StructField("doc_id", LongType()), StructField("phash", LongType())]
 )
 
+#: SQL replay of ``perceptual_hash`` — `ph` is (doc_id, phash BIGINT).
+#: The aHash is pure integer math over payload bytes (= UNICODE code
+#: points on this ASCII corpus, exactly as v8d's oracle relies on), so
+#: the whole mapInPandas seam is hash-checkable: np.array_split's slice
+#: arithmetic is `start_k = k*q + min(k, r)` with q = L//64, r = L%64;
+#: the k=0 bit lands on the sign bit, spelled as the BIGINT min to
+#: mirror numpy's uint64→int64 two's-complement cast.
+_PHASH_SQL_CTE = """
+        docs AS (
+            SELECT doc_id,
+                   LIST_TRANSFORM(REGEXP_EXTRACT_ALL(text, '(?s).'),
+                                  c -> CAST(UNICODE(c) AS BIGINT)) AS xs,
+                   LEN(REGEXP_EXTRACT_ALL(text, '(?s).')) AS L
+            FROM documents
+        ), cellsrc AS (
+            SELECT d.doc_id, g.k,
+                   COALESCE(LIST_SUM(LIST_SLICE(d.xs,
+                       CAST(g.k*(d.L//64) + LEAST(g.k, d.L%64) + 1 AS BIGINT),
+                       CAST((g.k+1)*(d.L//64) + LEAST(g.k+1, d.L%64) AS BIGINT))), 0)
+                   % 256 AS cell
+            FROM docs d CROSS JOIN (SELECT UNNEST(RANGE(0, 64)) AS k) g
+        ), cellstats AS (
+            SELECT doc_id, AVG(cell) AS mu FROM cellsrc GROUP BY doc_id
+        ), ph AS (
+            SELECT c.doc_id,
+                   CAST(SUM(CASE WHEN c.cell <= s.mu THEN 0
+                                 WHEN c.k = 0 THEN (-9223372036854775807 - 1)
+                                 ELSE CAST(1 AS BIGINT) << (63 - CAST(c.k AS INT))
+                            END) AS BIGINT) AS phash
+            FROM cellsrc c JOIN cellstats s USING (doc_id)
+            GROUP BY c.doc_id
+        )
+"""
+
 
 def perceptual_hash(artifacts: DataFrame) -> DataFrame:
     """(doc_id, phash): 64-bit average-hash of each binary payload.
@@ -610,10 +644,24 @@ def phash_near_dup_pairs(
     "column: 64-bit perceptual aHash per payload (Arrow mapInPandas "
     "decode seam, deterministic stand-in for the Pillow path) → "
     "4×16-bit banded hamming self-join → exact bit_count verify ≤ 6 "
-    "(complete for hamming ≤ 3, LSH-probabilistic above). Pixel math "
-    "isn't ANSI-SQL (rows-only); soundness + hamming≤3 completeness "
-    "are pinned exhaustively in tests/test_multimodal.py.",
-    oracle=None,
+    "(complete for hamming ≤ 3, LSH-probabilistic above). The aHash "
+    "is exact integer math, so the WHOLE pipeline — Python seam, "
+    "banding, xor popcount — is hash-oracled (r5 task #7: this was "
+    "rows-only through r5); soundness + hamming≤3 completeness are "
+    "additionally pinned in tests/test_multimodal.py.",
+    oracle=f"""
+        WITH {_PHASH_SQL_CTE}, bands AS (
+            SELECT doc_id, phash, g.k, (phash >> (16 * g.k)) & 65535 AS v
+            FROM ph CROSS JOIN (SELECT UNNEST(RANGE(0, {PHASH_BANDS})) AS k) g
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+                   a.phash AS ah, b.phash AS bh
+            FROM bands a
+            JOIN bands b ON a.k = b.k AND a.v = b.v AND a.doc_id < b.doc_id
+        )
+        SELECT a_id, b_id, CAST(bit_count(xor(ah, bh)) AS INT) AS hamming
+        FROM cand WHERE bit_count(xor(ah, bh)) <= {PHASH_HAMMING_MAX}
+    """,
 )
 def v8e_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the banded self-join is a diamond over the mapInPandas output —
@@ -621,6 +669,24 @@ def v8e_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (cleared by the sweep/driver clearCache between queries)
     hashes = perceptual_hash(artifact_table(spark, sf_dir)).persist()
     return phash_near_dup_pairs(hashes).orderBy("a_id", "b_id")
+
+
+@REGISTRY.register(
+    name="v8e2_phash_det",
+    survey_ref="training-data (multimodal dedup); v8e's seam twin",
+    doc="the raw perceptual-hash table itself, hash-oracled: one "
+    "64-bit aHash per binary payload straight off the Arrow "
+    "mapInPandas seam, checked bit-for-bit against the SQL replay of "
+    "the slice-sum/threshold/pack arithmetic. Where v8e's oracle "
+    "checks the near-dup PAIRS (64 rows at sf0.01), this checks every "
+    "hash — a sign-bit or bit-order bug that happens not to flip any "
+    "pair verdict still fails here. Map-only; 8 bytes/row leave the "
+    "scan, so at 100 TB this is a streaming pass over the artifact "
+    "store with no shuffle at all.",
+    oracle=f"WITH {_PHASH_SQL_CTE} SELECT doc_id, phash FROM ph",
+)
+def v8e2_phash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return perceptual_hash(artifact_table(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
