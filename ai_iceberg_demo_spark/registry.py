@@ -215,6 +215,7 @@ def all_registries() -> Registry:
         scans_filters,
         skew,
         timeline,
+        tpch,
         windows,
     )
     from ai_iceberg_demo_spark.pipeline import curation, index_maintenance, research
@@ -234,6 +235,7 @@ def all_registries() -> Registry:
         ordering_sets,
         sampling,
         timeline,
+        tpch,
         mutations,
         scalar,
         text,
