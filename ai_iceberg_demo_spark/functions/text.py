@@ -1055,3 +1055,146 @@ def f32_bpe_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# t48: Zipf power-law audit of the corpus token distribution
+# ---------------------------------------------------------------------------
+
+
+@REGISTRY.register(
+    name="t48_zipf_audit",
+    survey_ref="training-data (corpus distribution audit)",
+    doc="Zipf power-law audit: closed-form least-squares fit of "
+    "ln(freq) on ln(rank) over the corpus token frequency table — "
+    "natural corpora fit slope ~ -1 (Zipf's law); a synthetic or "
+    "template-generated corpus shows up as a flat slope / poor R², "
+    "so this is the generated-vs-organic smell test a data buyer "
+    "runs first. t41's five-sum regression discipline: slope and R² "
+    "are partial-aggregable sums, no solver, no driver math. The "
+    "corpus reduces to ONE wordcount shuffle; the rank window orders "
+    "only the vocab-sized table (31 rows on this fixture, bounded by "
+    "vocabulary — not corpus — at 100 TB).",
+    oracle="""
+        WITH freq AS (
+            SELECT tok, COUNT(*) AS f
+            FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents)
+            GROUP BY tok
+        ), ranked AS (
+            SELECT LN(ROW_NUMBER() OVER (ORDER BY f DESC, tok)) AS x,
+                   LN(f) AS y
+            FROM freq
+        ), s AS (
+            SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                   SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy
+            FROM ranked
+        )
+        SELECT CAST(n AS BIGINT) AS n_vocab,
+               ROUND((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS zipf_slope,
+               ROUND(POW(n*sxy - sx*sy, 2)
+                     / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r_squared
+        FROM s
+    """,
+)
+def t48_zipf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    freq = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("f"))
+    )
+    from pyspark.sql import Window as W
+
+    ranked = freq.select(
+        F.log(F.row_number().over(W.orderBy(F.desc("f"), F.asc("tok")))).alias("x"),
+        F.log("f").alias("y"),
+    )
+    s = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return s.select(
+        n.cast("bigint").alias("n_vocab"),
+        F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6).alias("zipf_slope"),
+        F.round(
+            F.pow(n * sxy - sx * sy, F.lit(2))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r_squared"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# f38: vocabulary coverage / OOV rate per document
+# ---------------------------------------------------------------------------
+
+_VOCAB_TOPK = 16  # fixture vocabulary is 31 tokens; top-16 leaves real OOV
+
+
+@REGISTRY.register(
+    name="f38_vocab_coverage",
+    survey_ref="training-data (tokenizer vocabulary audit)",
+    doc="per-document OOV rate against the corpus top-16 token "
+    "vocabulary — the 'will my tokenizer fragment this corpus' audit "
+    "run before committing a vocab: docs with high OOV explode into "
+    "byte fallbacks and blow the token budget. Plan: ONE wordcount "
+    "shuffle builds the vocab (vocab-sized table, top-k by freq with "
+    "deterministic tie-break), broadcast to a doc-keyed token pass — "
+    "the corpus never shuffles on tokens; at 100 TB the vocab table "
+    "is the only thing that moves. Top-16 of the fixture's 31-token "
+    "vocabulary guarantees a nonzero, varying OOV signal (the "
+    "31-token quirk would make a realistic 32k vocab vacuous).",
+    oracle=f"""
+        WITH freq AS (
+            SELECT tok, COUNT(*) AS f
+            FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents)
+            GROUP BY tok
+        ), vocab AS (
+            SELECT tok FROM freq ORDER BY f DESC, tok LIMIT {_VOCAB_TOPK}
+        ), doc_toks AS (
+            SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_oov,
+               ROUND(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                     / CAST(COUNT(*) AS DOUBLE), 4) AS oov_rate
+        FROM doc_toks d LEFT JOIN vocab v USING (tok)
+        GROUP BY doc_id
+    """,
+)
+def f38_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("f"))
+        .withColumn("rn", F.row_number().over(W.orderBy(F.desc("f"), F.asc("tok"))))
+        .filter(F.col("rn") <= _VOCAB_TOPK)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+            F.round(
+                F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+                / F.count("*").cast("double"),
+                4,
+            ).alias("oov_rate"),
+        )
+    )

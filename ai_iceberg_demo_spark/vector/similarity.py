@@ -1534,3 +1534,68 @@ def v26_embedding_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("ok")
         .alias("verdict"),
     )
+
+
+# ---------------------------------------------------------------------------
+# V28: metadata-filtered vector search (the vector-DB "filtered ANN" face)
+# ---------------------------------------------------------------------------
+
+_V28_PROBE_IDS = (0, 1, 2)
+
+
+@REGISTRY.register(
+    name="v28_filtered_search",
+    survey_ref="V3 family (metadata-filtered vector search)",
+    doc="filtered vector search: top-5 by cosine among corpus vectors "
+    "sharing the probe's LABEL (self excluded) for three probe "
+    "vectors — the metadata-predicate + similarity combination every "
+    "vector store exposes (reference filters candidates in Cypher "
+    "before scoring, neo4j_rag.py:236-279). Exact within the filter: "
+    "the label predicate cuts the corpus BEFORE any scoring, probes "
+    "broadcast, per-probe top-5 via window — at scale this is the "
+    "label-partitioned layout where the filter prunes partitions and "
+    "each probe scans only its label's shard; the IVF/LSH variants "
+    "(v3b/v3c) drop in when a label shard alone is still too big.",
+    oracle=f"""
+        WITH probes AS (
+            SELECT vec_id AS qid, label AS qlabel,
+                   CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id IN {_V28_PROBE_IDS!r}
+        ), scored AS (
+            SELECT p.qid, e.vec_id, e.label,
+                   ROUND({{cos}}, 6) AS score
+            FROM probes p
+            JOIN embeddings e ON e.label = p.qlabel AND e.vec_id <> p.qid
+        )
+        SELECT qid, vec_id, label, score FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                         ORDER BY score DESC, vec_id) AS rn
+            FROM scored) WHERE rn <= 5
+        ORDER BY qid, score DESC, vec_id
+    """.format(cos=_COS_SQL.format(a="e.embedding", b="p.qv")),
+)
+def v28_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    probes = emb.filter(F.col("vec_id").isin(*_V28_PROBE_IDS)).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        as_double(F.col("embedding")).alias("qv"),
+    )
+    scored = emb.join(
+        F.broadcast(probes),
+        (emb.label == probes.qlabel) & (emb.vec_id != probes.qid),
+    ).select(
+        "qid",
+        "vec_id",
+        "label",
+        F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("score"),
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("qid", "vec_id", "label", "score")
+        .orderBy("qid", F.desc("score"), "vec_id")
+    )
