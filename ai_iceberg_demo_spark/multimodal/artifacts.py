@@ -696,19 +696,10 @@ def v8e2_phash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SCENE_CUT_DELTA = 8.0  # ≈ p97 of consecutive-frame luma diffs
 
 
-@REGISTRY.register(
-    name="v8f_scene_cut",
-    survey_ref="V8/training-data (video segmentation)",
-    doc="content-detector scene cuts over v8c's frame sequence: each "
-    "64-byte frame reduces to one 'luma' scalar (mean byte value — "
-    "the deterministic stand-in for decoded-frame luminance, same "
-    "seam v8b/v8d stub), a per-video lag window takes consecutive "
-    f"diffs, and |Δ| ≥ {_SCENE_CUT_DELTA} marks a cut (~2-3% of "
-    "frames) — PySceneDetect's content-detector shape. Map-only "
-    "feature extraction (at 100 TB: the Arrow decode seam emits one "
-    "scalar per frame, pixels never shuffle) + one video-keyed window "
-    "over frame counts bounded per video.",
-    oracle=f"""
+#: v8f's oracle body (kept as a constant so pipeline_multimodal_prep's
+#: oracle can reuse the EXACT same spelling as a subquery — the
+#: pipeline_governance composition rule).
+_SCENE_CUT_SQL = f"""
         WITH frames AS (
             SELECT d.doc_id, f.frame_no,
                    SUBSTR(d.text, CAST(f.frame_no * 64 + 1 AS INT), 64) AS frame
@@ -729,7 +720,22 @@ _SCENE_CUT_DELTA = 8.0  # ≈ p97 of consecutive-frame luma diffs
         )
         SELECT doc_id, frame_no, ROUND(delta, 4) AS delta
         FROM diffs WHERE delta >= {_SCENE_CUT_DELTA}
-    """,
+"""
+
+
+@REGISTRY.register(
+    name="v8f_scene_cut",
+    survey_ref="V8/training-data (video segmentation)",
+    doc="content-detector scene cuts over v8c's frame sequence: each "
+    "64-byte frame reduces to one 'luma' scalar (mean byte value — "
+    "the deterministic stand-in for decoded-frame luminance, same "
+    "seam v8b/v8d stub), a per-video lag window takes consecutive "
+    f"diffs, and |Δ| ≥ {_SCENE_CUT_DELTA} marks a cut (~2-3% of "
+    "frames) — PySceneDetect's content-detector shape. Map-only "
+    "feature extraction (at 100 TB: the Arrow decode seam emits one "
+    "scalar per frame, pixels never shuffle) + one video-keyed window "
+    "over frame counts bounded per video.",
+    oracle=_SCENE_CUT_SQL,
 )
 def v8f_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
@@ -781,10 +787,47 @@ def v8f_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     "manifest — the row a vision/video training job reads per "
     "artifact. The Arrow hash stage runs once (persisted diamond); "
     "pixels never shuffle — only 8-byte hashes, dims, and per-frame "
-    "scalars move; the dedup anti-join carries compact ids. Pixel "
-    "math isn't ANSI-SQL (rows-only); the funnel's set algebra and "
-    "manifest arithmetic are pinned in tests/test_multimodal.py.",
-    oracle=None,
+    "scalars move; the dedup anti-join carries compact ids. Since r6 "
+    "the WHOLE funnel is hash-oracled (the aHash replays in SQL, the "
+    "resize/frame/cut arithmetic always did): the oracle composes the "
+    "v8e pair spelling, the reference resize formula (int() = FLOOR "
+    "on positives — DuckDB CAST would round), and v8f's EXACT oracle "
+    "string as a subquery, so the composition can never drift from "
+    "its parts. Set algebra additionally pinned in "
+    "tests/test_multimodal.py.",
+    oracle=f"""
+        WITH {_PHASH_SQL_CTE}, bands AS (
+            SELECT doc_id, phash, g.k, (phash >> (16 * g.k)) & 65535 AS v
+            FROM ph CROSS JOIN (SELECT UNNEST(RANGE(0, {PHASH_BANDS})) AS k) g
+        ), dropped AS (
+            SELECT DISTINCT b.doc_id
+            FROM bands a
+            JOIN bands b ON a.k = b.k AND a.v = b.v AND a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_HAMMING_MAX}
+        ), survivors AS (
+            SELECT doc_id, text,
+                   ['image/png','image/jpeg','image/webp']
+                       [CAST(doc_id % 3 AS INT) + 1] AS mime,
+                   (doc_id * 37) % 800 + 200 AS width,
+                   (doc_id * 53) % 600 + 150 AS height
+            FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+        ), cuts AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_cuts
+            FROM ({_SCENE_CUT_SQL}) GROUP BY doc_id
+        )
+        SELECT s.doc_id, s.mime,
+               CAST(CASE WHEN s.width > {TARGET_WIDTH} THEN {TARGET_WIDTH}
+                         ELSE s.width END AS INT) AS new_width,
+               CAST(CASE WHEN s.width > {TARGET_WIDTH}
+                         THEN FLOOR({TARGET_WIDTH}
+                                    * (s.height / CAST(s.width AS DOUBLE)))
+                         ELSE s.height END AS INT) AS new_height,
+               CAST(CEIL(OCTET_LENGTH(ENCODE(s.text)) / 64.0) AS BIGINT)
+                   AS n_frames,
+               COALESCE(c.n_cuts, 0) AS n_cuts
+        FROM survivors s LEFT JOIN cuts c USING (doc_id)
+    """,
 )
 def pipeline_multimodal_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     arts = artifact_table(spark, sf_dir)

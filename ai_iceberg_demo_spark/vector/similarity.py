@@ -1017,11 +1017,105 @@ def label_noise(corpus: DataFrame) -> DataFrame:
     )
 
 
+#: probe sample shared by v25/v27/v24b: vec_id % 97 == 0
+_V25_PROBES_MOD = 97
+
+
+@REGISTRY.register(
+    name="v24b_label_noise_det",
+    survey_ref="training-data (label QA); v24's hash-oracled probe twin",
+    doc="v24's verdict logic on EXACT 3-NN for the v25 probe sample "
+    "(vec_id % 97): per probe, the exact cosine top-3 neighbors' "
+    "majority label, agreement count, and the flagged/ok verdict — "
+    "hash-checked end to end where v24 itself is rows-only (its "
+    "neighbors come from the approximate LSH graph). Emits EVERY "
+    "probe's audit row, not just flags: with 10 uniform labels a "
+    "unanimous disagreement is a ~0.1%% event, so a flags-only "
+    "result would be vacuously empty on this fixture. Probes "
+    "broadcast; the corpus is scanned once; per-probe top-3 via "
+    "window — the same scale shape as v3.",
+    oracle=f"""
+        WITH probes AS (
+            SELECT vec_id AS src, label AS own_label,
+                   CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id % {_V25_PROBES_MOD} = 0
+        ), top3 AS (
+            SELECT src, own_label, vec_id, nl FROM (
+                SELECT p.src, p.own_label, e.vec_id, e.label AS nl,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY p.src
+                           ORDER BY ROUND({_COS_SQL.format(a="e.embedding", b="p.qv")}, 6) DESC,
+                                    e.vec_id) AS rn
+                FROM probes p JOIN embeddings e ON e.vec_id <> p.src
+            ) WHERE rn <= 3
+        ), votes AS (
+            SELECT src, own_label, nl, COUNT(*) AS c
+            FROM top3 GROUP BY src, own_label, nl
+        ), maj AS (
+            SELECT src, own_label, nl AS neighbor_label, c AS n_agree
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY src
+                                               ORDER BY c DESC, nl) AS rn
+                  FROM votes) WHERE rn = 1
+        )
+        SELECT src, CAST(own_label AS INT) AS own_label,
+               CAST(neighbor_label AS INT) AS neighbor_label,
+               CAST(n_agree AS INT) AS n_agree,
+               CASE WHEN n_agree = 3 AND neighbor_label <> own_label
+                    THEN 'flagged' ELSE 'ok' END AS verdict
+        FROM maj ORDER BY src
+    """,
+)
+def v24b_label_noise_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    probes = emb.filter(F.col("vec_id") % _V25_PROBES_MOD == 0).select(
+        F.col("vec_id").alias("src"),
+        F.col("label").alias("own_label"),
+        as_double(F.col("embedding")).alias("qv"),
+    )
+    scored = emb.join(F.broadcast(probes), emb.vec_id != probes.src).select(
+        "src",
+        "own_label",
+        "vec_id",
+        F.col("label").alias("nl"),
+        F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("s"),
+    )
+    top_w = W.partitionBy("src").orderBy(F.desc("s"), F.asc("vec_id"))
+    top3 = scored.withColumn("rn", F.row_number().over(top_w)).filter(
+        F.col("rn") <= 3
+    )
+    votes = top3.groupBy("src", "own_label", "nl").agg(F.count("*").alias("c"))
+    maj_w = W.partitionBy("src").orderBy(F.desc("c"), F.asc("nl"))
+    maj = (
+        votes.withColumn("rn", F.row_number().over(maj_w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "src",
+            F.col("own_label").cast("int").alias("own_label"),
+            F.col("nl").cast("int").alias("neighbor_label"),
+            F.col("c").cast("int").alias("n_agree"),
+        )
+    )
+    return maj.select(
+        "src",
+        "own_label",
+        "neighbor_label",
+        "n_agree",
+        F.when(
+            (F.col("n_agree") == 3)
+            & (F.col("neighbor_label") != F.col("own_label")),
+            "flagged",
+        )
+        .otherwise("ok")
+        .alias("verdict"),
+    ).orderBy("src")
+
+
 # ---------------------------------------------------------------------------
 # V25: IVF tuning curve — recall@3 vs n_probe
 # ---------------------------------------------------------------------------
 
-_V25_PROBES_MOD = 97  # probe set: vec_id % 97 == 0
 _V25_NPROBES = (1, 2, 4, 8)
 _V25_CELLS = 8
 
