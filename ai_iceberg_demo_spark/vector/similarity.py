@@ -1693,3 +1693,76 @@ def v28_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "vec_id", "label", "score")
         .orderBy("qid", F.desc("score"), "vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# V18b: deterministic k-NN graph twin (pinned planes, hash-oracled)
+# ---------------------------------------------------------------------------
+
+
+@REGISTRY.register(
+    name="v18b_knn_graph_det",
+    survey_ref="training-data (k-NN graph); v18's hash-oracled twin",
+    doc="the LSH k-NN graph with the PINNED md5 plane family instead "
+    "of v18's RNG planes: per vector, exact-rerank top-3 among "
+    "bucket-collision candidates across 8 tables — the whole graph "
+    "hash-checks in SQL (v18 itself stays rows-only + recall-pinned; "
+    "this twin proves the banded-candidate + exact-rerank semantics "
+    "value-for-value). Same index discipline: candidates come from a "
+    "banded (t,b) equi-join on the ONE signature table, never "
+    "all-pairs; the rerank prices only collisions. At 100 TB the "
+    "signature table is the persisted M5 index and the per-src top-3 "
+    "window partitions on the uniform src key.",
+    oracle=f"""
+        WITH {_MD5_LSH_PREFIX_SQL}, cand AS (
+            SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+            FROM sigs a
+            JOIN sigs b ON a.t = b.t AND a.b = b.b AND a.vec_id <> b.vec_id
+        ), scored AS (
+            SELECT c.src, c.dst,
+                   ROUND({_COS_SQL.format(a="ea.embedding", b="eb.embedding")}, 6) AS score
+            FROM cand c
+            JOIN embeddings ea ON ea.vec_id = c.src
+            JOIN embeddings eb ON eb.vec_id = c.dst
+        )
+        SELECT src, dst, score FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY src
+                                         ORDER BY score DESC, dst) AS rn
+            FROM scored) WHERE rn <= 3
+        ORDER BY src, score DESC, dst
+    """,
+)
+def v18b_knn_graph_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    sigs = _md5_sig_table(emb)
+    cand = (
+        sigs.alias("a")
+        .join(
+            sigs.alias("b"),
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst"))
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("src"), F.col("embedding").alias("va"))
+    eb = emb.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("vb"))
+    scored = (
+        cand.join(ea, "src")
+        .join(eb, "dst")
+        .select(
+            "src",
+            "dst",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("score"),
+        )
+    )
+    w = W.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("src", "dst", "score")
+        .orderBy("src", F.desc("score"), "dst")
+    )
