@@ -1347,3 +1347,94 @@ def d14_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(F.col("est_j") - true_j), 6).alias("abs_err"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# D16: duplicate-cluster size histogram (the executive dedup audit)
+# ---------------------------------------------------------------------------
+
+
+@REGISTRY.register(
+    name="d16_cluster_histogram",
+    survey_ref="training-data (dedup audit); composes d2 ∘ d6's components",
+    doc="the executive dedup read-out: cluster-size histogram over d2's "
+    "VERIFIED near-dup pairs closed into components (d9's membership "
+    "rule — verified pairs, not d3 candidates, so boilerplate can't "
+    "chain a mega-component), with singletons counted from the "
+    "corpus complement. Per size: cluster count, docs covered, and "
+    "n_removable = docs − clusters (the mass a keep-one-per-cluster "
+    "dedup deletes) — the one-table answer to 'how duplicated is this "
+    "corpus and what do we get back'. Components run min-label "
+    "propagation (2 shuffles/round, rounds ≈ cluster diameter); the "
+    "histogram aggregates the component-size table, which is "
+    "clusters-sized, not corpus-sized. Totals come from 1-row aggs "
+    "cross-joined — no driver math.",
+    oracle=f"""
+        WITH RECURSIVE {_D2_CTES},
+        pairs AS (
+            SELECT i.a_id, i.b_id
+            FROM inter i
+            JOIN sizes sa ON i.a_id = sa.doc_id
+            JOIN sizes sb ON i.b_id = sb.doc_id
+            WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.8
+        ),
+        edges AS (
+            SELECT a_id AS src, b_id AS dst FROM pairs
+            UNION ALL
+            SELECT b_id, a_id FROM pairs
+        ),
+        reach(id, lbl) AS (
+            SELECT DISTINCT src, src FROM edges
+            UNION
+            SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+        ),
+        comp AS (SELECT id, MIN(lbl) AS lbl FROM reach GROUP BY id),
+        csize AS (SELECT lbl, COUNT(*) AS sz FROM comp GROUP BY lbl),
+        hist AS (
+            SELECT CAST(sz AS BIGINT) AS cluster_size,
+                   CAST(COUNT(*) AS BIGINT) AS n_clusters,
+                   CAST(SUM(sz) AS BIGINT) AS n_docs
+            FROM csize GROUP BY sz
+        ),
+        singles AS (
+            SELECT CAST(1 AS BIGINT) AS cluster_size,
+                   CAST((SELECT COUNT(*) FROM documents)
+                        - (SELECT COUNT(*) FROM comp) AS BIGINT) AS n_clusters,
+                   CAST((SELECT COUNT(*) FROM documents)
+                        - (SELECT COUNT(*) FROM comp) AS BIGINT) AS n_docs
+        )
+        SELECT cluster_size, n_clusters, n_docs,
+               CAST(n_docs - n_clusters AS BIGINT) AS n_removable
+        FROM (SELECT * FROM hist UNION ALL
+              SELECT * FROM singles WHERE n_clusters > 0)
+        ORDER BY cluster_size
+    """,
+)
+def d16_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = d2_ngram_jaccard(spark, sf_dir)
+    comps = connected_components(pairs)
+    csize = comps.groupBy("lbl").agg(F.count("*").alias("sz"))
+    hist = csize.groupBy(F.col("sz").cast("bigint").alias("cluster_size")).agg(
+        F.count("*").cast("bigint").alias("n_clusters"),
+        F.sum("sz").cast("bigint").alias("n_docs"),
+    )
+    total = load_table(spark, "documents", sf_dir).agg(
+        F.count("*").alias("n_total")
+    )
+    in_comp = comps.agg(F.count("*").alias("n_in"))
+    singles = (
+        total.crossJoin(in_comp)
+        .select(
+            F.lit(1).cast("bigint").alias("cluster_size"),
+            (F.col("n_total") - F.col("n_in")).cast("bigint").alias("n_clusters"),
+            (F.col("n_total") - F.col("n_in")).cast("bigint").alias("n_docs"),
+        )
+        .filter(F.col("n_clusters") > 0)
+    )
+    return (
+        hist.unionByName(singles)
+        .withColumn(
+            "n_removable", (F.col("n_docs") - F.col("n_clusters")).cast("bigint")
+        )
+        .orderBy("cluster_size")
+    )
