@@ -219,6 +219,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 @REGISTRY.register(
     name="q8_market_share",
     survey_ref="§7 (TPC-H Q8)",
+    bench=True,
     doc="TPC-H Q8-shaped market share: NATION_3 suppliers' share of "
     "AMERICA-region ECONOMY-part revenue per order year. The share's "
     "CASE-sum and total come from ONE aggregate pass (q14's rule); "
@@ -787,6 +788,7 @@ def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @REGISTRY.register(
     name="q21_waiting_suppliers",
     survey_ref="§7 (TPC-H Q21, ship-date adapted)",
+    bench=True,
     doc="TPC-H Q21-shaped waiting suppliers: for finished ('F') "
     "multi-supplier orders, the supplier who was the ONLY one to ship "
     "late (> order date + 60 days; the fixture has no commit/receipt "
