@@ -122,19 +122,27 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, "part", sf_dir).filter(
         (F.col("p_type") == "STANDARD") & F.col("p_size").between(10, 20)
     )
+    # the (part, supplier) offer table feeds BOTH the per-part MIN and
+    # the join-back: persist the diamond — column-pruning differences
+    # between the branches defeat Catalyst's exchange reuse, and an
+    # unpersisted diamond would scan lineitem twice (released by the
+    # harness clearCache between queries)
     offers = (
         li.join(F.broadcast(euro_supp.select("s_suppkey")), li.l_suppkey == F.col("s_suppkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+        .persist()
     )
-    best = offers.groupBy("l_partkey").agg(F.min("unit_cost").alias("best_cost"))
+    best = offers.groupBy(F.col("l_partkey").alias("best_pk")).agg(
+        F.min("unit_cost").alias("best_cost")
+    )
     return (
         offers.join(
             best,
-            (offers.l_partkey == best.l_partkey)
+            (offers.l_partkey == best.best_pk)
             & (offers.unit_cost == best.best_cost),
         )
-        .drop(best.l_partkey)
+        .drop("best_pk")
         .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
         .join(F.broadcast(euro_supp), F.col("l_suppkey") == euro_supp.s_suppkey)
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "unit_cost")
@@ -395,6 +403,8 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("l_partkey")
         .agg(F.sum(val).alias("val"))
+        .persist()  # diamond: threshold branch + output branch (pruning
+        # differences defeat exchange reuse; without this the fact scans twice)
     )
     total = per_part.agg((F.sum("val") * F.lit(0.001)).alias("cut"))
     return (
@@ -540,8 +550,10 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
         & (F.col("l_shipdate") < _ts("1996-04-01 00:00:00"))
     )
-    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.sum(_rev()).alias("total_rev")
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_rev()).alias("total_rev"))
+        .persist()  # diamond: MAX branch + join-back branch
     )
     best = revenue.agg(F.max("total_rev").alias("best_rev"))
     supp = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_name")
@@ -642,7 +654,9 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir).select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
-    sel = li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+    sel = li.join(
+        F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey")
+    ).persist()  # diamond: per-part AVG branch + the filtered-sum branch
     avgq = sel.groupBy("l_partkey").agg(F.avg("l_quantity").alias("aq"))
     return (
         sel.join(F.broadcast(avgq), "l_partkey")

@@ -351,3 +351,56 @@ def test_aqe_splits_skewed_join_partitions(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_tpch_dims_broadcast_and_facts_shuffle_once(spark):
+    """The tpch module's contract: dimensions broadcast (no
+    SortMergeJoin against a dim), q19's disjunction stays one filter
+    pass over one lineitem scan, and nothing goes cartesian."""
+    import re
+
+    for name in ("q8_market_share", "q9_product_profit", "q19_discounted_revenue"):
+        plan = plan_of(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+    # q19's three OR arms must NOT become a union of three scans:
+    # exactly two scan NODES (lineitem + part), counted by operator id
+    q19 = plan_of(spark, "q19_discounted_revenue")
+    assert len(re.findall(r"Scan parquet\s+\(\d+\)", q19)) == 2
+
+
+def test_q21_folds_exists_pair_into_one_fact_pass(spark):
+    """q21's EXISTS + NOT-EXISTS must be the per-(order,supplier) agg
+    reformulation with map-side partials — never a cartesian, never a
+    third lineitem pass (the per_os diamond reuses one exchange; the
+    plan has exactly one lineitem⋈orders join subtree feeding both the
+    rollup and the verdict filter)."""
+    plan = plan_of(spark, "q21_waiting_suppliers")
+    assert "partial_" in plan
+    assert "CartesianProduct" not in plan
+    # one orders scan with the status filter pushed
+    assert plan.count("o_orderstatus") >= 1
+
+
+def test_q13_left_outer_keeps_zero_order_customers(spark):
+    """q13 without the outer join silently drops the c_count=0 row —
+    pin the join type, not just the values."""
+    plan = plan_of(spark, "q13_customer_distribution")
+    assert "LeftOuter" in plan
+
+
+def test_tpch_scalar_subquery_diamonds_are_persisted(spark):
+    """q2/q11/q15/q17 feed one grouped table into BOTH a scalar
+    re-aggregation and the output branch. Column-pruning differences
+    between the branches defeat Catalyst's exchange reuse (verified:
+    the unpersisted spelling scans lineitem twice at runtime), so the
+    diamond must be persisted — InMemoryTableScan in the plan is the
+    tripwire."""
+    for name in (
+        "q2_min_cost_supplier",
+        "q11_important_parts",
+        "q15_top_supplier",
+        "q17_small_quantity_revenue",
+    ):
+        plan = plan_of(spark, name)
+        assert "InMemoryTableScan" in plan, name
