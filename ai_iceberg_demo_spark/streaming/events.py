@@ -1466,6 +1466,131 @@ def t38_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# t51: EWMA control band (slow-decay smoothing + anomaly flags)
+# ---------------------------------------------------------------------------
+
+_EWMA_ALPHA = 0.2  # smoothing weight on the new observation
+_EWMA_LAMBDA = 3.0  # band half-width, in global std units
+_EWMA_SPIKE_DAY = "2024-01-21"  # planted one-day incident
+_EWMA_SPIKE = 300  # planted extra events on that day
+
+
+@REGISTRY.register(
+    name="t51_ewma_band",
+    survey_ref="§2.11 analytics extra (EWMA control chart); t26/t38's sibling",
+    doc="EWMA control chart (Roberts, Technometrics 1959) over the "
+    f"daily event-count series: ewma_i = {_EWMA_ALPHA}·x_i + "
+    f"{1 - _EWMA_ALPHA}·ewma_(i-1) seeded on day 1, anomaly when "
+    f"|x_i − ewma_(i-1)| > {_EWMA_LAMBDA}·sd — the smoothing monitor "
+    "between t26's sharp trailing-window burst and t38's cumulative "
+    "slow-shift CUSUM. The recurrence is the same hash-oracled LEFT "
+    "FOLD discipline as t38 (per-step rounding at 6dp pins the "
+    "cross-engine floats), over the corpus-independent ~365-row day "
+    f"series. A +{_EWMA_SPIKE} one-day incident is planted on "
+    f"{_EWMA_SPIKE_DAY}; the band must flag that day and only that "
+    "day (pinned by test). Event volume reduces to day partials "
+    "map-side; everything after is tiny-table work.",
+    oracle=f"""
+        WITH days AS (
+            SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                   COUNT(*) + CASE WHEN CAST(ts AS DATE) = DATE '{_EWMA_SPIKE_DAY}'
+                                   THEN {_EWMA_SPIKE} ELSE 0 END AS n
+            FROM events GROUP BY CAST(ts AS DATE)
+        ), stats AS (
+            SELECT STDDEV_SAMP(n) AS sd FROM days
+        ), series AS (
+            SELECT LIST(day ORDER BY day) AS ds,
+                   LIST(CAST(n AS DOUBLE) ORDER BY day) AS xs,
+                   ANY_VALUE(sd) AS sd
+            FROM days CROSS JOIN stats
+        ), folded AS (
+            SELECT ds, xs, sd,
+                   list_reduce(
+                       [[xs[1]]] || LIST_TRANSFORM(xs[2:], x -> [x]),
+                       (acc, x) -> acc ||
+                           [ROUND({_EWMA_ALPHA} * x[1]
+                                  + {1 - _EWMA_ALPHA} * acc[-1], 6)]
+                   ) AS es
+            FROM series
+        )
+        SELECT ds[i] AS day,
+               CAST(xs[i] AS BIGINT) AS n_events,
+               ROUND(es[i], 4) AS ewma,
+               CASE WHEN i = 1 THEN 0.0
+                    ELSE ROUND(xs[i] - es[i - 1], 4) END AS residual,
+               CASE WHEN i = 1 THEN FALSE
+                    ELSE ABS(xs[i] - es[i - 1]) > {_EWMA_LAMBDA} * sd END
+                   AS anomaly
+        FROM folded, UNNEST(GENERATE_SERIES(1, LEN(ds))) u(i)
+    """,
+)
+def t51_ewma_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    days = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        (
+            F.count("*")
+            + F.when(
+                F.col("ts").cast("date") == F.lit(_EWMA_SPIKE_DAY).cast("date"),
+                _EWMA_SPIKE,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n")
+    )
+    stats = days.agg(F.stddev_samp("n").alias("sd"))
+    series = (
+        days.join(F.broadcast(stats))
+        .groupBy()
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("d").cast("string").alias("day"),
+                        F.col("n").alias("n"),
+                    )
+                )
+            ).alias("rows"),
+            F.first("sd").alias("sd"),
+        )
+    )
+    xs = F.transform(F.col("rows"), lambda r: r["n"].cast("double"))
+    folded = series.select(
+        "rows",
+        "sd",
+        F.aggregate(
+            F.slice(xs, 2, F.greatest(F.size(xs) - 1, F.lit(0))),
+            F.array(F.element_at(xs, 1)),
+            lambda acc, x: F.concat(
+                acc,
+                F.array(
+                    F.round(
+                        F.lit(_EWMA_ALPHA) * x
+                        + F.lit(1 - _EWMA_ALPHA) * F.element_at(acc, -1),
+                        6,
+                    )
+                ),
+            ),
+        ).alias("es"),
+    )
+    i1 = F.col("i0") + 1  # 1-based day index
+    prev = F.element_at(F.col("es"), F.col("i0"))  # es[i-1]
+    x_i = F.col("r.n").cast("double")
+    return folded.select(
+        F.posexplode("rows").alias("i0", "r"), "es", "sd"
+    ).select(
+        F.col("r.day").alias("day"),
+        F.col("r.n").cast("bigint").alias("n_events"),
+        F.round(F.element_at(F.col("es"), i1), 4).alias("ewma"),
+        F.when(F.col("i0") == 0, F.lit(0.0))
+        .otherwise(F.round(x_i - prev, 4))
+        .alias("residual"),
+        F.when(F.col("i0") == 0, F.lit(False))
+        .otherwise(F.abs(x_i - prev) > F.lit(_EWMA_LAMBDA) * F.col("sd"))
+        .alias("anomaly"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # u28: deterministic negative sampling (contrastive dataset construction)
 # ---------------------------------------------------------------------------
 

@@ -998,3 +998,25 @@ def test_sink_retry_is_idempotent_for_wap_drift_and_sketch(spark, tmp_path):
     before = snapshot(s_state, (SKETCH, SKETCH_LOG))
     ssink(docs.filter(F.col("doc_id") % 2 == 0), 0)
     assert snapshot(s_state, (SKETCH, SKETCH_LOG)) == before
+
+
+def test_ewma_band_flags_only_the_planted_spike(spark):
+    """t51: the EWMA control band must flag exactly the planted
+    one-day incident — the day after must NOT flag (alpha=0.2 damps
+    the spike's pull on the smoothed line enough that the return to
+    baseline stays inside the band), and the seed day is never
+    flagged by construction."""
+    from ai_iceberg_demo_spark.streaming.events import (
+        _EWMA_SPIKE_DAY,
+        t51_ewma_band,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = sorted(t51_ewma_band(spark, SF_DIR).collect(), key=lambda r: r["day"])
+    flagged = [r["day"] for r in rows if r["anomaly"]]
+    assert flagged == [_EWMA_SPIKE_DAY]
+    assert rows[0]["anomaly"] is False and rows[0]["residual"] == 0.0
+    # the smoothed line must move toward the spike but stay well under it
+    spike_row = next(r for r in rows if r["day"] == _EWMA_SPIKE_DAY)
+    assert spike_row["ewma"] < spike_row["n_events"]
+    assert spike_row["residual"] > 0
