@@ -1198,3 +1198,123 @@ def f38_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# f39: HTML tag stripping (web-corpus cleaning)
+# ---------------------------------------------------------------------------
+
+
+@REGISTRY.register(
+    name="f39_html_strip",
+    survey_ref="training-data (web-corpus cleaning); F-family",
+    doc="HTML → text cleaning, the first pass of every web-scrape "
+    "pipeline: strip comments, strip tags, decode the five core "
+    "entities, collapse whitespace. Docs with doc_id%4==0 are framed "
+    "in a deterministic HTML shell (headline, paragraph tags, an "
+    "entity-bearing footer, a tracking comment — t20's salting "
+    "pattern), and the op must recover EXACTLY original-text + "
+    "' footer & nav' for framed rows and the identity for the rest — "
+    "the round-trip invariant is computed IN-QUERY as the `recovered` "
+    "column, so the oracle hash-checks the cleaner's correctness, not "
+    "just its output shape. All regexp/CASE column work, map-only, "
+    "dialect-safe patterns (no lookbehind — f31's rule).",
+    oracle="""
+        WITH framed AS (
+            SELECT doc_id, text,
+                   doc_id % 4 = 0 AS was_framed,
+                   CASE WHEN doc_id % 4 = 0 THEN
+                       '<html><body><h1>Doc ' || doc_id || '</h1><p>'
+                       || text ||
+                       '</p><p>footer &amp; nav</p><!-- tracking --></body></html>'
+                   ELSE text END AS html
+            FROM documents
+        ), stripped AS (
+            SELECT doc_id, text, was_framed,
+                   CAST(LEN(REGEXP_EXTRACT_ALL(html, '<[^>]+>')) AS INT) AS n_tags,
+                   TRIM(REGEXP_REPLACE(
+                       REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(
+                           REGEXP_REPLACE(
+                               REGEXP_REPLACE(html, '<!--.*?-->', '', 'g'),
+                               '<[^>]+>', ' ', 'g'),
+                           '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+                           '&quot;', '"'), '&#39;', ''''),
+                       '\\s+', ' ', 'g')) AS cleaned
+            FROM framed
+        )
+        SELECT doc_id, was_framed, n_tags,
+               CAST(LENGTH(cleaned) AS BIGINT) AS clean_len,
+               cleaned = CASE WHEN was_framed
+                              THEN 'Doc ' || doc_id || ' ' || text || ' footer & nav'
+                              ELSE text END AS recovered
+        FROM stripped
+    """,
+)
+def f39_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    frame = F.concat(
+        F.lit("<html><body><h1>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("</p><p>footer &amp; nav</p><!-- tracking --></body></html>"),
+    )
+    was_framed = F.col("doc_id") % 4 == 0
+    framed = docs.select(
+        "doc_id",
+        "text",
+        was_framed.alias("was_framed"),
+        F.when(was_framed, frame).otherwise(F.col("text")).alias("html"),
+    )
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.replace(
+                F.replace(
+                    F.replace(
+                        F.replace(
+                            F.replace(
+                                F.regexp_replace(
+                                    F.regexp_replace(
+                                        F.col("html"), "<!--.*?-->", ""
+                                    ),
+                                    "<[^>]+>",
+                                    " ",
+                                ),
+                                F.lit("&amp;"),
+                                F.lit("&"),
+                            ),
+                            F.lit("&lt;"),
+                            F.lit("<"),
+                        ),
+                        F.lit("&gt;"),
+                        F.lit(">"),
+                    ),
+                    F.lit("&quot;"),
+                    F.lit('"'),
+                ),
+                F.lit("&#39;"),
+                F.lit("'"),
+            ),
+            r"\s+",
+            " ",
+        )
+    )
+    expected = F.when(
+        F.col("was_framed"),
+        F.concat(
+            F.lit("Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit(" "),
+            F.col("text"),
+            F.lit(" footer & nav"),
+        ),
+    ).otherwise(F.col("text"))
+    return framed.select(
+        "doc_id",
+        "was_framed",
+        F.size(F.regexp_extract_all(F.col("html"), F.lit("<[^>]+>"), F.lit(0)))
+        .cast("int")
+        .alias("n_tags"),
+        F.length(cleaned).cast("bigint").alias("clean_len"),
+        (cleaned == expected).alias("recovered"),
+    )

@@ -600,3 +600,69 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total_qty"), "o_orderkey")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# J10: blocked fuzzy join (entity resolution without all-pairs)
+# ---------------------------------------------------------------------------
+
+
+@REGISTRY.register(
+    name="j10_blocked_fuzzy_join",
+    survey_ref="J6's lexical sibling (entity resolution); F28's join form",
+    doc="entity resolution as a BLOCKED fuzzy join: a dirty registry "
+    "(every 25th customer re-enters with a transposed name, "
+    "'Custmoer#…' — edit distance 2, t20's planting pattern) is "
+    "matched back to the clean table by levenshtein ≤ 2, but ONLY "
+    "within blocks sharing the record's stable key digits — the "
+    "discipline that makes fuzzy matching survive scale: levenshtein "
+    "prices in-block pairs, never the n² cross. In production the "
+    "block key is a phonetic/q-gram/LSH bucket; here the numeric "
+    "suffix plays that role so the result is exactly the planted "
+    "matches (self-pairs excluded by the dirty-side marker). Both "
+    "sides' planting is in-query, so the whole resolver hash-checks.",
+    oracle="""
+        WITH dirty AS (
+            SELECT c_custkey,
+                   REPLACE(c_name, 'Customer#', 'Custmoer#') AS dirty_name,
+                   REGEXP_EXTRACT(c_name, '[0-9]+') AS blk
+            FROM customer WHERE c_custkey % 25 = 0
+        ), clean AS (
+            SELECT c_custkey AS clean_key, c_name AS clean_name,
+                   REGEXP_EXTRACT(c_name, '[0-9]+') AS blk
+            FROM customer
+        )
+        SELECT d.c_custkey AS dirty_key, d.dirty_name,
+               c.clean_key, c.clean_name,
+               CAST(levenshtein(d.dirty_name, c.clean_name) AS INT) AS distance
+        FROM dirty d JOIN clean c ON d.blk = c.blk
+        WHERE levenshtein(d.dirty_name, c.clean_name) <= 2
+        ORDER BY dirty_key, clean_key
+    """,
+)
+def j10_blocked_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    blk = F.regexp_extract(F.col("c_name"), "[0-9]+", 0)
+    dirty = cust.filter(F.col("c_custkey") % 25 == 0).select(
+        F.col("c_custkey").alias("dirty_key"),
+        F.regexp_replace("c_name", "Customer#", "Custmoer#").alias("dirty_name"),
+        blk.alias("blk"),
+    )
+    clean = cust.select(
+        F.col("c_custkey").alias("clean_key"),
+        F.col("c_name").alias("clean_name"),
+        blk.alias("blk"),
+    )
+    dist = F.levenshtein(F.col("dirty_name"), F.col("clean_name"))
+    return (
+        dirty.join(clean, "blk")
+        .filter(dist <= 2)
+        .select(
+            "dirty_key",
+            "dirty_name",
+            "clean_key",
+            "clean_name",
+            dist.cast("int").alias("distance"),
+        )
+        .orderBy("dirty_key", "clean_key")
+    )
