@@ -1403,3 +1403,110 @@ def u31_kfold_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("train")
         .alias("role"),
     )
+
+
+# ---------------------------------------------------------------------------
+# u33: token-budget waterfilling with per-source caps
+# ---------------------------------------------------------------------------
+
+_WF_BUDGET = 10000.0  # tokens to allocate
+_WF_CAP = 550.0  # per-source ceiling (5.5% of budget — binds on this fixture)
+
+
+@REGISTRY.register(
+    name="u33_budget_waterfill",
+    survey_ref="training-data (mixture budgeting with caps); u10/u22's constrained form",
+    doc="token-budget waterfilling: allocate a training budget across "
+    "sources proportionally to their token mass, subject to a "
+    "per-source ceiling (the anti-dominance cap every production "
+    "mixture recipe carries); capped sources' excess re-distributes "
+    "proportionally among the uncapped — the classic waterfill, "
+    "unrolled THREE rounds with per-round 6dp rounding so the whole "
+    "constrained optimizer is hash-oracled (f32/g1's fixed-unroll "
+    "discipline; 3 rounds reaches fixpoint here, asserted by test). "
+    "The corpus reduces to per-source token counts via ONE wordcount "
+    "pass; every round after is a 1-row re-aggregation broadcast onto "
+    "the sources-sized table.",
+    oracle=f"""
+        WITH src AS (
+            SELECT source, CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS DOUBLE) AS toks
+            FROM documents GROUP BY source
+        ), r1 AS (
+            SELECT source, toks,
+                   ROUND({_WF_BUDGET} * toks / (SELECT SUM(toks) FROM src), 6) AS a
+            FROM src
+        ), c1 AS (SELECT source, toks, a > {_WF_CAP} AS capped FROM r1),
+        r2 AS (
+            SELECT c.source, c.toks, c.capped,
+                   CASE WHEN c.capped THEN {_WF_CAP}
+                        ELSE ROUND(({_WF_BUDGET} - {_WF_CAP} *
+                                    (SELECT COUNT(*) FROM c1 WHERE capped))
+                                   * c.toks /
+                                   (SELECT SUM(toks) FROM c1 WHERE NOT capped), 6)
+                   END AS a
+            FROM c1 c
+        ), c2 AS (
+            SELECT source, toks, capped OR a > {_WF_CAP} AS capped FROM r2
+        ), r3 AS (
+            SELECT c.source, c.toks, c.capped,
+                   CASE WHEN c.capped THEN {_WF_CAP}
+                        ELSE ROUND(({_WF_BUDGET} - {_WF_CAP} *
+                                    (SELECT COUNT(*) FROM c2 WHERE capped))
+                                   * c.toks /
+                                   (SELECT SUM(toks) FROM c2 WHERE NOT capped), 6)
+                   END AS a
+            FROM c2 c
+        )
+        SELECT source, CAST(toks AS BIGINT) AS n_tokens, capped,
+               ROUND(a, 4) AS alloc
+        FROM r3 ORDER BY source
+    """,
+)
+def u33_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    src = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("double").alias("toks")
+    )
+
+    def alloc_round(frame: DataFrame) -> DataFrame:
+        """One waterfill round: cap the flagged sources, share the rest
+        of the budget among the unflagged proportionally (1-row re-agg
+        broadcast — the sources table never leaves the executors)."""
+        stats = frame.agg(
+            F.sum(F.when(F.col("capped"), 1).otherwise(0)).alias("n_cap"),
+            F.sum(F.when(~F.col("capped"), F.col("toks"))).alias("free_toks"),
+        )
+        return frame.crossJoin(F.broadcast(stats)).select(
+            "source",
+            "toks",
+            "capped",
+            F.when(F.col("capped"), F.lit(_WF_CAP))
+            .otherwise(
+                F.round(
+                    (F.lit(_WF_BUDGET) - F.lit(_WF_CAP) * F.col("n_cap"))
+                    * F.col("toks")
+                    / F.col("free_toks"),
+                    6,
+                )
+            )
+            .alias("a"),
+        )
+
+    total = src.agg(F.sum("toks").alias("tt"))
+    r1 = src.crossJoin(F.broadcast(total)).select(
+        "source",
+        "toks",
+        F.round(F.lit(_WF_BUDGET) * F.col("toks") / F.col("tt"), 6).alias("a"),
+    )
+    c1 = r1.select("source", "toks", (F.col("a") > _WF_CAP).alias("capped"))
+    r2 = alloc_round(c1)
+    c2 = r2.select(
+        "source", "toks", (F.col("capped") | (F.col("a") > _WF_CAP)).alias("capped")
+    )
+    r3 = alloc_round(c2)
+    return r3.select(
+        "source",
+        F.col("toks").cast("bigint").alias("n_tokens"),
+        "capped",
+        F.round("a", 4).alias("alloc"),
+    ).orderBy("source")

@@ -446,3 +446,23 @@ def test_dedup_aware_mixture_removes_duplicate_inflation(spark):
         if planted.get(src):
             assert r["inflation"] > 1.0
         assert 0 < r["sample_rate"] <= 1.0
+
+
+def test_budget_waterfill_reaches_fixpoint_and_conserves_budget(spark):
+    """u33: after the 3-round unroll, (a) some sources ARE capped (the
+    cap binds on this fixture — otherwise the query is vacuous), (b)
+    no uncapped source sits above the cap (fixpoint), and (c) the
+    allocations sum to the budget."""
+    from ai_iceberg_demo_spark.operators.sampling import (
+        _WF_BUDGET,
+        _WF_CAP,
+        u33_budget_waterfill,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = u33_budget_waterfill(spark, SF_DIR).collect()
+    capped = [r for r in rows if r["capped"]]
+    assert capped, "cap never binds — vacuous fixture parameters"
+    assert all(r["alloc"] == _WF_CAP for r in capped)
+    assert all(r["alloc"] <= _WF_CAP + 1e-6 for r in rows)
+    assert abs(sum(r["alloc"] for r in rows) - _WF_BUDGET) < 0.01
