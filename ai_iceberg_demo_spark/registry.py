@@ -139,6 +139,25 @@ class Registry:
 # oracle sweep (tests/test_queries_oracle.py) and queue for r7 behind
 # the overflow. All rotated-out queries stay covered by that same
 # sweep every round.
+#
+# r7 queue (write the priority list from this when the round starts):
+# first the 13 r5-overflow names above (5 rounds since registration by
+# then, never driver-checked), then the 27 operators first registered
+# in r6, in registration order: v27_lsh_tuning_curve,
+# v3d_lsh_probe_det, v8e2_phash_det, q2_min_cost_supplier,
+# q7_volume_shipping, q8_market_share, q9_product_profit,
+# q11_important_parts, q12_lateness_priority, q13_customer_distribution,
+# q15_top_supplier, q16_parts_suppliers, q17_small_quantity_revenue,
+# q19_discounted_revenue, q20_excess_shippers, q21_waiting_suppliers,
+# q22_sales_opportunity, t48_zipf_audit, f38_vocab_coverage,
+# v28_filtered_search, v24b_label_noise_det, v18b_knn_graph_det,
+# d16_cluster_histogram, t51_ewma_band, f39_html_strip,
+# j10_blocked_fuzzy_join, u33_budget_waterfill. 13 + 27 = 40
+# first-timers for 50 slots; the remaining 10 go to the r2-core cohort
+# head (oldest driver evidence first). v8e_phash_dedup and
+# pipeline_multimodal_prep gained full hash oracles in r6 AFTER their
+# r6 window slots were assigned — their r6 driver rows double as the
+# post-upgrade pins.
 _DRIVER_WINDOW_PRIORITY = [
     "u14_curriculum_order",
     "u16_interleave_sources",
