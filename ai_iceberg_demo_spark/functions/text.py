@@ -1204,6 +1204,66 @@ def f38_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # f39: HTML tag stripping (web-corpus cleaning)
 # ---------------------------------------------------------------------------
 
+#: the SQL spelling of ``html_strip_col`` over `{col}` — shared
+#: verbatim by f39's oracle and pipeline_web_ingest's, so the
+#: composition can never drift from the part (the governance rule).
+_HTML_STRIP_SQL = (
+    "TRIM(REGEXP_REPLACE("
+    "REPLACE(REPLACE(REPLACE(REPLACE(REPLACE("
+    "REGEXP_REPLACE("
+    "REGEXP_REPLACE({col}, '<!--.*?-->', '', 'g'),"
+    " '<[^>]+>', ' ', 'g'),"
+    " '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),"
+    " '&quot;', '\"'), '&#39;', ''''),"
+    " '\\s+', ' ', 'g'))"
+)
+
+#: the deterministic HTML shell planted around doc_id%4==0 rows (SQL)
+_HTML_FRAME_SQL = (
+    "CASE WHEN doc_id % 4 = 0 THEN "
+    "'<html><body><h1>Doc ' || doc_id || '</h1><p>' || text || "
+    "'</p><p>footer &amp; nav</p><!-- tracking --></body></html>' "
+    "ELSE text END"
+)
+
+
+def html_strip_col(html: Column) -> Column:
+    """f39's cleaning expression over any string column: strip
+    comments, strip tags, decode the five core entities, collapse
+    whitespace. Pure built-in column functions — map-only, no UDF."""
+    no_comments = F.regexp_replace(html, "<!--.*?-->", "")
+    no_tags = F.regexp_replace(no_comments, "<[^>]+>", " ")
+    decoded = F.replace(
+        F.replace(
+            F.replace(
+                F.replace(
+                    F.replace(no_tags, F.lit("&amp;"), F.lit("&")),
+                    F.lit("&lt;"),
+                    F.lit("<"),
+                ),
+                F.lit("&gt;"),
+                F.lit(">"),
+            ),
+            F.lit("&quot;"),
+            F.lit('"'),
+        ),
+        F.lit("&#39;"),
+        F.lit("'"),
+    )
+    return F.trim(F.regexp_replace(decoded, r"\s+", " "))
+
+
+def html_frame_col() -> Column:
+    """The planted HTML shell over (doc_id, text) — f39/pipeline share it."""
+    frame = F.concat(
+        F.lit("<html><body><h1>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("</p><p>footer &amp; nav</p><!-- tracking --></body></html>"),
+    )
+    return F.when(F.col("doc_id") % 4 == 0, frame).otherwise(F.col("text"))
+
 
 @REGISTRY.register(
     name="f39_html_strip",
@@ -1219,27 +1279,16 @@ def f38_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     "column, so the oracle hash-checks the cleaner's correctness, not "
     "just its output shape. All regexp/CASE column work, map-only, "
     "dialect-safe patterns (no lookbehind — f31's rule).",
-    oracle="""
+    oracle=f"""
         WITH framed AS (
             SELECT doc_id, text,
                    doc_id % 4 = 0 AS was_framed,
-                   CASE WHEN doc_id % 4 = 0 THEN
-                       '<html><body><h1>Doc ' || doc_id || '</h1><p>'
-                       || text ||
-                       '</p><p>footer &amp; nav</p><!-- tracking --></body></html>'
-                   ELSE text END AS html
+                   {_HTML_FRAME_SQL} AS html
             FROM documents
         ), stripped AS (
             SELECT doc_id, text, was_framed,
                    CAST(LEN(REGEXP_EXTRACT_ALL(html, '<[^>]+>')) AS INT) AS n_tags,
-                   TRIM(REGEXP_REPLACE(
-                       REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(
-                           REGEXP_REPLACE(
-                               REGEXP_REPLACE(html, '<!--.*?-->', '', 'g'),
-                               '<[^>]+>', ' ', 'g'),
-                           '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
-                           '&quot;', '"'), '&#39;', ''''),
-                       '\\s+', ' ', 'g')) AS cleaned
+                   {_HTML_STRIP_SQL.format(col="html")} AS cleaned
             FROM framed
         )
         SELECT doc_id, was_framed, n_tags,
@@ -1252,53 +1301,13 @@ def f38_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def f39_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
-    frame = F.concat(
-        F.lit("<html><body><h1>Doc "),
-        F.col("doc_id").cast("string"),
-        F.lit("</h1><p>"),
-        F.col("text"),
-        F.lit("</p><p>footer &amp; nav</p><!-- tracking --></body></html>"),
-    )
-    was_framed = F.col("doc_id") % 4 == 0
     framed = docs.select(
         "doc_id",
         "text",
-        was_framed.alias("was_framed"),
-        F.when(was_framed, frame).otherwise(F.col("text")).alias("html"),
+        (F.col("doc_id") % 4 == 0).alias("was_framed"),
+        html_frame_col().alias("html"),
     )
-    cleaned = F.trim(
-        F.regexp_replace(
-            F.replace(
-                F.replace(
-                    F.replace(
-                        F.replace(
-                            F.replace(
-                                F.regexp_replace(
-                                    F.regexp_replace(
-                                        F.col("html"), "<!--.*?-->", ""
-                                    ),
-                                    "<[^>]+>",
-                                    " ",
-                                ),
-                                F.lit("&amp;"),
-                                F.lit("&"),
-                            ),
-                            F.lit("&lt;"),
-                            F.lit("<"),
-                        ),
-                        F.lit("&gt;"),
-                        F.lit(">"),
-                    ),
-                    F.lit("&quot;"),
-                    F.lit('"'),
-                ),
-                F.lit("&#39;"),
-                F.lit("'"),
-            ),
-            r"\s+",
-            " ",
-        )
-    )
+    cleaned = html_strip_col(F.col("html"))
     expected = F.when(
         F.col("was_framed"),
         F.concat(

@@ -29,8 +29,12 @@ from pyspark.sql import functions as F
 
 from ai_iceberg_demo_spark.functions.text import (
     _BPE_REGEX,
+    _HTML_FRAME_SQL,
+    _HTML_STRIP_SQL,
     bpe_token_count,
     fingerprint,
+    html_frame_col,
+    html_strip_col,
     quality_score,
 )
 from ai_iceberg_demo_spark.operators.sampling import (
@@ -592,3 +596,116 @@ def pipeline_governance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_violations",
     )
     return s14.unionByName(m13).unionByName(m7)
+
+
+# ---------------------------------------------------------------------------
+# pipeline: web-scrape ingestion funnel (f39 ∘ quality gate ∘ d1)
+# ---------------------------------------------------------------------------
+
+_WEB_MIN_TOKENS = 30  # quality gate (p25 of the fixture is 32 — selective, non-vacuous)
+
+
+@REGISTRY.register(
+    name="pipeline_web_ingest",
+    survey_ref="training-data (web ingestion funnel: f39 ∘ v10-gate ∘ d1)",
+    doc="the web-scrape ingestion funnel as ONE plan: raw feed = the "
+    "f39-framed corpus PLUS whitespace-mangled mirror copies for "
+    "doc_id%10==0 (the classic mirrored-page dup — planted in-query, "
+    "t20's pattern) → HTML strip (f39's exact expression, shared "
+    "helper) → minimum-token quality gate → exact dedup on d1's "
+    "normalized fingerprint (keep-min) → per-source funnel report "
+    "(docs_in / docs_clean / docs_unique / kept tokens). The strip's "
+    "whitespace collapse is what makes the mangled mirrors exact "
+    "dups — the stages provably compose, and the oracle REUSES the "
+    "parts' SQL spellings so the composition can never drift. One "
+    "fingerprint shuffle moves the corpus; the report is source-keyed "
+    "partials joined small-on-small.",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id, source, text, {_HTML_FRAME_SQL} AS html
+            FROM documents
+        ), raw AS (
+            SELECT doc_id, source, html FROM base
+            UNION ALL
+            SELECT doc_id + 1000000, source, REPLACE(html, ' ', '  ')
+            FROM base WHERE doc_id % 10 = 0
+        ), cleaned AS (
+            SELECT doc_id, source,
+                   {_HTML_STRIP_SQL.format(col="html")} AS txt
+            FROM raw
+        ), gated AS (
+            SELECT doc_id, source, txt,
+                   LEN(STRING_SPLIT(txt, ' ')) AS n
+            FROM cleaned WHERE LEN(STRING_SPLIT(txt, ' ')) >= {_WEB_MIN_TOKENS}
+        ), uniq AS (
+            SELECT MD5(REGEXP_REPLACE(LOWER(TRIM(txt)), '\\s+', ' ', 'g')) AS fp,
+                   MIN(doc_id) AS keep_id
+            FROM gated GROUP BY 1
+        ), kept AS (
+            SELECT g.doc_id, g.source, g.n
+            FROM gated g
+            JOIN uniq u
+              ON MD5(REGEXP_REPLACE(LOWER(TRIM(g.txt)), '\\s+', ' ', 'g')) = u.fp
+             AND g.doc_id = u.keep_id
+        ), per_raw AS (
+            SELECT source, COUNT(*) AS docs_in FROM raw GROUP BY source
+        ), per_gated AS (
+            SELECT source, COUNT(*) AS docs_clean FROM gated GROUP BY source
+        ), per_kept AS (
+            SELECT source, COUNT(*) AS docs_unique, SUM(n) AS kept_tokens
+            FROM kept GROUP BY source
+        )
+        SELECT r.source,
+               CAST(r.docs_in AS BIGINT) AS docs_in,
+               CAST(COALESCE(g.docs_clean, 0) AS BIGINT) AS docs_clean,
+               CAST(COALESCE(k.docs_unique, 0) AS BIGINT) AS docs_unique,
+               CAST(COALESCE(k.kept_tokens, 0) AS BIGINT) AS kept_tokens
+        FROM per_raw r
+        LEFT JOIN per_gated g ON r.source = g.source
+        LEFT JOIN per_kept k ON r.source = k.source
+        ORDER BY r.source
+    """,
+)
+def pipeline_web_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    base = docs.select("doc_id", "source", "text", html_frame_col().alias("html"))
+    mirrors = base.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        "source",
+        F.replace(F.col("html"), F.lit(" "), F.lit("  ")).alias("html"),
+    )
+    raw = base.select("doc_id", "source", "html").unionByName(mirrors)
+    cleaned = raw.select(
+        "doc_id", "source", html_strip_col(F.col("html")).alias("txt")
+    )
+    gated = cleaned.select(
+        "doc_id", "source", "txt", F.size(F.split("txt", " ")).alias("n")
+    ).filter(F.col("n") >= _WEB_MIN_TOKENS)
+    # keep-min per fingerprint via min-struct (partial-aggregable, no window)
+    kept = (
+        gated.select(fingerprint(F.col("txt")).alias("fp"), "doc_id", "source", "n")
+        .groupBy("fp")
+        .agg(F.min(F.struct("doc_id", "source", "n")).alias("k"))
+        .select(
+            F.col("k.doc_id").alias("doc_id"),
+            F.col("k.source").alias("source"),
+            F.col("k.n").alias("n"),
+        )
+    )
+    per_raw = raw.groupBy("source").agg(F.count("*").alias("docs_in"))
+    per_gated = gated.groupBy("source").agg(F.count("*").alias("docs_clean"))
+    per_kept = kept.groupBy("source").agg(
+        F.count("*").alias("docs_unique"), F.sum("n").alias("kept_tokens")
+    )
+    return (
+        per_raw.join(per_gated, "source", "left")
+        .join(per_kept, "source", "left")
+        .select(
+            "source",
+            F.col("docs_in").cast("bigint").alias("docs_in"),
+            F.coalesce("docs_clean", F.lit(0)).cast("bigint").alias("docs_clean"),
+            F.coalesce("docs_unique", F.lit(0)).cast("bigint").alias("docs_unique"),
+            F.coalesce("kept_tokens", F.lit(0)).cast("bigint").alias("kept_tokens"),
+        )
+        .orderBy("source")
+    )

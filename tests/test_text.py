@@ -21,3 +21,25 @@ def test_bpe_merge_rounds_strictly_compress(spark):
     for r in rows:
         assert r["n_tokens_0"] >= r["n_tokens_1"] >= r["n_tokens_2"]
         assert len(r["merged_seq"].split(_BPE_JOIN)) == r["n_tokens_2"]
+
+
+def test_web_ingest_funnel_every_stage_fires(spark):
+    """pipeline_web_ingest: the quality gate must drop some docs, the
+    dedup must remove the planted mirrors (whose whitespace mangling
+    the strip normalizes away), and the stages must be properly
+    nested: docs_in > docs_clean > docs_unique per the corpus, with
+    mirrors only ever removable when their original also survived the
+    gate (both carry identical token counts)."""
+    from ai_iceberg_demo_spark.pipeline.curation import pipeline_web_ingest
+    from tests.conftest import SF_DIR
+
+    rows = pipeline_web_ingest(spark, SF_DIR).collect()
+    di = sum(r["docs_in"] for r in rows)
+    dc = sum(r["docs_clean"] for r in rows)
+    du = sum(r["docs_unique"] for r in rows)
+    assert di > dc > du, (di, dc, du)
+    # the raw feed carries exactly the corpus + the planted mirrors
+    n_docs = di * 10 // 11  # mirrors are doc_id%10==0 → 10% of corpus
+    assert di == n_docs + n_docs // 10
+    # every source reports, and kept tokens are positive wherever docs survive
+    assert all(r["kept_tokens"] > 0 for r in rows if r["docs_unique"] > 0)
