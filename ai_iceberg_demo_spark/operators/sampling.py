@@ -1464,8 +1464,14 @@ _WF_CAP = 550.0  # per-source ceiling (5.5% of budget — binds on this fixture)
 )
 def u33_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
-    src = docs.groupBy("source").agg(
-        F.sum(F.size(F.split("text", " "))).cast("double").alias("toks")
+    # the ONE corpus-touching step; persist it — the 3-round unroll
+    # references this 20-row table from seven branches, and without the
+    # persist each branch re-runs the wordcount (plan audit showed 16
+    # exchanges; the corpus must reduce exactly once at 100 TB)
+    src = (
+        docs.groupBy("source")
+        .agg(F.sum(F.size(F.split("text", " "))).cast("double").alias("toks"))
+        .persist()
     )
 
     def alloc_round(frame: DataFrame) -> DataFrame:
