@@ -394,3 +394,56 @@ def w9_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("revenue") - prev).alias("delta"),
         F.round((F.col("revenue") - prev) / prev * 100, 4).alias("pct_change"),
     )
+
+
+# ---------------------------------------------------------------------------
+# w10: trailing time-RANGE frame (interval windows without self-joins)
+# ---------------------------------------------------------------------------
+
+_W10_WINDOW_US = 7 * 86400 * 1_000_000  # trailing 7 days, in microseconds
+
+
+@REGISTRY.register(
+    name="w10_trailing_time_window",
+    survey_ref="§2.5 extras (time-RANGE frame); w5's time-based sibling",
+    doc="trailing-7-day per-user activity: running event count and "
+    "value sum over a RANGE frame keyed on integer event-time "
+    "MICROSECONDS — the time-based frame w5's ROWS frame can't "
+    "express (a row frame counts events, not elapsed time), and the "
+    "scale-correct spelling of every 'last N days per entity' metric: "
+    "the self-join spelling pairs each event with its trailing window "
+    "(quadratic on hot users), the RANGE frame is one user-keyed "
+    "shuffle + per-partition sort. Integer microseconds (unix_micros/"
+    "epoch_us) keep the frame boundary arithmetic EXACT on both "
+    "engines — fractional-second doubles would tie-break "
+    "inconsistently; value sums go through DECIMAL so frame sums are "
+    "order-independent.",
+    oracle=f"""
+        SELECT event_id, user_id,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE)
+                   AS trailing_value
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN {_W10_WINDOW_US} PRECEDING AND CURRENT ROW)
+        ORDER BY event_id
+    """,
+)
+def w10_trailing_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_iceberg_demo_spark.tables import load_table
+
+    ev = load_table(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-_W10_WINDOW_US, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).cast("bigint").alias("n_trailing"),
+        F.sum(F.col("value").cast("decimal(12,2)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_value"),
+    ).orderBy("event_id")
