@@ -1327,3 +1327,98 @@ def f39_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(cleaned).cast("bigint").alias("clean_len"),
         (cleaned == expected).alias("recovered"),
     )
+
+
+# ---------------------------------------------------------------------------
+# f41: URL canonicalization (the web-dedup prerequisite)
+# ---------------------------------------------------------------------------
+
+
+@REGISTRY.register(
+    name="f41_url_normalize",
+    survey_ref="training-data (web-corpus keying); f39's URL sibling",
+    doc="URL canonicalization, the step BEFORE any URL-keyed dedup or "
+    "crawl-frontier join: lowercase scheme+host, strip the default "
+    "port, drop the fragment, strip the trailing path slash, sort "
+    "query parameters. Every doc synthesizes a deliberately messy URL "
+    "(uppercase scheme/host, :80, unsorted params, fragment — the "
+    "planting pattern), and `ok` compares the normalized form against "
+    "the independently-built canonical string IN-QUERY, so the oracle "
+    "hash-checks the normalizer's correctness on every row. Pure "
+    "string/regexp/array built-ins, map-only; at 100 TB this keys the "
+    "URL-dedup shuffle, so canonical-form stability IS the dedup's "
+    "recall.",
+    oracle="""
+        WITH raw AS (
+            SELECT doc_id, source,
+                   'HTTP://WWW.' || UPPER(source) || '.COM:80/docs/' || doc_id
+                       || '/?b=2&a=1#frag' AS url
+            FROM documents
+        ), parts AS (
+            SELECT doc_id, source,
+                   REGEXP_REPLACE(url, '#.*$', '') AS no_frag
+            FROM raw
+        ), pieces AS (
+            SELECT doc_id, source,
+                   REGEXP_REPLACE(LOWER(REGEXP_EXTRACT(no_frag, '^[^/]+//[^/?]+')),
+                                  ':80$', '') AS hostpart,
+                   REGEXP_REPLACE(
+                       REGEXP_REPLACE(no_frag, '^[^/]+//[^/?]+', ''),
+                       '\\?.*$', '') AS path,
+                   CASE WHEN no_frag LIKE '%?%'
+                        THEN REGEXP_REPLACE(no_frag, '^[^?]*\\?', '')
+                        ELSE '' END AS query
+            FROM parts
+        ), built AS (
+            SELECT doc_id, source,
+                   hostpart || REGEXP_REPLACE(path, '/$', '')
+                   || CASE WHEN query = '' THEN ''
+                           ELSE '?' || ARRAY_TO_STRING(
+                               LIST_SORT(STRING_SPLIT(query, '&')), '&') END
+                       AS url_norm
+            FROM pieces
+        )
+        SELECT doc_id, url_norm,
+               url_norm = 'http://www.' || LOWER(source) || '.com/docs/'
+                          || doc_id || '?a=1&b=2' AS ok
+        FROM built
+    """,
+)
+def f41_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    url = F.concat(
+        F.lit("HTTP://WWW."),
+        F.upper("source"),
+        F.lit(".COM:80/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("/?b=2&a=1#frag"),
+    )
+    no_frag = F.regexp_replace(url, "#.*$", "")
+    hostpart = F.regexp_replace(
+        F.lower(F.regexp_extract(no_frag, "^[^/]+//[^/?]+", 0)), ":80$", ""
+    )
+    path = F.regexp_replace(
+        F.regexp_replace(no_frag, "^[^/]+//[^/?]+", ""), r"\?.*$", ""
+    )
+    query = F.when(
+        no_frag.contains("?"), F.regexp_replace(no_frag, r"^[^?]*\?", "")
+    ).otherwise(F.lit(""))
+    url_norm = F.concat(
+        hostpart,
+        F.regexp_replace(path, "/$", ""),
+        F.when(query == "", F.lit("")).otherwise(
+            F.concat(F.lit("?"), F.array_join(F.array_sort(F.split(query, "&")), "&"))
+        ),
+    )
+    expected = F.concat(
+        F.lit("http://www."),
+        F.lower("source"),
+        F.lit(".com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?a=1&b=2"),
+    )
+    return docs.select(
+        "doc_id",
+        url_norm.alias("url_norm"),
+        (url_norm == expected).alias("ok"),
+    )

@@ -2048,3 +2048,62 @@ def t47_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(2.0 * tp / (2.0 * tp + fp + fn), 6).alias("f1"),
         F.round((tp + tn) / (tp + fp + fn + tn), 6).alias("accuracy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t53: UCB1 bandit readout (experimentation beyond fixed A/B)
+# ---------------------------------------------------------------------------
+
+
+@REGISTRY.register(
+    name="t53_ucb_bandit",
+    survey_ref="§2.11 analytics extra (bandit readout); t27's adaptive sibling",
+    doc="UCB1 bandit readout (Auer et al., Mach. Learn. 2002) treating "
+    "event types as arms and `value` as reward: per arm, pulls, mean "
+    "reward, and the UCB1 index mean + sqrt(2 ln N / n) — the table "
+    "an adaptive allocator reads to pick the next arm, next to t27's "
+    "fixed-split z-test. Closed-form over per-arm partials (t27's "
+    "shape): reward volume partial-aggregates map-side into one row "
+    "per arm, N re-aggregates the SAME partials broadcast as 1 row — "
+    "the event stream is never scanned twice. Mean goes through "
+    "DECIMAL so per-arm sums are order-independent; ln/sqrt are IEEE- "
+    "identical cross-engine; ROUND 6 pins the read-out.",
+    oracle="""
+        WITH arms AS (
+            SELECT event_type,
+                   COUNT(*) AS n,
+                   SUM(CAST(value AS DECIMAL(12,2))) AS tot
+            FROM events WHERE value IS NOT NULL
+            GROUP BY event_type
+        ), total AS (SELECT SUM(n) AS big_n FROM arms)
+        SELECT event_type,
+               CAST(n AS BIGINT) AS pulls,
+               ROUND(CAST(tot AS DOUBLE) / n, 6) AS mean_reward,
+               ROUND(CAST(tot AS DOUBLE) / n
+                     + SQRT(2 * LN(CAST(big_n AS DOUBLE)) / n), 6) AS ucb1
+        FROM arms CROSS JOIN total
+        ORDER BY event_type
+    """,
+)
+def t53_ucb_bandit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).filter(F.col("value").isNotNull())
+    arms = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(12,2)")).alias("tot"),
+    )
+    total = arms.agg(F.sum("n").alias("big_n"))
+    mean = F.col("tot").cast("double") / F.col("n")
+    return (
+        arms.crossJoin(F.broadcast(total))
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("pulls"),
+            F.round(mean, 6).alias("mean_reward"),
+            F.round(
+                mean
+                + F.sqrt(2 * F.log(F.col("big_n").cast("double")) / F.col("n")),
+                6,
+            ).alias("ucb1"),
+        )
+        .orderBy("event_type")
+    )
