@@ -262,3 +262,109 @@ def g2_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lab").alias("inferred_nation"),
         F.col("votes").cast("bigint").alias("votes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# g3: triangle counting + global clustering coefficient
+# ---------------------------------------------------------------------------
+
+
+@REGISTRY.register(
+    name="g3_triangle_count",
+    survey_ref="graph analytics (triangles); g1/g2/d6's static sibling",
+    doc="triangle count + global clustering coefficient over the "
+    "supplier co-service graph (edge when two suppliers share an "
+    "1996-01 order — the bipartite purchase graph g1 walks, "
+    "projected, windowed to one month because the ALL-TIME projection "
+    "saturates to the complete graph on this fixture (100 suppliers x "
+    "90k pair draws -> coefficient exactly 1.0, a vacuous answer); "
+    "per-order fan-out is bounded, so the projection is an in-order "
+    "pair explode, never a corpus self-join). Triangles are the "
+    "id-oriented two-join spelling e(a,b) ⋈ e(b,c) ⋈ e(a,c) with "
+    "a<b<c, counting each once; wedges come closed-form from the "
+    "degree table, and the coefficient is 3·triangles / wedges. At "
+    "real graph scale the orientation key is DEGREE (point the edge "
+    "at the higher-degree endpoint) so hub vertices never enumerate "
+    "their neighbor pairs — the id orientation here keeps the oracle "
+    "bit-identical; the plan shape (two edge-keyed joins + broadcast "
+    "degree table) is the same either way.",
+    oracle="""
+        WITH os AS (
+            SELECT DISTINCT o_orderkey AS ok, l_suppkey AS s
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1996-02-01 00:00:00'
+        ), edges AS (
+            SELECT DISTINCT a.s AS a, b.s AS b
+            FROM os a JOIN os b ON a.ok = b.ok AND a.s < b.s
+        ), tri AS (
+            SELECT COUNT(*) AS n_tri
+            FROM edges e1
+            JOIN edges e2 ON e2.a = e1.b
+            JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+        ), deg AS (
+            SELECT v, COUNT(*) AS d FROM (
+                SELECT a AS v FROM edges UNION ALL SELECT b FROM edges
+            ) GROUP BY v
+        ), wedge AS (
+            SELECT SUM(d * (d - 1) / 2) AS n_wedges FROM deg
+        )
+        SELECT CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges,
+               CAST(t.n_tri AS BIGINT) AS n_triangles,
+               ROUND(3.0 * t.n_tri / w.n_wedges, 6) AS clustering_coeff
+        FROM tri t CROSS JOIN wedge w
+    """,
+)
+def g3_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir).select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s")
+    )
+    orders = (
+        load_table(spark, "orders", sf_dir)
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-02-01 00:00:00").cast("timestamp"))
+        )
+        .select(F.col("o_orderkey").alias("ok"))
+    )
+    os_ = li.join(orders, "ok").distinct()
+    # in-order pair explode (bounded fan-out), oriented a < b; persist —
+    # the triangle join reads the edge table three times
+    edges = (
+        os_.alias("x")
+        .join(
+            os_.alias("y"),
+            (F.col("x.ok") == F.col("y.ok")) & (F.col("x.s") < F.col("y.s")),
+        )
+        .select(F.col("x.s").alias("a"), F.col("y.s").alias("b"))
+        .distinct()
+        .persist()
+    )
+    tri = (
+        edges.alias("e1")
+        .join(edges.alias("e2"), F.col("e2.a") == F.col("e1.b"))
+        .join(
+            edges.alias("e3"),
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .agg(F.count("*").alias("n_tri"))
+    )
+    deg = (
+        edges.select(F.col("a").alias("v"))
+        .unionByName(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    wedge = deg.agg(F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("n_wedges"))
+    n_edges = edges.agg(F.count("*").alias("n_edges"))
+    return (
+        n_edges.crossJoin(tri)
+        .crossJoin(wedge)
+        .select(
+            F.col("n_edges").cast("bigint").alias("n_edges"),
+            F.col("n_tri").cast("bigint").alias("n_triangles"),
+            F.round(3.0 * F.col("n_tri") / F.col("n_wedges"), 6).alias(
+                "clustering_coeff"
+            ),
+        )
+    )
