@@ -2107,3 +2107,77 @@ def t53_ucb_bandit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# t54: first/last-touch attribution (marketing analytics)
+# ---------------------------------------------------------------------------
+
+_ATTR_WINDOW_US = 7 * 86400 * 1_000_000  # 7-day lookback, microseconds
+
+
+@REGISTRY.register(
+    name="t54_touch_attribution",
+    survey_ref="§2.11 analytics extra (attribution); t14/t29's sibling",
+    doc="first-touch and last-touch attribution: every purchase is "
+    "credited to the user's earliest and latest view/click inside a "
+    "7-day lookback — the marketing-attribution read t14's funnel and "
+    "t29's latency don't answer (WHICH exposure gets the credit). "
+    "ONE user-keyed window pass: the lookback is a RANGE frame on "
+    "integer event-time microseconds ending 1µs before the purchase "
+    "(w10's exact-boundary discipline), and first/last non-null "
+    "picks are well-defined because (user, ts) is unique at every "
+    "SF (verified). The 3-scan spelling (purchases ⋈ touches twice "
+    "with correlated min/max) shuffles the stream three times; this "
+    "shuffles once. Unattributed purchases surface with NULL touches "
+    "— the rows a spend report must not silently drop.",
+    oracle=f"""
+        SELECT event_id, user_id,
+               first_eid, first_type, last_eid, last_type
+        FROM (
+            SELECT event_id, user_id, event_type,
+                   FIRST_VALUE(CASE WHEN event_type IN ('view', 'click')
+                                    THEN event_id END IGNORE NULLS) OVER w AS first_eid,
+                   FIRST_VALUE(CASE WHEN event_type IN ('view', 'click')
+                                    THEN event_type END IGNORE NULLS) OVER w AS first_type,
+                   LAST_VALUE(CASE WHEN event_type IN ('view', 'click')
+                                   THEN event_id END IGNORE NULLS) OVER w AS last_eid,
+                   LAST_VALUE(CASE WHEN event_type IN ('view', 'click')
+                                   THEN event_type END IGNORE NULLS) OVER w AS last_type
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                         RANGE BETWEEN {_ATTR_WINDOW_US} PRECEDING
+                               AND 1 PRECEDING)
+        )
+        WHERE event_type = 'purchase'
+        ORDER BY event_id
+    """,
+)
+def t54_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, "events", sf_dir)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-_ATTR_WINDOW_US, -1)
+    )
+    is_touch = F.col("event_type").isin("view", "click")
+    t_eid = F.when(is_touch, F.col("event_id"))
+    t_type = F.when(is_touch, F.col("event_type"))
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.first(t_eid, ignorenulls=True).over(w).alias("first_eid"),
+            F.first(t_type, ignorenulls=True).over(w).alias("first_type"),
+            F.last(t_eid, ignorenulls=True).over(w).alias("last_eid"),
+            F.last(t_type, ignorenulls=True).over(w).alias("last_type"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id", "user_id", "first_eid", "first_type", "last_eid", "last_type"
+        )
+        .orderBy("event_id")
+    )
