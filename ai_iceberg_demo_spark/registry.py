@@ -152,12 +152,13 @@ class Registry:
 # q22_sales_opportunity, t48_zipf_audit, f38_vocab_coverage,
 # v28_filtered_search, v24b_label_noise_det, v18b_knn_graph_det,
 # d16_cluster_histogram, t51_ewma_band, f39_html_strip,
-# j10_blocked_fuzzy_join, u33_budget_waterfill. 13 + 27 = 40
-# first-timers for 50 slots; the remaining 10 go to the r2-core cohort
-# head (oldest driver evidence first). v8e_phash_dedup and
-# pipeline_multimodal_prep gained full hash oracles in r6 AFTER their
-# r6 window slots were assigned — their r6 driver rows double as the
-# post-upgrade pins.
+# j10_blocked_fuzzy_join, u33_budget_waterfill, pipeline_web_ingest,
+# w10_trailing_time_window, t53_ucb_bandit, f41_url_normalize,
+# g3_triangle_count, t54_touch_attribution. 13 + 33 = 46 first-timers
+# for 50 slots; the remaining 4 go to the r2-core cohort head (oldest
+# driver evidence first). v8e_phash_dedup and pipeline_multimodal_prep
+# gained full hash oracles in r6 AFTER their r6 window slots were
+# assigned — their r6 driver rows double as the post-upgrade pins.
 _DRIVER_WINDOW_PRIORITY = [
     "u14_curriculum_order",
     "u16_interleave_sources",
