@@ -1333,6 +1333,47 @@ def f39_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # f41: URL canonicalization (the web-dedup prerequisite)
 # ---------------------------------------------------------------------------
 
+#: SQL spelling of ``url_normalize_col`` over `{col}` — shared by
+#: f41's oracle and d19's so the dedup key can never drift from the
+#: normalizer (the composition rule).
+_URL_NORM_SQL = (
+    "(SELECT hostpart || REGEXP_REPLACE(path, '/$', '')"
+    " || CASE WHEN query = '' THEN ''"
+    " ELSE '?' || ARRAY_TO_STRING(LIST_SORT(STRING_SPLIT(query, '&')), '&') END"
+    " FROM (SELECT"
+    " REGEXP_REPLACE(LOWER(REGEXP_EXTRACT(no_frag, '^[^/]+//[^/?]+')), ':80$', '')"
+    " AS hostpart,"
+    " REGEXP_REPLACE(REGEXP_REPLACE(no_frag, '^[^/]+//[^/?]+', ''), '\\?.*$', '')"
+    " AS path,"
+    " CASE WHEN no_frag LIKE '%?%'"
+    " THEN REGEXP_REPLACE(no_frag, '^[^?]*\\?', '') ELSE '' END AS query"
+    " FROM (SELECT REGEXP_REPLACE({col}, '#.*$', '') AS no_frag)))"
+)
+
+
+def url_normalize_col(url: Column) -> Column:
+    """f41's canonicalization over any URL column: lowercase
+    scheme+host, strip the default port, drop the fragment, strip the
+    trailing path slash, sort query parameters. Pure string/regexp/
+    array built-ins — map-only."""
+    no_frag = F.regexp_replace(url, "#.*$", "")
+    hostpart = F.regexp_replace(
+        F.lower(F.regexp_extract(no_frag, "^[^/]+//[^/?]+", 0)), ":80$", ""
+    )
+    path = F.regexp_replace(
+        F.regexp_replace(no_frag, "^[^/]+//[^/?]+", ""), r"\?.*$", ""
+    )
+    query = F.when(
+        no_frag.contains("?"), F.regexp_replace(no_frag, r"^[^?]*\?", "")
+    ).otherwise(F.lit(""))
+    return F.concat(
+        hostpart,
+        F.regexp_replace(path, "/$", ""),
+        F.when(query == "", F.lit("")).otherwise(
+            F.concat(F.lit("?"), F.array_join(F.array_sort(F.split(query, "&")), "&"))
+        ),
+    )
+
 
 @REGISTRY.register(
     name="f41_url_normalize",
@@ -1393,23 +1434,7 @@ def f41_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("string"),
         F.lit("/?b=2&a=1#frag"),
     )
-    no_frag = F.regexp_replace(url, "#.*$", "")
-    hostpart = F.regexp_replace(
-        F.lower(F.regexp_extract(no_frag, "^[^/]+//[^/?]+", 0)), ":80$", ""
-    )
-    path = F.regexp_replace(
-        F.regexp_replace(no_frag, "^[^/]+//[^/?]+", ""), r"\?.*$", ""
-    )
-    query = F.when(
-        no_frag.contains("?"), F.regexp_replace(no_frag, r"^[^?]*\?", "")
-    ).otherwise(F.lit(""))
-    url_norm = F.concat(
-        hostpart,
-        F.regexp_replace(path, "/$", ""),
-        F.when(query == "", F.lit("")).otherwise(
-            F.concat(F.lit("?"), F.array_join(F.array_sort(F.split(query, "&")), "&"))
-        ),
-    )
+    url_norm = url_normalize_col(url)
     expected = F.concat(
         F.lit("http://www."),
         F.lower("source"),

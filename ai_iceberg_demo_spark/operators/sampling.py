@@ -1516,3 +1516,94 @@ def u33_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "capped",
         F.round("a", 4).alias("alloc"),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# u37: temporal train/test split (no-future-leakage protocol)
+# ---------------------------------------------------------------------------
+
+_TSPLIT_CUTOFF = "2024-01-22"  # train < cutoff <= test
+
+
+@REGISTRY.register(
+    name="u37_temporal_split",
+    survey_ref="training-data (evaluation protocol); u6/u6b's time axis",
+    doc="temporal train/test split manifest: events before the cutoff "
+    "day train, on/after test — the protocol for any forecasting or "
+    "next-event model, where u6's hash split would leak the future "
+    "into training. Per split: volume, distinct users, day range; "
+    "plus the two checks a reviewer asks for, computed IN-QUERY so "
+    "the hash pins them: no_leakage (max train ts < min test ts — "
+    "the split's defining property) and n_shared_users (temporal "
+    "splits intentionally share users; the number is reported, not "
+    "hidden — user-level generalization needs u6b's group split "
+    "instead). One conditional-agg pass over the stream + a tiny "
+    "distinct-user reduction; no shuffle carries event width.",
+    oracle=f"""
+        WITH tagged AS (
+            SELECT CASE WHEN ts < TIMESTAMP '{_TSPLIT_CUTOFF} 00:00:00'
+                        THEN 'train' ELSE 'test' END AS split,
+                   ts, user_id
+            FROM events
+        ), per AS (
+            SELECT split,
+                   COUNT(*) AS n_events,
+                   COUNT(DISTINCT user_id) AS n_users,
+                   CAST(CAST(MIN(ts) AS DATE) AS VARCHAR) AS first_day,
+                   CAST(CAST(MAX(ts) AS DATE) AS VARCHAR) AS last_day
+            FROM tagged GROUP BY split
+        ), leak AS (
+            SELECT MAX(CASE WHEN split = 'train' THEN ts END)
+                   < MIN(CASE WHEN split = 'test' THEN ts END) AS no_leakage
+            FROM tagged
+        ), shared AS (
+            SELECT COUNT(*) AS n_shared_users FROM (
+                SELECT user_id FROM tagged GROUP BY user_id
+                HAVING COUNT(DISTINCT split) = 2)
+        )
+        SELECT p.split, CAST(p.n_events AS BIGINT) AS n_events,
+               CAST(p.n_users AS BIGINT) AS n_users,
+               p.first_day, p.last_day,
+               l.no_leakage,
+               CAST(s.n_shared_users AS BIGINT) AS n_shared_users
+        FROM per p CROSS JOIN leak l CROSS JOIN shared s
+        ORDER BY p.split
+    """,
+)
+def u37_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_iceberg_demo_spark.tables import load_table as _lt
+
+    ev = _lt(spark, "events", sf_dir)
+    cutoff = F.lit(f"{_TSPLIT_CUTOFF} 00:00:00").cast("timestamp")
+    tagged = ev.select(
+        F.when(F.col("ts") < cutoff, "train").otherwise("test").alias("split"),
+        "ts",
+        "user_id",
+    )
+    per = tagged.groupBy("split").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.min(F.col("ts").cast("date")).cast("string").alias("first_day"),
+        F.max(F.col("ts").cast("date")).cast("string").alias("last_day"),
+    )
+    leak = tagged.agg(
+        (
+            F.max(F.when(F.col("split") == "train", F.col("ts")))
+            < F.min(F.when(F.col("split") == "test", F.col("ts")))
+        ).alias("no_leakage")
+    )
+    shared = (
+        tagged.groupBy("user_id")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") == 2)
+        .agg(F.count("*").cast("bigint").alias("n_shared_users"))
+    )
+    return (
+        per.crossJoin(F.broadcast(leak))
+        .crossJoin(F.broadcast(shared))
+        .select(
+            "split", "n_events", "n_users", "first_day", "last_day",
+            "no_leakage", "n_shared_users",
+        )
+        .orderBy("split")
+    )

@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ai_iceberg_demo_spark.functions.text import _URL_NORM_SQL
 from ai_iceberg_demo_spark.registry import Registry
 from ai_iceberg_demo_spark.tables import load_table
 from ai_iceberg_demo_spark.vector.similarity import _COS_SQL, cosine
@@ -1437,4 +1438,107 @@ def d16_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_removable", (F.col("n_docs") - F.col("n_clusters")).cast("bigint")
         )
         .orderBy("cluster_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# D19: URL-keyed dedup on canonical form (f41's downstream)
+# ---------------------------------------------------------------------------
+
+
+@REGISTRY.register(
+    name="d19_url_dedup",
+    survey_ref="training-data (crawl dedup); f41 ∘ d1's keep-rule",
+    doc="crawl-frontier dedup on the CANONICAL URL: every doc emits "
+    "1–3 deliberately-messy aliases of its own URL (casing, default "
+    "port, param order, fragment — doc_id%3+1 variants, planted "
+    "in-query), the f41 normalizer reduces each to canonical form "
+    "(shared helper — the oracle reuses f41's exact SQL spelling so "
+    "the dedup key can never drift from the normalizer), and the "
+    "report proves the collapse: n_raw aliases in, n_canonical out, "
+    "every canonical group carrying EXACTLY its planted variant "
+    "count (plant_consistent, BOOL_AND in-query). This is why f41 "
+    "exists: without canonicalization a crawl stores every alias as "
+    "a distinct page. One canonical-key shuffle; at 100 TB the "
+    "canonical URL is the frontier's partition key.",
+    oracle=f"""
+        WITH raw AS (
+            SELECT d.doc_id, d.source, g.k,
+                   CASE g.k
+                       WHEN 0 THEN 'http://www.' || d.source || '.com/docs/'
+                                   || d.doc_id || '?a=1&b=2'
+                       WHEN 1 THEN 'HTTP://WWW.' || UPPER(d.source)
+                                   || '.COM:80/docs/' || d.doc_id
+                                   || '/?b=2&a=1#x'
+                       ELSE 'http://www.' || d.source || '.com:80/docs/'
+                            || d.doc_id || '?b=2&a=1'
+                   END AS url
+            FROM documents d,
+                 LATERAL (SELECT UNNEST(GENERATE_SERIES(0,
+                     CAST(d.doc_id % 3 AS INT))) AS k) g
+        ), canon AS (
+            SELECT doc_id, {_URL_NORM_SQL.format(col="url")} AS curl
+            FROM raw
+        ), groups AS (
+            SELECT curl, MIN(doc_id) AS keep_id, COUNT(*) AS n_variants
+            FROM canon GROUP BY curl
+        )
+        SELECT CAST((SELECT COUNT(*) FROM raw) AS BIGINT) AS n_raw,
+               CAST(COUNT(*) AS BIGINT) AS n_canonical,
+               CAST((SELECT COUNT(*) FROM raw) - COUNT(*) AS BIGINT)
+                   AS n_aliases_removed,
+               BOOL_AND(n_variants = keep_id % 3 + 1) AS plant_consistent
+        FROM groups
+    """,
+)
+def d19_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_iceberg_demo_spark.functions.text import url_normalize_col
+
+    docs = load_table(spark, "documents", sf_dir)
+    k = F.explode(F.sequence(F.lit(0), (F.col("doc_id") % 3).cast("int"))).alias("k")
+    raw = docs.select("doc_id", "source", k)
+    did = F.col("doc_id").cast("string")
+    url = (
+        F.when(
+            F.col("k") == 0,
+            F.concat(
+                F.lit("http://www."), F.col("source"), F.lit(".com/docs/"),
+                did, F.lit("?a=1&b=2"),
+            ),
+        )
+        .when(
+            F.col("k") == 1,
+            F.concat(
+                F.lit("HTTP://WWW."), F.upper("source"), F.lit(".COM:80/docs/"),
+                did, F.lit("/?b=2&a=1#x"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("http://www."), F.col("source"), F.lit(".com:80/docs/"),
+                did, F.lit("?b=2&a=1"),
+            )
+        )
+    )
+    canon = raw.select("doc_id", url_normalize_col(url).alias("curl"))
+    groups = canon.groupBy("curl").agg(
+        F.min("doc_id").alias("keep_id"), F.count("*").alias("n_variants")
+    )
+    n_raw = canon.agg(F.count("*").alias("n_raw"))
+    return (
+        groups.agg(
+            F.count("*").cast("bigint").alias("n_canonical"),
+            F.bool_and(
+                F.col("n_variants") == F.col("keep_id") % 3 + 1
+            ).alias("plant_consistent"),
+        )
+        .crossJoin(F.broadcast(n_raw))
+        .select(
+            F.col("n_raw").cast("bigint").alias("n_raw"),
+            "n_canonical",
+            (F.col("n_raw") - F.col("n_canonical")).cast("bigint").alias(
+                "n_aliases_removed"
+            ),
+            "plant_consistent",
+        )
     )
