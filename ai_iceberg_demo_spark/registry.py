@@ -154,9 +154,10 @@ class Registry:
 # d16_cluster_histogram, t51_ewma_band, f39_html_strip,
 # j10_blocked_fuzzy_join, u33_budget_waterfill, pipeline_web_ingest,
 # w10_trailing_time_window, t53_ucb_bandit, f41_url_normalize,
-# g3_triangle_count, t54_touch_attribution. 13 + 33 = 46 first-timers
-# for 50 slots; the remaining 4 go to the r2-core cohort head (oldest
-# driver evidence first). v8e_phash_dedup and pipeline_multimodal_prep
+# g3_triangle_count, t54_touch_attribution, d19_url_dedup,
+# u37_temporal_split, t55_slo_burn_rate, d20_soft_dedup_weights.
+# 13 + 37 = 50 first-timers, exactly filling the 50 slots; the
+# r2-core cohort (oldest driver evidence) heads the r8 queue. v8e_phash_dedup and pipeline_multimodal_prep
 # gained full hash oracles in r6 AFTER their r6 window slots were
 # assigned — their r6 driver rows double as the post-upgrade pins.
 _DRIVER_WINDOW_PRIORITY = [

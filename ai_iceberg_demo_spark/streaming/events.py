@@ -2181,3 +2181,86 @@ def t54_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# t55: multiwindow SLO burn-rate alert (SRE error budget)
+# ---------------------------------------------------------------------------
+
+_SLO_ERROR_BUDGET = 0.21  # error-rate objective (fixture baseline ~0.20)
+_SLO_LONG_DAYS = 3  # long window (trailing days, inclusive)
+
+
+@REGISTRY.register(
+    name="t55_slo_burn_rate",
+    survey_ref="§2.11 analytics extra (SRE error budget); s15's error sibling",
+    doc="multiwindow error-budget burn-rate alert (the SRE-workbook "
+    "recipe): per day, the 1-day and trailing-3-day error rates over "
+    f"a {_SLO_ERROR_BUDGET} SLO → burn rates, alerting only when BOTH "
+    "windows burn >1× — the long window keeps one bad hour from "
+    "paging, the short window ends the page as soon as the burn "
+    "stops. s15 watches freshness; this watches correctness of the "
+    "feed itself. Event volume reduces to per-day (errors, total) "
+    "partials map-side; both windows and burn arithmetic run over "
+    "the ~365-row day table (t13's tiny-table discipline). Rates "
+    "ROUND 6 before comparison so the alert booleans are "
+    "engine-identical.",
+    oracle=f"""
+        WITH days AS (
+            SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                   SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errs,
+                   COUNT(*) AS total
+            FROM events GROUP BY CAST(ts AS DATE)
+        ), rated AS (
+            SELECT day, CAST(errs AS BIGINT) AS errs, CAST(total AS BIGINT) AS total,
+                   ROUND(errs / CAST(total AS DOUBLE), 6) AS short_rate,
+                   ROUND(SUM(errs) OVER w / CAST(SUM(total) OVER w AS DOUBLE), 6)
+                       AS long_rate
+            FROM days
+            WINDOW w AS (ORDER BY day
+                         ROWS BETWEEN {_SLO_LONG_DAYS - 1} PRECEDING
+                               AND CURRENT ROW)
+        )
+        SELECT day, errs, total,
+               ROUND(short_rate / {_SLO_ERROR_BUDGET}, 6) AS short_burn,
+               ROUND(long_rate / {_SLO_ERROR_BUDGET}, 6) AS long_burn,
+               short_rate > {_SLO_ERROR_BUDGET}
+                   AND long_rate > {_SLO_ERROR_BUDGET} AS alert
+        FROM rated ORDER BY day
+    """,
+)
+def t55_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, "events", sf_dir)
+    days = ev.groupBy(
+        F.col("ts").cast("date").cast("string").alias("day")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("bigint")
+        .alias("errs"),
+        F.count("*").cast("bigint").alias("total"),
+    )
+    w = W.orderBy("day").rowsBetween(-(_SLO_LONG_DAYS - 1), W.currentRow)
+    short_rate = F.round(F.col("errs") / F.col("total").cast("double"), 6)
+    long_rate = F.round(
+        F.sum("errs").over(w) / F.sum("total").over(w).cast("double"), 6
+    )
+    rated = days.select(
+        "day",
+        "errs",
+        "total",
+        short_rate.alias("short_rate"),
+        long_rate.alias("long_rate"),
+    )
+    return rated.select(
+        "day",
+        "errs",
+        "total",
+        F.round(F.col("short_rate") / _SLO_ERROR_BUDGET, 6).alias("short_burn"),
+        F.round(F.col("long_rate") / _SLO_ERROR_BUDGET, 6).alias("long_burn"),
+        (
+            (F.col("short_rate") > _SLO_ERROR_BUDGET)
+            & (F.col("long_rate") > _SLO_ERROR_BUDGET)
+        ).alias("alert"),
+    ).orderBy("day")
