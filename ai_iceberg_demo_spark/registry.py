@@ -156,8 +156,10 @@ class Registry:
 # w10_trailing_time_window, t53_ucb_bandit, f41_url_normalize,
 # g3_triangle_count, t54_touch_attribution, d19_url_dedup,
 # u37_temporal_split, t55_slo_burn_rate, d20_soft_dedup_weights.
-# 13 + 37 = 50 first-timers, exactly filling the 50 slots; the
-# r2-core cohort (oldest driver evidence) heads the r8 queue. v8e_phash_dedup and pipeline_multimodal_prep
+# 13 + 37 = 50 first-timers, exactly filling the 50 slots;
+# registrations after d20 (d21_bloom_dedup_probe, ...) overflow to r8,
+# where they run ahead of the r2-core cohort (oldest driver
+# evidence). v8e_phash_dedup and pipeline_multimodal_prep
 # gained full hash oracles in r6 AFTER their r6 window slots were
 # assigned — their r6 driver rows double as the post-upgrade pins.
 _DRIVER_WINDOW_PRIORITY = [

@@ -1542,3 +1542,185 @@ def d19_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "plant_consistent",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# D20: soft dedup — per-document duplication weights
+# ---------------------------------------------------------------------------
+
+
+@REGISTRY.register(
+    name="d20_soft_dedup_weights",
+    survey_ref="training-data (soft dedup); d16's weighting form",
+    doc="soft dedup: instead of DROPPING duplicates (d9's keep-one), "
+    "down-weight every member of a near-dup cluster by 1/cluster_size "
+    "so the cluster contributes one document's worth of gradient — "
+    "the repetition-aware sampling weight (cf. the duplication "
+    "discount in data-mixture work) that preserves in-cluster "
+    "diversity a hard dedup throws away. Clusters are d2's VERIFIED "
+    "pairs closed into components (d16's membership); singletons "
+    "weigh 1.0 via the left join. Output: every doc's cluster size "
+    "and weight, hash-checked via the recursive-CTE oracle. The "
+    "weight column broadcasts onto u17/u10's samplers unchanged.",
+    oracle=f"""
+        WITH RECURSIVE {_D2_CTES},
+        pairs AS (
+            SELECT i.a_id, i.b_id
+            FROM inter i
+            JOIN sizes sa ON i.a_id = sa.doc_id
+            JOIN sizes sb ON i.b_id = sb.doc_id
+            WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.8
+        ),
+        edges AS (
+            SELECT a_id AS src, b_id AS dst FROM pairs
+            UNION ALL
+            SELECT b_id, a_id FROM pairs
+        ),
+        reach(id, lbl) AS (
+            SELECT DISTINCT src, src FROM edges
+            UNION
+            SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+        ),
+        comp AS (SELECT id, MIN(lbl) AS lbl FROM reach GROUP BY id),
+        csize AS (SELECT lbl, COUNT(*) AS sz FROM comp GROUP BY lbl)
+        SELECT d.doc_id,
+               CAST(COALESCE(s.sz, 1) AS BIGINT) AS cluster_size,
+               ROUND(1.0 / COALESCE(s.sz, 1), 6) AS soft_weight
+        FROM documents d
+        LEFT JOIN comp c ON d.doc_id = c.id
+        LEFT JOIN csize s ON c.lbl = s.lbl
+        ORDER BY d.doc_id
+    """,
+)
+def d20_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = d2_ngram_jaccard(spark, sf_dir)
+    comps = connected_components(pairs)
+    csize = comps.groupBy("lbl").agg(F.count("*").alias("sz"))
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    return (
+        docs.join(comps, docs.doc_id == comps.id, "left")
+        .join(F.broadcast(csize), "lbl", "left")
+        .select(
+            "doc_id",
+            F.coalesce("sz", F.lit(1)).cast("bigint").alias("cluster_size"),
+            F.round(1.0 / F.coalesce("sz", F.lit(1)), 6).alias("soft_weight"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# D21: Bloom-filter crawl-frontier membership probe
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 2048  # bit-array size
+_BLOOM_K = 3  # hash functions
+
+# normalization shared with d1's fingerprint() — spelled once so the
+# Spark side (functions/text.py:90) and this oracle stay twins
+_NORM_FP_SQL = "MD5(REGEXP_REPLACE(LOWER(TRIM({t})), '\\s+', ' ', 'g'))"
+
+
+@REGISTRY.register(
+    name="d21_bloom_dedup_probe",
+    survey_ref="training-data (crawl-frontier membership); d1/d7's probe form",
+    doc="Bloom-filter seen-set probe for crawl ingestion (Bloom, CACM "
+    f"1970): yesterday's corpus is summarized as a {_BLOOM_M}-bit / "
+    f"{_BLOOM_K}-hash filter over d1's normalized fingerprints; "
+    "today's batch (whitespace-mangled re-crawls of doc_id%7==0 — "
+    "true dupes — plus doc_id%5==1 docs with a uniqueness suffix — "
+    "true fresh) is checked map-side against the broadcast bitset. "
+    "Per batch doc: exact_seen (ground truth), bloom_positive, and "
+    "the no-false-negative law fn_ok = bloom_positive OR NOT "
+    "exact_seen, verified row-by-row by the hash oracle (the filter "
+    "is deliberately sized hot — ~0.73 bits-load — so false "
+    "POSITIVES also occur and the probe is non-vacuous both ways). "
+    "At 100 TB the corpus reduces ONCE to ≤m distinct bit rows that "
+    "broadcast to every executor; each crawl batch is then a "
+    "map-only scan — no shuffle ever carries document text, and the "
+    "expensive exact verify (d7's join) runs only on the "
+    "bloom-positive sliver. Hash positions are md5-derived "
+    "(engine-portable); production swaps in xxhash64.",
+    oracle=f"""
+        WITH seen AS (
+            SELECT DISTINCT {_NORM_FP_SQL.format(t="text")} AS f FROM documents
+        ), batch AS (
+            SELECT doc_id + 1000000 AS doc_id,
+                   {_NORM_FP_SQL.format(t="'  ' || UPPER(text) || '  '")} AS f
+            FROM documents WHERE doc_id % 7 = 0
+            UNION ALL
+            SELECT doc_id + 2000000,
+                   {_NORM_FP_SQL.format(t="text || ' uniq-' || CAST(doc_id AS VARCHAR)")}
+            FROM documents WHERE doc_id % 5 = 1
+        ), seen_bits AS (
+            SELECT DISTINCT
+                   ('0x' || SUBSTR(MD5(f || '#' || j), 1, 8))::BIGINT % {_BLOOM_M} AS bit
+            FROM seen, LATERAL (SELECT UNNEST([0, 1, 2]) AS j) t
+        ), probe AS (
+            SELECT b.doc_id, b.f,
+                   ('0x' || SUBSTR(MD5(b.f || '#' || j), 1, 8))::BIGINT % {_BLOOM_M} AS bit
+            FROM batch b, LATERAL (SELECT UNNEST([0, 1, 2]) AS j) t
+        ), verdict AS (
+            SELECT p.doc_id,
+                   COUNT(sb.bit) = {_BLOOM_K} AS bloom_positive
+            FROM probe p LEFT JOIN seen_bits sb ON p.bit = sb.bit
+            GROUP BY p.doc_id
+        )
+        SELECT b.doc_id,
+               EXISTS (SELECT 1 FROM seen s WHERE s.f = b.f) AS exact_seen,
+               v.bloom_positive,
+               v.bloom_positive
+                   OR NOT EXISTS (SELECT 1 FROM seen s WHERE s.f = b.f) AS fn_ok
+        FROM batch b JOIN verdict v ON b.doc_id = v.doc_id
+        ORDER BY b.doc_id
+    """,
+)
+def d21_bloom_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_iceberg_demo_spark.functions.text import fingerprint
+
+    docs = load_table(spark, "documents", sf_dir)
+    seen = docs.select(fingerprint(F.col("text")).alias("f")).distinct()
+
+    mangled = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        fingerprint(F.concat(F.lit("  "), F.upper("text"), F.lit("  "))).alias("f"),
+    )
+    fresh = docs.filter(F.col("doc_id") % 5 == 1).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        fingerprint(
+            F.concat(F.col("text"), F.lit(" uniq-"), F.col("doc_id").cast("string"))
+        ).alias("f"),
+    )
+    batch = mangled.unionByName(fresh)
+
+    def bloom_bit(f: Column, j: int) -> Column:
+        return (
+            F.conv(F.substring(F.md5(F.concat(f, F.lit(f"#{j}"))), 1, 8), 16, 10)
+            .cast("long")
+            % _BLOOM_M
+        )
+
+    bits = F.array(*[bloom_bit(F.col("f"), j) for j in range(_BLOOM_K)])
+    # the whole filter is ≤ m distinct rows — broadcast to every probe task
+    seen_bits = seen.select(F.explode(bits).alias("bit")).distinct()
+    probe = batch.select("doc_id", F.explode(bits).alias("bit"))
+    verdict = (
+        probe.join(F.broadcast(seen_bits), "bit", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit"))
+        .select("doc_id", (F.col("n_hit") == _BLOOM_K).alias("hit_all"))
+    )
+    return (
+        batch.join(F.broadcast(seen.withColumn("exact_seen", F.lit(True))), "f", "left")
+        .join(F.broadcast(verdict), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("exact_seen", F.lit(False)).alias("exact_seen"),
+            F.coalesce("hit_all", F.lit(False)).alias("bloom_positive"),
+            (
+                F.coalesce("hit_all", F.lit(False))
+                | ~F.coalesce("exact_seen", F.lit(False))
+            ).alias("fn_ok"),
+        )
+        .orderBy("doc_id")
+    )
