@@ -316,6 +316,123 @@ def a8b_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.crossJoin(whole)
 
 
+# HLL geometry for a8c: 256 registers (8 index bits), 24 rank bits.
+_HLL_M = 256
+_HLL_W = 24  # rank bits; rank in [1, _HLL_W + 1]
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)  # Flajolet et al. 2007, m >= 128
+
+
+@REGISTRY.register(
+    name="a8c_hll_register_core",
+    survey_ref="§2.4 extras (sketches) — a8/a8b's estimator core, hash-checked",
+    doc="deterministic HyperLogLog core (Flajolet et al., AofA 2007): "
+    "md5-hashed l_partkey split into 8 index bits + 24 rank bits, "
+    f"per-register MAX(rank) over {_HLL_M} registers, harmonic-mean "
+    "raw estimate with the small-range linear-counting correction — "
+    "the whole estimator is md5-deterministic, so unlike a8/a8b "
+    "(engine-opaque sketch bytes, rows-only) every register AND the "
+    "final estimate hash-match the DuckDB oracle. The two test SFs "
+    "exercise BOTH branches (sf0.001 corrects via linear counting, "
+    "sf0.01 keeps the raw estimate). Register maxes reduce map-side "
+    "(a partition's partial registers ARE an HLL merge — a8b's "
+    "mergeability, here auditable); the corpus shuffles 256 partial "
+    "rows per partition, never values. Output: hit registers "
+    "(reg, max_rank) each carrying the summary columns so one hash "
+    "pins registers, correction branch, and the error actually "
+    "achieved.",
+    oracle=f"""
+        WITH hx AS (
+            SELECT ('0x' || SUBSTR(MD5(CAST(l_partkey AS VARCHAR)), 1, 8))::BIGINT AS x
+            FROM lineitem
+        ), ranked AS (
+            SELECT x % {_HLL_M} AS reg,
+                   CASE WHEN x // {_HLL_M} = 0 THEN {_HLL_W + 1}
+                        ELSE {_HLL_W + 1} - LENGTH(BIN(x // {_HLL_M})) END AS rank
+            FROM hx
+        ), regs AS (
+            SELECT CAST(reg AS BIGINT) AS reg, CAST(MAX(rank) AS BIGINT) AS max_rank
+            FROM ranked GROUP BY reg
+        ), summ AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_hit,
+                   CAST({_HLL_M} - COUNT(*) AS BIGINT) AS n_zero,
+                   CAST({_HLL_ALPHA!r} AS DOUBLE) * {_HLL_M * _HLL_M}
+                       / (SUM(POWER(2.0, -max_rank)) + {_HLL_M} - COUNT(*)) AS raw
+            FROM regs
+        ), est AS (
+            SELECT n_hit, n_zero, ROUND(raw, 4) AS raw_est,
+                   ROUND(CASE WHEN raw <= 2.5 * {_HLL_M} AND n_zero > 0
+                              THEN {_HLL_M} * LN({_HLL_M} / CAST(n_zero AS DOUBLE))
+                              ELSE raw END, 4) AS est
+            FROM summ
+        ), exact AS (
+            SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_distinct
+            FROM lineitem
+        )
+        SELECT r.reg, r.max_rank, e.n_hit, e.n_zero, e.raw_est, e.est,
+               x.exact_distinct,
+               ROUND(ABS(e.est - x.exact_distinct) / x.exact_distinct, 4) AS rel_err
+        FROM regs r CROSS JOIN est e CROSS JOIN exact x
+        ORDER BY r.reg
+    """,
+)
+def a8c_hll_register_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    x = (
+        F.conv(F.substring(F.md5(F.col("l_partkey").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("x")
+    )
+    y = F.shiftright(F.col("x"), 8)
+    ranked = li.select(x).select(
+        (F.col("x") % _HLL_M).alias("reg"),
+        F.when(y == 0, F.lit(_HLL_W + 1))
+        .otherwise(F.lit(_HLL_W + 1) - F.length(F.bin(y)))
+        .alias("rank"),
+    )
+    regs = (
+        ranked.groupBy("reg")
+        .agg(F.max("rank").alias("max_rank"))
+        .select(F.col("reg").cast("long"), F.col("max_rank").cast("long"))
+    )
+    raw = F.lit(_HLL_ALPHA * _HLL_M * _HLL_M) / (
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rank"))) + _HLL_M - F.count("*")
+    )
+    summ = regs.agg(
+        F.count("*").cast("long").alias("n_hit"),
+        (F.lit(_HLL_M) - F.count("*")).cast("long").alias("n_zero"),
+        raw.alias("raw"),
+    ).select(
+        "n_hit",
+        "n_zero",
+        F.round("raw", 4).alias("raw_est"),
+        F.round(
+            F.when(
+                (F.col("raw") <= 2.5 * _HLL_M) & (F.col("n_zero") > 0),
+                F.lit(float(_HLL_M)) * F.log(F.lit(_HLL_M) / F.col("n_zero").cast("double")),
+            ).otherwise(F.col("raw")),
+            4,
+        ).alias("est"),
+    )
+    exact = li.agg(F.countDistinct("l_partkey").cast("long").alias("exact_distinct"))
+    return (
+        regs.crossJoin(F.broadcast(summ))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "reg",
+            "max_rank",
+            "n_hit",
+            "n_zero",
+            "raw_est",
+            "est",
+            "exact_distinct",
+            F.round(F.abs(F.col("est") - F.col("exact_distinct")) / F.col("exact_distinct"), 4).alias(
+                "rel_err"
+            ),
+        )
+        .orderBy("reg")
+    )
+
+
 @REGISTRY.register(
     name="a11_percentiles",
     survey_ref="§2.4 extras (holistic)",

@@ -368,3 +368,120 @@ def g3_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# G4: common-neighbor link prediction
+# ---------------------------------------------------------------------------
+
+
+def _coservice_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """g3's supplier co-service edges (a < b, distinct), windowed to
+    1996-01 for the same non-saturation reason g3 documents."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s")
+    )
+    orders = (
+        load_table(spark, "orders", sf_dir)
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-02-01 00:00:00").cast("timestamp"))
+        )
+        .select(F.col("o_orderkey").alias("ok"))
+    )
+    os_ = li.join(orders, "ok").distinct()
+    return (
+        os_.alias("x")
+        .join(
+            os_.alias("y"),
+            (F.col("x.ok") == F.col("y.ok")) & (F.col("x.s") < F.col("y.s")),
+        )
+        .select(F.col("x.s").alias("a"), F.col("y.s").alias("b"))
+        .distinct()
+    )
+
+
+_G4_GRAPH_SQL = """
+        WITH os AS (
+            SELECT DISTINCT o_orderkey AS ok, l_suppkey AS s
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1996-02-01 00:00:00'
+        ), edges AS (
+            SELECT DISTINCT a.s AS a, b.s AS b
+            FROM os a JOIN os b ON a.ok = b.ok AND a.s < b.s
+        ), adj AS (
+            SELECT a AS u, b AS w FROM edges
+            UNION ALL
+            SELECT b, a FROM edges
+        ), deg AS (
+            SELECT u, COUNT(*) AS d FROM adj GROUP BY u
+        )
+"""
+
+
+@REGISTRY.register(
+    name="g4_link_prediction",
+    survey_ref="graph analytics (link prediction); g3's graph, d5's scoring discipline",
+    doc="common-neighbor link prediction (Liben-Nowell & Kleinberg, "
+    "CIKM 2003) over g3's monthly supplier co-service graph: for every "
+    "NON-adjacent pair u<v, the number of shared neighbors and the "
+    "neighborhood Jaccard cn/(deg_u+deg_v-cn) — 'which suppliers will "
+    "co-serve an order next month'. Shape: the adjacency list "
+    "self-joins on the SHARED-NEIGHBOR key w (one shuffle on w, never "
+    "an all-pairs product), existing edges are anti-joined away, and "
+    "the O(V) degree table broadcasts onto the candidates. At real "
+    "graph scale the w-join is capped by orienting each neighbor pair "
+    "at its higher-degree endpoint (g3's note) so hub vertices never "
+    "enumerate their full neighbor squares; the fixture's bounded "
+    "per-order fan-out keeps the id orientation bit-identical to the "
+    "oracle.",
+    oracle=_G4_GRAPH_SQL
+    + """
+        , cn AS (
+            SELECT x.u AS u, y.u AS v, CAST(COUNT(DISTINCT x.w) AS BIGINT) AS cn
+            FROM adj x JOIN adj y ON x.w = y.w AND x.u < y.u
+            GROUP BY x.u, y.u
+        )
+        SELECT c.u, c.v, c.cn,
+               ROUND(c.cn / CAST(du.d + dv.d - c.cn AS DOUBLE), 6) AS jaccard
+        FROM cn c
+        JOIN deg du ON c.u = du.u
+        JOIN deg dv ON c.v = dv.u
+        LEFT JOIN edges e ON c.u = e.a AND c.v = e.b
+        WHERE e.a IS NULL
+        ORDER BY c.u, c.v
+    """,
+)
+def g4_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _coservice_edges(spark, sf_dir).persist()
+    adj = edges.select(F.col("a").alias("u"), F.col("b").alias("w")).unionByName(
+        edges.select(F.col("b").alias("u"), F.col("a").alias("w"))
+    )
+    deg = adj.groupBy("u").agg(F.count("*").alias("d"))
+    cn = (
+        adj.alias("x")
+        .join(adj.alias("y"), (F.col("x.w") == F.col("y.w")) & (F.col("x.u") < F.col("y.u")))
+        .groupBy(F.col("x.u").alias("u"), F.col("y.u").alias("v"))
+        .agg(F.count_distinct(F.col("x.w")).cast("bigint").alias("cn"))
+    )
+    return (
+        cn.join(
+            edges,
+            (F.col("u") == F.col("a")) & (F.col("v") == F.col("b")),
+            "left_anti",
+        )
+        .join(F.broadcast(deg.select(F.col("u"), F.col("d").alias("du"))), "u")
+        .join(
+            F.broadcast(deg.select(F.col("u").alias("v"), F.col("d").alias("dv"))), "v"
+        )
+        .select(
+            "u",
+            "v",
+            "cn",
+            F.round(
+                F.col("cn") / (F.col("du") + F.col("dv") - F.col("cn")).cast("double"), 6
+            ).alias("jaccard"),
+        )
+        .orderBy("u", "v")
+    )
