@@ -1766,3 +1766,151 @@ def v18b_knn_graph_det(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst", "score")
         .orderBy("src", F.desc("score"), "dst")
     )
+
+
+# ---------------------------------------------------------------------------
+# V29: binary sign quantization + Hamming retrieval audit
+# ---------------------------------------------------------------------------
+
+_V29_PROBES = (0, 1, 2)
+_V29_K = 5
+
+
+@REGISTRY.register(
+    name="v29_binary_quantize",
+    survey_ref="V3 family (1-bit compression); v20/v22's cheapest sibling",
+    doc="binary sign quantization (1 bit/dim — the 32× compression "
+    "tier below v20's int8 and v22's truncation): each 64-dim "
+    "embedding packs into two BIGINT halves (sign bits, dims 1-32 → "
+    "lo, 33-64 → hi), retrieval is XOR + popcount Hamming distance, "
+    "and the audit scores the top-5 Hamming neighbors of three "
+    "probes against the exact rounded-cosine top-5 (in_exact_top5 "
+    "per row, recall@5 per probe) — the measured price of the 1-bit "
+    "tier, fully deterministic and hash-checked. Packing is map-side "
+    "(array HOFs, no shuffle; the scale path is the same two-word "
+    "XOR in an Arrow kernel); the 3-row probe table broadcasts and "
+    "the corpus is scanned once per side, top-5 via per-probe "
+    "window over k·|corpus| candidate rows.",
+    oracle=f"""
+        WITH codes AS (
+            SELECT vec_id,
+                   CAST(SUM(CASE WHEN e > 0 AND i <= 32
+                                 THEN (1::BIGINT << (i - 1)) ELSE 0 END) AS BIGINT) AS lo,
+                   CAST(SUM(CASE WHEN e > 0 AND i > 32
+                                 THEN (1::BIGINT << (i - 33)) ELSE 0 END) AS BIGINT) AS hi
+            FROM (SELECT vec_id, UNNEST(embedding) AS e,
+                         GENERATE_SUBSCRIPTS(embedding, 1) AS i
+                  FROM embeddings)
+            GROUP BY vec_id
+        ), probes AS (
+            SELECT e.vec_id AS probe_id, e.embedding AS pvec, c.lo AS plo, c.hi AS phi
+            FROM embeddings e JOIN codes c ON e.vec_id = c.vec_id
+            WHERE e.vec_id IN {_V29_PROBES}
+        ), ham AS (
+            SELECT p.probe_id, c.vec_id,
+                   CAST(BIT_COUNT(XOR(p.plo, c.lo))
+                        + BIT_COUNT(XOR(p.phi, c.hi)) AS BIGINT) AS hamming
+            FROM probes p JOIN codes c ON c.vec_id != p.probe_id
+        ), ham_top AS (
+            SELECT probe_id, vec_id, hamming,
+                   ROW_NUMBER() OVER (PARTITION BY probe_id
+                                      ORDER BY hamming, vec_id) AS rn
+            FROM ham
+        ), cos AS (
+            SELECT p.probe_id, e.vec_id,
+                   ROUND({_COS_SQL.format(a="p.pvec", b="e.embedding")}, 6) AS cos
+            FROM probes p JOIN embeddings e ON e.vec_id != p.probe_id
+        ), cos_top AS (
+            SELECT probe_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY probe_id
+                                      ORDER BY cos DESC, vec_id) AS rn
+            FROM cos
+        )
+        SELECT h.probe_id, h.vec_id, h.hamming, c.cos,
+               ct.vec_id IS NOT NULL AS in_exact_top5,
+               ROUND(AVG(CASE WHEN ct.vec_id IS NOT NULL THEN 1.0 ELSE 0.0 END)
+                     OVER (PARTITION BY h.probe_id), 2) AS recall5
+        FROM ham_top h
+        JOIN cos c ON c.probe_id = h.probe_id AND c.vec_id = h.vec_id
+        LEFT JOIN cos_top ct ON ct.probe_id = h.probe_id
+                            AND ct.vec_id = h.vec_id AND ct.rn <= {_V29_K}
+        WHERE h.rn <= {_V29_K}
+        ORDER BY h.probe_id, h.hamming, h.vec_id
+    """,
+)
+def v29_binary_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, "embeddings", sf_dir)
+
+    def pack(vec, lo_not_hi: bool):
+        half = F.slice(vec, 1 if lo_not_hi else 33, 32)
+        # shiftleft() takes only a literal shift — 2^i via pow() is
+        # exact through 2^31, covering the 32-bit half words
+        bits = F.transform(
+            half,
+            lambda x, i: F.when(
+                x > 0, F.pow(F.lit(2.0), i.cast("double")).cast("long")
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+    codes = emb.select(
+        "vec_id",
+        "embedding",
+        pack(F.col("embedding"), True).alias("lo"),
+        pack(F.col("embedding"), False).alias("hi"),
+    )
+    probes = (
+        codes.filter(F.col("vec_id").isin(*_V29_PROBES))
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("embedding").alias("pvec"),
+            F.col("lo").alias("plo"),
+            F.col("hi").alias("phi"),
+        )
+    )
+    cand = codes.select("vec_id", "embedding", "lo", "hi").crossJoin(
+        F.broadcast(probes)
+    ).filter(F.col("vec_id") != F.col("probe_id"))
+    scored = cand.select(
+        "probe_id",
+        "vec_id",
+        (
+            F.bit_count(F.col("plo").bitwiseXOR(F.col("lo")))
+            + F.bit_count(F.col("phi").bitwiseXOR(F.col("hi")))
+        )
+        .cast("long")
+        .alias("hamming"),
+        F.round(cosine(F.col("pvec"), F.col("embedding")), 6).alias("cos"),
+    )
+    ham_top = scored.withColumn(
+        "rn", F.row_number().over(W.partitionBy("probe_id").orderBy("hamming", "vec_id"))
+    ).filter(F.col("rn") <= _V29_K)
+    cos_top = (
+        scored.withColumn(
+            "crn",
+            F.row_number().over(
+                W.partitionBy("probe_id").orderBy(F.desc("cos"), "vec_id")
+            ),
+        )
+        .filter(F.col("crn") <= _V29_K)
+        .select("probe_id", "vec_id", F.lit(True).alias("in_exact"))
+    )
+    return (
+        ham_top.join(F.broadcast(cos_top), ["probe_id", "vec_id"], "left")
+        .select(
+            "probe_id",
+            "vec_id",
+            "hamming",
+            "cos",
+            F.coalesce("in_exact", F.lit(False)).alias("in_exact_top5"),
+            F.round(
+                F.avg(F.when(F.col("in_exact"), 1.0).otherwise(0.0)).over(
+                    W.partitionBy("probe_id")
+                ),
+                2,
+            ).alias("recall5"),
+        )
+        .orderBy("probe_id", "hamming", "vec_id")
+    )

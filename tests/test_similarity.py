@@ -332,3 +332,40 @@ def test_lsh_probe_det_is_replayable_and_scores_exact(spark):
         v = emb[r["vec_id"]]
         exact = float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v)))
         assert abs(round(exact, 6) - r["score"]) < 2e-6
+
+
+def test_binary_quantize_hamming_matches_numpy_sign_bits(spark):
+    """v29: the two-word packed Hamming distance must equal the numpy
+    sign-vector Hamming for every returned pair, each probe gets
+    exactly 5 neighbors, recall5 is the per-probe mean of
+    in_exact_top5, and distances sit in [0, 64]."""
+    import numpy as np
+
+    from ai_iceberg_demo_spark.vector.similarity import v29_binary_quantize
+    from tests.conftest import SF_DIR
+
+    rows = v29_binary_quantize(spark, SF_DIR).collect()
+    by_probe = {}
+    for r in rows:
+        by_probe.setdefault(r["probe_id"], []).append(r)
+    assert sorted(by_probe) == [0, 1, 2]
+    assert all(len(v) == 5 for v in by_probe.values())
+
+    need = {r["vec_id"] for r in rows} | set(by_probe)
+    emb = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, "embeddings", SF_DIR)
+        .filter(F.col("vec_id").isin(list(need)))
+        .collect()
+    }
+    for pid, grp in by_probe.items():
+        signs_p = emb[pid] > 0
+        recalls = {r["recall5"] for r in grp}
+        assert len(recalls) == 1
+        assert recalls.pop() == round(
+            sum(1.0 for r in grp if r["in_exact_top5"]) / 5, 2
+        )
+        for r in grp:
+            assert 0 <= r["hamming"] <= 64
+            exact_ham = int((signs_p != (emb[r["vec_id"]] > 0)).sum())
+            assert r["hamming"] == exact_ham
