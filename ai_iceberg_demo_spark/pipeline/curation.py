@@ -709,3 +709,185 @@ def pipeline_web_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# pipeline: multi-tier dedup cascade (exact → MinHash-LSH → verified Jaccard)
+# ---------------------------------------------------------------------------
+
+
+def _cascade_oracle() -> str:
+    from ai_iceberg_demo_spark.vector.dedup import _bands_sql
+
+    return f"""
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+            UNION ALL
+            SELECT doc_id + 1000000, '  ' || UPPER(text) || '  '
+            FROM documents WHERE doc_id % 20 = 0
+            UNION ALL
+            SELECT doc_id + 2000000, text || ' near duplicate footer variant'
+            FROM documents WHERE doc_id % 30 = 0
+        ), fp AS (
+            SELECT doc_id, text,
+                   MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g')) AS fp
+            FROM corpus
+        ), surv1 AS (
+            SELECT MIN(doc_id) AS doc_id, ARG_MIN(text, doc_id) AS text
+            FROM fp GROUP BY fp
+        ){_bands_sql("TRUE", src="surv1", lead=", ")}
+        , cands AS (
+            SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+             AND a.doc_id < b.doc_id
+        ), sdocs AS (
+            SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM surv1
+        ), sh AS (
+            SELECT DISTINCT doc_id,
+                   UNNEST(CASE WHEN LEN(toks) >= 3 THEN
+                       LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - 2),
+                                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                   ELSE [] END) AS shingle
+            FROM sdocs
+        ), sizes AS (
+            SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+        ), inter AS (
+            SELECT c.a_id, c.b_id, COUNT(*) AS n_inter
+            FROM cands c
+            JOIN sh a ON a.doc_id = c.a_id
+            JOIN sh b ON b.doc_id = c.b_id AND b.shingle = a.shingle
+            GROUP BY c.a_id, c.b_id
+        ), dropped AS (
+            SELECT DISTINCT i.b_id AS doc_id
+            FROM inter i
+            JOIN sizes sa ON i.a_id = sa.doc_id
+            JOIN sizes sb ON i.b_id = sb.doc_id
+            WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter)
+                  >= 0.8
+        ), tier1 AS (
+            SELECT CAST(1 AS INT) AS tier, 'exact_fingerprint' AS stage,
+                   CAST(COUNT(*) AS BIGINT) AS docs_in,
+                   CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS docs_removed,
+                   CAST(COUNT(DISTINCT fp) AS BIGINT) AS docs_out
+            FROM fp
+        ), tier2 AS (
+            SELECT CAST(2 AS INT) AS tier, 'minhash_jaccard' AS stage,
+                   CAST(COUNT(*) AS BIGINT) AS docs_in,
+                   CAST(SUM(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS docs_removed,
+                   CAST(COUNT(*) - SUM(CASE WHEN d.doc_id IS NOT NULL THEN 1
+                                            ELSE 0 END) AS BIGINT) AS docs_out
+            FROM surv1 s LEFT JOIN dropped d ON s.doc_id = d.doc_id
+        )
+        SELECT * FROM tier1 UNION ALL SELECT * FROM tier2 ORDER BY tier
+    """
+
+
+@REGISTRY.register(
+    name="pipeline_dedup_cascade",
+    survey_ref="training-data (the multi-tier dedup recipe: d1 ∘ d3 ∘ d2b)",
+    doc="the canonical corpus-dedup CASCADE as one plan — the recipe "
+    "every large pretraining corpus runs (exact first because it's "
+    "cheapest, fuzzy only over what survives): tier 1 collapses "
+    "whitespace/case-mangled redeliveries on d1's normalized "
+    "fingerprint (keep-min); tier 2 MinHash-bands ONLY the tier-1 "
+    "survivors, verifies band collisions with exact word-3-gram "
+    "Jaccard ≥ 0.8 (d2b's candidates→verify shape), and drops the "
+    "larger id of each verified pair. Both tiers provably fire: the "
+    "corpus is planted in-query with exact-mangled copies "
+    "(doc_id%20==0, tier-1 fodder that the fingerprint collapses) and "
+    "near-dup footer twins (doc_id%30==0, tier-2 fodder that survives "
+    "tier 1). Output = the per-tier survivor-flow ledger "
+    "(docs_in/docs_removed/docs_out) a data lead signs off on. Each "
+    "tier's pair search is banded, never all-pairs; tier-2 cost is "
+    "O(survivors), not O(corpus) — the whole point of cascading. The "
+    "oracle reuses d3's band CTE chain and d2b's verify spelling so "
+    "the composition can never drift from its parts.",
+    oracle=_cascade_oracle(),
+)
+def pipeline_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_iceberg_demo_spark.vector.dedup import minhash_bands, shingles
+
+    docs = load_table(spark, "documents", sf_dir)
+    sample = docs.filter(F.col("doc_id") % 10 == 0).select("doc_id", "text")
+    mangled = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.lit("  "), F.upper("text"), F.lit("  ")).alias("text"),
+    )
+    footer = docs.filter(F.col("doc_id") % 30 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" near duplicate footer variant")).alias("text"),
+    )
+    corpus = sample.unionByName(mangled).unionByName(footer)
+    fp = corpus.select("doc_id", "text", fingerprint(F.col("text")).alias("fp"))
+    # keep-min survivor carries its text forward (min-struct: partial-
+    # aggregable, no window); persist — feeds the band index, the
+    # shingle table, and the tier-2 ledger
+    surv1 = (
+        fp.groupBy("fp")
+        .agg(F.min(F.struct("doc_id", "text")).alias("k"))
+        .select(F.col("k.doc_id").alias("doc_id"), F.col("k.text").alias("text"))
+        .persist()
+    )
+    bands = minhash_bands(surv1)
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+    # persist: both halves of the candidate-verify join + the size table
+    sh = (
+        surv1.select("doc_id", F.explode(shingles(F.col("text"))).alias("shingle"))
+        .distinct()
+        .persist()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        cands.join(sh.alias("sa"), F.col("a_id") == F.col("sa.doc_id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("b_id") == F.col("sb.doc_id"))
+            & (F.col("sb.shingle") == F.col("sa.shingle")),
+        )
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("nb"))
+    jac = F.col("n_inter").cast("double") / (F.col("na") + F.col("nb") - F.col("n_inter"))
+    dropped = (
+        inter.join(F.broadcast(na), "a_id")
+        .join(F.broadcast(nb), "b_id")
+        .filter(jac >= 0.8)
+        .select(F.col("b_id").alias("doc_id"))
+        .distinct()
+    )
+    tier1 = fp.agg(
+        F.count("*").alias("n"), F.countDistinct("fp").alias("u")
+    ).select(
+        F.lit(1).cast("int").alias("tier"),
+        F.lit("exact_fingerprint").alias("stage"),
+        F.col("n").cast("bigint").alias("docs_in"),
+        (F.col("n") - F.col("u")).cast("bigint").alias("docs_removed"),
+        F.col("u").cast("bigint").alias("docs_out"),
+    )
+    hit = F.when(F.col("hit").isNotNull(), 1).otherwise(0)
+    tier2 = (
+        surv1.join(F.broadcast(dropped.withColumn("hit", F.lit(1))), "doc_id", "left")
+        .agg(F.count("*").alias("n"), F.sum(hit).alias("r"))
+        .select(
+            F.lit(2).cast("int").alias("tier"),
+            F.lit("minhash_jaccard").alias("stage"),
+            F.col("n").cast("bigint").alias("docs_in"),
+            F.col("r").cast("bigint").alias("docs_removed"),
+            (F.col("n") - F.col("r")).cast("bigint").alias("docs_out"),
+        )
+    )
+    return tier1.unionByName(tier2).orderBy("tier")

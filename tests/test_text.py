@@ -43,3 +43,35 @@ def test_web_ingest_funnel_every_stage_fires(spark):
     assert di == n_docs + n_docs // 10
     # every source reports, and kept tokens are positive wherever docs survive
     assert all(r["kept_tokens"] > 0 for r in rows if r["docs_unique"] > 0)
+
+
+def test_dedup_cascade_both_tiers_fire_and_flow_is_conserved(spark):
+    """pipeline_dedup_cascade: tier 1 must collapse the planted
+    exact-mangled copies, tier 2 must drop the planted footer twins
+    (which survive tier 1 by construction), and the survivor flow must
+    be conserved: tier2.docs_in == tier1.docs_out and each tier's
+    docs_out == docs_in - docs_removed. The plan must stay banded —
+    no cartesian fallback."""
+    from ai_iceberg_demo_spark.pipeline.curation import pipeline_dedup_cascade
+    from ai_iceberg_demo_spark.plans import explain_str
+    from tests.conftest import SF_DIR
+
+    df = pipeline_dedup_cascade(spark, SF_DIR)
+    assert "CartesianProduct" not in explain_str(df, "formatted")
+    t1, t2 = df.collect()
+    assert (t1["tier"], t1["stage"]) == (1, "exact_fingerprint")
+    assert (t2["tier"], t2["stage"]) == (2, "minhash_jaccard")
+    for t in (t1, t2):
+        assert t["docs_removed"] > 0, t
+        assert t["docs_out"] == t["docs_in"] - t["docs_removed"], t
+    assert t2["docs_in"] == t1["docs_out"]
+    # tier 1 removes at least every planted mangled copy; tier 2 at
+    # least most footer twins (short docs < 20 tokens legitimately
+    # score below the 0.8 Jaccard bar)
+    import pyspark.sql.functions as PF
+
+    from ai_iceberg_demo_spark.tables import load_table
+
+    docs = load_table(spark, "documents", SF_DIR)
+    n_mangled = docs.filter(PF.col("doc_id") % 20 == 0).count()
+    assert t1["docs_removed"] >= n_mangled
