@@ -1914,3 +1914,178 @@ def v29_binary_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("probe_id", "hamming", "vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# V30: product quantization (PQ) + asymmetric-distance retrieval audit
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8       # sub-blocks per vector (64 dims -> 8 blocks of 8)
+_PQ_DSUB = 8    # dims per block
+_PQ_K = 16      # codebook entries per block -> 8 x 4 bits = 4 bytes/vector
+_PQ_PROBES = (0, 1, 2)
+_PQ_TOPK = 5
+
+
+@REGISTRY.register(
+    name="v30_product_quantization",
+    survey_ref="V3 family (compression); completes v20 int8 / v22 "
+    "truncation / v29 binary with the codebook tier",
+    doc=f"product quantization (Jégou et al., TPAMI 2011): each 64-dim "
+    f"embedding splits into {_PQ_M} blocks of {_PQ_DSUB} dims; per "
+    f"block, the code is the argmin-L2 entry of a {_PQ_K}-entry "
+    "codebook (seeded deterministically from the first 16 vectors' "
+    "sub-blocks — the seed_centroids convention), compressing 512 "
+    "bytes to 4. Retrieval is ADC (asymmetric distance): the probe "
+    "builds a tiny per-block lookup table of squared distances to "
+    "every codebook entry, and each corpus vector's distance estimate "
+    "is the sum of 8 LUT hits — the corpus is scanned via its CODES "
+    "only, embeddings never touched. The audit returns each of three "
+    "probes' ADC top-5 with the exact L2, in_exact_top5, and "
+    "recall@5 — the measured price of 128× compression. Scale: the "
+    "codebook (128 rows) and each probe LUT (128 rows) broadcast; "
+    "encoding is one block-explode + broadcast-join argmin (map-side "
+    "partial); ADC is one sum-agg over (probe, vec) keys.",
+    oracle=f"""
+        WITH emb AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), blocks AS (
+            SELECT vec_id, m,
+                   v[(m * {_PQ_DSUB} + 1):(m * {_PQ_DSUB} + {_PQ_DSUB})] AS sub
+            FROM emb, (SELECT UNNEST(GENERATE_SERIES(0, {_PQ_M - 1})) AS m) g
+        ), codebook AS (
+            SELECT m, vec_id AS code, sub AS cvec
+            FROM blocks WHERE vec_id < {_PQ_K}
+        ), enc AS (
+            SELECT b.vec_id, b.m, c.code,
+                   ROUND(LIST_DISTANCE(b.sub, c.cvec), 4) AS d,
+                   ROW_NUMBER() OVER (PARTITION BY b.vec_id, b.m
+                                      ORDER BY ROUND(LIST_DISTANCE(b.sub, c.cvec), 4),
+                                               c.code) AS rn
+            FROM blocks b JOIN codebook c ON c.m = b.m
+        ), codes AS (
+            SELECT vec_id, m, code FROM enc WHERE rn = 1
+        ), lut AS (
+            SELECT p.vec_id AS probe_id, c.m, c.code,
+                   LIST_DISTANCE(p.sub, c.cvec) ** 2 AS d2
+            FROM blocks p JOIN codebook c ON c.m = p.m
+            WHERE p.vec_id IN {_PQ_PROBES}
+        ), adc AS (
+            SELECT l.probe_id, k.vec_id,
+                   ROUND(SQRT(SUM(l.d2)), 6) AS adc
+            FROM codes k
+            JOIN lut l ON l.m = k.m AND l.code = k.code
+            WHERE k.vec_id != l.probe_id
+            GROUP BY l.probe_id, k.vec_id
+        ), adc_top AS (
+            SELECT probe_id, vec_id, adc,
+                   ROW_NUMBER() OVER (PARTITION BY probe_id
+                                      ORDER BY adc, vec_id) AS rn
+            FROM adc
+        ), exact AS (
+            SELECT p.vec_id AS probe_id, e.vec_id,
+                   ROUND(LIST_DISTANCE(p.v, e.v), 6) AS l2
+            FROM emb p JOIN emb e ON e.vec_id != p.vec_id
+            WHERE p.vec_id IN {_PQ_PROBES}
+        ), exact_top AS (
+            SELECT probe_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY probe_id
+                                      ORDER BY l2, vec_id) AS rn
+            FROM exact
+        )
+        SELECT a.probe_id, a.vec_id, a.adc, x.l2,
+               xt.vec_id IS NOT NULL AS in_exact_top5,
+               ROUND(AVG(CASE WHEN xt.vec_id IS NOT NULL THEN 1.0 ELSE 0.0 END)
+                     OVER (PARTITION BY a.probe_id), 2) AS recall5
+        FROM adc_top a
+        JOIN exact x ON x.probe_id = a.probe_id AND x.vec_id = a.vec_id
+        LEFT JOIN exact_top xt ON xt.probe_id = a.probe_id
+                              AND xt.vec_id = a.vec_id AND xt.rn <= {_PQ_TOPK}
+        WHERE a.rn <= {_PQ_TOPK}
+        ORDER BY a.probe_id, a.adc, a.vec_id
+    """,
+)
+def v30_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    blocks = emb.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("m"),
+        F.col("v"),
+    ).select(
+        "vec_id", "m", F.slice("v", F.col("m") * _PQ_DSUB + 1, _PQ_DSUB).alias("sub")
+    )
+    codebook = blocks.filter(F.col("vec_id") < _PQ_K).select(
+        "m", F.col("vec_id").alias("code"), F.col("sub").alias("cvec")
+    )
+    l2 = lambda a, b: F.sqrt(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    # encode: blocks x broadcast codebook, argmin as partial-aggregable
+    # min(struct) on the rounded distance (ties to the lowest code)
+    enc = blocks.join(F.broadcast(codebook), "m").select(
+        "vec_id", "m", F.round(l2(F.col("sub"), F.col("cvec")), 4).alias("d"), "code"
+    )
+    codes = (
+        enc.groupBy("vec_id", "m")
+        .agg(F.min(F.struct("d", "code")).alias("b"))
+        .select("vec_id", "m", F.col("b.code").alias("code"))
+    )
+    # probe LUTs: squared block distance to EVERY codebook entry
+    lut = (
+        blocks.filter(F.col("vec_id").isin(*_PQ_PROBES))
+        .select(F.col("vec_id").alias("probe_id"), "m", F.col("sub").alias("psub"))
+        .join(F.broadcast(codebook), "m")
+        .select(
+            "probe_id", "m", "code",
+            F.pow(l2(F.col("psub"), F.col("cvec")), F.lit(2.0)).alias("d2"),
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .groupBy("probe_id", "vec_id")
+        .agg(F.round(F.sqrt(F.sum("d2")), 6).alias("adc"))
+    )
+    adc_top = adc.withColumn(
+        "rn", F.row_number().over(W.partitionBy("probe_id").orderBy("adc", "vec_id"))
+    ).filter(F.col("rn") <= _PQ_TOPK)
+    probes = emb.filter(F.col("vec_id").isin(*_PQ_PROBES)).select(
+        F.col("vec_id").alias("probe_id"), F.col("v").alias("pv")
+    )
+    exact = (
+        emb.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id", "vec_id", F.round(l2(F.col("pv"), F.col("v")), 6).alias("l2")
+        )
+    )
+    exact_top = (
+        exact.withColumn(
+            "xrn", F.row_number().over(W.partitionBy("probe_id").orderBy("l2", "vec_id"))
+        )
+        .filter(F.col("xrn") <= _PQ_TOPK)
+        .select("probe_id", "vec_id", F.lit(True).alias("in_exact"))
+    )
+    return (
+        adc_top.join(exact, ["probe_id", "vec_id"])
+        .join(F.broadcast(exact_top), ["probe_id", "vec_id"], "left")
+        .select(
+            "probe_id", "vec_id", "adc", "l2",
+            F.coalesce("in_exact", F.lit(False)).alias("in_exact_top5"),
+            F.round(
+                F.avg(F.when(F.col("in_exact"), 1.0).otherwise(0.0)).over(
+                    W.partitionBy("probe_id")
+                ),
+                2,
+            ).alias("recall5"),
+        )
+        .orderBy("probe_id", "adc", "vec_id")
+    )

@@ -369,3 +369,66 @@ def test_binary_quantize_hamming_matches_numpy_sign_bits(spark):
             assert 0 <= r["hamming"] <= 64
             exact_ham = int((signs_p != (emb[r["vec_id"]] > 0)).sum())
             assert r["hamming"] == exact_ham
+
+
+def test_product_quantization_adc_matches_numpy_codebook(spark):
+    """v30: replay the whole PQ pipeline in numpy — seed codebook from
+    the first 16 vectors' sub-blocks, encode by L2 argmin (4dp-rounded,
+    tie to lowest code), ADC from the probe LUT — and demand the Spark
+    ADC match to 1e-5 for every returned row; 5 rows per probe and
+    recall5 = the per-probe mean of in_exact_top5."""
+    import numpy as np
+
+    from ai_iceberg_demo_spark.vector.similarity import (
+        _PQ_DSUB,
+        _PQ_K,
+        _PQ_M,
+        v30_product_quantization,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = v30_product_quantization(spark, SF_DIR).collect()
+    by_probe = {}
+    for r in rows:
+        by_probe.setdefault(r["probe_id"], []).append(r)
+    assert sorted(by_probe) == [0, 1, 2]
+    assert all(len(v) == 5 for v in by_probe.values())
+
+    need = {r["vec_id"] for r in rows} | set(by_probe) | set(range(_PQ_K))
+    emb = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, "embeddings", SF_DIR)
+        .filter(F.col("vec_id").isin(list(need)))
+        .collect()
+    }
+    # codebook[m][k] = sub-block m of seed vector k
+    def sub(v, m):
+        return v[m * _PQ_DSUB : (m + 1) * _PQ_DSUB]
+
+    def encode(v):
+        out = []
+        for m in range(_PQ_M):
+            dists = [
+                (round(float(np.linalg.norm(sub(v, m) - sub(emb[k], m))), 4), k)
+                for k in range(_PQ_K)
+            ]
+            out.append(min(dists)[1])
+        return out
+
+    for pid, grp in by_probe.items():
+        p = emb[pid]
+        recalls = {r["recall5"] for r in grp}
+        assert recalls.pop() == round(
+            sum(1.0 for r in grp if r["in_exact_top5"]) / 5, 2
+        )
+        for r in grp:
+            codes = encode(emb[r["vec_id"]])
+            adc = np.sqrt(
+                sum(
+                    float(np.linalg.norm(sub(p, m) - sub(emb[c], m))) ** 2
+                    for m, c in enumerate(codes)
+                )
+            )
+            assert abs(round(adc, 6) - r["adc"]) < 1e-5, (pid, r["vec_id"])
+            exact = float(np.linalg.norm(p - emb[r["vec_id"]]))
+            assert abs(round(exact, 6) - r["l2"]) < 1e-5
