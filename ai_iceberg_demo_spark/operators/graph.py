@@ -485,3 +485,103 @@ def g4_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("u", "v")
     )
+
+
+# ---------------------------------------------------------------------------
+# G5: modularity of a community assignment
+# ---------------------------------------------------------------------------
+
+
+@REGISTRY.register(
+    name="g5_modularity",
+    survey_ref="graph analytics (community quality); g2's verdict metric",
+    doc="Newman modularity (PNAS 2006) of a community assignment over "
+    "g3's monthly supplier co-service graph, communities = the "
+    "supplier's nation: Q = Σ_c [e_c/m − (d_c/2m)²] where e_c counts "
+    "intra-community edges, d_c sums member degrees, m = |edges| — "
+    "THE acceptance metric for any clustering g2/d6 emits (Q > 0 ⇒ "
+    "denser-than-random communities; the fixture's uniform-random "
+    "order assignment scores ≈ 0, which the test pins as the "
+    "null-model sanity). Per-community rows carry the audit "
+    "(n_nodes/internal_edges/degree_sum/q_contrib) plus the global Q "
+    "(window-sum over the ≤25-row nation table — corpus-independent). "
+    "Shape: the community map is a broadcast join onto the edge "
+    "list's two endpoints, then community-keyed partial aggs; nothing "
+    "ever pairs nodes — cost is O(edges), the same as one g1 "
+    "iteration. Contributions are ROUNDed before the global sum "
+    "(g1's engine-portable summation discipline).",
+    oracle=_G4_GRAPH_SQL
+    + """
+        , node_comm AS (
+            SELECT d.u, s.s_nationkey AS comm, d.d
+            FROM deg d JOIN supplier s ON d.u = s.s_suppkey
+        ), m AS (
+            SELECT COUNT(*) AS m FROM edges
+        ), internal AS (
+            SELECT ca.comm, COUNT(*) AS e_in
+            FROM edges e
+            JOIN node_comm ca ON e.a = ca.u
+            JOIN node_comm cb ON e.b = cb.u AND cb.comm = ca.comm
+            GROUP BY ca.comm
+        ), dsum AS (
+            SELECT comm, COUNT(*) AS n_nodes, SUM(d) AS d_sum
+            FROM node_comm GROUP BY comm
+        ), contrib AS (
+            SELECT ds.comm AS community,
+                   CAST(ds.n_nodes AS BIGINT) AS n_nodes,
+                   CAST(COALESCE(i.e_in, 0) AS BIGINT) AS internal_edges,
+                   CAST(ds.d_sum AS BIGINT) AS degree_sum,
+                   ROUND(COALESCE(i.e_in, 0) / CAST(m.m AS DOUBLE)
+                         - (ds.d_sum / (2.0 * m.m)) ** 2, 6) AS q_contrib
+            FROM dsum ds
+            LEFT JOIN internal i ON ds.comm = i.comm
+            CROSS JOIN m
+        )
+        SELECT community, n_nodes, internal_edges, degree_sum, q_contrib,
+               ROUND(SUM(q_contrib) OVER (), 6) AS modularity
+        FROM contrib ORDER BY community
+    """,
+)
+def g5_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    edges = _coservice_edges(spark, sf_dir).persist()
+    adj = edges.select(F.col("a").alias("u")).unionByName(
+        edges.select(F.col("b").alias("u"))
+    )
+    deg = adj.groupBy("u").agg(F.count("*").alias("d"))
+    supp = load_table(spark, "supplier", sf_dir).select(
+        F.col("s_suppkey").alias("u"), F.col("s_nationkey").alias("comm")
+    )
+    node_comm = deg.join(F.broadcast(supp), "u")
+    m = edges.agg(F.count("*").alias("m"))
+    ca = node_comm.select(F.col("u").alias("a"), F.col("comm").alias("comm_a"))
+    cb = node_comm.select(F.col("u").alias("b"), F.col("comm").alias("comm_b"))
+    internal = (
+        edges.join(F.broadcast(ca), "a")
+        .join(F.broadcast(cb), "b")
+        .filter(F.col("comm_a") == F.col("comm_b"))
+        .groupBy(F.col("comm_a").alias("comm"))
+        .agg(F.count("*").alias("e_in"))
+    )
+    dsum = node_comm.groupBy("comm").agg(
+        F.count("*").alias("n_nodes"), F.sum("d").alias("d_sum")
+    )
+    contrib = (
+        dsum.join(internal, "comm", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            F.col("comm").alias("community"),
+            F.col("n_nodes").cast("bigint").alias("n_nodes"),
+            F.coalesce("e_in", F.lit(0)).cast("bigint").alias("internal_edges"),
+            F.col("d_sum").cast("bigint").alias("degree_sum"),
+            F.round(
+                F.coalesce("e_in", F.lit(0)) / F.col("m").cast("double")
+                - F.pow(F.col("d_sum") / (2.0 * F.col("m")), F.lit(2.0)),
+                6,
+            ).alias("q_contrib"),
+        )
+    )
+    return contrib.select(
+        "*", F.round(F.sum("q_contrib").over(W.partitionBy()), 6).alias("modularity")
+    ).orderBy("community")

@@ -70,3 +70,29 @@ def test_label_propagation_mechanics(spark):
     again = {r["c_custkey"]: (r["inferred_nation"], r["votes"])
              for r in g2_label_propagation(spark, SF_DIR).collect()}
     assert again == preds
+
+
+def test_modularity_identities_and_null_model(spark):
+    """g5: the ledger must satisfy the graph identities — Σ degree_sum
+    = 2m, Σ internal_edges ≤ m, every q_contrib ≤ (e_c/m), modularity
+    = Σ rounded contribs and Q near/below zero on this nation-random
+    fixture (orders ignore nations, so communities are a null model —
+    the dense monthly graph actually scores slightly NEGATIVE, ≈-0.1;
+    a homophilous graph would score 0.3+)."""
+    from ai_iceberg_demo_spark.operators.graph import (
+        _coservice_edges,
+        g5_modularity,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = g5_modularity(spark, SF_DIR).collect()
+    assert rows, "graph must be non-empty"
+    m = _coservice_edges(spark, SF_DIR).count()
+    assert sum(r["degree_sum"] for r in rows) == 2 * m
+    assert sum(r["internal_edges"] for r in rows) <= m
+    q = round(sum(r["q_contrib"] for r in rows), 6)
+    assert all(abs(r["modularity"] - q) < 2e-6 for r in rows)
+    assert -0.25 < q < 0.2, q
+    for r in rows:
+        assert r["n_nodes"] > 0
+        assert r["q_contrib"] <= r["internal_edges"] / m + 1e-9
