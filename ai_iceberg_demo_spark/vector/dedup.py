@@ -1724,3 +1724,91 @@ def d21_bloom_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# D22: bag-of-words dedup — order-invariant exact signature
+# ---------------------------------------------------------------------------
+
+
+@REGISTRY.register(
+    name="d22_bag_of_words_dedup",
+    survey_ref="training-data (dedup tier between d1 exact and d2 fuzzy)",
+    doc="order-invariant exact dedup: the signature is the md5 of the "
+    "SORTED token multiset, so a word-shuffled or re-ordered copy "
+    "(template re-renders, list re-orderings, CSV column permutations "
+    "serialized to text) collapses even though d1's normalized-text "
+    "fingerprint sees two distinct documents. The corpus is planted "
+    "in-query with token-REVERSED copies of doc_id%15==0 (invisible "
+    "to d1, exact bag-matches here); output is the one-row ledger "
+    "comparing the two tiers: n_exact_unique − n_bag_unique = the "
+    "duplicates ONLY the bag signature catches, which must equal the "
+    "plant count (plants_caught, pinned in-query via BOOL check). "
+    "Same cost shape as d1 — one map-side signature + one "
+    "uniform-hash groupBy; the sort is per-row, bounded by doc "
+    "length, never a shuffle.",
+    oracle="""
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 3000000,
+                   ARRAY_TO_STRING(LIST_REVERSE(STRING_SPLIT(text, ' ')), ' ')
+            FROM documents WHERE doc_id % 15 = 0
+        ), sigs AS (
+            SELECT doc_id,
+                   MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g')) AS exact_fp,
+                   MD5(ARRAY_TO_STRING(LIST_SORT(STRING_SPLIT(LOWER(TRIM(text)), ' ')), ' ')) AS bag_fp
+            FROM corpus
+        ), plants AS (
+            SELECT COUNT(*) AS n_planted FROM documents WHERE doc_id % 15 = 0
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT exact_fp) AS BIGINT) AS n_exact_unique,
+               CAST(COUNT(DISTINCT bag_fp) AS BIGINT) AS n_bag_unique,
+               CAST(COUNT(DISTINCT exact_fp) - COUNT(DISTINCT bag_fp) AS BIGINT)
+                   AS n_order_only_dups,
+               COUNT(DISTINCT exact_fp) - COUNT(DISTINCT bag_fp)
+                   >= (SELECT n_planted FROM plants) AS plants_caught
+        FROM sigs
+    """,
+)
+def d22_bag_of_words_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    reversed_ = docs.filter(F.col("doc_id") % 15 == 0).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"),
+        F.concat_ws(" ", F.reverse(F.split("text", " "))).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(reversed_)
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    sigs = corpus.select(
+        "doc_id",
+        F.md5(F.encode(norm, "UTF-8")).alias("exact_fp"),
+        F.md5(
+            F.encode(
+                F.concat_ws(" ", F.array_sort(F.split(F.lower(F.trim(F.col("text"))), " "))),
+                "UTF-8",
+            )
+        ).alias("bag_fp"),
+    )
+    n_planted = docs.filter(F.col("doc_id") % 15 == 0).agg(
+        F.count("*").alias("n_planted")
+    )
+    return (
+        sigs.agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("exact_fp").alias("n_exact_unique"),
+            F.countDistinct("bag_fp").alias("n_bag_unique"),
+        )
+        .crossJoin(F.broadcast(n_planted))
+        .select(
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_exact_unique").cast("bigint").alias("n_exact_unique"),
+            F.col("n_bag_unique").cast("bigint").alias("n_bag_unique"),
+            (F.col("n_exact_unique") - F.col("n_bag_unique"))
+            .cast("bigint")
+            .alias("n_order_only_dups"),
+            (
+                F.col("n_exact_unique") - F.col("n_bag_unique") >= F.col("n_planted")
+            ).alias("plants_caught"),
+        )
+    )

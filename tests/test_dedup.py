@@ -22,3 +22,17 @@ def test_intradoc_span_dedup_removes_planted_stutter(spark):
         else:
             assert r["n_removed"] == 0, r["doc_id"]
             assert r["clean_text"] == r["text"]
+
+
+def test_bag_of_words_dedup_catches_reordered_plants(spark):
+    """d22: the bag signature must collapse every planted token-reversed
+    copy that the exact fingerprint misses, the tier counts must nest
+    (n_docs >= n_exact_unique >= n_bag_unique), and plants_caught must
+    hold (the gap covers at least the plant count)."""
+    from ai_iceberg_demo_spark.vector.dedup import d22_bag_of_words_dedup
+    from tests.conftest import SF_DIR
+
+    r = d22_bag_of_words_dedup(spark, SF_DIR).first()
+    assert r["n_docs"] >= r["n_exact_unique"] >= r["n_bag_unique"]
+    assert r["n_order_only_dups"] > 0
+    assert r["plants_caught"] is True
