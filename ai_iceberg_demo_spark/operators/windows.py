@@ -447,3 +447,77 @@ def w10_trailing_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("trailing_value"),
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# W11: OHLC time-bucket rollup (open/high/low/close)
+# ---------------------------------------------------------------------------
+
+
+@REGISTRY.register(
+    name="w11_ohlc_rollup",
+    survey_ref="W family (time-bucket first/last rollup); w1's bucketed sibling",
+    doc="OHLC candlestick rollup — per (event_type, day): open = value "
+    "of the first event, close = value of the last, high/low = "
+    "max/min, plus the tick count. First/last are deterministic via "
+    "the (ts, event_id) tuple order (event_id breaks same-timestamp "
+    "ties), spelled as partial-aggregable min/max(struct) so the "
+    "whole rollup is ONE map-side-combining shuffle on the uniform "
+    "(type, day) key — no window function, no per-group sort; the "
+    "classic spelling every metrics store (candlesticks, sensor "
+    "rollups, billing meters) runs at ingest time.",
+    oracle="""
+        WITH ticks AS (
+            SELECT event_type, CAST(ts AS DATE) AS day, ts, event_id,
+                   ROUND(value, 6) AS v
+            FROM events WHERE value IS NOT NULL
+        ), ordered AS (
+            SELECT event_type, day, v,
+                   ROW_NUMBER() OVER (PARTITION BY event_type, day
+                                      ORDER BY ts, event_id) AS rn_a,
+                   ROW_NUMBER() OVER (PARTITION BY event_type, day
+                                      ORDER BY ts DESC, event_id DESC) AS rn_z
+            FROM ticks
+        )
+        SELECT event_type, STRFTIME(day, '%Y-%m-%d') AS day,
+               MAX(CASE WHEN rn_a = 1 THEN v END) AS open,
+               MAX(v) AS high, MIN(v) AS low,
+               MAX(CASE WHEN rn_z = 1 THEN v END) AS close,
+               CAST(COUNT(*) AS BIGINT) AS n_ticks
+        FROM ordered
+        GROUP BY event_type, day
+        ORDER BY event_type, day
+    """,
+)
+def w11_ohlc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_iceberg_demo_spark.tables import load_table
+
+    ticks = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            "ts",
+            "event_id",
+            F.round("value", 6).alias("v"),
+        )
+    )
+    return (
+        ticks.groupBy("event_type", "day")
+        .agg(
+            F.min(F.struct("ts", "event_id", "v")).alias("first"),
+            F.max("v").alias("high"),
+            F.min("v").alias("low"),
+            F.max(F.struct("ts", "event_id", "v")).alias("last"),
+            F.count("*").cast("bigint").alias("n_ticks"),
+        )
+        .select(
+            "event_type", "day",
+            F.col("first.v").alias("open"),
+            "high", "low",
+            F.col("last.v").alias("close"),
+            "n_ticks",
+        )
+        .orderBy("event_type", "day")
+    )
