@@ -1447,3 +1447,65 @@ def f41_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         url_norm.alias("url_norm"),
         (url_norm == expected).alias("ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t56: tokenizer fertility audit (cost/quality signal per source)
+# ---------------------------------------------------------------------------
+
+
+@REGISTRY.register(
+    name="t56_tokenizer_fertility",
+    survey_ref="training-data (tokenizer-fit audit; t1's corpus rollup)",
+    doc="tokenizer fertility per source: chars-per-subword and "
+    "subwords-per-whitespace-word (fertility) from t1's BPE-ish regex "
+    "tokenizer, aggregated per source — THE cheap audit a multilingual "
+    "mixture runs before committing a tokenizer (high fertility = the "
+    "vocabulary fragments that source's text; cost per trained token "
+    "scales with it). Pure map-side regexp_count + one tiny "
+    "source-keyed partial agg; the corpus is scanned once and no "
+    "token is ever materialized as a row.",
+    oracle=f"""
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(LEN(text)) AS BIGINT) AS n_chars,
+               CAST(SUM(LEN(REGEXP_SPLIT_TO_ARRAY(text, '\\s+'))) AS BIGINT) AS n_words,
+               CAST(SUM(LEN(REGEXP_EXTRACT_ALL(text, '{_BPE_REGEX}'))) AS BIGINT)
+                   AS n_subwords,
+               ROUND(SUM(LEN(text))
+                     / CAST(SUM(LEN(REGEXP_EXTRACT_ALL(text, '{_BPE_REGEX}'))) AS DOUBLE),
+                     6) AS chars_per_subword,
+               ROUND(SUM(LEN(REGEXP_EXTRACT_ALL(text, '{_BPE_REGEX}')))
+                     / CAST(SUM(LEN(REGEXP_SPLIT_TO_ARRAY(text, '\\s+'))) AS DOUBLE),
+                     6) AS fertility
+        FROM documents
+        GROUP BY source
+        ORDER BY source
+    """,
+)
+def t56_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).select(
+        "source",
+        F.length("text").alias("nc"),
+        F.size(F.split("text", r"\s+")).alias("nw"),
+        bpe_token_count(F.col("text")).alias("nb"),
+    )
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("nc").cast("bigint").alias("n_chars"),
+            F.sum("nw").cast("bigint").alias("n_words"),
+            F.sum("nb").cast("bigint").alias("n_subwords"),
+        )
+        .select(
+            "source", "n_docs", "n_chars", "n_words", "n_subwords",
+            F.round(F.col("n_chars") / F.col("n_subwords").cast("double"), 6).alias(
+                "chars_per_subword"
+            ),
+            F.round(F.col("n_subwords") / F.col("n_words").cast("double"), 6).alias(
+                "fertility"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -2264,3 +2264,72 @@ def t55_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("long_rate") > _SLO_ERROR_BUDGET)
         ).alias("alert"),
     ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# t59: robust outlier quarantine (median absolute deviation)
+# ---------------------------------------------------------------------------
+
+_T59_CUTOFF = 3.5  # Iglewicz-Hoaglin modified-z threshold
+
+
+@REGISTRY.register(
+    name="t59_mad_outliers",
+    survey_ref="§2.11 analytics extra (robust quality gate; t28's "
+    "quarantine discipline with breakdown-resistant statistics)",
+    doc="MAD-based outlier quarantine (Iglewicz & Hoaglin 1993): per "
+    "event_type, the modified z-score 0.6745·(v−median)/MAD flags "
+    "|z| > 3.5 — unlike mean/stddev gates (t28), the median and MAD "
+    "have a 50% breakdown point, so the outliers themselves cannot "
+    "drag the fence they are judged against (the failure mode that "
+    "lets a burst of corrupt values whitelist itself). Two exact "
+    "holistic passes (median, then median of |v−med|) on the "
+    "same uniform event_type key — a11's percentile surface; the "
+    "approx_percentile twin is the 100 TB path when exactness can "
+    "be traded. Output = the quarantine rows a triage queue reads.",
+    oracle=f"""
+        WITH vals AS (
+            SELECT event_id, event_type, value
+            FROM events WHERE value IS NOT NULL
+        ), med AS (
+            SELECT event_type, MEDIAN(value) AS med
+            FROM vals GROUP BY event_type
+        ), mad AS (
+            SELECT v.event_type, MEDIAN(ABS(v.value - m.med)) AS mad
+            FROM vals v JOIN med m USING (event_type)
+            GROUP BY v.event_type
+        )
+        SELECT v.event_id, v.event_type, ROUND(v.value, 6) AS value,
+               ROUND(0.6745 * (v.value - m.med) / d.mad, 4) AS modified_z
+        FROM vals v
+        JOIN med m USING (event_type)
+        JOIN mad d USING (event_type)
+        WHERE ABS(0.6745 * (v.value - m.med) / d.mad) > {_T59_CUTOFF}
+        ORDER BY v.event_id
+    """,
+)
+def t59_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vals = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("value").isNotNull())
+        .select("event_id", "event_type", "value")
+    )
+    med = vals.groupBy("event_type").agg(F.median("value").alias("med"))
+    mad = (
+        vals.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(F.median(F.abs(F.col("value") - F.col("med"))).alias("mad"))
+    )
+    mz = F.lit(0.6745) * (F.col("value") - F.col("med")) / F.col("mad")
+    return (
+        vals.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .filter(F.abs(mz) > _T59_CUTOFF)
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            F.round(mz, 4).alias("modified_z"),
+        )
+        .orderBy("event_id")
+    )

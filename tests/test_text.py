@@ -75,3 +75,64 @@ def test_dedup_cascade_both_tiers_fire_and_flow_is_conserved(spark):
     docs = load_table(spark, "documents", SF_DIR)
     n_mangled = docs.filter(PF.col("doc_id") % 20 == 0).count()
     assert t1["docs_removed"] >= n_mangled
+
+
+def test_mad_outliers_are_robust_to_their_own_flags(spark):
+    """t59: flagged rows must sit strictly outside the 3.5 modified-z
+    fence, the flag rate must be small but non-vacuous (0 < rate <
+    10%), and re-fencing WITHOUT the flagged rows must still flag every
+    originally-flagged value (robustness: outliers cannot move the
+    fence enough to whitelist themselves — the property mean/std gates
+    lack)."""
+    import pyspark.sql.functions as PF
+
+    from ai_iceberg_demo_spark.streaming.events import t59_mad_outliers
+    from ai_iceberg_demo_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    rows = t59_mad_outliers(spark, SF_DIR).collect()
+    assert rows
+    assert all(abs(r["modified_z"]) > 3.5 for r in rows)
+    n_vals = (
+        load_table(spark, "events", SF_DIR).filter(PF.col("value").isNotNull()).count()
+    )
+    assert 0 < len(rows) < 0.10 * n_vals
+    # robustness: recompute per-type median/MAD on the UNflagged rows
+    # only; every flagged value must still breach the new fence
+    import statistics
+
+    flagged_ids = {r["event_id"] for r in rows}
+    vals = (
+        load_table(spark, "events", SF_DIR)
+        .filter(PF.col("value").isNotNull())
+        .select("event_id", "event_type", "value")
+        .collect()
+    )
+    by_type = {}
+    for v in vals:
+        if v["event_id"] not in flagged_ids:
+            by_type.setdefault(v["event_type"], []).append(v["value"])
+    fences = {
+        t: (statistics.median(xs), statistics.median([abs(x - statistics.median(xs)) for x in xs]))
+        for t, xs in by_type.items()
+    }
+    for r in rows:
+        med, mad = fences[r["event_type"]]
+        assert abs(0.6745 * (r["value"] - med) / mad) > 3.5, r
+
+
+def test_tokenizer_fertility_identities(spark):
+    """t56: per-source fertility must be >= 1 on this punctuation-free
+    fixture (every whitespace word splits into >= 1 subword), ratios
+    must equal the sums they summarize, and every source reports."""
+    from ai_iceberg_demo_spark.functions.text import t56_tokenizer_fertility
+    from ai_iceberg_demo_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    rows = t56_tokenizer_fertility(spark, SF_DIR).collect()
+    n_sources = load_table(spark, "documents", SF_DIR).select("source").distinct().count()
+    assert len(rows) == n_sources
+    for r in rows:
+        assert r["fertility"] >= 1.0
+        assert abs(r["chars_per_subword"] - round(r["n_chars"] / r["n_subwords"], 6)) < 1e-9
+        assert abs(r["fertility"] - round(r["n_subwords"] / r["n_words"], 6)) < 1e-9
