@@ -1509,3 +1509,97 @@ def t56_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# f42: mojibake detection + signature repair
+# ---------------------------------------------------------------------------
+
+# the classic UTF-8-read-as-Latin-1 signatures and their true chars
+_MOJIBAKE_MAP = [
+    ("\u00c3\u00a9", "\u00e9"),                    # 'A~(c)'  -> e-acute
+    ("\u00c3\u00bc", "\u00fc"),                    # 'A~1/4'  -> u-umlaut
+    ("\u00e2\u20ac\u2122", "\u2019"),             # 'a,!TM'  -> right quote
+    ("\u00e2\u20ac\u0153", "\u201c"),             # 'a,!oe'  -> left dquote
+]
+_MOJIBAKE_RE = "|".join(m for m, _ in _MOJIBAKE_MAP)
+_F42_SUFFIX = (
+    " caf\u00c3\u00a9 \u00e2\u20ac\u0153quote\u00e2\u20ac\u2122"
+    " m\u00c3\u00bcnchen"
+)
+
+
+def _f42_repair_sql(col: str) -> str:
+    """Nested-REPLACE repair chain over ``col`` (oracle spelling built
+    from the same signature table as the engine side)."""
+    expr = col
+    for moji, true_ch in _MOJIBAKE_MAP:
+        expr = f"REPLACE({expr}, '{moji}', '{true_ch}')"
+    return expr
+
+
+@REGISTRY.register(
+    name="f42_mojibake_repair",
+    survey_ref="training-data (encoding-damage cleaning; f30's sibling)",
+    doc="mojibake detection and signature repair: the classic "
+    "UTF-8-decoded-as-Latin-1 byte signatures (A-tilde+copyright for "
+    "e-acute, the a-circumflex+euro quote family) are planted "
+    "in-query on doc_id%12==0 (a damaged suffix built from the "
+    "signature table itself), detected with one regexp count, and "
+    "repaired by the inverse replacement chain - the ftfy-lite pass "
+    "every web-crawl pipeline runs before tokenization (mojibake "
+    "inflates subword fertility and poisons dedup signatures). Output "
+    "= affected docs with marker count and a repaired_clean proof "
+    "column (post-repair marker count == 0, computed in-query). Pure "
+    "map-side string expressions; no shuffle beyond the output sort. "
+    "Both sides build the regex and the repair chain from ONE "
+    "signature table so detector and fixer can never drift.",
+    oracle=f"""
+        WITH damaged AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 12 = 0
+                        THEN text || '{_F42_SUFFIX}'
+                        ELSE text END AS text
+            FROM documents
+        ), scored AS (
+            SELECT doc_id,
+                   CAST(LEN(REGEXP_EXTRACT_ALL(text, '{_MOJIBAKE_RE}')) AS BIGINT)
+                       AS n_markers,
+                   {_f42_repair_sql("text")} AS repaired
+            FROM damaged
+        )
+        SELECT doc_id, n_markers,
+               LEN(REGEXP_EXTRACT_ALL(repaired, '{_MOJIBAKE_RE}')) = 0
+                   AS repaired_clean
+        FROM scored
+        WHERE n_markers > 0
+        ORDER BY doc_id
+    """,
+)
+def f42_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    damaged = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 12 == 0, F.concat("text", F.lit(_F42_SUFFIX)))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    repaired = F.col("text")
+    for moji, true_ch in _MOJIBAKE_MAP:
+        repaired = F.replace(repaired, F.lit(moji), F.lit(true_ch))
+    scored = damaged.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_MOJIBAKE_RE)).cast("bigint").alias("n_markers"),
+        repaired.alias("repaired"),
+    )
+    return (
+        scored.filter(F.col("n_markers") > 0)
+        .select(
+            "doc_id",
+            "n_markers",
+            (F.regexp_count("repaired", F.lit(_MOJIBAKE_RE)) == 0).alias(
+                "repaired_clean"
+            ),
+        )
+        .orderBy("doc_id")
+    )

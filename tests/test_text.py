@@ -136,3 +136,28 @@ def test_tokenizer_fertility_identities(spark):
         assert r["fertility"] >= 1.0
         assert abs(r["chars_per_subword"] - round(r["n_chars"] / r["n_subwords"], 6)) < 1e-9
         assert abs(r["fertility"] - round(r["n_subwords"] / r["n_words"], 6)) < 1e-9
+
+
+def test_mojibake_repair_flags_exactly_the_planted_docs(spark):
+    """f42: exactly the doc_id%12==0 docs are flagged (the fixture text
+    is ASCII, so only the planted suffix carries signatures), each
+    carries all 4 planted markers, and every repair is proven clean
+    in-query."""
+    import pyspark.sql.functions as PF
+
+    from ai_iceberg_demo_spark.functions.text import f42_mojibake_repair
+    from ai_iceberg_demo_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    rows = f42_mojibake_repair(spark, SF_DIR).collect()
+    planted = {
+        r["doc_id"]
+        for r in load_table(spark, "documents", SF_DIR)
+        .filter(PF.col("doc_id") % 12 == 0)
+        .select("doc_id")
+        .collect()
+    }
+    assert {r["doc_id"] for r in rows} == planted
+    for r in rows:
+        assert r["n_markers"] == 4, r
+        assert r["repaired_clean"] is True
