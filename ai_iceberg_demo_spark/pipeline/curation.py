@@ -891,3 +891,100 @@ def pipeline_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return tier1.unionByName(tier2).orderBy("tier")
+
+
+# ---------------------------------------------------------------------------
+# pipeline: per-source corpus quality scorecard (t2 ∘ t3 ∘ t18 ∘ d1)
+# ---------------------------------------------------------------------------
+
+
+@REGISTRY.register(
+    name="pipeline_quality_report",
+    survey_ref="training-data (corpus scorecard: t2 ∘ t3 ∘ t18 ∘ d1 per source)",
+    doc="the per-source corpus scorecard a data lead reads before "
+    "setting mixture weights (u10's upstream): mean t2 quality, "
+    "English fraction (t3's guess), mean top-word dominance (t18's "
+    "repetition signal), natural duplicate rate (d1's fingerprint), "
+    "and mean document length — one row per source, composed from the "
+    "constituent operators' EXACT spellings (shared helpers engine-"
+    "side, shared SQL fragments oracle-side) so the scorecard can "
+    "never drift from the gates it summarizes. Shape: one corpus scan "
+    "computes every per-doc metric except dominance (whose wordcount "
+    "is the one extra doc-keyed shuffle), then a single source-keyed "
+    "agg with map-side partials; COUNT(DISTINCT fp) rides the same "
+    "agg. O(sources) output rows.",
+    oracle="""
+        WITH perdoc AS (
+            SELECT doc_id, source,
+                   0.6 * LEAST(LENGTH(text) / 400.0, 1.0)
+                       + 0.4 * (CASE WHEN
+                            (CAST(LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+                                 t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+                               / GREATEST(LEN(STRING_SPLIT(LOWER(text), ' ')), 1))
+                              BETWEEN 0.05 AND 0.6 THEN 1.0 ELSE 0.5 END) AS quality,
+                   CASE WHEN text LIKE '%the %' OR text LIKE 'the %' THEN 'en'
+                        ELSE 'und' END AS lang_guess,
+                   MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g')) AS fp,
+                   LEN(STRING_SPLIT(text, ' ')) AS n_ws
+            FROM documents
+        ), words AS (
+            SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents
+        ), wc AS (
+            SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY doc_id, w
+        ), dom AS (
+            SELECT doc_id, MAX(c) / CAST(SUM(c) AS DOUBLE) AS dominance
+            FROM wc GROUP BY doc_id
+        )
+        SELECT p.source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               ROUND(AVG(p.quality), 6) AS mean_quality,
+               ROUND(AVG(CASE WHEN p.lang_guess = 'en' THEN 1.0 ELSE 0.0 END), 6)
+                   AS pct_en,
+               ROUND(AVG(d.dominance), 6) AS mean_dominance,
+               ROUND(1.0 - COUNT(DISTINCT p.fp) / CAST(COUNT(*) AS DOUBLE), 6)
+                   AS dup_rate,
+               ROUND(AVG(p.n_ws), 2) AS mean_ws_tokens
+        FROM perdoc p JOIN dom d USING (doc_id)
+        GROUP BY p.source
+        ORDER BY p.source
+    """,
+)
+def pipeline_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    perdoc = docs.select(
+        "doc_id",
+        "source",
+        quality_score(F.col("text")).alias("quality"),
+        F.when(
+            F.col("text").contains("the ") | F.col("text").startswith("the "), "en"
+        )
+        .otherwise("und")
+        .alias("lang_guess"),
+        fingerprint(F.col("text")).alias("fp"),
+        F.size(F.split("text", " ")).alias("n_ws"),
+    )
+    wc = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    dom = wc.groupBy("doc_id").agg(
+        (F.max("c") / F.sum("c").cast("double")).alias("dominance")
+    )
+    return (
+        perdoc.join(dom, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(F.avg("quality"), 6).alias("mean_quality"),
+            F.round(
+                F.avg(F.when(F.col("lang_guess") == "en", 1.0).otherwise(0.0)), 6
+            ).alias("pct_en"),
+            F.round(F.avg("dominance"), 6).alias("mean_dominance"),
+            F.round(
+                1.0 - F.countDistinct("fp") / F.count("*").cast("double"), 6
+            ).alias("dup_rate"),
+            F.round(F.avg("n_ws"), 2).alias("mean_ws_tokens"),
+        )
+        .orderBy("source")
+    )

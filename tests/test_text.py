@@ -161,3 +161,35 @@ def test_mojibake_repair_flags_exactly_the_planted_docs(spark):
     for r in rows:
         assert r["n_markers"] == 4, r
         assert r["repaired_clean"] is True
+
+
+def test_quality_report_ranges_and_coverage(spark):
+    """pipeline_quality_report: one row per source, every metric in its
+    lawful range, and the scorecard consistent with the operators it
+    summarizes (pct_en equals t3's per-source rate)."""
+    import pyspark.sql.functions as PF
+
+    from ai_iceberg_demo_spark.functions.text import t3_langid
+    from ai_iceberg_demo_spark.pipeline.curation import pipeline_quality_report
+    from ai_iceberg_demo_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    rows = pipeline_quality_report(spark, SF_DIR).collect()
+    docs = load_table(spark, "documents", SF_DIR)
+    assert len(rows) == docs.select("source").distinct().count()
+    for r in rows:
+        assert 0.0 <= r["mean_quality"] <= 1.0
+        assert 0.0 <= r["pct_en"] <= 1.0
+        assert 0.0 < r["mean_dominance"] <= 1.0
+        assert 0.0 <= r["dup_rate"] < 1.0
+        assert r["mean_ws_tokens"] > 0
+    lang = (
+        t3_langid(spark, SF_DIR)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(PF.round(PF.avg(PF.when(PF.col("lang_guess") == "en", 1.0).otherwise(0.0)), 6).alias("p"))
+        .collect()
+    )
+    expected = {r["source"]: r["p"] for r in lang}
+    for r in rows:
+        assert abs(r["pct_en"] - expected[r["source"]]) < 1e-9
