@@ -655,3 +655,94 @@ def s15_freshness_slo(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(lag_h, 4).alias("lag_hours"),
         (lag_h <= _FRESH_SLO_HOURS).alias("within_slo"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S16: partition-layout planner (file sizing + skew audit before a write)
+# ---------------------------------------------------------------------------
+
+_S16_TARGET_BYTES = 128 * 1024 * 1024  # the classic 128 MiB target file
+
+
+@REGISTRY.register(
+    name="s16_partition_plan",
+    survey_ref="S-family ops extra (layout planning; a14's write-side twin)",
+    doc="partition-layout plan for writing `documents` partitioned by a "
+    "candidate column: for each of (source, lang), the per-key row "
+    "count spread (keys, max/mean rows, skew = max/mean), the "
+    "estimated bytes per key from the actual text+id widths, and the "
+    "128 MiB-target file count per largest key — the pre-write audit "
+    "that decides whether a partition column produces the classic "
+    "small-files problem (many tiny keys) or a skewed giant (one key "
+    "holding most bytes, needing an intra-key split). Pure two-level "
+    "aggregation: per-(col,key) partials then per-col rollup — the "
+    "same fine-partials re-agg shape s14 uses; nothing corpus-sized "
+    "crosses an exchange twice. At 100 TB this runs on a sample or "
+    "on file-footer stats; the arithmetic is identical.",
+    oracle=f"""
+        WITH widths AS (
+            SELECT source, lang,
+                   LENGTH(text) + 16 AS row_bytes
+            FROM documents
+        ), by_key AS (
+            SELECT 'source' AS part_col, source AS key,
+                   COUNT(*) AS n_rows, SUM(row_bytes) AS n_bytes
+            FROM widths GROUP BY source
+            UNION ALL
+            SELECT 'lang', lang, COUNT(*), SUM(row_bytes)
+            FROM widths GROUP BY lang
+        )
+        SELECT part_col,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(MAX(n_rows) AS BIGINT) AS max_key_rows,
+               CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+               ROUND(MAX(n_rows) / (SUM(n_rows) / CAST(COUNT(*) AS DOUBLE)), 4)
+                   AS skew_ratio,
+               CAST(MAX(n_bytes) AS BIGINT) AS max_key_bytes,
+               CAST(CEIL(MAX(n_bytes) / CAST({_S16_TARGET_BYTES} AS DOUBLE))
+                    AS BIGINT) AS files_for_largest_key,
+               MAX(n_bytes) > {_S16_TARGET_BYTES} AS needs_intra_key_split,
+               SUM(n_bytes) / COUNT(*) < {_S16_TARGET_BYTES} / 16
+                   AS small_files_risk
+        FROM by_key
+        GROUP BY part_col
+        ORDER BY part_col
+    """,
+)
+def s16_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    widths = docs.select(
+        "source", "lang", (F.length("text") + F.lit(16)).alias("row_bytes")
+    )
+
+    def by(col: str) -> DataFrame:
+        return (
+            widths.groupBy(F.col(col).alias("key"))
+            .agg(F.count("*").alias("n_rows"), F.sum("row_bytes").alias("n_bytes"))
+            .select(F.lit(col).alias("part_col"), "key", "n_rows", "n_bytes")
+        )
+
+    by_key = by("source").unionByName(by("lang"))
+    tgt = float(_S16_TARGET_BYTES)
+    return (
+        by_key.groupBy("part_col")
+        .agg(
+            F.count("*").cast("bigint").alias("n_keys"),
+            F.max("n_rows").cast("bigint").alias("max_key_rows"),
+            F.sum("n_rows").cast("bigint").alias("total_rows"),
+            F.round(
+                F.max("n_rows")
+                / (F.sum("n_rows") / F.count("*").cast("double")),
+                4,
+            ).alias("skew_ratio"),
+            F.max("n_bytes").cast("bigint").alias("max_key_bytes"),
+            F.ceil(F.max("n_bytes") / F.lit(tgt)).cast("bigint").alias(
+                "files_for_largest_key"
+            ),
+            (F.max("n_bytes") > _S16_TARGET_BYTES).alias("needs_intra_key_split"),
+            (F.sum("n_bytes") / F.count("*") < _S16_TARGET_BYTES / 16).alias(
+                "small_files_risk"
+            ),
+        )
+        .orderBy("part_col")
+    )

@@ -69,3 +69,23 @@ def test_kafka_write_gated_without_connector(spark):
     df = spark.readStream.format("rate").load()
     with pytest.raises(NotImplementedError, match="kafka"):
         write_events_kafka(df, "/tmp/ckpt")
+
+
+def test_partition_plan_identities(spark):
+    """s16: per-col rows must total the corpus, skew >= 1, file counts
+    consistent with the byte threshold, and the fixture's small keys
+    must flag small_files_risk (kilobyte-scale keys vs a 128 MiB
+    target)."""
+    from ai_iceberg_demo_spark.operators.scans_filters import s16_partition_plan
+    from ai_iceberg_demo_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    rows = s16_partition_plan(spark, SF_DIR).collect()
+    assert {r["part_col"] for r in rows} == {"source", "lang"}
+    n_docs = load_table(spark, "documents", SF_DIR).count()
+    for r in rows:
+        assert r["total_rows"] == n_docs
+        assert r["skew_ratio"] >= 1.0
+        assert r["max_key_rows"] <= r["total_rows"]
+        assert (r["files_for_largest_key"] > 1) == r["needs_intra_key_split"]
+        assert r["small_files_risk"] is True  # fixture keys are tiny
