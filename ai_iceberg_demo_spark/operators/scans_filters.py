@@ -746,3 +746,108 @@ def s16_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("part_col")
     )
+
+
+# ---------------------------------------------------------------------------
+# S17: payload schema drift between deploy periods
+# ---------------------------------------------------------------------------
+
+_S17_BOUNDARY = "2024-01-16 00:00:00"  # the "deploy" splitting early/late
+
+
+@REGISTRY.register(
+    name="s17_props_schema_drift",
+    survey_ref="S-family extra (contract drift over time; f36 checks rows, "
+    "this checks the FLEET of keys between deploys)",
+    doc="JSON payload schema drift across a deploy boundary: the props "
+    "key-sets of the early and late halves of the event stream are "
+    "profiled (fraction of rows carrying each key per period) and "
+    "diffed — verdict added / removed / stable per key, with a "
+    "planted post-deploy key (event_id%9==0 late rows gain "
+    "'session_v2', in-query) proving the 'added' class fires on a "
+    "fixture whose natural payloads never change shape. This is the "
+    "audit that catches a producer silently changing its event "
+    "contract mid-month — f36 validates each row against the KNOWN "
+    "contract; this detects the contract itself moving. One "
+    "key-explode + one (period, key) partial agg; key cardinality is "
+    "O(contract), so everything after the scan is tiny.",
+    oracle=f"""
+        WITH salted AS (
+            SELECT ts,
+                   CASE WHEN ts >= TIMESTAMP '{_S17_BOUNDARY}' AND event_id % 9 = 0
+                        THEN REPLACE(props, '}}', ', "session_v2": 1}}')
+                        ELSE props END AS props
+            FROM events
+        ), periods AS (
+            SELECT CASE WHEN ts < TIMESTAMP '{_S17_BOUNDARY}'
+                        THEN 'early' ELSE 'late' END AS period,
+                   props
+            FROM salted
+        ), totals AS (
+            SELECT period, COUNT(*) AS n FROM periods GROUP BY period
+        ), keys AS (
+            SELECT period, UNNEST(json_keys(props)) AS key
+            FROM periods
+        ), per_key AS (
+            SELECT period, key, COUNT(*) AS c FROM keys GROUP BY period, key
+        ), wide AS (
+            SELECT COALESCE(e.key, l.key) AS key,
+                   ROUND(COALESCE(e.c, 0)
+                         / (SELECT CAST(n AS DOUBLE) FROM totals WHERE period = 'early'),
+                         6) AS pct_early,
+                   ROUND(COALESCE(l.c, 0)
+                         / (SELECT CAST(n AS DOUBLE) FROM totals WHERE period = 'late'),
+                         6) AS pct_late
+            FROM (SELECT key, c FROM per_key WHERE period = 'early') e
+            FULL OUTER JOIN (SELECT key, c FROM per_key WHERE period = 'late') l
+              ON e.key = l.key
+        )
+        SELECT key, pct_early, pct_late,
+               CASE WHEN pct_early = 0 THEN 'added'
+                    WHEN pct_late = 0 THEN 'removed'
+                    ELSE 'stable' END AS verdict
+        FROM wide ORDER BY key
+    """,
+)
+def s17_props_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    boundary = F.lit(_S17_BOUNDARY).cast("timestamp")
+    salted = ev.select(
+        F.when(
+            (F.col("ts") >= boundary) & (F.col("event_id") % 9 == 0),
+            F.replace(F.col("props"), F.lit("}"), F.lit(', "session_v2": 1}')),
+        )
+        .otherwise(F.col("props"))
+        .alias("props"),
+        F.when(F.col("ts") < boundary, "early").otherwise("late").alias("period"),
+    )
+    totals = salted.groupBy("period").agg(F.count("*").alias("n"))
+    per_key = (
+        salted.select("period", F.explode(F.json_object_keys("props")).alias("key"))
+        .groupBy("period", "key")
+        .agg(F.count("*").alias("c"))
+    )
+    rates = (
+        per_key.join(F.broadcast(totals), "period")
+        .select("period", "key", (F.col("c") / F.col("n").cast("double")).alias("r"))
+    )
+    early = rates.filter(F.col("period") == "early").select(
+        "key", F.col("r").alias("re")
+    )
+    late = rates.filter(F.col("period") == "late").select(
+        "key", F.col("r").alias("rl")
+    )
+    wide = early.join(late, "key", "full_outer").select(
+        "key",
+        F.round(F.coalesce("re", F.lit(0.0)), 6).alias("pct_early"),
+        F.round(F.coalesce("rl", F.lit(0.0)), 6).alias("pct_late"),
+    )
+    return wide.select(
+        "key",
+        "pct_early",
+        "pct_late",
+        F.when(F.col("pct_early") == 0, "added")
+        .when(F.col("pct_late") == 0, "removed")
+        .otherwise("stable")
+        .alias("verdict"),
+    ).orderBy("key")

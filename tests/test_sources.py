@@ -89,3 +89,21 @@ def test_partition_plan_identities(spark):
         assert r["max_key_rows"] <= r["total_rows"]
         assert (r["files_for_largest_key"] > 1) == r["needs_intra_key_split"]
         assert r["small_files_risk"] is True  # fixture keys are tiny
+
+
+def test_props_schema_drift_classifies_the_planted_key(spark):
+    """s17: the planted post-deploy key must classify as 'added' with
+    pct_early == 0 and a plausible late rate (~1/9 of late rows); the
+    natural key 'k' must be 'stable' at 100% in both periods."""
+    from ai_iceberg_demo_spark.operators.scans_filters import s17_props_schema_drift
+    from tests.conftest import SF_DIR
+
+    rows = {r["key"]: r for r in s17_props_schema_drift(spark, SF_DIR).collect()}
+    assert set(rows) == {"k", "session_v2"}
+    v2 = rows["session_v2"]
+    assert v2["verdict"] == "added"
+    assert v2["pct_early"] == 0.0
+    assert 0.05 < v2["pct_late"] < 0.18
+    k = rows["k"]
+    assert k["verdict"] == "stable"
+    assert k["pct_early"] == 1.0 and k["pct_late"] == 1.0
