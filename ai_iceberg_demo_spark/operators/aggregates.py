@@ -964,3 +964,101 @@ def a18_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A20: join-cardinality estimation before the shuffle
+# ---------------------------------------------------------------------------
+
+_A20_TOPN = 20  # heavy hitters priced exactly; the tail is assumed uniform
+
+
+@REGISTRY.register(
+    name="a20_join_cardinality",
+    survey_ref="§2.4 extras (planning statistics; a14's output-size twin)",
+    doc="join-output cardinality estimation for the l_partkey "
+    "self-join (the M:N co-purchase pair explosion a14 warns about): "
+    "the EXACT output size Σ c(k)² comes from one key-count groupBy — "
+    "no join executed — and the ESTIMATE prices the top-20 heavy "
+    "hitters exactly plus a uniform tail (rows²/keys), which is "
+    "precisely the histogram a cost-based planner keeps per column. "
+    "Output: exact vs estimate vs relative error, plus the share of "
+    "pairs owned by the top-20 keys — the number that decides "
+    "broadcast vs shuffle vs salt before ANY data moves. One "
+    "uniform-key shuffle; everything downstream is a ≤20-row "
+    "arithmetic table.",
+    oracle=f"""
+        WITH c AS (
+            SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c
+            FROM lineitem GROUP BY l_partkey
+        ), ranked AS (
+            SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, l_partkey) AS rn
+            FROM c
+        ), whole AS (
+            SELECT CAST(SUM(c * c) AS BIGINT) AS exact_pairs,
+                   CAST(COUNT(*) AS BIGINT) AS n_keys
+            FROM c
+        ), tops AS (
+            SELECT CAST(SUM(CASE WHEN rn <= {_A20_TOPN} THEN c * c ELSE 0 END)
+                        AS BIGINT) AS top_sq,
+                   CAST(SUM(CASE WHEN rn > {_A20_TOPN} THEN c ELSE 0 END)
+                        AS BIGINT) AS tail_rows,
+                   CAST(SUM(CASE WHEN rn > {_A20_TOPN} THEN 1 ELSE 0 END)
+                        AS BIGINT) AS tail_keys
+            FROM ranked
+        )
+        SELECT w.exact_pairs, w.n_keys,
+               ROUND(t.top_sq + CASE WHEN t.tail_keys = 0 THEN 0.0
+                     ELSE CAST(t.tail_rows AS DOUBLE) * t.tail_rows / t.tail_keys
+                     END, 2) AS est_pairs,
+               ROUND(ABS(t.top_sq
+                         + CASE WHEN t.tail_keys = 0 THEN 0.0
+                           ELSE CAST(t.tail_rows AS DOUBLE) * t.tail_rows / t.tail_keys END
+                         - w.exact_pairs) / w.exact_pairs, 6) AS rel_error,
+               ROUND(t.top_sq / CAST(w.exact_pairs AS DOUBLE), 6) AS top20_share
+        FROM whole w CROSS JOIN tops t
+    """,
+)
+def a20_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    # persist the O(keys) count table: three tiny consumers below
+    c = li.groupBy("l_partkey").agg(F.count("*").cast("bigint").alias("c")).persist()
+    whole = c.agg(
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("exact_pairs"),
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.sum("c").cast("bigint").alias("total_rows"),
+    )
+    # heavy hitters via TakeOrderedAndProject (never a global window —
+    # at real key cardinality a partitionless row_number is the exact
+    # bottleneck this estimator exists to predict); the tail terms are
+    # whole-minus-top arithmetic
+    top = (
+        c.orderBy(F.desc("c"), F.asc("l_partkey"))
+        .limit(_A20_TOPN)
+        .agg(
+            F.sum(F.col("c") * F.col("c")).cast("bigint").alias("top_sq"),
+            F.sum("c").cast("bigint").alias("top_rows"),
+            F.count("*").cast("bigint").alias("top_keys"),
+        )
+    )
+    tops = whole.crossJoin(F.broadcast(top)).select(
+        "exact_pairs",
+        "n_keys",
+        "top_sq",
+        (F.col("total_rows") - F.col("top_rows")).alias("tail_rows"),
+        (F.col("n_keys") - F.col("top_keys")).alias("tail_keys"),
+    )
+    est = F.col("top_sq") + F.when(F.col("tail_keys") == 0, F.lit(0.0)).otherwise(
+        F.col("tail_rows").cast("double") * F.col("tail_rows") / F.col("tail_keys")
+    )
+    return tops.select(
+        "exact_pairs",
+        "n_keys",
+        F.round(est, 2).alias("est_pairs"),
+        F.round(F.abs(est - F.col("exact_pairs")) / F.col("exact_pairs"), 6).alias(
+            "rel_error"
+        ),
+        F.round(F.col("top_sq") / F.col("exact_pairs").cast("double"), 6).alias(
+            "top20_share"
+        ),
+    )

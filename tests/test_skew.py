@@ -80,3 +80,30 @@ def test_salted_topk_equals_plain_window(spark):
     )
     assert plain.exceptAll(salted).count() == 0
     assert salted.exceptAll(plain).count() == 0
+
+
+def test_join_cardinality_exact_and_estimate_agree_on_shape(spark):
+    """a20: exact_pairs must equal the brute-force self-join count (at
+    fixture scale the join is actually executable), the estimate must
+    land within 25% (the fixture's partkey counts are near-uniform, so
+    the uniform-tail assumption is good here), the plan must use
+    TakeOrderedAndProject (never a global-window rank), and top20_share
+    must be a valid fraction."""
+    import pyspark.sql.functions as PF
+
+    from ai_iceberg_demo_spark.operators.aggregates import a20_join_cardinality
+    from ai_iceberg_demo_spark.plans import explain_str
+    from ai_iceberg_demo_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    df = a20_join_cardinality(spark, SF_DIR)
+    plan = explain_str(df, "formatted")
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    r = df.first()
+    li = load_table(spark, "lineitem", SF_DIR).select("l_partkey")
+    brute = li.alias("a").join(li.alias("b"), "l_partkey").count()
+    assert r["exact_pairs"] == brute
+    assert 0 < r["top20_share"] <= 1.0
+    assert r["rel_error"] < 0.25
+    assert abs(r["est_pairs"] / r["exact_pairs"] - 1) < 0.25
