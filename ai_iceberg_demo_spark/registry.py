@@ -157,9 +157,15 @@ class Registry:
 # g3_triangle_count, t54_touch_attribution, d19_url_dedup,
 # u37_temporal_split, t55_slo_burn_rate, d20_soft_dedup_weights.
 # 13 + 37 = 50 first-timers, exactly filling the 50 slots;
-# registrations after d20 (d21_bloom_dedup_probe, ...) overflow to r8,
-# where they run ahead of the r2-core cohort (oldest driver
-# evidence). v8e_phash_dedup and pipeline_multimodal_prep
+# registrations after d20 overflow to r8 (in registration order:
+# d21_bloom_dedup_probe, t55 precursors aside — a8c_hll_registers,
+# g4_link_prediction, v29_binary_quantize, pipeline_dedup_cascade,
+# v30_product_quantization, g5_modularity, d22_bag_of_words_dedup,
+# w11_ohlc_rollup, t59_mad_outliers, t56_tokenizer_fertility,
+# f42_mojibake_repair, pipeline_quality_report, s16_partition_plan,
+# s17_props_schema_drift, a20_join_cardinality, ...), where they run
+# ahead of the r2-core cohort (oldest driver evidence).
+# v8e_phash_dedup and pipeline_multimodal_prep
 # gained full hash oracles in r6 AFTER their r6 window slots were
 # assigned — their r6 driver rows double as the post-upgrade pins.
 _DRIVER_WINDOW_PRIORITY = [
