@@ -2089,3 +2089,103 @@ def v30_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("probe_id", "adc", "vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# V31: tombstone-aware vector search (the DELETE leg of the index lifecycle)
+# ---------------------------------------------------------------------------
+
+_V31_PROBES = (0, 1, 2)
+_V31_K = 5
+
+
+@REGISTRY.register(
+    name="v31_tombstone_search",
+    survey_ref="V3 family + M5 lifecycle (create/upsert/retrain/purge had "
+    "coverage; this is the DELETE leg — m7/s12 erasure must reach the index)",
+    doc=f"tombstone-aware vector search: vec_id%50==0 rows are marked "
+    "deleted (a GDPR erasure or retention drop — m7/s12's downstream), "
+    "and each of three probes returns its top-{k} among LIVE vectors "
+    "only, via an anti-join against the broadcast tombstone set BEFORE "
+    "any scoring. Each hit carries `promoted` — true when the row "
+    "enters the top-{k} only because a tombstoned row above it was "
+    "excluded (computed in-query from the unfiltered ranking) — and "
+    "the audit proves no deleted id is ever served (the failure mode "
+    "of soft-delete indexes that filter AFTER truncating candidates "
+    "to k). At scale the tombstone set is the index's delete-file "
+    "sidecar (Iceberg positional deletes): broadcast, anti-joined at "
+    "candidate-generation time, so recall among live rows is exact "
+    "rather than k-minus-deleted.".format(k=_V31_K),
+    oracle=f"""
+        WITH tomb AS (
+            SELECT vec_id FROM embeddings WHERE vec_id % 50 = 0
+        ), probes AS (
+            SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id IN {_V31_PROBES}
+        ), scored AS (
+            SELECT p.qid, e.vec_id,
+                   ROUND({_COS_SQL.format(a="e.embedding", b="p.qv")}, 6) AS score
+            FROM probes p
+            JOIN embeddings e ON e.vec_id <> p.qid
+        ), unfiltered AS (
+            SELECT qid, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY score DESC, vec_id) AS rn_all
+            FROM scored
+        ), live AS (
+            SELECT s.qid, s.vec_id, s.score
+            FROM scored s ANTI JOIN tomb t ON s.vec_id = t.vec_id
+        ), ranked AS (
+            SELECT qid, vec_id, score,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY score DESC, vec_id) AS rn
+            FROM live
+        )
+        SELECT r.qid, r.vec_id, r.score,
+               u.rn_all > {_V31_K} AS promoted
+        FROM ranked r JOIN unfiltered u
+          ON u.qid = r.qid AND u.vec_id = r.vec_id
+        WHERE r.rn <= {_V31_K}
+        ORDER BY r.qid, r.score DESC, r.vec_id
+    """,
+)
+def v31_tombstone_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    tomb = emb.filter(F.col("vec_id") % 50 == 0).select("vec_id")
+    probes = emb.filter(F.col("vec_id").isin(*_V31_PROBES)).select(
+        F.col("vec_id").alias("qid"), as_double(F.col("embedding")).alias("qv")
+    )
+    # persist: the scored scan feeds both the unfiltered ranking (the
+    # promotion audit) and the live ranking
+    scored = (
+        emb.join(F.broadcast(probes), emb.vec_id != probes.qid)
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cosine(as_double(F.col("embedding")), F.col("qv")), 6).alias(
+                "score"
+            ),
+        )
+        .persist()
+    )
+    unfiltered = scored.withColumn(
+        "rn_all",
+        F.row_number().over(W.partitionBy("qid").orderBy(F.desc("score"), "vec_id")),
+    ).select("qid", "vec_id", "rn_all")
+    live = scored.join(F.broadcast(tomb), "vec_id", "left_anti")
+    ranked = live.withColumn(
+        "rn",
+        F.row_number().over(W.partitionBy("qid").orderBy(F.desc("score"), "vec_id")),
+    ).filter(F.col("rn") <= _V31_K)
+    return (
+        ranked.join(unfiltered, ["qid", "vec_id"])
+        .select(
+            "qid",
+            "vec_id",
+            "score",
+            (F.col("rn_all") > _V31_K).alias("promoted"),
+        )
+        .orderBy("qid", F.desc("score"), "vec_id")
+    )

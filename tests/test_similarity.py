@@ -432,3 +432,43 @@ def test_product_quantization_adc_matches_numpy_codebook(spark):
             assert abs(round(adc, 6) - r["adc"]) < 1e-5, (pid, r["vec_id"])
             exact = float(np.linalg.norm(p - emb[r["vec_id"]]))
             assert abs(round(exact, 6) - r["l2"]) < 1e-5
+
+
+def test_tombstone_search_never_serves_deleted_and_flags_promotions(spark):
+    """v31: no tombstoned (vec_id%50==0) id may appear in any result,
+    each probe returns exactly 5 live hits, promoted rows are exactly
+    those absent from the unfiltered numpy top-5, and scores match the
+    exact cosine."""
+    import numpy as np
+
+    from ai_iceberg_demo_spark.vector.similarity import v31_tombstone_search
+    from tests.conftest import SF_DIR
+
+    rows = v31_tombstone_search(spark, SF_DIR).collect()
+    assert all(r["vec_id"] % 50 != 0 for r in rows)
+    by_probe = {}
+    for r in rows:
+        by_probe.setdefault(r["qid"], []).append(r)
+    assert sorted(by_probe) == [0, 1, 2]
+    assert all(len(v) == 5 for v in by_probe.values())
+
+    emb = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, "embeddings", SF_DIR).collect()
+    }
+    for qid, grp in by_probe.items():
+        q = emb[qid]
+        qn = np.linalg.norm(q)
+        scored = sorted(
+            (
+                (round(float(q @ v / (qn * np.linalg.norm(v))), 6), vid)
+                for vid, v in emb.items()
+                if vid != qid
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )
+        top5_all = {vid for _, vid in scored[:5]}
+        for r in grp:
+            assert (r["vec_id"] not in top5_all) == r["promoted"], r
+            exact = next(s for s, vid in scored if vid == r["vec_id"])
+            assert abs(exact - r["score"]) < 2e-6
