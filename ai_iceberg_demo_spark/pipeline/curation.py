@@ -787,6 +787,7 @@ def _cascade_oracle() -> str:
 @REGISTRY.register(
     name="pipeline_dedup_cascade",
     survey_ref="training-data (the multi-tier dedup recipe: d1 ∘ d3 ∘ d2b)",
+    bench=True,
     doc="the canonical corpus-dedup CASCADE as one plan — the recipe "
     "every large pretraining corpus runs (exact first because it's "
     "cheapest, fuzzy only over what survives): tier 1 collapses "

@@ -1931,6 +1931,7 @@ _PQ_TOPK = 5
     name="v30_product_quantization",
     survey_ref="V3 family (compression); completes v20 int8 / v22 "
     "truncation / v29 binary with the codebook tier",
+    bench=True,
     doc=f"product quantization (Jégou et al., TPAMI 2011): each 64-dim "
     f"embedding splits into {_PQ_M} blocks of {_PQ_DSUB} dims; per "
     f"block, the code is the argmin-L2 entry of a {_PQ_K}-entry "
