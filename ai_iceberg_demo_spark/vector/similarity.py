@@ -1402,8 +1402,10 @@ def v27_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "vec_id")
     )
     cfg = spark.createDataFrame([(n,) for n in _V27_CONFIGS], "n_tables int")
+    # candidate set is probe-bounded (hundreds) vs the corpus-sized
+    # scored scan -> broadcast the candidates, never sort-merge
     cand = (
-        pairs.join(scored, ["qid", "vec_id"])
+        scored.join(F.broadcast(pairs), ["qid", "vec_id"])
         .join(F.broadcast(cfg), F.col("mt") < F.col("n_tables"))
         .select("n_tables", "qid", "vec_id", "s")
     )
@@ -1414,7 +1416,7 @@ def v27_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_tables", "qid", "vec_id")
     )
     hits = (
-        approx3.join(exact3, ["qid", "vec_id"])
+        approx3.join(F.broadcast(exact3), ["qid", "vec_id"])
         .groupBy("n_tables", "qid")
         .agg(F.count("*").alias("h"))
     )
@@ -2076,7 +2078,7 @@ def v30_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("probe_id", "vec_id", F.lit(True).alias("in_exact"))
     )
     return (
-        adc_top.join(exact, ["probe_id", "vec_id"])
+        exact.join(F.broadcast(adc_top), ["probe_id", "vec_id"])
         .join(F.broadcast(exact_top), ["probe_id", "vec_id"], "left")
         .select(
             "probe_id", "vec_id", "adc", "l2",
@@ -2181,7 +2183,7 @@ def v31_tombstone_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(W.partitionBy("qid").orderBy(F.desc("score"), "vec_id")),
     ).filter(F.col("rn") <= _V31_K)
     return (
-        ranked.join(unfiltered, ["qid", "vec_id"])
+        unfiltered.join(F.broadcast(ranked), ["qid", "vec_id"])
         .select(
             "qid",
             "vec_id",
