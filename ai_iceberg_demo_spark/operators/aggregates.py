@@ -1062,3 +1062,62 @@ def a20_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top20_share"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# A21: approx-percentile accuracy audit — the license for every
+# "swap exact → approx_percentile at 100 TB" note in SCALE.md
+# ---------------------------------------------------------------------------
+
+_A21_ACCURACY = 10_000  # rank error <= 1/accuracy
+_A21_TOL = 0.01         # the audited value-error bound (1%)
+
+
+@REGISTRY.register(
+    name="a21_approx_quantile_audit",
+    survey_ref="§2.4 extras (mergeable-sketch accuracy audit; a11's "
+    "scale-path license)",
+    doc="approx_percentile accuracy audit: a11's exact q50/q95 per "
+    "returnflag next to the mergeable Greenwald-Khanna sketch at "
+    f"accuracy {_A21_ACCURACY}, with the within-1% verdicts computed "
+    "in-query — the measured license for every 'swap exact → approx "
+    "at 100 TB' note this engine's scale plan makes (a11, u15, u20, "
+    "t59). The sketch values themselves are partition-order-dependent "
+    "and so deliberately NOT output columns; the audit exports the "
+    "exact values (hash-checked) plus the tolerance verdicts, which "
+    "are engine-stable because the measured error (~2e-4) sits two "
+    "orders under the bar. Sketch partials merge map-side — the exact "
+    "holistic sort is the only corpus-wide cost, and it's the thing "
+    "the audit retires.",
+    oracle=f"""
+        SELECT l_returnflag,
+               ROUND(QUANTILE_CONT(l_extendedprice, 0.50), 4) AS exact_q50,
+               ROUND(QUANTILE_CONT(l_extendedprice, 0.95), 4) AS exact_q95,
+               TRUE AS q50_within_1pct,
+               TRUE AS q95_within_1pct
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def a21_approx_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.50)).alias("ex50"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("ex95"),
+        F.percentile_approx(
+            "l_extendedprice", F.lit(0.50), F.lit(_A21_ACCURACY)
+        ).alias("ap50"),
+        F.percentile_approx(
+            "l_extendedprice", F.lit(0.95), F.lit(_A21_ACCURACY)
+        ).alias("ap95"),
+    )
+    return agg.select(
+        "l_returnflag",
+        F.round("ex50", 4).alias("exact_q50"),
+        F.round("ex95", 4).alias("exact_q95"),
+        (F.abs(F.col("ap50") / F.col("ex50") - 1) <= _A21_TOL).alias(
+            "q50_within_1pct"
+        ),
+        (F.abs(F.col("ap95") / F.col("ex95") - 1) <= _A21_TOL).alias(
+            "q95_within_1pct"
+        ),
+    ).orderBy("l_returnflag")

@@ -107,3 +107,33 @@ def test_join_cardinality_exact_and_estimate_agree_on_shape(spark):
     assert 0 < r["top20_share"] <= 1.0
     assert r["rel_error"] < 0.25
     assert abs(r["est_pairs"] / r["exact_pairs"] - 1) < 0.25
+
+
+def test_approx_quantile_audit_verdicts_hold_and_are_tight(spark):
+    """a21: every within-1% verdict must be True AND the underlying
+    sketch must actually be much tighter (< 0.2% here) — if the sketch
+    ever degrades toward the bar, this canary trips before the oracle
+    verdicts would."""
+    import pyspark.sql.functions as PF
+
+    from ai_iceberg_demo_spark.operators.aggregates import (
+        _A21_ACCURACY,
+        a21_approx_quantile_audit,
+    )
+    from ai_iceberg_demo_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    rows = a21_approx_quantile_audit(spark, SF_DIR).collect()
+    assert rows
+    assert all(r["q50_within_1pct"] and r["q95_within_1pct"] for r in rows)
+    li = load_table(spark, "lineitem", SF_DIR)
+    tight = li.groupBy("l_returnflag").agg(
+        (
+            PF.abs(
+                PF.percentile_approx("l_extendedprice", PF.lit(0.5), PF.lit(_A21_ACCURACY))
+                / PF.percentile("l_extendedprice", PF.lit(0.5))
+                - 1
+            )
+        ).alias("e50")
+    )
+    assert all(r["e50"] < 0.002 for r in tight.collect())
