@@ -304,6 +304,37 @@ class VectorRAG:
             ).saveAsTable(name)
         return n_new
 
+    def delete_vectors(
+        self,
+        ids: DataFrame,
+        name: str = "result_embeddings_index",
+    ) -> int:
+        """Soft-delete vectors from a persisted index — the DELETE leg
+        of the M5 lifecycle (m7 retention / s12 erasure must reach the
+        index, not just the base table). Ids append to
+        ``{name}__tombstones``; every index-routed search anti-joins
+        its candidates against that table BEFORE top-k truncation
+        (v31's audit pins why: filtering after truncation serves
+        k-minus-deleted results). This is Iceberg's delete-file model
+        — the index rows stay until the next retrain compacts them
+        out; re-adding a deleted id requires drop/recreate (upsert
+        treats indexed-but-tombstoned ids as existing). Returns the
+        number of newly tombstoned ids; re-deleting is a no-op."""
+        spark = self.embeddings.sparkSession
+        if not spark.catalog.tableExists(name):
+            raise ValueError(
+                f"vector index {name!r} does not exist — create_vector_index first"
+            )
+        tomb = f"{name}__tombstones"
+        new = ids.select("vec_id").distinct()
+        if spark.catalog.tableExists(tomb):
+            new = new.join(spark.table(tomb), "vec_id", "left_anti")
+        new = new.localCheckpoint(eager=True)  # cut lineage before appending
+        n = new.count()
+        if n:
+            new.write.format("parquet").mode("append").saveAsTable(tomb)
+        return n
+
     def drop_vector_index(self, name: str = "result_embeddings_index") -> None:
         """DROP ... IF EXISTS for all three index tables, plus a purge
         of orphaned warehouse locations: the session catalog is
@@ -316,7 +347,12 @@ class VectorRAG:
 
         spark = self.embeddings.sparkSession
         warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-        for t in (name, f"{name}__meta", f"{name}__centroids"):
+        for t in (
+            name,
+            f"{name}__meta",
+            f"{name}__centroids",
+            f"{name}__tombstones",
+        ):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
             shutil.rmtree(os.path.join(warehouse, t.lower()), ignore_errors=True)
 
@@ -342,9 +378,15 @@ class VectorRAG:
         ):
             raise ValueError(f"vector index {index!r} does not exist — create_vector_index first")
         m = spark.table(f"{index}__meta").collect()[0]
+        # soft-deleted ids (delete_vectors) are excluded from the
+        # CANDIDATE set, before any top-k truncation — v31's discipline
+        idx = spark.table(index)
+        tomb = f"{index}__tombstones"
+        if spark.catalog.tableExists(tomb):
+            idx = idx.join(F.broadcast(spark.table(tomb)), "vec_id", "left_anti")
         if m["kind"] == "ivf":
             return ivf_probe(
-                spark.table(index),
+                idx,
                 spark.table(f"{index}__centroids"),
                 query_vec,
                 k=k,
@@ -352,7 +394,7 @@ class VectorRAG:
                 min_score=min_score,
             )
         return lsh_probe(
-            spark.table(index),
+            idx,
             self.embeddings,
             query_vec,
             k=k,

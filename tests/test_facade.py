@@ -381,3 +381,31 @@ def test_index_build_quarantines_degenerate_vectors(spark):
             assert 499 in after and 9000003 not in after
         finally:
             rag.drop_vector_index(name)
+
+
+def test_delete_vectors_soft_deletes_from_every_probe_path(spark):
+    """M5 delete leg: after delete_vectors, an index-routed search never
+    serves the tombstoned id (for BOTH lsh and ivf kinds), re-deleting
+    is a no-op, the base exact scan is untouched by design, and
+    drop_vector_index removes the tombstone table too."""
+    emb = load_table(spark, "embeddings", SF_DIR)
+    docs = load_table(spark, "documents", SF_DIR)
+    rag = VectorRAG(emb, docs)
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    for kind in ("lsh", "ivf"):
+        name = f"t_del_idx_{kind}"
+        rag.drop_vector_index(name)
+        try:
+            rag.create_vector_index(name, kind=kind)
+            before = rag.search_similar_results(qv, k=5, min_score=-1.0, index=name).collect()
+            assert before[0]["vec_id"] == 0  # self-match present pre-delete
+            victim = spark.createDataFrame([(0,)], "vec_id long")
+            assert rag.delete_vectors(victim, name) == 1
+            assert rag.delete_vectors(victim, name) == 0  # idempotent
+            after = rag.search_similar_results(qv, k=5, min_score=-1.0, index=name).collect()
+            assert all(r["vec_id"] != 0 for r in after), kind
+            assert len(after) == 5  # live candidates backfill the k slots
+            assert spark.catalog.tableExists(f"{name}__tombstones")
+        finally:
+            rag.drop_vector_index(name)
+        assert not spark.catalog.tableExists(f"{name}__tombstones")
