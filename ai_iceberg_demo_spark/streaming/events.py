@@ -557,6 +557,44 @@ def arrival_order(event_id) -> "F.Column":
     return F.unix_micros(F.col("ts")) + jitter * 1_000_000
 
 
+def _with_running_prev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, ts, run_prev): every event with the running
+    event-time max over everything that ARRIVED before it — t13's
+    two-phase shape (per-day-shard window + broadcast prefix max over
+    shard tops, bit-identical to the global window, no total-order
+    funnel), shared by the t13 classifier and the t62 delay-tuning
+    curve."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type", "ts", "event_id", arrival_order(F.col("event_id")).alias("arrival_us")
+    )
+    sharded = ev.withColumn("shard", F.expr(f"arrival_us DIV {_SHARD_US}"))
+
+    w_in = (
+        W.partitionBy("shard")
+        .orderBy("arrival_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    with_prev = sharded.withColumn("prev_in", F.max("ts").over(w_in))
+
+    shard_tops = sharded.groupBy("shard").agg(F.max("ts").alias("smax"))
+    w_sh = W.orderBy("shard").rowsBetween(W.unboundedPreceding, -1)
+    prefix = shard_tops.select("shard", F.max("smax").over(w_sh).alias("prev_shards"))
+
+    joined = with_prev.join(F.broadcast(prefix), "shard")
+    # explicit CASE (not greatest()) so NULL handling is identical to
+    # the oracle's MAX-over-window semantics on both engines
+    run_prev = (
+        F.when(F.col("prev_in").isNull(), F.col("prev_shards"))
+        .when(F.col("prev_shards").isNull(), F.col("prev_in"))
+        .when(F.col("prev_in") >= F.col("prev_shards"), F.col("prev_in"))
+        .otherwise(F.col("prev_shards"))
+    )
+    return joined.withColumn("run_prev", run_prev)
+
+
+
 @REGISTRY.register(
     name="t13_watermark_audit",
     survey_ref="§2.11 watermarks (policy audit)",
@@ -598,34 +636,7 @@ def arrival_order(event_id) -> "F.Column":
     """,
 )
 def t13_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
-    ev = load_table(spark, "events", sf_dir).select(
-        "event_type", "ts", "event_id", arrival_order(F.col("event_id")).alias("arrival_us")
-    )
-    sharded = ev.withColumn("shard", F.expr(f"arrival_us DIV {_SHARD_US}"))
-
-    w_in = (
-        W.partitionBy("shard")
-        .orderBy("arrival_us", "event_id")
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    with_prev = sharded.withColumn("prev_in", F.max("ts").over(w_in))
-
-    shard_tops = sharded.groupBy("shard").agg(F.max("ts").alias("smax"))
-    w_sh = W.orderBy("shard").rowsBetween(W.unboundedPreceding, -1)
-    prefix = shard_tops.select("shard", F.max("smax").over(w_sh).alias("prev_shards"))
-
-    joined = with_prev.join(F.broadcast(prefix), "shard")
-    # explicit CASE (not greatest()) so NULL handling is identical to
-    # the oracle's MAX-over-window semantics on both engines
-    run_prev = (
-        F.when(F.col("prev_in").isNull(), F.col("prev_shards"))
-        .when(F.col("prev_shards").isNull(), F.col("prev_in"))
-        .when(F.col("prev_in") >= F.col("prev_shards"), F.col("prev_in"))
-        .otherwise(F.col("prev_shards"))
-    )
-    classified = joined.withColumn("run_prev", run_prev).select(
+    classified = _with_running_prev(spark, sf_dir).select(
         "event_type",
         F.when(
             F.col("run_prev").isNull() | (F.col("ts") >= F.col("run_prev")), "on_time"
@@ -2332,4 +2343,112 @@ def t59_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(mz, 4).alias("modified_z"),
         )
         .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# t62: watermark-delay tuning curve (choose the delay BEFORE committing it)
+# ---------------------------------------------------------------------------
+
+_T62_DELAYS_S = (60, 300, 600, 1800)
+
+
+@REGISTRY.register(
+    name="t62_watermark_tuning",
+    survey_ref="§2.11 watermarks (t13 audits ONE delay; this prices the "
+    "candidate delays so you can pick it)",
+    doc="watermark-delay tuning curve: for each candidate delay "
+    f"{_T62_DELAYS_S}s, the fraction of events a "
+    "`withWatermark(ts, D)` stream would ADMIT (lateness vs the "
+    "running event-time max over t13's deterministic arrival replay, "
+    "shared helper), per event_type, alongside the exact p99 lateness "
+    "— the number a pipeline owner reads off to set the delay that "
+    "keeps 99% of data at minimum state cost. The lateness table is "
+    "computed ONCE (t13's two-phase shard shape, no total-order "
+    "funnel) and the 4-delay fan-out is a map-side explode; both aggs "
+    "are (type, delay)-keyed partials. The 30-min jitter bound means "
+    "1800s admits everything — pinned in-query as the curve's "
+    "endpoint sanity.",
+    oracle=f"""
+        WITH arr AS (
+            SELECT event_type, ts, event_id,
+                   EPOCH_US(ts) + (('0x' || SUBSTR(MD5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+                                   % {_JITTER_S}) * 1000000 AS arrival_us
+            FROM events
+        ), ordered AS (
+            SELECT event_type, ts,
+                   MAX(ts) OVER (ORDER BY arrival_us, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run_prev
+            FROM arr
+        ), lat AS (
+            SELECT event_type,
+                   CASE WHEN run_prev IS NOT NULL AND ts < run_prev
+                        THEN EPOCH_US(run_prev) - EPOCH_US(ts)
+                        ELSE 0 END AS late_us
+            FROM ordered
+        ), p99 AS (
+            SELECT event_type,
+                   ROUND(QUANTILE_CONT(late_us, 0.99) / 1000000.0, 2) AS p99_late_s
+            FROM lat GROUP BY event_type
+        ), cov AS (
+            SELECT l.event_type, d.delay_s,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   ROUND(SUM(CASE WHEN l.late_us <= d.delay_s * 1000000
+                                  THEN 1.0 ELSE 0.0 END) / COUNT(*), 6) AS pct_admitted
+            FROM lat l
+            CROSS JOIN (SELECT UNNEST({list(_T62_DELAYS_S)}) AS delay_s) d
+            GROUP BY l.event_type, d.delay_s
+        )
+        SELECT c.event_type, CAST(c.delay_s AS INT) AS delay_s,
+               c.n_events, c.pct_admitted, p.p99_late_s,
+               c.delay_s < 1800 OR c.pct_admitted = 1.0 AS endpoint_ok
+        FROM cov c JOIN p99 p ON c.event_type = p.event_type
+        ORDER BY c.event_type, c.delay_s
+    """,
+)
+def t62_watermark_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lat = _with_running_prev(spark, sf_dir).select(
+        "event_type",
+        F.when(
+            F.col("run_prev").isNotNull() & (F.col("ts") < F.col("run_prev")),
+            F.unix_micros(F.col("run_prev")) - F.unix_micros(F.col("ts")),
+        )
+        .otherwise(F.lit(0))
+        .alias("late_us"),
+    ).persist()
+    p99 = lat.groupBy("event_type").agg(
+        F.round(F.percentile("late_us", F.lit(0.99)) / 1_000_000.0, 2).alias(
+            "p99_late_s"
+        )
+    )
+    fan = lat.select(
+        "event_type",
+        "late_us",
+        F.explode(F.array(*[F.lit(d) for d in _T62_DELAYS_S])).alias("delay_s"),
+    )
+    cov = fan.groupBy("event_type", "delay_s").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.round(
+            F.sum(
+                F.when(F.col("late_us") <= F.col("delay_s") * 1_000_000, 1.0).otherwise(
+                    0.0
+                )
+            )
+            / F.count("*"),
+            6,
+        ).alias("pct_admitted"),
+    )
+    return (
+        cov.join(F.broadcast(p99), "event_type")
+        .select(
+            "event_type",
+            F.col("delay_s").cast("int").alias("delay_s"),
+            "n_events",
+            "pct_admitted",
+            "p99_late_s",
+            ((F.col("delay_s") < 1800) | (F.col("pct_admitted") == 1.0)).alias(
+                "endpoint_ok"
+            ),
+        )
+        .orderBy("event_type", "delay_s")
     )

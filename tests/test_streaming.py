@@ -1020,3 +1020,32 @@ def test_ewma_band_flags_only_the_planted_spike(spark):
     spike_row = next(r for r in rows if r["day"] == _EWMA_SPIKE_DAY)
     assert spike_row["ewma"] < spike_row["n_events"]
     assert spike_row["residual"] > 0
+
+
+def test_watermark_tuning_curve_is_monotone_and_saturates(spark):
+    """t62: per event_type, pct_admitted must be non-decreasing in the
+    delay, reach exactly 1.0 at 1800s (the jitter bound — endpoint_ok),
+    and the p99 recommendation must sit where the curve says it does:
+    admitting at ceil(p99) captures >= 99%."""
+    import math
+
+    from ai_iceberg_demo_spark.streaming.events import t62_watermark_tuning
+    from tests.conftest import SF_DIR
+
+    rows = t62_watermark_tuning(spark, SF_DIR).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for t, grp in by_type.items():
+        grp.sort(key=lambda r: r["delay_s"])
+        pcts = [r["pct_admitted"] for r in grp]
+        assert pcts == sorted(pcts), t
+        assert grp[-1]["pct_admitted"] == 1.0, t
+        assert all(r["endpoint_ok"] for r in grp), t
+        p99 = grp[0]["p99_late_s"]
+        assert 0 <= p99 <= 1800
+        # the curve and the quantile must tell the same story at the
+        # candidate just above p99
+        for r in grp:
+            if r["delay_s"] >= math.ceil(p99):
+                assert r["pct_admitted"] >= 0.99, (t, r)
