@@ -508,3 +508,84 @@ def test_cusum_fold_matches_python_reference(spark, zs):
     assert len(got) == len(zs)
     for g, r in zip(got, ref(zs)):
         assert abs(g - r) < 1e-9
+
+
+@PROP
+@given(words=_words, seed=st.integers(0, 10**6))
+def test_bag_fingerprint_is_permutation_invariant(spark, words, seed):
+    """d22's bag signature: ANY permutation of a document's tokens
+    yields the same bag_fp, and two docs with different multisets get
+    different fps (md5 collision aside) — the contract that lets the
+    bag tier collapse reorderings no matter how they arise."""
+    import random
+
+    rng = random.Random(seed)
+    shuffled = list(words)
+    rng.shuffle(shuffled)
+    df = spark.createDataFrame(
+        [(0, " ".join(words)), (1, " ".join(shuffled)), (2, " ".join(words + ["zzextra"]))],
+        "doc_id INT, text STRING",
+    )
+    bag = F.md5(
+        F.encode(
+            F.concat_ws(" ", F.array_sort(F.split(F.lower(F.trim(F.col("text"))), " "))),
+            "UTF-8",
+        )
+    )
+    rows = {r["doc_id"]: r["fp"] for r in df.select("doc_id", bag.alias("fp")).collect()}
+    assert rows[0] == rows[1]
+    assert rows[0] != rows[2]
+
+
+@PROP
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(-5, 5, allow_nan=False, allow_infinity=False, width=32),
+            min_size=64,
+            max_size=64,
+        ),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_binary_pack_hamming_is_a_metric_on_sign_vectors(spark, vecs):
+    """v29's two-word packing: for ANY vectors, the packed XOR+popcount
+    distance equals the numpy sign-vector hamming (identity), is
+    symmetric, zero iff equal sign patterns, and ≤ 64."""
+    import numpy as np
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id INT, embedding ARRAY<DOUBLE>",
+    )
+
+    def pack(vec, lo: bool):
+        half = F.slice(vec, 1 if lo else 33, 32)
+        bits = F.transform(
+            half,
+            lambda x, i: F.when(
+                x > 0, F.pow(F.lit(2.0), i.cast("double")).cast("long")
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+    codes = {
+        r["vec_id"]: (r["lo"], r["hi"])
+        for r in df.select(
+            "vec_id",
+            pack(F.col("embedding"), True).alias("lo"),
+            pack(F.col("embedding"), False).alias("hi"),
+        ).collect()
+    }
+    signs = {i: np.asarray(v) > 0 for i, v in enumerate(vecs)}
+    for a in codes:
+        for b in codes:
+            ham = bin(codes[a][0] ^ codes[b][0]).count("1") + bin(
+                codes[a][1] ^ codes[b][1]
+            ).count("1")
+            exact = int((signs[a] != signs[b]).sum())
+            assert ham == exact
+            assert 0 <= ham <= 64
+            if ham == 0:
+                assert (signs[a] == signs[b]).all()
