@@ -52,6 +52,7 @@ from ai_iceberg_demo_spark.tables import load_table
 REGISTRY = Registry()
 
 QUALITY_MIN = 0.8
+_ERASE_KEY = 7  # the data subject (s12's _SUBJECT_KEY)
 
 
 def curate_oracle_sql(src: str) -> str:
@@ -988,4 +989,119 @@ def pipeline_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("n_ws"), 2).alias("mean_ws_tokens"),
         )
         .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# pipeline: subject-erasure execution + verification (Art. 17 end-to-end)
+# ---------------------------------------------------------------------------
+
+
+@REGISTRY.register(
+    name="pipeline_erasure",
+    survey_ref="governance (s12's inventory EXECUTED: erase → re-inventory "
+    "→ verify; m7's per-subject sibling)",
+    doc="GDPR Art. 17 erasure as one verified plan: the subject's rows "
+    "(s12's key=7) are removed from every holding table — customer and "
+    "orders by direct key filter, events by user key, lineitem through "
+    "the subject's-orders anti-join (the indirect path an erasure job "
+    "forgets first) — and the output re-runs s12's inventory on BOTH "
+    "sides: rows_before per table (hash-checked against s12's own "
+    "numbers by construction), rows_after, and erased_ok = "
+    "(rows_after == 0), the verification a DPO files. At 100 TB each "
+    "branch is a partition-pruned DELETE (Iceberg row-level delete on "
+    "the subject's partitions) and the verify re-reads only those "
+    "partitions; the oracle reuses s12's subject spelling so the "
+    "erasure predicates can never drift from the inventory that "
+    "audits them.",
+    oracle=f"""
+        WITH ords AS (
+            SELECT o_orderkey FROM orders WHERE o_custkey = {_ERASE_KEY}
+        ), before AS (
+            SELECT 'customer' AS table_name, CAST(COUNT(*) AS BIGINT) AS rows_before
+            FROM customer WHERE c_custkey = {_ERASE_KEY}
+            UNION ALL
+            SELECT 'orders', CAST(COUNT(*) AS BIGINT)
+            FROM orders WHERE o_custkey = {_ERASE_KEY}
+            UNION ALL
+            SELECT 'lineitem', CAST(COUNT(*) AS BIGINT)
+            FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM ords)
+            UNION ALL
+            SELECT 'events', CAST(COUNT(*) AS BIGINT)
+            FROM events WHERE user_id = {_ERASE_KEY}
+        ), after AS (
+            SELECT 'customer' AS table_name, CAST(COUNT(*) AS BIGINT) AS rows_after
+            FROM (SELECT * FROM customer WHERE c_custkey <> {_ERASE_KEY})
+            WHERE c_custkey = {_ERASE_KEY}
+            UNION ALL
+            SELECT 'orders', CAST(COUNT(*) AS BIGINT)
+            FROM (SELECT * FROM orders WHERE o_custkey <> {_ERASE_KEY})
+            WHERE o_custkey = {_ERASE_KEY}
+            UNION ALL
+            SELECT 'lineitem', CAST(COUNT(*) AS BIGINT)
+            FROM (SELECT * FROM lineitem
+                  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM ords))
+            WHERE l_orderkey IN (SELECT o_orderkey FROM ords)
+            UNION ALL
+            SELECT 'events', CAST(COUNT(*) AS BIGINT)
+            FROM (SELECT * FROM events WHERE user_id <> {_ERASE_KEY})
+            WHERE user_id = {_ERASE_KEY}
+        )
+        SELECT b.table_name, b.rows_before, a.rows_after,
+               a.rows_after = 0 AS erased_ok
+        FROM before b JOIN after a ON b.table_name = a.table_name
+        ORDER BY b.table_name
+    """,
+)
+def pipeline_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    ev = load_table(spark, "events", sf_dir)
+    subj_orders = orders.filter(F.col("o_custkey") == _ERASE_KEY).select(
+        F.col("o_orderkey").alias("l_orderkey")
+    )
+
+    # the erased relations — at 100 TB these are the row-level DELETEs
+    cust_after = cust.filter(F.col("c_custkey") != _ERASE_KEY)
+    orders_after = orders.filter(F.col("o_custkey") != _ERASE_KEY)
+    li_after = li.join(F.broadcast(subj_orders), "l_orderkey", "left_anti")
+    ev_after = ev.filter(F.col("user_id") != _ERASE_KEY)
+
+    def row(name, subject_before, subject_after):
+        b = subject_before.agg(F.count("*").cast("bigint").alias("rows_before"))
+        a = subject_after.agg(F.count("*").cast("bigint").alias("rows_after"))
+        return b.crossJoin(F.broadcast(a)).select(
+            F.lit(name).alias("table_name"),
+            "rows_before",
+            "rows_after",
+            (F.col("rows_after") == 0).alias("erased_ok"),
+        )
+
+    # subject slices on both sides; lineitem via the same broadcast
+    # semi-join the erasure itself uses (never a driver-side key list)
+    li_subj_before = li.join(F.broadcast(subj_orders), "l_orderkey", "left_semi")
+    li_subj_after = li_after.join(F.broadcast(subj_orders), "l_orderkey", "left_semi")
+    return (
+        row(
+            "customer",
+            cust.filter(F.col("c_custkey") == _ERASE_KEY),
+            cust_after.filter(F.col("c_custkey") == _ERASE_KEY),
+        )
+        .unionByName(
+            row(
+                "events",
+                ev.filter(F.col("user_id") == _ERASE_KEY),
+                ev_after.filter(F.col("user_id") == _ERASE_KEY),
+            )
+        )
+        .unionByName(row("lineitem", li_subj_before, li_subj_after))
+        .unionByName(
+            row(
+                "orders",
+                orders.filter(F.col("o_custkey") == _ERASE_KEY),
+                orders_after.filter(F.col("o_custkey") == _ERASE_KEY),
+            )
+        )
+        .orderBy("table_name")
     )

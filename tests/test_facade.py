@@ -409,3 +409,21 @@ def test_delete_vectors_soft_deletes_from_every_probe_path(spark):
         finally:
             rag.drop_vector_index(name)
         assert not spark.catalog.tableExists(f"{name}__tombstones")
+
+
+def test_erasure_pipeline_verifies_zero_residual(spark):
+    """pipeline_erasure: every holding table reports erased_ok, the
+    before counts agree with s12's inventory, and the subject actually
+    had data to erase (non-vacuous on at least customer+orders)."""
+    from ai_iceberg_demo_spark.operators.scans_filters import s12_subject_access
+    from ai_iceberg_demo_spark.pipeline.curation import pipeline_erasure
+
+    rows = {r["table_name"]: r for r in pipeline_erasure(spark, SF_DIR).collect()}
+    assert set(rows) == {"customer", "orders", "lineitem", "events"}
+    inv = {r["table_name"]: r["n_rows"] for r in s12_subject_access(spark, SF_DIR).collect()}
+    for t, r in rows.items():
+        assert r["erased_ok"] is True, t
+        assert r["rows_after"] == 0
+        assert r["rows_before"] == inv[t], t
+    assert rows["customer"]["rows_before"] == 1
+    assert rows["orders"]["rows_before"] > 0
