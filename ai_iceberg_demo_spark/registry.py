@@ -163,7 +163,10 @@ class Registry:
 # v30_product_quantization, g5_modularity, d22_bag_of_words_dedup,
 # w11_ohlc_rollup, t59_mad_outliers, t56_tokenizer_fertility,
 # f42_mojibake_repair, pipeline_quality_report, s16_partition_plan,
-# s17_props_schema_drift, a20_join_cardinality, ...), where they run
+# s17_props_schema_drift, a20_join_cardinality, v31_tombstone_search,
+# t62_watermark_tuning, a21_approx_quantile_audit, pipeline_erasure,
+# t63_kaplan_meier, t64_calibration_bins, t65_roc_auc,
+# t66_markov_transitions, ...), where they run
 # ahead of the r2-core cohort (oldest driver evidence).
 # v8e_phash_dedup and pipeline_multimodal_prep
 # gained full hash oracles in r6 AFTER their r6 window slots were

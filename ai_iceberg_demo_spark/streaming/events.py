@@ -2452,3 +2452,396 @@ def t62_watermark_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "delay_s")
     )
+
+
+# ---------------------------------------------------------------------------
+# t63: Kaplan-Meier survival curve (time to first error, right-censored)
+# ---------------------------------------------------------------------------
+
+
+@REGISTRY.register(
+    name="t63_kaplan_meier",
+    survey_ref="§2.11 analytics extra (t41 fits a parametric decay; this "
+    "is the non-parametric estimator that validates it)",
+    doc="Kaplan-Meier survival estimate of time-to-first-`error` per "
+    "user (days from first activity): users who never error are "
+    "right-CENSORED at the corpus end. S(t) = prod over event times "
+    "t_i<=t of (1 - d_i/n_i), computed as exp(sum(ln)) so the running "
+    "product is a window aggregate; a d_i = n_i terminal row is "
+    "handled with an explicit zero flag because Spark's LOG returns "
+    "NULL at 0 while DuckDB returns -inf. The heavy lift is ONE "
+    "user-keyed shuffle (per-user first-event / first-error days); "
+    "the survival table itself is keyed by duration-in-days — "
+    "calendar-bounded, so the ordered windows run over a tiny table "
+    "(the day-table class in SCALE.md).",
+    oracle="""
+        WITH span AS (
+            SELECT MAX(CAST(ts AS DATE)) AS dmax FROM events
+        ), users AS (
+            SELECT user_id,
+                   CASE WHEN MIN(CASE WHEN event_type = 'error'
+                                      THEN CAST(ts AS DATE) END) IS NOT NULL
+                        THEN DATEDIFF('day', MIN(CAST(ts AS DATE)),
+                                      MIN(CASE WHEN event_type = 'error'
+                                               THEN CAST(ts AS DATE) END))
+                        ELSE DATEDIFF('day', MIN(CAST(ts AS DATE)),
+                                      (SELECT dmax FROM span))
+                   END AS dur,
+                   CASE WHEN MIN(CASE WHEN event_type = 'error'
+                                      THEN CAST(ts AS DATE) END) IS NOT NULL
+                        THEN 1 ELSE 0 END AS observed
+            FROM events GROUP BY user_id
+        ), by_dur AS (
+            SELECT dur, CAST(COUNT(*) AS BIGINT) AS n_total,
+                   CAST(SUM(observed) AS BIGINT) AS n_deaths
+            FROM users GROUP BY dur
+        ), risk AS (
+            SELECT dur, n_total, n_deaths,
+                   CAST((SELECT COUNT(*) FROM users)
+                        - COALESCE(SUM(n_total) OVER (ORDER BY dur
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0) AS BIGINT) AS n_risk
+            FROM by_dur
+        ), surv AS (
+            SELECT dur, n_risk, n_deaths,
+                   CAST(n_total - n_deaths AS BIGINT) AS n_censored,
+                   MAX(CASE WHEN n_deaths = n_risk THEN 1 ELSE 0 END)
+                       OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) AS hit_zero,
+                   SUM(CASE WHEN n_deaths > 0 AND n_deaths < n_risk
+                            THEN LN(1.0 - CAST(n_deaths AS DOUBLE) / n_risk)
+                            ELSE 0.0 END)
+                       OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) AS lsum
+            FROM risk
+        )
+        SELECT CAST(dur AS INT) AS duration_days, n_risk, n_deaths, n_censored,
+               ROUND(CASE WHEN hit_zero = 1 THEN 0.0 ELSE EXP(lsum) END, 6)
+                   AS survival
+        FROM surv ORDER BY duration_days
+    """,
+)
+def t63_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, "events", sf_dir)
+    day = F.col("ts").cast("date")
+    users = ev.groupBy("user_id").agg(
+        F.min(day).alias("d0"),
+        F.min(F.when(F.col("event_type") == "error", day)).alias("derr"),
+        F.max(day).alias("dlast"),
+    )
+    dmax = users.agg(F.max("dlast").alias("dmax"))
+    users = users.crossJoin(F.broadcast(dmax)).select(
+        F.when(F.col("derr").isNotNull(), F.datediff("derr", "d0"))
+        .otherwise(F.datediff("dmax", "d0"))
+        .alias("dur"),
+        F.when(F.col("derr").isNotNull(), 1).otherwise(0).alias("observed"),
+    )
+    by_dur = users.groupBy("dur").agg(
+        F.count("*").cast("bigint").alias("n_total"),
+        F.sum("observed").cast("bigint").alias("n_deaths"),
+    )
+    total = by_dur.agg(F.sum("n_total").alias("n_users"))
+    # duration table is calendar-bounded (SCALE.md day-table class):
+    # the ordered windows below run over <= corpus-span-in-days rows
+    w_prev = W.orderBy("dur").rowsBetween(W.unboundedPreceding, -1)
+    w_run = W.orderBy("dur").rowsBetween(W.unboundedPreceding, 0)
+    risk = by_dur.crossJoin(F.broadcast(total)).select(
+        "dur",
+        "n_total",
+        "n_deaths",
+        (
+            F.col("n_users") - F.coalesce(F.sum("n_total").over(w_prev), F.lit(0))
+        ).cast("bigint").alias("n_risk"),
+    )
+    d, n = F.col("n_deaths").cast("double"), F.col("n_risk").cast("double")
+    surv = risk.select(
+        "dur",
+        "n_risk",
+        "n_deaths",
+        (F.col("n_total") - F.col("n_deaths")).cast("bigint").alias("n_censored"),
+        F.max(F.when(F.col("n_deaths") == F.col("n_risk"), 1).otherwise(0))
+        .over(w_run)
+        .alias("hit_zero"),
+        F.sum(
+            F.when(
+                (F.col("n_deaths") > 0) & (F.col("n_deaths") < F.col("n_risk")),
+                F.log(F.lit(1.0) - d / n),
+            ).otherwise(0.0)
+        )
+        .over(w_run)
+        .alias("lsum"),
+    )
+    return surv.select(
+        F.col("dur").cast("int").alias("duration_days"),
+        "n_risk",
+        "n_deaths",
+        "n_censored",
+        F.round(
+            F.when(F.col("hit_zero") == 1, 0.0).otherwise(F.exp("lsum")), 6
+        ).alias("survival"),
+    ).orderBy("duration_days")
+
+
+# ---------------------------------------------------------------------------
+# t64: calibration reliability bins (the probability-facing eval t47 lacks)
+# ---------------------------------------------------------------------------
+
+_T64_BINS = 10
+
+
+@REGISTRY.register(
+    name="t64_calibration_bins",
+    survey_ref="training-data (model eval: calibration); t47's "
+    "probability-facing sibling",
+    doc="reliability diagram + expected-calibration-error for the weak "
+    "labeler t47 thresholds: the raw value maps to a pseudo-probability "
+    "p = v/(v+50) (monotone, deterministic on both sides), bucketed "
+    f"into {_T64_BINS} equal-width bins; per bin the mean predicted "
+    "probability vs the observed positive rate plus the bin's |gap| "
+    "ECE contribution, with the overall ECE and Brier score broadcast "
+    "onto every row. One map-side bin assignment + one "
+    f"{_T64_BINS}-key partial-agg shuffle — event volume reduces to "
+    f"{_T64_BINS} rows before anything ordered happens. THE chart "
+    "read before trusting auto-labels as training signal.",
+    oracle=f"""
+        WITH scored AS (
+            SELECT value / (value + 50.0) AS p,
+                   CASE WHEN event_type IN ('click', 'purchase', 'signup')
+                        THEN 1.0 ELSE 0.0 END AS y
+            FROM events WHERE value IS NOT NULL
+        ), binned AS (
+            SELECT LEAST({_T64_BINS} - 1,
+                         CAST(FLOOR(p * {_T64_BINS}) AS INT)) AS bin,
+                   p, y
+            FROM scored
+        ), per_bin AS (
+            SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(p) / COUNT(*) AS mean_pred,
+                   SUM(y) / COUNT(*) AS pos_rate
+            FROM binned GROUP BY bin
+        ), overall AS (
+            SELECT SUM(n * ABS(mean_pred - pos_rate)) / SUM(n) AS ece,
+                   (SELECT SUM((p - y) * (p - y)) / COUNT(*) FROM binned)
+                       AS brier
+            FROM per_bin
+        )
+        SELECT b.bin, b.n,
+               ROUND(b.mean_pred, 6) AS mean_pred,
+               ROUND(b.pos_rate, 6) AS pos_rate,
+               ROUND(b.mean_pred - b.pos_rate, 6) AS gap,
+               ROUND(o.ece, 6) AS ece,
+               ROUND(o.brier, 6) AS brier
+        FROM per_bin b CROSS JOIN overall o
+        ORDER BY b.bin
+    """,
+)
+def t64_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).filter(F.col("value").isNotNull())
+    p = F.col("value") / (F.col("value") + 50.0)
+    y = F.when(
+        F.col("event_type").isin("click", "purchase", "signup"), 1.0
+    ).otherwise(0.0)
+    binned = ev.select(
+        F.least(F.lit(_T64_BINS - 1), F.floor(p * _T64_BINS).cast("int")).alias(
+            "bin"
+        ),
+        p.alias("p"),
+        y.alias("y"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n"),
+        (F.sum("p") / F.count("*")).alias("mean_pred"),
+        (F.sum("y") / F.count("*")).alias("pos_rate"),
+        F.sum((F.col("p") - F.col("y")) * (F.col("p") - F.col("y"))).alias("_se"),
+    )
+    overall = per_bin.agg(
+        (
+            F.sum(F.col("n") * F.abs(F.col("mean_pred") - F.col("pos_rate")))
+            / F.sum("n")
+        ).alias("ece"),
+        (F.sum("_se") / F.sum("n")).alias("brier"),
+    )
+    return (
+        per_bin.crossJoin(F.broadcast(overall))
+        .select(
+            "bin",
+            "n",
+            F.round("mean_pred", 6).alias("mean_pred"),
+            F.round("pos_rate", 6).alias("pos_rate"),
+            F.round(F.col("mean_pred") - F.col("pos_rate"), 6).alias("gap"),
+            F.round("ece", 6).alias("ece"),
+            F.round("brier", 6).alias("brier"),
+        )
+        .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# t65: exact ROC AUC (tie-corrected Mann-Whitney, two-phase ranks)
+# ---------------------------------------------------------------------------
+
+_T65_SCORE_SHARD = 50.0  # score-range width per rank shard
+
+
+@REGISTRY.register(
+    name="t65_roc_auc",
+    survey_ref="training-data (model eval: ranking quality); completes "
+    "t47 (threshold metrics) + t64 (calibration) with the "
+    "threshold-FREE metric",
+    doc="exact ROC AUC of the value score predicting t47's intent "
+    "label, via the tie-corrected Mann-Whitney identity: AUC = "
+    "(R_pos - P(P+1)/2) / (P*N) where R_pos sums the AVERAGE ranks "
+    "of positives (average rank of a tied score group = rows below "
+    "+ (group size + 1)/2 — exactly how MIDRANKs define ties). "
+    "Scale shape: scores first reduce per distinct value (one "
+    "partial-agg shuffle), then the rows-below prefix sum runs "
+    "TWO-PHASE — scores shard by FLOOR(score/50) into a bounded "
+    "range-contiguous bucket table, per-bucket totals cumsum into "
+    "broadcast offsets, and the only per-row window is "
+    "bucket-partitioned (u9/u11's proven shape; no global "
+    "rangepartitioning anywhere). Output also carries the Gini "
+    "coefficient 2*AUC-1 the credit-scoring world quotes.",
+    oracle="""
+        WITH labeled AS (
+            SELECT value AS score,
+                   CASE WHEN event_type IN ('click', 'purchase', 'signup')
+                        THEN 1 ELSE 0 END AS pos
+            FROM events WHERE value IS NOT NULL
+        ), per_score AS (
+            SELECT score, CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(SUM(pos) AS DOUBLE) AS p
+            FROM labeled GROUP BY score
+        ), ranked AS (
+            SELECT score, n, p,
+                   COALESCE(SUM(n) OVER (ORDER BY score
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS below
+            FROM per_score
+        ), tot AS (
+            SELECT SUM(p) AS np, SUM(n) - SUM(p) AS nn FROM per_score
+        ), rsum AS (
+            SELECT SUM(p * (below + (n + 1) / 2.0)) AS r_pos FROM ranked
+        )
+        SELECT CAST(t.np AS BIGINT) AS n_pos,
+               CAST(t.nn AS BIGINT) AS n_neg,
+               ROUND((r.r_pos - t.np * (t.np + 1) / 2.0) / (t.np * t.nn), 6)
+                   AS auc,
+               ROUND(2.0 * (r.r_pos - t.np * (t.np + 1) / 2.0) / (t.np * t.nn)
+                     - 1.0, 6) AS gini
+        FROM tot t CROSS JOIN rsum r
+    """,
+)
+def t65_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, "events", sf_dir).filter(F.col("value").isNotNull())
+    pos = F.when(
+        F.col("event_type").isin("click", "purchase", "signup"), 1
+    ).otherwise(0)
+    per_score = (
+        ev.select(F.col("value").alias("score"), pos.alias("pos"))
+        .groupBy("score")
+        .agg(
+            F.count("*").cast("double").alias("n"),
+            F.sum("pos").cast("double").alias("p"),
+        )
+    )
+    # two-phase rows-below: bounded score-range shards, offsets
+    # broadcast, per-row window bucket-partitioned (never global)
+    sharded = per_score.withColumn(
+        "_b", F.floor(F.col("score") / _T65_SCORE_SHARD).cast("bigint")
+    )
+    b_tot = sharded.groupBy("_b").agg(F.sum("n").alias("_bn"))
+    w_off = W.orderBy("_b").rowsBetween(W.unboundedPreceding, -1)
+    offsets = b_tot.select(
+        "_b", F.coalesce(F.sum("_bn").over(w_off), F.lit(0.0)).alias("_off")
+    )
+    w_local = W.partitionBy("_b").orderBy("score").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    ranked = sharded.join(F.broadcast(offsets), "_b").select(
+        "n",
+        "p",
+        (F.col("_off") + F.coalesce(F.sum("n").over(w_local), F.lit(0.0))).alias(
+            "below"
+        ),
+    )
+    agg = ranked.agg(
+        F.sum("p").alias("np"),
+        (F.sum("n") - F.sum("p")).alias("nn"),
+        F.sum(F.col("p") * (F.col("below") + (F.col("n") + 1) / 2.0)).alias(
+            "r_pos"
+        ),
+    )
+    auc = (F.col("r_pos") - F.col("np") * (F.col("np") + 1) / 2.0) / (
+        F.col("np") * F.col("nn")
+    )
+    return agg.select(
+        F.col("np").cast("bigint").alias("n_pos"),
+        F.col("nn").cast("bigint").alias("n_neg"),
+        F.round(auc, 6).alias("auc"),
+        F.round(2.0 * auc - 1.0, 6).alias("gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# t66: Markov transition matrix over per-user event sequences
+# ---------------------------------------------------------------------------
+
+
+@REGISTRY.register(
+    name="t66_markov_transitions",
+    survey_ref="§2.11 analytics extra (t35 emits next-item EXAMPLES; "
+    "this is the aggregate next-TYPE model)",
+    doc="first-order Markov transition matrix of event types: per-user "
+    "sequences ordered by (ts, event_id), LEAD gives each step's "
+    "successor, and P(next|cur) normalizes the transition counts by "
+    "row. The sequence window is user-partitioned (the SAME "
+    "user-keyed shuffle t25/t35 price — never a global order) and "
+    "the matrix itself is event_type x event_type (bounded, "
+    "broadcast-normalized). The table a session simulator or "
+    "next-action baseline reads; a row-stochasticity check rides "
+    "every row (row sums = 1 within rounding).",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   LEAD(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS next_type
+            FROM events
+        ), trans AS (
+            SELECT event_type AS cur_type, next_type,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM seq WHERE next_type IS NOT NULL
+            GROUP BY event_type, next_type
+        ), totals AS (
+            SELECT cur_type, SUM(n) AS row_n FROM trans GROUP BY cur_type
+        )
+        SELECT t.cur_type, t.next_type, t.n,
+               ROUND(CAST(t.n AS DOUBLE) / ttl.row_n, 6) AS prob
+        FROM trans t JOIN totals ttl USING (cur_type)
+        ORDER BY t.cur_type, t.next_type
+    """,
+)
+def t66_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, "events", sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    trans = (
+        seq.groupBy(F.col("event_type").alias("cur_type"), "next_type")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    totals = trans.groupBy("cur_type").agg(F.sum("n").alias("row_n"))
+    return (
+        trans.join(F.broadcast(totals), "cur_type")
+        .select(
+            "cur_type",
+            "next_type",
+            "n",
+            F.round(F.col("n") / F.col("row_n"), 6).alias("prob"),
+        )
+        .orderBy("cur_type", "next_type")
+    )
