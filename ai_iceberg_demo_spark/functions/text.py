@@ -1603,3 +1603,415 @@ def f42_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# t67: PMI collocations (t21 counts raw pairs; this scores association)
+# ---------------------------------------------------------------------------
+
+_PMI_TOPK = 20
+_PMI_MIN_PAIR = 5  # pairs rarer than this have junk PMI estimates
+
+
+@REGISTRY.register(
+    name="t67_pmi_collocations",
+    survey_ref="training-data (collocation mining); t21's scored layer",
+    doc="pointwise-mutual-information collocations: adjacent token "
+    "pairs (t21's zip_with construction — one bound array, never "
+    "re-split in the lambda) scored PMI = ln(n_ab * N / (n_a * n_b)) "
+    f"against unigram counts, min pair count {_PMI_MIN_PAIR}, top "
+    f"{_PMI_TOPK} by PMI. Raw frequency (t21) surfaces 'of the'; PMI "
+    "surfaces the MWEs a tokenizer should keep whole. Shuffles: one "
+    "pair wordcount + one unigram wordcount, then two BROADCAST "
+    "joins hang the unigram counts onto the (bounded, "
+    "count-filtered) pair table — at 100 TB both sides are "
+    "wordcounts and nothing else moves.",
+    oracle=f"""
+        WITH toks AS (
+            SELECT STRING_SPLIT(text, ' ') AS t FROM documents
+        ), uni AS (
+            SELECT UNNEST(t) AS w FROM toks
+        ), uni_n AS (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS n_w FROM uni GROUP BY w
+        ), tot AS (
+            SELECT CAST(SUM(n_w) AS DOUBLE) AS n FROM uni_n
+        ), pairs AS (
+            SELECT UNNEST(
+                CASE WHEN LEN(t) >= 2 THEN
+                    LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - 1),
+                                   i -> t[i] || ' ' || t[i + 1])
+                ELSE [] END) AS pair
+            FROM toks
+        ), pair_n AS (
+            SELECT pair, CAST(COUNT(*) AS BIGINT) AS n_ab
+            FROM pairs GROUP BY pair
+            HAVING COUNT(*) >= {_PMI_MIN_PAIR}
+        ), scored AS (
+            SELECT p.pair, p.n_ab,
+                   ROUND(LN(p.n_ab * t.n /
+                            (a.n_w * CAST(b.n_w AS DOUBLE))), 6) AS pmi
+            FROM pair_n p
+            JOIN uni_n a ON a.w = STRING_SPLIT(p.pair, ' ')[1]
+            JOIN uni_n b ON b.w = STRING_SPLIT(p.pair, ' ')[2]
+            CROSS JOIN tot t
+        )
+        SELECT pair, n_ab, pmi FROM scored
+        ORDER BY pmi DESC, pair LIMIT {_PMI_TOPK}
+    """,
+)
+def t67_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(F.split("text", " ").alias("t"))
+    uni_n = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("n_w"))
+    )
+    tot = uni_n.agg(F.sum("n_w").cast("double").alias("n"))
+    pairs = toks.select(
+        F.explode(
+            F.when(
+                F.size("t") >= 2,
+                F.zip_with(
+                    F.slice(F.col("t"), 1, F.size("t") - 1),
+                    F.slice(F.col("t"), 2, F.size("t") - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                ),
+            ).otherwise(F.array())
+        ).alias("pair")
+    )
+    pair_n = (
+        pairs.groupBy("pair")
+        .agg(F.count("*").cast("bigint").alias("n_ab"))
+        .filter(F.col("n_ab") >= _PMI_MIN_PAIR)
+        .withColumn("wa", F.split("pair", " ")[0])
+        .withColumn("wb", F.split("pair", " ")[1])
+    )
+    ua = uni_n.select(F.col("w").alias("wa"), F.col("n_w").alias("na"))
+    ub = uni_n.select(F.col("w").alias("wb"), F.col("n_w").alias("nb"))
+    scored = (
+        pair_n.join(F.broadcast(ua), "wa")
+        .join(F.broadcast(ub), "wb")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "pair",
+            "n_ab",
+            F.round(
+                F.log(
+                    F.col("n_ab")
+                    * F.col("n")
+                    / (F.col("na") * F.col("nb").cast("double"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), "pair").limit(_PMI_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# t68: skip-gram training pairs (word2vec prep)
+# ---------------------------------------------------------------------------
+
+_SKIPGRAM_WINDOW = 2
+_SKIPGRAM_TOPK = 30
+
+
+@REGISTRY.register(
+    name="t68_skipgram_pairs",
+    survey_ref="training-data (embedding pretraining prep); t21/t67 count "
+    "ADJACENT pairs, this emits the windowed (center, context) "
+    "co-occurrence a word2vec/SGNS trainer consumes",
+    doc=f"skip-gram pair extraction with window ±{_SKIPGRAM_WINDOW}: "
+    "for each token position, every neighbor within the window "
+    "becomes a (center, context) pair; pair counts are the SGNS "
+    "co-occurrence table (and, normalized, the input to GloVe's "
+    "objective). Construction is a per-offset zip_with fan-out over "
+    "the ONE bound token array — offset d pairs t[i] with t[i+d] — "
+    f"so the map side is {_SKIPGRAM_WINDOW} array passes and "
+    "the only shuffle is the (center, context)-keyed wordcount; "
+    "symmetric pairs come from emitting both directions. Top "
+    f"{_SKIPGRAM_TOPK} by count with total tie-break.",
+    oracle=f"""
+        WITH toks AS (
+            SELECT STRING_SPLIT(text, ' ') AS t FROM documents
+        ), offs AS (
+            SELECT t, UNNEST(GENERATE_SERIES(1, {_SKIPGRAM_WINDOW})) AS d
+            FROM toks
+        ), fwd AS (
+            SELECT UNNEST(
+                CASE WHEN LEN(t) > d THEN
+                    LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - d),
+                                   i -> t[i] || ' ' || t[i + d])
+                ELSE [] END) AS pair
+            FROM offs
+        ), both_dirs AS (
+            SELECT STRING_SPLIT(pair, ' ')[1] AS center,
+                   STRING_SPLIT(pair, ' ')[2] AS context FROM fwd
+            UNION ALL
+            SELECT STRING_SPLIT(pair, ' ')[2], STRING_SPLIT(pair, ' ')[1]
+            FROM fwd
+        )
+        SELECT center, context, CAST(COUNT(*) AS BIGINT) AS n
+        FROM both_dirs GROUP BY center, context
+        ORDER BY n DESC, center, context LIMIT {_SKIPGRAM_TOPK}
+    """,
+)
+def t68_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(F.split("text", " ").alias("t"))
+    offs = toks.select(
+        "t",
+        F.explode(F.sequence(F.lit(1), F.lit(_SKIPGRAM_WINDOW))).alias("d"),
+    )
+    fwd = offs.select(
+        F.explode(
+            F.when(
+                F.size("t") > F.col("d"),
+                F.zip_with(
+                    F.slice(F.col("t"), 1, F.size("t") - F.col("d")),
+                    F.slice(F.col("t"), F.col("d") + 1, F.size("t") - F.col("d")),
+                    lambda a, b: F.struct(a.alias("x"), b.alias("y")),
+                ),
+            ).otherwise(F.array())
+        ).alias("p")
+    )
+    both = fwd.select(
+        F.col("p.x").alias("center"), F.col("p.y").alias("context")
+    ).unionAll(
+        fwd.select(F.col("p.y").alias("center"), F.col("p.x").alias("context"))
+    )
+    return (
+        both.groupBy("center", "context")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), "center", "context")
+        .limit(_SKIPGRAM_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# t69: chi-squared discriminative terms per source (feature selection)
+# ---------------------------------------------------------------------------
+
+_CHI2_TOPK = 5
+_CHI2_MIN_N = 5  # sparse cells make chi2 unstable; standard practice
+
+
+@REGISTRY.register(
+    name="t69_chi2_terms",
+    survey_ref="training-data (feature selection / source signature); "
+    "v15 ranks cluster terms by raw count, this ranks source terms "
+    "by statistical association",
+    doc=f"chi-squared discriminative terms: for each (source, term) "
+    "with a 2x2 contingency (term in/out of source vs rest of "
+    "corpus), the chi-squared statistic N(ad-bc)^2/((a+b)(c+d)(a+c)(b+d)) "
+    f"ranks the top {_CHI2_TOPK} terms that SIGNAL the source — the "
+    "classifier-free source-signature audit (and the classic "
+    "feature-selection step before training a source classifier). "
+    "One (source, term) wordcount shuffle; per-term corpus totals "
+    "derive from a second small agg broadcast back; the contingency "
+    "arithmetic is map-side on the counts table and the per-source "
+    "rank window runs over count-filtered vocab rows only.",
+    oracle=f"""
+        WITH toks AS (
+            SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS term
+            FROM documents
+        ), st AS (
+            SELECT source, term, CAST(COUNT(*) AS DOUBLE) AS n_st
+            FROM toks GROUP BY source, term
+        ), src_tot AS (
+            SELECT source, SUM(n_st) AS n_s FROM st GROUP BY source
+        ), term_tot AS (
+            SELECT term, SUM(n_st) AS n_t FROM st GROUP BY term
+        ), tot AS (
+            SELECT SUM(n_st) AS n FROM st
+        ), cont AS (
+            SELECT s.source, s.term,
+                   s.n_st AS a, tt.n_t - s.n_st AS b,
+                   st2.n_s - s.n_st AS c,
+                   t.n - tt.n_t - st2.n_s + s.n_st AS d,
+                   t.n
+            FROM st s
+            JOIN src_tot st2 USING (source)
+            JOIN term_tot tt USING (term)
+            CROSS JOIN tot t
+            WHERE s.n_st >= {_CHI2_MIN_N}
+        ), scored AS (
+            SELECT source, term, CAST(a AS BIGINT) AS n_in_source,
+                   ROUND(n * (a * d - b * c) * (a * d - b * c) /
+                         ((a + b) * (c + d) * (a + c) * (b + d)), 6) AS chi2,
+                   CASE WHEN a * d > b * c THEN 1 ELSE 0 END AS enriched
+            FROM cont
+        ), ranked AS (
+            SELECT source, term, n_in_source, chi2,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY source
+                       ORDER BY chi2 DESC, term) AS INT) AS rank
+            FROM scored WHERE enriched = 1
+        )
+        SELECT source, term, n_in_source, chi2, rank
+        FROM ranked WHERE rank <= {_CHI2_TOPK}
+        ORDER BY source, rank
+    """,
+)
+def t69_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select("source", F.explode(F.split("text", " ")).alias("term"))
+    st = toks.groupBy("source", "term").agg(
+        F.count("*").cast("double").alias("n_st")
+    )
+    src_tot = st.groupBy("source").agg(F.sum("n_st").alias("n_s"))
+    term_tot = st.groupBy("term").agg(F.sum("n_st").alias("n_t"))
+    tot = st.agg(F.sum("n_st").alias("n"))
+    cont = (
+        st.filter(F.col("n_st") >= _CHI2_MIN_N)
+        .join(F.broadcast(src_tot), "source")
+        .join(term_tot, "term")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "term",
+            F.col("n_st").alias("a"),
+            (F.col("n_t") - F.col("n_st")).alias("b"),
+            (F.col("n_s") - F.col("n_st")).alias("c"),
+            (F.col("n") - F.col("n_t") - F.col("n_s") + F.col("n_st")).alias("d"),
+            "n",
+        )
+    )
+    a, b, c, d = (F.col(x) for x in "abcd")
+    scored = cont.select(
+        "source",
+        "term",
+        a.cast("bigint").alias("n_in_source"),
+        F.round(
+            F.col("n")
+            * (a * d - b * c)
+            * (a * d - b * c)
+            / ((a + b) * (c + d) * (a + c) * (b + d)),
+            6,
+        ).alias("chi2"),
+        (a * d > b * c).alias("enriched"),
+    ).filter("enriched")
+    w = W.partitionBy("source").orderBy(F.desc("chi2"), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _CHI2_TOPK)
+        .select("source", "term", "n_in_source", "chi2", "rank")
+        .orderBy("source", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# t70: Jensen-Shannon divergence between source token distributions
+# ---------------------------------------------------------------------------
+
+
+@REGISTRY.register(
+    name="t70_js_divergence",
+    survey_ref="training-data (corpus distance for mixture design); u23 "
+    "weights docs toward a target — this MEASURES how far apart the "
+    "sources already are",
+    doc="pairwise Jensen-Shannon divergence between per-source unigram "
+    "distributions: JSD(P,Q) = 0.5*KL(P||M) + 0.5*KL(Q||M), M = "
+    "(P+Q)/2 — symmetric, bounded by ln 2, zero iff identical. The "
+    "number a mixture designer reads before setting u10 weights "
+    "(near-identical sources don't need separate quotas) and the "
+    "drift metric between two crawls of the same source. ONE "
+    "(source, term) wordcount shuffle builds every distribution; "
+    "the comparison frame is (source-pair x vocab) — pairs are "
+    "enumerable (broadcast), so it costs two term-keyed left joins, "
+    "never a corpus shuffle; a one-sided term's KL branch is exact "
+    "(p*ln 2) via the q=0 coalesce.",
+    oracle="""
+        WITH st AS (
+            SELECT source, term, CAST(COUNT(*) AS DOUBLE) AS n
+            FROM (SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS term
+                  FROM documents)
+            GROUP BY source, term
+        ), dist AS (
+            SELECT source, term,
+                   n / SUM(n) OVER (PARTITION BY source) AS p
+            FROM st
+        ), srcs AS (
+            SELECT DISTINCT source FROM dist
+        ), src_pairs AS (
+            SELECT a.source AS source_a, b.source AS source_b
+            FROM srcs a JOIN srcs b ON a.source < b.source
+        ), vocab AS (
+            SELECT DISTINCT term FROM dist
+        ), joined AS (
+            SELECT sp.source_a, sp.source_b,
+                   COALESCE(da.p, 0) AS p, COALESCE(db.p, 0) AS q
+            FROM src_pairs sp
+            CROSS JOIN vocab v
+            LEFT JOIN dist da ON da.source = sp.source_a AND da.term = v.term
+            LEFT JOIN dist db ON db.source = sp.source_b AND db.term = v.term
+            WHERE COALESCE(da.p, 0) > 0 OR COALESCE(db.p, 0) > 0
+        ), terms AS (
+            SELECT source_a, source_b,
+                   CASE WHEN p > 0 THEN 0.5 * p * LN(2.0 * p / (p + q))
+                        ELSE 0 END
+                 + CASE WHEN q > 0 THEN 0.5 * q * LN(2.0 * q / (p + q))
+                        ELSE 0 END AS contrib
+            FROM joined
+        )
+        SELECT source_a, source_b,
+               ROUND(SUM(contrib), 6) AS jsd,
+               ROUND(SUM(contrib) / LN(2.0), 6) AS jsd_normalized
+        FROM terms
+        GROUP BY source_a, source_b
+        ORDER BY source_a, source_b
+    """,
+)
+def t70_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, "documents", sf_dir)
+    st = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count("*").cast("double").alias("n"))
+    )
+    dist = st.select(
+        "source",
+        "term",
+        (F.col("n") / F.sum("n").over(W.partitionBy("source"))).alias("p"),
+    )
+    srcs = dist.select("source").distinct()
+    src_pairs = (
+        srcs.select(F.col("source").alias("source_a"))
+        .crossJoin(srcs.select(F.col("source").alias("source_b")))
+        .filter(F.col("source_a") < F.col("source_b"))
+    )
+    vocab = dist.select("term").distinct()
+    da = dist.select(F.col("source").alias("source_a"), "term", F.col("p").alias("pa"))
+    db = dist.select(F.col("source").alias("source_b"), "term", F.col("p").alias("pb"))
+    joined = (
+        vocab.crossJoin(F.broadcast(src_pairs))
+        .join(da, ["source_a", "term"], "left")
+        .join(db, ["source_b", "term"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            F.coalesce("pa", F.lit(0.0)).alias("p"),
+            F.coalesce("pb", F.lit(0.0)).alias("q"),
+        )
+        .filter((F.col("p") > 0) | (F.col("q") > 0))
+    )
+    contrib = F.when(
+        F.col("p") > 0,
+        0.5 * F.col("p") * F.log(2.0 * F.col("p") / (F.col("p") + F.col("q"))),
+    ).otherwise(0.0) + F.when(
+        F.col("q") > 0,
+        0.5 * F.col("q") * F.log(2.0 * F.col("q") / (F.col("p") + F.col("q"))),
+    ).otherwise(0.0)
+    return (
+        joined.select("source_a", "source_b", contrib.alias("c"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.round(F.sum("c"), 6).alias("jsd"),
+            F.round(F.sum("c") / F.log(F.lit(2.0)), 6).alias("jsd_normalized"),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -166,7 +166,8 @@ class Registry:
 # s17_props_schema_drift, a20_join_cardinality, v31_tombstone_search,
 # t62_watermark_tuning, a21_approx_quantile_audit, pipeline_erasure,
 # t63_kaplan_meier, t64_calibration_bins, t65_roc_auc,
-# t66_markov_transitions, ...), where they run
+# t66_markov_transitions, t67_pmi_collocations, t68_skipgram_pairs,
+# t69_chi2_terms, t70_js_divergence, ...), where they run
 # ahead of the r2-core cohort (oldest driver evidence).
 # v8e_phash_dedup and pipeline_multimodal_prep
 # gained full hash oracles in r6 AFTER their r6 window slots were
