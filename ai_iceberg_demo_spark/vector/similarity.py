@@ -2192,3 +2192,115 @@ def v31_tombstone_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid", F.desc("score"), "vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# v3e: deterministic IVF probe, hash-oracled (v3c's exact twin)
+# ---------------------------------------------------------------------------
+
+_V3E_CELLS = 16
+_V3E_PROBE = 4
+
+
+@REGISTRY.register(
+    name="v3e_ivf_probe_det",
+    survey_ref="V3 (ANN probe); v3c's hash-oracled twin — closes the "
+    "last tunable-ANN rows-only gap the way v3d closed LSH's",
+    doc="the IVF probe itself, hash-checked end-to-end: seed centroids "
+    f"(vec_id < {_V3E_CELLS}, ivf_topk's train-free fallback), "
+    "ROUNDED-cosine cell assignment with an explicit (score DESC, "
+    "cell_id) tie-break (assign_cells' max_by is float-tie "
+    f"nondeterministic across engines), top-{_V3E_PROBE} probe cells "
+    "by rounded query-centroid cosine, exact rerank of the probed "
+    "cells' members, top-5. Same plan shape as ivf_probe / v3c "
+    "(broadcast centroid cross → cell equi-join → candidate-only "
+    "rerank); the assignment window is vec_id-partitioned — the same "
+    "key the index build shuffles on. v3c keeps the TRAINED-centroid "
+    "path (recall-tested); this pins the probe arithmetic.",
+    oracle=f"""
+        WITH cen AS (
+            SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS centroid
+            FROM embeddings WHERE vec_id < {_V3E_CELLS}
+        ), q AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+            WHERE vec_id = 0
+        ), scored AS (
+            SELECT e.vec_id, c.cell_id,
+                   ROUND({_COS_SQL.format(a="e.embedding", b="c.centroid")}, 6)
+                       AS s
+            FROM embeddings e CROSS JOIN cen c
+        ), assign AS (
+            SELECT vec_id, cell_id FROM (
+                SELECT vec_id, cell_id,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY s DESC, cell_id) AS rn
+                FROM scored) WHERE rn = 1
+        ), probe AS (
+            SELECT cell_id FROM (
+                SELECT c.cell_id,
+                       ROW_NUMBER() OVER (ORDER BY
+                           ROUND({_COS_SQL.format(a="c.centroid", b="q.qv")}, 6)
+                               DESC, c.cell_id) AS rn
+                FROM cen c CROSS JOIN q) WHERE rn <= {_V3E_PROBE}
+        ), cand AS (
+            SELECT a.vec_id FROM assign a JOIN probe USING (cell_id)
+            WHERE a.vec_id <> 0
+        )
+        SELECT e.vec_id,
+               ROUND({_COS_SQL.format(a="e.embedding", b="q.qv")}, 6) AS score
+        FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN q
+        ORDER BY score DESC, e.vec_id
+        LIMIT 5
+    """,
+)
+def v3e_ivf_probe_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cen = emb.filter(F.col("vec_id") < _V3E_CELLS).select(
+        F.col("vec_id").alias("cell_id"),
+        as_double(F.col("embedding")).alias("centroid"),
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        as_double(F.col("embedding")).alias("qv")
+    )
+    c = with_norm(emb, "embedding", "_cv", "_cn")
+    z = with_norm(cen, "centroid", "_zv", "_zn")
+    scored = c.crossJoin(F.broadcast(z)).select(
+        "vec_id",
+        "cell_id",
+        F.round(
+            dot(F.col("_cv"), F.col("_zv")) / (F.col("_cn") * F.col("_zn")), 6
+        ).alias("s"),
+    )
+    w_assign = W.partitionBy("vec_id").orderBy(F.desc("s"), F.asc("cell_id"))
+    assign = (
+        scored.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell_id")
+    )
+    probe = (
+        cen.crossJoin(F.broadcast(qv))
+        .select(
+            "cell_id",
+            F.round(cosine(F.col("centroid"), F.col("qv")), 6).alias("cs"),
+        )
+        .orderBy(F.desc("cs"), F.asc("cell_id"))
+        .limit(_V3E_PROBE)
+        .select("cell_id")
+    )
+    cand = (
+        assign.join(F.broadcast(probe), "cell_id")
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id")
+    )
+    return (
+        emb.join(cand, "vec_id")
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(5)
+    )
