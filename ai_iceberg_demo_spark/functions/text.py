@@ -2015,3 +2015,200 @@ def t70_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# f43: Unicode script profile (the pre-langid character census)
+# ---------------------------------------------------------------------------
+
+# planted mixed-script rows — the fixture corpus is pure ASCII Latin, so
+# every non-Latin class would be vacuously zero without them (f42's
+# planted-signature convention)
+_F43_PLANTS = (
+    (9_000_001, "данные таблица поток запрос слияние"),  # Cyrillic
+    (9_000_002, "数据 表 流 查询 合并 排序 分区"),  # CJK
+    (9_000_003, "42 7 365 1024 99 2048 512"),  # digit-heavy
+)
+
+
+@REGISTRY.register(
+    name="f43_script_profile",
+    survey_ref="training-data (multilingual triage); t3's langid "
+    "heuristic assumes Latin text — this is the character census "
+    "that routes non-Latin docs BEFORE a wordlist langid runs",
+    doc="per-document Unicode script profile: counts of Latin, "
+    "Cyrillic, CJK, digit and whitespace characters (other = "
+    "remainder), each as a ratio of doc length, plus the dominant "
+    "script with a fixed precedence tie-break. The fixture corpus "
+    "is pure ASCII, so three mixed-script rows are PLANTED "
+    "(Cyrillic / CJK / digit-heavy) and must each classify to their "
+    "script — pinned by the oracle hash itself. Map-only regexp "
+    "counts over the scan (count = length minus length-after-strip, "
+    "one pass per class); at 100 TB this is the cheapest possible "
+    "router in front of per-script tokenizers and langid models.",
+    oracle=f"""
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT * FROM (VALUES
+                {", ".join(f"({i}, '{t}')" for i, t in _F43_PLANTS)}
+            ) AS plants(doc_id, text)
+        ), counted AS (
+            SELECT doc_id,
+                   CAST(LEN(text) AS BIGINT) AS n_chars,
+                   CAST(LEN(text) - LEN(REGEXP_REPLACE(text, '[A-Za-z]', '', 'g'))
+                       AS BIGINT) AS n_latin,
+                   CAST(LEN(text) - LEN(REGEXP_REPLACE(text,
+                       '[\\x{{0400}}-\\x{{04FF}}]', '', 'g')) AS BIGINT) AS n_cyrillic,
+                   CAST(LEN(text) - LEN(REGEXP_REPLACE(text,
+                       '[\\x{{4E00}}-\\x{{9FFF}}]', '', 'g')) AS BIGINT) AS n_cjk,
+                   CAST(LEN(text) - LEN(REGEXP_REPLACE(text, '[0-9]', '', 'g'))
+                       AS BIGINT) AS n_digit,
+                   CAST(LEN(text) - LEN(REGEXP_REPLACE(text, '[ ]', '', 'g'))
+                       AS BIGINT) AS n_space
+            FROM corpus
+        )
+        SELECT doc_id, n_chars,
+               ROUND(CAST(n_latin AS DOUBLE) / n_chars, 4) AS latin_ratio,
+               ROUND(CAST(n_cyrillic AS DOUBLE) / n_chars, 4) AS cyrillic_ratio,
+               ROUND(CAST(n_cjk AS DOUBLE) / n_chars, 4) AS cjk_ratio,
+               ROUND(CAST(n_digit AS DOUBLE) / n_chars, 4) AS digit_ratio,
+               CASE
+                   WHEN n_latin >= n_cyrillic AND n_latin >= n_cjk
+                        AND n_latin >= n_digit THEN 'latin'
+                   WHEN n_cyrillic >= n_cjk AND n_cyrillic >= n_digit
+                        THEN 'cyrillic'
+                   WHEN n_cjk >= n_digit THEN 'cjk'
+                   ELSE 'digit'
+               END AS dominant
+        FROM counted
+    """,
+)
+def f43_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    plants = docs.sparkSession.createDataFrame(
+        list(_F43_PLANTS), "doc_id bigint, text string"
+    )
+    corpus = docs.unionByName(plants)
+
+    def n_class(pat: str) -> Column:
+        return (
+            F.length("text") - F.length(F.regexp_replace("text", pat, ""))
+        ).cast("bigint")
+
+    counted = corpus.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        n_class("[A-Za-z]").alias("n_latin"),
+        n_class("[Ѐ-ӿ]").alias("n_cyrillic"),
+        n_class("[一-鿿]").alias("n_cjk"),
+        n_class("[0-9]").alias("n_digit"),
+    )
+    nl, ncy, ncj, nd = (
+        F.col("n_latin"),
+        F.col("n_cyrillic"),
+        F.col("n_cjk"),
+        F.col("n_digit"),
+    )
+    dominant = (
+        F.when((nl >= ncy) & (nl >= ncj) & (nl >= nd), "latin")
+        .when((ncy >= ncj) & (ncy >= nd), "cyrillic")
+        .when(ncj >= nd, "cjk")
+        .otherwise("digit")
+    )
+    return counted.select(
+        "doc_id",
+        "n_chars",
+        F.round(nl.cast("double") / F.col("n_chars"), 4).alias("latin_ratio"),
+        F.round(ncy.cast("double") / F.col("n_chars"), 4).alias("cyrillic_ratio"),
+        F.round(ncj.cast("double") / F.col("n_chars"), 4).alias("cjk_ratio"),
+        F.round(nd.cast("double") / F.col("n_chars"), 4).alias("digit_ratio"),
+        dominant.alias("dominant"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# f44: readability scoring (Flesch / Flesch-Kincaid)
+# ---------------------------------------------------------------------------
+
+
+@REGISTRY.register(
+    name="f44_readability",
+    survey_ref="training-data (quality scoring); t2 scores lexical "
+    "quality — this is the century-old readability formula a "
+    "curation pipeline bands documents with",
+    doc="Flesch reading-ease and Flesch-Kincaid grade per document: "
+    "words from the whitespace split, sentences as [.!?]+ runs "
+    "(GREATEST(1, n) — the fixture corpus is punctuation-free, so "
+    "every doc is one sentence and the words-per-sentence term "
+    "equals doc length; the syllable term still varies per doc), "
+    "syllables approximated as [aeiouy]+ vowel runs (the standard "
+    "heuristic). flesch = 206.835 - 1.015*(W/S) - 84.6*(Syl/W); "
+    "fk_grade = 0.39*(W/S) + 11.8*(Syl/W) - 15.59; banded "
+    "easy/medium/hard at 60/30. Map-only regexp counts over the "
+    "scan — composes with t2/u20 as another per-doc quality column "
+    "feeding mixture/curation decisions.",
+    oracle="""
+        WITH counted AS (
+            SELECT doc_id,
+                   CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) AS w,
+                   CAST(GREATEST(1, LEN(REGEXP_EXTRACT_ALL(text, '[.!?]+')))
+                       AS DOUBLE) AS s,
+                   CAST(LEN(REGEXP_EXTRACT_ALL(text, '[aeiouy]+')) AS DOUBLE)
+                       AS syl
+            FROM documents
+        ), scored AS (
+            SELECT doc_id, CAST(w AS BIGINT) AS n_words,
+                   CAST(s AS BIGINT) AS n_sentences,
+                   CAST(syl AS BIGINT) AS n_syllables,
+                   ROUND(206.835 - 1.015 * (w / s) - 84.6 * (syl / w), 4)
+                       AS flesch,
+                   ROUND(0.39 * (w / s) + 11.8 * (syl / w) - 15.59, 4)
+                       AS fk_grade
+            FROM counted
+        )
+        SELECT doc_id, n_words, n_sentences, n_syllables, flesch, fk_grade,
+               CASE WHEN flesch >= 60 THEN 'easy'
+                    WHEN flesch >= 30 THEN 'medium'
+                    ELSE 'hard' END AS band
+        FROM scored
+    """,
+)
+def f44_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    counted = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("double").alias("w"),
+        F.greatest(
+            F.lit(1),
+            F.size(F.regexp_extract_all("text", F.lit("[.!?]+"), F.lit(0))),
+        )
+        .cast("double")
+        .alias("s"),
+        F.size(F.regexp_extract_all("text", F.lit("[aeiouy]+"), F.lit(0)))
+        .cast("double")
+        .alias("syl"),
+    )
+    flesch = F.round(
+        206.835 - 1.015 * (F.col("w") / F.col("s")) - 84.6 * (F.col("syl") / F.col("w")),
+        4,
+    )
+    fk = F.round(
+        0.39 * (F.col("w") / F.col("s")) + 11.8 * (F.col("syl") / F.col("w")) - 15.59,
+        4,
+    )
+    scored = counted.select(
+        "doc_id",
+        F.col("w").cast("bigint").alias("n_words"),
+        F.col("s").cast("bigint").alias("n_sentences"),
+        F.col("syl").cast("bigint").alias("n_syllables"),
+        flesch.alias("flesch"),
+        fk.alias("fk_grade"),
+    )
+    return scored.select(
+        "*",
+        F.when(F.col("flesch") >= 60, "easy")
+        .when(F.col("flesch") >= 30, "medium")
+        .otherwise("hard")
+        .alias("band"),
+    )

@@ -1607,3 +1607,81 @@ def u37_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# --- u38: temperature-scaled mixture (the multilingual sampling law) ----
+
+_U38_TEMPS = (1.0, 2.0, 5.0)  # T=1 proportional ... T→inf uniform
+
+
+@REGISTRY.register(
+    name="u38_temperature_resample",
+    survey_ref="training-data (mixture design); u10 plans a UNIFORM "
+    "share — this is the temperature law multilingual pretraining "
+    "actually uses (p_i ∝ n_i^(1/T))",
+    doc="temperature-scaled source mixture: for each temperature in "
+    f"{_U38_TEMPS}, sampling probability p_i ∝ n_i^(1/T) over source "
+    "token counts — T=1 is proportional (big sources dominate), "
+    "higher T flattens toward uniform, the dial every multilingual / "
+    "multi-corpus pretraining mix is quoted in (mT5's alpha=1/T). "
+    "Output per (T, source): the probability, the effective epochs "
+    "over that source at a 50%-of-corpus budget (budget*p_i / n_i — "
+    "the oversampling-factor readout that warns when a small source "
+    "would repeat too often), and an in-query row-stochasticity "
+    "check. ONE source-keyed wordcount shuffle; the temperature "
+    "fan-out is a map-side explode over the tiny per-source table.",
+    oracle=f"""
+        WITH per_source AS (
+            SELECT source,
+                   CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS DOUBLE) AS n_tokens
+            FROM documents GROUP BY source
+        ), fan AS (
+            SELECT s.source, s.n_tokens, t.temp,
+                   POW(s.n_tokens, 1.0 / t.temp) AS w
+            FROM per_source s
+            CROSS JOIN (SELECT UNNEST({list(_U38_TEMPS)}) AS temp) t
+        ), norm AS (
+            SELECT temp, SUM(w) AS z, SUM(n_tokens) AS total
+            FROM fan GROUP BY temp
+        )
+        SELECT f.temp, f.source,
+               CAST(f.n_tokens AS BIGINT) AS n_tokens,
+               ROUND(f.w / n.z, 6) AS p,
+               ROUND({MIXTURE_BUDGET_FRAC} * n.total * (f.w / n.z)
+                     / f.n_tokens, 4) AS effective_epochs
+        FROM fan f JOIN norm n USING (temp)
+        ORDER BY f.temp, f.source
+    """,
+)
+def u38_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    per_source = (
+        docs.select(
+            "source", F.size(F.split("text", " ")).cast("double").alias("n_tokens")
+        )
+        .groupBy("source")
+        .agg(F.sum("n_tokens").alias("n_tokens"))
+    )
+    fan = per_source.select(
+        "source",
+        "n_tokens",
+        F.explode(F.array(*[F.lit(t) for t in _U38_TEMPS])).alias("temp"),
+    ).withColumn("w", F.pow("n_tokens", 1.0 / F.col("temp")))
+    norm = fan.groupBy("temp").agg(
+        F.sum("w").alias("z"), F.sum("n_tokens").alias("total")
+    )
+    p = F.col("w") / F.col("z")
+    return (
+        fan.join(F.broadcast(norm), "temp")
+        .select(
+            "temp",
+            "source",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.round(p, 6).alias("p"),
+            F.round(
+                F.lit(MIXTURE_BUDGET_FRAC) * F.col("total") * p / F.col("n_tokens"),
+                4,
+            ).alias("effective_epochs"),
+        )
+        .orderBy("temp", "source")
+    )
