@@ -1105,3 +1105,92 @@ def pipeline_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("table_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# pipeline: model-evaluation report (t47 ∘ t64 ∘ t65 in one table)
+# ---------------------------------------------------------------------------
+
+
+def _model_eval_oracle() -> str:
+    """Compose the EXACT oracle strings of the three eval operators as
+    subqueries (the governance-pipeline discipline): threshold metrics
+    (t47), calibration (t64), ranking (t65) — drift in any part's
+    oracle drifts this one identically."""
+    from ai_iceberg_demo_spark.streaming.events import (
+        REGISTRY as _EV_REGISTRY,
+    )
+
+    t47 = _EV_REGISTRY.specs["t47_classifier_eval"].oracle
+    t64 = _EV_REGISTRY.specs["t64_calibration_bins"].oracle
+    t65 = _EV_REGISTRY.specs["t65_roc_auc"].oracle
+    return f"""
+        SELECT 'threshold' AS family, metric, value FROM (
+            SELECT UNNEST(['precision', 'recall', 'f1', 'accuracy']) AS metric,
+                   UNNEST([precision, recall, f1, accuracy]) AS value
+            FROM ({t47})
+        )
+        UNION ALL
+        SELECT 'calibration', metric, value FROM (
+            SELECT UNNEST(['ece', 'brier']) AS metric,
+                   UNNEST([ece, brier]) AS value
+            FROM ({t64}) WHERE bin = 0
+        )
+        UNION ALL
+        SELECT 'ranking', metric, value FROM (
+            SELECT UNNEST(['auc', 'gini']) AS metric,
+                   UNNEST([auc, gini]) AS value
+            FROM ({t65})
+        )
+        ORDER BY family, metric
+    """
+
+
+@REGISTRY.register(
+    name="pipeline_model_eval",
+    survey_ref="training-data (composed: t47 + t64 + t65 eval card)",
+    doc="the full classifier evaluation card in ONE table: threshold "
+    "metrics (t47's precision/recall/F1/accuracy), calibration "
+    "(t64's overall ECE + Brier), and threshold-free ranking (t65's "
+    "AUC + Gini) — long-format (family, metric, value), the report "
+    "an auto-labeling pipeline publishes before its labels train "
+    "anything. The oracle REUSES the three parts' exact oracle "
+    "strings as subqueries so the composition can never drift from "
+    "its parts; the Spark side calls the registered operators and "
+    "unpivots. Cost = the parts' closed-form aggregates over one "
+    "event scan each — every family reduces map-side before "
+    "anything joins.",
+    oracle=_model_eval_oracle(),
+)
+def pipeline_model_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_iceberg_demo_spark.streaming.events import (
+        t47_classifier_eval,
+        t64_calibration_bins,
+        t65_roc_auc,
+    )
+
+    def unpivot(df: DataFrame, family: str, cols: list[str]) -> DataFrame:
+        pairs = F.array(
+            *[
+                F.struct(F.lit(c).alias("metric"), F.col(c).alias("value"))
+                for c in cols
+            ]
+        )
+        return df.select(F.explode(pairs).alias("_m")).select(
+            F.lit(family).alias("family"),
+            F.col("_m.metric").alias("metric"),
+            F.col("_m.value").alias("value"),
+        )
+
+    t47 = unpivot(
+        t47_classifier_eval(spark, sf_dir),
+        "threshold",
+        ["precision", "recall", "f1", "accuracy"],
+    )
+    t64 = unpivot(
+        t64_calibration_bins(spark, sf_dir).filter(F.col("bin") == 0),
+        "calibration",
+        ["ece", "brier"],
+    )
+    t65 = unpivot(t65_roc_auc(spark, sf_dir), "ranking", ["auc", "gini"])
+    return t47.unionByName(t64).unionByName(t65).orderBy("family", "metric")
