@@ -2304,3 +2304,311 @@ def v3e_ivf_probe_det(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), F.asc("vec_id"))
         .limit(5)
     )
+
+
+# ---------------------------------------------------------------------------
+# v32: IVF-PQ with residual encoding (the production ANN index shape)
+# ---------------------------------------------------------------------------
+
+_V32_CELLS = 16
+_V32_PROBE = 4
+# codebooks seed from residuals of vec_ids [16, 32): the first 16
+# vectors ARE the centroids, so their residuals are identically zero —
+# seeding there would make every codebook entry the zero vector and
+# every ADC 0 (degenerate). Probes likewise avoid centroid ids.
+_V32_CB_LO = _V32_CELLS
+_V32_CB_HI = _V32_CELLS + _PQ_K
+_V32_PROBES = (40, 41, 42)
+
+
+@REGISTRY.register(
+    name="v32_ivf_pq",
+    survey_ref="V3 family (the composed production index): v3e's coarse "
+    "IVF routing × v30's PQ codes, with RESIDUAL encoding — the "
+    "FAISS IVFPQ shape (Jégou et al., TPAMI 2011 §IV)",
+    doc="IVF-PQ end-to-end, hash-checked: vectors assign to their "
+    f"nearest of {_V32_CELLS} seed centroids (rounded-L2 argmin, tie "
+    "to lowest cell); each vector's RESIDUAL (v − centroid) is "
+    f"product-quantized into {_PQ_M} 4-bit codes against per-block "
+    "codebooks seeded from the first {_PQ_K} residual sub-blocks. A "
+    f"probe ranks cells by rounded L2, scans the best {_V32_PROBE}, "
+    "and scores candidates by ADC — with a DISTINCT LUT per probed "
+    "cell, because the query residual q − centroid_c differs per "
+    "cell (the detail naive IVF+PQ compositions get wrong). Output "
+    "per probe: ADC top-5 among candidates, exact L2, membership in "
+    "the exact unpruned top-5, recall@5, the PRUNING CEILING (recall "
+    "an exact rerank inside the probed cells could at best reach — "
+    "on this isotropic fixture the 4/16-cell prune dominates, and "
+    "the ceiling column proves which loss is whose), and the "
+    "candidate count — the decomposed price of pruning + 128× "
+    "quantization in one table. "
+    "Scale: centroids (16), codebooks (128 rows) and LUTs "
+    f"({len(_PQ_PROBES)}×{_V32_PROBE}×{_PQ_M}×{_PQ_K} rows) all "
+    "broadcast; encode is one block-explode + broadcast argmin; at "
+    "100 TB the code table is cell_id-partitioned so a probe reads "
+    f"{_V32_PROBE} partitions of 4-byte codes — embeddings move "
+    "exactly once (at encode).",
+    oracle=f"""
+        WITH emb AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), cen AS (
+            SELECT vec_id AS cell_id, v AS centroid FROM emb
+            WHERE vec_id < {_V32_CELLS}
+        ), assign AS (
+            SELECT vec_id, cell_id, res FROM (
+                SELECT e.vec_id, c.cell_id,
+                       LIST_TRANSFORM(e.v, (x, i) -> x - c.centroid[i]) AS res,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                           ORDER BY ROUND(LIST_DISTANCE(e.v, c.centroid), 4),
+                                    c.cell_id) AS rn
+                FROM emb e CROSS JOIN cen c) WHERE rn = 1
+        ), rblocks AS (
+            SELECT vec_id, cell_id, m,
+                   res[(m * {_PQ_DSUB} + 1):(m * {_PQ_DSUB} + {_PQ_DSUB})] AS sub
+            FROM assign, (SELECT UNNEST(GENERATE_SERIES(0, {_PQ_M - 1})) AS m) g
+        ), codebook AS (
+            SELECT m, vec_id - {_V32_CB_LO} AS code, sub AS cvec
+            FROM rblocks WHERE vec_id >= {_V32_CB_LO} AND vec_id < {_V32_CB_HI}
+        ), codes AS (
+            SELECT vec_id, cell_id, m, code FROM (
+                SELECT b.vec_id, b.cell_id, b.m, c.code,
+                       ROW_NUMBER() OVER (PARTITION BY b.vec_id, b.m
+                           ORDER BY ROUND(LIST_DISTANCE(b.sub, c.cvec), 4),
+                                    c.code) AS rn
+                FROM rblocks b JOIN codebook c ON c.m = b.m) WHERE rn = 1
+        ), probe_cells AS (
+            SELECT probe_id, cell_id, centroid FROM (
+                SELECT p.vec_id AS probe_id, c.cell_id, c.centroid,
+                       ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                           ORDER BY ROUND(LIST_DISTANCE(p.v, c.centroid), 4),
+                                    c.cell_id) AS rn
+                FROM emb p CROSS JOIN cen c
+                WHERE p.vec_id IN {_V32_PROBES}) WHERE rn <= {_V32_PROBE}
+        ), lut AS (
+            SELECT pc.probe_id, pc.cell_id, cb.m, cb.code,
+                   LIST_DISTANCE(
+                       LIST_TRANSFORM(p.v, (x, i) -> x - pc.centroid[i])
+                           [(cb.m * {_PQ_DSUB} + 1):(cb.m * {_PQ_DSUB} + {_PQ_DSUB})],
+                       cb.cvec) ** 2 AS d2
+            FROM probe_cells pc
+            JOIN emb p ON p.vec_id = pc.probe_id
+            JOIN codebook cb ON TRUE
+        ), cand AS (
+            SELECT pc.probe_id, k.vec_id, k.cell_id, k.m, k.code
+            FROM codes k JOIN probe_cells pc ON pc.cell_id = k.cell_id
+            WHERE k.vec_id != pc.probe_id
+        ), adc AS (
+            SELECT c.probe_id, c.vec_id,
+                   ROUND(SQRT(SUM(l.d2)), 6) AS adc
+            FROM cand c
+            JOIN lut l ON l.probe_id = c.probe_id AND l.cell_id = c.cell_id
+                      AND l.m = c.m AND l.code = c.code
+            GROUP BY c.probe_id, c.vec_id
+        ), ncand AS (
+            SELECT probe_id, CAST(COUNT(*) AS BIGINT) AS n_candidates
+            FROM adc GROUP BY probe_id
+        ), ceiling AS (
+            SELECT xt.probe_id,
+                   ROUND(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1.0
+                                  ELSE 0.0 END) / {_PQ_TOPK}, 2) AS ceiling5
+            FROM (SELECT probe_id, vec_id FROM exact_top
+                  WHERE rn <= {_PQ_TOPK}) xt
+            LEFT JOIN adc a ON a.probe_id = xt.probe_id
+                           AND a.vec_id = xt.vec_id
+            GROUP BY xt.probe_id
+        ), adc_top AS (
+            SELECT probe_id, vec_id, adc,
+                   ROW_NUMBER() OVER (PARTITION BY probe_id
+                                      ORDER BY adc, vec_id) AS rn
+            FROM adc
+        ), exact AS (
+            SELECT p.vec_id AS probe_id, e.vec_id,
+                   ROUND(LIST_DISTANCE(p.v, e.v), 6) AS l2
+            FROM emb p JOIN emb e ON e.vec_id != p.vec_id
+            WHERE p.vec_id IN {_V32_PROBES}
+        ), exact_top AS (
+            SELECT probe_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY probe_id
+                                      ORDER BY l2, vec_id) AS rn
+            FROM exact
+        )
+        SELECT a.probe_id, a.vec_id, a.adc, x.l2,
+               xt.vec_id IS NOT NULL AS in_exact_top5,
+               ROUND(AVG(CASE WHEN xt.vec_id IS NOT NULL THEN 1.0 ELSE 0.0 END)
+                     OVER (PARTITION BY a.probe_id), 2) AS recall5,
+               c.ceiling5,
+               n.n_candidates
+        FROM adc_top a
+        JOIN exact x ON x.probe_id = a.probe_id AND x.vec_id = a.vec_id
+        LEFT JOIN exact_top xt ON xt.probe_id = a.probe_id
+                              AND xt.vec_id = a.vec_id AND xt.rn <= {_PQ_TOPK}
+        JOIN ncand n ON n.probe_id = a.probe_id
+        JOIN ceiling c ON c.probe_id = a.probe_id
+        WHERE a.rn <= {_PQ_TOPK}
+        ORDER BY a.probe_id, a.adc, a.vec_id
+    """,
+)
+def v32_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    cen = emb.filter(F.col("vec_id") < _V32_CELLS).select(
+        F.col("vec_id").alias("cell_id"), F.col("v").alias("centroid")
+    )
+    l2 = lambda a, b: F.sqrt(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    w_assign = W.partitionBy("vec_id").orderBy("d", "cell_id")
+    assign = (
+        emb.crossJoin(F.broadcast(cen))
+        .select(
+            "vec_id",
+            "cell_id",
+            F.round(l2(F.col("v"), F.col("centroid")), 4).alias("d"),
+            F.zip_with(F.col("v"), F.col("centroid"), lambda x, y: x - y).alias(
+                "res"
+            ),
+        )
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell_id", "res")
+    )
+    rblocks = assign.select(
+        "vec_id",
+        "cell_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("m"),
+        "res",
+    ).select(
+        "vec_id",
+        "cell_id",
+        "m",
+        F.slice("res", F.col("m") * _PQ_DSUB + 1, _PQ_DSUB).alias("sub"),
+    )
+    codebook = rblocks.filter(
+        (F.col("vec_id") >= _V32_CB_LO) & (F.col("vec_id") < _V32_CB_HI)
+    ).select(
+        "m", (F.col("vec_id") - _V32_CB_LO).alias("code"), F.col("sub").alias("cvec")
+    )
+    codes = (
+        rblocks.join(F.broadcast(codebook), "m")
+        .select(
+            "vec_id",
+            "cell_id",
+            "m",
+            F.round(l2(F.col("sub"), F.col("cvec")), 4).alias("d"),
+            "code",
+        )
+        .groupBy("vec_id", "cell_id", "m")
+        .agg(F.min(F.struct("d", "code")).alias("b"))
+        .select("vec_id", "cell_id", "m", F.col("b.code").alias("code"))
+    )
+    probes = emb.filter(F.col("vec_id").isin(*_V32_PROBES)).select(
+        F.col("vec_id").alias("probe_id"), F.col("v").alias("pv")
+    )
+    w_pc = W.partitionBy("probe_id").orderBy("d", "cell_id")
+    probe_cells = (
+        probes.crossJoin(F.broadcast(cen))
+        .select(
+            "probe_id",
+            "cell_id",
+            "centroid",
+            "pv",
+            F.round(l2(F.col("pv"), F.col("centroid")), 4).alias("d"),
+        )
+        .withColumn("rn", F.row_number().over(w_pc))
+        .filter(F.col("rn") <= _V32_PROBE)
+        .select("probe_id", "cell_id", "centroid", "pv")
+    )
+    # per-cell query residual -> per-(probe, cell) LUT slice
+    lut = (
+        probe_cells.withColumn(
+            "pres", F.zip_with(F.col("pv"), F.col("centroid"), lambda x, y: x - y)
+        )
+        .crossJoin(F.broadcast(codebook))
+        .select(
+            "probe_id",
+            "cell_id",
+            "m",
+            "code",
+            F.pow(
+                l2(
+                    F.slice("pres", F.col("m") * _PQ_DSUB + 1, _PQ_DSUB),
+                    F.col("cvec"),
+                ),
+                F.lit(2.0),
+            ).alias("d2"),
+        )
+    )
+    cand = codes.join(
+        F.broadcast(probe_cells.select("probe_id", "cell_id")), "cell_id"
+    ).filter(F.col("vec_id") != F.col("probe_id"))
+    adc = (
+        cand.join(F.broadcast(lut), ["probe_id", "cell_id", "m", "code"])
+        .groupBy("probe_id", "vec_id")
+        .agg(F.round(F.sqrt(F.sum("d2")), 6).alias("adc"))
+    )
+    ncand = adc.groupBy("probe_id").agg(
+        F.count("*").cast("bigint").alias("n_candidates")
+    )
+    adc_top = adc.withColumn(
+        "rn", F.row_number().over(W.partitionBy("probe_id").orderBy("adc", "vec_id"))
+    ).filter(F.col("rn") <= _PQ_TOPK)
+    exact = (
+        emb.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id", "vec_id", F.round(l2(F.col("pv"), F.col("v")), 6).alias("l2")
+        )
+    )
+    exact_top = (
+        exact.withColumn(
+            "xrn",
+            F.row_number().over(W.partitionBy("probe_id").orderBy("l2", "vec_id")),
+        )
+        .filter(F.col("xrn") <= _PQ_TOPK)
+        .select("probe_id", "vec_id", F.lit(True).alias("in_exact"))
+    )
+    # pruning-only ceiling: fraction of the exact top-5 that survived
+    # into the candidate set at all (what exact rerank inside the
+    # probed cells could at best recover)
+    ceiling = (
+        exact_top.join(
+            adc.select("probe_id", "vec_id", F.lit(1.0).alias("_hit")),
+            ["probe_id", "vec_id"],
+            "left",
+        )
+        .groupBy("probe_id")
+        .agg(
+            F.round(F.sum(F.coalesce("_hit", F.lit(0.0))) / _PQ_TOPK, 2).alias(
+                "ceiling5"
+            )
+        )
+    )
+    return (
+        exact.join(F.broadcast(adc_top), ["probe_id", "vec_id"])
+        .join(F.broadcast(exact_top), ["probe_id", "vec_id"], "left")
+        .join(F.broadcast(ncand), "probe_id")
+        .join(F.broadcast(ceiling), "probe_id")
+        .select(
+            "probe_id",
+            "vec_id",
+            "adc",
+            "l2",
+            F.coalesce("in_exact", F.lit(False)).alias("in_exact_top5"),
+            F.round(
+                F.avg(F.when(F.col("in_exact"), 1.0).otherwise(0.0)).over(
+                    W.partitionBy("probe_id")
+                ),
+                2,
+            ).alias("recall5"),
+            "ceiling5",
+            "n_candidates",
+        )
+        .orderBy("probe_id", "adc", "vec_id")
+    )
