@@ -508,3 +508,69 @@ def t46_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("idcg", 6).alias("idcg_at_10"),
         F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg_at_10"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t71: inverted-index build (the posting table BM25 probes against)
+# ---------------------------------------------------------------------------
+
+
+def _t71_oracle() -> str:
+    from ai_iceberg_demo_spark.functions.text import lexical_terms_sql
+
+    return f"""
+        WITH toked AS (
+            SELECT doc_id, {lexical_terms_sql("text")} AS t FROM documents
+        ), posting AS (
+            SELECT doc_id, UNNEST(t) AS term FROM toked
+        ), tf AS (
+            SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM posting GROUP BY term, doc_id
+        ), stats AS (
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+            FROM tf GROUP BY term
+        ), n AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM documents
+        )
+        SELECT t.term, t.doc_id, t.tf, s.df,
+               ROUND(LN(1.0 + (n.nd - s.df + 0.5) / (s.df + 0.5)), 6) AS idf
+        FROM tf t JOIN stats s USING (term) CROSS JOIN n
+    """
+
+
+@REGISTRY.register(
+    name="t71_inverted_index",
+    survey_ref="training-data / retrieval (index build); t22 SCORES "
+    "against per-query term stats — this MATERIALIZES the full "
+    "posting table a search service serves from",
+    doc="inverted index as a relation: one posting row per (term, "
+    "doc_id) with the term frequency, each carrying the term's "
+    "document frequency and smoothed idf ln(1 + (N - df + 0.5)/(df "
+    "+ 0.5)) (t22's BM25 idf — the two spell the same statistic, "
+    "shared f31 class-aware tokenizer). Posting lists as ROWS, not "
+    "arrays: at 100 TB a term's postings must shard across "
+    "executors, and the relational spelling is exactly what a "
+    "term-bucketed Iceberg table stores. ONE (term, doc) wordcount "
+    "shuffle + a per-term partial agg re-joined term-keyed; the "
+    "vocab-side stats table broadcasts.",
+    oracle=_t71_oracle(),
+)
+def t71_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_iceberg_demo_spark.functions.text import lexical_terms
+
+    docs = load_table(spark, "documents", sf_dir)
+    nd = float(docs.count())
+    posting = docs.select(
+        "doc_id", F.explode(lexical_terms(F.col("text"))).alias("term")
+    )
+    tf = posting.groupBy("term", "doc_id").agg(
+        F.count("*").cast("bigint").alias("tf")
+    )
+    stats = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+    idf = F.round(
+        F.log(F.lit(1.0) + (F.lit(nd) - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+        6,
+    )
+    return tf.join(F.broadcast(stats), "term").select(
+        "term", "doc_id", "tf", "df", idf.alias("idf")
+    )
