@@ -1241,3 +1241,175 @@ def m15_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("n_tokens") == F.col("rn_tokens"))
         ).alias("matches"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M16: bitemporal dimension (valid time × transaction time)
+# ---------------------------------------------------------------------------
+
+_BT_T0 = "2024-01-01"  # initial load (tx time)
+_BT_V0 = "2024-01-01"  # initial validity start
+_BT_V1 = "2024-01-15"  # batch-1 effective (valid time)
+_BT_T1 = "2024-02-01"  # batch-1 recorded (tx time)
+_BT_T2 = "2024-03-01"  # correction recorded (tx time)
+_BT_VQ = "2024-01-20"  # readout: the valid-time point queried
+_BT_TA = "2024-02-15"  # readout: belief BEFORE the correction landed
+_BT_TB = "2024-03-15"  # readout: belief AFTER
+
+
+def bitemporal_dim(cust: DataFrame) -> DataFrame:
+    """Build the bitemporal customer-balance dimension: every row
+    carries BOTH a validity interval [valid_from, valid_to) (when the
+    fact was true in the world) and a transaction interval
+    [tx_from, tx_to) (when the system believed it). Batch 1 (tx
+    _BT_T1) applies +100 effective _BT_V1 for custkey%10==0 — an
+    ordinary SCD2 split, but bitemporally the superseded open row is
+    kept with its tx interval CLOSED rather than rewritten. Batch 2
+    (tx _BT_T2) RETROACTIVELY corrects custkey%20==0 to +150 for the
+    SAME valid period — the late-arriving restatement m6's
+    single-axis SCD2 cannot represent (it would overwrite history).
+    Pure unions + map-side predicates; at 100 TB each batch appends
+    rows and closes tx_to on a key-matched subset (an Iceberg MERGE),
+    never rewriting untouched rows."""
+    base = cust.select(
+        "c_custkey",
+        F.round(F.col("c_acctbal").cast("double"), 2).alias("bal"),
+    )
+    upd = F.col("c_custkey") % 10 == 0
+    corr = F.col("c_custkey") % 20 == 0
+    ns = F.lit(None).cast("string")
+    # untouched keys: one open-open row
+    r_plain = base.filter(~upd).select(
+        "c_custkey", F.col("bal").alias("acctbal"),
+        F.lit(_BT_V0).alias("valid_from"), ns.alias("valid_to"),
+        F.lit(_BT_T0).alias("tx_from"), ns.alias("tx_to"),
+    )
+    # updated keys: superseded original (tx-closed at T1) + the split
+    r_old = base.filter(upd).select(
+        "c_custkey", F.col("bal").alias("acctbal"),
+        F.lit(_BT_V0).alias("valid_from"), ns.alias("valid_to"),
+        F.lit(_BT_T0).alias("tx_from"), F.lit(_BT_T1).alias("tx_to"),
+    )
+    r_split_a = base.filter(upd).select(
+        "c_custkey", F.col("bal").alias("acctbal"),
+        F.lit(_BT_V0).alias("valid_from"), F.lit(_BT_V1).alias("valid_to"),
+        F.lit(_BT_T1).alias("tx_from"), ns.alias("tx_to"),
+    )
+    r_split_b = base.filter(upd).select(
+        "c_custkey", F.round(F.col("bal") + 100.0, 2).alias("acctbal"),
+        F.lit(_BT_V1).alias("valid_from"), ns.alias("valid_to"),
+        F.lit(_BT_T1).alias("tx_from"),
+        F.when(corr, F.lit(_BT_T2)).otherwise(ns).alias("tx_to"),
+    )
+    r_corr = base.filter(corr).select(
+        "c_custkey", F.round(F.col("bal") + 150.0, 2).alias("acctbal"),
+        F.lit(_BT_V1).alias("valid_from"), ns.alias("valid_to"),
+        F.lit(_BT_T2).alias("tx_from"), ns.alias("tx_to"),
+    )
+    return (
+        r_plain.unionByName(r_old)
+        .unionByName(r_split_a)
+        .unionByName(r_split_b)
+        .unionByName(r_corr)
+    )
+
+
+def bitemporal_asof(
+    dim: DataFrame, valid_at: str, tx_at: str, key: str = "c_custkey"
+) -> DataFrame:
+    """Point-in-time read on both axes: the row whose validity interval
+    covers ``valid_at`` AS BELIEVED at transaction time ``tx_at``.
+    Both predicates are map-side interval containment — partition the
+    dimension by tx_from month and the scan prunes."""
+    return dim.filter(
+        (F.col("valid_from") <= valid_at)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > valid_at))
+        & (F.col("tx_from") <= tx_at)
+        & (F.col("tx_to").isNull() | (F.col("tx_to") > tx_at))
+    ).select(key, "acctbal")
+
+
+@REGISTRY.register(
+    name="m16_bitemporal",
+    survey_ref="M-family extra (bitemporal versioning); m6 tracks ONE "
+    "time axis — this adds transaction time, the axis a restatement "
+    "audit needs",
+    doc="bitemporal dimension + the two-axis point read that justifies "
+    "it: after an ordinary update (tx 2024-02-01, +100 effective "
+    "2024-01-15) and a RETROACTIVE correction (tx 2024-03-01, "
+    "restating the same valid period to +150 for custkey%20==0), "
+    "the query asks the same valid-time question ('what was the "
+    "balance effective 2024-01-20?') at two transaction times — "
+    "before and after the correction landed. Corrected keys show "
+    "believed_then ≠ believed_now with restated=true; "
+    "batch-1-only keys are the in-query control (restated=false). "
+    "THE audit shape for 'what did the model see when it trained' "
+    "and for financial restatements. Output bounded to the updated "
+    "keys; both as-of reads are map-side interval containment over "
+    "the same five-way-union dimension.",
+    oracle=f"""
+        WITH base AS (
+            SELECT c_custkey, ROUND(CAST(c_acctbal AS DOUBLE), 2) AS bal
+            FROM customer
+        ), dim AS (
+            SELECT c_custkey, bal AS acctbal,
+                   '{_BT_V0}' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to,
+                   '{_BT_T0}' AS tx_from, CAST(NULL AS VARCHAR) AS tx_to
+            FROM base WHERE c_custkey % 10 <> 0
+            UNION ALL
+            SELECT c_custkey, bal, '{_BT_V0}', NULL, '{_BT_T0}', '{_BT_T1}'
+            FROM base WHERE c_custkey % 10 = 0
+            UNION ALL
+            SELECT c_custkey, bal, '{_BT_V0}', '{_BT_V1}', '{_BT_T1}', NULL
+            FROM base WHERE c_custkey % 10 = 0
+            UNION ALL
+            SELECT c_custkey, ROUND(bal + 100.0, 2), '{_BT_V1}', NULL,
+                   '{_BT_T1}',
+                   CASE WHEN c_custkey % 20 = 0 THEN '{_BT_T2}' END
+            FROM base WHERE c_custkey % 10 = 0
+            UNION ALL
+            SELECT c_custkey, ROUND(bal + 150.0, 2), '{_BT_V1}', NULL,
+                   '{_BT_T2}', NULL
+            FROM base WHERE c_custkey % 20 = 0
+        ), then_read AS (
+            SELECT c_custkey, acctbal FROM dim
+            WHERE valid_from <= '{_BT_VQ}'
+              AND (valid_to IS NULL OR valid_to > '{_BT_VQ}')
+              AND tx_from <= '{_BT_TA}'
+              AND (tx_to IS NULL OR tx_to > '{_BT_TA}')
+        ), now_read AS (
+            SELECT c_custkey, acctbal FROM dim
+            WHERE valid_from <= '{_BT_VQ}'
+              AND (valid_to IS NULL OR valid_to > '{_BT_VQ}')
+              AND tx_from <= '{_BT_TB}'
+              AND (tx_to IS NULL OR tx_to > '{_BT_TB}')
+        )
+        SELECT t.c_custkey,
+               t.acctbal AS believed_then,
+               n.acctbal AS believed_now,
+               t.acctbal <> n.acctbal AS restated
+        FROM then_read t JOIN now_read n USING (c_custkey)
+        WHERE t.c_custkey % 10 = 0
+        ORDER BY t.c_custkey
+    """,
+)
+def m16_bitemporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    dim = bitemporal_dim(cust)
+    then_read = bitemporal_asof(dim, _BT_VQ, _BT_TA).withColumnRenamed(
+        "acctbal", "believed_then"
+    )
+    now_read = bitemporal_asof(dim, _BT_VQ, _BT_TB).withColumnRenamed(
+        "acctbal", "believed_now"
+    )
+    return (
+        then_read.join(now_read, "c_custkey")
+        .filter(F.col("c_custkey") % 10 == 0)
+        .select(
+            "c_custkey",
+            "believed_then",
+            "believed_now",
+            (F.col("believed_then") != F.col("believed_now")).alias("restated"),
+        )
+        .orderBy("c_custkey")
+    )

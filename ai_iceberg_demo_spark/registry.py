@@ -169,8 +169,8 @@ class Registry:
 # t66_markov_transitions, t67_pmi_collocations, t68_skipgram_pairs,
 # t69_chi2_terms, t70_js_divergence, v3e_ivf_probe_det,
 # u38_temperature_resample, f43_script_profile, f44_readability,
-# pipeline_model_eval, v32_ivf_pq, t71_inverted_index, ...), where
-# they run
+# pipeline_model_eval, v32_ivf_pq, t71_inverted_index,
+# m16_bitemporal, ...), where they run
 # ahead of the r2-core cohort (oldest driver evidence).
 # v8e_phash_dedup and pipeline_multimodal_prep
 # gained full hash oracles in r6 AFTER their r6 window slots were
