@@ -1121,3 +1121,155 @@ def a21_approx_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q95_within_1pct"
         ),
     ).orderBy("l_returnflag")
+
+
+# --- A22: KMV sketch + set-overlap estimation (the intersection sketch) --
+
+_KMV_K = 64
+
+
+@REGISTRY.register(
+    name="a22_kmv_overlap",
+    survey_ref="§2.4 sketches (a8/a8c estimate ONE set's cardinality; "
+    "KMV estimates INTERSECTIONS — the question HLL cannot answer "
+    "without inclusion-exclusion error blowup)",
+    doc=f"k-minimum-values sketch (Bar-Yossef et al. 2002) over each "
+    f"event type's distinct USER-DAY set (k={_KMV_K} smallest md5 "
+    "hashes, deterministic — user-days, because every user touches "
+    "every type over the corpus and plain user sets have Jaccard "
+    "1.0): for every type pair, the union sketch "
+    f"is the {_KMV_K} smallest of the merged sketches, Jaccard is "
+    "estimated as the fraction of the union sketch present in BOTH "
+    "input sketches, and the estimate stands NEXT TO the exact "
+    "Jaccard with its absolute error — the sketch audited the a21 "
+    "way. Scale: per-type sketch = one distinct reduction + "
+    "per-type top-k (TakeOrdered partials — sketches MERGE, which "
+    "is the entire point at 100 TB: each partition sends k rows); "
+    "pair comparison touches 2k-row frames only.",
+    oracle=f"""
+        WITH du AS (
+            SELECT DISTINCT event_type,
+                   CAST(user_id AS VARCHAR) || ':' ||
+                       CAST(CAST(ts AS DATE) AS VARCHAR) AS elem
+            FROM events
+        ), hashed AS (
+            SELECT event_type, elem, MD5(elem) AS h FROM du
+        ), sk AS (
+            SELECT event_type, elem, h FROM (
+                SELECT event_type, elem, h,
+                       ROW_NUMBER() OVER (PARTITION BY event_type
+                                          ORDER BY h) AS rn
+                FROM hashed) WHERE rn <= {_KMV_K}
+        ), pairs AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b
+            FROM (SELECT DISTINCT event_type FROM du) a
+            JOIN (SELECT DISTINCT event_type FROM du) b
+              ON a.event_type < b.event_type
+        ), merged AS (
+            SELECT p.type_a, p.type_b, s.elem, s.h,
+                   s.event_type = p.type_a AS from_a
+            FROM pairs p
+            JOIN sk s ON s.event_type IN (p.type_a, p.type_b)
+        ), union_sk AS (
+            SELECT type_a, type_b, elem,
+                   COUNT(*) AS n_sides
+            FROM (
+                SELECT type_a, type_b, elem, h, from_a,
+                       DENSE_RANK() OVER (PARTITION BY type_a, type_b
+                                          ORDER BY h) AS rk
+                FROM merged) WHERE rk <= {_KMV_K}
+            GROUP BY type_a, type_b, elem
+        ), est AS (
+            SELECT type_a, type_b,
+                   ROUND(SUM(CASE WHEN n_sides = 2 THEN 1.0 ELSE 0.0 END)
+                         / COUNT(*), 6) AS est_jaccard
+            FROM union_sk GROUP BY type_a, type_b
+        ), exact AS (
+            SELECT type_a, type_b,
+                   ROUND(SUM(CASE WHEN n = 2 THEN 1.0 ELSE 0.0 END)
+                         / COUNT(*), 6) AS exact_jaccard
+            FROM (SELECT p.type_a, p.type_b, d.elem, COUNT(*) AS n
+                  FROM pairs p JOIN du d
+                    ON d.event_type IN (p.type_a, p.type_b)
+                  GROUP BY p.type_a, p.type_b, d.elem) x
+            GROUP BY type_a, type_b
+        )
+        SELECT e.type_a, e.type_b, s.est_jaccard, e.exact_jaccard,
+               ROUND(ABS(s.est_jaccard - e.exact_jaccard), 6) AS abs_err
+        FROM exact e JOIN est s USING (type_a, type_b)
+        ORDER BY e.type_a, e.type_b
+    """,
+)
+def a22_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, "events", sf_dir)
+    du = ev.select(
+        "event_type",
+        F.concat(
+            F.col("user_id").cast("string"),
+            F.lit(":"),
+            F.col("ts").cast("date").cast("string"),
+        ).alias("elem"),
+    ).distinct()
+    hashed = du.select("event_type", "elem", F.md5("elem").alias("h"))
+    w_sk = W.partitionBy("event_type").orderBy("h")
+    sk = (
+        hashed.withColumn("rn", F.row_number().over(w_sk))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("event_type", "elem", "h")
+    )
+    types = du.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("type_a"))
+        .crossJoin(types.select(F.col("event_type").alias("type_b")))
+        .filter(F.col("type_a") < F.col("type_b"))
+    )
+    merged = pairs.join(
+        sk,
+        (sk.event_type == F.col("type_a")) | (sk.event_type == F.col("type_b")),
+    ).select(
+        "type_a", "type_b", "elem", "h",
+        (F.col("event_type") == F.col("type_a")).alias("from_a"),
+    )
+    w_u = W.partitionBy("type_a", "type_b").orderBy("h")
+    union_sk = (
+        merged.withColumn("rk", F.dense_rank().over(w_u))
+        .filter(F.col("rk") <= _KMV_K)
+        .groupBy("type_a", "type_b", "elem")
+        .agg(F.count("*").alias("n_sides"))
+    )
+    est = union_sk.groupBy("type_a", "type_b").agg(
+        F.round(
+            F.sum(F.when(F.col("n_sides") == 2, 1.0).otherwise(0.0)) / F.count("*"),
+            6,
+        ).alias("est_jaccard")
+    )
+    both = pairs.join(
+        du,
+        (du.event_type == F.col("type_a")) | (du.event_type == F.col("type_b")),
+    ).select("type_a", "type_b", "elem")
+    exact = (
+        both.groupBy("type_a", "type_b", "elem")
+        .agg(F.count("*").alias("n"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("n") == 2, 1.0).otherwise(0.0)) / F.count("*"),
+                6,
+            ).alias("exact_jaccard")
+        )
+    )
+    return (
+        exact.join(est, ["type_a", "type_b"])
+        .select(
+            "type_a",
+            "type_b",
+            "est_jaccard",
+            "exact_jaccard",
+            F.round(F.abs(F.col("est_jaccard") - F.col("exact_jaccard")), 6).alias(
+                "abs_err"
+            ),
+        )
+        .orderBy("type_a", "type_b")
+    )
