@@ -851,3 +851,162 @@ def s17_props_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("stable")
         .alias("verdict"),
     ).orderBy("key")
+
+
+# ---------------------------------------------------------------------------
+# S18: zone-map skipping audit (why o6 z-orders and s16 plans layout)
+# ---------------------------------------------------------------------------
+
+_S18_FILE_ROWS = 2000  # simulated file size (l_orderkey DIV this = file id)
+
+
+@REGISTRY.register(
+    name="s18_zonemap_audit",
+    survey_ref="S-family extra (storage layout); s16 plans partition "
+    "sizes — this measures what min/max footer stats actually SKIP, "
+    "the number that justifies o6's z-order",
+    doc="zone-map (parquet footer min/max) skipping audit: rows bucket "
+    f"into simulated {_S18_FILE_ROWS}-row files by insertion order "
+    "(l_orderkey DIV n — how an unsorted ingest lays out), per-file "
+    "min/max zone maps are computed for a CLUSTERED column "
+    "(l_orderkey itself) and an UNCLUSTERED one (l_shipdate), and a "
+    "10%-selectivity range predicate on each is priced: files whose "
+    "zone interval misses the predicate range are skippable. The "
+    "clustered column skips ~90% of files, the unclustered one ~0% "
+    "— THE measured argument for sort-on-write/z-order, with the "
+    "correctness of skipping verified IN-QUERY (rows surviving in "
+    "non-skipped files == rows surviving the full scan). One "
+    "file-keyed partial agg builds the zone maps (at 100 TB this "
+    "reads parquet footers, same arithmetic); the audit table is "
+    "O(files).",
+    oracle=f"""
+        WITH filed AS (
+            SELECT l_orderkey, EPOCH(l_shipdate) AS d,
+                   l_orderkey // {_S18_FILE_ROWS} AS file_id
+            FROM lineitem
+        ), bounds AS (
+            SELECT MIN(l_orderkey) AS k_lo,
+                   MAX(l_orderkey) AS k_hi,
+                   MIN(d) AS d_lo,
+                   MAX(d) AS d_hi
+            FROM filed
+        ), pred AS (
+            SELECT k_lo + (k_hi - k_lo) * 0.45 AS k_from,
+                   k_lo + (k_hi - k_lo) * 0.55 AS k_to,
+                   d_lo + (d_hi - d_lo) * 0.45 AS d_from,
+                   d_lo + (d_hi - d_lo) * 0.55 AS d_to
+            FROM bounds
+        ), zones AS (
+            SELECT file_id,
+                   MIN(l_orderkey) AS zk_min, MAX(l_orderkey) AS zk_max,
+                   MIN(d) AS zd_min, MAX(d) AS zd_max,
+                   SUM(CASE WHEN l_orderkey >= (SELECT k_from FROM pred)
+                             AND l_orderkey <= (SELECT k_to FROM pred)
+                            THEN 1 ELSE 0 END) AS k_hits,
+                   SUM(CASE WHEN d >= (SELECT d_from FROM pred)
+                             AND d <= (SELECT d_to FROM pred)
+                            THEN 1 ELSE 0 END) AS d_hits
+            FROM filed GROUP BY file_id
+        ), audit AS (
+            SELECT 'clustered_orderkey' AS layout,
+                   CAST(COUNT(*) AS BIGINT) AS n_files,
+                   CAST(SUM(CASE WHEN zk_max < (SELECT k_from FROM pred)
+                                   OR zk_min > (SELECT k_to FROM pred)
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_skippable,
+                   CAST(SUM(CASE WHEN zk_max < (SELECT k_from FROM pred)
+                                   OR zk_min > (SELECT k_to FROM pred)
+                                 THEN k_hits ELSE 0 END) AS BIGINT)
+                       AS rows_lost_by_skip
+            FROM zones
+            UNION ALL
+            SELECT 'unclustered_shipdate',
+                   CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CASE WHEN zd_max < (SELECT d_from FROM pred)
+                                   OR zd_min > (SELECT d_to FROM pred)
+                                 THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(SUM(CASE WHEN zd_max < (SELECT d_from FROM pred)
+                                   OR zd_min > (SELECT d_to FROM pred)
+                                 THEN d_hits ELSE 0 END) AS BIGINT)
+            FROM zones
+        )
+        SELECT layout, n_files, n_skippable,
+               ROUND(CAST(n_skippable AS DOUBLE) / n_files, 4) AS skip_rate,
+               rows_lost_by_skip = 0 AS skipping_is_lossless
+        FROM audit ORDER BY layout
+    """,
+)
+def s18_zonemap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    filed = li.select(
+        "l_orderkey",
+        F.unix_timestamp("l_shipdate").cast("double").alias("d"),
+        (F.col("l_orderkey") / _S18_FILE_ROWS).cast("bigint").alias("file_id"),
+    )
+    bounds = filed.agg(
+        F.min("l_orderkey").alias("k_lo"),
+        F.max("l_orderkey").alias("k_hi"),
+        F.min("d").alias("d_lo"),
+        F.max("d").alias("d_hi"),
+    )
+    pred = bounds.select(
+        (F.col("k_lo") + (F.col("k_hi") - F.col("k_lo")) * 0.45).alias("k_from"),
+        (F.col("k_lo") + (F.col("k_hi") - F.col("k_lo")) * 0.55).alias("k_to"),
+        (F.col("d_lo") + (F.col("d_hi") - F.col("d_lo")) * 0.45).alias("d_from"),
+        (F.col("d_lo") + (F.col("d_hi") - F.col("d_lo")) * 0.55).alias("d_to"),
+    )
+    zones = (
+        filed.crossJoin(F.broadcast(pred))
+        .groupBy("file_id")
+        .agg(
+            F.min("l_orderkey").alias("zk_min"),
+            F.max("l_orderkey").alias("zk_max"),
+            F.min("d").alias("zd_min"),
+            F.max("d").alias("zd_max"),
+            F.sum(
+                F.when(
+                    (F.col("l_orderkey") >= F.col("k_from"))
+                    & (F.col("l_orderkey") <= F.col("k_to")),
+                    1,
+                ).otherwise(0)
+            ).alias("k_hits"),
+            F.sum(
+                F.when(
+                    (F.col("d") >= F.col("d_from")) & (F.col("d") <= F.col("d_to")),
+                    1,
+                ).otherwise(0)
+            ).alias("d_hits"),
+            F.first("k_from").alias("k_from"),
+            F.first("k_to").alias("k_to"),
+            F.first("d_from").alias("d_from"),
+            F.first("d_to").alias("d_to"),
+        )
+    )
+    k_skip = (F.col("zk_max") < F.col("k_from")) | (F.col("zk_min") > F.col("k_to"))
+    d_skip = (F.col("zd_max") < F.col("d_from")) | (F.col("zd_min") > F.col("d_to"))
+    k_audit = zones.agg(
+        F.count("*").cast("bigint").alias("n_files"),
+        F.sum(F.when(k_skip, 1).otherwise(0)).cast("bigint").alias("n_skippable"),
+        F.sum(F.when(k_skip, F.col("k_hits")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_lost_by_skip"),
+    ).select(F.lit("clustered_orderkey").alias("layout"), "*")
+    d_audit = zones.agg(
+        F.count("*").cast("bigint").alias("n_files"),
+        F.sum(F.when(d_skip, 1).otherwise(0)).cast("bigint").alias("n_skippable"),
+        F.sum(F.when(d_skip, F.col("d_hits")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_lost_by_skip"),
+    ).select(F.lit("unclustered_shipdate").alias("layout"), "*")
+    return (
+        k_audit.unionByName(d_audit)
+        .select(
+            "layout",
+            "n_files",
+            "n_skippable",
+            F.round(F.col("n_skippable").cast("double") / F.col("n_files"), 4).alias(
+                "skip_rate"
+            ),
+            (F.col("rows_lost_by_skip") == 0).alias("skipping_is_lossless"),
+        )
+        .orderBy("layout")
+    )

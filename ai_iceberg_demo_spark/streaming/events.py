@@ -2845,3 +2845,102 @@ def t66_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cur_type", "next_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# t74: difference-in-differences (the causal layer over t27's A/B)
+# ---------------------------------------------------------------------------
+
+_T74_POST = "2024-01-15"  # intervention date
+_T74_LIFT = 0.2  # planted multiplicative effect on treated-post rows
+
+
+@REGISTRY.register(
+    name="t74_diff_in_diff",
+    survey_ref="§2.11 analytics extra (causal inference); t27 compares "
+    "two arms at one time — DiD nets out the shared time trend a "
+    "naive post-only comparison confounds",
+    doc="difference-in-differences over the event value: treatment = "
+    f"odd user_id, post = day >= {_T74_POST}, with a "
+    f"{_T74_LIFT:.0%} multiplicative effect PLANTED on treated-post "
+    "rows in-query (the synthetic corpus has no real intervention — "
+    "f42/v26's planted-truth convention). DiD estimate = (T_post − "
+    "T_pre) − (C_post − C_pre) over cell means; the output carries "
+    "the four cell means, the naive post-only gap (which absorbs "
+    "any pre-existing arm imbalance), the DiD estimate, the planted "
+    "ground truth (lift × treated-post baseline mean), and the "
+    "in-query recovery check |did − truth| — proving the estimator "
+    "nets out what the naive gap cannot. ONE map-side 4-cell "
+    "aggregate; event volume reduces to four counters (t27's "
+    "shape).",
+    oracle=f"""
+        WITH cells AS (
+            SELECT user_id % 2 = 1 AS treated,
+                   CAST(ts AS DATE) >= '{_T74_POST}' AS post,
+                   CASE WHEN user_id % 2 = 1
+                         AND CAST(ts AS DATE) >= '{_T74_POST}'
+                        THEN value * (1.0 + {_T74_LIFT}) ELSE value END AS y,
+                   value AS y0
+            FROM events WHERE value IS NOT NULL
+        ), agg AS (
+            SELECT
+                SUM(CASE WHEN treated AND post THEN y END)
+                    / COUNT(CASE WHEN treated AND post THEN 1 END) AS t_post,
+                SUM(CASE WHEN treated AND NOT post THEN y END)
+                    / COUNT(CASE WHEN treated AND NOT post THEN 1 END) AS t_pre,
+                SUM(CASE WHEN NOT treated AND post THEN y END)
+                    / COUNT(CASE WHEN NOT treated AND post THEN 1 END) AS c_post,
+                SUM(CASE WHEN NOT treated AND NOT post THEN y END)
+                    / COUNT(CASE WHEN NOT treated AND NOT post THEN 1 END) AS c_pre,
+                SUM(CASE WHEN treated AND post THEN y0 END)
+                    / COUNT(CASE WHEN treated AND post THEN 1 END) AS t_post_base
+            FROM cells
+        )
+        SELECT ROUND(t_pre, 4) AS treated_pre_mean,
+               ROUND(t_post, 4) AS treated_post_mean,
+               ROUND(c_pre, 4) AS control_pre_mean,
+               ROUND(c_post, 4) AS control_post_mean,
+               ROUND(t_post - c_post, 4) AS naive_post_gap,
+               ROUND((t_post - t_pre) - (c_post - c_pre), 4) AS did_estimate,
+               ROUND({_T74_LIFT} * t_post_base, 4) AS planted_effect,
+               ABS((t_post - t_pre) - (c_post - c_pre)
+                   - {_T74_LIFT} * t_post_base)
+                   < 0.05 * {_T74_LIFT} * t_post_base AS recovered
+        FROM agg
+    """,
+)
+def t74_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).filter(F.col("value").isNotNull())
+    treated = F.col("user_id") % 2 == 1
+    post = F.col("ts").cast("date") >= F.lit(_T74_POST)
+    y = F.when(treated & post, F.col("value") * (1.0 + _T74_LIFT)).otherwise(
+        F.col("value")
+    )
+    cells = ev.select(
+        treated.alias("treated"), post.alias("post"), y.alias("y"),
+        F.col("value").alias("y0"),
+    )
+
+    def cell_mean(col, t, p):
+        cond = (F.col("treated") == t) & (F.col("post") == p)
+        return F.sum(F.when(cond, F.col(col))) / F.count(F.when(cond, 1))
+
+    agg = cells.agg(
+        cell_mean("y", True, True).alias("t_post"),
+        cell_mean("y", True, False).alias("t_pre"),
+        cell_mean("y", False, True).alias("c_post"),
+        cell_mean("y", False, False).alias("c_pre"),
+        cell_mean("y0", True, True).alias("t_post_base"),
+    )
+    did = (F.col("t_post") - F.col("t_pre")) - (F.col("c_post") - F.col("c_pre"))
+    truth = F.lit(_T74_LIFT) * F.col("t_post_base")
+    return agg.select(
+        F.round("t_pre", 4).alias("treated_pre_mean"),
+        F.round("t_post", 4).alias("treated_post_mean"),
+        F.round("c_pre", 4).alias("control_pre_mean"),
+        F.round("c_post", 4).alias("control_post_mean"),
+        F.round(F.col("t_post") - F.col("c_post"), 4).alias("naive_post_gap"),
+        F.round(did, 4).alias("did_estimate"),
+        F.round(truth, 4).alias("planted_effect"),
+        (F.abs(did - truth) < 0.05 * truth).alias("recovered"),
+    )
