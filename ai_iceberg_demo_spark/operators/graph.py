@@ -585,3 +585,155 @@ def g5_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contrib.select(
         "*", F.round(F.sum("q_contrib").over(W.partitionBy()), 6).alias("modularity")
     ).orderBy("community")
+
+
+# ---------------------------------------------------------------------------
+# G6: personalized PageRank (random walk with restart to a seed segment)
+# ---------------------------------------------------------------------------
+
+_G6_SEED_MOD = 50  # custkey % this == 0 -> seed segment
+
+
+@REGISTRY.register(
+    name="g6_personalized_pagerank",
+    survey_ref="graph extra (recommendation core); g1 ranks GLOBAL "
+    "importance — PPR ranks importance RELATIVE to a seed segment, "
+    "the walk-with-restart behind co-purchase recommendations",
+    doc="2-iteration personalized PageRank: the purchase graph is "
+    "BIDIRECTED (customer→supplier plus the reverse — a directed "
+    "bipartite walk dead-ends at suppliers after one hop), the "
+    f"restart distribution is uniform over the custkey%{_G6_SEED_MOD}"
+    "==0 seed segment, and each step is (1−d)·seed + d·inflow with "
+    "g1's per-iteration rounding (fixed unroll = exactly "
+    "SQL-replayable). Hop 1 mass lands on the seeds' suppliers, hop "
+    "2 on co-purchasing LOOKALIKE customers — the output is the top "
+    "10 per NON-seed kind (suppliers to recommend, lookalike "
+    "customers), because restart mass keeps the seeds themselves "
+    "atop any global ranking: 'customers like yours bought from'. "
+    "Same "
+    "iteration shape as g1: one src-keyed join shuffle + one "
+    "dst-keyed partial agg per step, doubled edge set.",
+    oracle=f"""
+        WITH fwd AS (
+            SELECT DISTINCT 'c' || o.o_custkey AS src, 's' || l.l_suppkey AS dst
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        ), edges AS (
+            SELECT src, dst FROM fwd
+            UNION ALL
+            SELECT dst, src FROM fwd
+        ), nodes AS (
+            SELECT DISTINCT src AS node FROM edges
+        ), seeds AS (
+            SELECT node FROM nodes
+            WHERE node LIKE 'c%'
+              AND CAST(SUBSTR(node, 2) AS BIGINT) % {_G6_SEED_MOD} = 0
+        ), ns AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n_seeds FROM seeds
+        ), seedmass AS (
+            SELECT nd.node,
+                   CASE WHEN s.node IS NOT NULL
+                        THEN 1.0 / (SELECT n_seeds FROM ns) ELSE 0.0 END AS sm
+            FROM nodes nd LEFT JOIN seeds s ON nd.node = s.node
+        ), outdeg AS (
+            SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src
+        ), r0 AS (
+            SELECT node, sm AS rank FROM seedmass
+        ), c1 AS (
+            SELECT e.dst, SUM(r.rank / o.outdeg) AS inflow
+            FROM edges e JOIN outdeg o ON e.src = o.src
+                         JOIN r0 r ON e.src = r.node
+            WHERE r.rank > 0
+            GROUP BY e.dst
+        ), r1 AS (
+            SELECT sm.node,
+                   ROUND((1.0 - {DAMPING}) * sm.sm
+                         + {DAMPING} * COALESCE(c.inflow, 0.0), {_ITER_ROUND})
+                       AS rank
+            FROM seedmass sm LEFT JOIN c1 c ON sm.node = c.dst
+        ), c2 AS (
+            SELECT e.dst, SUM(r.rank / o.outdeg) AS inflow
+            FROM edges e JOIN outdeg o ON e.src = o.src
+                         JOIN r1 r ON e.src = r.node
+            WHERE r.rank > 0
+            GROUP BY e.dst
+        ), r2 AS (
+            SELECT sm.node,
+                   ROUND((1.0 - {DAMPING}) * sm.sm
+                         + {DAMPING} * COALESCE(c.inflow, 0.0), {_ITER_ROUND})
+                       AS rank
+            FROM seedmass sm LEFT JOIN c2 c ON sm.node = c.dst
+        )
+        , tagged AS (
+            SELECT r.node, ROUND(r.rank, 6) AS rank,
+                   CASE WHEN r.node LIKE 'c%' THEN 'lookalike_customer'
+                        ELSE 'supplier' END AS kind
+            FROM r2 r LEFT JOIN seeds s ON r.node = s.node
+            WHERE r.rank > 0 AND s.node IS NULL
+        )
+        SELECT node, rank, kind FROM (
+            SELECT node, rank, kind,
+                   ROW_NUMBER() OVER (PARTITION BY kind
+                                      ORDER BY rank DESC, node) AS rn
+            FROM tagged) WHERE rn <= 10
+        ORDER BY kind, rank DESC, node
+    """,
+)
+def g6_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fwd = purchase_edges(spark, sf_dir)
+    edges = fwd.unionAll(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    nodes = edges.select(F.col("src").alias("node")).distinct().persist()
+    is_seed_cust = (F.col("node") % 2 == 0) & (
+        (F.col("node") / 2).cast("long") % _G6_SEED_MOD == 0
+    )
+    seedmass_nodes = nodes.select("node", is_seed_cust.alias("is_seed"))
+    n_seeds = seedmass_nodes.filter("is_seed").count()
+    seedmass = seedmass_nodes.select(
+        "node",
+        F.when(F.col("is_seed"), 1.0 / n_seeds).otherwise(0.0).alias("sm"),
+        "is_seed",
+    ).persist()
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    rank = seedmass.select("node", F.col("sm").alias("rank"))
+    for _ in range(2):
+        contrib = (
+            edges.join(outdeg, "src")
+            .join(
+                rank.filter(F.col("rank") > 0).withColumnRenamed("node", "src"),
+                "src",
+            )
+            .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        rank = seedmass.join(
+            contrib.withColumnRenamed("dst", "node"), "node", "left"
+        ).select(
+            "node",
+            F.round(
+                (1.0 - DAMPING) * F.col("sm")
+                + DAMPING * F.coalesce("inflow", F.lit(0.0)),
+                _ITER_ROUND,
+            ).alias("rank"),
+        )
+    from pyspark.sql import Window as W
+
+    node_str = F.when(
+        F.col("node") % 2 == 0, F.concat(F.lit("c"), (F.col("node") / 2).cast("long"))
+    ).otherwise(F.concat(F.lit("s"), ((F.col("node") - 1) / 2).cast("long")))
+    kind = F.when(F.col("node") % 2 == 0, "lookalike_customer").otherwise(
+        "supplier"
+    )
+    tagged = (
+        rank.join(seedmass.select("node", "is_seed"), "node")
+        .filter((F.col("rank") > 0) & ~F.col("is_seed"))
+        .select(node_str.alias("node"), F.round("rank", 6).alias("rank"), kind.alias("kind"))
+    )
+    w = W.partitionBy("kind").orderBy(F.desc("rank"), F.asc("node"))
+    return (
+        tagged.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("node", "rank", "kind")
+        .orderBy("kind", F.desc("rank"), "node")
+    )
