@@ -1273,3 +1273,70 @@ def a22_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+# --- A23: trimmed & winsorized means (the robust-location pair) ---------
+
+_A23_TRIM = 0.05  # fraction clipped from EACH tail
+
+
+@REGISTRY.register(
+    name="a23_robust_means",
+    survey_ref="§2.4 robust aggregation; t59 QUARANTINES outliers — "
+    "these absorb them: the location estimates a metrics pipeline "
+    "publishes when it cannot afford row-level triage",
+    doc=f"trimmed and winsorized means per event_type at "
+    f"{_A23_TRIM:.0%} per tail: the trimmed mean drops values "
+    "outside the exact [p5, p95] fences, the winsorized mean CLAMPS "
+    "them to the fences (keeping the row count), both beside the "
+    "raw mean so the contamination delta is visible per type. "
+    "Fences are a11's exact per-type percentile surface (broadcast "
+    "back); the second pass is map-side clamp/filter + one "
+    "partial-agg shuffle — at 100 TB the fences swap to "
+    "approx_percentile exactly as a21 prices.",
+    oracle=f"""
+        WITH vals AS (
+            SELECT event_type, value FROM events WHERE value IS NOT NULL
+        ), fences AS (
+            SELECT event_type,
+                   QUANTILE_CONT(value, {_A23_TRIM}) AS lo,
+                   QUANTILE_CONT(value, {1 - _A23_TRIM}) AS hi
+            FROM vals GROUP BY event_type
+        )
+        SELECT v.event_type,
+               ROUND(AVG(v.value), 4) AS raw_mean,
+               ROUND(AVG(CASE WHEN v.value >= f.lo AND v.value <= f.hi
+                              THEN v.value END), 4) AS trimmed_mean,
+               ROUND(AVG(LEAST(GREATEST(v.value, f.lo), f.hi)), 4)
+                   AS winsorized_mean,
+               ROUND(f.lo, 4) AS fence_lo,
+               ROUND(f.hi, 4) AS fence_hi
+        FROM vals v JOIN fences f USING (event_type)
+        GROUP BY v.event_type, f.lo, f.hi
+        ORDER BY v.event_type
+    """,
+)
+def a23_robust_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
+    fences = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(_A23_TRIM)).alias("lo"),
+        F.percentile("value", F.lit(1 - _A23_TRIM)).alias("hi"),
+    )
+    clamped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    inside = (F.col("value") >= F.col("lo")) & (F.col("value") <= F.col("hi"))
+    return (
+        ev.join(F.broadcast(fences), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("value"), 4).alias("raw_mean"),
+            F.round(F.avg(F.when(inside, F.col("value"))), 4).alias("trimmed_mean"),
+            F.round(F.avg(clamped), 4).alias("winsorized_mean"),
+            F.round(F.first("lo"), 4).alias("fence_lo"),
+            F.round(F.first("hi"), 4).alias("fence_hi"),
+        )
+        .orderBy("event_type")
+    )

@@ -2944,3 +2944,66 @@ def t74_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(truth, 4).alias("planted_effect"),
         (F.abs(did - truth) < 0.05 * truth).alias("recovered"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t75: forecasting feature frame (the supervised table a forecaster trains on)
+# ---------------------------------------------------------------------------
+
+
+@REGISTRY.register(
+    name="t75_forecast_features",
+    survey_ref="§2.11 analytics extra (ML feature prep); t31 DESCRIBES "
+    "seasonality — this emits the supervised frame a forecaster "
+    "actually trains on",
+    doc="per-day feature engineering over the event count series: "
+    "target y (events that day) with lag-1, lag-7, trailing-7-day "
+    "mean (excluding today — no target leakage, the classic "
+    "feature-engineering bug), day-of-week, and is_weekend. Rows "
+    "whose lag-7 window precedes the corpus start keep NULL "
+    "features rather than silently imputing (the consumer decides). "
+    "Event volume reduces to the day table in ONE partial-agg "
+    "shuffle; every window runs over that calendar-bounded table "
+    "(SCALE.md day-table class).",
+    oracle="""
+        WITH days AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS y
+            FROM events GROUP BY 1
+        )
+        SELECT CAST(day AS VARCHAR) AS day, y,
+               LAG(y, 1) OVER w AS lag1,
+               LAG(y, 7) OVER w AS lag7,
+               CASE WHEN ROW_NUMBER() OVER w > 7
+                    THEN ROUND(AVG(y) OVER (ORDER BY day
+                         ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING), 4)
+               END AS ma7,
+               CAST(DAYOFWEEK(day) AS INT) AS dow,
+               DAYOFWEEK(day) IN (0, 6) AS is_weekend
+        FROM days
+        WINDOW w AS (ORDER BY day)
+        ORDER BY day
+    """,
+)
+def t75_forecast_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, "events", sf_dir)
+    days = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count("*").cast("bigint").alias("y")
+    )
+    w = W.orderBy("day")
+    w_ma = W.orderBy("day").rowsBetween(-7, -1)
+    # DuckDB DAYOFWEEK: Sunday=0; Spark dayofweek: Sunday=1 — shift
+    dow = F.dayofweek("day") - 1
+    return days.select(
+        F.col("day").cast("string").alias("day"),
+        "y",
+        F.lag("y", 1).over(w).alias("lag1"),
+        F.lag("y", 7).over(w).alias("lag7"),
+        F.when(
+            F.row_number().over(w) > 7, F.round(F.avg("y").over(w_ma), 4)
+        ).alias("ma7"),
+        dow.cast("int").alias("dow"),
+        dow.isin(0, 6).alias("is_weekend"),
+    ).orderBy("day")
