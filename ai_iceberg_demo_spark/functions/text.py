@@ -2212,3 +2212,76 @@ def f44_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("hard")
         .alias("band"),
     )
+
+
+# ---------------------------------------------------------------------------
+# f47: token-budget chunking (v2 chunks by chars; embedders budget tokens)
+# ---------------------------------------------------------------------------
+
+_F47_CHUNK_TOKENS = 32
+_F47_OVERLAP = 8
+_F47_STRIDE = _F47_CHUNK_TOKENS - _F47_OVERLAP
+
+
+@REGISTRY.register(
+    name="f47_token_chunks",
+    survey_ref="training-data / RAG prep (V2's token-budget sibling): "
+    "embedding models enforce TOKEN limits, so a char chunker (v2) "
+    "can still overflow them",
+    doc=f"token-aware chunking: each document's token array splits "
+    f"into windows of {_F47_CHUNK_TOKENS} tokens with "
+    f"{_F47_OVERLAP}-token overlap (stride {_F47_STRIDE}); every "
+    "token index lands in ≥1 chunk by construction, and no chunk "
+    "exceeds the budget — the two guarantees v2's char windows "
+    "can't make for a tokenizer. One bound token array per row, "
+    "start offsets from a sequence fan-out, slices re-joined "
+    "map-side — zero shuffle; chunk counts amplify rows by "
+    "~len/stride exactly like v2's plan.",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
+        ), starts AS (
+            SELECT doc_id, t,
+                   UNNEST(GENERATE_SERIES(1, GREATEST(LEN(t), 1),
+                                          {_F47_STRIDE})) AS s
+            FROM toks
+        ), chunks AS (
+            SELECT doc_id,
+                   CAST((s - 1) / {_F47_STRIDE} AS INT) AS chunk_idx,
+                   t[s:(s + {_F47_CHUNK_TOKENS} - 1)] AS c
+            FROM starts
+        )
+        SELECT doc_id, chunk_idx,
+               CAST(LEN(c) AS INT) AS n_tokens,
+               ARRAY_TO_STRING(c, ' ') AS chunk_text
+        FROM chunks WHERE LEN(c) > 0
+        ORDER BY doc_id, chunk_idx
+    """,
+)
+def f47_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    starts = toks.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.sequence(
+                F.lit(1), F.greatest(F.size("t"), F.lit(1)), F.lit(_F47_STRIDE)
+            )
+        ).alias("s"),
+    )
+    chunks = starts.select(
+        "doc_id",
+        ((F.col("s") - 1) / _F47_STRIDE).cast("int").alias("chunk_idx"),
+        F.slice("t", F.col("s"), _F47_CHUNK_TOKENS).alias("c"),
+    )
+    return (
+        chunks.filter(F.size("c") > 0)
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.size("c").cast("int").alias("n_tokens"),
+            F.array_join("c", " ").alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
