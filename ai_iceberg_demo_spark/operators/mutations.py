@@ -1413,3 +1413,85 @@ def m16_bitemporal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# M17: differentially-private aggregate release (governance family)
+# ---------------------------------------------------------------------------
+
+_DP_EPSILON = 1.0  # privacy budget for the released counts
+_DP_MIN_K = 10  # suppress groups smaller than this before noising
+
+
+@REGISTRY.register(
+    name="m17_dp_release",
+    survey_ref="governance extra (m13 generalizes quasi-identifiers; "
+    "this releases AGGREGATES under an epsilon budget — the other "
+    "half of a privacy program)",
+    doc=f"ε-differentially-private count release (ε={_DP_EPSILON}, "
+    "Laplace mechanism, sensitivity 1) over per-type event counts, "
+    f"with k-suppression (k={_DP_MIN_K}) BEFORE noising so tiny "
+    "groups never appear at all. Noise is Laplace via inverse-CDF "
+    "over a DETERMINISTIC md5-seeded uniform — this pins the whole "
+    "release pipeline (suppression, clamping at 0, noise magnitude) "
+    "under the oracle hash; a production release swaps the seeded "
+    "uniform for a real RNG and NOTHING else changes (the noise "
+    "column is the only nondeterministic input, exactly like v1's "
+    "provider seam). true_count rides along as the audit column the "
+    "privacy officer compares (never published). One partial-agg "
+    "shuffle; everything after is a bounded-type-table expression.",
+    oracle=f"""
+        WITH counts AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS true_count
+            FROM events GROUP BY event_type
+            HAVING COUNT(*) >= {_DP_MIN_K}
+        ), seeded AS (
+            SELECT event_type, true_count,
+                   ('0x' || SUBSTR(MD5(event_type), 1, 8))::BIGINT
+                       / 4294967296.0 AS u
+            FROM counts
+        ), noised AS (
+            SELECT event_type, true_count,
+                   -(1.0 / {_DP_EPSILON}) * SIGN(u - 0.5)
+                       * LN(1.0 - 2.0 * ABS(u - 0.5)) AS noise
+            FROM seeded
+        )
+        SELECT event_type,
+               true_count,
+               CAST(GREATEST(0, CAST(ROUND(true_count + noise, 0) AS BIGINT))
+                   AS BIGINT) AS released_count,
+               ROUND(noise, 4) AS noise,
+               {_DP_EPSILON} AS epsilon
+        FROM noised ORDER BY event_type
+    """,
+)
+def m17_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    counts = (
+        ev.groupBy("event_type")
+        .agg(F.count("*").cast("bigint").alias("true_count"))
+        .filter(F.col("true_count") >= _DP_MIN_K)
+    )
+    u = F.conv(F.substring(F.md5("event_type"), 1, 8), 16, 10).cast(
+        "double"
+    ) / F.lit(4294967296.0)
+    noise = (
+        -(1.0 / _DP_EPSILON)
+        * F.signum(u - 0.5)
+        * F.log(1.0 - 2.0 * F.abs(u - 0.5))
+    )
+    return (
+        counts.withColumn("noise", noise)
+        .select(
+            "event_type",
+            "true_count",
+            F.greatest(
+                F.lit(0), F.round(F.col("true_count") + F.col("noise"), 0).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("released_count"),
+            F.round("noise", 4).alias("noise"),
+            F.lit(_DP_EPSILON).alias("epsilon"),
+        )
+        .orderBy("event_type")
+    )
