@@ -2285,3 +2285,115 @@ def f47_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# t77: bigram LM perplexity (the KenLM-style quality filter, exact)
+# ---------------------------------------------------------------------------
+
+_T77_LAMBDA = 0.75  # bigram weight; 1-λ backs off to unigram
+
+
+@REGISTRY.register(
+    name="t77_bigram_perplexity",
+    survey_ref="training-data (LM-based quality filtering); t19 scores "
+    "unigram surprisal — interpolation with bigrams is what actual "
+    "perplexity filters (CCNet's KenLM) run",
+    doc="per-document perplexity under an interpolated bigram LM "
+    f"trained on the corpus itself: p(w2|w1) = {_T77_LAMBDA}·"
+    f"c(w1w2)/c(w1) + {1 - _T77_LAMBDA:.2f}·c(w2)/N, averaged "
+    "log-prob over each doc's adjacent pairs, ppl = exp(−avg). LOW "
+    "ppl = templated/repetitive (the corpus predicts it), HIGH = "
+    "unusual — both tails get review in a CCNet-style pipeline. "
+    "Shuffles: one pair wordcount + one unigram wordcount (t21/t67's "
+    "tables); the unigram sides broadcast, while the bigram table "
+    "joins pair-keyed — broadcast on this fixture, a plain "
+    "equi-shuffle at web scale where the bigram vocab outgrows "
+    "memory (real filters prune it to top-K first). One doc-keyed "
+    "partial agg closes. The model is corpus-trained in the same "
+    "plan that applies it — no side channel.",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
+        ), uni AS (
+            SELECT UNNEST(t) AS w FROM toks
+        ), uni_n AS (
+            SELECT w, CAST(COUNT(*) AS DOUBLE) AS n_w FROM uni GROUP BY w
+        ), tot AS (
+            SELECT SUM(n_w) AS n FROM uni_n
+        ), doc_pairs AS (
+            SELECT doc_id,
+                   UNNEST(CASE WHEN LEN(t) >= 2 THEN
+                       LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - 1),
+                                      i -> t[i] || ' ' || t[i + 1])
+                   ELSE [] END) AS pair
+            FROM toks
+        ), pair_n AS (
+            SELECT pair, CAST(COUNT(*) AS DOUBLE) AS n_ab
+            FROM doc_pairs GROUP BY pair
+        ), scored AS (
+            SELECT d.doc_id,
+                   LN({_T77_LAMBDA} * p.n_ab / a.n_w
+                      + {1 - _T77_LAMBDA} * b.n_w / t.n) AS lp
+            FROM doc_pairs d
+            JOIN pair_n p ON p.pair = d.pair
+            JOIN uni_n a ON a.w = STRING_SPLIT(d.pair, ' ')[1]
+            JOIN uni_n b ON b.w = STRING_SPLIT(d.pair, ' ')[2]
+            CROSS JOIN tot t
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               ROUND(AVG(lp), 6) AS avg_logprob,
+               ROUND(EXP(-AVG(lp)), 4) AS ppl
+        FROM scored GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+)
+def t77_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    uni_n = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("double").alias("n_w"))
+    )
+    tot = uni_n.agg(F.sum("n_w").alias("n"))
+    doc_pairs = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("t") >= 2,
+                F.zip_with(
+                    F.slice(F.col("t"), 1, F.size("t") - 1),
+                    F.slice(F.col("t"), 2, F.size("t") - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                ),
+            ).otherwise(F.array())
+        ).alias("pair"),
+    )
+    pair_n = doc_pairs.groupBy("pair").agg(
+        F.count("*").cast("double").alias("n_ab")
+    )
+    wa = F.split("pair", " ")[0]
+    wb = F.split("pair", " ")[1]
+    sides = doc_pairs.withColumn("wa", wa).withColumn("wb", wb)
+    ua = uni_n.select(F.col("w").alias("wa"), F.col("n_w").alias("na"))
+    ub = uni_n.select(F.col("w").alias("wb"), F.col("n_w").alias("nb"))
+    lp = F.log(
+        F.lit(_T77_LAMBDA) * F.col("n_ab") / F.col("na")
+        + F.lit(1 - _T77_LAMBDA) * F.col("nb") / F.col("n")
+    )
+    return (
+        sides.join(F.broadcast(pair_n), "pair")
+        .join(F.broadcast(ua), "wa")
+        .join(F.broadcast(ub), "wb")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", lp.alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.round(F.avg("lp"), 6).alias("avg_logprob"),
+            F.round(F.exp(-F.avg("lp")), 4).alias("ppl"),
+        )
+        .orderBy("doc_id")
+    )
