@@ -857,7 +857,7 @@ def s17_props_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # S18: zone-map skipping audit (why o6 z-orders and s16 plans layout)
 # ---------------------------------------------------------------------------
 
-_S18_FILE_ROWS = 2000  # simulated file size (l_orderkey DIV this = file id)
+_S18_FILE_ROWS = 200  # simulated file granule (l_orderkey DIV this = file id; 8+ files even at sf0.001)
 
 
 @REGISTRY.register(
@@ -866,7 +866,7 @@ _S18_FILE_ROWS = 2000  # simulated file size (l_orderkey DIV this = file id)
     "sizes — this measures what min/max footer stats actually SKIP, "
     "the number that justifies o6's z-order",
     doc="zone-map (parquet footer min/max) skipping audit: rows bucket "
-    f"into simulated {_S18_FILE_ROWS}-row files by insertion order "
+    f"into simulated {_S18_FILE_ROWS}-key files by insertion order "
     "(l_orderkey DIV n — how an unsorted ingest lays out), per-file "
     "min/max zone maps are computed for a CLUSTERED column "
     "(l_orderkey itself) and an UNCLUSTERED one (l_shipdate), and a "

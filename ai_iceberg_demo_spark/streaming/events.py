@@ -2867,12 +2867,13 @@ _T74_LIFT = 0.2  # planted multiplicative effect on treated-post rows
     "f42/v26's planted-truth convention). DiD estimate = (T_post − "
     "T_pre) − (C_post − C_pre) over cell means; the output carries "
     "the four cell means, the naive post-only gap (which absorbs "
-    "any pre-existing arm imbalance), the DiD estimate, the planted "
-    "ground truth (lift × treated-post baseline mean), and the "
-    "in-query recovery check |did − truth| — proving the estimator "
-    "nets out what the naive gap cannot. ONE map-side 4-cell "
-    "aggregate; event volume reduces to four counters (t27's "
-    "shape).",
+    "any pre-existing arm imbalance), the DiD estimate with its "
+    "standard error sqrt(Σ varᵢ/nᵢ), the planted ground truth "
+    "(lift × treated-post baseline mean), and the in-query recovery "
+    "check |did − truth| < 2·SE — the statistically honest bound "
+    "(a fixed % tolerance fails at small n from sampling noise "
+    "alone). ONE map-side 4-cell aggregate; event volume reduces "
+    "to a dozen counters (t27's shape).",
     oracle=f"""
         WITH cells AS (
             SELECT user_id % 2 = 1 AS treated,
@@ -2883,18 +2884,20 @@ _T74_LIFT = 0.2  # planted multiplicative effect on treated-post rows
                    value AS y0
             FROM events WHERE value IS NOT NULL
         ), agg AS (
+            SELECT treated, post,
+                   AVG(y) AS m, VAR_SAMP(y) AS v,
+                   CAST(COUNT(*) AS DOUBLE) AS n,
+                   AVG(y0) AS m0
+            FROM cells GROUP BY treated, post
+        ), wide AS (
             SELECT
-                SUM(CASE WHEN treated AND post THEN y END)
-                    / COUNT(CASE WHEN treated AND post THEN 1 END) AS t_post,
-                SUM(CASE WHEN treated AND NOT post THEN y END)
-                    / COUNT(CASE WHEN treated AND NOT post THEN 1 END) AS t_pre,
-                SUM(CASE WHEN NOT treated AND post THEN y END)
-                    / COUNT(CASE WHEN NOT treated AND post THEN 1 END) AS c_post,
-                SUM(CASE WHEN NOT treated AND NOT post THEN y END)
-                    / COUNT(CASE WHEN NOT treated AND NOT post THEN 1 END) AS c_pre,
-                SUM(CASE WHEN treated AND post THEN y0 END)
-                    / COUNT(CASE WHEN treated AND post THEN 1 END) AS t_post_base
-            FROM cells
+                MAX(CASE WHEN treated AND post THEN m END) AS t_post,
+                MAX(CASE WHEN treated AND NOT post THEN m END) AS t_pre,
+                MAX(CASE WHEN NOT treated AND post THEN m END) AS c_post,
+                MAX(CASE WHEN NOT treated AND NOT post THEN m END) AS c_pre,
+                MAX(CASE WHEN treated AND post THEN m0 END) AS t_post_base,
+                SQRT(SUM(v / n)) AS se
+            FROM agg
         )
         SELECT ROUND(t_pre, 4) AS treated_pre_mean,
                ROUND(t_post, 4) AS treated_post_mean,
@@ -2902,11 +2905,11 @@ _T74_LIFT = 0.2  # planted multiplicative effect on treated-post rows
                ROUND(c_post, 4) AS control_post_mean,
                ROUND(t_post - c_post, 4) AS naive_post_gap,
                ROUND((t_post - t_pre) - (c_post - c_pre), 4) AS did_estimate,
+               ROUND(se, 4) AS did_se,
                ROUND({_T74_LIFT} * t_post_base, 4) AS planted_effect,
                ABS((t_post - t_pre) - (c_post - c_pre)
-                   - {_T74_LIFT} * t_post_base)
-                   < 0.05 * {_T74_LIFT} * t_post_base AS recovered
-        FROM agg
+                   - {_T74_LIFT} * t_post_base) < 2.0 * se AS recovered
+        FROM wide
     """,
 )
 def t74_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2920,29 +2923,37 @@ def t74_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         treated.alias("treated"), post.alias("post"), y.alias("y"),
         F.col("value").alias("y0"),
     )
+    agg = cells.groupBy("treated", "post").agg(
+        F.avg("y").alias("m"),
+        F.var_samp("y").alias("v"),
+        F.count("*").cast("double").alias("n"),
+        F.avg("y0").alias("m0"),
+    )
 
-    def cell_mean(col, t, p):
+    def cell(col, t, p):
         cond = (F.col("treated") == t) & (F.col("post") == p)
-        return F.sum(F.when(cond, F.col(col))) / F.count(F.when(cond, 1))
+        return F.max(F.when(cond, F.col(col)))
 
-    agg = cells.agg(
-        cell_mean("y", True, True).alias("t_post"),
-        cell_mean("y", True, False).alias("t_pre"),
-        cell_mean("y", False, True).alias("c_post"),
-        cell_mean("y", False, False).alias("c_pre"),
-        cell_mean("y0", True, True).alias("t_post_base"),
+    wide = agg.agg(
+        cell("m", True, True).alias("t_post"),
+        cell("m", True, False).alias("t_pre"),
+        cell("m", False, True).alias("c_post"),
+        cell("m", False, False).alias("c_pre"),
+        cell("m0", True, True).alias("t_post_base"),
+        F.sqrt(F.sum(F.col("v") / F.col("n"))).alias("se"),
     )
     did = (F.col("t_post") - F.col("t_pre")) - (F.col("c_post") - F.col("c_pre"))
     truth = F.lit(_T74_LIFT) * F.col("t_post_base")
-    return agg.select(
+    return wide.select(
         F.round("t_pre", 4).alias("treated_pre_mean"),
         F.round("t_post", 4).alias("treated_post_mean"),
         F.round("c_pre", 4).alias("control_pre_mean"),
         F.round("c_post", 4).alias("control_post_mean"),
         F.round(F.col("t_post") - F.col("c_post"), 4).alias("naive_post_gap"),
         F.round(did, 4).alias("did_estimate"),
+        F.round("se", 4).alias("did_se"),
         F.round(truth, 4).alias("planted_effect"),
-        (F.abs(did - truth) < 0.05 * truth).alias("recovered"),
+        (F.abs(did - truth) < 2.0 * F.col("se")).alias("recovered"),
     )
 
 
