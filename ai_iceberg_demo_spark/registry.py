@@ -173,7 +173,8 @@ class Registry:
 # m16_bitemporal, a22_kmv_overlap, s18_zonemap_audit,
 # t74_diff_in_diff, g6_personalized_pagerank, t75_forecast_features,
 # a23_robust_means, f47_token_chunks, m17_dp_release,
-# t77_bigram_perplexity, ...), where they run
+# t77_bigram_perplexity, t78_conformal_forecast, t79_ols_forecast,
+# ...), where they run
 # ahead of the r2-core cohort (oldest driver evidence).
 # v8e_phash_dedup and pipeline_multimodal_prep
 # gained full hash oracles in r6 AFTER their r6 window slots were

@@ -2962,6 +2962,53 @@ def t74_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def daily_feature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t75's feature frame as a reusable input: (day, y, lag1, lag7,
+    ma7, dow, is_weekend) — t78's conformal intervals and t79's OLS
+    fit consume the SAME frame so the feature definitions (and the
+    no-leakage ma7) cannot desync across the forecasting stack."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, "events", sf_dir)
+    days = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count("*").cast("bigint").alias("y")
+    )
+    w = W.orderBy("day")
+    w_ma = W.orderBy("day").rowsBetween(-7, -1)
+    dow = F.dayofweek("day") - 1  # DuckDB DAYOFWEEK: Sunday=0; Spark: 1
+    return days.select(
+        F.col("day").cast("string").alias("day"),
+        "y",
+        F.lag("y", 1).over(w).alias("lag1"),
+        F.lag("y", 7).over(w).alias("lag7"),
+        F.when(
+            F.row_number().over(w) > 7, F.round(F.avg("y").over(w_ma), 4)
+        ).alias("ma7"),
+        dow.cast("int").alias("dow"),
+        dow.isin(0, 6).alias("is_weekend"),
+    )
+
+
+_T75_DAYS_SQL = """
+        days AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS y
+            FROM events GROUP BY 1
+        ), feats AS (
+            SELECT CAST(day AS VARCHAR) AS day, y,
+                   LAG(y, 1) OVER w AS lag1,
+                   LAG(y, 7) OVER w AS lag7,
+                   CASE WHEN ROW_NUMBER() OVER w > 7
+                        THEN ROUND(AVG(y) OVER (ORDER BY day
+                             ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING), 4)
+                   END AS ma7,
+                   CAST(DAYOFWEEK(day) AS INT) AS dow,
+                   DAYOFWEEK(day) IN (0, 6) AS is_weekend
+            FROM days
+            WINDOW w AS (ORDER BY day)
+        )"""
+
+
 @REGISTRY.register(
     name="t75_forecast_features",
     survey_ref="§2.11 analytics extra (ML feature prep); t31 DESCRIBES "
@@ -2976,45 +3023,244 @@ def t74_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Event volume reduces to the day table in ONE partial-agg "
     "shuffle; every window runs over that calendar-bounded table "
     "(SCALE.md day-table class).",
-    oracle="""
-        WITH days AS (
-            SELECT CAST(ts AS DATE) AS day,
-                   CAST(COUNT(*) AS BIGINT) AS y
-            FROM events GROUP BY 1
-        )
-        SELECT CAST(day AS VARCHAR) AS day, y,
-               LAG(y, 1) OVER w AS lag1,
-               LAG(y, 7) OVER w AS lag7,
-               CASE WHEN ROW_NUMBER() OVER w > 7
-                    THEN ROUND(AVG(y) OVER (ORDER BY day
-                         ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING), 4)
-               END AS ma7,
-               CAST(DAYOFWEEK(day) AS INT) AS dow,
-               DAYOFWEEK(day) IN (0, 6) AS is_weekend
-        FROM days
-        WINDOW w AS (ORDER BY day)
-        ORDER BY day
+    oracle="WITH " + _T75_DAYS_SQL + """
+        SELECT day, y, lag1, lag7, ma7, dow, is_weekend
+        FROM feats ORDER BY day
     """,
 )
 def t75_forecast_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return daily_feature_frame(spark, sf_dir).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# t78: split-conformal forecast intervals (distribution-free coverage)
+# ---------------------------------------------------------------------------
+
+_T78_LEVEL = 0.9
+_T78_CALIB_FRAC = 0.6
+
+
+@REGISTRY.register(
+    name="t78_conformal_forecast",
+    survey_ref="§2.11 analytics extra (uncertainty quantification); t75 "
+    "emits point features — this wraps ANY forecaster (here the ma7 "
+    "baseline) in distribution-free intervals",
+    doc="split-conformal prediction intervals around the trailing-mean "
+    f"forecast: the feature days (ma7 defined) split {_T78_CALIB_FRAC:.0%}"
+    "/rest by date into calibration/test, the conformal quantile is "
+    f"the ⌈{_T78_LEVEL}·(n+1)⌉-th smallest calibration |residual| "
+    "(the finite-sample correction that makes coverage ≥90% "
+    "GUARANTEED for exchangeable data — an empirical quantile alone "
+    "under-covers), and every test day gets [ŷ−q, ŷ+q] with its "
+    "covered flag plus the realized coverage broadcast. Reuses t75's "
+    "daily_feature_frame so the features cannot desync. All windows "
+    "over the calendar-bounded day table.",
+    oracle=f"""
+        WITH {_T75_DAYS_SQL},
+        ranked AS (
+            SELECT day, y, ma7,
+                   ROW_NUMBER() OVER (ORDER BY day) AS rn,
+                   COUNT(*) OVER () AS n_feat
+            FROM feats WHERE ma7 IS NOT NULL
+        ), split AS (
+            SELECT *, rn <= CEIL({_T78_CALIB_FRAC} * n_feat) AS is_calib
+            FROM ranked
+        ), calib AS (
+            SELECT ABS(y - ma7) AS resid,
+                   ROW_NUMBER() OVER (ORDER BY ABS(y - ma7)) AS rr,
+                   COUNT(*) OVER () AS nc
+            FROM split WHERE is_calib
+        ), q AS (
+            SELECT resid AS qhat FROM calib
+            WHERE rr = LEAST(CAST(CEIL({_T78_LEVEL} * (nc + 1)) AS BIGINT), nc)
+        ), test AS (
+            SELECT s.day, s.y, s.ma7 AS yhat,
+                   ROUND(s.ma7 - q.qhat, 4) AS lo,
+                   ROUND(s.ma7 + q.qhat, 4) AS hi,
+                   s.y >= s.ma7 - q.qhat AND s.y <= s.ma7 + q.qhat AS covered
+            FROM split s CROSS JOIN q WHERE NOT s.is_calib
+        )
+        SELECT day, y, yhat, lo, hi, covered,
+               ROUND(AVG(CASE WHEN covered THEN 1.0 ELSE 0.0 END)
+                     OVER (), 4) AS realized_coverage
+        FROM test ORDER BY day
+    """,
+)
+def t78_conformal_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    ev = load_table(spark, "events", sf_dir)
-    days = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
-        F.count("*").cast("bigint").alias("y")
+    feats = daily_feature_frame(spark, sf_dir).filter(F.col("ma7").isNotNull())
+    w_day = W.orderBy("day")
+    ranked = feats.select(
+        "day", "y", "ma7", F.row_number().over(w_day).alias("rn")
     )
-    w = W.orderBy("day")
-    w_ma = W.orderBy("day").rowsBetween(-7, -1)
-    # DuckDB DAYOFWEEK: Sunday=0; Spark dayofweek: Sunday=1 — shift
-    dow = F.dayofweek("day") - 1
-    return days.select(
-        F.col("day").cast("string").alias("day"),
-        "y",
-        F.lag("y", 1).over(w).alias("lag1"),
-        F.lag("y", 7).over(w).alias("lag7"),
-        F.when(
-            F.row_number().over(w) > 7, F.round(F.avg("y").over(w_ma), 4)
-        ).alias("ma7"),
-        dow.cast("int").alias("dow"),
-        dow.isin(0, 6).alias("is_weekend"),
+    n_feat = ranked.count()
+    n_calib_bound = -(-_T78_CALIB_FRAC * n_feat // 1)  # ceil
+    split = ranked.withColumn("is_calib", F.col("rn") <= F.lit(n_calib_bound))
+    calib = split.filter("is_calib").select(
+        F.abs(F.col("y") - F.col("ma7")).alias("resid")
+    )
+    nc = calib.count()
+    k = min(int(-(-_T78_LEVEL * (nc + 1) // 1)), nc)
+    w_r = W.orderBy("resid")
+    q = (
+        calib.withColumn("rr", F.row_number().over(w_r))
+        .filter(F.col("rr") == k)
+        .select(F.col("resid").alias("qhat"))
+    )
+    test = (
+        split.filter(~F.col("is_calib"))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "day",
+            "y",
+            F.col("ma7").alias("yhat"),
+            F.round(F.col("ma7") - F.col("qhat"), 4).alias("lo"),
+            F.round(F.col("ma7") + F.col("qhat"), 4).alias("hi"),
+            (
+                (F.col("y") >= F.col("ma7") - F.col("qhat"))
+                & (F.col("y") <= F.col("ma7") + F.col("qhat"))
+            ).alias("covered"),
+        )
+    )
+    w_all = W.partitionBy()
+    return test.select(
+        "*",
+        F.round(
+            F.avg(F.when(F.col("covered"), 1.0).otherwise(0.0)).over(w_all), 4
+        ).alias("realized_coverage"),
     ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# t79: closed-form OLS forecaster vs the naive baseline (the honest bar)
+# ---------------------------------------------------------------------------
+
+
+@REGISTRY.register(
+    name="t79_ols_forecast",
+    survey_ref="§2.11 analytics extra (the model layer over t75's "
+    "features); t41 fits one variable — this solves the 2-feature "
+    "normal equations and reports against the baseline every "
+    "forecast paper must beat",
+    doc="two-feature OLS (y ~ intercept + lag1 + ma7) fit CLOSED-FORM "
+    "on t75's calibration days — variables centered by train means, "
+    "the 2×2 normal equations solved by determinant (no solver, no "
+    "iteration; t41's discipline one dimension up) — then evaluated "
+    "on the held-out days as test MAE NEXT TO the naive "
+    "y(t)=y(t−1) baseline's MAE, with the beats-naive verdict "
+    "computed in-query (a forecaster that loses to persistence is "
+    "not a forecaster). Everything is sums over the calendar-bounded "
+    "day table; the fit is one aggregate row.",
+    oracle=f"""
+        WITH {_T75_DAYS_SQL},
+        ranked AS (
+            SELECT day, y, lag1, ma7,
+                   ROW_NUMBER() OVER (ORDER BY day) AS rn,
+                   COUNT(*) OVER () AS n_feat
+            FROM feats WHERE ma7 IS NOT NULL AND lag1 IS NOT NULL
+        ), split AS (
+            SELECT *, rn <= CEIL({_T78_CALIB_FRAC} * n_feat) AS is_train
+            FROM ranked
+        ), means AS (
+            SELECT AVG(y) AS my, AVG(lag1) AS m1, AVG(ma7) AS m2
+            FROM split WHERE is_train
+        ), sums AS (
+            SELECT SUM((lag1 - m1) * (lag1 - m1)) AS s11,
+                   SUM((ma7 - m2) * (ma7 - m2)) AS s22,
+                   SUM((lag1 - m1) * (ma7 - m2)) AS s12,
+                   SUM((lag1 - m1) * (y - my)) AS s1y,
+                   SUM((ma7 - m2) * (y - my)) AS s2y,
+                   ANY_VALUE(my) AS my, ANY_VALUE(m1) AS m1,
+                   ANY_VALUE(m2) AS m2
+            FROM split CROSS JOIN means WHERE is_train
+        ), coefs AS (
+            SELECT (s22 * s1y - s12 * s2y) / (s11 * s22 - s12 * s12) AS b1,
+                   (s11 * s2y - s12 * s1y) / (s11 * s22 - s12 * s12) AS b2,
+                   my, m1, m2
+            FROM sums
+        ), named AS (
+            SELECT b1, b2, my - b1 * m1 - b2 * m2 AS a FROM coefs
+        ), eval AS (
+            SELECT AVG(ABS(s.y - (n.a + n.b1 * s.lag1 + n.b2 * s.ma7)))
+                       AS mae_ols,
+                   AVG(ABS(s.y - s.lag1)) AS mae_naive
+            FROM split s CROSS JOIN named n WHERE NOT s.is_train
+        )
+        SELECT ROUND(n.b1, 6) AS beta_lag1,
+               ROUND(n.b2, 6) AS beta_ma7,
+               ROUND(n.a, 4) AS intercept,
+               ROUND(e.mae_ols, 4) AS mae_ols,
+               ROUND(e.mae_naive, 4) AS mae_naive,
+               e.mae_ols < e.mae_naive AS beats_naive
+        FROM named n CROSS JOIN eval e
+    """,
+)
+def t79_ols_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    feats = daily_feature_frame(spark, sf_dir).filter(
+        F.col("ma7").isNotNull() & F.col("lag1").isNotNull()
+    )
+    w_day = W.orderBy("day")
+    ranked = feats.select(
+        "day", "y", "lag1", "ma7", F.row_number().over(w_day).alias("rn")
+    )
+    n_feat = ranked.count()
+    bound = -(-_T78_CALIB_FRAC * n_feat // 1)
+    split = ranked.withColumn("is_train", F.col("rn") <= F.lit(bound)).persist()
+    means = split.filter("is_train").agg(
+        F.avg("y").alias("my"), F.avg("lag1").alias("m1"), F.avg("ma7").alias("m2")
+    )
+    c1 = F.col("lag1") - F.col("m1")
+    c2 = F.col("ma7") - F.col("m2")
+    cy = F.col("y") - F.col("my")
+    sums = (
+        split.filter("is_train")
+        .crossJoin(F.broadcast(means))
+        .agg(
+            F.sum(c1 * c1).alias("s11"),
+            F.sum(c2 * c2).alias("s22"),
+            F.sum(c1 * c2).alias("s12"),
+            F.sum(c1 * cy).alias("s1y"),
+            F.sum(c2 * cy).alias("s2y"),
+            F.first("my").alias("my"),
+            F.first("m1").alias("m1"),
+            F.first("m2").alias("m2"),
+        )
+    )
+    det = F.col("s11") * F.col("s22") - F.col("s12") * F.col("s12")
+    named = sums.select(
+        ((F.col("s22") * F.col("s1y") - F.col("s12") * F.col("s2y")) / det).alias(
+            "b1"
+        ),
+        ((F.col("s11") * F.col("s2y") - F.col("s12") * F.col("s1y")) / det).alias(
+            "b2"
+        ),
+        "my",
+        "m1",
+        "m2",
+    ).select(
+        "b1",
+        "b2",
+        (F.col("my") - F.col("b1") * F.col("m1") - F.col("b2") * F.col("m2")).alias(
+            "a"
+        ),
+    )
+    pred = F.col("a") + F.col("b1") * F.col("lag1") + F.col("b2") * F.col("ma7")
+    ev = (
+        split.filter(~F.col("is_train"))
+        .crossJoin(F.broadcast(named))
+        .agg(
+            F.avg(F.abs(F.col("y") - pred)).alias("mae_ols"),
+            F.avg(F.abs(F.col("y") - F.col("lag1"))).alias("mae_naive"),
+        )
+    )
+    return named.crossJoin(F.broadcast(ev)).select(
+        F.round("b1", 6).alias("beta_lag1"),
+        F.round("b2", 6).alias("beta_ma7"),
+        F.round("a", 4).alias("intercept"),
+        F.round("mae_ols", 4).alias("mae_ols"),
+        F.round("mae_naive", 4).alias("mae_naive"),
+        (F.col("mae_ols") < F.col("mae_naive")).alias("beats_naive"),
+    )
