@@ -3264,3 +3264,83 @@ def t79_ols_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mae_naive", 4).alias("mae_naive"),
         (F.col("mae_ols") < F.col("mae_naive")).alias("beats_naive"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t80: A/B power analysis (the design-stage readout t27 lacks)
+# ---------------------------------------------------------------------------
+
+_T80_Z_ALPHA = 1.959964  # two-sided alpha = 0.05
+_T80_Z_BETA = 0.841621  # power = 0.80
+_T80_REL_MDE = 0.10  # design lift: +10% relative
+
+
+@REGISTRY.register(
+    name="t80_power_analysis",
+    survey_ref="§2.11 analytics extra (experiment design); t27 judges a "
+    "FINISHED test — this says whether the test is worth starting",
+    doc="two-proportion power analysis per event type: baseline "
+    "conversion p0 = P(value ≥ 5 | type), the per-arm sample size "
+    f"needed to detect a {_T80_REL_MDE:.0%} relative lift at "
+    "α=0.05 (two-sided) with 80% power — n = (z_{α/2} + z_β)² · "
+    "(p0·q0 + p1·q1) / (p1 − p0)² — next to the type's CURRENT "
+    "per-arm volume (a 50/50 split of its events) and the verdict "
+    "adequately_powered. The table a growth team reads before "
+    "launching: an underpowered test burns traffic to produce an "
+    "inconclusive t27. ONE map-side per-type aggregate; everything "
+    "downstream is closed-form scalar math on a 5-row table.",
+    oracle=f"""
+        WITH rates AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   AVG(CASE WHEN value >= 5 THEN 1.0 ELSE 0.0 END) AS p0
+            FROM events WHERE value IS NOT NULL
+            GROUP BY event_type
+        ), design AS (
+            SELECT event_type, n_events, p0,
+                   p0 * (1.0 + {_T80_REL_MDE}) AS p1,
+                   n_events // 2 AS n_per_arm
+            FROM rates
+        )
+        SELECT event_type,
+               ROUND(p0, 6) AS baseline_rate,
+               ROUND(p1, 6) AS target_rate,
+               CAST(n_per_arm AS BIGINT) AS n_per_arm_current,
+               CAST(CEIL(POW({_T80_Z_ALPHA} + {_T80_Z_BETA}, 2)
+                         * (p0 * (1.0 - p0) + p1 * (1.0 - p1))
+                         / POW(p1 - p0, 2)) AS BIGINT) AS n_per_arm_required,
+               n_per_arm >= CEIL(POW({_T80_Z_ALPHA} + {_T80_Z_BETA}, 2)
+                                 * (p0 * (1.0 - p0) + p1 * (1.0 - p1))
+                                 / POW(p1 - p0, 2)) AS adequately_powered
+        FROM design ORDER BY event_type
+    """,
+)
+def t80_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).filter(F.col("value").isNotNull())
+    rates = ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.avg(F.when(F.col("value") >= 5, 1.0).otherwise(0.0)).alias("p0"),
+    )
+    p1 = F.col("p0") * (1.0 + _T80_REL_MDE)
+    design = rates.select(
+        "event_type",
+        "p0",
+        p1.alias("p1"),
+        (F.col("n_events") / 2).cast("bigint").alias("n_per_arm"),
+    )
+    n_req = F.ceil(
+        F.pow(F.lit(_T80_Z_ALPHA + _T80_Z_BETA), 2)
+        * (
+            F.col("p0") * (1.0 - F.col("p0"))
+            + F.col("p1") * (1.0 - F.col("p1"))
+        )
+        / F.pow(F.col("p1") - F.col("p0"), 2)
+    )
+    return design.select(
+        "event_type",
+        F.round("p0", 6).alias("baseline_rate"),
+        F.round("p1", 6).alias("target_rate"),
+        F.col("n_per_arm").alias("n_per_arm_current"),
+        n_req.cast("bigint").alias("n_per_arm_required"),
+        (F.col("n_per_arm") >= n_req).alias("adequately_powered"),
+    ).orderBy("event_type")
