@@ -2323,6 +2323,7 @@ _V32_PROBES = (40, 41, 42)
 
 @REGISTRY.register(
     name="v32_ivf_pq",
+    bench=True,
     survey_ref="V3 family (the composed production index): v3e's coarse "
     "IVF routing × v30's PQ codes, with RESIDUAL encoding — the "
     "FAISS IVFPQ shape (Jégou et al., TPAMI 2011 §IV)",
