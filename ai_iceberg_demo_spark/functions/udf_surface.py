@@ -175,3 +175,72 @@ def x5_error_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         err.alias("err"),
         classify_error(err, ["error", "quota"]).alias("retryable"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X6: Python UDTF (table function) — the Spark 4 lateral fan-out surface
+# ---------------------------------------------------------------------------
+
+
+def register_chunk_udtf(spark: SparkSession, name: str = "chunk_lines") -> None:
+    """Register a Python UDTF that fans one (doc_id, text) row out into
+    fixed-size word windows — the table-function spelling of x3's
+    posexplode fan-out. UDTFs are the Spark 4 API for row→table
+    transforms invoked laterally from SQL; per-row Python, so the HOT
+    path stays with the built-in explode twins (f47) — this pins the
+    API surface itself, not a performance claim."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, n_tokens int, chunk string")
+    class ChunkLines:
+        def eval(self, text: str):  # noqa: D401 — UDTF contract
+            toks = text.split(" ")
+            size = 16
+            for i in range(0, len(toks), size):
+                window = toks[i : i + size]
+                yield i // size, len(window), " ".join(window)
+
+    spark.udtf.register(name, ChunkLines)
+
+
+@REGISTRY.register(
+    name="x6_python_udtf",
+    survey_ref="X-family (Spark 4 Python UDTF): x3 fans out with "
+    "posexplode, this pins the TABLE-FUNCTION registration surface — "
+    "the API an activity-as-table-tool integration targets",
+    doc="Python UDTF registered in the SQL catalog and invoked via "
+    "LATERAL join: each document fans into 16-token word windows "
+    "(chunk_idx, n_tokens, chunk). The DuckDB oracle rebuilds the "
+    "same windows with list slicing, so the UDTF execution path "
+    "itself is hash-checked end-to-end. Per-row Python — the hot "
+    "path belongs to f47's explode spelling; what this buys is the "
+    "catalog-registered table-function surface (UDTFs can't be "
+    "expressed as scalar UDFs). Row fan-out ~len/16, no shuffle.",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
+        ), starts AS (
+            SELECT doc_id, t,
+                   UNNEST(GENERATE_SERIES(1, GREATEST(LEN(t), 1), 16)) AS s
+            FROM toks
+        )
+        SELECT doc_id,
+               CAST((s - 1) / 16 AS INT) AS chunk_idx,
+               CAST(LEN(t[s:(s + 15)]) AS INT) AS n_tokens,
+               ARRAY_TO_STRING(t[s:(s + 15)], ' ') AS chunk
+        FROM starts WHERE LEN(t[s:(s + 15)]) > 0
+        ORDER BY doc_id, chunk_idx
+    """,
+)
+def x6_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_iceberg_demo_spark.tables import load_table
+
+    register_chunk_udtf(spark)
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView("x6_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.n_tokens, c.chunk
+        FROM x6_docs d, LATERAL chunk_lines(d.text) c
+        ORDER BY d.doc_id, c.chunk_idx
+        """
+    )
