@@ -3344,3 +3344,139 @@ def t80_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_req.cast("bigint").alias("n_per_arm_required"),
         (F.col("n_per_arm") >= n_req).alias("adequately_powered"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# t84: population stability index (the scorecard-world drift metric)
+# ---------------------------------------------------------------------------
+
+_T84_SPLIT = "2024-01-15"  # reference period < split <= comparison period
+_T84_BINS = 10
+_T84_ALERT = 0.2  # industry convention: <0.1 stable, 0.1-0.2 watch, >0.2 act
+
+
+@REGISTRY.register(
+    name="t84_psi_drift",
+    survey_ref="§2.11 analytics extra (distribution drift); v16/t36 "
+    "z-test per-dimension MEANS — PSI compares whole DISTRIBUTIONS "
+    "on bins frozen from the reference period, the metric risk "
+    "scorecards are contractually monitored with",
+    doc="population stability index of the value distribution, first "
+    f"half vs second half of the corpus (split {_T84_SPLIT}): decile "
+    "bin edges are computed ON THE REFERENCE PERIOD ONLY (re-binning "
+    "on the union hides drift — the classic PSI mistake), both "
+    "periods histogram onto those frozen edges, and PSI = Σ (p−q)·"
+    "ln(p/q) with the 0.1/0.2 watch/act verdict per event_type. "
+    "Empty comparison bins are floored at 1e-4 (standard "
+    "continuity correction, spelled identically on both sides). The "
+    "fixture is stationary (every type reads ~0.01-0.03 PSI), so a "
+    "2× scale shift is PLANTED on the error type's comparison "
+    "period — it reads 'act' while every untouched type stays "
+    "'stable' at the driver's sf0.01 (small-n noise can push an "
+    "untouched type to 'watch' at sf0.001 — honest PSI behavior), "
+    "pinned by the hash (t74's planted-truth convention). "
+    "Two scans reduce to (type, bin) partials; the edge table "
+    "(types × 9 cuts) broadcasts onto the comparison scan.",
+    oracle=f"""
+        WITH ref AS (
+            SELECT event_type, value FROM events
+            WHERE value IS NOT NULL AND CAST(ts AS DATE) < '{_T84_SPLIT}'
+        ), cmp AS (
+            SELECT event_type,
+                   CASE WHEN event_type = 'error' THEN value * 2.0
+                        ELSE value END AS value
+            FROM events
+            WHERE value IS NOT NULL AND CAST(ts AS DATE) >= '{_T84_SPLIT}'
+        ), edges AS (
+            SELECT event_type,
+                   QUANTILE_CONT(value,
+                       {[i / _T84_BINS for i in range(1, _T84_BINS)]}) AS cuts
+            FROM ref GROUP BY event_type
+        ), rbin AS (
+            SELECT r.event_type,
+                   LEN(LIST_FILTER(e.cuts, c -> r.value > c)) AS bin
+            FROM ref r JOIN edges e USING (event_type)
+        ), cbin AS (
+            SELECT c.event_type,
+                   LEN(LIST_FILTER(e.cuts, x -> c.value > x)) AS bin
+            FROM cmp c JOIN edges e USING (event_type)
+        ), rp AS (
+            SELECT event_type, bin,
+                   COUNT(*) / SUM(COUNT(*)) OVER (PARTITION BY event_type)
+                       AS p
+            FROM rbin GROUP BY event_type, bin
+        ), cp AS (
+            SELECT event_type, bin,
+                   COUNT(*) / SUM(COUNT(*)) OVER (PARTITION BY event_type)
+                       AS q
+            FROM cbin GROUP BY event_type, bin
+        ), terms AS (
+            SELECT r.event_type,
+                   (r.p - GREATEST(COALESCE(c.q, 0), 1e-4))
+                   * LN(r.p / GREATEST(COALESCE(c.q, 0), 1e-4)) AS term
+            FROM rp r LEFT JOIN cp c
+              ON c.event_type = r.event_type AND c.bin = r.bin
+        )
+        SELECT event_type, ROUND(SUM(term), 6) AS psi,
+               CASE WHEN SUM(term) > {_T84_ALERT} THEN 'act'
+                    WHEN SUM(term) > 0.1 THEN 'watch'
+                    ELSE 'stable' END AS verdict
+        FROM terms GROUP BY event_type ORDER BY event_type
+    """,
+)
+def t84_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).filter(F.col("value").isNotNull())
+    day = F.col("ts").cast("date")
+    ref = ev.filter(day < _T84_SPLIT).select("event_type", "value")
+    cmp_ = ev.filter(day >= _T84_SPLIT).select(
+        "event_type",
+        F.when(F.col("event_type") == "error", F.col("value") * 2.0)
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    cuts = [float(i) / _T84_BINS for i in range(1, _T84_BINS)]
+    edges = ref.groupBy("event_type").agg(
+        F.percentile("value", F.array(*[F.lit(c) for c in cuts])).alias("cuts")
+    )
+
+    def binned(df):
+        return df.join(F.broadcast(edges), "event_type").select(
+            "event_type",
+            F.size(F.filter(F.col("cuts"), lambda c: F.col("value") > c)).alias(
+                "bin"
+            ),
+        )
+
+    def dist(df, col):
+        from pyspark.sql import Window as W
+
+        counts = binned(df).groupBy("event_type", "bin").agg(
+            F.count("*").alias("_n")
+        )
+        return counts.select(
+            "event_type",
+            "bin",
+            (F.col("_n") / F.sum("_n").over(W.partitionBy("event_type"))).alias(
+                col
+            ),
+        )
+
+    rp = dist(ref, "p")
+    cp = dist(cmp_, "q")
+    q = F.greatest(F.coalesce(F.col("q"), F.lit(0.0)), F.lit(1e-4))
+    terms = rp.join(cp, ["event_type", "bin"], "left").select(
+        "event_type", ((F.col("p") - q) * F.log(F.col("p") / q)).alias("term")
+    )
+    return (
+        terms.groupBy("event_type")
+        .agg(F.round(F.sum("term"), 6).alias("psi"))
+        .select(
+            "event_type",
+            "psi",
+            F.when(F.col("psi") > _T84_ALERT, "act")
+            .when(F.col("psi") > 0.1, "watch")
+            .otherwise("stable")
+            .alias("verdict"),
+        )
+        .orderBy("event_type")
+    )
