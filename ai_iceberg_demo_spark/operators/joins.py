@@ -666,3 +666,75 @@ def j10_blocked_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dirty_key", "clean_key")
     )
+
+
+# ---------------------------------------------------------------------------
+# J11: numeric band join (|a-b| <= eps) via epsilon-bucket probing
+# ---------------------------------------------------------------------------
+
+_J11_EPS = 0.02  # price tolerance
+
+
+@REGISTRY.register(
+    name="j11_band_join",
+    survey_ref="J-family extra (the numeric-tolerance join); j8/j9 "
+    "handle TIME proximity with windows — this is proximity on a "
+    "VALUE axis, where the window trick doesn't apply and the naive "
+    "spelling is a theta join",
+    doc="find near-identical charge amounts across different orders "
+    f"(|price_a − price_b| ≤ {_J11_EPS}, the duplicate-transaction "
+    "screen an audit runs): each distinct price buckets to "
+    f"FLOOR(v/{_J11_EPS}) and candidates come from an EQUI-join on "
+    "bucket plus the +1 neighbor (two bucket keys cover every "
+    "±ε pair exactly once after the a<b dedup) — never the "
+    "|a−b|≤ε theta join, which Spark can only execute as a "
+    "nested-loop cross. Output: per-bucket-pair verified matches "
+    "rolled up to match count, distinct prices involved, and mean "
+    "gap. Scale: distinct-price reduction first (one shuffle), "
+    "bucket equi-joins on uniform keys; candidate volume is bounded "
+    "by pairs-per-2ε-cell, never rows².",
+    oracle=f"""
+        WITH prices AS (
+            SELECT DISTINCT ROUND(CAST(l_extendedprice AS DOUBLE), 2) AS v
+            FROM lineitem
+        ), buck AS (
+            SELECT v, CAST(FLOOR(v / {_J11_EPS}) AS BIGINT) AS b FROM prices
+        ), cand AS (
+            SELECT a.v AS va, x.v AS vb
+            FROM buck a JOIN buck x ON x.b = a.b AND x.v > a.v
+            UNION ALL
+            SELECT a.v, x.v
+            FROM buck a JOIN buck x ON x.b = a.b + 1 AND x.v > a.v
+        ), verified AS (
+            SELECT va, vb, vb - va AS gap FROM cand
+            WHERE vb - va <= {_J11_EPS}
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(COUNT(DISTINCT va) AS BIGINT) AS n_lower_prices,
+               ROUND(AVG(gap), 6) AS mean_gap,
+               ROUND(MAX(gap), 6) AS max_gap,
+               MAX(gap) <= {_J11_EPS} AS all_within_band
+        FROM verified
+    """,
+)
+def j11_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    prices = li.select(
+        F.round(F.col("l_extendedprice").cast("double"), 2).alias("v")
+    ).distinct()
+    buck = prices.select("v", F.floor(F.col("v") / _J11_EPS).cast("bigint").alias("b"))
+    a = buck.select(F.col("v").alias("va"), F.col("b").alias("ba"))
+    x = buck.select(F.col("v").alias("vb"), F.col("b").alias("bb"))
+    same = a.join(x, (F.col("bb") == F.col("ba")) & (F.col("vb") > F.col("va")))
+    nxt = a.join(x, (F.col("bb") == F.col("ba") + 1) & (F.col("vb") > F.col("va")))
+    cand = same.unionAll(nxt).select("va", "vb")
+    verified = cand.filter(F.col("vb") - F.col("va") <= _J11_EPS).select(
+        "va", "vb", (F.col("vb") - F.col("va")).alias("gap")
+    )
+    return verified.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.countDistinct("va").cast("bigint").alias("n_lower_prices"),
+        F.round(F.avg("gap"), 6).alias("mean_gap"),
+        F.round(F.max("gap"), 6).alias("max_gap"),
+        (F.max("gap") <= _J11_EPS).alias("all_within_band"),
+    )

@@ -174,8 +174,8 @@ class Registry:
 # t74_diff_in_diff, g6_personalized_pagerank, t75_forecast_features,
 # a23_robust_means, f47_token_chunks, m17_dp_release,
 # t77_bigram_perplexity, t78_conformal_forecast, t79_ols_forecast,
-# t80_power_analysis, x6_python_udtf, t84_psi_drift, ...), where
-# they run
+# t80_power_analysis, x6_python_udtf, t84_psi_drift, j11_band_join,
+# ...), where they run
 # ahead of the r2-core cohort (oldest driver evidence).
 # v8e_phash_dedup and pipeline_multimodal_prep
 # gained full hash oracles in r6 AFTER their r6 window slots were
