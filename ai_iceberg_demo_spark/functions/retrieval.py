@@ -574,3 +574,186 @@ def t71_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tf.join(F.broadcast(stats), "term").select(
         "term", "doc_id", "tf", "df", idf.alias("idf")
     )
+
+
+# ---------------------------------------------------------------------------
+# t85: pseudo-relevance-feedback expansion, served FROM the t71 index
+# ---------------------------------------------------------------------------
+
+_T85_FEEDBACK_K = 5
+_T85_EXPAND_N = 3
+
+
+def _t85_oracle() -> str:
+    from ai_iceberg_demo_spark.functions.text import lexical_terms_sql
+
+    q0 = ", ".join(f"'{t}'" for t in QUERY_TERMS)
+    return f"""
+        WITH toked AS (
+            SELECT doc_id, {lexical_terms_sql("text")} AS t FROM documents
+        ), posting AS (
+            SELECT doc_id, UNNEST(t) AS term FROM toked
+        ), tf AS (
+            SELECT term, doc_id, CAST(COUNT(*) AS DOUBLE) AS tf
+            FROM posting GROUP BY term, doc_id
+        ), stats AS (
+            SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term
+        ), dl AS (
+            SELECT doc_id, CAST(LEN(t) AS DOUBLE) AS dl FROM toked
+        ), g AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS nd, AVG(dl) AS avgdl FROM dl
+        ), idx AS (
+            SELECT t.term, t.doc_id, t.tf, d.dl,
+                   LN(1.0 + (g.nd - s.df + 0.5) / (s.df + 0.5)) AS idf,
+                   t.tf * ({BM25_K1} + 1.0)
+                       / (t.tf + {BM25_K1} * (1.0 - {BM25_B}
+                          + {BM25_B} * d.dl / g.avgdl)) AS tfn
+            FROM tf t
+            JOIN stats s USING (term)
+            JOIN dl d USING (doc_id)
+            CROSS JOIN g
+        ), pass1 AS (
+            SELECT doc_id, ROUND(SUM(idf * tfn), 6) AS score
+            FROM idx WHERE term IN ({q0})
+            GROUP BY doc_id
+        ), top1 AS (
+            SELECT doc_id, score,
+                   ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn
+            FROM pass1
+        ), feedback AS (
+            SELECT doc_id FROM top1 WHERE rn <= {_T85_FEEDBACK_K}
+        ), exp_terms AS (
+            SELECT term FROM (
+                SELECT i.term, ROUND(SUM(i.tf * i.idf), 6) AS w,
+                       ROW_NUMBER() OVER (ORDER BY ROUND(SUM(i.tf * i.idf), 6)
+                                          DESC, i.term) AS rn
+                FROM idx i JOIN feedback f USING (doc_id)
+                WHERE i.term NOT IN ({q0})
+                GROUP BY i.term) WHERE rn <= {_T85_EXPAND_N}
+        ), expanded AS (
+            SELECT term FROM exp_terms
+            UNION ALL SELECT UNNEST([{q0}])
+        ), pass2 AS (
+            SELECT i.doc_id, ROUND(SUM(i.idf * i.tfn), 6) AS score
+            FROM idx i JOIN expanded e ON e.term = i.term
+            GROUP BY i.doc_id
+        ), top2 AS (
+            SELECT doc_id, score,
+                   ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn
+            FROM pass2
+        ), label AS (
+            SELECT ARRAY_TO_STRING(LIST(term ORDER BY term), ',') AS exp
+            FROM exp_terms
+        )
+        SELECT t.rn AS rank, t.doc_id, t.score,
+               f.doc_id IS NOT NULL AS was_in_feedback,
+               l.exp AS expansion_terms
+        FROM top2 t
+        LEFT JOIN feedback f USING (doc_id)
+        CROSS JOIN label l
+        WHERE t.rn <= {_T85_FEEDBACK_K}
+        ORDER BY t.rn
+    """
+
+
+@REGISTRY.register(
+    name="t85_prf_expansion",
+    survey_ref="retrieval extra (Rocchio pseudo-relevance feedback); "
+    "t22 scores a FIXED query — PRF learns expansion terms from the "
+    "first pass's top docs, the classic recall lever; and both "
+    "passes are served FROM t71's posting relation, proving the "
+    "index answers queries, not just builds",
+    doc=f"two-pass PRF: BM25 over the base query via the t71 posting "
+    f"relation (terms join the index — no per-term closures, which "
+    "is what makes DYNAMIC queries possible where t22's fixed-column "
+    f"spelling cannot), top-{_T85_FEEDBACK_K} feedback docs, top-"
+    f"{_T85_EXPAND_N} expansion terms by tf·idf mass within the "
+    "feedback set (base terms excluded), re-score with the expanded "
+    "term set. Output: the final top-5 with was_in_feedback flags "
+    "and the expansion terms. Scale: both passes are term-keyed "
+    "joins against the (persisted) index — query terms broadcast, "
+    "only matching postings move; the feedback term-mass agg runs "
+    f"over {_T85_FEEDBACK_K} docs' postings.",
+    oracle=_t85_oracle(),
+)
+def t85_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ai_iceberg_demo_spark.functions.text import lexical_terms
+    from ai_iceberg_demo_spark.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    toked = docs.select("doc_id", lexical_terms(F.col("text")).alias("t")).persist()
+    posting = toked.select("doc_id", F.explode("t").alias("term"))
+    tf = posting.groupBy("term", "doc_id").agg(
+        F.count("*").cast("double").alias("tf")
+    )
+    stats = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    dl = toked.select("doc_id", F.size("t").cast("double").alias("dl"))
+    g = dl.agg(F.count("*").cast("double").alias("nd"), F.avg("dl").alias("avgdl"))
+    idf = F.log(1.0 + (F.col("nd") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tfn = (
+        F.col("tf")
+        * (BM25_K1 + 1.0)
+        / (
+            F.col("tf")
+            + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    idx = (
+        tf.join(F.broadcast(stats), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(g))
+        .select("term", "doc_id", "tf", idf.alias("idf"), tfn.alias("tfn"))
+        .persist()
+    )
+    q0 = list(QUERY_TERMS)
+    pass1 = (
+        idx.filter(F.col("term").isin(*q0))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.col("idf") * F.col("tfn")), 6).alias("score"))
+    )
+    w_rank = W.orderBy(F.desc("score"), F.asc("doc_id"))
+    feedback = (
+        pass1.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= _T85_FEEDBACK_K)
+        .select("doc_id")
+    )
+    exp_terms = (
+        idx.join(F.broadcast(feedback), "doc_id")
+        .filter(~F.col("term").isin(*q0))
+        .groupBy("term")
+        .agg(F.round(F.sum(F.col("tf") * F.col("idf")), 6).alias("w"))
+        .withColumn("rn", F.row_number().over(W.orderBy(F.desc("w"), F.asc("term"))))
+        .filter(F.col("rn") <= _T85_EXPAND_N)
+        .select("term")
+    )
+    expanded = exp_terms.unionAll(
+        toked.sparkSession.createDataFrame([(t,) for t in q0], "term string")
+    )
+    pass2 = (
+        idx.join(F.broadcast(expanded), "term")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.col("idf") * F.col("tfn")), 6).alias("score"))
+    )
+    label = exp_terms.agg(
+        F.array_join(F.sort_array(F.collect_list("term")), ",").alias(
+            "expansion_terms"
+        )
+    )
+    return (
+        pass2.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= _T85_FEEDBACK_K)
+        .join(
+            F.broadcast(feedback.withColumn("_fb", F.lit(True))), "doc_id", "left"
+        )
+        .crossJoin(F.broadcast(label))
+        .select(
+            "rank",
+            "doc_id",
+            "score",
+            F.coalesce("_fb", F.lit(False)).alias("was_in_feedback"),
+            "expansion_terms",
+        )
+        .orderBy("rank")
+    )
