@@ -1194,3 +1194,112 @@ def pipeline_model_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t65 = unpivot(t65_roc_auc(spark, sf_dir), "ranking", ["auc", "gini"])
     return t47.unionByName(t64).unionByName(t65).orderBy("family", "metric")
+
+
+# ---------------------------------------------------------------------------
+# pipeline: experimentation card (t80 design ∘ t27 readout ∘ t74 causal)
+# ---------------------------------------------------------------------------
+
+
+def _experiment_oracle() -> str:
+    """Compose the three experiment operators' EXACT oracle strings
+    (the model-eval-card discipline): design power (t80, the purchase
+    conversion t27 tests), the significance readout (t27), and the
+    trend-robust causal estimate (t74)."""
+    from ai_iceberg_demo_spark.streaming.events import (
+        REGISTRY as _EV_REGISTRY,
+    )
+
+    t80 = _EV_REGISTRY.specs["t80_power_analysis"].oracle
+    t27 = _EV_REGISTRY.specs["t27_ab_test"].oracle
+    t74 = _EV_REGISTRY.specs["t74_diff_in_diff"].oracle
+    return f"""
+        SELECT 'design' AS family, metric, value FROM (
+            SELECT UNNEST(['n_per_arm_current', 'n_per_arm_required',
+                           'adequately_powered']) AS metric,
+                   UNNEST([CAST(n_per_arm_current AS DOUBLE),
+                           CAST(n_per_arm_required AS DOUBLE),
+                           CASE WHEN adequately_powered THEN 1.0
+                                ELSE 0.0 END]) AS value
+            FROM ({t80}) WHERE event_type = 'purchase'
+        )
+        UNION ALL
+        SELECT 'readout', metric, value FROM (
+            SELECT UNNEST(['rate_a', 'rate_b', 'z_score', 'significant'])
+                       AS metric,
+                   UNNEST([rate_a, rate_b, z_score,
+                           CASE WHEN significant THEN 1.0 ELSE 0.0 END])
+                       AS value
+            FROM ({t27})
+        )
+        UNION ALL
+        SELECT 'causal', metric, value FROM (
+            SELECT UNNEST(['did_estimate', 'did_se', 'planted_effect',
+                           'recovered']) AS metric,
+                   UNNEST([did_estimate, did_se, planted_effect,
+                           CASE WHEN recovered THEN 1.0 ELSE 0.0 END])
+                       AS value
+            FROM ({t74})
+        )
+        ORDER BY family, metric
+    """
+
+
+@REGISTRY.register(
+    name="pipeline_experiment",
+    survey_ref="training-data (composed: t80 + t27 + t74 experiment card)",
+    doc="the full experimentation lifecycle in ONE table: design "
+    "(t80's power check on the purchase conversion t27 actually "
+    "tests), readout (t27's rates, z, significance), and the "
+    "trend-robust causal estimate (t74's DiD with SE) — long-format "
+    "(family, metric, value), the card an experiment review reads "
+    "top to bottom. Oracle reuses the three parts' exact SQL as "
+    "subqueries (pipeline_model_eval's discipline); the Spark side "
+    "calls the registered operators and unpivots. Each family is a "
+    "closed-form aggregate — event volume reduces map-side before "
+    "any union.",
+    oracle=_experiment_oracle(),
+)
+def pipeline_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_iceberg_demo_spark.streaming.events import (
+        t27_ab_test,
+        t74_diff_in_diff,
+        t80_power_analysis,
+    )
+
+    def unpivot(df: DataFrame, family: str, cols: list[str]) -> DataFrame:
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("metric"),
+                    F.col(c).cast("double").alias("value"),
+                )
+                for c in cols
+            ]
+        )
+        return df.select(F.explode(pairs).alias("_m")).select(
+            F.lit(family).alias("family"),
+            F.col("_m.metric").alias("metric"),
+            F.col("_m.value").alias("value"),
+        )
+
+    design = unpivot(
+        t80_power_analysis(spark, sf_dir).filter(
+            F.col("event_type") == "purchase"
+        ),
+        "design",
+        ["n_per_arm_current", "n_per_arm_required", "adequately_powered"],
+    )
+    readout = unpivot(
+        t27_ab_test(spark, sf_dir),
+        "readout",
+        ["rate_a", "rate_b", "z_score", "significant"],
+    )
+    causal = unpivot(
+        t74_diff_in_diff(spark, sf_dir),
+        "causal",
+        ["did_estimate", "did_se", "planted_effect", "recovered"],
+    )
+    return design.unionByName(readout).unionByName(causal).orderBy(
+        "family", "metric"
+    )
