@@ -1685,3 +1685,98 @@ def u38_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("temp", "source")
     )
+
+
+# --- u39: largest-remainder (Hamilton) budget apportionment -------------
+
+_U39_BUDGET = 1000  # documents to allocate across sources
+
+
+@REGISTRY.register(
+    name="u39_hamilton_allocation",
+    survey_ref="training-data (exact-n sampling prep); u10/u38 emit "
+    "RATES — when the contract is an exact total (a 1000-doc eval "
+    "set, a fixed labeling budget), rounding rates misses the total "
+    "and this is the apportionment that never does",
+    doc=f"largest-remainder (Hamilton) apportionment of an exact "
+    f"{_U39_BUDGET}-doc budget across sources proportional to corpus "
+    "share: each source gets FLOOR(quota), and the leftover seats go "
+    "to the largest fractional remainders (ties to source name) — "
+    "allocations sum to the budget EXACTLY, proven in-query "
+    "(sum_check rides every row). Naive ROUND(quota) drifts by "
+    "±sources/2 docs; a labeling invoice can't. One source-keyed "
+    "count shuffle; the apportionment is a window over the "
+    "O(sources) table.",
+    oracle=f"""
+        WITH counts AS (
+            SELECT source, CAST(COUNT(*) AS DOUBLE) AS n
+            FROM documents GROUP BY source
+        ), quota AS (
+            SELECT source, n,
+                   n * {_U39_BUDGET} / SUM(n) OVER () AS q
+            FROM counts
+        ), based AS (
+            SELECT source, n, q,
+                   CAST(FLOOR(q) AS BIGINT) AS base,
+                   q - FLOOR(q) AS rem,
+                   CAST({_U39_BUDGET} - SUM(CAST(FLOOR(q) AS BIGINT)) OVER ()
+                       AS BIGINT) AS leftover
+            FROM quota
+        ), ranked AS (
+            SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rr
+            FROM based
+        ), alloc AS (
+            SELECT source, CAST(n AS BIGINT) AS n_docs,
+                   ROUND(q, 4) AS quota,
+                   base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END
+                       AS allocated
+            FROM ranked
+        )
+        SELECT source, n_docs, quota, CAST(allocated AS BIGINT) AS allocated,
+               CAST(SUM(allocated) OVER () AS BIGINT) = {_U39_BUDGET}
+                   AS sum_check
+        FROM alloc ORDER BY source
+    """,
+)
+def u39_hamilton_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, "documents", sf_dir)
+    counts = docs.groupBy("source").agg(F.count("*").cast("double").alias("n"))
+    # O(sources) table from here on — the unpartitioned windows run
+    # over a frame the size of the source list, never the corpus
+    w_all = W.partitionBy()
+    quota = counts.select(
+        "source", "n", (F.col("n") * _U39_BUDGET / F.sum("n").over(w_all)).alias("q")
+    )
+    based = quota.select(
+        "source",
+        "n",
+        "q",
+        F.floor("q").cast("bigint").alias("base"),
+        (F.col("q") - F.floor("q")).alias("rem"),
+        (F.lit(_U39_BUDGET) - F.sum(F.floor("q").cast("bigint")).over(w_all))
+        .cast("bigint")
+        .alias("leftover"),
+    )
+    ranked = based.withColumn(
+        "rr", F.row_number().over(W.orderBy(F.desc("rem"), F.asc("source")))
+    )
+    alloc = ranked.select(
+        "source",
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.round("q", 4).alias("quota"),
+        (
+            F.col("base")
+            + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0)
+        ).alias("allocated"),
+    )
+    return alloc.select(
+        "source",
+        "n_docs",
+        "quota",
+        F.col("allocated").cast("bigint").alias("allocated"),
+        (F.sum("allocated").over(w_all).cast("bigint") == _U39_BUDGET).alias(
+            "sum_check"
+        ),
+    ).orderBy("source")
