@@ -3480,3 +3480,103 @@ def t84_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# t89: feature-store point-in-time join with TTL (stale features = NULL)
+# ---------------------------------------------------------------------------
+
+_T89_TTL_S = 2 * 86400  # max feature age: 2 days
+
+
+@REGISTRY.register(
+    name="t89_feature_store_join",
+    survey_ref="training-data (feature-store semantics); j8's as-of "
+    "join takes the last value at ANY age — a feature store also "
+    "enforces a TTL, because a week-old 'recent activity' feature is "
+    "training-serving skew in disguise",
+    doc="point-in-time feature join with staleness rejection: for each "
+    "purchase event, the user's most recent PRIOR view value attaches "
+    f"only if it is at most {_T89_TTL_S // 86400} days old — older "
+    "features become NULL (is_stale=true) rather than silently "
+    "leaking ancient state into training rows. Same single "
+    "user-keyed shuffle as j8 (union + ordered window with "
+    "ignoreNulls LAST), with the TTL as a map-side age check on the "
+    "carried feature timestamp; output carries feature_age_s so the "
+    "TTL choice itself can be audited (t62's discipline for "
+    "watermarks, here for feature freshness).",
+    oracle=f"""
+        WITH tagged AS (
+            SELECT user_id, ts, event_id, event_type, value,
+                   CASE WHEN event_type = 'view' THEN value END AS f_val,
+                   CASE WHEN event_type = 'view' THEN ts END AS f_ts
+            FROM events WHERE event_type IN ('purchase', 'view')
+        ), carried AS (
+            SELECT user_id, ts, event_id, event_type,
+                   LAST_VALUE(f_val IGNORE NULLS) OVER w AS last_view_val,
+                   LAST_VALUE(f_ts IGNORE NULLS) OVER w AS last_view_ts
+            FROM tagged
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        )
+        SELECT event_id, user_id,
+               (EPOCH_US(ts) - EPOCH_US(last_view_ts)) // 1000000
+                   AS feature_age_s,
+               CASE WHEN last_view_ts IS NOT NULL
+                     AND (EPOCH_US(ts) - EPOCH_US(last_view_ts)) // 1000000
+                         <= {_T89_TTL_S}
+                    THEN ROUND(last_view_val, 2) END AS feature_value,
+               last_view_ts IS NOT NULL
+                   AND (EPOCH_US(ts) - EPOCH_US(last_view_ts)) // 1000000
+                       > {_T89_TTL_S}
+                   AS is_stale
+        FROM carried WHERE event_type = 'purchase'
+        ORDER BY event_id
+    """,
+)
+def t89_feature_store_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(F.col("event_type") == "view", F.col("value")).alias("f_val"),
+        F.when(F.col("event_type") == "view", F.col("ts")).alias("f_ts"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    carried = tagged.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.last("f_val", ignorenulls=True).over(w).alias("last_view_val"),
+        F.last("f_ts", ignorenulls=True).over(w).alias("last_view_ts"),
+    )
+    age = F.floor(
+        (F.unix_micros("ts") - F.unix_micros("last_view_ts")) / 1_000_000
+    )
+    return (
+        carried.filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            age.cast("bigint").alias("feature_age_s"),
+            F.when(
+                F.col("last_view_ts").isNotNull() & (age <= _T89_TTL_S),
+                F.round("last_view_val", 2),
+            ).alias("feature_value"),
+            (F.col("last_view_ts").isNotNull() & (age > _T89_TTL_S)).alias(
+                "is_stale"
+            ),
+        )
+        .orderBy("event_id")
+    )
