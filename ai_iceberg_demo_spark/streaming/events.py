@@ -3280,7 +3280,10 @@ _T80_REL_MDE = 0.10  # design lift: +10% relative
     survey_ref="§2.11 analytics extra (experiment design); t27 judges a "
     "FINISHED test — this says whether the test is worth starting",
     doc="two-proportion power analysis per event type: baseline "
-    "conversion p0 = P(value ≥ 5 | type), the per-arm sample size "
+    "conversion p0 = P(value ≥ 5 | type), target p1 = min(p0·1.1, "
+    "0.999) — the fixture's rates sit near 0.9, where an unclamped "
+    "relative lift exceeds 1.0 and the formula silently designs for "
+    "an impossible rate — the per-arm sample size "
     f"needed to detect a {_T80_REL_MDE:.0%} relative lift at "
     "α=0.05 (two-sided) with 80% power — n = (z_{α/2} + z_β)² · "
     "(p0·q0 + p1·q1) / (p1 − p0)² — next to the type's CURRENT "
@@ -3298,7 +3301,7 @@ _T80_REL_MDE = 0.10  # design lift: +10% relative
             GROUP BY event_type
         ), design AS (
             SELECT event_type, n_events, p0,
-                   p0 * (1.0 + {_T80_REL_MDE}) AS p1,
+                   LEAST(p0 * (1.0 + {_T80_REL_MDE}), 0.999) AS p1,
                    n_events // 2 AS n_per_arm
             FROM rates
         )
@@ -3321,7 +3324,7 @@ def t80_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_events"),
         F.avg(F.when(F.col("value") >= 5, 1.0).otherwise(0.0)).alias("p0"),
     )
-    p1 = F.col("p0") * (1.0 + _T80_REL_MDE)
+    p1 = F.least(F.col("p0") * (1.0 + _T80_REL_MDE), F.lit(0.999))
     design = rates.select(
         "event_type",
         "p0",
