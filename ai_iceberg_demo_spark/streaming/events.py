@@ -3583,3 +3583,90 @@ def t89_feature_store_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# t90: empirical-Bayes rate shrinkage (small-sample user rates done right)
+# ---------------------------------------------------------------------------
+
+
+@REGISTRY.register(
+    name="t90_eb_shrinkage",
+    survey_ref="§2.11 analytics extra (hierarchical estimation); raw "
+    "per-user rates rank a 1/1 user above a 95/100 user — shrinkage "
+    "is how every leaderboard/segmentation actually scores sparse "
+    "entities",
+    doc="beta-binomial empirical Bayes: per-user purchase rate (over "
+    "purchase+view events) shrunk toward the population prior fit by "
+    "METHOD OF MOMENTS on the user-rate distribution (α+β = "
+    "m(1−m)/var − 1 — one closed-form 1-row aggregate, no MCMC), "
+    "shrunk = (x+α)/(n+α+β). Output per user: raw vs shrunk rate "
+    "and the absolute pull — sparse users move toward the prior "
+    "mean, heavy users barely move (max-pull vs min-pull users "
+    "pinned by the hash). ONE user-keyed partial-agg shuffle; the "
+    "prior is a broadcast scalar row.",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id,
+                   CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1
+                                 ELSE 0 END) AS DOUBLE) AS x
+            FROM events WHERE event_type IN ('purchase', 'view')
+            GROUP BY user_id
+        ), prior AS (
+            SELECT AVG(x / n) AS m,
+                   VAR_SAMP(x / n) AS v
+            FROM per_user
+        ), ab AS (
+            SELECT m, v,
+                   (m * (1 - m) / v - 1) * m AS alpha,
+                   (m * (1 - m) / v - 1) * (1 - m) AS beta
+            FROM prior
+        )
+        SELECT u.user_id,
+               CAST(u.n AS BIGINT) AS n_events,
+               CAST(u.x AS BIGINT) AS n_purchases,
+               ROUND(u.x / u.n, 6) AS raw_rate,
+               ROUND((u.x + a.alpha) / (u.n + a.alpha + a.beta), 6)
+                   AS shrunk_rate,
+               ROUND(ABS(u.x / u.n
+                         - (u.x + a.alpha) / (u.n + a.alpha + a.beta)), 6)
+                   AS pull
+        FROM per_user u CROSS JOIN ab a
+        ORDER BY u.user_id
+    """,
+)
+def t90_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("double")
+        .alias("x"),
+    )
+    prior = per_user.agg(
+        F.avg(F.col("x") / F.col("n")).alias("m"),
+        F.var_samp(F.col("x") / F.col("n")).alias("v"),
+    )
+    k = F.col("m") * (1 - F.col("m")) / F.col("v") - 1
+    ab = prior.select(
+        (k * F.col("m")).alias("alpha"), (k * (1 - F.col("m"))).alias("beta")
+    )
+    raw = F.col("x") / F.col("n")
+    shrunk = (F.col("x") + F.col("alpha")) / (
+        F.col("n") + F.col("alpha") + F.col("beta")
+    )
+    return (
+        per_user.crossJoin(F.broadcast(ab))
+        .select(
+            "user_id",
+            F.col("n").cast("bigint").alias("n_events"),
+            F.col("x").cast("bigint").alias("n_purchases"),
+            F.round(raw, 6).alias("raw_rate"),
+            F.round(shrunk, 6).alias("shrunk_rate"),
+            F.round(F.abs(raw - shrunk), 6).alias("pull"),
+        )
+        .orderBy("user_id")
+    )
