@@ -176,7 +176,8 @@ class Registry:
 # t77_bigram_perplexity, t78_conformal_forecast, t79_ols_forecast,
 # t80_power_analysis, x6_python_udtf, t84_psi_drift, j11_band_join,
 # t85_prf_expansion, pipeline_experiment, u39_hamilton_allocation,
-# t89_feature_store_join, t90_eb_shrinkage, ...), where they run
+# t89_feature_store_join, t90_eb_shrinkage, t91_uplift_by_segment,
+# ...), where they run
 # ahead of the r2-core cohort (oldest driver evidence).
 # v8e_phash_dedup and pipeline_multimodal_prep
 # gained full hash oracles in r6 AFTER their r6 window slots were

@@ -3670,3 +3670,106 @@ def t90_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# t91: segment-level uplift (heterogeneous treatment effects)
+# ---------------------------------------------------------------------------
+
+_T91_SEGMENT = "BUILDING"  # the one segment the effect is planted on
+_T91_LIFT = 0.5  # larger than t74's 20%: per-segment cells are ~1/5
+# the volume, so the SE is ~sqrt(5) wider and a 20% effect would be
+# honestly underpowered at the fixture's n (verified at bring-up)
+
+
+@REGISTRY.register(
+    name="t91_uplift_by_segment",
+    survey_ref="§2.11 analytics extra (heterogeneous effects); t74 "
+    "estimates ONE average effect — uplift modeling asks WHICH "
+    "segment drives it, the question targeting decisions need",
+    doc="t74's DiD estimator per market segment (events joined to the "
+    f"customer dim on user_id): a {_T91_LIFT:.0%} treated-post lift is PLANTED "
+    f"on the {_T91_SEGMENT} segment ONLY, so the per-segment table "
+    "must localize it — at the driver's sf0.01 the planted segment "
+    "is the UNIQUE significant positive DiD (did > 2·SE) and every "
+    "other segment's CI covers zero (pinned by the hash; sf0.001's "
+    "per-segment n is too small for significance — honest power, "
+    "t80's lesson). Heterogeneity is the whole point: an "
+    "average-effect readout would dilute the signal 5-to-1. "
+    "One (segment, cell)-keyed partial agg after a broadcast dim "
+    "join; 20 aggregate rows close closed-form.",
+    oracle=f"""
+        WITH cells AS (
+            SELECT c.c_mktsegment AS segment,
+                   e.user_id % 2 = 1 AS treated,
+                   CAST(e.ts AS DATE) >= '{_T74_POST}' AS post,
+                   CASE WHEN e.user_id % 2 = 1
+                         AND CAST(e.ts AS DATE) >= '{_T74_POST}'
+                         AND c.c_mktsegment = '{_T91_SEGMENT}'
+                        THEN e.value * (1.0 + {_T91_LIFT})
+                        ELSE e.value END AS y
+            FROM events e JOIN customer c ON c.c_custkey = e.user_id
+            WHERE e.value IS NOT NULL
+        ), agg AS (
+            SELECT segment, treated, post,
+                   AVG(y) AS m, VAR_SAMP(y) AS v,
+                   CAST(COUNT(*) AS DOUBLE) AS n
+            FROM cells GROUP BY segment, treated, post
+        ), wide AS (
+            SELECT segment,
+                MAX(CASE WHEN treated AND post THEN m END) AS t_post,
+                MAX(CASE WHEN treated AND NOT post THEN m END) AS t_pre,
+                MAX(CASE WHEN NOT treated AND post THEN m END) AS c_post,
+                MAX(CASE WHEN NOT treated AND NOT post THEN m END) AS c_pre,
+                SQRT(SUM(v / n)) AS se
+            FROM agg GROUP BY segment
+        )
+        SELECT segment,
+               ROUND((t_post - t_pre) - (c_post - c_pre), 4) AS did_estimate,
+               ROUND(se, 4) AS did_se,
+               (t_post - t_pre) - (c_post - c_pre) > 2.0 * se
+                   AS significant_uplift,
+               segment = '{_T91_SEGMENT}' AS effect_planted_here
+        FROM wide ORDER BY segment
+    """,
+)
+def t91_uplift_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).filter(F.col("value").isNotNull())
+    cust = load_table(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    treated = F.col("user_id") % 2 == 1
+    post = F.col("ts").cast("date") >= F.lit(_T74_POST)
+    joined = ev.join(F.broadcast(cust), "user_id")
+    y = F.when(
+        treated & post & (F.col("segment") == _T91_SEGMENT),
+        F.col("value") * (1.0 + _T91_LIFT),
+    ).otherwise(F.col("value"))
+    cells = joined.select(
+        "segment", treated.alias("treated"), post.alias("post"), y.alias("y")
+    )
+    agg = cells.groupBy("segment", "treated", "post").agg(
+        F.avg("y").alias("m"),
+        F.var_samp("y").alias("v"),
+        F.count("*").cast("double").alias("n"),
+    )
+
+    def cell(t, p):
+        cond = (F.col("treated") == t) & (F.col("post") == p)
+        return F.max(F.when(cond, F.col("m")))
+
+    wide = agg.groupBy("segment").agg(
+        cell(True, True).alias("t_post"),
+        cell(True, False).alias("t_pre"),
+        cell(False, True).alias("c_post"),
+        cell(False, False).alias("c_pre"),
+        F.sqrt(F.sum(F.col("v") / F.col("n"))).alias("se"),
+    )
+    did = (F.col("t_post") - F.col("t_pre")) - (F.col("c_post") - F.col("c_pre"))
+    return wide.select(
+        "segment",
+        F.round(did, 4).alias("did_estimate"),
+        F.round("se", 4).alias("did_se"),
+        (did > 2.0 * F.col("se")).alias("significant_uplift"),
+        (F.col("segment") == _T91_SEGMENT).alias("effect_planted_here"),
+    ).orderBy("segment")
