@@ -3773,3 +3773,104 @@ def t91_uplift_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         (did > 2.0 * F.col("se")).alias("significant_uplift"),
         (F.col("segment") == _T91_SEGMENT).alias("effect_planted_here"),
     ).orderBy("segment")
+
+
+# ---------------------------------------------------------------------------
+# t92: gains / lift chart (the targeting readout of the eval suite)
+# ---------------------------------------------------------------------------
+
+
+@REGISTRY.register(
+    name="t92_lift_chart",
+    survey_ref="training-data (model eval: targeting); completes the "
+    "eval suite — t47 thresholds, t64 calibration, t65 ranking, "
+    "this answers 'how much of the outcome do the top-scored X% "
+    "capture', the campaign-sizing question",
+    doc="cumulative gains and lift by score decile: events rank by the "
+    "value score, deciles come from the NINE exact percentile "
+    "boundaries broadcast back (u20's no-total-order discipline — "
+    "NTILE would rangepartition-funnel the corpus), and per decile "
+    "the captured positives accumulate top-down into gain (% of all "
+    "positives) and lift (gain / % of population). Decile 1 = "
+    "highest scores. The fixture's raw value score is "
+    "NON-discriminative (flat lift ≈ 1.0 — itself the honest 'this "
+    "feature is useless' readout), so a dominant +1000 margin is PLANTED on "
+    "positives to pin the canonical early-lift-decaying-to-1 shape "
+    "under the hash (t74's planted-truth convention). Map-side "
+    "bucket assignment + one 10-key partial agg + windows over the "
+    "10-row decile table.",
+    oracle="""
+        WITH labeled AS (
+            SELECT value
+                   + CASE WHEN event_type IN ('click', 'purchase', 'signup')
+                          THEN 1000.0 ELSE 0.0 END AS score,
+                   CASE WHEN event_type IN ('click', 'purchase', 'signup')
+                        THEN 1.0 ELSE 0.0 END AS pos
+            FROM events WHERE value IS NOT NULL
+        ), b AS (
+            SELECT QUANTILE_CONT(score, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                         0.6, 0.7, 0.8, 0.9]) AS bs
+            FROM labeled
+        ), assigned AS (
+            SELECT 10 - LEN(LIST_FILTER(b.bs, x -> x < l.score)) AS decile,
+                   l.pos
+            FROM labeled l CROSS JOIN b
+        ), per_dec AS (
+            SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(pos) AS npos
+            FROM assigned GROUP BY decile
+        ), tot AS (
+            SELECT SUM(n) AS nt, SUM(npos) AS pt FROM per_dec
+        )
+        SELECT CAST(d.decile AS INT) AS decile, d.n,
+               CAST(d.npos AS BIGINT) AS n_pos,
+               ROUND(SUM(d.npos) OVER (ORDER BY d.decile
+                     ROWS UNBOUNDED PRECEDING) / t.pt, 6) AS cum_gain,
+               ROUND((SUM(d.npos) OVER (ORDER BY d.decile
+                      ROWS UNBOUNDED PRECEDING) / t.pt)
+                     / (SUM(d.n) OVER (ORDER BY d.decile
+                        ROWS UNBOUNDED PRECEDING) / t.nt), 6) AS cum_lift
+        FROM per_dec d CROSS JOIN tot t
+        ORDER BY decile
+    """,
+)
+def t92_lift_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, "events", sf_dir).filter(F.col("value").isNotNull())
+    pos = F.when(
+        F.col("event_type").isin("click", "purchase", "signup"), 1.0
+    ).otherwise(0.0)
+    labeled = ev.select(
+        (F.col("value") + 1000.0 * pos).alias("score"), pos.alias("pos")
+    )
+    cuts = [i / 10 for i in range(1, 10)]
+    b = labeled.agg(
+        F.percentile("score", F.array(*[F.lit(c) for c in cuts])).alias("bs")
+    )
+    assigned = labeled.crossJoin(F.broadcast(b)).select(
+        (
+            10 - F.size(F.filter(F.col("bs"), lambda x: x < F.col("score")))
+        ).alias("decile"),
+        "pos",
+    )
+    per_dec = assigned.groupBy("decile").agg(
+        F.count("*").cast("bigint").alias("n"), F.sum("pos").alias("npos")
+    )
+    tot = per_dec.agg(F.sum("n").alias("nt"), F.sum("npos").alias("pt"))
+    w = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        per_dec.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            "n",
+            F.col("npos").cast("bigint").alias("n_pos"),
+            F.round(F.sum("npos").over(w) / F.col("pt"), 6).alias("cum_gain"),
+            F.round(
+                (F.sum("npos").over(w) / F.col("pt"))
+                / (F.sum("n").over(w) / F.col("nt")),
+                6,
+            ).alias("cum_lift"),
+        )
+        .orderBy("decile")
+    )
