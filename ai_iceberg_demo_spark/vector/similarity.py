@@ -2613,3 +2613,55 @@ def v32_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("probe_id", "adc", "vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# d26: mutual k-NN (reciprocal-neighbor precision tier over v18b's graph)
+# ---------------------------------------------------------------------------
+
+
+def _d26_oracle() -> str:
+    """Wrap v18b's exact oracle: mutual pairs are edges present in
+    BOTH directions of the same graph — the composition reuses the
+    registered SQL verbatim (pipeline_model_eval's discipline)."""
+    v18b = REGISTRY.specs["v18b_knn_graph_det"].oracle
+    return f"""
+        WITH graph AS ({v18b})
+        SELECT a.src AS vec_a, a.dst AS vec_b, a.score
+        FROM graph a JOIN graph b
+          ON b.src = a.dst AND b.dst = a.src
+        WHERE a.src < a.dst
+        ORDER BY a.src, a.dst
+    """
+
+
+@REGISTRY.register(
+    name="d26_mutual_knn",
+    survey_ref="training-data (near-dup precision tier); a directed "
+    "k-NN edge only says 'b is among a's closest' — in a dense "
+    "region that holds for half the corpus; RECIPROCITY is the "
+    "standard precision filter (hubs lose their spurious edges "
+    "because the hub's own top-k points elsewhere)",
+    doc="mutual k-NN pairs: edges of v18b's deterministic LSH k-NN "
+    "graph present in BOTH directions, deduped to a<b. Reciprocal "
+    "neighbors are the high-precision candidate tier SemDeDup-style "
+    "pipelines verify first — asymmetric edges are mostly hub "
+    "artifacts. The oracle WRAPS v18b's registered SQL verbatim so "
+    "the two can never desync; the Spark side is the graph "
+    "self-joined on reversed (src,dst) — O(k·N) edge rows keyed by "
+    "vec id, never the corpus.",
+    oracle=_d26_oracle(),
+)
+def d26_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    graph = v18b_knn_graph_det(spark, sf_dir).select("src", "dst", "score")
+    rev = graph.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), F.lit(1).alias("_r")
+    )
+    return (
+        graph.join(rev, ["src", "dst"])
+        .filter(F.col("src") < F.col("dst"))
+        .select(
+            F.col("src").alias("vec_a"), F.col("dst").alias("vec_b"), "score"
+        )
+        .orderBy("vec_a", "vec_b")
+    )
