@@ -1780,3 +1780,82 @@ def u39_hamilton_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_check"
         ),
     ).orderBy("source")
+
+
+# --- u40: content-addressed corpus version diff --------------------------
+
+
+@REGISTRY.register(
+    name="u40_corpus_version_diff",
+    survey_ref="training-data (dataset versioning); u25 manifests ONE "
+    "version, m8 diffs relational snapshots by KEY — a corpus diff "
+    "must be CONTENT-addressed, because a re-crawled doc keeps its "
+    "id while its text silently changes",
+    doc="dataset-version diff on content fingerprints: v2 is derived "
+    "in-query from the corpus (docs with doc_id%7==3 are DROPPED, "
+    "doc_id%11==5 have a token appended — t20's planted-mutation "
+    "convention), and the diff classifies every doc_id: unchanged "
+    "(same md5), modified (same id, different md5), removed, added "
+    "— with per-class counts and the modified/removed rates a "
+    "retraining decision reads ('5% of the corpus changed under us' "
+    "is a different world from '5% new docs appended'). One "
+    "full-outer join on doc_id over (id, fp) projections — "
+    "fingerprints travel, text never does.",
+    oracle="""
+        WITH v1 AS (
+            SELECT doc_id, MD5(text) AS fp FROM documents
+        ), v2 AS (
+            SELECT doc_id,
+                   MD5(CASE WHEN doc_id % 11 = 5 THEN text || ' appended'
+                            ELSE text END) AS fp
+            FROM documents WHERE doc_id % 7 <> 3
+        ), classed AS (
+            SELECT CASE
+                       WHEN a.doc_id IS NULL THEN 'added'
+                       WHEN b.doc_id IS NULL THEN 'removed'
+                       WHEN a.fp = b.fp THEN 'unchanged'
+                       ELSE 'modified'
+                   END AS status
+            FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
+        ), tot AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM classed
+        )
+        SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               ROUND(COUNT(*) / t.n, 6) AS share
+        FROM classed CROSS JOIN tot t
+        GROUP BY status, t.n ORDER BY status
+    """,
+)
+def u40_corpus_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    v1 = docs.select("doc_id", F.md5("text").alias("fp"))
+    v2 = docs.filter(F.col("doc_id") % 7 != 3).select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 11 == 5, F.concat(F.col("text"), F.lit(" appended"))
+            ).otherwise(F.col("text"))
+        ).alias("fp"),
+    )
+    a = v1.select(F.col("doc_id").alias("id_a"), F.col("fp").alias("fp_a"))
+    b = v2.select(F.col("doc_id").alias("id_b"), F.col("fp").alias("fp_b"))
+    joined = a.join(b, a.id_a == b.id_b, "full_outer")
+    status = (
+        F.when(F.col("id_a").isNull(), "added")
+        .when(F.col("id_b").isNull(), "removed")
+        .when(F.col("fp_a") == F.col("fp_b"), "unchanged")
+        .otherwise("modified")
+    )
+    classed = joined.select(status.alias("status"))
+    tot = classed.agg(F.count("*").cast("double").alias("n"))
+    return (
+        classed.groupBy("status")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "status",
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("n"), 6).alias("share"),
+        )
+        .orderBy("status")
+    )

@@ -177,7 +177,8 @@ class Registry:
 # t80_power_analysis, x6_python_udtf, t84_psi_drift, j11_band_join,
 # t85_prf_expansion, pipeline_experiment, u39_hamilton_allocation,
 # t89_feature_store_join, t90_eb_shrinkage, t91_uplift_by_segment,
-# t92_lift_chart, d26_mutual_knn, ...), where they run
+# t92_lift_chart, d26_mutual_knn, u40_corpus_version_diff,
+# v33_knn_classifier, ...), where they run
 # ahead of the r2-core cohort (oldest driver evidence).
 # v8e_phash_dedup and pipeline_multimodal_prep
 # gained full hash oracles in r6 AFTER their r6 window slots were

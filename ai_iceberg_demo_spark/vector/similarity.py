@@ -2665,3 +2665,87 @@ def d26_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_a", "vec_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# v33: k-NN classifier readout (neighbor majority vote vs true labels)
+# ---------------------------------------------------------------------------
+
+
+def _v33_oracle() -> str:
+    v18b = REGISTRY.specs["v18b_knn_graph_det"].oracle
+    return f"""
+        WITH graph AS ({v18b}), votes AS (
+            SELECT g.src, l.label AS nbr_label, COUNT(*) AS v
+            FROM graph g JOIN embeddings l ON l.vec_id = g.dst
+            GROUP BY g.src, l.label
+        ), pred AS (
+            SELECT src, nbr_label AS pred_label FROM (
+                SELECT src, nbr_label,
+                       ROW_NUMBER() OVER (PARTITION BY src
+                                          ORDER BY v DESC, nbr_label) AS rn
+                FROM votes) WHERE rn = 1
+        ), scored AS (
+            SELECT e.label AS true_label,
+                   CASE WHEN p.pred_label = e.label THEN 1.0 ELSE 0.0 END
+                       AS hit
+            FROM pred p JOIN embeddings e ON e.vec_id = p.src
+        )
+        SELECT CAST(true_label AS INT) AS label,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(AVG(hit), 6) AS knn_accuracy
+        FROM scored GROUP BY true_label
+        ORDER BY label
+    """
+
+
+@REGISTRY.register(
+    name="v33_knn_classifier",
+    survey_ref="training-data (embedding quality as a TASK metric); "
+    "v21 scores cluster geometry, v24 flags label noise — k-NN "
+    "accuracy is the standard 'are these embeddings any good for "
+    "classification' probe (kNN probing in the SSL literature)",
+    doc="k-NN classification readout: each vector's label predicted by "
+    "majority vote of its v18b graph neighbors (ties to the lowest "
+    "label), scored against its own label, accuracy per class. "
+    "Near-chance accuracy on this isotropic fixture (labels carry "
+    "little geometric signal — v24's premise) is the honest "
+    "baseline; a real embedding provider lifts it, and THIS table "
+    "is where that shows. The oracle wraps v18b's registered SQL "
+    "verbatim; voting is one (src, label)-keyed partial agg over "
+    "O(k·N) edges with the label table joined by vec id.",
+    oracle=_v33_oracle(),
+)
+def v33_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    graph = v18b_knn_graph_det(spark, sf_dir).select("src", "dst")
+    labels = emb.select("vec_id", "label")
+    votes = (
+        graph.join(labels.withColumnRenamed("vec_id", "dst"), "dst")
+        .groupBy("src", F.col("label").alias("nbr_label"))
+        .agg(F.count("*").alias("v"))
+    )
+    w = W.partitionBy("src").orderBy(F.desc("v"), F.asc("nbr_label"))
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("src", F.col("nbr_label").alias("pred_label"))
+    )
+    scored = pred.join(
+        labels.withColumnRenamed("vec_id", "src"), "src"
+    ).select(
+        F.col("label").alias("true_label"),
+        F.when(F.col("pred_label") == F.col("label"), 1.0)
+        .otherwise(0.0)
+        .alias("hit"),
+    )
+    return (
+        scored.groupBy(F.col("true_label").cast("int").alias("label"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.avg("hit"), 6).alias("knn_accuracy"),
+        )
+        .orderBy("label")
+    )
