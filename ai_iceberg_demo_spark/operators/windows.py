@@ -521,3 +521,64 @@ def w11_ohlc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+# --- W12: rolling cross-series correlation -------------------------------
+
+
+@REGISTRY.register(
+    name="w12_rolling_correlation",
+    survey_ref="W-family extra (cross-series relationship); w5 rolls "
+    "ONE series' moments — this rolls the RELATIONSHIP between two, "
+    "the lead-indicator check (do clicks still convert?)",
+    doc="trailing-7-day Pearson correlation between the daily click "
+    "and purchase counts: both series come from ONE (day, type) "
+    "partial agg pivoted to columns, and CORR runs as a window "
+    "aggregate over the trailing frame — days with fewer than 7 "
+    "observations emit NULL (a 2-day correlation is noise wearing a "
+    "number). A sustained drop in r7 while both volumes hold is the "
+    "classic funnel-decoupling alarm. Event volume reduces to the "
+    "calendar-bounded day table before any window.",
+    oracle="""
+        WITH days AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN 1
+                                 ELSE 0 END) AS DOUBLE) AS clicks,
+                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1
+                                 ELSE 0 END) AS DOUBLE) AS purchases
+            FROM events GROUP BY 1
+        )
+        SELECT CAST(day AS VARCHAR) AS day,
+               CAST(clicks AS BIGINT) AS clicks,
+               CAST(purchases AS BIGINT) AS purchases,
+               CASE WHEN ROW_NUMBER() OVER (ORDER BY day) >= 7
+                    THEN ROUND(CORR(clicks, purchases) OVER (
+                         ORDER BY day ROWS BETWEEN 6 PRECEDING
+                         AND CURRENT ROW), 6)
+               END AS r7
+        FROM days ORDER BY day
+    """,
+)
+def w12_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, "events", sf_dir)
+    days = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("double")
+        .alias("clicks"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("double")
+        .alias("purchases"),
+    )
+    w7 = W.orderBy("day").rowsBetween(-6, 0)
+    w = W.orderBy("day")
+    return days.select(
+        F.col("day").cast("string").alias("day"),
+        F.col("clicks").cast("bigint").alias("clicks"),
+        F.col("purchases").cast("bigint").alias("purchases"),
+        F.when(
+            F.row_number().over(w) >= 7,
+            F.round(F.corr("clicks", "purchases").over(w7), 6),
+        ).alias("r7"),
+    ).orderBy("day")

@@ -1303,3 +1303,112 @@ def pipeline_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return design.unionByName(readout).unionByName(causal).orderBy(
         "family", "metric"
     )
+
+
+# ---------------------------------------------------------------------------
+# pipeline: forecasting card (t78 coverage ∘ t79 fit — the third card)
+# ---------------------------------------------------------------------------
+
+
+def _forecast_oracle() -> str:
+    from ai_iceberg_demo_spark.streaming.events import (
+        REGISTRY as _EV_REGISTRY,
+    )
+
+    t78 = _EV_REGISTRY.specs["t78_conformal_forecast"].oracle
+    t79 = _EV_REGISTRY.specs["t79_ols_forecast"].oracle
+    return f"""
+        SELECT 'uncertainty' AS family, metric, value FROM (
+            SELECT UNNEST(['realized_coverage', 'n_test_days',
+                           'interval_width']) AS metric,
+                   UNNEST([ANY_VALUE(realized_coverage),
+                           CAST(COUNT(*) AS DOUBLE),
+                           ANY_VALUE(ROUND(hi - lo, 4))]) AS value
+            FROM ({t78})
+        )
+        UNION ALL
+        SELECT 'model', metric, value FROM (
+            SELECT UNNEST(['mae_ols', 'mae_naive', 'beats_naive',
+                           'beta_lag1', 'beta_ma7']) AS metric,
+                   UNNEST([mae_ols, mae_naive,
+                           CASE WHEN beats_naive THEN 1.0 ELSE 0.0 END,
+                           beta_lag1, beta_ma7]) AS value
+            FROM ({t79})
+        )
+        ORDER BY family, metric
+    """
+
+
+@REGISTRY.register(
+    name="pipeline_forecast",
+    survey_ref="training-data (composed: t78 + t79 forecast card); the "
+    "third review card next to pipeline_model_eval and "
+    "pipeline_experiment",
+    doc="the forecast review card in ONE long-format table: "
+    "uncertainty (t78's realized conformal coverage, test-day count, "
+    "the single interval width) and model quality (t79's MAE vs the "
+    "persistence baseline with the beats-naive verdict and both "
+    "coefficients). Oracle reuses the two parts' exact SQL as "
+    "subqueries; both parts already share t75's feature frame, so "
+    "the card's numbers provably describe the SAME features the "
+    "forecaster trained on. Day-table aggregates only.",
+    oracle=_forecast_oracle(),
+)
+def pipeline_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_iceberg_demo_spark.streaming.events import (
+        t78_conformal_forecast,
+        t79_ols_forecast,
+    )
+
+    t78 = t78_conformal_forecast(spark, sf_dir)
+    unc = t78.agg(
+        F.first("realized_coverage").alias("realized_coverage"),
+        F.count("*").cast("double").alias("n_test_days"),
+        F.first(F.round(F.col("hi") - F.col("lo"), 4)).alias("interval_width"),
+    )
+    unc_long = unc.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("metric"), F.col(c).cast("double").alias("value")
+                    )
+                    for c in ("realized_coverage", "n_test_days", "interval_width")
+                ]
+            )
+        ).alias("_m")
+    ).select(
+        F.lit("uncertainty").alias("family"),
+        F.col("_m.metric").alias("metric"),
+        F.col("_m.value").alias("value"),
+    )
+    t79 = t79_ols_forecast(spark, sf_dir).select(
+        "mae_ols",
+        "mae_naive",
+        F.when(F.col("beats_naive"), 1.0).otherwise(0.0).alias("beats_naive"),
+        "beta_lag1",
+        "beta_ma7",
+    )
+    model_long = t79.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("metric"), F.col(c).cast("double").alias("value")
+                    )
+                    for c in (
+                        "mae_ols",
+                        "mae_naive",
+                        "beats_naive",
+                        "beta_lag1",
+                        "beta_ma7",
+                    )
+                ]
+            )
+        ).alias("_m")
+    ).select(
+        F.lit("model").alias("family"),
+        F.col("_m.metric").alias("metric"),
+        F.col("_m.value").alias("value"),
+    )
+    return unc_long.unionByName(model_long).orderBy("family", "metric")
