@@ -1495,3 +1495,89 @@ def m17_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# M18: column masking policy (pseudonymize PII, keep joinability)
+# ---------------------------------------------------------------------------
+
+_M18_COLS = ("c_name", "c_mktsegment")
+_M18_FREQ_RISK = 25  # fewer distincts than this → frequency attack
+
+
+def mask_column(col: Column) -> Column:
+    """Deterministic pseudonym: 'p_' + 12 hex of md5 — the same input
+    always masks to the same token, so masked tables still join/group
+    on the column (the property ad-hoc NULL-ing destroys); the raw
+    value is unrecoverable without the (absent) lookup table."""
+    return F.concat(F.lit("p_"), F.substring(F.md5(col.cast("string")), 1, 12))
+
+
+@REGISTRY.register(
+    name="m18_column_masking",
+    survey_ref="governance extra; f29 redacts PII inside TEXT, m13 "
+    "generalizes quasi-identifiers — this is the COLUMN-level "
+    "masking policy an analyst role reads through, with the "
+    "joinability contract AND the frequency-attack caveat verified",
+    doc="column-masking audit over customer columns: each masks to a "
+    "deterministic md5 pseudonym, and the audit verifies per column "
+    "(a) ZERO masked values leak (masked ≠ raw everywhere), (b) "
+    "joinability holds — distinct masked count equals distinct raw "
+    "count (injective on the data; same entity still groups/joins), "
+    f"and (c) freq_attack_risk: fewer than {_M18_FREQ_RISK} "
+    "distincts means frequency analysis re-identifies the masked "
+    "values regardless of the hash (c_mktsegment's 5 segments flag "
+    "true, c_name's high cardinality doesn't) — determinstic "
+    "masking preserves JOINS, not ANONYMITY, and the audit says "
+    "which column gets which guarantee. Masking is map-only; the "
+    "audit is one aggregate per column over the scan. At 100 TB "
+    "this IS the analyst-facing view definition.",
+    oracle=f"""
+        SELECT col,
+               CAST(n_rows AS BIGINT) AS n_rows,
+               CAST(n_distinct_raw AS BIGINT) AS n_distinct_raw,
+               CAST(n_distinct_masked AS BIGINT) AS n_distinct_masked,
+               n_distinct_raw = n_distinct_masked AS joinable,
+               n_leaks = 0 AS no_leaks,
+               n_distinct_raw < {_M18_FREQ_RISK} AS freq_attack_risk
+        FROM (
+            SELECT 'c_name' AS col, COUNT(*) AS n_rows,
+                   COUNT(DISTINCT c_name) AS n_distinct_raw,
+                   COUNT(DISTINCT 'p_' || SUBSTR(MD5(c_name), 1, 12))
+                       AS n_distinct_masked,
+                   SUM(CASE WHEN 'p_' || SUBSTR(MD5(c_name), 1, 12) = c_name
+                            THEN 1 ELSE 0 END) AS n_leaks
+            FROM customer
+            UNION ALL
+            SELECT 'c_mktsegment', COUNT(*), COUNT(DISTINCT c_mktsegment),
+                   COUNT(DISTINCT 'p_' || SUBSTR(MD5(c_mktsegment), 1, 12)),
+                   SUM(CASE WHEN 'p_' || SUBSTR(MD5(c_mktsegment), 1, 12)
+                                = c_mktsegment THEN 1 ELSE 0 END)
+            FROM customer
+        ) ORDER BY col
+    """,
+)
+def m18_column_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    parts = []
+    for c in _M18_COLS:
+        masked = mask_column(F.col(c))
+        parts.append(
+            cust.agg(
+                F.lit(c).alias("col"),
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.countDistinct(c).cast("bigint").alias("n_distinct_raw"),
+                F.countDistinct(masked).cast("bigint").alias("n_distinct_masked"),
+                F.sum(F.when(masked == F.col(c), 1).otherwise(0)).alias("n_leaks"),
+            )
+        )
+    out = parts[0].unionByName(parts[1])
+    return out.select(
+        "col",
+        "n_rows",
+        "n_distinct_raw",
+        "n_distinct_masked",
+        (F.col("n_distinct_raw") == F.col("n_distinct_masked")).alias("joinable"),
+        (F.col("n_leaks") == 0).alias("no_leaks"),
+        (F.col("n_distinct_raw") < _M18_FREQ_RISK).alias("freq_attack_risk"),
+    ).orderBy("col")
