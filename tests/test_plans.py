@@ -404,3 +404,51 @@ def test_tpch_scalar_subquery_diamonds_are_persisted(spark):
     ):
         plan = plan_of(spark, name)
         assert "InMemoryTableScan" in plan, name
+
+
+def test_auc_two_phase_never_range_partitions(spark):
+    """t65's point: the rows-below prefix sum must run on bucket-local
+    windows (hash exchange on the bounded score-range shard), never a
+    rangepartitioning funnel over the score order."""
+    plan = plan_of(spark, "t65_roc_auc", mode="simple")
+    corpus_range_lines = [
+        ln
+        for ln in plan.splitlines()
+        if "rangepartitioning" in ln and "score" in ln
+    ]
+    assert corpus_range_lines == [], plan
+
+
+def test_band_join_is_equi_not_nested_loop(spark):
+    """j11's point: |a-b|<=eps must execute as bucket equi-joins —
+    BroadcastNestedLoopJoin / CartesianProduct would be the theta-join
+    fallback that nested-loops the whole table."""
+    plan = plan_of(spark, "j11_band_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_pq_broadcasts_codebooks_and_luts(spark):
+    """v32: the codebook/LUT sides must broadcast — a shuffle join on
+    the (m, code) key would move the corpus-sized code table through
+    an exchange keyed by a 128-value key (skew catastrophe)."""
+    plan = plan_of(spark, "v32_ivf_pq")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_prf_expansion_broadcasts_query_side(spark):
+    """t85: both scoring passes join the posting relation against
+    BROADCAST query-term / feedback frames — the index side must never
+    shuffle to meet a handful of terms."""
+    plan = plan_of(spark, "t85_prf_expansion")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_feature_store_join_single_user_exchange(spark):
+    """t89 = j8's shape: ONE hash exchange on user_id feeds the ordered
+    window; no join node at all (the union trick)."""
+    plan = plan_of(spark, "t89_feature_store_join", mode="simple")
+    assert "Join" not in plan  # window carry, not a join
+    assert plan.count("hashpartitioning(user_id") >= 1
