@@ -431,3 +431,94 @@ def o7_consistent_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("moved_out"),
         )
     )
+
+
+# --- O8: sampled range-partitioner audit ---------------------------------
+
+_O8_PARTS = 8
+_O8_SAMPLE_MOD = 20  # 5% deterministic key sample
+
+
+@REGISTRY.register(
+    name="o8_range_partitioner_audit",
+    survey_ref="O-family extra (the mechanism behind every global "
+    "sort): Spark's RangePartitioner derives cut points from a key "
+    "SAMPLE — this measures how balanced the resulting partitions "
+    "actually are, the number that decides whether a sorted write "
+    "needs a bigger sample",
+    doc=f"range-partitioner simulation: cut points = the "
+    f"{_O8_PARTS - 1} equally-spaced percentiles of a DETERMINISTIC "
+    f"5% key sample (md5(key)%{_O8_SAMPLE_MOD}==0 — u5's "
+    "hash-sample trick, so the 'random' sample replays in SQL), "
+    "then the FULL table buckets against the sampled cuts and the "
+    "audit reports per-partition counts, the max/ideal skew ratio, "
+    "and the within-10% balance verdict. This is exactly what a "
+    "sorted/range-bucketed Iceberg write does at plan time; a "
+    "skewed readout means a bigger sample or explicit cuts. One "
+    "sample agg (broadcast cuts) + one map-side bucket count.",
+    oracle=f"""
+        WITH sample AS (
+            SELECT l_extendedprice AS k FROM lineitem
+            WHERE ('0x' || SUBSTR(MD5(CAST(l_orderkey AS VARCHAR)
+                        || ':' || CAST(l_linenumber AS VARCHAR)), 1, 8))::BIGINT
+                  % {_O8_SAMPLE_MOD} = 0
+        ), cuts AS (
+            SELECT QUANTILE_CONT(k,
+                {[i / _O8_PARTS for i in range(1, _O8_PARTS)]}) AS cs
+            FROM sample
+        ), bucketed AS (
+            SELECT LEN(LIST_FILTER(c.cs, x -> x < l.l_extendedprice)) AS part
+            FROM lineitem l CROSS JOIN cuts c
+        ), counts AS (
+            SELECT part, CAST(COUNT(*) AS BIGINT) AS n
+            FROM bucketed GROUP BY part
+        ), tot AS (
+            SELECT SUM(n) AS nt, MAX(n) AS nmax, COUNT(*) AS np FROM counts
+        )
+        SELECT CAST(c.part AS INT) AS part, c.n,
+               ROUND(c.n / (t.nt / CAST(t.np AS DOUBLE)), 4) AS vs_ideal,
+               ROUND(t.nmax / (t.nt / CAST(t.np AS DOUBLE)), 4) AS max_skew,
+               t.nmax / (t.nt / CAST(t.np AS DOUBLE)) <= 1.1 AS balanced
+        FROM counts c CROSS JOIN tot t
+        ORDER BY part
+    """,
+)
+def o8_range_partitioner_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    key = F.concat(
+        F.col("l_orderkey").cast("string"),
+        F.lit(":"),
+        F.col("l_linenumber").cast("string"),
+    )
+    sample = li.filter(
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+        % _O8_SAMPLE_MOD
+        == 0
+    ).select(F.col("l_extendedprice").alias("k"))
+    fr = [i / _O8_PARTS for i in range(1, _O8_PARTS)]
+    cuts = sample.agg(
+        F.percentile("k", F.array(*[F.lit(x) for x in fr])).alias("cs")
+    )
+    bucketed = li.crossJoin(F.broadcast(cuts)).select(
+        F.size(
+            F.filter(F.col("cs"), lambda x: x < F.col("l_extendedprice"))
+        ).alias("part")
+    )
+    counts = bucketed.groupBy("part").agg(F.count("*").cast("bigint").alias("n"))
+    tot = counts.agg(
+        F.sum("n").alias("nt"),
+        F.max("n").alias("nmax"),
+        F.count("*").alias("np"),
+    )
+    ideal = F.col("nt") / F.col("np").cast("double")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("part").cast("int").alias("part"),
+            "n",
+            F.round(F.col("n") / ideal, 4).alias("vs_ideal"),
+            F.round(F.col("nmax") / ideal, 4).alias("max_skew"),
+            (F.col("nmax") / ideal <= 1.1).alias("balanced"),
+        )
+        .orderBy("part")
+    )
