@@ -21,6 +21,7 @@ Differences by design:
 from __future__ import annotations
 
 import os
+from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -449,3 +450,33 @@ def release_caches(spark: SparkSession) -> int:
         except Exception:
             pass
     return len(spark.sparkContext._jsc.getPersistentRDDs())
+
+
+def create_masked_view(
+    spark: SparkSession,
+    df: DataFrame,
+    masked_cols: Sequence[str],
+    view_name: str,
+) -> DataFrame:
+    """Register the analyst-facing masked view of ``df``: every column
+    in ``masked_cols`` is replaced by m18's deterministic pseudonym
+    (mask_column — joins and group-bys still work on the masked
+    column; the raw value is unrecoverable without a lookup table),
+    everything else passes through. Returns the masked DataFrame and
+    registers it as a temp view so SQL consumers read THROUGH the
+    policy rather than around it.
+
+    This is the role-based read path governance hands to analysts:
+    the masked view costs nothing at read time (map-only
+    expressions), and m18_column_masking is the audit that verifies
+    its contract (zero leaks, joinability, frequency-attack flags)
+    per column."""
+    from ai_iceberg_demo_spark.operators.mutations import mask_column
+
+    cols = [
+        mask_column(F.col(c)).alias(c) if c in set(masked_cols) else F.col(c)
+        for c in df.columns
+    ]
+    masked = df.select(*cols)
+    masked.createOrReplaceTempView(view_name)
+    return masked

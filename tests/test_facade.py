@@ -427,3 +427,32 @@ def test_erasure_pipeline_verifies_zero_residual(spark):
         assert r["rows_before"] == inv[t], t
     assert rows["customer"]["rows_before"] == 1
     assert rows["orders"]["rows_before"] > 0
+
+
+def test_create_masked_view_enforces_policy_and_keeps_joins(spark):
+    """The analyst read path: masked columns pseudonymize (no raw value
+    survives), unmasked columns pass through untouched, the view is
+    SQL-reachable, and a self-join on the masked column still groups
+    the same entities (m18's joinability contract, exercised through
+    the facade API)."""
+    from ai_iceberg_demo_spark.facade import create_masked_view
+    from ai_iceberg_demo_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    cust = load_table(spark, "customer", SF_DIR)
+    masked = create_masked_view(
+        spark, cust, ["c_name", "c_mktsegment"], "cust_analyst"
+    )
+    pdf = masked.toPandas()
+    raw = cust.toPandas()
+    assert (pdf.c_name.str.startswith("p_")).all()
+    assert set(pdf.columns) == set(raw.columns)
+    assert (pdf.c_custkey.sort_values().values == raw.c_custkey.sort_values().values).all()
+    # joinability: masked segment groups have the same sizes as raw
+    got = pdf.groupby("c_mktsegment").size().sort_values().tolist()
+    want = raw.groupby("c_mktsegment").size().sort_values().tolist()
+    assert got == want
+    # the policy is SQL-reachable
+    n = spark.sql("SELECT COUNT(DISTINCT c_mktsegment) AS k FROM cust_analyst").collect()[0].k
+    assert n == raw.c_mktsegment.nunique()
+    spark.catalog.dropTempView("cust_analyst")
