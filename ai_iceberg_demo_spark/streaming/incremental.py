@@ -792,3 +792,111 @@ def t37_streaming_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(state_dir, SKETCH_LOG)).select(
         F.col("batch_id").cast("long").alias("batch_id"), "token", "estimate"
     )
+
+
+# ---------------------------------------------------------------------------
+# t93: streaming top-k maintenance (exact partials, stream ≡ batch)
+# ---------------------------------------------------------------------------
+
+TOPK_STATE = "topk_state"
+TOPK_LOG = "topk_log"
+_T93_K = 10
+
+
+def topk_batch_sink(state_dir: str):
+    """t93's foreachBatch body: each micro-batch appends its exact
+    (term, count) partials (dynamic overwrite by batch_id — retries
+    replace, never double), then the ACCUMULATED counts produce the
+    running top-k snapshot for the log. State is O(vocab), not
+    O(history): partials merge by sum exactly like a16's cells, just
+    without the lossy hashing — the exact sibling of t37."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        counts = (
+            batch_df.select(F.explode(F.split("text", " ")).alias("term"))
+            .groupBy("term")
+            .agg(F.count("*").alias("cnt"))
+        )
+        counts.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "overwrite"
+        ).option("partitionOverwriteMode", "dynamic").partitionBy(
+            "batch_id"
+        ).parquet(os.path.join(state_dir, TOPK_STATE))
+        acc = (
+            spark.read.parquet(os.path.join(state_dir, TOPK_STATE))
+            .groupBy("term")
+            .agg(F.sum("cnt").alias("n"))
+        )
+        top = (
+            acc.orderBy(F.desc("n"), F.asc("term"))
+            .limit(_T93_K)
+            .select(
+                F.lit(batch_id).cast("long").alias("batch_id"),
+                "term",
+                F.col("n").cast("bigint").alias("n"),
+            )
+        )
+        top.write.mode("append").parquet(os.path.join(state_dir, TOPK_LOG))
+
+    return sink
+
+
+@REGISTRY.register(
+    name="t93_streaming_topk",
+    survey_ref="training-data (streaming leaderboard; t37's EXACT "
+    "sibling — the sketch answers point probes, this maintains the "
+    "running top-k table a dashboard reads)",
+    doc="exact top-10 term leaderboard kept fresh by a stream: "
+    "documents arrive as 3 id-keyed micro-batches, each appends its "
+    "exact per-term partials (dynamic overwrite by batch_id — a "
+    "retried batch replaces, never doubles), and the accumulated "
+    "top-10 is logged per batch. The per-batch snapshots are "
+    "SQL-unrollable (same cumulative trick as t37), so the whole "
+    "streaming path hash-checks — and the final batch's leaderboard "
+    "provably equals the one-shot batch wordcount's top-10 (the "
+    "stream ≡ batch law, here for an exact holistic result). State "
+    "is O(vocab) regardless of history; the top-k read is "
+    "TakeOrderedAndProject over the state table.",
+    oracle=f"""
+        WITH words AS (
+            SELECT doc_id % 3 AS b,
+                   UNNEST(STRING_SPLIT(text, ' ')) AS term
+            FROM documents
+        ), cum AS (
+            SELECT hi.hi AS batch_id, w.term, CAST(COUNT(*) AS BIGINT) AS n
+            FROM words w JOIN (SELECT UNNEST(GENERATE_SERIES(0, 2)) AS hi) hi
+              ON w.b <= hi.hi
+            GROUP BY 1, 2
+        ), ranked AS (
+            SELECT batch_id, term, n,
+                   ROW_NUMBER() OVER (PARTITION BY batch_id
+                                      ORDER BY n DESC, term) AS rn
+            FROM cum
+        )
+        SELECT batch_id, term, n FROM ranked WHERE rn <= {_T93_K}
+        ORDER BY batch_id, n DESC, term
+    """,
+)
+def t93_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    state_dir = tempfile.mkdtemp(prefix="topk_stream_")
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    batches = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    ingest = stage_batch_files(state_dir, batches)
+    stream = (
+        spark.readStream.schema(batches[0].schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(ingest, "*.parquet"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(topk_batch_sink(state_dir))
+        .option("checkpointLocation", os.path.join(state_dir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return (
+        spark.read.parquet(os.path.join(state_dir, TOPK_LOG))
+        .select("batch_id", "term", "n")
+        .orderBy("batch_id", F.desc("n"), "term")
+    )
