@@ -3874,3 +3874,151 @@ def t92_lift_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# t94: always-valid sequential test (mSPRT — the peeking-safe A/B readout)
+# ---------------------------------------------------------------------------
+
+_T94_TAU2 = 25.0  # mixture prior variance on the effect
+_T94_ALPHA = 0.05
+
+
+@REGISTRY.register(
+    name="t94_msprt_sequential",
+    survey_ref="§2.11 analytics extra (sequential experimentation); "
+    "t27's fixed-horizon z-test is INVALID under daily peeking — "
+    "the mixture SPRT's always-valid p-value is what lets a team "
+    "look every day and still control error",
+    doc="mixture sequential probability ratio test over the running "
+    "daily experiment: per day, the cumulative two-sample mean "
+    "difference and its variance feed the normal-mixture likelihood "
+    f"ratio Λ (prior τ²={_T94_TAU2}), and the always-valid p-value "
+    "is 1/(running max Λ) — valid at EVERY look simultaneously. Two "
+    "scenarios side by side: 'null' (no effect — p must stay above "
+    f"{_T94_ALPHA} on every day, pinned) and 'planted' (t74's 20% "
+    "treated lift — the test stops mid-corpus; stopped_by_today "
+    "marks the first crossing). THE modern replacement for the "
+    "fixed-horizon test a dashboard silently invalidates by daily "
+    "peeking. Day-keyed partials (sums, sumsq, counts per arm) "
+    "cumulate over the calendar-bounded day table.",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, s.scenario,
+                   user_id % 2 = 1 AS treated,
+                   CASE WHEN s.scenario = 'planted' AND user_id % 2 = 1
+                        THEN value * 1.2 ELSE value END AS y
+            FROM events
+            CROSS JOIN (SELECT UNNEST(['null', 'planted']) AS scenario) s
+            WHERE value IS NOT NULL
+        ), cum AS (
+            SELECT scenario, day,
+                   SUM(SUM(CASE WHEN treated THEN y END))
+                       OVER w AS s_t,
+                   SUM(SUM(CASE WHEN treated THEN y * y END)) OVER w AS q_t,
+                   SUM(COUNT(CASE WHEN treated THEN 1 END)) OVER w AS n_t,
+                   SUM(SUM(CASE WHEN NOT treated THEN y END)) OVER w AS s_c,
+                   SUM(SUM(CASE WHEN NOT treated THEN y * y END))
+                       OVER w AS q_c,
+                   SUM(COUNT(CASE WHEN NOT treated THEN 1 END)) OVER w AS n_c
+            FROM daily GROUP BY scenario, day
+            WINDOW w AS (PARTITION BY scenario ORDER BY day
+                         ROWS UNBOUNDED PRECEDING)
+        ), stats AS (
+            SELECT scenario, day,
+                   s_t / n_t - s_c / n_c AS delta,
+                   (q_t / n_t - (s_t / n_t) * (s_t / n_t)) / n_t
+                 + (q_c / n_c - (s_c / n_c) * (s_c / n_c)) / n_c AS v
+            FROM cum
+        ), lr AS (
+            SELECT scenario, day, delta, v,
+                   0.5 * LN(v / (v + {_T94_TAU2}))
+                 + delta * delta * {_T94_TAU2}
+                   / (2.0 * v * (v + {_T94_TAU2})) AS log_lambda
+            FROM stats
+        ), run AS (
+            SELECT scenario, day, delta, v,
+                   MAX(log_lambda) OVER (PARTITION BY scenario ORDER BY day
+                                         ROWS UNBOUNDED PRECEDING)
+                       AS max_ll
+            FROM lr
+        )
+        SELECT scenario, CAST(day AS VARCHAR) AS day,
+               ROUND(delta, 4) AS mean_diff,
+               ROUND(LEAST(1.0, EXP(-max_ll)), 6) AS always_valid_p,
+               LEAST(1.0, EXP(-max_ll)) < {_T94_ALPHA} AS stopped_by_today
+        FROM run ORDER BY scenario, day
+    """,
+)
+def t94_msprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, "events", sf_dir).filter(F.col("value").isNotNull())
+    scen = ev.sparkSession.createDataFrame(
+        [("null",), ("planted",)], "scenario string"
+    )
+    treated = F.col("user_id") % 2 == 1
+    y = F.when(
+        (F.col("scenario") == "planted") & treated, F.col("value") * 1.2
+    ).otherwise(F.col("value"))
+    daily = ev.crossJoin(F.broadcast(scen)).select(
+        F.col("ts").cast("date").alias("day"),
+        "scenario",
+        treated.alias("treated"),
+        y.alias("y"),
+    )
+    per_day = daily.groupBy("scenario", "day").agg(
+        F.sum(F.when(F.col("treated"), F.col("y"))).alias("ds_t"),
+        F.sum(F.when(F.col("treated"), F.col("y") * F.col("y"))).alias("dq_t"),
+        F.count(F.when(F.col("treated"), 1)).alias("dn_t"),
+        F.sum(F.when(~F.col("treated"), F.col("y"))).alias("ds_c"),
+        F.sum(F.when(~F.col("treated"), F.col("y") * F.col("y"))).alias("dq_c"),
+        F.count(F.when(~F.col("treated"), 1)).alias("dn_c"),
+    )
+    w = (
+        W.partitionBy("scenario")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = per_day.select(
+        "scenario",
+        "day",
+        F.sum("ds_t").over(w).alias("s_t"),
+        F.sum("dq_t").over(w).alias("q_t"),
+        F.sum("dn_t").over(w).alias("n_t"),
+        F.sum("ds_c").over(w).alias("s_c"),
+        F.sum("dq_c").over(w).alias("q_c"),
+        F.sum("dn_c").over(w).alias("n_c"),
+    )
+    mt = F.col("s_t") / F.col("n_t")
+    mc = F.col("s_c") / F.col("n_c")
+    stats = cum.select(
+        "scenario",
+        "day",
+        (mt - mc).alias("delta"),
+        (
+            (F.col("q_t") / F.col("n_t") - mt * mt) / F.col("n_t")
+            + (F.col("q_c") / F.col("n_c") - mc * mc) / F.col("n_c")
+        ).alias("v"),
+    )
+    log_lambda = 0.5 * F.log(F.col("v") / (F.col("v") + _T94_TAU2)) + F.col(
+        "delta"
+    ) * F.col("delta") * _T94_TAU2 / (
+        2.0 * F.col("v") * (F.col("v") + _T94_TAU2)
+    )
+    run = stats.select(
+        "scenario",
+        "day",
+        "delta",
+        F.max(log_lambda)
+        .over(W.partitionBy("scenario").orderBy("day").rowsBetween(W.unboundedPreceding, 0))
+        .alias("max_ll"),
+    )
+    p = F.least(F.lit(1.0), F.exp(-F.col("max_ll")))
+    return run.select(
+        "scenario",
+        F.col("day").cast("string").alias("day"),
+        F.round("delta", 4).alias("mean_diff"),
+        F.round(p, 6).alias("always_valid_p"),
+        (p < _T94_ALPHA).alias("stopped_by_today"),
+    ).orderBy("scenario", "day")
