@@ -1859,3 +1859,96 @@ def u40_corpus_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+# --- u41: exact-n stratified sample (u39's allocation, executed) ---------
+
+
+@REGISTRY.register(
+    name="u41_exact_stratified_sample",
+    survey_ref="training-data (exact-n sampling); u39 PLANS the "
+    "apportionment — this EXECUTES it: exactly `allocated` docs per "
+    "source by deterministic hash rank, total exactly the budget",
+    doc="the Hamilton allocation realized: within each source, docs "
+    "rank by md5(doc_id) (u5's deterministic-uniform trick) and the "
+    "top `allocated` survive — per source the sampled count EQUALS "
+    "the u39 plan and the grand total equals the budget exactly, "
+    "both re-derived in-query from the same arithmetic (shared "
+    "formula, not a copied constant — drift in either side breaks "
+    "the hash). Output: per-source plan vs realized + the exactness "
+    "verdicts. One source-keyed count + one source-partitioned rank "
+    "window over the corpus; at 100 TB the rank window is the same "
+    "per-stratum shape u12 already prices.",
+    oracle=f"""
+        WITH counts AS (
+            SELECT source, CAST(COUNT(*) AS DOUBLE) AS n
+            FROM documents GROUP BY source
+        ), quota AS (
+            SELECT source, n, n * {_U39_BUDGET} / SUM(n) OVER () AS q
+            FROM counts
+        ), based AS (
+            SELECT source, q, CAST(FLOOR(q) AS BIGINT) AS base,
+                   q - FLOOR(q) AS rem,
+                   CAST({_U39_BUDGET} - SUM(CAST(FLOOR(q) AS BIGINT)) OVER ()
+                       AS BIGINT) AS leftover
+            FROM quota
+        ), alloc AS (
+            SELECT source,
+                   base + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC,
+                                                       source) <= leftover
+                               THEN 1 ELSE 0 END AS allocated
+            FROM based
+        ), ranked AS (
+            SELECT d.source, d.doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY d.source
+                       ORDER BY MD5(CAST(d.doc_id AS VARCHAR)), d.doc_id)
+                       AS rn
+            FROM documents d
+        ), sampled AS (
+            SELECT r.source, CAST(COUNT(*) AS BIGINT) AS n_sampled
+            FROM ranked r JOIN alloc a ON a.source = r.source
+            WHERE r.rn <= a.allocated
+            GROUP BY r.source
+        )
+        SELECT a.source,
+               CAST(a.allocated AS BIGINT) AS allocated,
+               s.n_sampled,
+               a.allocated = s.n_sampled AS per_source_exact,
+               CAST(SUM(s.n_sampled) OVER () AS BIGINT) = {_U39_BUDGET}
+                   AS total_exact
+        FROM alloc a JOIN sampled s USING (source)
+        ORDER BY a.source
+    """,
+)
+def u41_exact_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, "documents", sf_dir)
+    # the u39 plan, re-derived (shared arithmetic, not a copied table)
+    alloc = u39_hamilton_allocation(spark, sf_dir).select("source", "allocated")
+    w_rank = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = docs.select(
+        "source", "doc_id", F.row_number().over(w_rank).alias("rn")
+    )
+    sampled = (
+        ranked.join(F.broadcast(alloc), "source")
+        .filter(F.col("rn") <= F.col("allocated"))
+        .groupBy("source")
+        .agg(F.count("*").cast("bigint").alias("n_sampled"))
+    )
+    w_all = W.partitionBy()
+    return (
+        alloc.join(sampled, "source")
+        .select(
+            "source",
+            F.col("allocated").cast("bigint").alias("allocated"),
+            "n_sampled",
+            (F.col("allocated") == F.col("n_sampled")).alias("per_source_exact"),
+            (F.sum("n_sampled").over(w_all).cast("bigint") == _U39_BUDGET).alias(
+                "total_exact"
+            ),
+        )
+        .orderBy("source")
+    )
