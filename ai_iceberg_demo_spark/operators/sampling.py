@@ -1689,13 +1689,15 @@ def u38_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- u39: largest-remainder (Hamilton) budget apportionment -------------
 
-_U39_BUDGET = 1000  # documents to allocate across sources
+_U39_BUDGET = 200  # documents to allocate (< every fixture corpus: an
+# apportionment larger than the population is infeasible by definition —
+# the first cut used 1000 against the 500-doc corpus and u41 exposed it)
 
 
 @REGISTRY.register(
     name="u39_hamilton_allocation",
     survey_ref="training-data (exact-n sampling prep); u10/u38 emit "
-    "RATES — when the contract is an exact total (a 1000-doc eval "
+    "RATES — when the contract is an exact total (a fixed-size eval "
     "set, a fixed labeling budget), rounding rates misses the total "
     "and this is the apportionment that never does",
     doc=f"largest-remainder (Hamilton) apportionment of an exact "
