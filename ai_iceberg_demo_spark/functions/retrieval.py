@@ -757,3 +757,179 @@ def t85_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# t95: rank-biased overlap between two rankers (how much does idf matter?)
+# ---------------------------------------------------------------------------
+
+_T95_DEPTH = 10
+_T95_P = 0.9  # RBO persistence: ~expected viewing depth 1/(1-p) = 10
+
+
+def _t95_oracle() -> str:
+    return (
+        "WITH "
+        + _feat_sql()
+        + f"""
+            SELECT CAST(COUNT(*) AS DOUBLE) AS nd,
+                   CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl,
+                   CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+                   CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+                   CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+            FROM feat
+        ), scored AS (
+            SELECT doc_id,
+                   ROUND(
+                     LN(1.0 + (nd - df0 + 0.5) / (df0 + 0.5))
+                       * (CAST(tf0 AS DOUBLE) * 2.2)
+                       / (CAST(tf0 AS DOUBLE)
+                          + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))
+                     + LN(1.0 + (nd - df1 + 0.5) / (df1 + 0.5))
+                       * (CAST(tf1 AS DOUBLE) * 2.2)
+                       / (CAST(tf1 AS DOUBLE)
+                          + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))
+                     + LN(1.0 + (nd - df2 + 0.5) / (df2 + 0.5))
+                       * (CAST(tf2 AS DOUBLE) * 2.2)
+                       / (CAST(tf2 AS DOUBLE)
+                          + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))),
+                   6) AS score_a,
+                   CAST(tf0 + tf1 + tf2 AS DOUBLE) AS score_b
+            FROM feat CROSS JOIN stats
+        ), ra AS (
+            SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score_a DESC, doc_id)
+                       AS pos
+            FROM scored WHERE score_a > 0
+        ), rb AS (
+            SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score_b DESC, doc_id)
+                       AS pos
+            FROM scored WHERE score_b > 0
+        ), depths AS (
+            SELECT UNNEST(GENERATE_SERIES(1, {_T95_DEPTH})) AS d
+        ), overlap AS (
+            SELECT d.d,
+                   CAST(COUNT(*) AS BIGINT) AS n_common
+            FROM depths d
+            LEFT JOIN ra a ON a.pos <= d.d
+            LEFT JOIN rb b ON b.pos <= d.d AND b.doc_id = a.doc_id
+            WHERE b.doc_id IS NOT NULL
+            GROUP BY d.d
+        ), terms AS (
+            SELECT d.d, COALESCE(o.n_common, 0) AS n_common,
+                   COALESCE(o.n_common, 0) / CAST(d.d AS DOUBLE)
+                       * POW({_T95_P}, d.d - 1) AS wterm
+            FROM depths d LEFT JOIN overlap o ON o.d = d.d
+        )
+        SELECT CAST(d AS INT) AS depth, n_common,
+               ROUND(n_common / CAST(d AS DOUBLE), 4) AS agreement_at_d,
+               ROUND((1 - {_T95_P}) * SUM(wterm)
+                     OVER (ORDER BY d ROWS UNBOUNDED PRECEDING), 6)
+                   AS rbo_min
+        FROM terms ORDER BY depth
+    """
+    )
+
+
+@REGISTRY.register(
+    name="t95_rank_biased_overlap",
+    survey_ref="retrieval extra (ranker comparison WITHOUT relevance "
+    "judgments); t46 needs graded qrels — RBO compares two rankings "
+    "directly, the first check before any costly judged eval",
+    doc=f"rank-biased overlap (Webber et al. 2010, p={_T95_P}) between "
+    "the BM25 ranking and the idf-free raw-TF ranking over the same "
+    "corpus and terms (t46's shared feature CTE): per depth d ≤ "
+    f"{_T95_DEPTH}, the prefix intersection size, the agreement "
+    "|A∩B|/d, and the cumulative top-weighted RBO lower bound — "
+    "top-weighted because disagreement at rank 1 matters more than "
+    "at rank 10 (plain Kendall weights them equally). The readout "
+    "IS 'how much does idf change what users see'. Both rankings "
+    "come from ONE corpus pass; the overlap table is depth² "
+    "bounded (10×10 prefixes).",
+    oracle=_t95_oracle(),
+)
+def t95_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ai_iceberg_demo_spark.functions.text import lexical_terms
+    from ai_iceberg_demo_spark.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    toked = docs.select("doc_id", lexical_terms(F.col("text")).alias("t"))
+
+    def tf(term):
+        return F.size(F.filter(F.col("t"), lambda x: x == F.lit(term)))
+
+    feat = toked.select(
+        "doc_id",
+        F.size("t").alias("dl"),
+        *[tf(t).alias(f"tf{i}") for i, t in enumerate(QUERY_TERMS)],
+    )
+    stats = feat.agg(
+        F.count("*").cast("double").alias("nd"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0))
+            .cast("double")
+            .alias(f"df{i}")
+            for i in range(len(QUERY_TERMS))
+        ],
+    )
+    sc = feat.crossJoin(F.broadcast(stats))
+    contribs = []
+    for i in range(len(QUERY_TERMS)):
+        tfc = F.col(f"tf{i}").cast("double")
+        df = F.col(f"df{i}")
+        idf = F.log(1.0 + (F.col("nd") - df + 0.5) / (df + 0.5))
+        den = tfc + 1.2 * (0.25 + 0.75 * F.col("dl").cast("double") / F.col("avgdl"))
+        contribs.append(idf * tfc * 2.2 / den)
+    scored = sc.select(
+        "doc_id",
+        F.round(contribs[0] + contribs[1] + contribs[2], 6).alias("score_a"),
+        (F.col("tf0") + F.col("tf1") + F.col("tf2")).cast("double").alias(
+            "score_b"
+        ),
+    )
+    ra = (
+        scored.filter(F.col("score_a") > 0)
+        .withColumn(
+            "pos", F.row_number().over(W.orderBy(F.desc("score_a"), F.asc("doc_id")))
+        )
+        .select("doc_id", "pos")
+    )
+    rb = (
+        scored.filter(F.col("score_b") > 0)
+        .withColumn(
+            "pos", F.row_number().over(W.orderBy(F.desc("score_b"), F.asc("doc_id")))
+        )
+        .select("doc_id", "pos")
+    )
+    depths = toked.sparkSession.range(1, _T95_DEPTH + 1).select(
+        F.col("id").alias("d")
+    )
+    overlap = (
+        depths.join(F.broadcast(ra), F.col("pos") <= F.col("d"))
+        .join(
+            F.broadcast(rb.withColumnRenamed("pos", "pos_b")),
+            "doc_id",
+        )
+        .filter(F.col("pos_b") <= F.col("d"))
+        .groupBy("d")
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    terms = depths.join(overlap, "d", "left").select(
+        "d",
+        F.coalesce("n_common", F.lit(0)).alias("n_common"),
+        (
+            F.coalesce("n_common", F.lit(0)) / F.col("d").cast("double")
+            * F.pow(F.lit(_T95_P), F.col("d") - 1)
+        ).alias("wterm"),
+    )
+    w = W.orderBy("d").rowsBetween(W.unboundedPreceding, 0)
+    return terms.select(
+        F.col("d").cast("int").alias("depth"),
+        "n_common",
+        F.round(F.col("n_common") / F.col("d").cast("double"), 4).alias(
+            "agreement_at_d"
+        ),
+        F.round((1 - _T95_P) * F.sum("wterm").over(w), 6).alias("rbo_min"),
+    ).orderBy("depth")
