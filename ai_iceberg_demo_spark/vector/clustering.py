@@ -1011,3 +1011,110 @@ def v12b_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("lam").alias("eigenvalue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# v34: cluster-label NMI (external validation; v21 is the internal one)
+# ---------------------------------------------------------------------------
+
+
+@REGISTRY.register(
+    name="v34_cluster_label_nmi",
+    survey_ref="training-data (clustering eval, external); v21 scores "
+    "GEOMETRY (silhouette-style) — NMI scores agreement with labels "
+    "the geometry never saw, the metric that says whether clusters "
+    "mean anything",
+    doc="normalized mutual information between v11's deterministic "
+    "k-means cells and the embeddings' labels: I(C;L) from the "
+    "(cell, label) contingency, normalized by the arithmetic mean "
+    "of the entropies — 0 ≈ independent (expected on this isotropic "
+    "fixture: labels carry no geometric signal, v24's premise — the "
+    "near-zero readout is itself pinned as a ≤0.1 verdict), 1 = "
+    "clusters reproduce labels. One (cell, label)-keyed partial agg "
+    "over the assignment (contingency is k×|labels|, bounded); "
+    "entropies and MI are closed-form sums over that table.",
+    oracle="WITH "
+    + _assign_sql("embeddings")
+    + """
+        , assign AS (
+            SELECT r.vec_id, r.cell_id, e.label
+            FROM ranked r JOIN embeddings e ON e.vec_id = r.vec_id
+            WHERE r.rn = 1
+        ), n AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS nt FROM assign
+        ), joint AS (
+            SELECT cell_id, label, CAST(COUNT(*) AS DOUBLE) AS nij
+            FROM assign GROUP BY cell_id, label
+        ), pc AS (
+            SELECT cell_id, SUM(nij) AS ni FROM joint GROUP BY cell_id
+        ), pl AS (
+            SELECT label, SUM(nij) AS nj FROM joint GROUP BY label
+        ), mi AS (
+            SELECT SUM(j.nij / n.nt
+                       * LN(j.nij * n.nt / (c.ni * l.nj))) AS i_cl
+            FROM joint j
+            JOIN pc c USING (cell_id)
+            JOIN pl l USING (label)
+            CROSS JOIN n
+        ), ents AS (
+            SELECT (SELECT -SUM(ni / nt * LN(ni / nt))
+                    FROM pc CROSS JOIN n) AS h_c,
+                   (SELECT -SUM(nj / nt * LN(nj / nt))
+                    FROM pl CROSS JOIN n) AS h_l
+        )
+        SELECT ROUND(m.i_cl, 6) AS mutual_information,
+               ROUND(e.h_c, 6) AS h_clusters,
+               ROUND(e.h_l, 6) AS h_labels,
+               ROUND(m.i_cl / ((e.h_c + e.h_l) / 2.0), 6) AS nmi,
+               m.i_cl / ((e.h_c + e.h_l) / 2.0) <= 0.1
+                   AS independent_as_expected
+        FROM mi m CROSS JOIN ents e
+    """,
+)
+def v34_cluster_label_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = load_table(spark, "embeddings", sf_dir)
+    assign = kmeans_assign(corpus, seed_centroids(corpus)).select(
+        "vec_id", "cell_id"
+    )
+    joint = (
+        assign.join(corpus.select("vec_id", "label"), "vec_id")
+        .groupBy("cell_id", "label")
+        .agg(F.count("*").cast("double").alias("nij"))
+    )
+    n = joint.agg(F.sum("nij").alias("nt"))
+    pc = joint.groupBy("cell_id").agg(F.sum("nij").alias("ni"))
+    pl = joint.groupBy("label").agg(F.sum("nij").alias("nj"))
+    mi = (
+        joint.join(F.broadcast(pc), "cell_id")
+        .join(F.broadcast(pl), "label")
+        .crossJoin(F.broadcast(n))
+        .agg(
+            F.sum(
+                F.col("nij")
+                / F.col("nt")
+                * F.log(F.col("nij") * F.col("nt") / (F.col("ni") * F.col("nj")))
+            ).alias("i_cl")
+        )
+    )
+    h_c = pc.crossJoin(F.broadcast(n)).agg(
+        (-F.sum(F.col("ni") / F.col("nt") * F.log(F.col("ni") / F.col("nt")))).alias(
+            "h_c"
+        )
+    )
+    h_l = pl.crossJoin(F.broadcast(n)).agg(
+        (-F.sum(F.col("nj") / F.col("nt") * F.log(F.col("nj") / F.col("nt")))).alias(
+            "h_l"
+        )
+    )
+    nmi = F.col("i_cl") / ((F.col("h_c") + F.col("h_l")) / 2.0)
+    return (
+        mi.crossJoin(F.broadcast(h_c))
+        .crossJoin(F.broadcast(h_l))
+        .select(
+            F.round("i_cl", 6).alias("mutual_information"),
+            F.round("h_c", 6).alias("h_clusters"),
+            F.round("h_l", 6).alias("h_labels"),
+            F.round(nmi, 6).alias("nmi"),
+            (nmi <= 0.1).alias("independent_as_expected"),
+        )
+    )
