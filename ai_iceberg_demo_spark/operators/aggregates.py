@@ -1340,3 +1340,93 @@ def a23_robust_means(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- A24: market-basket association rules (pairwise Apriori) -------------
+
+_A24_MIN_SUPPORT = 2  # baskets containing the pair: the fixture
+# assigns parts ~uniformly, so even support 2 is a birthday-problem
+# coincidence (support 20 returns zero rows at every SF — verified)
+_A24_TOPK = 15
+
+
+@REGISTRY.register(
+    name="a24_market_basket",
+    survey_ref="§2.4 extra (association mining); j5 links ADJACENT "
+    "lineitems — this mines CO-OCCURRENCE across the whole basket, "
+    "the Apriori level-2 pass every recommender bootstrap runs",
+    doc="pairwise association rules over order baskets: distinct parts "
+    "per order, within-basket pairs via the sorted self-join (a<b — "
+    "each unordered pair once), then support (baskets with both), "
+    "confidence P(b|a), and lift = support·N/(n_a·n_b), top "
+    f"{_A24_TOPK} by lift at min support {_A24_MIN_SUPPORT}. Lift > "
+    "1 is the 'frequently bought together' signal; confidence alone "
+    "rewards popular parts (the classic beginner mistake — lift "
+    "corrects for the base rate). Pair explosion is bounded by "
+    "items-per-basket² (TPC-H ≤ 7 items → ≤ 21 pairs/order), "
+    "support counts are ONE (a, b)-keyed wordcount, and the "
+    "single-item counts broadcast back.",
+    oracle=f"""
+        WITH baskets AS (
+            SELECT DISTINCT l_orderkey AS okey, l_partkey AS part
+            FROM lineitem
+        ), nb AS (
+            SELECT CAST(COUNT(DISTINCT okey) AS DOUBLE) AS n FROM baskets
+        ), singles AS (
+            SELECT part, CAST(COUNT(*) AS DOUBLE) AS n_part
+            FROM baskets GROUP BY part
+        ), pairs AS (
+            SELECT a.part AS part_a, b.part AS part_b,
+                   CAST(COUNT(*) AS BIGINT) AS support
+            FROM baskets a JOIN baskets b
+              ON b.okey = a.okey AND b.part > a.part
+            GROUP BY a.part, b.part
+            HAVING COUNT(*) >= {_A24_MIN_SUPPORT}
+        )
+        SELECT p.part_a, p.part_b, p.support,
+               ROUND(p.support / sa.n_part, 4) AS confidence_a_to_b,
+               ROUND(p.support * n.n / (sa.n_part * sb.n_part), 4) AS lift
+        FROM pairs p
+        JOIN singles sa ON sa.part = p.part_a
+        JOIN singles sb ON sb.part = p.part_b
+        CROSS JOIN nb n
+        ORDER BY lift DESC, p.part_a, p.part_b
+        LIMIT {_A24_TOPK}
+    """,
+)
+def a24_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    baskets = li.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
+    ).distinct()
+    nb = baskets.agg(F.countDistinct("okey").cast("double").alias("n"))
+    singles = baskets.groupBy("part").agg(
+        F.count("*").cast("double").alias("n_part")
+    )
+    a = baskets.select("okey", F.col("part").alias("part_a"))
+    b = baskets.select("okey", F.col("part").alias("part_b"))
+    pairs = (
+        a.join(b, "okey")
+        .filter(F.col("part_b") > F.col("part_a"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").cast("bigint").alias("support"))
+        .filter(F.col("support") >= _A24_MIN_SUPPORT)
+    )
+    sa = singles.select(F.col("part").alias("part_a"), F.col("n_part").alias("na"))
+    sb = singles.select(F.col("part").alias("part_b"), F.col("n_part").alias("nb_"))
+    return (
+        pairs.join(F.broadcast(sa), "part_a")
+        .join(F.broadcast(sb), "part_b")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            F.round(F.col("support") / F.col("na"), 4).alias("confidence_a_to_b"),
+            F.round(
+                F.col("support") * F.col("n") / (F.col("na") * F.col("nb_")), 4
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "part_a", "part_b")
+        .limit(_A24_TOPK)
+    )
