@@ -1010,3 +1010,131 @@ def s18_zonemap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("layout")
     )
+
+
+# ---------------------------------------------------------------------------
+# S19: column-encoding advisor (completes the storage trio: s16 partitions,
+# s18 zone maps, s19 encodings)
+# ---------------------------------------------------------------------------
+
+_S19_COLS = ("l_orderkey", "l_partkey", "l_quantity", "l_returnflag")
+_S19_DICT_MAX_RATIO = 0.1  # distinct/total below this → dictionary
+_S19_RLE_MIN_RUN = 2.0  # avg run length above this → RLE on top
+
+
+@REGISTRY.register(
+    name="s19_encoding_advisor",
+    survey_ref="S-family extra (storage layout); s16 sizes partitions "
+    "and s18 prices zone maps — this recommends the per-column "
+    "ENCODING, the knob that decides whether a 100 TB table is "
+    "actually 100 TB",
+    doc="per-column encoding advisor over lineitem: distinct ratio "
+    "(dictionary pays when the value space is small) and average "
+    "run length measured WITHIN s18's simulated file granules "
+    "(parquet encodes per page — runs never span files, so the "
+    "per-bucket window is not just scale-safe but MORE faithful "
+    "than a global scan), with the dict/rle_dict/plain verdict. The "
+    "fixture has no physical row id, so 'insertion order' is proxied "
+    "by a TOTAL key order over all columns — (orderkey, linenumber) "
+    "alone has ~12k duplicate pairs at sf0.01 and an ambiguous sort "
+    "makes run counts engine-dependent (caught at bring-up); rows "
+    "still tied under the total order are identical, so their "
+    "relative order cannot change any run count. "
+    "l_orderkey's ~4-row runs (lineitems of one order are adjacent "
+    "in insertion order) make it the RLE poster child; l_partkey is "
+    "plain (unique-ish, no runs); l_returnflag is dictionary. One "
+    "(bucket)-partitioned lag pass + per-column 1-row rollups.",
+    oracle=f"""
+        WITH filed AS (
+            SELECT l_orderkey // 200 AS file_id,
+                   ROW_NUMBER() OVER (PARTITION BY l_orderkey // 200
+                                      ORDER BY l_orderkey, l_linenumber,
+                                               l_partkey, l_suppkey,
+                                               l_quantity, l_extendedprice,
+                                               l_returnflag, l_linestatus,
+                                               l_shipdate)
+                       AS pos,
+                   CAST(l_orderkey AS VARCHAR) AS c_orderkey,
+                   CAST(l_partkey AS VARCHAR) AS c_partkey,
+                   CAST(l_quantity AS VARCHAR) AS c_quantity,
+                   l_returnflag AS c_returnflag
+            FROM lineitem
+        ), metrics AS (
+            {" UNION ALL ".join(f'''
+            SELECT '{c}' AS col,
+                   CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(COUNT(DISTINCT v) AS DOUBLE) AS n_distinct,
+                   SUM(new_run) AS n_runs
+            FROM (SELECT c_{c.split("_", 1)[1]} AS v,
+                         CASE WHEN c_{c.split("_", 1)[1]}
+                                   = LAG(c_{c.split("_", 1)[1]}) OVER
+                                     (PARTITION BY file_id ORDER BY pos)
+                              THEN 0.0 ELSE 1.0 END AS new_run
+                  FROM filed)''' for c in _S19_COLS)}
+        )
+        SELECT col,
+               ROUND(n_distinct / n, 6) AS distinct_ratio,
+               ROUND(n / n_runs, 4) AS avg_run_len,
+               CASE WHEN n_distinct / n < {_S19_DICT_MAX_RATIO}
+                         AND n / n_runs >= {_S19_RLE_MIN_RUN}
+                    THEN 'rle_dict'
+                    WHEN n_distinct / n < {_S19_DICT_MAX_RATIO} THEN 'dict'
+                    ELSE 'plain' END AS encoding
+        FROM metrics ORDER BY col
+    """,
+)
+def s19_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, "lineitem", sf_dir)
+    filed = li.select(
+        (F.col("l_orderkey") / 200).cast("bigint").alias("file_id"),
+        F.row_number()
+        .over(
+            W.partitionBy((F.col("l_orderkey") / 200).cast("bigint")).orderBy(
+                "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+                "l_quantity", "l_extendedprice", "l_returnflag",
+                "l_linestatus", "l_shipdate",
+            )
+        )
+        .alias("pos"),
+        *[
+            F.col(c).cast("string").alias(f"c_{c.split('_', 1)[1]}")
+            for c in _S19_COLS
+        ],
+    )
+    parts = []
+    w = W.partitionBy("file_id").orderBy("pos")
+    for c in _S19_COLS:
+        cc = f"c_{c.split('_', 1)[1]}"
+        flagged = filed.select(
+            cc,
+            F.when(F.col(cc) == F.lag(cc).over(w), 0.0)
+            .otherwise(1.0)
+            .alias("new_run"),
+        )
+        parts.append(
+            flagged.agg(
+                F.lit(c).alias("col"),
+                F.count("*").cast("double").alias("n"),
+                F.countDistinct(cc).cast("double").alias("n_distinct"),
+                F.sum("new_run").alias("n_runs"),
+            )
+        )
+    metrics = parts[0]
+    for p in parts[1:]:
+        metrics = metrics.unionByName(p)
+    ratio = F.col("n_distinct") / F.col("n")
+    run_len = F.col("n") / F.col("n_runs")
+    return metrics.select(
+        "col",
+        F.round(ratio, 6).alias("distinct_ratio"),
+        F.round(run_len, 4).alias("avg_run_len"),
+        F.when(
+            (ratio < _S19_DICT_MAX_RATIO) & (run_len >= _S19_RLE_MIN_RUN),
+            "rle_dict",
+        )
+        .when(ratio < _S19_DICT_MAX_RATIO, "dict")
+        .otherwise("plain")
+        .alias("encoding"),
+    ).orderBy("col")
