@@ -1412,3 +1412,84 @@ def pipeline_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_m.value").alias("value"),
     )
     return unc_long.unionByName(model_long).orderBy("family", "metric")
+
+
+# ---------------------------------------------------------------------------
+# pipeline: storage review card (s16 ∘ s18 ∘ s19 — the fifth card)
+# ---------------------------------------------------------------------------
+
+
+def _storage_oracle() -> str:
+    from ai_iceberg_demo_spark.operators.scans_filters import (
+        REGISTRY as _SCAN_REGISTRY,
+    )
+
+    s16 = _SCAN_REGISTRY.specs["s16_partition_plan"].oracle
+    s18 = _SCAN_REGISTRY.specs["s18_zonemap_audit"].oracle
+    s19 = _SCAN_REGISTRY.specs["s19_encoding_advisor"].oracle
+    return f"""
+        SELECT 'partitioning' AS family, part_col AS item,
+               ROUND(skew_ratio, 4) AS value,
+               CASE WHEN needs_intra_key_split THEN 'split'
+                    WHEN small_files_risk THEN 'coalesce'
+                    ELSE 'ok' END AS verdict
+        FROM ({s16})
+        UNION ALL
+        SELECT 'zone_maps', layout, skip_rate,
+               CASE WHEN skip_rate > 0.5 THEN 'prunes'
+                    ELSE 'sort_or_zorder' END
+        FROM ({s18})
+        UNION ALL
+        SELECT 'encodings', col, avg_run_len, encoding
+        FROM ({s19})
+        ORDER BY family, item
+    """
+
+
+@REGISTRY.register(
+    name="pipeline_storage",
+    survey_ref="training-data (composed: s16 + s18 + s19 storage card); "
+    "the fifth review card (eval, experiment, forecast, governance, "
+    "storage)",
+    doc="the table-layout review in ONE long-format card: partitioning "
+    "skew verdicts (s16 — split / coalesce / ok per candidate "
+    "column), zone-map pruning rates (s18 — prunes vs needs "
+    "sort/z-order per layout), and encoding picks (s19 — per-column "
+    "run lengths with the dict/rle/plain verdict). Oracle reuses "
+    "the three parts' exact SQL as subqueries (the card "
+    "discipline); the Spark side calls the registered operators and "
+    "reshapes. Everything is footer-stat-sized aggregates — the "
+    "whole card reads at planning cost.",
+    oracle=_storage_oracle(),
+)
+def pipeline_storage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_iceberg_demo_spark.operators.scans_filters import (
+        s16_partition_plan,
+        s18_zonemap_audit,
+        s19_encoding_advisor,
+    )
+
+    s16 = s16_partition_plan(spark, sf_dir).select(
+        F.lit("partitioning").alias("family"),
+        F.col("part_col").alias("item"),
+        F.round("skew_ratio", 4).cast("double").alias("value"),
+        F.when(F.col("needs_intra_key_split"), "split")
+        .when(F.col("small_files_risk"), "coalesce")
+        .otherwise("ok")
+        .alias("verdict"),
+    )
+    s18 = s18_zonemap_audit(spark, sf_dir).select(
+        F.lit("zone_maps").alias("family"),
+        F.col("layout").alias("item"),
+        F.col("skip_rate").cast("double").alias("value"),
+        F.when(F.col("skip_rate") > 0.5, "prunes")
+        .otherwise("sort_or_zorder")
+        .alias("verdict"),
+    )
+    s19 = s19_encoding_advisor(spark, sf_dir).select(
+        F.lit("encodings").alias("family"),
+        F.col("col").alias("item"),
+        F.col("avg_run_len").cast("double").alias("value"),
+        F.col("encoding").alias("verdict"),
+    )
+    return s16.unionByName(s18).unionByName(s19).orderBy("family", "item")
