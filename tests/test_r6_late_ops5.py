@@ -1,0 +1,76 @@
+"""Named invariants for the last r6 additions (RBO, NMI, basket
+rules, encoding advisor, storage card)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+def test_t95_rbo_monotone_and_bounded(spark):
+    from ai_iceberg_demo_spark.functions.retrieval import t95_rank_biased_overlap
+
+    out = t95_rank_biased_overlap(spark, SF_DIR).toPandas().sort_values("depth")
+    assert (out.rbo_min.diff().dropna() >= -1e-12).all(), "RBO bound accumulates"
+    assert ((out.agreement_at_d >= 0) & (out.agreement_at_d <= 1)).all()
+    assert ((out.rbo_min >= 0) & (out.rbo_min <= 1)).all()
+    # prefix intersections can grow by at most 2 per depth step
+    assert (out.n_common.diff().dropna() <= 2).all()
+
+
+def test_v34_nmi_identities(spark):
+    from ai_iceberg_demo_spark.vector.clustering import v34_cluster_label_nmi
+
+    r = v34_cluster_label_nmi(spark, SF_DIR).toPandas().iloc[0]
+    assert 0 <= r.nmi <= 1
+    assert r.mutual_information <= min(r.h_clusters, r.h_labels) + 1e-9
+    assert abs(
+        r.nmi - r.mutual_information / ((r.h_clusters + r.h_labels) / 2)
+    ) < 1e-4
+
+
+def test_a24_lift_and_confidence_are_consistent(spark):
+    from ai_iceberg_demo_spark.operators.aggregates import (
+        _A24_MIN_SUPPORT,
+        a24_market_basket,
+    )
+
+    out = a24_market_basket(spark, SF_DIR).toPandas()
+    assert len(out) > 0, "rules must exist at the fixture support level"
+    assert (out.support >= _A24_MIN_SUPPORT).all()
+    assert ((out.confidence_a_to_b > 0) & (out.confidence_a_to_b <= 1)).all()
+    assert (out.lift > 1).all(), "top-by-lift pairs must beat independence"
+    assert (out.part_a < out.part_b).all()
+
+
+def test_s19_verdicts_follow_their_own_metrics(spark):
+    from ai_iceberg_demo_spark.operators.scans_filters import (
+        _S19_DICT_MAX_RATIO,
+        _S19_RLE_MIN_RUN,
+        s19_encoding_advisor,
+    )
+
+    out = s19_encoding_advisor(spark, SF_DIR).toPandas()
+    for _, r in out.iterrows():
+        if r.distinct_ratio < _S19_DICT_MAX_RATIO and r.avg_run_len >= _S19_RLE_MIN_RUN:
+            assert r.encoding == "rle_dict", r.col
+        elif r.distinct_ratio < _S19_DICT_MAX_RATIO:
+            assert r.encoding == "dict", r.col
+        else:
+            assert r.encoding == "plain", r.col
+    by = out.set_index("col")
+    assert by.loc["l_orderkey", "avg_run_len"] > 2, "orderkey runs exist"
+    assert by.loc["l_returnflag", "encoding"] == "dict"
+
+
+def test_pipeline_storage_card_covers_the_trio(spark):
+    from ai_iceberg_demo_spark.pipeline.curation import pipeline_storage
+
+    out = pipeline_storage(spark, SF_DIR).toPandas()
+    fams = out.family.value_counts().to_dict()
+    assert fams["zone_maps"] == 2 and fams["encodings"] == 4
+    assert fams["partitioning"] >= 2
+    zm = out[out.family == "zone_maps"].set_index("item")
+    assert zm.loc["clustered_orderkey", "verdict"] == "prunes"
+    assert zm.loc["unclustered_shipdate", "verdict"] == "sort_or_zorder"
