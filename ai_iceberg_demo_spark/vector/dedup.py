@@ -1812,3 +1812,135 @@ def d22_bag_of_words_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("plants_caught"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# d27: shingle-size sensitivity (the OTHER dedup knob; d14 prices bands)
+# ---------------------------------------------------------------------------
+
+_D27_NS = (3, 5, 8)
+_D27_TAU = 0.8  # the dedup threshold the curve is read against
+_D27_FOOTER = " zz1 zz2 zz3 zz4 zz5"  # planted 5-token mutation
+
+
+def _d27_block_sql(n: int) -> str:
+    return f"""
+            SELECT {n} AS shingle_n,
+                   ROUND(AVG(j), 4) AS mean_jaccard,
+                   CAST(SUM(CASE WHEN j >= {_D27_TAU} THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_detected,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM (
+                WITH pairs AS (
+                    SELECT doc_id, STRING_SPLIT(text, ' ') AS ta,
+                           STRING_SPLIT(text || '{_D27_FOOTER}', ' ') AS tb
+                    FROM documents WHERE doc_id % 10 = 0
+                ), ga AS (
+                    SELECT DISTINCT doc_id,
+                           UNNEST(LIST_TRANSFORM(
+                               GENERATE_SERIES(1, GREATEST(LEN(ta) - {n - 1}, 0)),
+                               i -> ARRAY_TO_STRING(ta[i:(i + {n - 1})], ' ')))
+                               AS gram
+                    FROM pairs
+                ), gb AS (
+                    SELECT DISTINCT doc_id,
+                           UNNEST(LIST_TRANSFORM(
+                               GENERATE_SERIES(1, GREATEST(LEN(tb) - {n - 1}, 0)),
+                               i -> ARRAY_TO_STRING(tb[i:(i + {n - 1})], ' ')))
+                               AS gram
+                    FROM pairs
+                ), na AS (
+                    SELECT doc_id, COUNT(*) AS ca FROM ga GROUP BY doc_id
+                ), nb AS (
+                    SELECT doc_id, COUNT(*) AS cb FROM gb GROUP BY doc_id
+                ), inter AS (
+                    SELECT a.doc_id, COUNT(*) AS ci
+                    FROM ga a JOIN gb b ON b.doc_id = a.doc_id
+                                       AND b.gram = a.gram
+                    GROUP BY a.doc_id
+                )
+                SELECT na.doc_id,
+                       COALESCE(i.ci, 0)
+                           / CAST(na.ca + nb.cb - COALESCE(i.ci, 0) AS DOUBLE)
+                           AS j
+                FROM na JOIN nb USING (doc_id)
+                LEFT JOIN inter i USING (doc_id)
+            )
+    """
+
+
+@REGISTRY.register(
+    name="d27_shingle_sensitivity",
+    survey_ref="training-data (dedup tuning); d14 prices the BAND "
+    "layout at fixed shingles — this prices the SHINGLE SIZE, the "
+    "other knob, against planted mutations",
+    doc=f"shingle-size sensitivity curve: each doc_id%10==0 document "
+    f"gets a planted 5-token footer twin (the near-dup a template "
+    f"re-render produces), and for n ∈ {_D27_NS} the exact n-gram "
+    f"Jaccard original↔twin is measured — mean Jaccard, pairs "
+    f"detected at the τ={_D27_TAU} dedup bar, and the pair count. "
+    "Larger shingles amplify a small mutation (every gram crossing "
+    "the footer boundary breaks), so detection DEGRADES with n — "
+    "the measured argument for the corpus's shingle choice, the way "
+    "d14 argues the band choice. Pairs are KNOWN (original↔twin), "
+    "so the whole audit is doc_id-keyed — no candidate join, no "
+    "corpus self-join; cost is the planted slice's gram explode "
+    "× |{_D27_NS}|.",
+    oracle=" UNION ALL ".join(_d27_block_sql(n) for n in _D27_NS)
+    + " ORDER BY shingle_n",
+)
+def d27_shingle_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .filter(F.col("doc_id") % 10 == 0)
+        .select(
+            "doc_id",
+            F.split("text", " ").alias("ta"),
+            F.split(F.concat(F.col("text"), F.lit(_D27_FOOTER)), " ").alias("tb"),
+        )
+        .persist()
+    )
+
+    def grams(col: str, n: int):
+        # n-gram strings from ONE bound token array (the r3 lesson)
+        t = F.col(col)
+        return F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(0))),
+            lambda i: F.array_join(F.slice(t, i, n), " "),
+        )
+
+    outs = []
+    for n in _D27_NS:
+        ga = docs.select(
+            "doc_id", F.explode(grams("ta", n)).alias("gram")
+        ).distinct()
+        gb = docs.select(
+            "doc_id", F.explode(grams("tb", n)).alias("gram")
+        ).distinct()
+        na = ga.groupBy("doc_id").agg(F.count("*").alias("ca"))
+        nb = gb.groupBy("doc_id").agg(F.count("*").alias("cb"))
+        inter = (
+            ga.join(gb, ["doc_id", "gram"])
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("ci"))
+        )
+        j = F.coalesce(F.col("ci"), F.lit(0)) / (
+            F.col("ca") + F.col("cb") - F.coalesce(F.col("ci"), F.lit(0))
+        ).cast("double")
+        per_pair = (
+            na.join(nb, "doc_id").join(inter, "doc_id", "left").select(j.alias("j"))
+        )
+        outs.append(
+            per_pair.agg(
+                F.lit(n).alias("shingle_n"),
+                F.round(F.avg("j"), 4).alias("mean_jaccard"),
+                F.sum(F.when(F.col("j") >= _D27_TAU, 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_detected"),
+                F.count("*").cast("bigint").alias("n_pairs"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("shingle_n")
