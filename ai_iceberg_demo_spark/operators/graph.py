@@ -737,3 +737,70 @@ def g6_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", "rank", "kind")
         .orderBy("kind", F.desc("rank"), "node")
     )
+
+
+# ---------------------------------------------------------------------------
+# G7: degree assortativity (who connects to whom, structurally)
+# ---------------------------------------------------------------------------
+
+
+@REGISTRY.register(
+    name="g7_degree_assortativity",
+    survey_ref="graph extra (mixing structure); g3 counts closure, g5 "
+    "scores partitions — assortativity asks whether hubs attach to "
+    "hubs, the number that separates social graphs (positive) from "
+    "retail/web graphs (negative)",
+    doc="degree assortativity of the customer→supplier purchase graph: "
+    "Pearson correlation between the customer's out-degree and the "
+    "supplier's in-degree ACROSS EDGES (Newman 2002's r for a "
+    "bipartite digraph). Near zero on this uniform fixture (orders "
+    "assign parts ~independently — the honest null), strongly "
+    "negative on real retail graphs where casual buyers concentrate "
+    "on popular sellers; the sign drives sampling decisions (negative "
+    "mixing means hub-removal debiasing changes the tail, not the "
+    "head). Degrees come from two partial aggs broadcast onto the "
+    "edge list; the correlation is CORR over edge rows — one "
+    "map-side pass after the degree joins.",
+    oracle="""
+        WITH edges AS (
+            SELECT DISTINCT o.o_custkey AS src, l.l_suppkey AS dst
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        ), outdeg AS (
+            SELECT src, CAST(COUNT(*) AS DOUBLE) AS dout
+            FROM edges GROUP BY src
+        ), indeg AS (
+            SELECT dst, CAST(COUNT(*) AS DOUBLE) AS din
+            FROM edges GROUP BY dst
+        ), joined AS (
+            SELECT o.dout, i.din
+            FROM edges e JOIN outdeg o USING (src) JOIN indeg i USING (dst)
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+               ROUND(AVG(dout), 4) AS mean_src_outdeg,
+               ROUND(AVG(din), 4) AS mean_dst_indeg,
+               ROUND(CORR(dout, din), 6) AS assortativity,
+               ABS(CORR(dout, din)) < 0.1 AS neutral_as_expected
+        FROM joined
+    """,
+)
+def g7_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_suppkey")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst"))
+        .distinct()
+        .persist()
+    )
+    outdeg = edges.groupBy("src").agg(F.count("*").cast("double").alias("dout"))
+    indeg = edges.groupBy("dst").agg(F.count("*").cast("double").alias("din"))
+    joined = edges.join(F.broadcast(outdeg), "src").join(
+        F.broadcast(indeg), "dst"
+    )
+    return joined.agg(
+        F.count("*").cast("bigint").alias("n_edges"),
+        F.round(F.avg("dout"), 4).alias("mean_src_outdeg"),
+        F.round(F.avg("din"), 4).alias("mean_dst_indeg"),
+        F.round(F.corr("dout", "din"), 6).alias("assortativity"),
+        (F.abs(F.corr("dout", "din")) < 0.1).alias("neutral_as_expected"),
+    )
