@@ -74,3 +74,32 @@ def test_pipeline_storage_card_covers_the_trio(spark):
     zm = out[out.family == "zone_maps"].set_index("item")
     assert zm.loc["clustered_orderkey", "verdict"] == "prunes"
     assert zm.loc["unclustered_shipdate", "verdict"] == "sort_or_zorder"
+
+
+def test_v35_curve_covers_all_block_counts_with_valid_recalls(spark):
+    from ai_iceberg_demo_spark.vector.similarity import _V35_MS, v35_pq_tuning_curve
+
+    out = v35_pq_tuning_curve(spark, SF_DIR).toPandas()
+    assert list(out.m_blocks) == list(_V35_MS)
+    assert ((out.recall5 >= 0) & (out.recall5 <= 1)).all()
+    assert (out.bytes_per_vector == [m / 2 for m in _V35_MS]).all()
+
+
+def test_d27_detection_degrades_with_shingle_size(spark):
+    from ai_iceberg_demo_spark.vector.dedup import d27_shingle_sensitivity
+
+    out = d27_shingle_sensitivity(spark, SF_DIR).toPandas().sort_values("shingle_n")
+    assert (out.mean_jaccard.diff().dropna() <= 1e-9).all(), (
+        "larger shingles must not raise Jaccard under a fixed mutation"
+    )
+    assert out.n_pairs.nunique() == 1  # same planted pairs at every n
+    assert (out.n_detected <= out.n_pairs).all()
+
+
+def test_g7_assortativity_is_a_correlation(spark):
+    from ai_iceberg_demo_spark.operators.graph import g7_degree_assortativity
+
+    r = g7_degree_assortativity(spark, SF_DIR).toPandas().iloc[0]
+    assert -1.0 <= r.assortativity <= 1.0
+    assert r.n_edges > 0
+    assert bool(r.neutral_as_expected)
