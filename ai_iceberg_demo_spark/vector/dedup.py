@@ -1944,3 +1944,144 @@ def d27_shingle_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy("shingle_n")
+
+
+# ---------------------------------------------------------------------------
+# d28: transitivity audit — is single-linkage safe at the dedup threshold?
+# ---------------------------------------------------------------------------
+
+_D28_TAU = 0.8
+
+
+@REGISTRY.register(
+    name="d28_transitivity_audit",
+    survey_ref="training-data (dedup clustering soundness); d6 closes "
+    "verified pairs into components by SINGLE LINKAGE — sound only "
+    "if near-duplication is quasi-transitive at the threshold, and "
+    "this MEASURES that instead of assuming it",
+    doc=f"transitivity audit of the τ={_D28_TAU} near-dup relation: "
+    "over the exact-Jaccard edge set (d2's spelling), every length-2 "
+    "path a–b–c is checked for whether the closing pair (a,c) also "
+    "clears τ; the violation rate is the fraction of paths whose "
+    "closure FAILS — high violation means single-linkage chains "
+    "unrelated docs through shared boilerplate (the d9 docstring's "
+    "mega-component failure, here quantified), low violation "
+    "licenses d6's component closure. Path enumeration joins the "
+    "(tiny) edge list to itself on the shared middle; the closing "
+    "Jaccard is looked up in the same pair table — nothing beyond "
+    "d2's shingle machinery runs.",
+    oracle=f"""
+        WITH sh AS (
+            SELECT DISTINCT doc_id,
+                   UNNEST(LIST_TRANSFORM(
+                       GENERATE_SERIES(1, GREATEST(LEN(STRING_SPLIT(text, ' ')) - 2, 0)),
+                       i -> ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[i:(i + 2)], ' ')))
+                       AS shingle
+            FROM documents
+        ), sizes AS (
+            SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle
+                              AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ), allj AS (
+            SELECT i.a_id, i.b_id,
+                   CAST(i.n_inter AS DOUBLE)
+                       / (sa.n_sh + sb.n_sh - i.n_inter) AS j
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.a_id
+            JOIN sizes sb ON sb.doc_id = i.b_id
+        ), edges AS (
+            SELECT a_id AS u, b_id AS v FROM allj WHERE j >= {_D28_TAU}
+            UNION ALL
+            SELECT b_id, a_id FROM allj WHERE j >= {_D28_TAU}
+        ), paths AS (
+            SELECT e1.u AS a, e1.v AS m, e2.v AS c
+            FROM edges e1 JOIN edges e2 ON e2.u = e1.v AND e2.v > e1.u
+            WHERE e2.v != e1.u
+        ), closed AS (
+            SELECT p.a, p.m, p.c,
+                   COALESCE(j.j, 0.0) >= {_D28_TAU} AS closes
+            FROM paths p
+            LEFT JOIN allj j ON j.a_id = p.a AND j.b_id = p.c
+        )
+        SELECT CAST((SELECT COUNT(*) FROM allj WHERE j >= {_D28_TAU})
+                   AS BIGINT) AS n_edges,
+               CAST(COUNT(*) AS BIGINT) AS n_paths2,
+               CAST(SUM(CASE WHEN closes THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_closed,
+               ROUND(AVG(CASE WHEN closes THEN 0.0 ELSE 1.0 END), 4)
+                   AS violation_rate,
+               AVG(CASE WHEN closes THEN 0.0 ELSE 1.0 END) < 0.2
+                   AS single_linkage_safe
+        FROM closed
+    """,
+)
+def d28_transitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_iceberg_demo_spark.tables import fan_out_small_input
+
+    docs = fan_out_small_input(load_table(spark, "documents", sf_dir))
+    sh = (
+        docs.select("doc_id", F.explode(shingles(F.col("text"))).alias("shingle"))
+        .distinct()
+        .persist()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("nb"))
+    jac = F.col("n_inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_inter")
+    )
+    allj = (
+        inter.join(F.broadcast(sa), "a_id")
+        .join(F.broadcast(sb), "b_id")
+        .select("a_id", "b_id", jac.alias("j"))
+        .persist()
+    )
+    strong = allj.filter(F.col("j") >= _D28_TAU)
+    edges = strong.select(F.col("a_id").alias("u"), F.col("b_id").alias("v")).unionAll(
+        strong.select(F.col("b_id").alias("u"), F.col("a_id").alias("v"))
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    paths = e1.join(
+        e2,
+        (F.col("e2.u") == F.col("e1.v"))
+        & (F.col("e2.v") > F.col("e1.u"))
+        & (F.col("e2.v") != F.col("e1.u")),
+    ).select(
+        F.col("e1.u").alias("a"), F.col("e1.v").alias("m"), F.col("e2.v").alias("c")
+    )
+    closed = paths.join(
+        allj.select(F.col("a_id").alias("a"), F.col("b_id").alias("c"), "j"),
+        ["a", "c"],
+        "left",
+    ).select(
+        (F.coalesce(F.col("j"), F.lit(0.0)) >= _D28_TAU).alias("closes")
+    )
+    n_edges = strong.count()
+    return closed.agg(
+        F.lit(n_edges).cast("bigint").alias("n_edges"),
+        F.count("*").cast("bigint").alias("n_paths2"),
+        F.sum(F.when(F.col("closes"), 1).otherwise(0)).cast("bigint").alias(
+            "n_closed"
+        ),
+        F.round(F.avg(F.when(F.col("closes"), 0.0).otherwise(1.0)), 4).alias(
+            "violation_rate"
+        ),
+        (F.avg(F.when(F.col("closes"), 0.0).otherwise(1.0)) < 0.2).alias(
+            "single_linkage_safe"
+        ),
+    )
