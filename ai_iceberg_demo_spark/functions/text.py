@@ -2397,3 +2397,103 @@ def t77_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# t96: n-gram novelty over ingest order (the crawl-saturation curve)
+# ---------------------------------------------------------------------------
+
+_T96_N = 3
+_T96_BUCKETS = 10
+
+
+@REGISTRY.register(
+    name="t96_ngram_novelty",
+    survey_ref="training-data (crawl economics); t18 measures "
+    "WITHIN-doc repetition and d10 removes cross-doc spans — this "
+    "tracks how much NEW text each ingest slice still contributes, "
+    "the curve that says when crawling stops paying",
+    doc=f"{_T96_N}-gram novelty by ingest decile: each distinct gram's "
+    "first occurrence is the minimum doc_id carrying it (doc_id = "
+    "ingest order), docs bucket into ten ingest deciles, and per "
+    "decile the novelty rate is the fraction of gram OCCURRENCES "
+    "whose first-seen doc lies in that same decile — early slices "
+    "are mostly novel, late slices mostly repeat what the corpus "
+    "already said, and the decay rate prices continued crawling. "
+    "One gram wordcount builds the first-seen table (min partial — "
+    "same shuffle d2/t17 already pay for the gram relation); the "
+    "per-decile rollup is a 10-key agg. At 100 TB first-seen is "
+    "exactly the persisted dedup gram index with a MIN column.",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
+        ), grams AS (
+            SELECT doc_id,
+                   UNNEST(LIST_TRANSFORM(
+                       GENERATE_SERIES(1, GREATEST(LEN(t) - {_T96_N - 1}, 0)),
+                       i -> ARRAY_TO_STRING(t[i:(i + {_T96_N - 1})], ' ')))
+                       AS gram
+            FROM toks
+        ), bounds AS (
+            SELECT MIN(doc_id) AS lo, MAX(doc_id) + 1 AS hi FROM grams
+        ), first_seen AS (
+            SELECT gram, MIN(doc_id) AS first_doc FROM grams GROUP BY gram
+        ), tagged AS (
+            SELECT LEAST({_T96_BUCKETS} - 1,
+                       CAST(FLOOR(({_T96_BUCKETS}.0 * (g.doc_id - b.lo))
+                                  / (b.hi - b.lo)) AS INT)) AS decile,
+                   CASE WHEN f.first_doc = g.doc_id THEN 1.0 ELSE 0.0 END
+                       AS novel
+            FROM grams g
+            JOIN first_seen f USING (gram)
+            CROSS JOIN bounds b
+        )
+        SELECT CAST(decile AS INT) AS ingest_decile,
+               CAST(COUNT(*) AS BIGINT) AS n_gram_occurrences,
+               ROUND(AVG(novel), 4) AS novelty_rate
+        FROM tagged GROUP BY decile ORDER BY ingest_decile
+    """,
+)
+def t96_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size("t") - (_T96_N - 1), F.lit(0))
+                ),
+                lambda i: F.array_join(F.slice(F.col("t"), i, _T96_N), " "),
+            )
+        ).alias("gram"),
+    ).persist()
+    bounds = grams.agg(
+        F.min("doc_id").alias("lo"), (F.max("doc_id") + 1).alias("hi")
+    )
+    first_seen = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    tagged = (
+        grams.join(first_seen, "gram")
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            F.least(
+                F.lit(_T96_BUCKETS - 1),
+                F.floor(
+                    _T96_BUCKETS
+                    * (F.col("doc_id") - F.col("lo"))
+                    / (F.col("hi") - F.col("lo"))
+                ).cast("int"),
+            ).alias("decile"),
+            F.when(F.col("first_doc") == F.col("doc_id"), 1.0)
+            .otherwise(0.0)
+            .alias("novel"),
+        )
+    )
+    return (
+        tagged.groupBy(F.col("decile").cast("int").alias("ingest_decile"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_gram_occurrences"),
+            F.round(F.avg("novel"), 4).alias("novelty_rate"),
+        )
+        .orderBy("ingest_decile")
+    )
