@@ -103,3 +103,25 @@ def test_g7_assortativity_is_a_correlation(spark):
     assert -1.0 <= r.assortativity <= 1.0
     assert r.n_edges > 0
     assert bool(r.neutral_as_expected)
+
+
+def test_d28_counts_are_consistent(spark):
+    from ai_iceberg_demo_spark.vector.dedup import d28_transitivity_audit
+
+    r = d28_transitivity_audit(spark, SF_DIR).toPandas().iloc[0]
+    assert r.n_closed <= r.n_paths2
+    assert abs(
+        r.violation_rate - (1 - r.n_closed / r.n_paths2 if r.n_paths2 else 0)
+    ) < 1e-3
+    assert r.n_edges >= 0 and r.n_paths2 >= 0
+
+
+def test_t96_novelty_decays_and_first_slice_is_mostly_new(spark):
+    from ai_iceberg_demo_spark.functions.text import t96_ngram_novelty
+
+    out = t96_ngram_novelty(spark, SF_DIR).toPandas().sort_values("ingest_decile")
+    assert out.novelty_rate.iloc[0] > 0.9, "first ingest slice is mostly novel"
+    assert out.novelty_rate.iloc[-1] < out.novelty_rate.iloc[0]
+    # broad decay: each decile's rate below the first slice's
+    assert (out.novelty_rate.iloc[1:] < out.novelty_rate.iloc[0]).all()
+    assert ((out.novelty_rate >= 0) & (out.novelty_rate <= 1)).all()
