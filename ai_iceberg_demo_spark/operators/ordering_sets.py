@@ -522,3 +522,83 @@ def o8_range_partitioner_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("part")
     )
+
+
+# --- O9: pagination drift under concurrent inserts -----------------------
+
+_O9_PAGE = 20
+
+
+@REGISTRY.register(
+    name="o9_pagination_drift",
+    survey_ref="O-family extra (why o3_keyset exists, measured): OFFSET "
+    "pagination re-reads rows when inserts land before the cursor — "
+    "this audit produces the duplicate count instead of citing lore",
+    doc=f"pagination-stability audit: page 1 ({_O9_PAGE} rows by "
+    "o_orderkey) is read from the corpus, then 10 new orders are "
+    "PLANTED with keys below page 1's last key (the concurrent "
+    "insert every paginating consumer eventually meets), and page 2 "
+    "is fetched both ways from the grown table — OFFSET page 2 "
+    "re-serves rows already seen on page 1 (duplicates counted), "
+    "keyset page 2 (key > last seen) serves zero duplicates and "
+    "exactly the rows OFFSET pushed out. One ordered TakeOrdered "
+    "per page read; the comparison joins two page-sized frames. The "
+    "verdict row is what goes in the API style guide.",
+    oracle=f"""
+        WITH v1 AS (
+            SELECT o_orderkey AS k FROM orders
+        ), page1 AS (
+            SELECT k FROM v1 ORDER BY k LIMIT {_O9_PAGE}
+        ), last1 AS (
+            SELECT MAX(k) AS lastk FROM page1
+        ), planted AS (
+            SELECT -1 - UNNEST(GENERATE_SERIES(0, 9)) AS k
+        ), v2 AS (
+            SELECT k FROM v1 UNION ALL SELECT k FROM planted
+        ), off2 AS (
+            SELECT k FROM v2 ORDER BY k LIMIT {_O9_PAGE} OFFSET {_O9_PAGE}
+        ), key2 AS (
+            SELECT k FROM v2 WHERE k > (SELECT lastk FROM last1)
+            ORDER BY k LIMIT {_O9_PAGE}
+        )
+        SELECT CAST((SELECT COUNT(*) FROM off2 o
+                     JOIN page1 p ON p.k = o.k) AS BIGINT)
+                   AS offset_page2_dups,
+               CAST((SELECT COUNT(*) FROM key2 x
+                     JOIN page1 p ON p.k = x.k) AS BIGINT)
+                   AS keyset_page2_dups,
+               (SELECT COUNT(*) FROM key2 x JOIN page1 p ON p.k = x.k) = 0
+                   AS keyset_stable
+    """,
+)
+def o9_pagination_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, "orders", sf_dir)
+    v1 = orders.select(F.col("o_orderkey").alias("k"))
+    page1 = v1.orderBy("k").limit(_O9_PAGE).persist()
+    lastk = page1.agg(F.max("k").alias("lastk"))
+    planted = orders.sparkSession.range(0, 10).select((-1 - F.col("id")).alias("k"))
+    v2 = v1.unionAll(planted)
+    # OFFSET spelling: take the first 2 pages, drop page 1 by rank —
+    # the rank window runs over a 2-page (40-row) frame, never the corpus
+    off2 = (
+        v2.orderBy("k")
+        .limit(2 * _O9_PAGE)
+        .withColumn("_rn", F.row_number().over(W.orderBy("k")))
+        .filter(F.col("_rn") > _O9_PAGE)
+        .select("k")
+    )
+    key2 = (
+        v2.crossJoin(F.broadcast(lastk))
+        .filter(F.col("k") > F.col("lastk"))
+        .orderBy("k")
+        .limit(_O9_PAGE)
+        .select("k")
+    )
+    off_dups = off2.join(page1, "k").count()
+    key_dups = key2.join(page1, "k").count()
+    return orders.sparkSession.createDataFrame(
+        [(off_dups, key_dups, key_dups == 0)],
+        "offset_page2_dups bigint, keyset_page2_dups bigint, keyset_stable boolean",
+    )
