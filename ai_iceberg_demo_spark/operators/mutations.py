@@ -1581,3 +1581,106 @@ def m18_column_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_leaks") == 0).alias("no_leaks"),
         (F.col("n_distinct_raw") < _M18_FREQ_RISK).alias("freq_attack_risk"),
     ).orderBy("col")
+
+
+# ---------------------------------------------------------------------------
+# M19: concurrent-merge conflict semantics (LWW vs field-level merge)
+# ---------------------------------------------------------------------------
+
+
+@REGISTRY.register(
+    name="m19_merge_conflicts",
+    survey_ref="M-family extra (concurrent writers); m1-m4 apply ONE "
+    "batch — two writers landing between each other's reads is the "
+    "lakehouse conflict case, and row-level last-writer-wins "
+    "silently drops the earlier writer's fields",
+    doc="two concurrent update batches over customer: writer A (+100 "
+    "acctbal, custkey%10==0, ts=1) and writer B (segment→'PRIORITY', "
+    "custkey%20==0, ts=2) overlap on %20 keys. Row-level "
+    "LAST-WRITER-WINS resolves each conflicted key to B's row — "
+    "built from the UNTOUCHED base, so A's balance change is LOST; "
+    "FIELD-level merge coalesces per column and keeps both changes. "
+    "The audit counts conflicted keys, LWW's lost updates (= all of "
+    "them) and field-merge's (zero), both pinned — the measured "
+    "argument for column-level MERGE semantics in any multi-writer "
+    "table. Everything is key-filtered joins on the dimension; at "
+    "100 TB this is two MERGE INTO branches and the audit reads "
+    "only the conflicted partition slice.",
+    oracle="""
+        WITH base AS (
+            SELECT c_custkey, ROUND(CAST(c_acctbal AS DOUBLE), 2) AS bal,
+                   c_mktsegment AS seg
+            FROM customer
+        ), wa AS (
+            SELECT c_custkey, ROUND(bal + 100.0, 2) AS new_bal
+            FROM base WHERE c_custkey % 10 = 0
+        ), wb AS (
+            SELECT c_custkey, 'PRIORITY' AS new_seg
+            FROM base WHERE c_custkey % 20 = 0
+        ), conflicted AS (
+            SELECT a.c_custkey FROM wa a JOIN wb b USING (c_custkey)
+        ), lww AS (
+            -- B wrote last: its ROW (base row + B's field) replaces A's
+            SELECT b.c_custkey, bs.bal AS bal, b.new_seg AS seg
+            FROM wb b JOIN base bs USING (c_custkey)
+        ), merged AS (
+            SELECT bs.c_custkey,
+                   COALESCE(a.new_bal, bs.bal) AS bal,
+                   COALESCE(b.new_seg, bs.seg) AS seg
+            FROM base bs
+            LEFT JOIN wa a USING (c_custkey)
+            LEFT JOIN wb b USING (c_custkey)
+            WHERE a.c_custkey IS NOT NULL OR b.c_custkey IS NOT NULL
+        )
+        SELECT CAST((SELECT COUNT(*) FROM conflicted) AS BIGINT)
+                   AS n_conflicted_keys,
+               CAST((SELECT COUNT(*) FROM lww l
+                     JOIN wa a USING (c_custkey)
+                     WHERE l.bal <> a.new_bal) AS BIGINT)
+                   AS lww_lost_updates,
+               CAST((SELECT COUNT(*) FROM merged m
+                     JOIN wa a USING (c_custkey)
+                     WHERE m.bal <> a.new_bal) AS BIGINT)
+                   AS merged_lost_updates,
+               (SELECT COUNT(*) FROM merged m JOIN wa a USING (c_custkey)
+                WHERE m.bal <> a.new_bal) = 0 AS field_merge_lossless
+    """,
+)
+def m19_merge_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    base = cust.select(
+        "c_custkey",
+        F.round(F.col("c_acctbal").cast("double"), 2).alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+    ).persist()
+    wa = base.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey", F.round(F.col("bal") + 100.0, 2).alias("new_bal")
+    )
+    wb = base.filter(F.col("c_custkey") % 20 == 0).select(
+        "c_custkey", F.lit("PRIORITY").alias("new_seg")
+    )
+    n_conflicted = wa.join(wb, "c_custkey").count()
+    lww = wb.join(base, "c_custkey").select("c_custkey", "bal", "new_seg")
+    merged = (
+        base.join(wa, "c_custkey", "left")
+        .join(wb, "c_custkey", "left")
+        .filter(F.col("new_bal").isNotNull() | F.col("new_seg").isNotNull())
+        .select(
+            "c_custkey",
+            F.coalesce("new_bal", "bal").alias("bal"),
+            F.coalesce("new_seg", "seg").alias("seg"),
+        )
+    )
+    lww_lost = (
+        lww.join(wa, "c_custkey").filter(F.col("bal") != F.col("new_bal")).count()
+    )
+    merged_lost = (
+        merged.join(wa, "c_custkey")
+        .filter(F.col("bal") != F.col("new_bal"))
+        .count()
+    )
+    return cust.sparkSession.createDataFrame(
+        [(n_conflicted, lww_lost, merged_lost, merged_lost == 0)],
+        "n_conflicted_keys bigint, lww_lost_updates bigint, "
+        "merged_lost_updates bigint, field_merge_lossless boolean",
+    )

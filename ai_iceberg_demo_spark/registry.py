@@ -185,7 +185,7 @@ class Registry:
 # v34_cluster_label_nmi, a24_market_basket, s19_encoding_advisor,
 # pipeline_storage, v35_pq_tuning_curve, d27_shingle_sensitivity,
 # g7_degree_assortativity, d28_transitivity_audit, t96_ngram_novelty,
-# o9_pagination_drift, ...), where they run
+# o9_pagination_drift, m19_merge_conflicts, ...), where they run
 # ahead of the r2-core cohort (oldest driver evidence).
 # v8e_phash_dedup and pipeline_multimodal_prep
 # gained full hash oracles in r6 AFTER their r6 window slots were
