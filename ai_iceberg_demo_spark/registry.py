@@ -190,57 +190,71 @@ class Registry:
 # v8e_phash_dedup and pipeline_multimodal_prep
 # gained full hash oracles in r6 AFTER their r6 window slots were
 # assigned — their r6 driver rows double as the post-upgrade pins.
+#
+# Round 7 executes the r6-queued rotation exactly: the 13 r5-overflow
+# names first (registered in r5, never driver-checked, 2 rounds
+# waiting), then the 37 operators first registered in r6 in
+# registration order. POLICY (r6 verdict "What's wrong #1"): rows-only
+# names never take a window slot — every slot must be able to go
+# hash-green. All 50 names below carry full hash oracles (verified by
+# tests/test_driver_window.py); v24_label_noise-style rows-only
+# queries are covered by the pytest sweep and their hash-oracled
+# twins instead. Names registered in r7 queue for r8 behind the
+# remaining r6 overflow (see the r6 comment's post-d20 list), ahead
+# of the r2-core cohort (oldest driver evidence, 6 rounds stale).
 _DRIVER_WINDOW_PRIORITY = [
-    "u14_curriculum_order",
-    "u16_interleave_sources",
-    "u21_length_batching",
-    "u22_dedup_aware_mixture",
-    "m6b_asof_dimension",
-    "m7_retention_audit",
-    "m8b_changelog_apply",
-    "f30_unicode_fold",
-    "v16_embedding_drift",
-    "v17_diverse_sample",
-    "v22_matryoshka_eval",
-    "t25_session_sequences",
-    "t26_burst_detection",
-    "t29_conversion_latency",
-    "t31_seasonality",
-    "d12_containment",
-    "pipeline_eval_prep",
-    "pipeline_multimodal_prep",
-    "u23_dsir_weights",
-    "u25_dataset_manifest",
-    "a16_countmin_probe",
-    "d13_intradoc_span_dedup",
-    "m13_k_anonymity",
-    "t33_rater_agreement",
-    "t34_preference_pairs",
-    "t35_next_item_examples",
-    "pipeline_index_maintenance",
-    "v24_label_noise",
-    "d14_minhash_calibration",
-    "v8g_corrupt_blobs",
-    "s12_subject_access",
-    "t36_streaming_drift",
-    "t37_streaming_sketch",
-    "pipeline_dsir_selection",
-    "m14_snapshot_expiry",
-    "f32_bpe_merge_apply",
-    "s13_multiformat_roundtrip",
-    "w8_activity_streaks",
-    "v25_ivf_tuning_curve",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "t38_cusum_changepoint",
-    "u28_negative_samples",
-    "s14_expectation_suite",
-    "m15_incremental_agg",
-    "u31_kfold_splits",
-    "t41_retention_decay_fit",
-    "v11c_kmeans_unrolled",
-    "v12b_power_iteration",
-    "pipeline_governance",
+    # 13 r5-overflow first-timers
+    "q18_large_volume_customers",
+    "a17_mode_entropy",
+    "t42_stream_static_enrich",
+    "w9_mom_growth",
+    "a18_gini_concentration",
+    "t43_dau_wau_stickiness",
+    "v26_embedding_qa",
+    "f36_json_contract",
+    "t45_cohort_ltv",
+    "s15_freshness_slo",
+    "t46_ndcg_eval",
+    "t47_classifier_eval",
+    "f37_numeric_normalize",
+    # 37 r6 first-timers, registration order
+    "v27_lsh_tuning_curve",
+    "v3d_lsh_probe_det",
+    "v8e2_phash_det",
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q12_lateness_priority",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_parts_suppliers",
+    "q17_small_quantity_revenue",
+    "q19_discounted_revenue",
+    "q20_excess_shippers",
+    "q21_waiting_suppliers",
+    "q22_sales_opportunity",
+    "t48_zipf_audit",
+    "f38_vocab_coverage",
+    "v28_filtered_search",
+    "v24b_label_noise_det",
+    "v18b_knn_graph_det",
+    "d16_cluster_histogram",
+    "t51_ewma_band",
+    "f39_html_strip",
+    "j10_blocked_fuzzy_join",
+    "u33_budget_waterfill",
+    "pipeline_web_ingest",
+    "w10_trailing_time_window",
+    "t53_ucb_bandit",
+    "f41_url_normalize",
+    "g3_triangle_count",
+    "t54_touch_attribution",
+    "d19_url_dedup",
+    "u37_temporal_split",
+    "t55_slo_burn_rate",
+    "d20_soft_dedup_weights",
 ]
 
 

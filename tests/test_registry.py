@@ -16,6 +16,17 @@ def test_driver_window_is_exactly_50_unique_registered_names():
     assert list(reg.specs)[:50] == _DRIVER_WINDOW_PRIORITY
 
 
+def test_driver_window_slots_are_all_hash_oracled():
+    # Policy (r6 verdict): rows-only names never take a window slot —
+    # window slots are the scarcest evidence in the loop, so every slot
+    # must be able to go hash-green. Rows-only queries are covered by
+    # the per-round pytest sweep and (where approximate) by their
+    # hash-oracled exact twins (v24 → v24b precedent).
+    reg = all_registries()
+    rows_only = [n for n in _DRIVER_WINDOW_PRIORITY if reg.specs[n].oracle is None]
+    assert rows_only == [], f"rows-only names holding driver slots: {rows_only}"
+
+
 def test_query_names_are_wellformed_and_documented():
     import re
 
