@@ -227,6 +227,19 @@ DEFAULT_FONT_SIZE = 14
 DEFAULT_PRIMARY_COLOR = "#2c3e50"
 
 
+def _theme_css(font_size: int, primary_color: str) -> str:
+    """StylingOptions → CSS (pdf_generation_activity.py:232-253); shared
+    by print_layout_html and the v9 oracle so theme strings can't drift."""
+    return (
+        f"body {{ font-size: {int(font_size)}px; line-height: 1.6; color: #333; }} "
+        f".document-title {{ color: {primary_color}; border-bottom: 3px solid "
+        f"{primary_color}; font-size: 28px; }} "
+        f".content h1 {{ color: {primary_color}; font-size: 24px; }} "
+        f".content blockquote {{ border-left: 4px solid {primary_color}; }} "
+        + PRINT_PAGE_CSS
+    )
+
+
 def print_layout_html(
     docs: DataFrame,
     font_size: int = DEFAULT_FONT_SIZE,
@@ -248,14 +261,7 @@ def print_layout_html(
         "doc_id",
         F.concat(F.lit("Research Report "), F.col("doc_id").cast("string")).alias("title"),
     )
-    css = (
-        f"body {{ font-size: {int(font_size)}px; line-height: 1.6; color: #333; }} "
-        f".document-title {{ color: {primary_color}; border-bottom: 3px solid "
-        f"{primary_color}; font-size: 28px; }} "
-        f".content h1 {{ color: {primary_color}; font-size: 24px; }} "
-        f".content blockquote {{ border-left: 4px solid {primary_color}; }} "
-        + PRINT_PAGE_CSS
-    )
+    css = _theme_css(font_size, primary_color)
     return content.join(titled, "doc_id").select(
         "doc_id",
         F.concat(
@@ -404,16 +410,79 @@ def f26_html_escape(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", escaped.alias("escaped"))
 
 
+def _markdown_fixture(docs: DataFrame) -> DataFrame:
+    """Deterministic markdown document per fixture row (the fixture's
+    ``text`` is single-line plain prose, so raw docs would exercise
+    nothing of the renderer). Built JVM-side from fixture columns;
+    covers every renderer rule: h1/h2 headers, bold, inline code, a
+    blank line, a whitespace-only line, and a 4-hash non-header edge.
+    ``F.get`` (0-based, NULL out of range) mirrors DuckDB's 1-based
+    list indexing (NULL out of range), and both concat_ws spellings
+    drop NULL lines the same way."""
+    words = F.split("text", " ")
+    w1, w2 = F.get(words, 0), F.get(words, 1)
+    md = F.concat_ws(
+        "\n",
+        F.concat(F.lit("# Report "), F.col("doc_id").cast("string")),
+        F.lit(""),
+        F.concat(F.lit("## Summary of **"), w1, F.lit("**")),
+        F.substring("text", 1, 80),
+        F.lit("   "),
+        F.concat(F.lit("`"), w2, F.lit("` inline code")),
+        F.lit("#### not a header"),
+        F.concat(F.lit("**"), w1, F.lit("** and **"), w2, F.lit("** twice")),
+    )
+    return docs.select("doc_id", md.alias("text"))
+
+
+# DuckDB replay of _markdown_fixture (1-based list index, NULL OOR).
+_MD_SRC_SQL = """CONCAT_WS(CHR(10),
+    '# Report ' || doc_id,
+    '',
+    '## Summary of **' || (STR_SPLIT(text, ' ')[1]) || '**',
+    SUBSTR(text, 1, 80),
+    '   ',
+    '`' || (STR_SPLIT(text, ' ')[2]) || '` inline code',
+    '#### not a header',
+    '**' || (STR_SPLIT(text, ' ')[1]) || '** and **' || (STR_SPLIT(text, ' ')[2]) || '** twice')"""
+
+
+def _md_render_sql(src: str) -> str:
+    """DuckDB replay of markdown_to_html's renderer, bit-for-bit: the
+    same inline-transform order (bold before code), the same 1-3-hash
+    header rule, blank/whitespace-only lines dropped, survivors joined
+    with newlines. RE2's non-greedy ``(.+?)`` and ``\\1`` rewrites match
+    Python ``re`` on this grammar (both leftmost-first here)."""
+    return (
+        "ARRAY_TO_STRING(LIST_FILTER(LIST_TRANSFORM(\n"
+        "  LIST_TRANSFORM(STR_SPLIT(" + src + ", CHR(10)),\n"
+        r"    raw -> REGEXP_REPLACE(REGEXP_REPLACE(raw, '\*\*(.+?)\*\*', '<strong>\1</strong>', 'g'),"
+        "\n                           '`([^`]+)`', '<code>\\1</code>', 'g')),\n"
+        "  t -> CASE WHEN REGEXP_MATCHES(t, '^#{1,3} ')\n"
+        "            THEN '<h' || LEN(REGEXP_EXTRACT(t, '^(#{1,3}) ', 1)) || '>' ||\n"
+        "                 REGEXP_EXTRACT(t, '^#{1,3} (.*)$', 1) ||\n"
+        "                 '</h' || LEN(REGEXP_EXTRACT(t, '^(#{1,3}) ', 1)) || '>'\n"
+        r"            WHEN REGEXP_MATCHES(t, '\S') THEN '<p>' || t || '</p>'"
+        "\n            ELSE NULL END), x -> x IS NOT NULL), CHR(10))"
+    )
+
+
 @REGISTRY.register(
     name="f27_markdown_html",
     survey_ref="F27,V9",
     doc="markdown→HTML rendering subset (pdf_generation_activity.py:62-65) "
-    "via the Arrow-batched seam; deterministic, but regex-dialect parity "
-    "with DuckDB is not guaranteed → rows-only + unit-tested goldens.",
-    oracle=None,
+    "via the Arrow-batched seam, over a deterministic markdown document "
+    "synthesized from fixture columns (headers, bold, code, blank/"
+    "whitespace/4-hash edge lines). The oracle replays construction AND "
+    "render in SQL, so the Python-regex renderer is hash-pinned "
+    "bit-for-bit (v8e2 precedent); goldens additionally unit-tested.",
+    oracle="""
+        WITH md AS (SELECT doc_id, {src} AS mdtext FROM documents)
+        SELECT doc_id, {render} AS html FROM md
+    """.format(src=_MD_SRC_SQL, render=_md_render_sql("mdtext")),
 )
 def f27_markdown_html(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return markdown_to_html(load_table(spark, "documents", sf_dir))
+    return markdown_to_html(_markdown_fixture(load_table(spark, "documents", sf_dir)))
 
 
 @REGISTRY.register(
@@ -422,13 +491,25 @@ def f27_markdown_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="paginated print-layout HTML document per report: the markdown "
     "render wrapped in the reference's themed document shell with @page "
     "footer page numbers and page-break rules (pdf_generation_activity"
-    ".py:68-88,107-253). Deterministic but built on the mapInPandas "
-    "markdown seam → rows-only; shell/theme goldens are unit-tested in "
-    "tests/test_multimodal.py.",
-    oracle=None,
+    ".py:68-88,107-253). Hash-oracled: the oracle composes the f27 "
+    "render SQL inside the same shell/theme string constants the Spark "
+    "side uses, so shell and content cannot drift.",
+    oracle="""
+        WITH md AS (SELECT doc_id, {src} AS mdtext FROM documents),
+        rendered AS (SELECT doc_id, {render} AS html FROM md)
+        SELECT doc_id,
+               '<!DOCTYPE html><html><head><meta charset="UTF-8"><title>Research Report '
+               || doc_id || '</title><style>{css}</style></head><body>'
+               || '<div class="container"><h1 class="document-title">Research Report '
+               || doc_id || '</h1><div class="content">' || html
+               || '</div></div></body></html>' AS html
+        FROM rendered
+    """.replace("{src}", _MD_SRC_SQL)
+    .replace("{render}", _md_render_sql("mdtext"))
+    .replace("{css}", _theme_css(DEFAULT_FONT_SIZE, DEFAULT_PRIMARY_COLOR)),
 )
 def v9_print_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return print_layout_html(load_table(spark, "documents", sf_dir))
+    return print_layout_html(_markdown_fixture(load_table(spark, "documents", sf_dir)))
 
 
 # ---------------------------------------------------------------------------
