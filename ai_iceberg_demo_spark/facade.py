@@ -289,8 +289,18 @@ class VectorRAG:
         freshness/drift trade; retrain (drop + create) when the
         appended fraction grows past rebuild policy, which v16's drift
         monitor is the alarm for. Returns the number of vectors
-        appended."""
-        spark = self.embeddings.sparkSession
+        appended.
+
+        Sessions: reads ride ``new_vectors``' OWN session, not the
+        facade's. Under foreachBatch each micro-batch arrives in a
+        cloned session whose fresh file-index cache sees all prior
+        appends; the facade's long-lived session would serve a STALE
+        cached listing of the index table, breaking the anti-join's
+        idempotence contract for overlapping batches. After the append,
+        the facade session's cache is refreshed so its readers observe
+        the new rows (the REFRESH TABLE discipline any external
+        appender needs)."""
+        spark = new_vectors.sparkSession
         if not spark.catalog.tableExists(name) or not spark.catalog.tableExists(
             f"{name}__meta"
         ):
@@ -327,6 +337,9 @@ class VectorRAG:
             rows.write.format("parquet").mode("append").bucketBy(
                 min(16, int(m["n_cells"])), "cell_id"
             ).saveAsTable(name)
+        owner = self.embeddings.sparkSession
+        if owner is not spark:
+            owner.catalog.refreshTable(name)
         return n_new
 
     def delete_vectors(
@@ -344,8 +357,12 @@ class VectorRAG:
         — the index rows stay until the next retrain compacts them
         out; re-adding a deleted id requires drop/recreate (upsert
         treats indexed-but-tombstoned ids as existing). Returns the
-        number of newly tombstoned ids; re-deleting is a no-op."""
-        spark = self.embeddings.sparkSession
+        number of newly tombstoned ids; re-deleting is a no-op.
+
+        Same session discipline as upsert_vector_index: reads ride the
+        ids batch's session (fresh cache under foreachBatch), and the
+        facade session's tombstone-table cache is refreshed after."""
+        spark = ids.sparkSession
         if not spark.catalog.tableExists(name):
             raise ValueError(
                 f"vector index {name!r} does not exist — create_vector_index first"
@@ -358,6 +375,9 @@ class VectorRAG:
         n = new.count()
         if n:
             new.write.format("parquet").mode("append").saveAsTable(tomb)
+            owner = self.embeddings.sparkSession
+            if owner is not spark:
+                owner.catalog.refreshTable(tomb)
         return n
 
     def drop_vector_index(self, name: str = "result_embeddings_index") -> None:

@@ -129,3 +129,57 @@ def test_drifted_batch_retrains_and_recall_is_restored(spark):
         hits += len(set(want) & set(got.get(q, [])))
         total += 3
     assert hits == total  # n_probe == n_cells → exact
+
+
+def test_index_lifecycle_stream_equals_batch(spark, tmp_path):
+    """r6 verdict #6: the drift-gate + upsert leg of the index
+    lifecycle run under foreachBatch (arrivals as 2 micro-batches) must
+    leave BIT-IDENTICAL index tables to the one-shot batch build —
+    assignment rows, centroids, and meta. Clean fixture halves → every
+    micro-batch takes the no-drift upsert branch, same as the one-shot
+    decision."""
+    import os
+
+    from ai_iceberg_demo_spark.facade import VectorRAG
+    from ai_iceberg_demo_spark.streaming.incremental import stage_batch_files
+    from ai_iceberg_demo_spark.vector.clustering import drift_zscores
+
+    base, arrivals = _halves(spark)
+    ONE, LIVE = "maint_idx_oneshot", "maint_idx_streamed"
+
+    # one-shot: index base, single upsert of the full arrival set
+    rag1 = VectorRAG(base, base)
+    rag1.drop_vector_index(ONE)
+    rag1.create_vector_index(ONE, kind="ivf", n_cells=8, n_probe=4, n_iter=2)
+    assert (drift_zscores(base, arrivals).agg(F.sum("drifted")).first()[0] or 0) == 0
+    assert rag1.upsert_vector_index(arrivals, ONE) == arrivals.count()
+
+    # streamed: same base index; arrivals replayed as 2 micro-batches,
+    # each gated then upserted inside foreachBatch
+    rag2 = VectorRAG(base, base)
+    rag2.drop_vector_index(LIVE)
+    rag2.create_vector_index(LIVE, kind="ivf", n_cells=8, n_probe=4, n_iter=2)
+    batches = [arrivals.filter(F.col("vec_id") % 2 == i) for i in (0, 1)]
+    ingest = stage_batch_files(str(tmp_path), batches)
+    decisions = []
+
+    def handle(bdf, _bid):
+        n_drifted = int(drift_zscores(base, bdf).agg(F.sum("drifted")).first()[0] or 0)
+        decisions.append(n_drifted)
+        if n_drifted == 0:  # the gate: retrain would go here
+            rag2.upsert_vector_index(bdf, LIVE)
+
+    stream = (
+        spark.readStream.schema(batches[0].schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(ingest, "*.parquet"))
+    )
+    q = stream.writeStream.foreachBatch(handle).trigger(availableNow=True).start()
+    q.awaitTermination(600)
+
+    assert decisions == [0, 0]  # both micro-batches took the upsert branch
+    for suffix in ("", "__centroids", "__meta"):
+        a, b = spark.table(ONE + suffix), spark.table(LIVE + suffix)
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0, suffix
+    n_all = base.count() + arrivals.count()
+    assert spark.table(LIVE).select("vec_id").distinct().count() == n_all
