@@ -118,12 +118,15 @@ def kmeans_train(
     return centroids
 
 
-def _assign_sql(src: str) -> str:
-    """DuckDB replay of kmeans_assign over table/CTE ``src``."""
+def _assign_sql(src: str, k_sql: str | None = None) -> str:
+    """DuckDB replay of kmeans_assign over table/CTE ``src``. ``k_sql``
+    overrides the centroid-count expression (default: the fixed
+    KMEANS_K literal) — d8 passes its corpus-derived k."""
+    k = k_sql if k_sql is not None else str(KMEANS_K)
     return f"""
         cen AS (
             SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS centroid
-            FROM {src} WHERE vec_id < {KMEANS_K}
+            FROM {src} WHERE vec_id < ({k})
         ), scored AS (
             SELECT e.vec_id, c.cell_id,
                    ROUND(LIST_DISTANCE(CAST(e.embedding AS DOUBLE[]), c.centroid), 4) AS dist
@@ -212,6 +215,20 @@ _SALT_SQL = f"""salted AS (
         )"""
 
 
+# SemDeDup cells are sized, not counted: k = max(KMEANS_K, ceil(N /
+# SEMDEDUP_CELL)) keeps the per-cell pair space bounded as the corpus
+# grows — fixed k would make intra-cell pairs quadratic in N (the r7
+# sf1 scaling rehearsal measured exactly that: 33x wall at 10x data).
+# The SemDeDup paper's discipline (k proportional to N); both sides
+# derive k from the same unsalted COUNT(*) so the hash oracle holds at
+# every SF.
+SEMDEDUP_CELL = 250
+_SEMDEDUP_K_SQL = (
+    f"SELECT GREATEST({KMEANS_K}, CAST(CEIL(COUNT(*) / {SEMDEDUP_CELL}.0) AS BIGINT)) "
+    "FROM embeddings"
+)
+
+
 @REGISTRY.register(
     name="d8_semdedup",
     survey_ref="training-data (semantic dedup); V7",
@@ -219,16 +236,18 @@ _SALT_SQL = f"""salted AS (
     doc=f"SemDeDup: cluster-blocked semantic near-dup removal. Vectors "
     f"(plus deterministically planted near-twin rows — see "
     f"salt_near_dups) are assigned to their seed k-means cell (v11's "
-    f"hash-checked argmin), then cosine ≥ {SEMDEDUP_TAU} pairs are "
-    "searched ONLY within a cell — corpus²/k pair space instead of "
-    "d5's label-blocked (oracle-given buckets) or corpus² (none). "
-    "Output = the drop list: vec_id → the smaller-id near-duplicate "
-    "kept in its place. Norms hoisted per row (with_norm), dot per "
-    "surviving pair.",
+    f"hash-checked argmin) with k sized to the corpus (ceil(N/"
+    f"{SEMDEDUP_CELL}) cells, so cells stay ~{SEMDEDUP_CELL} rows and "
+    f"the pair space scales linearly), then cosine ≥ {SEMDEDUP_TAU} "
+    "pairs are searched ONLY within a cell — corpus²/k pair space "
+    "instead of d5's label-blocked (oracle-given buckets) or corpus² "
+    "(none). Output = the drop list: vec_id → the smaller-id "
+    "near-duplicate kept in its place. Norms hoisted per row "
+    "(with_norm), dot per surviving pair.",
     oracle="WITH "
     + _SALT_SQL
     + ", "
-    + _assign_sql("salted")
+    + _assign_sql("salted", k_sql=_SEMDEDUP_K_SQL)
     + f"""
         , assigned AS (
             SELECT vec_id, cell_id FROM ranked WHERE rn = 1
@@ -247,8 +266,15 @@ _SALT_SQL = f"""salted AS (
     """,
 )
 def d8_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    corpus = salt_near_dups(load_table(spark, "embeddings", sf_dir))
-    assigned = kmeans_assign(corpus, seed_centroids(corpus)).select("vec_id", "cell_id")
+    import math
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    # corpus-sized k (1-scalar driver read; table-stats metadata at 100 TB)
+    k = max(KMEANS_K, math.ceil(emb.count() / SEMDEDUP_CELL))
+    corpus = salt_near_dups(emb)
+    assigned = kmeans_assign(corpus, seed_centroids(corpus, k=k)).select(
+        "vec_id", "cell_id"
+    )
     # persist: both halves of the pair self-join read this frame — the
     # upstream salt + centroid-assignment argmin would otherwise run
     # twice (persist measured 3.5× end-to-end at sf0.1)

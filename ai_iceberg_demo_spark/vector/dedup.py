@@ -248,11 +248,25 @@ _MINHASH_B = [_rng.randrange(0, _MERSENNE_P) for _ in range(N_HASHES)]
 def _bands_sql(where: str, src: str = "documents", lead: str = "WITH ") -> str:
     """CTE chain toks→sigs→bands for the ``src`` docs matching
     ``where`` — the oracle twin of minhash_bands(). Pass ``lead=", "``
-    to append after an earlier CTE."""
+    to append after an earlier CTE.
+
+    The MinHash unit is the word-3-gram SHINGLE — the same gram the
+    exact-Jaccard verify tier (d2/d2b/cascade) computes, so the LSH
+    candidate probability estimates the metric the verifier applies.
+    Hashing unigram token SETS instead (the pre-r7 form) degenerates on
+    any corpus with a shared vocabulary: unrelated docs share most
+    words, band values collapse, and the "banded" join goes all-pairs
+    (measured: 48% of all possible pairs became candidates at sf0.1;
+    quadratic at 10x)."""
     return f"""
         {lead}toks AS (
-            SELECT DISTINCT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok
-            FROM {src} WHERE {where}
+            SELECT DISTINCT doc_id,
+                   UNNEST(CASE WHEN LEN(w) >= 3 THEN
+                       LIST_TRANSFORM(GENERATE_SERIES(1, LEN(w) - 2),
+                                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                   ELSE [] END) AS tok
+            FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS w
+                  FROM {src} WHERE {where})
         ), tok_x AS (
             SELECT doc_id, ('0x' || SUBSTR(MD5(tok), 1, 7))::BIGINT AS x FROM toks
         ), sigs AS (
@@ -269,8 +283,38 @@ def _bands_sql(where: str, src: str = "documents", lead: str = "WITH ") -> str:
 """
 
 
+# Planted doc-level near-dup twins (f29/t20 salting convention; the
+# fixture corpus has no natural near-dups, so a shingle-unit MinHash
+# would otherwise be a 0-row check). Footer twins sit at word-3-gram
+# Jaccard ~0.9 to their originals — deterministically colliding in ≥1
+# of the 4 bands under the fixed hash family.
+_TWIN_DOC_OFFSET = 2_000_000
+_TWIN_FOOTER = " near duplicate footer variant"
+
+
+def salt_doc_twins(sample: DataFrame, every: int = 30) -> DataFrame:
+    """Every ``every``-th doc gains a footer-variant twin
+    (doc_id + 2e6); see _TWIN_DOC_OFFSET note."""
+    twins = sample.filter(F.col("doc_id") % every == 0).select(
+        (F.col("doc_id") + _TWIN_DOC_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_TWIN_FOOTER)).alias("text"),
+    )
+    return sample.select("doc_id", "text").unionByName(twins)
+
+
+def _salted_docs_sql(where: str, every: int = 30) -> str:
+    """Oracle twin of salt_doc_twins over ``documents WHERE where``."""
+    return f"""salted_docs AS (
+            SELECT doc_id, text FROM documents WHERE {where}
+            UNION ALL
+            SELECT doc_id + {_TWIN_DOC_OFFSET}, text || '{_TWIN_FOOTER}'
+            FROM documents WHERE ({where}) AND doc_id % {every} = 0
+        )"""
+
+
 # d3's candidate-pair SQL, shared with d6's component oracle
-_D3_PAIRS_SQL = f"""{_bands_sql("doc_id % 10 = 0")}
+_D3_PAIRS_SQL = f"""WITH {_salted_docs_sql("doc_id % 10 = 0")}
+        {_bands_sql("TRUE", src="salted_docs", lead=", ")}
         SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
         FROM bands a JOIN bands b
           ON a.band_idx = b.band_idx AND a.band_val = b.band_val
@@ -282,15 +326,22 @@ _D3_PAIRS_SQL = f"""{_bands_sql("doc_id % 10 = 0")}
     name="d3_minhash_lsh",
     survey_ref="training-data",
     doc="MinHash(16)+LSH(4 bands of 4) near-dup candidates over a 1-in-10 "
-    "sample. Classic affine permutations (a*x+b mod 2^31-1) over one md5 "
-    "token hash — a single digest per token, exactly reproduced by the "
-    "oracle; production swaps md5→xxhash64. Candidates feed the "
-    "exact-Jaccard verify (d2 plan).",
+    "sample plus planted footer twins (salt_doc_twins — provable "
+    "collisions at every SF). The MinHash unit is the word-3-gram "
+    "shingle, the same gram the exact-Jaccard verify measures. Classic "
+    "affine permutations (a*x+b mod 2^31-1) over one md5 shingle hash "
+    "— a single digest per shingle, exactly reproduced by the oracle; "
+    "production swaps md5→xxhash64. Candidates feed the exact-Jaccard "
+    "verify (d2 plan).",
     bench=True,
     oracle=_D3_PAIRS_SQL,
 )
 def d3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bands = minhash_bands(load_table(spark, "documents", sf_dir).filter(F.col("doc_id") % 10 == 0))
+    bands = minhash_bands(
+        salt_doc_twins(
+            load_table(spark, "documents", sf_dir).filter(F.col("doc_id") % 10 == 0)
+        )
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -308,11 +359,13 @@ def d3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_sigs(docs: DataFrame) -> DataFrame:
     """(doc_id, h0..h15) MinHash signature table — the shared substrate
     of the band index (minhash_bands) and the calibration audit (d14).
-    One distinct-token explode + one doc-keyed min-agg."""
+    One distinct-SHINGLE explode + one doc-keyed min-agg: the hash unit
+    is the word-3-gram, the same gram the exact-Jaccard verify tier
+    measures (see _bands_sql for why unigram sets degenerate)."""
     from ai_iceberg_demo_spark.tables import fan_out_small_input
 
     docs = fan_out_small_input(docs)
-    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok")).distinct()
+    toks = docs.select("doc_id", F.explode(shingles(F.col("text"))).alias("tok")).distinct()
     tok_x = toks.select(
         "doc_id",
         F.conv(F.substring(F.md5(F.encode("tok", "UTF-8")), 1, 7), 16, 10)
@@ -361,17 +414,29 @@ def minhash_bands(docs: DataFrame) -> DataFrame:
     "only, so each ingest pays O(new) hashing + one equi-join against "
     "the persisted band index, never re-pairing the corpus with itself "
     "(old×old is the quadratic term a daily 100 TB ingest cannot afford).",
-    oracle=f"""{_bands_sql("doc_id % 10 IN (0, 5)")}
+    oracle=f"""WITH {_salted_docs_sql("doc_id % 10 IN (0, 5)")}
+        {_bands_sql("TRUE", src="salted_docs", lead=", ")}
         SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
         FROM bands n JOIN bands c
           ON n.band_idx = c.band_idx AND n.band_val = c.band_val
-        WHERE n.doc_id % 10 = 5 AND c.doc_id % 10 = 0
+        WHERE (n.doc_id % 10 = 5 OR n.doc_id >= {_TWIN_DOC_OFFSET})
+          AND c.doc_id % 10 = 0 AND c.doc_id < {_TWIN_DOC_OFFSET}
     """,
 )
 def d7_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
-    corpus_bands = minhash_bands(docs.filter(F.col("doc_id") % 10 == 0))
-    new_bands = minhash_bands(docs.filter(F.col("doc_id") % 10 == 5))
+    corpus = docs.filter(F.col("doc_id") % 10 == 0)
+    # the arriving batch carries footer twins of indexed corpus docs
+    # (doc_id%30==0 → always a corpus doc), so the cross-side probe
+    # provably fires at every SF
+    new = docs.filter(F.col("doc_id") % 10 == 5).select("doc_id", "text").unionByName(
+        corpus.filter(F.col("doc_id") % 30 == 0).select(
+            (F.col("doc_id") + _TWIN_DOC_OFFSET).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(_TWIN_FOOTER)).alias("text"),
+        )
+    )
+    corpus_bands = minhash_bands(corpus)
+    new_bands = minhash_bands(new)
     return (
         new_bands.alias("n")
         .join(
@@ -399,9 +464,9 @@ def d7_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "of d2's all-shingle self-join — the shape that survives 100 TB, "
     "with d2 as the exactness oracle at fixture scale (any pair here "
     "scores identically in d2; planted dupes collide in ≥1 band and "
-    "survive). The sample matches d3's because the fixture's ~30-word "
-    "vocabulary makes full-corpus band collisions approach all-pairs "
-    "(6.5M at sf0.1) — a fixture artifact, not a pipeline property; "
+    "survive). Since r7 the MinHash unit is the word-3-gram shingle "
+    "(the verify metric's own gram), which retired the unigram-era "
+    "band degeneracy on shared-vocabulary corpora; "
     "real crawl corpora collide only on near-dups. The fixture's own "
     "planted dupes never pair two sample ids, so every 5th sampled "
     "doc gets a deterministic near-twin (4 appended tokens, jaccard "
@@ -1248,8 +1313,9 @@ def d13_intradoc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="training-data (dedup tuning audit); d3's error meter",
     doc="calibration audit for the d3 MinHash index: for every LSH "
     "candidate pair, the signature-estimated Jaccard (agreeing hashes "
-    "/ 16) next to the EXACT distinct-token Jaccard and the absolute "
-    "error — the table that answers 'can I trust 16 hashes / 4 bands "
+    "/ 16) next to the EXACT word-3-gram Jaccard (the same shingles "
+    "the signatures hash) and the absolute error "
+    "— the table that answers 'can I trust 16 hashes / 4 bands "
     "at my dedup threshold, or do I pay for more?'. The audit costs "
     "O(candidates): signatures join the (already tiny) banded pair "
     "set, and the exact intersection is computed only for those "
@@ -1257,7 +1323,8 @@ def d13_intradoc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "At 100 TB this runs on a sampled candidate slice on the same "
     "persisted band index d3/d7 probe; pure integer/md5 arithmetic "
     "keeps it hash-oracled.",
-    oracle=f"""{_bands_sql("doc_id % 10 = 0")}
+    oracle=f"""WITH {_salted_docs_sql("doc_id % 10 = 0")}
+        {_bands_sql("TRUE", src="salted_docs", lead=", ")}
         , cand AS (
             SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
             FROM bands a JOIN bands b
@@ -1292,7 +1359,9 @@ def d13_intradoc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def d14_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sample = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") % 10 == 0)
+    sample = salt_doc_twins(
+        load_table(spark, "documents", sf_dir).filter(F.col("doc_id") % 10 == 0)
+    )
     sigs = minhash_sigs(sample).persist()
     bands = minhash_bands(sample)
     a, b = bands.alias("a"), bands.alias("b")
@@ -1315,7 +1384,9 @@ def d14_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sigs.alias("sb")), F.col("sb.doc_id") == F.col("b_id"))
         .select("a_id", "b_id", (agree / float(N_HASHES)).alias("est_j"))
     )
-    toks = sample.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok")).distinct()
+    # exact Jaccard over the SAME word-3-gram shingles the signatures
+    # hash — estimator and truth measure one metric
+    toks = sample.select("doc_id", F.explode(shingles(F.col("text"))).alias("tok")).distinct()
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
     ta, tb = toks.alias("ta"), toks.alias("tb")
     inter = (
