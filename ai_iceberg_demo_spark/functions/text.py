@@ -2497,3 +2497,144 @@ def t96_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ingest_decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# T97: BPE merge LEARNING — the training loop t21 feeds and f32 applies
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 3
+
+
+def _bpe_words_sql() -> str:
+    """Word-type frequency table + char-delimited form, oracle side."""
+    return r"""words AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+                SELECT UNNEST(STRING_SPLIT(text, ' ')) AS tok
+                FROM documents WHERE doc_id % 5 = 0)
+            WHERE tok <> '' GROUP BY tok
+        ), w0 AS (
+            SELECT '|' || REGEXP_REPLACE(tok, '(.)', '\1|', 'g') AS w, freq
+            FROM words
+        )"""
+
+
+def _bpe_round_sql(k: int) -> str:
+    """One unrolled BPE round: weighted adjacent-pair count over
+    w{k-1} → deterministic top-1 (count desc, pair text) → REPLACE
+    merge into w{k}."""
+    return f"""p{k} AS (
+            SELECT UNNEST(CASE WHEN LEN(s) >= 2 THEN
+                LIST_TRANSFORM(GENERATE_SERIES(1, LEN(s) - 1),
+                               i -> s[i] || '|' || s[i + 1])
+            ELSE [] END) AS pair, freq
+            FROM (SELECT LIST_FILTER(STR_SPLIT(w, '|'), x -> x <> '') AS s, freq
+                  FROM w{k - 1})
+        ), c{k} AS (
+            SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM p{k} GROUP BY pair
+        ), m{k} AS (
+            SELECT STR_SPLIT(pair, '|')[1] AS l, STR_SPLIT(pair, '|')[2] AS r, cnt
+            FROM c{k} ORDER BY cnt DESC, pair LIMIT 1
+        ), w{k} AS (
+            SELECT REPLACE(w, '|' || m.l || '|' || m.r || '|',
+                           '|' || m.l || m.r || '|') AS w, freq
+            FROM w{k - 1}, m{k} m
+        )"""
+
+
+@REGISTRY.register(
+    name="t97_bpe_train",
+    survey_ref="training-data (tokenizer induction: the LEARNING loop; "
+    "t21 is one round's statistic, f32 applies the result)",
+    doc=f"BPE merge learning, {_BPE_ROUNDS} rounds unrolled (the "
+    "v11c/v12b iterative-algorithm discipline): word-TYPE frequency "
+    "table (BPE trains on types weighted by corpus count, never the "
+    "raw token stream), symbols as a '|'-delimited string, and per "
+    "round one weighted adjacent-pair wordcount → deterministic top-1 "
+    "(count desc, pair text asc) → merge applied via non-overlapping "
+    "left-to-right REPLACE of '|l|r|' (identical semantics in the JVM "
+    "and DuckDB; differs from reference BPE only on ≥3-runs of the "
+    "merged pair, absent from this corpus and documented). Each round "
+    "is one partial-aggregated shuffle over the TYPE table (vocab-"
+    "sized, not corpus-sized) plus a broadcast of the 1-row merge — "
+    "at 100 TB the word-type table is the classic distributed-BPE "
+    "substrate. Output: the learned merge table (round, merge_left, "
+    "merge_right, pair_count).",
+    oracle="WITH "
+    + _bpe_words_sql()
+    + ", "
+    + ", ".join(_bpe_round_sql(k) for k in range(1, _BPE_ROUNDS + 1))
+    + """
+        SELECT * FROM ("""
+    + " UNION ALL ".join(
+        f"SELECT {k} AS round, l AS merge_left, r AS merge_right, "
+        f"cnt AS pair_count FROM m{k}"
+        for k in range(1, _BPE_ROUNDS + 1)
+    )
+    + """)
+        ORDER BY round
+    """,
+)
+def t97_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_iceberg_demo_spark.tables import fan_out_small_input
+
+    docs = fan_out_small_input(
+        load_table(spark, "documents", sf_dir).filter(F.col("doc_id") % 5 == 0)
+    )
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+    )
+    wf = words.select(
+        F.concat(F.lit("|"), F.regexp_replace("tok", "(.)", "$1|")).alias("w"),
+        "freq",
+    )
+    merges = []
+    for k in range(1, _BPE_ROUNDS + 1):
+        syms = F.filter(F.split("w", r"\|"), lambda x: x != F.lit(""))
+        pairs = wf.select(syms.alias("s"), "freq").select(
+            F.explode(
+                F.when(
+                    F.size("s") >= 2,
+                    F.zip_with(
+                        F.slice(F.col("s"), 1, F.size("s") - 1),
+                        F.slice(F.col("s"), 2, F.size("s") - 1),
+                        lambda a, b: F.concat(a, F.lit("|"), b),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("pair"),
+            "freq",
+        )
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.sum("freq").cast("bigint").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(1)
+            .select(
+                F.split("pair", r"\|")[0].alias("l"),
+                F.split("pair", r"\|")[1].alias("r"),
+                "cnt",
+            )
+        )
+        merges.append(
+            top.select(
+                F.lit(k).alias("round"),
+                F.col("l").alias("merge_left"),
+                F.col("r").alias("merge_right"),
+                F.col("cnt").alias("pair_count"),
+            )
+        )
+        wf = wf.crossJoin(F.broadcast(top)).select(
+            F.replace(
+                F.col("w"),
+                F.concat(F.lit("|"), F.col("l"), F.lit("|"), F.col("r"), F.lit("|")),
+                F.concat(F.lit("|"), F.col("l"), F.col("r"), F.lit("|")),
+            ).alias("w"),
+            "freq",
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out.orderBy("round")

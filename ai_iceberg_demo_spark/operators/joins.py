@@ -738,3 +738,111 @@ def j11_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("gap"), 6).alias("max_gap"),
         (F.max("gap") <= _J11_EPS).alias("all_within_band"),
     )
+
+
+# ---------------------------------------------------------------------------
+# J12: Fellegi–Sunter probabilistic record linkage (scored ER decisions)
+# ---------------------------------------------------------------------------
+
+# Per-field agreement/disagreement log-odds weights (log2(m/u) in the
+# Fellegi–Sunter model). Constants here — production estimates them by
+# EM over the comparison-vector counts; the scoring/blocking plan is
+# identical either way.
+_FS_NAME_AGREE, _FS_NAME_DIS = 4.0, -2.0
+_FS_BAL_AGREE, _FS_BAL_DIS = 2.5, -1.5
+_FS_SEG_AGREE = 0.5  # block key: always agrees inside a block
+_FS_BAL_EPS = 0.02
+_FS_MATCH_T, _FS_POSSIBLE_T = 6.0, 1.0
+
+
+@REGISTRY.register(
+    name="j12_entity_resolution",
+    survey_ref="J6/j10's probabilistic sibling (Fellegi–Sunter linkage)",
+    doc="probabilistic record linkage: a CRM-style second source "
+    "(planted in-query: every even customer re-enters at id+1e6 with "
+    "an upper-cased name and a deterministically jittered balance) is "
+    "linked back to the master by the Fellegi–Sunter score — per-field "
+    "agree/disagree log-odds summed over (normalized-name equality, "
+    "balance within ±0.02, segment block agreement), thresholded into "
+    "match / possible / non_match. Pairs exist ONLY inside "
+    "(nationkey, mktsegment) blocks (j10's discipline: score in-block "
+    "pairs, never n²) and the output keeps scored candidates "
+    "(score ≥ possible), so result size is O(true links), not "
+    "O(block²). Scoring is pure map-side arithmetic on the joined row; "
+    "at 100 TB both sides bucket by the block key so the join is "
+    "co-located. Weights are fixed log2(m/u) constants; production "
+    "learns them by EM over the same comparison vectors.",
+    oracle=f"""
+        WITH crm AS (
+            SELECT c_custkey + 1000000 AS b_id,
+                   UPPER(c_name) AS b_name,
+                   c_acctbal + (c_custkey % 3) * 0.005 AS b_bal,
+                   c_nationkey, c_mktsegment
+            FROM customer WHERE c_custkey % 2 = 0
+        ), scored AS (
+            SELECT a.c_custkey AS a_id, b.b_id,
+                   CASE WHEN LOWER(a.c_name) = LOWER(b.b_name)
+                        THEN 1 ELSE 0 END AS name_agree,
+                   CASE WHEN ABS(a.c_acctbal - b.b_bal) <= {_FS_BAL_EPS}
+                        THEN 1 ELSE 0 END AS bal_agree
+            FROM customer a
+            JOIN crm b ON a.c_nationkey = b.c_nationkey
+                      AND a.c_mktsegment = b.c_mktsegment
+        ), weighted AS (
+            SELECT a_id, b_id, name_agree, bal_agree,
+                   ROUND(CASE WHEN name_agree = 1 THEN {_FS_NAME_AGREE}
+                              ELSE {_FS_NAME_DIS} END
+                       + CASE WHEN bal_agree = 1 THEN {_FS_BAL_AGREE}
+                              ELSE {_FS_BAL_DIS} END
+                       + {_FS_SEG_AGREE}, 2) AS score
+            FROM scored
+        )
+        SELECT a_id, b_id, name_agree, bal_agree, score,
+               CASE WHEN score >= {_FS_MATCH_T} THEN 'match'
+                    WHEN score >= {_FS_POSSIBLE_T} THEN 'possible'
+                    ELSE 'non_match' END AS decision
+        FROM weighted WHERE score >= {_FS_POSSIBLE_T}
+    """,
+)
+def j12_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    crm = cust.filter(F.col("c_custkey") % 2 == 0).select(
+        (F.col("c_custkey") + 1_000_000).alias("b_id"),
+        F.upper("c_name").alias("b_name"),
+        (F.col("c_acctbal") + (F.col("c_custkey") % 3) * 0.005).alias("b_bal"),
+        "c_nationkey",
+        "c_mktsegment",
+    )
+    name_agree = F.when(
+        F.lower(F.col("c_name")) == F.lower(F.col("b_name")), 1
+    ).otherwise(0)
+    bal_agree = F.when(
+        F.abs(F.col("c_acctbal") - F.col("b_bal")) <= _FS_BAL_EPS, 1
+    ).otherwise(0)
+    score = F.round(
+        F.when(F.col("name_agree") == 1, F.lit(_FS_NAME_AGREE)).otherwise(
+            F.lit(_FS_NAME_DIS)
+        )
+        + F.when(F.col("bal_agree") == 1, F.lit(_FS_BAL_AGREE)).otherwise(
+            F.lit(_FS_BAL_DIS)
+        )
+        + F.lit(_FS_SEG_AGREE),
+        2,
+    )
+    return (
+        cust.join(crm, ["c_nationkey", "c_mktsegment"])
+        .select(
+            F.col("c_custkey").alias("a_id"),
+            "b_id",
+            name_agree.alias("name_agree"),
+            bal_agree.alias("bal_agree"),
+        )
+        .withColumn("score", score)
+        .withColumn(
+            "decision",
+            F.when(F.col("score") >= _FS_MATCH_T, "match")
+            .when(F.col("score") >= _FS_POSSIBLE_T, "possible")
+            .otherwise("non_match"),
+        )
+        .filter(F.col("score") >= _FS_POSSIBLE_T)
+    )
