@@ -197,11 +197,15 @@ class Registry:
 # registration order. POLICY (r6 verdict "What's wrong #1"): rows-only
 # names never take a window slot — every slot must be able to go
 # hash-green. All 50 names below carry full hash oracles (verified by
-# tests/test_driver_window.py); v24_label_noise-style rows-only
+# tests/test_registry.py); v24_label_noise-style rows-only
 # queries are covered by the pytest sweep and their hash-oracled
-# twins instead. Names registered in r7 queue for r8 behind the
-# remaining r6 overflow (see the r6 comment's post-d20 list), ahead
-# of the r2-core cohort (oldest driver evidence, 6 rounds stale).
+# twins instead. Names registered in r7 (t97_bpe_train,
+# j12_entity_resolution) and the r7 oracle upgrades (f27/v9 gained
+# hash oracles; d3/d7/d14/d8 changed semantics with the shingle-unit
+# MinHash + corpus-sized SemDeDup k and need post-change re-pins)
+# queue for r8 behind the remaining r6 overflow (the r6 comment's
+# post-d20 list), ahead of the r2-core cohort (oldest driver
+# evidence, 6 rounds stale by r8).
 _DRIVER_WINDOW_PRIORITY = [
     # 13 r5-overflow first-timers
     "q18_large_volume_customers",

@@ -1,0 +1,76 @@
+"""Round-7 operators: BPE merge learning and Fellegi–Sunter linkage.
+
+The hash oracles (tests/test_queries_oracle.py) pin bit-equality with
+DuckDB; these tests pin the SEMANTICS the oracle can't see — that the
+learned merges are the argmax the BPE definition demands, and that the
+linkage decisions land exactly on the planted truth.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from ai_iceberg_demo_spark.tables import load_table
+from tests.conftest import SF_DIR
+
+
+def test_bpe_first_merge_is_the_true_argmax_and_counts_decay(spark):
+    from ai_iceberg_demo_spark.functions.text import t97_bpe_train
+
+    rows = sorted(t97_bpe_train(spark, SF_DIR).collect(), key=lambda r: r["round"])
+    assert [r["round"] for r in rows] == [1, 2, 3]
+
+    # independent reference: weighted char-bigram count over word TYPES
+    words = Counter(
+        w
+        for r in load_table(spark, "documents", SF_DIR)
+        .filter(F.col("doc_id") % 5 == 0)
+        .select("text")
+        .collect()
+        for w in r["text"].split(" ")
+        if w
+    )
+    pairs = Counter()
+    for w, freq in words.items():
+        for a, b in zip(w, w[1:]):
+            pairs[(a, b)] += freq
+    best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert (rows[0]["merge_left"], rows[0]["merge_right"]) == best[0]
+    assert rows[0]["pair_count"] == best[1]
+
+    # merging the max pair can only shrink the next max (any new pair
+    # involves the merged token and inherits at most its count)
+    counts = [r["pair_count"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    # later merges may consume earlier merged tokens, but every merge
+    # must be over non-empty symbols
+    assert all(r["merge_left"] and r["merge_right"] for r in rows)
+
+
+def test_entity_resolution_matches_are_exactly_the_planted_links(spark):
+    from ai_iceberg_demo_spark.operators.joins import j12_entity_resolution
+
+    out = j12_entity_resolution(spark, SF_DIR).collect()
+    matches = {(r["a_id"], r["b_id"]) for r in out if r["decision"] == "match"}
+    planted = {
+        (k, k + 1_000_000)
+        for (k,) in load_table(spark, "customer", SF_DIR)
+        .filter(F.col("c_custkey") % 2 == 0)
+        .select("c_custkey")
+        .collect()
+    }
+    # every planted CRM row links back to its master as a 'match'
+    # (names agree, jitter ≤ 0.01 < the 0.02 balance band) and nothing
+    # else can reach the match threshold (names are unique)
+    assert matches == planted
+    for r in out:
+        if r["decision"] == "match":
+            assert r["name_agree"] == 1
+        assert r["score"] >= 1.0  # output keeps scored candidates only
+    # chance balance agreements inside a block are 'possible', never
+    # 'match'
+    assert all(
+        r["decision"] == "possible" for r in out if r["name_agree"] == 0
+    )
