@@ -804,3 +804,101 @@ def g7_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("dout", "din"), 6).alias("assortativity"),
         (F.abs(F.corr("dout", "din")) < 0.1).alias("neutral_as_expected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# G8: connected components in O(log d) rounds — Hash-to-Min
+# ---------------------------------------------------------------------------
+
+
+def hash_to_min_components(
+    edges: DataFrame, max_rounds: int = 16, stats: dict | None = None
+) -> DataFrame:
+    """Hash-to-Min connected components (Rastogi et al. 2013): each
+    node's cluster starts as itself + neighbors; per round every
+    cluster ships its MIN to all members and its members to the min.
+    Converges in O(log n) ROUNDS (d6's min-label propagation needs
+    O(diameter) — on chain graphs that's the difference between ~4
+    rounds and ~40). Convergence detected by the per-node min-label
+    checksum, which strictly decreases until the fixed point — no
+    driver-side data, one scalar per round. Caveat at 100 TB: the min
+    node of a component accumulates the whole component in its
+    cluster array (fine for chain/cluster graphs like event sessions;
+    for planet-scale components switch to the two-phase
+    large-star/small-star variant whose per-node state is O(degree)).
+    Returns (u, component_id) for every node incident to an edge."""
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    clusters = (
+        sym.groupBy("u")
+        .agg(F.collect_set("v").alias("nb"))
+        .select("u", F.array_sort(F.array_union(F.array("u"), "nb")).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    prev = None
+    rounds = 0
+    for _ in range(max_rounds):
+        rounds += 1
+        m = clusters.select("u", F.array_min("c").alias("m"), "c")
+        to_min = m.select(F.col("m").alias("dst"), F.col("c").alias("vals"))
+        to_all = m.select(F.explode("c").alias("dst"), F.array("m").alias("vals"))
+        clusters = (
+            to_min.unionByName(to_all)
+            .select("dst", F.explode("vals").alias("v"))
+            .groupBy("dst")
+            .agg(F.array_sort(F.collect_set("v")).alias("c"))
+            .select(F.col("dst").alias("u"), "c")
+            .localCheckpoint(eager=True)
+        )
+        checksum = clusters.agg(F.sum(F.array_min("c"))).first()[0]
+        if checksum == prev:
+            break
+        prev = checksum
+    if stats is not None:
+        stats["rounds"] = rounds
+    return clusters.select("u", F.array_min("c").alias("component_id"))
+
+
+@REGISTRY.register(
+    name="g8_logstep_components",
+    survey_ref="graph extra (CC in O(log d) rounds; d6's scale sibling)",
+    doc="connected components of the per-user event CHAIN graph "
+    "(consecutive events of a user are edges; the component IS the "
+    "user's full event chain) via Hash-to-Min — O(log diameter) "
+    "rounds where d6's min-label propagation pays O(diameter); event "
+    "chains are tens of hops deep, exactly the regime that gap "
+    "matters in. The algorithm never sees user_id — it must RECOVER "
+    "the chains from the anonymous edge list — while the oracle "
+    "computes the ground truth directly as min(event_id) over each "
+    "user's events (single-event users are singleton components). "
+    "Sampled to user_id%20==0 to keep the driver compare bounded.",
+    oracle="""
+        SELECT event_id AS u,
+               MIN(event_id) OVER (PARTITION BY user_id) AS component_id
+        FROM events WHERE user_id % 20 = 0
+    """,
+)
+def g8_logstep_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("user_id") % 20 == 0)
+        .select("event_id", "user_id", "ts")
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("event_id").over(w)
+    edges = (
+        ev.withColumn("v", nxt)
+        .filter(F.col("v").isNotNull())
+        .select(F.col("event_id").alias("u"), "v")
+    )
+    comp = hash_to_min_components(edges)
+    # singleton chains (one-event users) have no edges — they are their
+    # own component
+    return (
+        ev.select(F.col("event_id").alias("u"))
+        .join(comp, "u", "left")
+        .select("u", F.coalesce("component_id", F.col("u")).alias("component_id"))
+    )

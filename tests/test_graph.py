@@ -96,3 +96,45 @@ def test_modularity_identities_and_null_model(spark):
     for r in rows:
         assert r["n_nodes"] > 0
         assert r["q_contrib"] <= r["internal_edges"] / m + 1e-9
+
+
+def test_hash_to_min_converges_in_log_rounds_on_a_long_chain(spark):
+    """The point of g8 vs d6: a 64-hop path must converge in O(log d)
+    rounds (min-label propagation would need ~63). Components exact,
+    round count pinned well under the diameter."""
+    from ai_iceberg_demo_spark.operators.graph import hash_to_min_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 163)], "u bigint, v bigint"
+    )
+    stats = {}
+    comp = {
+        r["u"]: r["component_id"]
+        for r in hash_to_min_components(edges, stats=stats).collect()
+    }
+    assert set(comp) == set(range(100, 164))
+    assert set(comp.values()) == {100}  # one component, labeled by its min
+    # log2(64)=6; hash-to-min needs ~2 extra rounds (+1 to detect the
+    # fixed point via the checksum)
+    assert stats["rounds"] <= 10, stats
+
+
+def test_g8_components_are_exactly_the_user_chains(spark):
+    from ai_iceberg_demo_spark.operators.graph import g8_logstep_components
+    from ai_iceberg_demo_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    got = {
+        r["u"]: r["component_id"]
+        for r in g8_logstep_components(spark, SF_DIR).collect()
+    }
+    truth = {}
+    for r in (
+        load_table(spark, "events", SF_DIR)
+        .filter(F.col("user_id") % 20 == 0)
+        .select("event_id", "user_id")
+        .collect()
+    ):
+        truth.setdefault(r["user_id"], []).append(r["event_id"])
+    want = {e: min(es) for es in truth.values() for e in es}
+    assert got == want
