@@ -2536,7 +2536,12 @@ def _bpe_round_sql(k: int) -> str:
             SELECT STR_SPLIT(pair, '|')[1] AS l, STR_SPLIT(pair, '|')[2] AS r, cnt
             FROM c{k} ORDER BY cnt DESC, pair LIMIT 1
         ), w{k} AS (
-            SELECT REPLACE(w, '|' || m.l || '|' || m.r || '|',
+            -- two REPLACE passes: the first consumes each match's
+            -- trailing delimiter and so skips an immediately following
+            -- occurrence; the second catches those blocked alternates
+            SELECT REPLACE(REPLACE(w, '|' || m.l || '|' || m.r || '|',
+                                   '|' || m.l || m.r || '|'),
+                           '|' || m.l || '|' || m.r || '|',
                            '|' || m.l || m.r || '|') AS w, freq
             FROM w{k - 1}, m{k} m
         )"""
@@ -2551,10 +2556,15 @@ def _bpe_round_sql(k: int) -> str:
     "table (BPE trains on types weighted by corpus count, never the "
     "raw token stream), symbols as a '|'-delimited string, and per "
     "round one weighted adjacent-pair wordcount → deterministic top-1 "
-    "(count desc, pair text asc) → merge applied via non-overlapping "
-    "left-to-right REPLACE of '|l|r|' (identical semantics in the JVM "
-    "and DuckDB; differs from reference BPE only on ≥3-runs of the "
-    "merged pair, absent from this corpus and documented). Each round "
+    "(count desc, pair text asc) → merge applied via TWO passes of "
+    "non-overlapping left-to-right REPLACE of '|l|r|' (pass 1 "
+    "consumes each match's trailing delimiter and skips an immediately "
+    "following occurrence; pass 2 catches those blocked alternates — "
+    "identical semantics in the JVM and DuckDB, equal to reference "
+    "left-to-right BPE except on ≥5-runs of a repeated symbol, where "
+    "fewer merges may apply — property-tested in "
+    "tests/test_properties.py; no fixture word repeats a character "
+    "5x). Each round "
     "is one partial-aggregated shuffle over the TYPE table (vocab-"
     "sized, not corpus-sized) plus a broadcast of the 1-row merge — "
     "at 100 TB the word-type table is the classic distributed-BPE "
@@ -2626,12 +2636,11 @@ def t97_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("cnt").alias("pair_count"),
             )
         )
+        search = F.concat(F.lit("|"), F.col("l"), F.lit("|"), F.col("r"), F.lit("|"))
+        merged = F.concat(F.lit("|"), F.col("l"), F.col("r"), F.lit("|"))
+        # two passes — see the oracle's w{k} comment
         wf = wf.crossJoin(F.broadcast(top)).select(
-            F.replace(
-                F.col("w"),
-                F.concat(F.lit("|"), F.col("l"), F.lit("|"), F.col("r"), F.lit("|")),
-                F.concat(F.lit("|"), F.col("l"), F.col("r"), F.lit("|")),
-            ).alias("w"),
+            F.replace(F.replace(F.col("w"), search, merged), search, merged).alias("w"),
             "freq",
         )
     out = merges[0]

