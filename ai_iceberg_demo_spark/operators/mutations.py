@@ -1684,3 +1684,103 @@ def m19_merge_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_conflicted_keys bigint, lww_lost_updates bigint, "
         "merged_lost_updates bigint, field_merge_lossless boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# M20: partition-spec evolution audit (Iceberg spec-v2 semantics)
+# ---------------------------------------------------------------------------
+
+_M20_CUTOVER_DAY = 15  # files written on day <= 15 carry spec 0
+_M20_Q_LO, _M20_Q_HI = 10, 25  # audited query: day range + one type
+_M20_Q_TYPE = "click"
+
+
+@REGISTRY.register(
+    name="m20_partition_evolution",
+    survey_ref="M-family extra (Iceberg partition-spec evolution; s16/s18's spec-era sibling)",
+    doc="Iceberg partition-spec EVOLUTION semantics, audited: the "
+    "events table starts partitioned by day(ts) (spec 0) and evolves "
+    f"mid-history (cutover day {_M20_CUTOVER_DAY}) to (day, "
+    "event_type) (spec 1) — exactly Iceberg's rule that old data "
+    "files keep the spec they were written under, so ONE table scans "
+    "under TWO pruning regimes. For the audited query (day "
+    f"{_M20_Q_LO}..{_M20_Q_HI} AND event_type='{_M20_Q_TYPE}'), "
+    "spec-0 partitions prune on day only (every type scanned, filter "
+    "runs row-side), spec-1 partitions prune on both. Output per "
+    "spec era: partitions total/read, rows scanned vs matched, and "
+    "the scan-amplification ratio — the number that justifies (or "
+    "indicts) a spec evolution before it ships. Pure two-level "
+    "aggregation over (spec, partition-key) partials; at 100 TB this "
+    "is a metadata-only read of the manifests' partition summaries.",
+    oracle=f"""
+        WITH rows_tagged AS (
+            SELECT EXTRACT(DAY FROM ts) AS d, event_type,
+                   CASE WHEN EXTRACT(DAY FROM ts) <= {_M20_CUTOVER_DAY}
+                        THEN 0 ELSE 1 END AS spec_id
+            FROM events
+        ), parts AS (
+            SELECT spec_id, d,
+                   CASE WHEN spec_id = 1 THEN event_type ELSE '' END AS pkey_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CASE WHEN event_type = '{_M20_Q_TYPE}'
+                                 AND d BETWEEN {_M20_Q_LO} AND {_M20_Q_HI}
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+            FROM rows_tagged GROUP BY 1, 2, 3
+        ), audited AS (
+            SELECT *, CASE WHEN d BETWEEN {_M20_Q_LO} AND {_M20_Q_HI}
+                            AND (spec_id = 0 OR pkey_type = '{_M20_Q_TYPE}')
+                      THEN 1 ELSE 0 END AS is_read
+            FROM parts
+        )
+        SELECT CAST(spec_id AS INT) AS spec_id,
+               CAST(COUNT(*) AS BIGINT) AS n_partitions,
+               CAST(SUM(is_read) AS BIGINT) AS n_partitions_read,
+               CAST(SUM(CASE WHEN is_read = 1 THEN n_rows ELSE 0 END) AS BIGINT)
+                   AS rows_scanned,
+               CAST(SUM(CASE WHEN is_read = 1 THEN n_match ELSE 0 END) AS BIGINT)
+                   AS rows_matched,
+               ROUND(CAST(SUM(CASE WHEN is_read = 1 THEN n_rows ELSE 0 END) AS DOUBLE)
+                     / NULLIF(SUM(CASE WHEN is_read = 1 THEN n_match ELSE 0 END), 0), 4)
+                   AS scan_amplification
+        FROM audited GROUP BY spec_id ORDER BY spec_id
+    """,
+)
+def m20_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    d = F.dayofmonth("ts")
+    spec = F.when(d <= _M20_CUTOVER_DAY, 0).otherwise(1)
+    in_range = d.between(_M20_Q_LO, _M20_Q_HI)
+    matches = (F.col("event_type") == _M20_Q_TYPE) & in_range
+    parts = (
+        ev.select(
+            spec.alias("spec_id"),
+            d.alias("d"),
+            F.when(spec == 1, F.col("event_type")).otherwise(F.lit("")).alias("pkey_type"),
+            matches.cast("int").alias("m"),
+        )
+        .groupBy("spec_id", "d", "pkey_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("m").cast("bigint").alias("n_match"),
+        )
+    )
+    is_read = (
+        F.col("d").between(_M20_Q_LO, _M20_Q_HI)
+        & ((F.col("spec_id") == 0) | (F.col("pkey_type") == _M20_Q_TYPE))
+    ).cast("int")
+    scanned = F.sum(F.when(F.col("is_read") == 1, F.col("n_rows")).otherwise(0))
+    matched = F.sum(F.when(F.col("is_read") == 1, F.col("n_match")).otherwise(0))
+    return (
+        parts.withColumn("is_read", is_read)
+        .groupBy(F.col("spec_id").cast("int").alias("spec_id"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_partitions"),
+            F.sum("is_read").cast("bigint").alias("n_partitions_read"),
+            scanned.cast("bigint").alias("rows_scanned"),
+            matched.cast("bigint").alias("rows_matched"),
+            F.round(
+                scanned.cast("double") / F.nullif(matched, F.lit(0)), 4
+            ).alias("scan_amplification"),
+        )
+        .orderBy("spec_id")
+    )

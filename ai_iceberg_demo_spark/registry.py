@@ -203,7 +203,8 @@ class Registry:
 # j12_entity_resolution) and the r7 oracle upgrades (f27/v9 gained
 # hash oracles; d3/d7/d14/d8 changed semantics with the shingle-unit
 # MinHash + corpus-sized SemDeDup k and need post-change re-pins)
-# queue for r8 (with v36_two_level_assign and g8_logstep_components)
+# queue for r8 (with v36_two_level_assign, g8_logstep_components,
+# m20_partition_evolution)
 # behind the remaining r6
 # overflow (the r6 comment's
 # post-d20 list), ahead of the r2-core cohort (oldest driver

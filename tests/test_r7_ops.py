@@ -104,3 +104,20 @@ def test_two_level_assignment_agrees_with_brute_force(spark):
     assert set(two) == set(brute)  # every vector assigned exactly once
     agree = sum(1 for v, c in two.items() if brute[v] == c)
     assert agree / len(two) >= 0.8, f"agreement {agree}/{len(two)}"
+
+
+def test_partition_evolution_spec1_scans_only_what_it_prunes_to(spark):
+    """m20: under spec 1 (day, event_type) the read partitions contain
+    ONLY the queried type → scan amplification exactly 1.0; under
+    spec 0 (day only) every type in the day range is scanned → the
+    amplification is ~n_types (5 on this fixture, within noise)."""
+    from ai_iceberg_demo_spark.operators.mutations import m20_partition_evolution
+
+    rows = {r["spec_id"]: r for r in m20_partition_evolution(spark, SF_DIR).collect()}
+    assert set(rows) == {0, 1}
+    assert rows[1]["rows_scanned"] == rows[1]["rows_matched"]
+    assert rows[1]["scan_amplification"] == 1.0
+    assert 4.0 <= rows[0]["scan_amplification"] <= 6.0
+    # evolution buys strictly fewer read partitions per matched row
+    assert rows[1]["n_partitions_read"] < rows[0]["n_partitions_read"] * 5
+    assert rows[0]["n_partitions"] < rows[1]["n_partitions"]  # finer spec → more partitions
