@@ -846,3 +846,125 @@ def j12_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("score") >= _FS_POSSIBLE_T)
     )
+
+
+# ---------------------------------------------------------------------------
+# J13: as-of join DIRECTION variants — forward / nearest with tolerance
+# ---------------------------------------------------------------------------
+
+_J13_TOL_US = 3_600_000_000  # 1 hour, whole microseconds (t89's discipline)
+
+
+@REGISTRY.register(
+    name="j13_asof_directions",
+    survey_ref="§2.3 extras (as-of; j8's direction/tolerance completion)",
+    doc="the full pandas-merge_asof surface over the j8 substrate: per "
+    "purchase, the user's nearest click BACKWARD (at-or-before, j8's "
+    "direction), FORWARD (strictly after — ties sort click-before-"
+    "purchase), and NEAREST (smaller absolute gap, ties to backward), "
+    "each under a 1-hour tolerance (outside it the match nulls out, "
+    "pandas semantics). Same single-shuffle shape as j8: tag, union, "
+    "TWO frames of one (user_id, ts) window — backward last_value + "
+    "forward first_value — never a candidate-pair join; gap "
+    "arithmetic in whole microseconds on both engines.",
+    oracle=f"""
+        WITH tagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS kind
+            FROM events WHERE event_type IN ('click', 'purchase')
+        ), win AS (
+            SELECT user_id, ts, event_id, kind,
+                   LAST_VALUE(CASE WHEN kind = 0 THEN event_id END IGNORE NULLS)
+                       OVER back AS b_id,
+                   LAST_VALUE(CASE WHEN kind = 0 THEN EPOCH_US(ts) END IGNORE NULLS)
+                       OVER back AS b_us,
+                   FIRST_VALUE(CASE WHEN kind = 0 THEN event_id END IGNORE NULLS)
+                       OVER fwd AS f_id,
+                   FIRST_VALUE(CASE WHEN kind = 0 THEN EPOCH_US(ts) END IGNORE NULLS)
+                       OVER fwd AS f_us
+            FROM tagged
+            WINDOW back AS (PARTITION BY user_id ORDER BY ts, kind, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   fwd AS (PARTITION BY user_id ORDER BY ts, kind, event_id
+                           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        ), gated AS (
+            SELECT event_id, user_id, ts,
+                   CASE WHEN EPOCH_US(ts) - b_us <= {_J13_TOL_US} THEN b_id END AS back_id,
+                   CASE WHEN EPOCH_US(ts) - b_us <= {_J13_TOL_US}
+                        THEN EPOCH_US(ts) - b_us END AS back_gap_us,
+                   CASE WHEN f_us - EPOCH_US(ts) <= {_J13_TOL_US} THEN f_id END AS fwd_id,
+                   CASE WHEN f_us - EPOCH_US(ts) <= {_J13_TOL_US}
+                        THEN f_us - EPOCH_US(ts) END AS fwd_gap_us
+            FROM win WHERE kind = 1
+        )
+        SELECT event_id, user_id, back_id, fwd_id,
+               CASE WHEN back_id IS NOT NULL
+                         AND (fwd_id IS NULL OR back_gap_us <= fwd_gap_us)
+                    THEN back_id ELSE fwd_id END AS nearest_id,
+               CAST(CASE WHEN back_id IS NOT NULL
+                         AND (fwd_id IS NULL OR back_gap_us <= fwd_gap_us)
+                    THEN back_gap_us ELSE fwd_gap_us END AS BIGINT) AS nearest_gap_us
+        FROM gated
+    """,
+)
+def j13_asof_directions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    return asof_directions(ev)
+
+
+def asof_directions(ev: DataFrame, tol_us: int = _J13_TOL_US) -> DataFrame:
+    """j13's core over any (user_id, ts, event_id, event_type) frame."""
+    from pyspark.sql import Window as W
+
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "click", 0).otherwise(1).alias("kind"),
+    )
+    order = [F.col("ts"), F.col("kind"), F.col("event_id")]
+    back = W.partitionBy("user_id").orderBy(*order).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    fwd = W.partitionBy("user_id").orderBy(*order).rowsBetween(
+        W.currentRow, W.unboundedFollowing
+    )
+    click = F.when(F.col("kind") == 0, F.col("event_id"))
+    click_us = F.when(F.col("kind") == 0, F.unix_micros("ts"))
+    win = tagged.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "kind",
+        F.last(click, ignorenulls=True).over(back).alias("b_id"),
+        F.last(click_us, ignorenulls=True).over(back).alias("b_us"),
+        F.first(click, ignorenulls=True).over(fwd).alias("f_id"),
+        F.first(click_us, ignorenulls=True).over(fwd).alias("f_us"),
+    ).filter(F.col("kind") == 1)
+    now_us = F.unix_micros("ts")
+    b_ok = (now_us - F.col("b_us")) <= tol_us
+    f_ok = (F.col("f_us") - now_us) <= tol_us
+    gated = win.select(
+        "event_id",
+        "user_id",
+        F.when(b_ok, F.col("b_id")).alias("back_id"),
+        F.when(b_ok, now_us - F.col("b_us")).alias("back_gap_us"),
+        F.when(f_ok, F.col("f_id")).alias("fwd_id"),
+        F.when(f_ok, F.col("f_us") - now_us).alias("fwd_gap_us"),
+    )
+    pick_back = F.col("back_id").isNotNull() & (
+        F.col("fwd_id").isNull() | (F.col("back_gap_us") <= F.col("fwd_gap_us"))
+    )
+    return gated.select(
+        "event_id",
+        "user_id",
+        "back_id",
+        "fwd_id",
+        F.when(pick_back, F.col("back_id")).otherwise(F.col("fwd_id")).alias("nearest_id"),
+        F.when(pick_back, F.col("back_gap_us"))
+        .otherwise(F.col("fwd_gap_us"))
+        .cast("bigint")
+        .alias("nearest_gap_us"),
+    )

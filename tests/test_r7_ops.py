@@ -121,3 +121,39 @@ def test_partition_evolution_spec1_scans_only_what_it_prunes_to(spark):
     # evolution buys strictly fewer read partitions per matched row
     assert rows[1]["n_partitions_read"] < rows[0]["n_partitions_read"] * 5
     assert rows[0]["n_partitions"] < rows[1]["n_partitions"]  # finer spec → more partitions
+
+
+def test_asof_directions_on_crafted_truth(spark):
+    """j13 semantics pinned on hand-computed truth: backward includes
+    same-ts (allow-exact), forward is strictly-after, nearest ties to
+    backward, tolerance nulls out matches beyond 1 hour."""
+    from datetime import datetime, timezone
+
+    from ai_iceberg_demo_spark.operators.joins import asof_directions
+
+    def t(sec):
+        return datetime.fromtimestamp(sec, tz=timezone.utc).replace(tzinfo=None)
+
+    rows = [
+        (1, t(100), 1, "click"),
+        (1, t(200), 2, "click"),
+        (1, t(10000), 3, "click"),
+        (1, t(150), 10, "purchase"),   # tie 50s/50s -> backward
+        (1, t(250), 11, "purchase"),   # fwd gap 9750s > 3600 -> back only
+        (1, t(5000), 12, "purchase"),  # both gaps > 3600 -> all NULL
+        (1, t(9999), 13, "purchase"),  # back over tol, fwd 1s -> fwd
+        (1, t(100), 14, "purchase"),   # same-ts: back=1 (gap 0), fwd=2
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, event_id bigint, event_type string"
+    )
+    got = {r["event_id"]: r for r in asof_directions(ev).collect()}
+    assert (got[10]["back_id"], got[10]["fwd_id"], got[10]["nearest_id"]) == (1, 2, 1)
+    assert got[10]["nearest_gap_us"] == 50_000_000
+    assert (got[11]["back_id"], got[11]["fwd_id"], got[11]["nearest_id"]) == (2, None, 2)
+    assert (got[12]["back_id"], got[12]["fwd_id"], got[12]["nearest_id"]) == (None, None, None)
+    assert got[12]["nearest_gap_us"] is None
+    assert (got[13]["back_id"], got[13]["fwd_id"], got[13]["nearest_id"]) == (None, 3, 3)
+    assert got[13]["nearest_gap_us"] == 1_000_000
+    assert (got[14]["back_id"], got[14]["fwd_id"], got[14]["nearest_id"]) == (1, 2, 1)
+    assert got[14]["nearest_gap_us"] == 0
