@@ -244,3 +244,52 @@ def x6_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY d.doc_id, c.chunk_idx
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# X7: Arrow-optimized scalar Python UDF (Spark 4 useArrow=True)
+# ---------------------------------------------------------------------------
+
+
+@REGISTRY.register(
+    name="x7_arrow_scalar_udf",
+    survey_ref="X1's scalar sibling (Spark 4 Arrow-optimized Python UDF API pin)",
+    doc="the Spark 4 `@udf(useArrow=True)` scalar seam, API-pinned the "
+    "way x6 pins the UDTF: a deterministic quality-bucket labeler "
+    "(length + vowel-ratio arithmetic) runs as an ARROW-serialized "
+    "scalar Python UDF — plan shows ArrowEvalPython, never the "
+    "pickle-per-row BatchEvalPython — and the oracle replays the "
+    "arithmetic in SQL so the Arrow transport itself is hash-checked "
+    "bit-for-bit. This is the migration target for any row UDF a "
+    "reference user carries over; the repo's hot paths stay JVM-side "
+    "(this seam is for logic that genuinely needs Python).",
+    oracle="""
+        SELECT doc_id,
+               CASE WHEN LENGTH(text) >= 400 AND
+                         CAST(LENGTH(REGEXP_REPLACE(text, '[^aeiou]', '', 'g')) AS DOUBLE)
+                         / LENGTH(text) >= 0.2
+                    THEN 'long_fluent'
+                    WHEN LENGTH(text) >= 400 THEN 'long_other'
+                    ELSE 'short' END AS bucket,
+               CAST(LENGTH(text) AS INT) AS n_chars
+        FROM documents
+    """,
+)
+def x7_arrow_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udf
+    from pyspark.sql.types import StringType
+
+    @udf(returnType=StringType(), useArrow=True)
+    def bucket(text: str) -> str:
+        n = len(text)
+        if n >= 400:
+            vowels = sum(1 for ch in text if ch in "aeiou")
+            return "long_fluent" if vowels / n >= 0.2 else "long_other"
+        return "short"
+
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        bucket(F.col("text")).alias("bucket"),
+        F.length("text").cast("int").alias("n_chars"),
+    )

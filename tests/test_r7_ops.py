@@ -157,3 +157,14 @@ def test_asof_directions_on_crafted_truth(spark):
     assert got[13]["nearest_gap_us"] == 1_000_000
     assert (got[14]["back_id"], got[14]["fwd_id"], got[14]["nearest_id"]) == (1, 2, 1)
     assert got[14]["nearest_gap_us"] == 0
+
+
+def test_x7_plans_arrow_eval_never_batch_eval(spark):
+    from ai_iceberg_demo_spark.functions.udf_surface import x7_arrow_scalar_udf
+
+    df = x7_arrow_scalar_udf(spark, SF_DIR)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "ArrowEvalPython" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
