@@ -2647,3 +2647,125 @@ def t97_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     for m in merges[1:]:
         out = out.unionByName(m)
     return out.orderBy("round")
+
+
+# ---------------------------------------------------------------------------
+# T98: ROUGE-2 — clipped bigram overlap P/R/F1 (generation eval)
+# ---------------------------------------------------------------------------
+
+
+@REGISTRY.register(
+    name="t98_rouge2_eval",
+    survey_ref="training-data (generation eval; t46/t47/t95's text-overlap sibling)",
+    doc="ROUGE-2 per (reference, candidate) pair — clipped bigram "
+    "overlap (Σ min(count_ref, count_cand), the multiset semantics "
+    "real ROUGE uses, NOT distinct-set intersection), precision, "
+    "recall, F1 rounded 6. Pairs planted in-query (reference = "
+    "original doc, candidate = its footer-extended twin — d27's "
+    "pattern), so expected recall ≈ 1 with precision < 1 and the "
+    "metric's asymmetry is exercised, not just its plumbing. Shape: "
+    "two bigram wordcounts keyed by (doc, gram), one equi-join on "
+    "the gram key, per-doc rollup — at 100 TB the same plan scores "
+    "model outputs against references with no pair blow-up (grams "
+    "join within doc_id).",
+    oracle="""
+        WITH pairs AS (
+            SELECT doc_id, text AS ref_text,
+                   text || ' near duplicate footer variant' AS cand_text
+            FROM documents WHERE doc_id % 10 = 0
+        ), refg AS (
+            SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS c FROM (
+                SELECT doc_id, UNNEST(CASE WHEN LEN(w) >= 2 THEN
+                    LIST_TRANSFORM(GENERATE_SERIES(1, LEN(w) - 1),
+                                   i -> w[i] || ' ' || w[i + 1])
+                ELSE [] END) AS gram
+                FROM (SELECT doc_id, STRING_SPLIT(ref_text, ' ') AS w FROM pairs))
+            GROUP BY 1, 2
+        ), candg AS (
+            SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS c FROM (
+                SELECT doc_id, UNNEST(CASE WHEN LEN(w) >= 2 THEN
+                    LIST_TRANSFORM(GENERATE_SERIES(1, LEN(w) - 1),
+                                   i -> w[i] || ' ' || w[i + 1])
+                ELSE [] END) AS gram
+                FROM (SELECT doc_id, STRING_SPLIT(cand_text, ' ') AS w FROM pairs))
+            GROUP BY 1, 2
+        ), overlap AS (
+            SELECT r.doc_id, SUM(LEAST(r.c, c.c)) AS clipped
+            FROM refg r JOIN candg c ON r.doc_id = c.doc_id AND r.gram = c.gram
+            GROUP BY 1
+        ), totals AS (
+            SELECT r.doc_id, rt.n_ref, ct.n_cand, COALESCE(o.clipped, 0) AS clipped
+            FROM (SELECT DISTINCT doc_id FROM pairs) r
+            JOIN (SELECT doc_id, SUM(c) AS n_ref FROM refg GROUP BY 1) rt USING (doc_id)
+            JOIN (SELECT doc_id, SUM(c) AS n_cand FROM candg GROUP BY 1) ct USING (doc_id)
+            LEFT JOIN overlap o USING (doc_id)
+        )
+        SELECT doc_id,
+               CAST(clipped AS BIGINT) AS clipped_bigrams,
+               ROUND(CAST(clipped AS DOUBLE) / n_cand, 6) AS rouge2_precision,
+               ROUND(CAST(clipped AS DOUBLE) / n_ref, 6) AS rouge2_recall,
+               ROUND(2.0 * clipped / (n_cand + n_ref), 6) AS rouge2_f1
+        FROM totals
+    """,
+)
+def t98_rouge2_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_iceberg_demo_spark.tables import fan_out_small_input
+
+    docs = fan_out_small_input(
+        load_table(spark, "documents", sf_dir).filter(F.col("doc_id") % 10 == 0)
+    )
+    pairs = docs.select(
+        "doc_id",
+        F.col("text").alias("ref_text"),
+        F.concat(F.col("text"), F.lit(" near duplicate footer variant")).alias(
+            "cand_text"
+        ),
+    )
+
+    def grams(col: str) -> DataFrame:
+        toks = pairs.select("doc_id", F.split(col, " ").alias("t"))
+        return (
+            toks.select(
+                "doc_id",
+                F.explode(
+                    F.when(
+                        F.size("t") >= 2,
+                        F.zip_with(
+                            F.slice(F.col("t"), 1, F.size("t") - 1),
+                            F.slice(F.col("t"), 2, F.size("t") - 1),
+                            lambda a, b: F.concat(a, F.lit(" "), b),
+                        ),
+                    ).otherwise(F.array().cast("array<string>"))
+                ).alias("gram"),
+            )
+            .groupBy("doc_id", "gram")
+            .agg(F.count("*").cast("bigint").alias("c"))
+        )
+
+    refg, candg = grams("ref_text"), grams("cand_text")
+    overlap = (
+        refg.alias("r")
+        .join(
+            candg.alias("c"),
+            (F.col("r.doc_id") == F.col("c.doc_id")) & (F.col("r.gram") == F.col("c.gram")),
+        )
+        .groupBy(F.col("r.doc_id").alias("doc_id"))
+        .agg(F.sum(F.least(F.col("r.c"), F.col("c.c"))).alias("clipped"))
+    )
+    n_ref = refg.groupBy("doc_id").agg(F.sum("c").alias("n_ref"))
+    n_cand = candg.groupBy("doc_id").agg(F.sum("c").alias("n_cand"))
+    return (
+        pairs.select("doc_id")
+        .join(n_ref, "doc_id")
+        .join(n_cand, "doc_id")
+        .join(overlap, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clipped", F.lit(0)).cast("bigint").alias("clipped_bigrams"),
+            F.round(F.coalesce("clipped", F.lit(0)).cast("double") / F.col("n_cand"), 6).alias("rouge2_precision"),
+            F.round(F.coalesce("clipped", F.lit(0)).cast("double") / F.col("n_ref"), 6).alias("rouge2_recall"),
+            F.round(
+                2.0 * F.coalesce("clipped", F.lit(0)) / (F.col("n_cand") + F.col("n_ref")), 6
+            ).alias("rouge2_f1"),
+        )
+    )
