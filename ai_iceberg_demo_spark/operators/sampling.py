@@ -1954,3 +1954,96 @@ def u41_exact_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# U46: license propagation through sequence packing (compliance lineage)
+# ---------------------------------------------------------------------------
+
+_LICENSE_NAMES = ["permissive", "attribution", "restricted"]
+
+
+def _license_tier_sql(src: str) -> str:
+    """Deterministic source→tier map (md5 bucket; a real pipeline joins
+    a license dim — the propagation plan is identical)."""
+    return f"(('0x' || SUBSTR(MD5({src}), 1, 2))::INT % 3)"
+
+
+@REGISTRY.register(
+    name="u46_license_propagation",
+    survey_ref="training-data (compliance lineage; u9 ∘ governance)",
+    doc="license propagation through u9's sequence packing: every "
+    "packed 2048-token training bin inherits the MOST RESTRICTIVE "
+    "license among the docs that touch it — and docs SPAN bins "
+    "(start offset + length crosses the boundary), which is exactly "
+    "the case naive per-bin tagging silently gets wrong and the "
+    "reason compliance must propagate through the PACKER, not the "
+    "corpus. Per bin: docs touching, max tier, license name, binding "
+    "source (deterministic max-struct tie-break). Tiers come from a "
+    "deterministic md5 bucket of source (a real pipeline joins a "
+    "license dim; same plan). Shape: u9's two-phase prefix sum + a "
+    "bounded explode (spanned bins per doc = len/budget + 1) + one "
+    "bin-keyed partial agg; oracle composes u9's window SQL verbatim "
+    "so packer and propagation can't drift.",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, source,
+                   CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+        ), packed AS (
+            SELECT doc_id, source, n_tokens,
+                   CAST((SUM(n_tokens) OVER w - n_tokens) // {PACK_BUDGET} AS BIGINT) AS bin_id,
+                   CAST((SUM(n_tokens) OVER w - n_tokens) % {PACK_BUDGET} AS BIGINT) AS bin_offset
+            FROM toks
+            WINDOW w AS (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        ), touched AS (
+            SELECT UNNEST(GENERATE_SERIES(bin_id,
+                       (bin_id * {PACK_BUDGET} + bin_offset + n_tokens - 1) // {PACK_BUDGET}))
+                       AS bin_id,
+                   doc_id, source,
+                   {_license_tier_sql('source')} AS tier
+            FROM packed
+        )
+        SELECT bin_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(MAX(tier) AS INT) AS max_tier,
+               ['permissive', 'attribution', 'restricted'][MAX(tier) + 1] AS license,
+               MAX(CASE WHEN tier = mx THEN source END) AS binding_source
+        FROM (SELECT *, MAX(tier) OVER (PARTITION BY bin_id) AS mx FROM touched)
+        GROUP BY bin_id
+    """,
+)
+def u46_license_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "source")
+    packed = u9_sequence_packing(spark, sf_dir).join(docs, "doc_id")
+    end_bin = (
+        F.col("bin_id") * PACK_BUDGET + F.col("bin_offset") + F.col("n_tokens") - 1
+    ) / PACK_BUDGET
+    tier = (
+        F.conv(F.substring(F.md5(F.encode("source", "UTF-8")), 1, 2), 16, 10).cast("int")
+        % 3
+    )
+    touched = packed.select(
+        F.explode(
+            F.sequence(F.col("bin_id"), F.floor(end_bin).cast("bigint"))
+        ).alias("bin_id"),
+        "doc_id",
+        "source",
+        tier.alias("tier"),
+    )
+    names = F.array(*[F.lit(n) for n in _LICENSE_NAMES])
+    return (
+        touched.groupBy("bin_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.max("tier").cast("int").alias("max_tier"),
+            F.max(F.struct("tier", "source")).alias("_b"),
+        )
+        .select(
+            "bin_id",
+            "n_docs",
+            "max_tier",
+            F.element_at(names, F.col("max_tier") + 1).alias("license"),
+            F.col("_b.source").alias("binding_source"),
+        )
+    )
