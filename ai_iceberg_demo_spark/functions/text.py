@@ -2549,6 +2549,7 @@ def _bpe_round_sql(k: int) -> str:
 
 @REGISTRY.register(
     name="t97_bpe_train",
+    bench=True,
     survey_ref="training-data (tokenizer induction: the LEARNING loop; "
     "t21 is one round's statistic, f32 applies the result)",
     doc=f"BPE merge learning, {_BPE_ROUNDS} rounds unrolled (the "
