@@ -209,7 +209,13 @@ class Registry:
 # behind the remaining r6
 # overflow (the r6 comment's
 # post-d20 list), ahead of the r2-core cohort (oldest driver
-# evidence, 6 rounds stale by r8).
+# evidence, 6 rounds stale by r8). r8 draft: the first 50 names of
+# the post-d20 list in registration order — ALL hash-oracled (the r7
+# full sweep left only 8 rows-only queries: v24/a8/a8b/v3b/v3c/v18/
+# v11b/v12, none of which is in that list), so r8 can be the second
+# consecutive zero-err window; the ~26 that don't fit + the r7
+# registrations + the r7 re-pins (d3/d7/d14/d8 shingle-unit MinHash
+# and corpus-sized SemDeDup k; f27/v9 oracle upgrades) head r9.
 _DRIVER_WINDOW_PRIORITY = [
     # 13 r5-overflow first-timers
     "q18_large_volume_customers",
