@@ -2547,6 +2547,66 @@ def _bpe_round_sql(k: int) -> str:
         )"""
 
 
+def _bpe_unroll(spark: SparkSession, sf_dir: str):
+    """Shared BPE training loop: returns (w0, rounds) where w0 is the
+    char-delimited word-frequency frame and rounds is, per round k,
+    (the 1-row learned-merge frame with columns l/r/cnt, the
+    post-merge word frame w{k}). t97 reads the merges; t99 also reads
+    the word frames to price the corpus compression each merge buys."""
+    from ai_iceberg_demo_spark.tables import fan_out_small_input
+
+    docs = fan_out_small_input(
+        load_table(spark, "documents", sf_dir).filter(F.col("doc_id") % 5 == 0)
+    )
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+    )
+    wf = words.select(
+        F.concat(F.lit("|"), F.regexp_replace("tok", "(.)", "$1|")).alias("w"),
+        "freq",
+    )
+    wf0 = wf
+    rounds = []
+    for _k in range(1, _BPE_ROUNDS + 1):
+        syms = F.filter(F.split("w", r"\|"), lambda x: x != F.lit(""))
+        pairs = wf.select(syms.alias("s"), "freq").select(
+            F.explode(
+                F.when(
+                    F.size("s") >= 2,
+                    F.zip_with(
+                        F.slice(F.col("s"), 1, F.size("s") - 1),
+                        F.slice(F.col("s"), 2, F.size("s") - 1),
+                        lambda a, b: F.concat(a, F.lit("|"), b),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("pair"),
+            "freq",
+        )
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.sum("freq").cast("bigint").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(1)
+            .select(
+                F.split("pair", r"\|")[0].alias("l"),
+                F.split("pair", r"\|")[1].alias("r"),
+                "cnt",
+            )
+        )
+        search = F.concat(F.lit("|"), F.col("l"), F.lit("|"), F.col("r"), F.lit("|"))
+        merged = F.concat(F.lit("|"), F.col("l"), F.col("r"), F.lit("|"))
+        # two passes — see the oracle's w{k} comment
+        wf = wf.crossJoin(F.broadcast(top)).select(
+            F.replace(F.replace(F.col("w"), search, merged), search, merged).alias("w"),
+            "freq",
+        )
+        rounds.append((top, wf))
+    return wf0, rounds
+
+
 @REGISTRY.register(
     name="t97_bpe_train",
     bench=True,
@@ -2587,66 +2647,16 @@ def _bpe_round_sql(k: int) -> str:
     """,
 )
 def t97_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ai_iceberg_demo_spark.tables import fan_out_small_input
-
-    docs = fan_out_small_input(
-        load_table(spark, "documents", sf_dir).filter(F.col("doc_id") % 5 == 0)
-    )
-    words = (
-        docs.select(F.explode(F.split("text", " ")).alias("tok"))
-        .filter(F.col("tok") != "")
-        .groupBy("tok")
-        .agg(F.count("*").cast("bigint").alias("freq"))
-    )
-    wf = words.select(
-        F.concat(F.lit("|"), F.regexp_replace("tok", "(.)", "$1|")).alias("w"),
-        "freq",
-    )
-    merges = []
-    for k in range(1, _BPE_ROUNDS + 1):
-        syms = F.filter(F.split("w", r"\|"), lambda x: x != F.lit(""))
-        pairs = wf.select(syms.alias("s"), "freq").select(
-            F.explode(
-                F.when(
-                    F.size("s") >= 2,
-                    F.zip_with(
-                        F.slice(F.col("s"), 1, F.size("s") - 1),
-                        F.slice(F.col("s"), 2, F.size("s") - 1),
-                        lambda a, b: F.concat(a, F.lit("|"), b),
-                    ),
-                ).otherwise(F.array().cast("array<string>"))
-            ).alias("pair"),
-            "freq",
+    out = None
+    _w0, rounds = _bpe_unroll(spark, sf_dir)
+    for k, (top, _wf) in enumerate(rounds, start=1):
+        m = top.select(
+            F.lit(k).alias("round"),
+            F.col("l").alias("merge_left"),
+            F.col("r").alias("merge_right"),
+            F.col("cnt").alias("pair_count"),
         )
-        top = (
-            pairs.groupBy("pair")
-            .agg(F.sum("freq").cast("bigint").alias("cnt"))
-            .orderBy(F.desc("cnt"), F.asc("pair"))
-            .limit(1)
-            .select(
-                F.split("pair", r"\|")[0].alias("l"),
-                F.split("pair", r"\|")[1].alias("r"),
-                "cnt",
-            )
-        )
-        merges.append(
-            top.select(
-                F.lit(k).alias("round"),
-                F.col("l").alias("merge_left"),
-                F.col("r").alias("merge_right"),
-                F.col("cnt").alias("pair_count"),
-            )
-        )
-        search = F.concat(F.lit("|"), F.col("l"), F.lit("|"), F.col("r"), F.lit("|"))
-        merged = F.concat(F.lit("|"), F.col("l"), F.col("r"), F.lit("|"))
-        # two passes — see the oracle's w{k} comment
-        wf = wf.crossJoin(F.broadcast(top)).select(
-            F.replace(F.replace(F.col("w"), search, merged), search, merged).alias("w"),
-            "freq",
-        )
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionByName(m)
+        out = m if out is None else out.unionByName(m)
     return out.orderBy("round")
 
 
@@ -2770,3 +2780,91 @@ def t98_rouge2_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rouge2_f1"),
         )
     )
+
+
+def _bpe_tokens_sql(w_cte: str) -> str:
+    """Σ freq × symbol-count over a w{k} CTE — the corpus token total
+    under that round's vocabulary."""
+    return (
+        f"SELECT CAST(SUM(freq * LEN(LIST_FILTER(STR_SPLIT(w, '|'), "
+        f"x -> x <> ''))) AS BIGINT) FROM {w_cte}"
+    )
+
+
+@REGISTRY.register(
+    name="t99_bpe_training_curve",
+    survey_ref="training-data (tokenizer induction: the curve t97's merges buy; t56's training-side twin)",
+    doc="the BPE TRAINING CURVE: for round 0 (chars) and after each of "
+    "t97's learned merges, the corpus token total under that round's "
+    "vocabulary and the cumulative compression percentage — the "
+    "number a tokenizer training run actually optimizes (fertility "
+    "drops as merges land; t56 measures the deployed tokenizer, this "
+    "prices each merge during training). Reuses t97's unrolled loop "
+    "verbatim (shared _bpe_unroll / the same CTE chain), so curve and "
+    "merges cannot desync; the per-round total is one vocab-sized "
+    "aggregate over the word-TYPE table.",
+    oracle="WITH "
+    + _bpe_words_sql()
+    + ", "
+    + ", ".join(_bpe_round_sql(k) for k in range(1, _BPE_ROUNDS + 1))
+    + """
+        , base AS (SELECT ("""
+    + _bpe_tokens_sql("w0")
+    + """) AS b)
+        SELECT * FROM ("""
+    + " UNION ALL ".join(
+        (
+            f"SELECT 0 AS round, '' AS merge_left, '' AS merge_right, "
+            f"({_bpe_tokens_sql('w0')}) AS tokens_total, 0.0 AS compression_pct"
+            if k == 0
+            else (
+                f"SELECT {k} AS round, l AS merge_left, r AS merge_right, "
+                f"({_bpe_tokens_sql(f'w{k}')}) AS tokens_total, "
+                f"ROUND(100.0 * (1 - ({_bpe_tokens_sql(f'w{k}')}) * 1.0 "
+                f"/ (SELECT b FROM base)), 4) AS compression_pct FROM m{k}"
+            )
+        )
+        for k in range(0, _BPE_ROUNDS + 1)
+    )
+    + """)
+        ORDER BY round
+    """,
+)
+def t99_bpe_training_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w0, rounds = _bpe_unroll(spark, sf_dir)
+
+    def tokens_total(wf: DataFrame):
+        syms = F.filter(F.split("w", r"\|"), lambda x: x != F.lit(""))
+        return wf.agg(
+            F.sum(F.col("freq") * F.size(syms)).cast("bigint").alias("tokens_total")
+        )
+
+    base = tokens_total(w0).select(F.col("tokens_total").alias("b"))
+    out = (
+        tokens_total(w0)
+        .crossJoin(F.broadcast(base))
+        .select(
+            F.lit(0).alias("round"),
+            F.lit("").alias("merge_left"),
+            F.lit("").alias("merge_right"),
+            "tokens_total",
+            F.lit(0.0).alias("compression_pct"),
+        )
+    )
+    for k, (top, wf) in enumerate(rounds, start=1):
+        row = (
+            tokens_total(wf)
+            .crossJoin(F.broadcast(top))
+            .crossJoin(F.broadcast(base))
+            .select(
+                F.lit(k).alias("round"),
+                F.col("l").alias("merge_left"),
+                F.col("r").alias("merge_right"),
+                "tokens_total",
+                F.round(
+                    100.0 * (1 - F.col("tokens_total").cast("double") / F.col("b")), 4
+                ).alias("compression_pct"),
+            )
+        )
+        out = out.unionByName(row)
+    return out.orderBy("round")

@@ -205,7 +205,7 @@ class Registry:
 # MinHash + corpus-sized SemDeDup k and need post-change re-pins)
 # queue for r8 (with v36_two_level_assign, g8_logstep_components,
 # m20_partition_evolution, j13_asof_directions, x7_arrow_scalar_udf,
-# t98_rouge2_eval, u46_license_propagation)
+# t98_rouge2_eval, u46_license_propagation, t99_bpe_training_curve)
 # behind the remaining r6
 # overflow (the r6 comment's
 # post-d20 list), ahead of the r2-core cohort (oldest driver

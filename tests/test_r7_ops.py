@@ -234,3 +234,30 @@ def test_license_propagates_across_bin_spans(spark):
         assert got[b]["max_tier"] == max(tiers), b
         assert got[b]["n_docs"] == len(tiers), b
         assert got[b]["license"] == ["permissive", "attribution", "restricted"][max(tiers)]
+
+
+def test_bpe_training_curve_is_monotone_and_consistent_with_merges(spark):
+    """t99: token totals strictly decrease as merges land (every learned
+    merge fires somewhere), compression is cumulative-monotone, and
+    each round's drop never exceeds that round's pair_count (a merge
+    removes at most one token per merged occurrence; two-pass replace
+    can realize fewer on boundary-blocked runs, never more)."""
+    from ai_iceberg_demo_spark.functions.text import (
+        t97_bpe_train,
+        t99_bpe_training_curve,
+    )
+
+    curve = sorted(t99_bpe_training_curve(spark, SF_DIR).collect(), key=lambda r: r["round"])
+    merges = {r["round"]: r for r in t97_bpe_train(spark, SF_DIR).collect()}
+    assert [r["round"] for r in curve] == [0, 1, 2, 3]
+    totals = [r["tokens_total"] for r in curve]
+    assert totals == sorted(totals, reverse=True) and len(set(totals)) == 4
+    comps = [r["compression_pct"] for r in curve]
+    assert comps[0] == 0.0 and comps == sorted(comps)
+    for k in (1, 2, 3):
+        assert (curve[k]["merge_left"], curve[k]["merge_right"]) == (
+            merges[k]["merge_left"],
+            merges[k]["merge_right"],
+        )
+        drop = curve[k - 1]["tokens_total"] - curve[k]["tokens_total"]
+        assert 0 < drop <= merges[k]["pair_count"]
