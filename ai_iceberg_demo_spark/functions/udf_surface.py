@@ -280,7 +280,9 @@ def x7_arrow_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.types import StringType
 
     @udf(returnType=StringType(), useArrow=True)
-    def bucket(text: str) -> str:
+    def bucket(text: str | None) -> str | None:
+        if text is None:  # NULL propagation, matching the SQL oracle
+            return None
         n = len(text)
         if n >= 400:
             vowels = sum(1 for ch in text if ch in "aeiou")

@@ -838,6 +838,7 @@ def hash_to_min_components(
     )
     prev = None
     rounds = 0
+    converged = False
     for _ in range(max_rounds):
         rounds += 1
         m = clusters.select("u", F.array_min("c").alias("m"), "c")
@@ -851,12 +852,31 @@ def hash_to_min_components(
             .select(F.col("dst").alias("u"), "c")
             .localCheckpoint(eager=True)
         )
-        checksum = clusters.agg(F.sum(F.array_min("c"))).first()[0]
+        # Stronger than a per-node min-label sum (which could alias a
+        # still-moving labeling): XOR-digest every (u, min-label) pair
+        # (xor never overflows under ANSI; pairs are unique per u, so
+        # this is a proper set digest). The labeling is a fixed point
+        # exactly when no pair changed.
+        checksum = clusters.agg(
+            F.expr("bit_xor(xxhash64(u, array_min(c)))")
+        ).first()[0]
         if checksum == prev:
+            converged = True
             break
         prev = checksum
     if stats is not None:
         stats["rounds"] = rounds
+        stats["converged"] = converged
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"hash_to_min_components exhausted max_rounds={max_rounds} "
+            "without reaching the fixed point — component ids may be "
+            "unconverged; raise max_rounds (rounds needed ~ log2(diameter))",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return clusters.select("u", F.array_min("c").alias("component_id"))
 
 

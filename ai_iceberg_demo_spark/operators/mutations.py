@@ -1690,8 +1690,11 @@ def m19_merge_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # M20: partition-spec evolution audit (Iceberg spec-v2 semantics)
 # ---------------------------------------------------------------------------
 
-_M20_CUTOVER_DAY = 15  # files written on day <= 15 carry spec 0
-_M20_Q_LO, _M20_Q_HI = 10, 25  # audited query: day range + one type
+# Iceberg's day(ts) transform is the DATE (epoch-day ordinal), not
+# day-of-month — a fixture spanning multiple months must not merge
+# Jan-16 with Feb-16. Cutover and query range are date literals.
+_M20_CUTOVER_DATE = "2024-01-15"  # files written on day <= this carry spec 0
+_M20_Q_LO, _M20_Q_HI = "2024-01-10", "2024-01-25"  # audited query range
 _M20_Q_TYPE = "click"
 
 
@@ -1699,8 +1702,9 @@ _M20_Q_TYPE = "click"
     name="m20_partition_evolution",
     survey_ref="M-family extra (Iceberg partition-spec evolution; s16/s18's spec-era sibling)",
     doc="Iceberg partition-spec EVOLUTION semantics, audited: the "
-    "events table starts partitioned by day(ts) (spec 0) and evolves "
-    f"mid-history (cutover day {_M20_CUTOVER_DAY}) to (day, "
+    "events table starts partitioned by day(ts) (spec 0; the Iceberg "
+    "day transform = DATE, not day-of-month) and evolves "
+    f"mid-history (cutover {_M20_CUTOVER_DATE}) to (day, "
     "event_type) (spec 1) — exactly Iceberg's rule that old data "
     "files keep the spec they were written under, so ONE table scans "
     "under TWO pruning regimes. For the audited query (day "
@@ -1714,8 +1718,9 @@ _M20_Q_TYPE = "click"
     "is a metadata-only read of the manifests' partition summaries.",
     oracle=f"""
         WITH rows_tagged AS (
-            SELECT EXTRACT(DAY FROM ts) AS d, event_type,
-                   CASE WHEN EXTRACT(DAY FROM ts) <= {_M20_CUTOVER_DAY}
+            SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS d, event_type,
+                   CASE WHEN CAST(DATE_TRUNC('day', ts) AS DATE)
+                             <= DATE '{_M20_CUTOVER_DATE}'
                         THEN 0 ELSE 1 END AS spec_id
             FROM events
         ), parts AS (
@@ -1723,11 +1728,13 @@ _M20_Q_TYPE = "click"
                    CASE WHEN spec_id = 1 THEN event_type ELSE '' END AS pkey_type,
                    CAST(COUNT(*) AS BIGINT) AS n_rows,
                    CAST(SUM(CASE WHEN event_type = '{_M20_Q_TYPE}'
-                                 AND d BETWEEN {_M20_Q_LO} AND {_M20_Q_HI}
+                                 AND d BETWEEN DATE '{_M20_Q_LO}'
+                                           AND DATE '{_M20_Q_HI}'
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_match
             FROM rows_tagged GROUP BY 1, 2, 3
         ), audited AS (
-            SELECT *, CASE WHEN d BETWEEN {_M20_Q_LO} AND {_M20_Q_HI}
+            SELECT *, CASE WHEN d BETWEEN DATE '{_M20_Q_LO}'
+                                      AND DATE '{_M20_Q_HI}'
                             AND (spec_id = 0 OR pkey_type = '{_M20_Q_TYPE}')
                       THEN 1 ELSE 0 END AS is_read
             FROM parts
@@ -1747,9 +1754,11 @@ _M20_Q_TYPE = "click"
 )
 def m20_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
-    d = F.dayofmonth("ts")
-    spec = F.when(d <= _M20_CUTOVER_DAY, 0).otherwise(1)
-    in_range = d.between(_M20_Q_LO, _M20_Q_HI)
+    d = F.to_date("ts")  # Iceberg day(ts) transform = DATE ordinal
+    spec = F.when(d <= F.lit(_M20_CUTOVER_DATE).cast("date"), 0).otherwise(1)
+    in_range = d.between(
+        F.lit(_M20_Q_LO).cast("date"), F.lit(_M20_Q_HI).cast("date")
+    )
     matches = (F.col("event_type") == _M20_Q_TYPE) & in_range
     parts = (
         ev.select(
@@ -1765,7 +1774,9 @@ def m20_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     is_read = (
-        F.col("d").between(_M20_Q_LO, _M20_Q_HI)
+        F.col("d").between(
+            F.lit(_M20_Q_LO).cast("date"), F.lit(_M20_Q_HI).cast("date")
+        )
         & ((F.col("spec_id") == 0) | (F.col("pkey_type") == _M20_Q_TYPE))
     ).cast("int")
     scanned = F.sum(F.when(F.col("is_read") == 1, F.col("n_rows")).otherwise(0))

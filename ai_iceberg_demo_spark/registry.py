@@ -78,197 +78,84 @@ class Registry:
 
 
 # The driver's correctness gate checks the FIRST 50 queries in
-# registration order per round. Window history: r1 = relational core
-# (CORRECTNESS_r01.json); r2 = dedup/vector/mutation/pipeline/streaming
-# (r02); r3 = the 36 never-checked (scalar folds, corpus stats, ANN,
-# multimodal) + the 6 new r3 operators + the events-consumer re-pins
-# (r03: 44 hash-pass, 6 rows-only, 0 fail). Round 4 rotates by
-# staleness, per the r3 verdict: the 48 relational-core queries whose
-# ONLY driver evidence is r1 — now two fixture regenerations old — get
-# fresh rows, plus the two queries whose code changes this round
-# (u11's epoch became a parameter; u10 now derives its rate via the
-# shared mixture_rates helper). Everything rotated out stays covered by
-# the full-surface pytest oracle sweep (tests/test_queries_oracle.py,
-# all registered queries, every round). u10b's same-output
-# mixture_rates refactor and the new r4 registrations
-# (u11b_epoch_shuffle_2, pipeline_incremental_curation) ride the
-# pytest oracle this round and take window slots in r5. Names not
-# listed keep their module registration order after these.
+# registration order per round. Full rotation history + queue policy:
+# ROTATION.md (kept out of this module per the r7 verdict).
 #
-# Round 5 executes the r4-queued rotation: 68 registered queries had
-# NEVER held a driver slot (everything first registered in r3/r4).
-# "Never checked" beats any staleness tier, so all 50 slots go to
-# first-timers: the 44 names queued in the r4 comment plus the 6
-# remaining hash-oracled first-timers (s11, q4, q6, a14, a15, o7).
-# The 18 first-timers that still don't fit (u14, u16, u21, u22, m6b,
-# m7, m8b, f30, v16, v17, v22, t25, t26, t29, t31, d12,
-# pipeline_eval_prep, pipeline_multimodal_prep) head the r6 queue,
-# joined by the 9 operators registered in r5 (u23_dsir_weights,
-# u25_dataset_manifest, a16_countmin_probe, d13_intradoc_span_dedup,
-# m13_k_anonymity, t33_rater_agreement, t34_preference_pairs,
-# t35_next_item_examples, pipeline_index_maintenance,
-# v24_label_noise, d14_minhash_calibration, v8g_corrupt_blobs,
-# s12_subject_access, t36_streaming_drift, t37_streaming_sketch,
-# pipeline_dsir_selection, m14_snapshot_expiry, f32_bpe_merge_apply,
-# s13_multiformat_roundtrip, w8_activity_streaks, v25_ivf_tuning_curve,
-# q10_returned_items, q14_promo_revenue, t38_cusum_changepoint, u28_negative_samples,
-# s14_expectation_suite, m15_incremental_agg, u31_kfold_splits,
-# t41_retention_decay_fit, v11c_kmeans_unrolled, v12b_power_iteration, pipeline_governance, q18_large_volume_customers, a17_mode_entropy, t42_stream_static_enrich, w9_mom_growth, a18_gini_concentration,
-# t43_dau_wau_stickiness, v26_embedding_qa, f36_json_contract, t45_cohort_ltv,
-# s15_freshness_slo, t46_ndcg_eval, t47_classifier_eval, f37_numeric_normalize — all
-# pytest-oracle-verified this round), followed by the r2-core cohort
-# (42 queries, newest row r2 — then 4 rounds stale). The 18 + 45 = 63
-# first-timers overfill the r6 window by one; the overflow and the
-# r2-core cohort head the r7 queue. All rotated-out queries
-# stay covered by the per-round pytest oracle sweep
-# (tests/test_queries_oracle.py). t22/t23 changed code this round
-# (shared f31 pretokenizer) — their slots double as the post-change
-# re-pin.
-# Round 6 executes the r5-queued rotation: 63 first-timers for 50
-# slots. The 18 r4-overflow names that have waited longest go first,
-# then the 45 operators first registered in r5, in r5-comment order;
-# the last 13 of those (q18_large_volume_customers, a17_mode_entropy,
-# t42_stream_static_enrich, w9_mom_growth, a18_gini_concentration,
-# t43_dau_wau_stickiness, v26_embedding_qa, f36_json_contract,
-# t45_cohort_ltv, s15_freshness_slo, t46_ndcg_eval,
-# t47_classifier_eval, f37_numeric_normalize) overflow to r7, followed
-# by the r2-core cohort (42 queries, newest driver row r2 — 5 rounds
-# stale by then). u28_negative_samples changed code this round (the
-# same-item exclusion fix) — its slot doubles as the post-change
-# re-pin. Operators first registered in r6 ride the per-round pytest
-# oracle sweep (tests/test_queries_oracle.py) and queue for r7 behind
-# the overflow. All rotated-out queries stay covered by that same
-# sweep every round.
+# POLICY (r6 + r7 verdicts):
+#   1. All 50 names must carry full hash oracles — rows-only names
+#      never take a slot (enforced by tests/test_registry.py); they
+#      are covered by the per-round pytest sweep and hash-oracled
+#      twins.
+#   2. Semantic changes / oracle upgrades JUMP THE QUEUE: a name whose
+#      code changed semantics ranks at the head of the next window —
+#      its old green row validated different code.
+#   3. Then never-driver-checked names in registration order; then
+#      staleness tiers.
 #
-# r7 queue (write the priority list from this when the round starts):
-# first the 13 r5-overflow names above (5 rounds since registration by
-# then, never driver-checked), then the 27 operators first registered
-# in r6, in registration order: v27_lsh_tuning_curve,
-# v3d_lsh_probe_det, v8e2_phash_det, q2_min_cost_supplier,
-# q7_volume_shipping, q8_market_share, q9_product_profit,
-# q11_important_parts, q12_lateness_priority, q13_customer_distribution,
-# q15_top_supplier, q16_parts_suppliers, q17_small_quantity_revenue,
-# q19_discounted_revenue, q20_excess_shippers, q21_waiting_suppliers,
-# q22_sales_opportunity, t48_zipf_audit, f38_vocab_coverage,
-# v28_filtered_search, v24b_label_noise_det, v18b_knn_graph_det,
-# d16_cluster_histogram, t51_ewma_band, f39_html_strip,
-# j10_blocked_fuzzy_join, u33_budget_waterfill, pipeline_web_ingest,
-# w10_trailing_time_window, t53_ucb_bandit, f41_url_normalize,
-# g3_triangle_count, t54_touch_attribution, d19_url_dedup,
-# u37_temporal_split, t55_slo_burn_rate, d20_soft_dedup_weights.
-# 13 + 37 = 50 first-timers, exactly filling the 50 slots;
-# registrations after d20 overflow to r8 (in registration order:
-# d21_bloom_dedup_probe, t55 precursors aside — a8c_hll_registers,
-# g4_link_prediction, v29_binary_quantize, pipeline_dedup_cascade,
-# v30_product_quantization, g5_modularity, d22_bag_of_words_dedup,
-# w11_ohlc_rollup, t59_mad_outliers, t56_tokenizer_fertility,
-# f42_mojibake_repair, pipeline_quality_report, s16_partition_plan,
-# s17_props_schema_drift, a20_join_cardinality, v31_tombstone_search,
-# t62_watermark_tuning, a21_approx_quantile_audit, pipeline_erasure,
-# t63_kaplan_meier, t64_calibration_bins, t65_roc_auc,
-# t66_markov_transitions, t67_pmi_collocations, t68_skipgram_pairs,
-# t69_chi2_terms, t70_js_divergence, v3e_ivf_probe_det,
-# u38_temperature_resample, f43_script_profile, f44_readability,
-# pipeline_model_eval, v32_ivf_pq, t71_inverted_index,
-# m16_bitemporal, a22_kmv_overlap, s18_zonemap_audit,
-# t74_diff_in_diff, g6_personalized_pagerank, t75_forecast_features,
-# a23_robust_means, f47_token_chunks, m17_dp_release,
-# t77_bigram_perplexity, t78_conformal_forecast, t79_ols_forecast,
-# t80_power_analysis, x6_python_udtf, t84_psi_drift, j11_band_join,
-# t85_prf_expansion, pipeline_experiment, u39_hamilton_allocation,
-# t89_feature_store_join, t90_eb_shrinkage, t91_uplift_by_segment,
-# t92_lift_chart, d26_mutual_knn, u40_corpus_version_diff,
-# v33_knn_classifier, pipeline_forecast, w12_rolling_correlation,
-# m18_column_masking, o8_range_partitioner_audit,
-# t93_streaming_topk, t94_msprt_sequential,
-# u41_exact_stratified_sample, t95_rank_biased_overlap,
-# v34_cluster_label_nmi, a24_market_basket, s19_encoding_advisor,
-# pipeline_storage, v35_pq_tuning_curve, d27_shingle_sensitivity,
-# g7_degree_assortativity, d28_transitivity_audit, t96_ngram_novelty,
-# o9_pagination_drift, m19_merge_conflicts, ...), where they run
-# ahead of the r2-core cohort (oldest driver evidence).
-# v8e_phash_dedup and pipeline_multimodal_prep
-# gained full hash oracles in r6 AFTER their r6 window slots were
-# assigned — their r6 driver rows double as the post-upgrade pins.
+# Round 8 window (this list): the 6 post-change re-pins FIRST —
+# d3/d7/d14/d8 changed semantics in r7 (shingle-unit MinHash,
+# corpus-sized SemDeDup k), f27/v9 upgraded rows-only → hash oracle —
+# then the first 44 of the r7 post-d20 overflow in registration order.
 #
-# Round 7 executes the r6-queued rotation exactly: the 13 r5-overflow
-# names first (registered in r5, never driver-checked, 2 rounds
-# waiting), then the 37 operators first registered in r6 in
-# registration order. POLICY (r6 verdict "What's wrong #1"): rows-only
-# names never take a window slot — every slot must be able to go
-# hash-green. All 50 names below carry full hash oracles (verified by
-# tests/test_registry.py); v24_label_noise-style rows-only
-# queries are covered by the pytest sweep and their hash-oracled
-# twins instead. Names registered in r7 (t97_bpe_train,
-# j12_entity_resolution) and the r7 oracle upgrades (f27/v9 gained
-# hash oracles; d3/d7/d14/d8 changed semantics with the shingle-unit
-# MinHash + corpus-sized SemDeDup k and need post-change re-pins)
-# queue for r8 (with v36_two_level_assign, g8_logstep_components,
-# m20_partition_evolution, j13_asof_directions, x7_arrow_scalar_udf,
-# t98_rouge2_eval, u46_license_propagation, t99_bpe_training_curve)
-# behind the remaining r6
-# overflow (the r6 comment's
-# post-d20 list), ahead of the r2-core cohort (oldest driver
-# evidence, 6 rounds stale by r8). r8 draft: the first 50 names of
-# the post-d20 list in registration order — ALL hash-oracled (the r7
-# full sweep left only 8 rows-only queries: v24/a8/a8b/v3b/v3c/v18/
-# v11b/v12, none of which is in that list), so r8 can be the second
-# consecutive zero-err window; the ~26 that don't fit + the r7
-# registrations + the r7 re-pins (d3/d7/d14/d8 shingle-unit MinHash
-# and corpus-sized SemDeDup k; f27/v9 oracle upgrades) head r9.
+# r9 draft (full list in ROTATION.md): the 46 remaining never-windowed
+# hash-oracled names (s19, j11–j13, g7/g8, a24, w12, o8/o9, u39–u46,
+# m18–m20, t77–t99 cohort, x6/x7, d26–d28, v33–v36, pipeline_
+# experiment/forecast/storage, t93) + the head of the r2-core cohort
+# (42 names, newest row r2) fills the last 4 slots; r8 registrations
+# and any r8 semantic changes jump to the head per policy #2.
 _DRIVER_WINDOW_PRIORITY = [
-    # 13 r5-overflow first-timers
-    "q18_large_volume_customers",
-    "a17_mode_entropy",
-    "t42_stream_static_enrich",
-    "w9_mom_growth",
-    "a18_gini_concentration",
-    "t43_dau_wau_stickiness",
-    "v26_embedding_qa",
-    "f36_json_contract",
-    "t45_cohort_ltv",
-    "s15_freshness_slo",
-    "t46_ndcg_eval",
-    "t47_classifier_eval",
-    "f37_numeric_normalize",
-    # 37 r6 first-timers, registration order
-    "v27_lsh_tuning_curve",
-    "v3d_lsh_probe_det",
-    "v8e2_phash_det",
-    "q2_min_cost_supplier",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q12_lateness_priority",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_parts_suppliers",
-    "q17_small_quantity_revenue",
-    "q19_discounted_revenue",
-    "q20_excess_shippers",
-    "q21_waiting_suppliers",
-    "q22_sales_opportunity",
-    "t48_zipf_audit",
-    "f38_vocab_coverage",
-    "v28_filtered_search",
-    "v24b_label_noise_det",
-    "v18b_knn_graph_det",
-    "d16_cluster_histogram",
-    "t51_ewma_band",
-    "f39_html_strip",
-    "j10_blocked_fuzzy_join",
-    "u33_budget_waterfill",
-    "pipeline_web_ingest",
-    "w10_trailing_time_window",
-    "t53_ucb_bandit",
-    "f41_url_normalize",
-    "g3_triangle_count",
-    "t54_touch_attribution",
-    "d19_url_dedup",
-    "u37_temporal_split",
-    "t55_slo_burn_rate",
-    "d20_soft_dedup_weights",
+    # 6 post-change re-pins (policy #2): r7 semantic changes + oracle upgrades
+    "d3_minhash_lsh",
+    "d7_incremental_dedup",
+    "d14_minhash_calibration",
+    "d8_semdedup",
+    "f27_markdown_html",
+    "v9_print_layout",
+    # first 44 of the r7 post-d20 overflow, registration order
+    "d21_bloom_dedup_probe",
+    "a8c_hll_register_core",
+    "g4_link_prediction",
+    "v29_binary_quantize",
+    "pipeline_dedup_cascade",
+    "v30_product_quantization",
+    "g5_modularity",
+    "d22_bag_of_words_dedup",
+    "w11_ohlc_rollup",
+    "t59_mad_outliers",
+    "t56_tokenizer_fertility",
+    "f42_mojibake_repair",
+    "pipeline_quality_report",
+    "s16_partition_plan",
+    "s17_props_schema_drift",
+    "a20_join_cardinality",
+    "v31_tombstone_search",
+    "t62_watermark_tuning",
+    "a21_approx_quantile_audit",
+    "pipeline_erasure",
+    "t63_kaplan_meier",
+    "t64_calibration_bins",
+    "t65_roc_auc",
+    "t66_markov_transitions",
+    "t67_pmi_collocations",
+    "t68_skipgram_pairs",
+    "t69_chi2_terms",
+    "t70_js_divergence",
+    "v3e_ivf_probe_det",
+    "u38_temperature_resample",
+    "f43_script_profile",
+    "f44_readability",
+    "pipeline_model_eval",
+    "v32_ivf_pq",
+    "t71_inverted_index",
+    "m16_bitemporal",
+    "a22_kmv_overlap",
+    "s18_zonemap_audit",
+    "t74_diff_in_diff",
+    "g6_personalized_pagerank",
+    "t75_forecast_features",
+    "a23_robust_means",
+    "f47_token_chunks",
+    "m17_dp_release",
 ]
 
 

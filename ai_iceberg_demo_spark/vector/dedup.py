@@ -292,6 +292,27 @@ _TWIN_DOC_OFFSET = 2_000_000
 _TWIN_FOOTER = " near duplicate footer variant"
 
 
+def _guard_below_twin_offset(col: F.Column) -> F.Column:
+    """Per-row guard (no extra job): the twin-vs-corpus split is a
+    doc_id threshold on the ORACLE side, so a fixture whose genuine
+    doc_ids reach _TWIN_DOC_OFFSET would silently misclassify there.
+    Fail loudly on the Spark side instead. Folded into the used
+    expression so Catalyst cannot prune it."""
+    return F.when(col < _TWIN_DOC_OFFSET, col).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"doc_id >= _TWIN_DOC_OFFSET ({_TWIN_DOC_OFFSET}): the "
+                    "planted-twin id range overlaps genuine corpus ids — "
+                    "raise _TWIN_DOC_OFFSET (and its oracle twin) above "
+                    "max(doc_id); offending id: "
+                ),
+                col.cast("string"),
+            )
+        ).cast("long")
+    )
+
+
 def salt_doc_twins(sample: DataFrame, every: int = 30) -> DataFrame:
     """Every ``every``-th doc gains a footer-variant twin
     (doc_id + 2e6); see _TWIN_DOC_OFFSET note."""
@@ -299,7 +320,10 @@ def salt_doc_twins(sample: DataFrame, every: int = 30) -> DataFrame:
         (F.col("doc_id") + _TWIN_DOC_OFFSET).alias("doc_id"),
         F.concat(F.col("text"), F.lit(_TWIN_FOOTER)).alias("text"),
     )
-    return sample.select("doc_id", "text").unionByName(twins)
+    guarded = sample.select(
+        _guard_below_twin_offset(F.col("doc_id")).alias("doc_id"), "text"
+    )
+    return guarded.unionByName(twins)
 
 
 def _salted_docs_sql(where: str, every: int = 30) -> str:
@@ -429,7 +453,9 @@ def d7_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the arriving batch carries footer twins of indexed corpus docs
     # (doc_id%30==0 → always a corpus doc), so the cross-side probe
     # provably fires at every SF
-    new = docs.filter(F.col("doc_id") % 10 == 5).select("doc_id", "text").unionByName(
+    new = docs.filter(F.col("doc_id") % 10 == 5).select(
+        _guard_below_twin_offset(F.col("doc_id")).alias("doc_id"), "text"
+    ).unionByName(
         corpus.filter(F.col("doc_id") % 30 == 0).select(
             (F.col("doc_id") + _TWIN_DOC_OFFSET).alias("doc_id"),
             F.concat(F.col("text"), F.lit(_TWIN_FOOTER)).alias("text"),

@@ -118,6 +118,17 @@ def generate(src: str, dst: str, n: int) -> None:
                    label
             FROM {t('embeddings')}, {copies}""",
     }
+    # The planted-twin salting convention reserves doc_id >= 2e6
+    # (vector/dedup.py _TWIN_DOC_OFFSET); a fixture whose genuine
+    # doc_ids cross it would be silently misclassified by the oracle
+    # side of d3/d6/d7/d2b. The Spark side also guards per-row.
+    max_doc = strides["documents"] * n - 1
+    if max_doc >= 2_000_000:
+        raise SystemExit(
+            f"replicated max doc_id {max_doc} >= _TWIN_DOC_OFFSET 2000000: "
+            "raise the offset in vector/dedup.py (and its oracle twins) "
+            "before generating a fixture this large"
+        )
     for name, sql in sqls.items():
         out = os.path.join(dst, f"{name}.parquet")
         con.execute(f"COPY ({sql}) TO '{out}' (FORMAT PARQUET)")
