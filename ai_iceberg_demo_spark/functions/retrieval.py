@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ai_iceberg_demo_spark.registry import Registry
-from ai_iceberg_demo_spark.tables import load_table
+from ai_iceberg_demo_spark.tables import load_table, persist_once
 
 REGISTRY = Registry()
 
@@ -356,7 +356,7 @@ def v14_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         # the greedy loop reads the pool K times — persist the 20 rows
         # so the corpus top-k scan runs once (driver clearCache reclaims)
-        .persist()
+        .transform(persist_once)
     )
     lam, mu = MMR_LAMBDA, round(1 - MMR_LAMBDA, 10)
     selected: DataFrame | None = None
@@ -683,7 +683,7 @@ def t85_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ai_iceberg_demo_spark.tables import load_table
 
     docs = load_table(spark, "documents", sf_dir)
-    toked = docs.select("doc_id", lexical_terms(F.col("text")).alias("t")).persist()
+    toked = docs.select("doc_id", lexical_terms(F.col("text")).alias("t")).transform(persist_once)
     posting = toked.select("doc_id", F.explode("t").alias("term"))
     tf = posting.groupBy("term", "doc_id").agg(
         F.count("*").cast("double").alias("tf")
@@ -705,7 +705,7 @@ def t85_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(g))
         .select("term", "doc_id", "tf", idf.alias("idf"), tfn.alias("tfn"))
-        .persist()
+        .transform(persist_once)
     )
     q0 = list(QUERY_TERMS)
     pass1 = (

@@ -20,7 +20,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ai_iceberg_demo_spark.registry import Registry
-from ai_iceberg_demo_spark.tables import load_table
+from ai_iceberg_demo_spark.tables import load_table, persist_once
 
 REGISTRY = Registry()
 
@@ -2467,7 +2467,7 @@ def t96_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda i: F.array_join(F.slice(F.col("t"), i, _T96_N), " "),
             )
         ).alias("gram"),
-    ).persist()
+    ).transform(persist_once)
     bounds = grams.agg(
         F.min("doc_id").alias("lo"), (F.max("doc_id") + 1).alias("hi")
     )

@@ -39,7 +39,7 @@ from pyspark.sql.types import (
 )
 
 from ai_iceberg_demo_spark.registry import Registry
-from ai_iceberg_demo_spark.tables import load_table
+from ai_iceberg_demo_spark.tables import load_table, persist_once
 
 REGISTRY = Registry()
 
@@ -748,7 +748,7 @@ def v8e_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the banded self-join is a diamond over the mapInPandas output —
     # persist so the Python stage runs once, not once per join side
     # (cleared by the sweep/driver clearCache between queries)
-    hashes = perceptual_hash(artifact_table(spark, sf_dir)).persist()
+    hashes = perceptual_hash(artifact_table(spark, sf_dir)).transform(persist_once)
     return phash_near_dup_pairs(hashes).orderBy("a_id", "b_id")
 
 
@@ -912,7 +912,7 @@ def v8f_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def pipeline_multimodal_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     arts = artifact_table(spark, sf_dir)
-    hashes = perceptual_hash(arts).persist()
+    hashes = perceptual_hash(arts).transform(persist_once)
     pairs = phash_near_dup_pairs(hashes)
     # smaller id is canonical — exactly d9's keep rule on the v8e pairs
     dropped = pairs.select(F.col("b_id").alias("doc_id")).distinct()

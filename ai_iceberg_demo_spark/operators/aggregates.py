@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ai_iceberg_demo_spark.registry import Registry
-from ai_iceberg_demo_spark.tables import load_table
+from ai_iceberg_demo_spark.tables import load_table, persist_once
 
 REGISTRY = Registry()
 
@@ -1022,7 +1022,7 @@ _A20_TOPN = 20  # heavy hitters priced exactly; the tail is assumed uniform
 def a20_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
     # persist the O(keys) count table: three tiny consumers below
-    c = li.groupBy("l_partkey").agg(F.count("*").cast("bigint").alias("c")).persist()
+    c = li.groupBy("l_partkey").agg(F.count("*").cast("bigint").alias("c")).transform(persist_once)
     whole = c.agg(
         F.sum(F.col("c") * F.col("c")).cast("bigint").alias("exact_pairs"),
         F.count("*").cast("bigint").alias("n_keys"),

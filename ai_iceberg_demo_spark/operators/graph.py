@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ai_iceberg_demo_spark.registry import Registry
-from ai_iceberg_demo_spark.tables import load_table
+from ai_iceberg_demo_spark.tables import load_table, persist_once
 
 REGISTRY = Registry()
 
@@ -66,12 +66,12 @@ def pagerank_iterations(edges: DataFrame, n_iter: int = 2) -> DataFrame:
     # set; without a persist the lineitem⋈orders build re-executes
     # ~6× (measured 7 s → 2.5 s at sf0.1). Same d4f393a discipline as
     # g2; the sweep/driver clears cache between queries.
-    edges = edges.persist()
+    edges = edges.transform(persist_once)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .persist()
+        .transform(persist_once)
     )
     # N and the per-node out-degree are corpus-wide constants of the
     # edge set; both are tiny aggregates
@@ -151,7 +151,7 @@ def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the returned plan reads the edge set in both iteration subtrees
     # (and nodes/outdeg besides) — persist so the orders⋈lineitem
     # distinct runs once; the sweep/driver clearCache reclaims it
-    edges = purchase_edges(spark, sf_dir).persist()
+    edges = purchase_edges(spark, sf_dir).transform(persist_once)
     rank = pagerank_iterations(edges, n_iter=2)
     node_str = F.when(
         F.col("node") % 2 == 0, F.concat(F.lit("c"), (F.col("node") / 2).cast("long"))
@@ -232,7 +232,7 @@ def g2_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .agg(F.count("*").cast("bigint").alias("w"))
-        .persist()
+        .transform(persist_once)
     )
     labeled = cust.filter(F.col("c_custkey") % 4 != 0)
 
@@ -338,7 +338,7 @@ def g3_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("x.s").alias("a"), F.col("y.s").alias("b"))
         .distinct()
-        .persist()
+        .transform(persist_once)
     )
     tri = (
         edges.alias("e1")
@@ -454,7 +454,7 @@ _G4_GRAPH_SQL = """
     """,
 )
 def g4_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = _coservice_edges(spark, sf_dir).persist()
+    edges = _coservice_edges(spark, sf_dir).transform(persist_once)
     adj = edges.select(F.col("a").alias("u"), F.col("b").alias("w")).unionByName(
         edges.select(F.col("b").alias("u"), F.col("a").alias("w"))
     )
@@ -545,7 +545,7 @@ def g4_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
 def g5_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    edges = _coservice_edges(spark, sf_dir).persist()
+    edges = _coservice_edges(spark, sf_dir).transform(persist_once)
     adj = edges.select(F.col("a").alias("u")).unionByName(
         edges.select(F.col("b").alias("u"))
     )
@@ -682,8 +682,8 @@ def g6_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     fwd = purchase_edges(spark, sf_dir)
     edges = fwd.unionAll(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
-    nodes = edges.select(F.col("src").alias("node")).distinct().persist()
+    ).transform(persist_once)
+    nodes = edges.select(F.col("src").alias("node")).distinct().transform(persist_once)
     is_seed_cust = (F.col("node") % 2 == 0) & (
         (F.col("node") / 2).cast("long") % _G6_SEED_MOD == 0
     )
@@ -693,7 +693,7 @@ def g6_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node",
         F.when(F.col("is_seed"), 1.0 / n_seeds).otherwise(0.0).alias("sm"),
         "is_seed",
-    ).persist()
+    ).transform(persist_once)
     outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     rank = seedmass.select("node", F.col("sm").alias("rank"))
     for _ in range(2):
@@ -790,7 +790,7 @@ def g7_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select(F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst"))
         .distinct()
-        .persist()
+        .transform(persist_once)
     )
     outdeg = edges.groupBy("src").agg(F.count("*").cast("double").alias("dout"))
     indeg = edges.groupBy("dst").agg(F.count("*").cast("double").alias("din"))

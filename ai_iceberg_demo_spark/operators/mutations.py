@@ -31,7 +31,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ai_iceberg_demo_spark.registry import Registry
-from ai_iceberg_demo_spark.tables import load_table
+from ai_iceberg_demo_spark.tables import load_table, persist_once
 
 REGISTRY = Registry()
 
@@ -817,7 +817,7 @@ def m11_orphan_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     referenced = li.groupBy(
         F.date_format(F.col("l_shipdate").cast("date"), "yyyy-MM").alias("part_month"),
         (F.col("l_orderkey") % 40).alias("file_id"),
-    ).agg(F.sum("l_quantity").cast("bigint").alias("size_units")).persist()
+    ).agg(F.sum("l_quantity").cast("bigint").alias("size_units")).transform(persist_once)
     debris = referenced.filter(F.col("file_id") % 7 == 0).select(
         "part_month", (F.col("file_id") + 1000).alias("file_id"),
         F.lit(0).cast("bigint").alias("size_units"),
@@ -984,7 +984,7 @@ def m8b_changelog_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the changelog is a diamond (update/delete/insert branches all
     # read it) — persist so the CDC join runs once, not three times
-    diff = m8_snapshot_diff(spark, sf_dir).persist()
+    diff = m8_snapshot_diff(spark, sf_dir).transform(persist_once)
     return changelog_apply(
         snap0, diff, keys=["o_orderkey"], value_cols=["o_totalprice"]
     )
@@ -1652,7 +1652,7 @@ def m19_merge_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         F.round(F.col("c_acctbal").cast("double"), 2).alias("bal"),
         F.col("c_mktsegment").alias("seg"),
-    ).persist()
+    ).transform(persist_once)
     wa = base.filter(F.col("c_custkey") % 10 == 0).select(
         "c_custkey", F.round(F.col("bal") + 100.0, 2).alias("new_bal")
     )

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ai_iceberg_demo_spark.registry import Registry
-from ai_iceberg_demo_spark.tables import load_table
+from ai_iceberg_demo_spark.tables import load_table, persist_once
 
 REGISTRY = Registry()
 
@@ -576,7 +576,7 @@ def o9_pagination_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, "orders", sf_dir)
     v1 = orders.select(F.col("o_orderkey").alias("k"))
-    page1 = v1.orderBy("k").limit(_O9_PAGE).persist()
+    page1 = v1.orderBy("k").limit(_O9_PAGE).transform(persist_once)
     lastk = page1.agg(F.max("k").alias("lastk"))
     planted = orders.sparkSession.range(0, 10).select((-1 - F.col("id")).alias("k"))
     v2 = v1.unionAll(planted)

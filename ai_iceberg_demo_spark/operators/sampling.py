@@ -22,7 +22,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ai_iceberg_demo_spark.registry import Registry
-from ai_iceberg_demo_spark.tables import load_table
+from ai_iceberg_demo_spark.tables import load_table, persist_once
 
 REGISTRY = Registry()
 
@@ -1195,7 +1195,7 @@ def u22_dedup_aware_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
         fingerprint(F.col("text")).alias("f"),
-    ).persist()
+    ).transform(persist_once)
     w = W.partitionBy("f").orderBy("doc_id")
     canon = fp.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
 
@@ -1471,7 +1471,7 @@ def u33_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = (
         docs.groupBy("source")
         .agg(F.sum(F.size(F.split("text", " "))).cast("double").alias("toks"))
-        .persist()
+        .transform(persist_once)
     )
 
     def alloc_round(frame: DataFrame) -> DataFrame:

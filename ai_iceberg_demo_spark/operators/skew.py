@@ -36,7 +36,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ai_iceberg_demo_spark.registry import Registry
-from ai_iceberg_demo_spark.tables import load_table
+from ai_iceberg_demo_spark.tables import load_table, persist_once
 
 REGISTRY = Registry()
 
@@ -221,7 +221,7 @@ def a14_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = load_table(spark, table, sf_dir)
         # diamond: the per-key count table feeds both the rollup and
         # the top-k — persist so the fact scan+agg runs once
-        counts = df.groupBy(key).agg(F.count("*").alias("c")).persist()
+        counts = df.groupBy(key).agg(F.count("*").alias("c")).transform(persist_once)
         base = counts.agg(
             F.lit(f"{table}.{key}").alias("key_name"),
             F.count("*").alias("n_keys"),

@@ -40,7 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ai_iceberg_demo_spark.registry import Registry
-from ai_iceberg_demo_spark.tables import load_table
+from ai_iceberg_demo_spark.tables import load_table, persist_once
 
 REGISTRY = Registry()
 
@@ -131,7 +131,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(euro_supp.select("s_suppkey")), li.l_suppkey == F.col("s_suppkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
-        .persist()
+        .transform(persist_once)
     )
     best = offers.groupBy(F.col("l_partkey").alias("best_pk")).agg(
         F.min("unit_cost").alias("best_cost")
@@ -403,7 +403,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("l_partkey")
         .agg(F.sum(val).alias("val"))
-        .persist()  # diamond: threshold branch + output branch (pruning
+        .transform(persist_once)  # diamond: threshold branch + output branch (pruning
         # differences defeat exchange reuse; without this the fact scans twice)
     )
     total = per_part.agg((F.sum("val") * F.lit(0.001)).alias("cut"))
@@ -553,7 +553,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = (
         li.groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(F.sum(_rev()).alias("total_rev"))
-        .persist()  # diamond: MAX branch + join-back branch
+        .transform(persist_once)  # diamond: MAX branch + join-back branch
     )
     best = revenue.agg(F.max("total_rev").alias("best_rev"))
     supp = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_name")
@@ -656,7 +656,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sel = li.join(
         F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey")
-    ).persist()  # diamond: per-part AVG branch + the filtered-sum branch
+    ).transform(persist_once)  # diamond: per-part AVG branch + the filtered-sum branch
     avgq = sel.groupBy("l_partkey").agg(F.avg("l_quantity").alias("aq"))
     return (
         sel.join(F.broadcast(avgq), "l_partkey")

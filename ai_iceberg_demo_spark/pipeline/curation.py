@@ -47,7 +47,7 @@ from ai_iceberg_demo_spark.operators.sampling import (
     pack_positions,
 )
 from ai_iceberg_demo_spark.registry import Registry
-from ai_iceberg_demo_spark.tables import load_table
+from ai_iceberg_demo_spark.tables import load_table, persist_once
 
 REGISTRY = Registry()
 
@@ -254,7 +254,7 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
         )
-        .persist()
+        .transform(persist_once)
     )
 
     # 3. mixture-planned per-source sampling (u10b's rate rule via the
@@ -271,7 +271,7 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # it twice (shard totals + the ranked pass)
     positioned = epoch_shuffle_positions(sampled).select(
         "doc_id", "source", "n_tokens", "position"
-    ).persist()
+    ).transform(persist_once)
 
     # 5. pack the SHUFFLED order into PACK_BUDGET-token bins (u9's
     # helper; positions are dense so position-DIV shards are contiguous)
@@ -830,7 +830,7 @@ def pipeline_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp.groupBy("fp")
         .agg(F.min(F.struct("doc_id", "text")).alias("k"))
         .select(F.col("k.doc_id").alias("doc_id"), F.col("k.text").alias("text"))
-        .persist()
+        .transform(persist_once)
     )
     bands = minhash_bands(surv1)
     a, b = bands.alias("a"), bands.alias("b")
@@ -848,7 +848,7 @@ def pipeline_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = (
         surv1.select("doc_id", F.explode(shingles(F.col("text"))).alias("shingle"))
         .distinct()
-        .persist()
+        .transform(persist_once)
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     inter = (

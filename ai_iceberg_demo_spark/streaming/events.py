@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ai_iceberg_demo_spark.registry import Registry
-from ai_iceberg_demo_spark.tables import load_table
+from ai_iceberg_demo_spark.tables import load_table, persist_once
 
 REGISTRY = Registry()
 
@@ -376,6 +376,88 @@ def streaming_attribution(spark: SparkSession, sf_dir: str, horizon: str = "2 ho
     views = src.filter(F.col("event_type") == "view").withWatermark("ts", "4 hours")
     clicks = src.filter(F.col("event_type") == "click").withWatermark("ts", "4 hours")
     return attribution_join(views, clicks, horizon)
+
+
+def streaming_attribution_left(
+    spark: SparkSession, sf_dir: str, horizon: str = "2 hours"
+) -> DataFrame:
+    """LEFT-OUTER stream-stream attribution: every view emits — joined
+    to its clicks inside the horizon, or with NULL click columns once
+    the watermark passes view_ts + horizon (emit-on-timeout). This is
+    the streaming-join mode t11's inner join doesn't exercise: the
+    engine must hold the unmatched left row in state, and the
+    watermark is what authorizes declaring it click-less — without it
+    the row could never be emitted (a later click might still arrive)
+    and state could never be dropped. Completes §2.11's join matrix:
+    t42 stream-static, t11 stream-stream inner, this the outer form."""
+    src = read_events_stream(spark, sf_dir)
+    views = src.filter(F.col("event_type") == "view").withWatermark("ts", "4 hours")
+    clicks = src.filter(F.col("event_type") == "click").withWatermark("ts", "4 hours")
+    v = views.select(
+        F.col("user_id").alias("v_user"), F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    c = clicks.select(
+        F.col("user_id").alias("c_user"), F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    return v.join(
+        c,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {horizon}")),
+        "leftOuter",
+    ).select(
+        F.col("v_user").alias("user_id"), "view_id", "click_id",
+        F.col("v_ts").alias("view_ts"), F.col("c_ts").alias("click_ts"),
+    )
+
+
+@REGISTRY.register(
+    name="t100_attribution_left_outer",
+    survey_ref="§2.11 extras (stream-stream LEFT-OUTER join; completes "
+    "the join-mode matrix with t11 inner and t42 stream-static)",
+    doc="view→click attribution where EVERY view emits — clicks within "
+    "the 2h horizon attached, click-less views kept with NULL click "
+    "columns. Batch twin of the watermarked left-outer stream-stream "
+    "join (streaming_attribution_left): online, the NULL row is the "
+    "emit-on-timeout the watermark authorizes once it passes view_ts "
+    "+ horizon, and the same watermark bounds the join state "
+    "(stream≡batch pinned in tests/test_streaming.py with a "
+    "watermark-advancing sentinel). At 100 TB the state store holds "
+    "one horizon of views per user partition — the conversion-rate "
+    "denominator every attribution pipeline needs (unmatched views "
+    "are most of the traffic and exactly the rows an inner join "
+    "silently drops).",
+    oracle="""
+        SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+               v.ts AS view_ts, c.ts AS click_ts
+        FROM (SELECT * FROM events WHERE event_type = 'view') v
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON v.user_id = c.user_id
+         AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 2 HOUR
+    """,
+)
+def t100_attribution_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    return v.join(
+        c,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 2 hours")),
+        "leftOuter",
+    ).select(
+        F.col("v_user").alias("user_id"), "view_id", "click_id",
+        F.col("v_ts").alias("view_ts"), F.col("c_ts").alias("click_ts"),
+    )
 
 
 @REGISTRY.register(
@@ -2415,7 +2497,7 @@ def t62_watermark_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.lit(0))
         .alias("late_us"),
-    ).persist()
+    ).transform(persist_once)
     p99 = lat.groupBy("event_type").agg(
         F.round(F.percentile("late_us", F.lit(0.99)) / 1_000_000.0, 2).alias(
             "p99_late_s"
@@ -3208,7 +3290,7 @@ def t79_ols_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_feat = ranked.count()
     bound = -(-_T78_CALIB_FRAC * n_feat // 1)
-    split = ranked.withColumn("is_train", F.col("rn") <= F.lit(bound)).persist()
+    split = ranked.withColumn("is_train", F.col("rn") <= F.lit(bound)).transform(persist_once)
     means = split.filter("is_train").agg(
         F.avg("y").alias("my"), F.avg("lag1").alias("m1"), F.avg("ma7").alias("m2")
     )

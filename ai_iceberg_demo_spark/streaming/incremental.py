@@ -51,7 +51,7 @@ from pyspark.sql import functions as F
 
 from ai_iceberg_demo_spark.pipeline.curation import curate, curate_oracle_sql
 from ai_iceberg_demo_spark.registry import Registry
-from ai_iceberg_demo_spark.tables import load_table
+from ai_iceberg_demo_spark.tables import load_table, persist_once
 from ai_iceberg_demo_spark.vector.dedup import minhash_bands
 
 REGISTRY = Registry()
@@ -139,7 +139,7 @@ def curation_batch_sink(state_dir: str):
             .join(fresh.select("doc_id"), "doc_id", "left_semi")
             .filter(F.col("doc_id") % 10 == 0)
         )
-        new_bands = minhash_bands(sample).persist()
+        new_bands = minhash_bands(sample).transform(persist_once)
         old_bands = _read_state(spark, os.path.join(state_dir, BAND_INDEX))
         probe_side = (
             new_bands if old_bands is None else old_bands.unionByName(new_bands)

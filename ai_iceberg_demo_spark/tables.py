@@ -39,6 +39,22 @@ TABLE_NAMES = [
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+
+def persist_once(df: DataFrame, level: StorageLevel | None = None) -> DataFrame:
+    """persist() guarded by a CacheManager lookup.
+
+    Query functions are re-invoked per bench run / sweep pass; each
+    rebuild produces a plan-identical DataFrame, and a bare persist()
+    on it makes CacheManager warn "Asked to cache already cached data"
+    (it no-ops, but the warning is plan-hygiene noise that could mask a
+    real double-materialization). ``df.storageLevel`` consults the
+    CacheManager by canonicalized plan, so an already-cached rebuild is
+    returned as-is — identical execution, zero warnings.
+    """
+    if df.storageLevel != StorageLevel.NONE:
+        return df
+    return df.persist(level) if level is not None else df.persist()
+
 # Small dimension tables that should always be broadcast in joins.
 BROADCAST_TABLES = {"region", "nation", "supplier", "part", "customer"}
 

@@ -33,7 +33,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ai_iceberg_demo_spark.registry import Registry
-from ai_iceberg_demo_spark.tables import load_table
+from ai_iceberg_demo_spark.tables import load_table, persist_once
 from ai_iceberg_demo_spark.vector.similarity import _COS_SQL, as_double, dot, with_norm
 
 REGISTRY = Registry()
@@ -388,7 +388,7 @@ def d8_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist: both halves of the pair self-join read this frame — the
     # upstream salt + centroid-assignment argmin would otherwise run
     # twice (persist measured 3.5× end-to-end at sf0.1)
-    side = with_norm(corpus, "embedding", "v", "n").join(assigned, "vec_id").persist()
+    side = with_norm(corpus, "embedding", "v", "n").join(assigned, "vec_id").transform(persist_once)
     a = side.select(
         F.col("vec_id").alias("kept_id"),
         F.col("cell_id").alias("ac"),
@@ -1108,7 +1108,7 @@ def v12b_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, F.col("a.vec_id") == F.col("b.vec_id"))
         .groupBy(F.col("a.dim_i").alias("i"), F.col("b.dim_i").alias("j"))
         .agg(F.round(F.sum(F.col("a.x") * F.col("b.x")) / n_vec, _PI_DP).alias("cv"))
-        .persist()
+        .transform(persist_once)
     )
     dim = mu.count()
     v = mu.select(

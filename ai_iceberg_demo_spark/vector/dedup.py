@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from ai_iceberg_demo_spark.functions.text import _URL_NORM_SQL
 from ai_iceberg_demo_spark.registry import Registry
-from ai_iceberg_demo_spark.tables import load_table
+from ai_iceberg_demo_spark.tables import load_table, persist_once
 from ai_iceberg_demo_spark.vector.similarity import _COS_SQL, cosine
 
 REGISTRY = Registry()
@@ -202,7 +202,7 @@ def d2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = (
         docs.select("doc_id", F.explode(shingles(F.col("text"))).alias("shingle"))
         .distinct()
-        .persist()
+        .transform(persist_once)
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
@@ -707,7 +707,7 @@ def d5_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # norms per ROW (with_norm), dot per pair — bit-equal to cosine()
     # but 3.5× faster on the blocked all-pairs join at sf0.1; persisted
     # because both halves of the self-join read it
-    side = with_norm(load_table(spark, "embeddings", sf_dir), "embedding", "v", "n").persist()
+    side = with_norm(load_table(spark, "embeddings", sf_dir), "embedding", "v", "n").transform(persist_once)
     a = side.select(F.col("vec_id").alias("a_id"), F.col("label").alias("al"), F.col("v").alias("av"), F.col("n").alias("na"))
     b = side.select(F.col("vec_id").alias("b_id"), F.col("label").alias("bl"), F.col("v").alias("bv"), F.col("n").alias("nb"))
     pairs = (
@@ -1063,7 +1063,7 @@ def d11_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         # three consumers below (gsrc twice via a/b, dochits) — pay the
         # explode+distinct shuffle once
-        .persist()
+        .transform(persist_once)
     )
     gsrc = grams.select("source", "gram").distinct()
     shared = (
@@ -1161,7 +1161,7 @@ def d12_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = (
         docs.select("doc_id", F.explode(shingles(F.col("text"))).alias("shingle"))
         .distinct()
-        .persist()
+        .transform(persist_once)
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     inter = (
@@ -1388,7 +1388,7 @@ def d14_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample = salt_doc_twins(
         load_table(spark, "documents", sf_dir).filter(F.col("doc_id") % 10 == 0)
     )
-    sigs = minhash_sigs(sample).persist()
+    sigs = minhash_sigs(sample).transform(persist_once)
     bands = minhash_bands(sample)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -1995,7 +1995,7 @@ def d27_shingle_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split("text", " ").alias("ta"),
             F.split(F.concat(F.col("text"), F.lit(_D27_FOOTER)), " ").alias("tb"),
         )
-        .persist()
+        .transform(persist_once)
     )
 
     def grams(col: str, n: int):
@@ -2122,7 +2122,7 @@ def d28_transitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = (
         docs.select("doc_id", F.explode(shingles(F.col("text"))).alias("shingle"))
         .distinct()
-        .persist()
+        .transform(persist_once)
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
@@ -2145,7 +2145,7 @@ def d28_transitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter.join(F.broadcast(sa), "a_id")
         .join(F.broadcast(sb), "b_id")
         .select("a_id", "b_id", jac.alias("j"))
-        .persist()
+        .transform(persist_once)
     )
     strong = allj.filter(F.col("j") >= _D28_TAU)
     edges = strong.select(F.col("a_id").alias("u"), F.col("b_id").alias("v")).unionAll(

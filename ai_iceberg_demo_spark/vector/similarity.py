@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
 from ai_iceberg_demo_spark.registry import Registry
-from ai_iceberg_demo_spark.tables import load_table
+from ai_iceberg_demo_spark.tables import load_table, persist_once
 
 REGISTRY = Registry()
 
@@ -689,7 +689,7 @@ def knn_graph(
     norm = (
         with_norm(corpus, "embedding", "v", "n")
         .select("vec_id", "v", "n")
-        .persist()
+        .transform(persist_once)
     )
     # candidate volume per table is Σ bucket², and buckets average
     # n/2^planes — planes MUST grow with log(n) or the bucket matmuls
@@ -945,7 +945,7 @@ def v22_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id")
         )
 
-    full = topk(None).persist()
+    full = topk(None).transform(persist_once)
     out = None
     for p in _MRL_PREFIXES:
         row = (
@@ -2063,12 +2063,15 @@ def v30_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = emb.filter(F.col("vec_id").isin(*_PQ_PROBES)).select(
         F.col("vec_id").alias("probe_id"), F.col("v").alias("pv")
     )
+    # exact feeds both exact_top and the final join — persist so the
+    # probes × corpus L2 scan runs once
     exact = (
         emb.crossJoin(F.broadcast(probes))
         .filter(F.col("vec_id") != F.col("probe_id"))
         .select(
             "probe_id", "vec_id", F.round(l2(F.col("pv"), F.col("v")), 6).alias("l2")
         )
+        .transform(persist_once)
     )
     exact_top = (
         exact.withColumn(
@@ -2171,7 +2174,7 @@ def v31_tombstone_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "score"
             ),
         )
-        .persist()
+        .transform(persist_once)
     )
     unfiltered = scored.withColumn(
         "rn_all",
@@ -2549,10 +2552,17 @@ def v32_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = codes.join(
         F.broadcast(probe_cells.select("probe_id", "cell_id")), "cell_id"
     ).filter(F.col("vec_id") != F.col("probe_id"))
+    # adc fans out to THREE consumers (top-k, candidate counts, the
+    # pruning ceiling) and the final recall window; unpersisted, each
+    # branch re-executed the whole encode pipeline (assign → rblocks →
+    # codes) — the r7 plan showed 36 scans of embeddings and zero
+    # ReusedExchange. adc is probes × candidates rows (KBs); the
+    # corpus-sized encode now runs exactly once.
     adc = (
         cand.join(F.broadcast(lut), ["probe_id", "cell_id", "m", "code"])
         .groupBy("probe_id", "vec_id")
         .agg(F.round(F.sqrt(F.sum("d2")), 6).alias("adc"))
+        .transform(persist_once)
     )
     ncand = adc.groupBy("probe_id").agg(
         F.count("*").cast("bigint").alias("n_candidates")
@@ -2560,12 +2570,15 @@ def v32_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     adc_top = adc.withColumn(
         "rn", F.row_number().over(W.partitionBy("probe_id").orderBy("adc", "vec_id"))
     ).filter(F.col("rn") <= _PQ_TOPK)
+    # exact feeds both exact_top and the final join — persist so the
+    # probes × corpus L2 scan runs once
     exact = (
         emb.crossJoin(F.broadcast(probes))
         .filter(F.col("vec_id") != F.col("probe_id"))
         .select(
             "probe_id", "vec_id", F.round(l2(F.col("pv"), F.col("v")), 6).alias("l2")
         )
+        .transform(persist_once)
     )
     exact_top = (
         exact.withColumn(
@@ -2853,7 +2866,7 @@ def v35_pq_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", as_double(F.col("embedding")).alias("v")
-    ).persist()
+    ).transform(persist_once)
     l2 = lambda a, b: F.sqrt(
         F.aggregate(
             F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
@@ -2877,7 +2890,7 @@ def v35_pq_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= _PQ_TOPK)
         .select("probe_id", "vec_id")
-        .persist()
+        .transform(persist_once)
     )
     outs = []
     for m_blocks in _V35_MS:

@@ -259,6 +259,76 @@ def test_stream_stream_attribution_matches_batch(spark):
     assert batch.exceptAll(streamed).count() == 0
 
 
+def test_stream_stream_left_outer_matches_batch(spark, tmp_path):
+    """t100: the watermarked LEFT-OUTER stream-stream join emits every
+    batch row — matches attached, click-less views as NULL rows once
+    the watermark passes view_ts + horizon. A far-future sentinel view
+    advances the watermark past every real view's timeout so the
+    emit-on-timeout rows actually flush (the sentinel itself stays in
+    state: the final watermark sits 4h before its ts, so it is never
+    authorized click-less and never emits)."""
+    import shutil
+
+    from ai_iceberg_demo_spark.registry import all_registries
+    from ai_iceberg_demo_spark.streaming.events import streaming_attribution_left
+
+    src_dir = tmp_path / "t100_events"
+    src_dir.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", src_dir / "events.parquet")
+    raw = spark.read.parquet(str(src_dir / "events.parquet"))
+    sentinel_shift = (
+        F.col("ts") + 240 * 3600 * 10**9  # physical ts is nanos-as-long
+        if dict(raw.dtypes)["ts"] == "bigint"
+        else F.col("ts") + F.expr("INTERVAL 240 HOURS")
+    )
+    # one sentinel per SIDE: the global watermark is the min across
+    # both withWatermark operators, and each side tracks event time
+    # after its type filter — a view-only sentinel would leave the
+    # clicks watermark (and thus the global one) behind
+    base = raw.orderBy(F.desc("ts")).limit(1).withColumn("ts", sentinel_shift)
+    id_type = dict(raw.dtypes)["event_id"]
+    sentinel = base.withColumn("event_type", F.lit("view")).withColumn(
+        "event_id", F.lit(-1).cast(id_type)
+    ).unionByName(
+        base.withColumn("event_type", F.lit("click")).withColumn(
+            "event_id", F.lit(-2).cast(id_type)
+        )
+    )
+    q = (
+        streaming_attribution_left(spark, str(src_dir))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("attr_left_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # second file → new batch → watermark jumps → timeout rows flush
+        sentinel.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / "_sentinel_stage")
+        )
+        staged = next((tmp_path / "_sentinel_stage").glob("part-*.parquet"))
+        shutil.copy(staged, src_dir / "events_sentinel.parquet")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = spark.sql(
+        "SELECT user_id, view_id, click_id FROM attr_left_out WHERE view_id != -1"
+    )
+    batch = (
+        all_registries()
+        .specs["t100_attribution_left_outer"]
+        .fn(spark, SF_DIR)
+        .select("user_id", "view_id", "click_id")
+    )
+    n_stream, n_batch = streamed.count(), batch.count()
+    assert n_stream == n_batch > 0
+    # the outer mode is exercised, not vacuous: some views are click-less
+    assert streamed.filter(F.col("click_id").isNull()).count() > 0
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
+
+
 def test_stream_dedup_within_watermark(spark, tmp_path):
     """T12: two copies of the same file -> dropDuplicatesWithinWatermark
     emits each event_id once."""
