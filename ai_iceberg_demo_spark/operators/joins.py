@@ -805,19 +805,63 @@ _FS_MATCH_T, _FS_POSSIBLE_T = 6.0, 1.0
     """,
 )
 def j12_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A kept pair (score >= possible) must agree on name OR balance:
+    # both-disagree scores _FS_NAME_DIS + _FS_BAL_DIS + _FS_SEG_AGREE
+    # = -3.0 < _FS_POSSIBLE_T. So candidate generation decomposes into
+    # two LINEAR channels — a (block, normalized-name) equi-join and a
+    # (block, eps-bucket) band join (j11's discipline) — instead of
+    # scoring every in-block pair. The r7 spelling joined on the block
+    # key alone; blocks are (nation, segment) = 125 total, so in-block
+    # pairs grew quadratically with the corpus (measured 49.5x wall at
+    # the 10x sf1 rehearsal). Output is unchanged: the oracle's
+    # blocked-cross SQL keeps exactly the union of the two channels.
+    assert _FS_NAME_DIS + _FS_BAL_DIS + _FS_SEG_AGREE < _FS_POSSIBLE_T
     cust = load_table(spark, "customer", sf_dir)
-    crm = cust.filter(F.col("c_custkey") % 2 == 0).select(
-        (F.col("c_custkey") + 1_000_000).alias("b_id"),
-        F.upper("c_name").alias("b_name"),
-        (F.col("c_acctbal") + (F.col("c_custkey") % 3) * 0.005).alias("b_bal"),
-        "c_nationkey",
-        "c_mktsegment",
+    block = ["c_nationkey", "c_mktsegment"]
+    a = cust.select(
+        F.col("c_custkey").alias("a_id"),
+        F.lower("c_name").alias("a_name"),
+        F.col("c_acctbal").alias("a_bal"),
+        *block,
     )
-    name_agree = F.when(
-        F.lower(F.col("c_name")) == F.lower(F.col("b_name")), 1
-    ).otherwise(0)
+    b = cust.filter(F.col("c_custkey") % 2 == 0).select(
+        (F.col("c_custkey") + 1_000_000).alias("b_id"),
+        F.lower(F.upper("c_name")).alias("b_name"),
+        (F.col("c_acctbal") + (F.col("c_custkey") % 3) * 0.005).alias("b_bal"),
+        *block,
+    )
+    pair_cols = ["a_id", "b_id", "a_name", "b_name", "a_bal", "b_bal"]
+    block_eq = [a[k] == b[k] for k in block]
+    cand_name = a.join(
+        b, block_eq + [a["a_name"] == b["b_name"]]
+    ).select(*pair_cols)
+    # balance band: bucket to eps-wide cells; probing the bucket and
+    # both neighbors covers every |a_bal - b_bal| <= eps pair
+    bucket = lambda c: F.floor(c / _FS_BAL_EPS).cast("long")
+    b_banded = b.withColumn(
+        "bb",
+        F.explode(
+            F.array(
+                bucket(F.col("b_bal")) - 1,
+                bucket(F.col("b_bal")),
+                bucket(F.col("b_bal")) + 1,
+            )
+        ),
+    )
+    a_banded = a.withColumn("bb", bucket(F.col("a_bal")))
+    cand_bal = (
+        a_banded.join(
+            b_banded,
+            [a_banded[k] == b_banded[k] for k in block]
+            + [a_banded["bb"] == b_banded["bb"]],
+        )
+        .filter(F.abs(F.col("a_bal") - F.col("b_bal")) <= _FS_BAL_EPS)
+        .select(*pair_cols)
+    )
+    cand = cand_name.unionByName(cand_bal).dropDuplicates(["a_id", "b_id"])
+    name_agree = F.when(F.col("a_name") == F.col("b_name"), 1).otherwise(0)
     bal_agree = F.when(
-        F.abs(F.col("c_acctbal") - F.col("b_bal")) <= _FS_BAL_EPS, 1
+        F.abs(F.col("a_bal") - F.col("b_bal")) <= _FS_BAL_EPS, 1
     ).otherwise(0)
     score = F.round(
         F.when(F.col("name_agree") == 1, F.lit(_FS_NAME_AGREE)).otherwise(
@@ -830,9 +874,8 @@ def j12_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         2,
     )
     return (
-        cust.join(crm, ["c_nationkey", "c_mktsegment"])
-        .select(
-            F.col("c_custkey").alias("a_id"),
+        cand.select(
+            "a_id",
             "b_id",
             name_agree.alias("name_agree"),
             bal_agree.alias("bal_agree"),
