@@ -295,3 +295,58 @@ def x7_arrow_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket(F.col("text")).alias("bucket"),
         F.length("text").cast("int").alias("n_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X8: grouped-map applyInPandas (the per-group Python seam)
+# ---------------------------------------------------------------------------
+
+
+@REGISTRY.register(
+    name="x8_grouped_map_pandas",
+    survey_ref="X-family (grouped-map applyInPandas API pin; completes the "
+    "Python-seam matrix: x1 struct scalar, x6 UDTF, x7 Arrow scalar, "
+    "v8b mapInPandas, t5 applyInPandasWithState)",
+    doc="per-source z-score standardization of document lengths through "
+    "the REAL applyInPandas grouped-map seam: each source's docs "
+    "arrive as ONE pandas DataFrame (whole-group semantics — the "
+    "property mapInPandas cannot give), the group mean/std are "
+    "computed with population ddof=0, and every doc emits its z-score. "
+    "The oracle replays the arithmetic with SQL window functions, so "
+    "the hash check pins the Arrow round-trip AND the grouped-map "
+    "batching bit-for-bit. Single-doc groups emit z=0 (std 0 guard), "
+    "mirrored by the oracle's NULLIF. Scale: one shuffle on the group "
+    "key, each group a single Arrow batch — the seam for per-entity "
+    "model scoring (sklearn per group) where group state must be "
+    "whole; skewed groups cap via salting upstream.",
+    oracle="""
+        SELECT doc_id, source,
+               CAST(LENGTH(text) AS INT) AS n_chars,
+               ROUND(COALESCE(
+                   (LENGTH(text) - AVG(LENGTH(text)) OVER (PARTITION BY source))
+                   / NULLIF(STDDEV_POP(LENGTH(text)) OVER (PARTITION BY source), 0),
+                   0.0), 4) AS z_len
+        FROM documents
+    """,
+)
+def x8_grouped_map_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    def standardize(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        n = pdf["text"].str.len()
+        std = n.std(ddof=0)
+        z = (n - n.mean()) / std if std and std > 0 else n * 0.0
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "source": pdf["source"],
+                "n_chars": n.astype("int32"),
+                "z_len": z.round(4),
+            }
+        )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "source", "text")
+    return docs.groupBy("source").applyInPandas(
+        standardize,
+        schema="doc_id bigint, source string, n_chars int, z_len double",
+    )

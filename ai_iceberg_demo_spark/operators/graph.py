@@ -922,3 +922,78 @@ def g8_logstep_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(comp, "u", "left")
         .select("u", F.coalesce("component_id", F.col("u")).alias("component_id"))
     )
+
+
+# ---------------------------------------------------------------------------
+# G9: 2-hop neighbor feature aggregation (GraphSAGE-style feature prep)
+# ---------------------------------------------------------------------------
+
+
+@REGISTRY.register(
+    name="g9_neighbor_feature_agg",
+    survey_ref="graph extra (GNN feature preparation): g1/g2 iterate "
+    "scalar ranks/labels — this aggregates node FEATURES over hops, "
+    "the relational form of GraphSAGE mean-pooling layers",
+    doc="2-hop mean aggregation of the account-balance feature over the "
+    "customer→supplier purchase graph: hop 1 pools each supplier's "
+    "customer balances (mean), hop 2 pools those supplier summaries "
+    "back onto each customer. Per-hop means are ROUNDed at the hop "
+    "boundary (g1's discipline) so partial-merge summation replays "
+    "bit-for-bit in SQL. Output per customer: degree, 2-hop pooled "
+    "feature, and its deviation from the customer's own balance — "
+    "the neighborhood-context feature a fraud/recommender model "
+    "trains on. Scale: one shuffle per hop, each keyed by the hop's "
+    "node id (co-partition edges with features at 100 TB and hops "
+    "are exchange-free); features move once per hop, never "
+    "neighborhoods-materialized — the N×avg_degree blow-up of "
+    "collect_list pooling never happens.",
+    oracle="""
+        WITH edges AS (
+            SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        ), feat AS (
+            SELECT c_custkey, c_acctbal FROM customer
+        ), hop1 AS (
+            SELECT e.s, ROUND(AVG(f.c_acctbal), 6) AS h1
+            FROM edges e JOIN feat f ON e.c = f.c_custkey
+            GROUP BY e.s
+        ), hop2 AS (
+            SELECT e.c, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+                   ROUND(AVG(h.h1), 4) AS h2
+            FROM edges e JOIN hop1 h ON e.s = h.s
+            GROUP BY e.c
+        )
+        SELECT f.c_custkey, h.n_suppliers, h.h2,
+               ROUND(f.c_acctbal - h.h2, 4) AS own_minus_hood
+        FROM hop2 h JOIN feat f ON h.c = f.c_custkey
+    """,
+)
+def g9_neighbor_feature_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_suppkey")
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_acctbal")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .transform(persist_once)  # both hops traverse the same edge set
+    )
+    hop1 = (
+        edges.join(cust, edges.c == cust.c_custkey)
+        .groupBy("s")
+        .agg(F.round(F.avg("c_acctbal"), 6).alias("h1"))
+    )
+    hop2 = (
+        edges.join(hop1, "s")
+        .groupBy("c")
+        .agg(
+            F.count("*").cast("bigint").alias("n_suppliers"),
+            F.round(F.avg("h1"), 4).alias("h2"),
+        )
+    )
+    return hop2.join(cust, hop2.c == cust.c_custkey).select(
+        "c_custkey",
+        "n_suppliers",
+        "h2",
+        F.round(F.col("c_acctbal") - F.col("h2"), 4).alias("own_minus_hood"),
+    )

@@ -225,6 +225,82 @@ def t9_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @REGISTRY.register(
+    name="t101_native_session_window",
+    survey_ref="§2.11 windows; t10's NATIVE-operator twin — t10 spells "
+    "sessionization relationally (lag+cumsum), this pins Spark's "
+    "built-in session_window() itself, the form that runs under "
+    "Structured Streaming with watermark-bounded state",
+    doc="per-user 30-minute-gap sessions via the native "
+    "session_window(ts, gap) aggregation: n_events, value total, and "
+    "the window's OWN [start, end) bounds — end = last event + gap, "
+    "the eviction deadline the streaming state store uses, which the "
+    "oracle replays as MAX(ts) + 30 min over the lag+cumsum "
+    "sessionization (t10's spelling, >= gap boundary discipline). "
+    "Hash equality here proves the native operator and the "
+    "relational twin sessionize identically, so t5/t10's batch "
+    "oracles transfer to the native streaming path "
+    "(stream≡batch pinned in tests/test_streaming.py with a "
+    "watermark-advancing sentinel). Scale: one user-keyed shuffle; "
+    "session merge is sort-local within the key partition.",
+    oracle="""
+        WITH marked AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             >= INTERVAL '30 minutes' OR
+                             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+        ), sessions AS (
+            SELECT user_id, ts, value,
+                   SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+            FROM marked
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL '30 minutes' AS session_end,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+        FROM sessions GROUP BY user_id, sid
+    """,
+)
+def t101_native_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return session_window_agg(ev)
+
+
+def session_window_agg(events: DataFrame) -> DataFrame:
+    """The session_window aggregation body, shared batch/streaming —
+    identical plan both ways is what the t101 pin certifies."""
+    return (
+        events.groupBy(
+            F.col("user_id"), F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(14,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The genuine streaming form: watermarked source feeding the SAME
+    session_window body; sessions emit (append mode) once the
+    watermark passes their end."""
+    stream = read_events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    return session_window_agg(stream)
+
+
+@REGISTRY.register(
     name="t10_session_window",
     survey_ref="§2.11 windows,T5",
     doc="sessionization per user with 30-minute gap — lag+cumsum session "

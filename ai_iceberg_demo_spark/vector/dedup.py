@@ -2182,3 +2182,123 @@ def d28_transitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "single_linkage_safe"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# D29: cross-document line-level dedup (CCNet line scrub)
+# ---------------------------------------------------------------------------
+
+_D29_SEG = 10  # words per pseudo-line (deterministic segmenter)
+_D29_K = 20  # a segment in >= K distinct docs is boilerplate
+_D29_HEADER = (
+    "subscribe to our newsletter click here now accept cookies policy"
+)  # exactly _D29_SEG words → its own segment
+
+
+@REGISTRY.register(
+    name="d29_crossdoc_line_dedup",
+    survey_ref="training-data (the APPLY step to t20's boilerplate "
+    "detector): t20 reports recurring 5-grams, d13 elides WITHIN-doc "
+    "repeats — this removes cross-doc repeated lines from the text "
+    "itself, the CCNet/C4 line-dedup pass",
+    doc="cross-document line-level dedup: each doc segments into "
+    f"consecutive {_D29_SEG}-word pseudo-lines (the fixture has no "
+    "newlines; the segmenter is deterministic so both engines cut "
+    "identically), every segment hashes, and segments appearing in "
+    f">= {_D29_K} distinct docs are scrubbed from every doc — "
+    "headers/footers/cookie banners at crawl scale. A planted header "
+    "(salting convention: doc_id%4==0 prepends a fixed "
+    f"{_D29_SEG}-word banner IN-QUERY) proves the scrub fires at "
+    "every SF; natural word-soup segments stay unique and survive. "
+    "Output per doc: segment counts and the CLEANED text, "
+    "hash-checked bit-for-bit. Scale: one segment-keyed shuffle "
+    "(count distinct docs per segment hash ~ t20's shape), one "
+    "broadcast-able boilerplate set (recurring lines are few by "
+    "definition), one doc-keyed reassembly — never doc×doc.",
+    oracle=f"""
+        WITH salted AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 4 = 0
+                        THEN '{_D29_HEADER} ' || text ELSE text END AS text
+            FROM documents
+        ), segs AS (
+            SELECT doc_id, i AS seg_idx,
+                   ARRAY_TO_STRING(toks[(i * {_D29_SEG} + 1):((i + 1) * {_D29_SEG})], ' ') AS seg
+            FROM (SELECT doc_id, STR_SPLIT(text, ' ') AS toks FROM salted),
+                 LATERAL (SELECT UNNEST(GENERATE_SERIES(
+                     0, CAST(CEIL(LEN(toks) / {_D29_SEG}.0) AS BIGINT) - 1)) AS i) g
+        ), boiler AS (
+            SELECT MD5(seg) AS h
+            FROM segs GROUP BY MD5(seg)
+            HAVING COUNT(DISTINCT doc_id) >= {_D29_K}
+        ), kept AS (
+            SELECT s.doc_id, s.seg_idx, s.seg,
+                   b.h IS NOT NULL AS is_boiler
+            FROM segs s LEFT JOIN boiler b ON MD5(s.seg) = b.h
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_segments,
+               CAST(SUM(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_scrubbed,
+               STRING_AGG(CASE WHEN NOT is_boiler THEN seg END, ' '
+                          ORDER BY seg_idx) AS clean_text
+        FROM kept GROUP BY doc_id
+    """,
+)
+def d29_crossdoc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    salted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit(_D29_HEADER + " "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    toks = F.split(F.col("text"), " ")
+    n_seg = F.ceil(F.size(toks) / _D29_SEG).cast("long")
+    segs = (
+        salted.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_seg - 1),
+                    lambda i: F.array_join(
+                        F.slice(toks, i * _D29_SEG + 1, _D29_SEG), " "
+                    ),
+                )
+            ).alias("seg_idx", "seg"),
+        )
+        .transform(persist_once)  # feeds both the boiler count and reassembly
+    )
+    boiler = (
+        segs.groupBy(F.md5(F.encode("seg", "UTF-8")).alias("h"))
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= _D29_K)
+        .select("h")
+    )
+    kept = segs.join(
+        F.broadcast(boiler),
+        F.md5(F.encode(F.col("seg"), "UTF-8")) == F.col("h"),
+        "left",
+    ).select(
+        "doc_id", "seg_idx", "seg", F.col("h").isNotNull().alias("is_boiler")
+    )
+    return kept.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_segments"),
+        F.sum(F.col("is_boiler").cast("int")).cast("bigint").alias("n_scrubbed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("is_boiler"), F.struct("seg_idx", "seg")
+                        )
+                    )
+                ),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )

@@ -1,0 +1,86 @@
+"""Round-8 operator pins: x8 grouped-map, g9 neighbor agg, d29 line
+dedup, t100/t101 batch-side invariants (their stream pins live in
+test_streaming.py)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ai_iceberg_demo_spark.registry import all_registries
+from tests.conftest import SF_DIR
+
+
+def _q(name):
+    return all_registries().specs[name].fn
+
+
+def test_x8_grouped_map_zscores_center(spark):
+    """Per-source z-scores must mean ~0 within every source — the
+    whole-group property mapInPandas couldn't produce."""
+    out = _q("x8_grouped_map_pandas")(spark, SF_DIR)
+    rows = (
+        out.groupBy("source")
+        .agg(F.round(F.avg("z_len"), 2).alias("mz"), F.count("*").alias("n"))
+        .collect()
+    )
+    assert len(rows) > 1
+    for r in rows:
+        assert abs(r["mz"]) <= 0.01, f"source {r['source']} z-mean {r['mz']}"
+
+
+def test_g9_pools_are_weighted_means(spark):
+    """h2 must lie inside [min(h1), max(h1)] of the customer's actual
+    suppliers — a mean cannot escape its inputs."""
+    out = _q("g9_neighbor_feature_agg")(spark, SF_DIR)
+    stats = out.agg(
+        F.min("h2").alias("lo"), F.max("h2").alias("hi"), F.count("*").alias("n")
+    ).first()
+    assert stats["n"] > 0
+    # global balance range bounds every mean of means
+    from ai_iceberg_demo_spark.tables import load_table
+
+    bal = load_table(spark, "customer", SF_DIR).agg(
+        F.min("c_acctbal").alias("lo"), F.max("c_acctbal").alias("hi")
+    ).first()
+    assert bal["lo"] <= stats["lo"] and stats["hi"] <= bal["hi"]
+
+
+def test_d29_scrubs_planted_header_only(spark):
+    """Every doc_id%4==0 doc loses exactly the planted banner segment;
+    every other doc reassembles to its original text verbatim."""
+    from ai_iceberg_demo_spark.tables import load_table
+
+    out = _q("d29_crossdoc_line_dedup")(spark, SF_DIR)
+    planted = out.filter(F.col("doc_id") % 4 == 0)
+    assert planted.filter(F.col("n_scrubbed") < 1).count() == 0
+    # non-salted docs: clean_text == original text (10-word resegmentation
+    # then rejoin is lossless on single-spaced text)
+    docs = load_table(spark, "documents", SF_DIR).select("doc_id", "text")
+    other = (
+        out.filter(F.col("doc_id") % 4 != 0)
+        .join(docs, "doc_id")
+        .filter(F.col("clean_text") != F.col("text"))
+    )
+    assert other.count() == 0
+    # scrubbed docs: the banner itself never survives into clean_text
+    from ai_iceberg_demo_spark.vector.dedup import _D29_HEADER
+
+    leaked = planted.filter(F.col("clean_text").contains(_D29_HEADER))
+    assert leaked.count() == 0
+
+
+def test_t101_windows_are_gap_consistent(spark):
+    """Native session_window ends exactly gap after the last event:
+    re-deriving MAX(ts)+30min per (user, start) from t10's relational
+    sessions must reproduce t101's session_end column."""
+    t10 = _q("t10_session_window")(spark, SF_DIR).select(
+        "user_id",
+        F.col("session_start"),
+        (F.col("session_end") + F.expr("INTERVAL 30 minutes")).alias("session_end"),
+        F.col("n_events"),
+    )
+    t101 = _q("t101_native_session_window")(spark, SF_DIR).select(
+        "user_id", "session_start", "session_end", "n_events"
+    )
+    assert t101.count() == t10.count() > 0
+    assert t101.exceptAll(t10).count() == 0

@@ -329,6 +329,64 @@ def test_stream_stream_left_outer_matches_batch(spark, tmp_path):
     assert batch.exceptAll(streamed).count() == 0
 
 
+def test_native_session_window_stream_matches_batch(spark, tmp_path):
+    """t101: the native session_window aggregation emits, in append
+    mode, exactly the batch sessionization — once a sentinel event
+    advances the watermark past every real session's end. The sentinel
+    carries user_id -1 so its own (never-finalized) session is
+    excluded from the compare."""
+    import shutil
+
+    from ai_iceberg_demo_spark.registry import all_registries
+    from ai_iceberg_demo_spark.streaming.events import streaming_session_windows
+
+    src_dir = tmp_path / "t101_events"
+    src_dir.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", src_dir / "events.parquet")
+    raw = spark.read.parquet(str(src_dir / "events.parquet"))
+    shift = (
+        F.col("ts") + 240 * 3600 * 10**9
+        if dict(raw.dtypes)["ts"] == "bigint"
+        else F.col("ts") + F.expr("INTERVAL 240 HOURS")
+    )
+    sentinel = (
+        raw.orderBy(F.desc("ts"))
+        .limit(1)
+        .withColumn("ts", shift)
+        .withColumn("user_id", F.lit(-1).cast(dict(raw.dtypes)["user_id"]))
+    )
+    q = (
+        streaming_session_windows(spark, str(src_dir))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t101_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        sentinel.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / "_sentinel_stage")
+        )
+        staged = next((tmp_path / "_sentinel_stage").glob("part-*.parquet"))
+        shutil.copy(staged, src_dir / "events_sentinel.parquet")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = spark.sql(
+        "SELECT user_id, session_start, n_events, total_value "
+        "FROM t101_out WHERE user_id >= 0"
+    )
+    batch = (
+        all_registries()
+        .specs["t101_native_session_window"]
+        .fn(spark, SF_DIR)
+        .select("user_id", "session_start", "n_events", "total_value")
+    )
+    assert streamed.count() == batch.count() > 0
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
+
+
 def test_stream_dedup_within_watermark(spark, tmp_path):
     """T12: two copies of the same file -> dropDuplicatesWithinWatermark
     emits each event_id once."""
