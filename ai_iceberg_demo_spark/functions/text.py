@@ -1034,11 +1034,16 @@ _BPE_PAIR_SQL = """
 )
 def f32_bpe_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
-    toks = docs.select("doc_id", F.split("text", " ").alias("m"))
+    # toks feeds pair1, m1 and the final join; m1 feeds pair2, m2 and
+    # the final join — persist both or each merge round re-executes
+    # the whole upstream chain (v32's fan-out lesson)
+    toks = docs.select("doc_id", F.split("text", " ").alias("m")).transform(
+        persist_once
+    )
     pair1 = _top_pair(toks, "m")
     m1 = toks.crossJoin(F.broadcast(pair1)).select(
         "doc_id", _fold_merge(F.col("m"), F.col("p1"), F.col("p2")).alias("m")
-    )
+    ).transform(persist_once)
     pair2 = _top_pair(m1, "m")
     m2 = m1.crossJoin(F.broadcast(pair2)).select(
         "doc_id", _fold_merge(F.col("m"), F.col("p1"), F.col("p2")).alias("m")

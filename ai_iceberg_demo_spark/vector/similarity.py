@@ -1738,7 +1738,9 @@ def v18b_knn_graph_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     emb = load_table(spark, "embeddings", sf_dir)
-    sigs = _md5_sig_table(emb)
+    # the signature table meets itself in the bucket self-join —
+    # persist so the md5 signature build runs once, not per side
+    sigs = _md5_sig_table(emb).transform(persist_once)
     cand = (
         sigs.alias("a")
         .join(
@@ -2666,7 +2668,14 @@ def _d26_oracle() -> str:
     oracle=_d26_oracle(),
 )
 def d26_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    graph = v18b_knn_graph_det(spark, sf_dir).select("src", "dst", "score")
+    # the graph meets its own reversal — persist or the exact kNN
+    # build (the expensive corpus×corpus part) executes twice (v32's
+    # fan-out lesson; measured 8 parquet scans → 4)
+    graph = (
+        v18b_knn_graph_det(spark, sf_dir)
+        .select("src", "dst", "score")
+        .transform(persist_once)
+    )
     rev = graph.select(
         F.col("dst").alias("src"), F.col("src").alias("dst"), F.lit(1).alias("_r")
     )
