@@ -2873,3 +2873,183 @@ def t99_bpe_training_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = out.unionByName(row)
     return out.orderBy("round")
+
+
+# ---------------------------------------------------------------------------
+# T104: fill-in-the-middle training examples (PSM transform)
+# ---------------------------------------------------------------------------
+
+_FIM_SENT_PRE = "<fim_prefix>"
+_FIM_SENT_SUF = "<fim_suffix>"
+_FIM_SENT_MID = "<fim_middle>"
+
+
+@REGISTRY.register(
+    name="t104_fim_examples",
+    survey_ref="training-data (example construction): t35 builds "
+    "next-item examples from sequences, u28 negatives — this is the "
+    "fill-in-the-middle transform (Bavarian et al. 2022) applied to "
+    "half the corpus, the standard mix for code/infilling models",
+    doc="FIM example construction in PSM (prefix-suffix-middle) order: "
+    "docs with doc_id%2==0 split at deterministic word boundaries — "
+    "the middle spans [1/3, 2/3) of the token count (doc_id-free "
+    "arithmetic, so both engines cut identically) — and emit "
+    "<fim_prefix>P<fim_suffix>S<fim_middle>M as the input with the "
+    "middle as the target; odd docs pass through unchanged (the "
+    "AR/FIM mixture knob). Output: doc_id, kind, input_text, "
+    "target_text, token counts. Purely map-side string surgery — at "
+    "100 TB this is a zero-shuffle mapPartitions-shaped scan, the "
+    "cheapest possible example transform.",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, STR_SPLIT(text, ' ') AS w, text FROM documents
+        ), cuts AS (
+            SELECT doc_id, w, text,
+                   CAST(FLOOR(LEN(w) / 3.0) AS BIGINT) AS c1,
+                   CAST(FLOOR(2 * LEN(w) / 3.0) AS BIGINT) AS c2
+            FROM toks
+        )
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'fim' ELSE 'ar' END AS kind,
+               CASE WHEN doc_id % 2 = 0 THEN
+                   '{_FIM_SENT_PRE}' || ARRAY_TO_STRING(w[1:c1], ' ')
+                   || '{_FIM_SENT_SUF}' || ARRAY_TO_STRING(w[(c2+1):LEN(w)], ' ')
+                   || '{_FIM_SENT_MID}'
+               ELSE text END AS input_text,
+               CASE WHEN doc_id % 2 = 0
+                    THEN ARRAY_TO_STRING(w[(c1+1):c2], ' ') ELSE '' END
+                   AS target_text,
+               CAST(LEN(w) AS BIGINT) AS n_tokens,
+               CAST(CASE WHEN doc_id % 2 = 0 THEN c2 - c1 ELSE 0 END AS BIGINT)
+                   AS n_target_tokens
+        FROM cuts
+    """,
+)
+def t104_fim_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    w = F.split(F.col("text"), " ")
+    c1 = F.floor(F.size(w) / 3.0).cast("long")
+    c2 = F.floor(2 * F.size(w) / 3.0).cast("long")
+    is_fim = F.col("doc_id") % 2 == 0
+    prefix = F.array_join(F.slice(w, 1, c1), " ")
+    middle = F.array_join(F.slice(w, c1 + 1, c2 - c1), " ")
+    suffix = F.array_join(
+        F.slice(w, c2 + 1, F.size(w) - c2), " "
+    )
+    return docs.select(
+        "doc_id",
+        F.when(is_fim, "fim").otherwise("ar").alias("kind"),
+        F.when(
+            is_fim,
+            F.concat(
+                F.lit(_FIM_SENT_PRE), prefix,
+                F.lit(_FIM_SENT_SUF), suffix,
+                F.lit(_FIM_SENT_MID),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("input_text"),
+        F.when(is_fim, middle).otherwise(F.lit("")).alias("target_text"),
+        F.size(w).cast("bigint").alias("n_tokens"),
+        F.when(is_fim, c2 - c1).otherwise(F.lit(0)).cast("bigint").alias(
+            "n_target_tokens"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# T103: span-corruption training examples (T5 denoising transform)
+# ---------------------------------------------------------------------------
+
+_SC_SPAN = 3  # tokens per corrupted span
+_SC_EVERY = 7  # every 7th 3-token block masks → ~14.3% corruption rate
+
+
+@REGISTRY.register(
+    name="t103_span_corruption",
+    survey_ref="training-data (example construction): t104's denoising "
+    "sibling — the T5 span-corruption objective (Raffel et al. 2020 "
+    "§3.1.4), deterministic edition",
+    doc="span-corruption examples: the token stream cuts into "
+    f"{_SC_SPAN}-token blocks and every {_SC_EVERY}th block (block "
+    f"index % {_SC_EVERY} == 0 — doc-content-free arithmetic, both "
+    "engines mask identically) is replaced by an ordered sentinel "
+    "<extra_id_k>; the target is the sentinel-prefixed concatenation "
+    f"of the masked spans (~{100 * _SC_SPAN / (_SC_SPAN * _SC_EVERY):.1f}% "
+    "corruption, mean span 3 — T5's defaults). Masked blocks are "
+    "never adjacent by construction, so span merging (the fiddly part "
+    "of sampled corruption) cannot occur and the transform stays a "
+    "pure per-row expression. Output: input_text, target_text, span "
+    "count, corrupted-token count. Zero-shuffle map-side scan at any "
+    "scale, like t104.",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, STR_SPLIT(text, ' ') AS w FROM documents
+        ), blocks AS (
+            SELECT doc_id, w,
+                   GENERATE_SERIES(0,
+                       CAST(CEIL(LEN(w) / {_SC_SPAN}.0) AS BIGINT) - 1) AS bids
+            FROM toks
+        )
+        SELECT doc_id,
+               ARRAY_TO_STRING(LIST_TRANSFORM(bids, b ->
+                   CASE WHEN b % {_SC_EVERY} = 0
+                        THEN '<extra_id_' || CAST(b // {_SC_EVERY} AS VARCHAR) || '>'
+                        ELSE ARRAY_TO_STRING(
+                            w[(b * {_SC_SPAN} + 1):((b + 1) * {_SC_SPAN})], ' ')
+                   END), ' ') AS input_text,
+               ARRAY_TO_STRING(LIST_TRANSFORM(
+                   LIST_FILTER(bids, b -> b % {_SC_EVERY} = 0), b ->
+                   '<extra_id_' || CAST(b // {_SC_EVERY} AS VARCHAR) || '> ' ||
+                   ARRAY_TO_STRING(
+                       w[(b * {_SC_SPAN} + 1):((b + 1) * {_SC_SPAN})], ' ')),
+                   ' ') AS target_text,
+               CAST(LEN(LIST_FILTER(bids, b -> b % {_SC_EVERY} = 0)) AS BIGINT)
+                   AS n_spans,
+               CAST(LEN(FLATTEN(LIST_TRANSFORM(
+                   LIST_FILTER(bids, b -> b % {_SC_EVERY} = 0), b ->
+                   w[(b * {_SC_SPAN} + 1):((b + 1) * {_SC_SPAN})]))) AS BIGINT)
+                   AS n_corrupted_tokens
+        FROM blocks
+    """,
+)
+def t103_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    w = F.split(F.col("text"), " ")
+    n_blocks = F.ceil(F.size(w) / float(_SC_SPAN)).cast("long")
+    bids = F.sequence(F.lit(0).cast("long"), n_blocks - 1)
+    block_txt = lambda b: F.array_join(
+        F.slice(w, b * _SC_SPAN + 1, _SC_SPAN), " "
+    )
+    sentinel = lambda b: F.concat(
+        F.lit("<extra_id_"),
+        (b / _SC_EVERY).cast("long").cast("string"),
+        F.lit(">"),
+    )
+    masked = F.filter(bids, lambda b: b % _SC_EVERY == 0)
+    return docs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                bids,
+                lambda b: F.when(b % _SC_EVERY == 0, sentinel(b)).otherwise(
+                    block_txt(b)
+                ),
+            ),
+            " ",
+        ).alias("input_text"),
+        F.array_join(
+            F.transform(
+                masked, lambda b: F.concat(sentinel(b), F.lit(" "), block_txt(b))
+            ),
+            " ",
+        ).alias("target_text"),
+        F.size(masked).cast("bigint").alias("n_spans"),
+        F.size(
+            F.flatten(
+                F.transform(masked, lambda b: F.slice(w, b * _SC_SPAN + 1, _SC_SPAN))
+            )
+        )
+        .cast("bigint")
+        .alias("n_corrupted_tokens"),
+    )

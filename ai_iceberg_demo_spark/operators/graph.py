@@ -694,7 +694,11 @@ def g6_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("is_seed"), 1.0 / n_seeds).otherwise(0.0).alias("sm"),
         "is_seed",
     ).transform(persist_once)
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    outdeg = (
+        edges.groupBy("src")
+        .agg(F.count("*").alias("outdeg"))
+        .transform(persist_once)  # re-joined every iteration
+    )
     rank = seedmass.select("node", F.col("sm").alias("rank"))
     for _ in range(2):
         contrib = (
@@ -996,4 +1000,163 @@ def g9_neighbor_feature_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_suppliers",
         "h2",
         F.round(F.col("c_acctbal") - F.col("h2"), 4).alias("own_minus_hood"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# T102: Bradley–Terry strength fit (2-round MM unroll over comparisons)
+# ---------------------------------------------------------------------------
+
+_BT_ROUND = 9  # per-round rounding (g1's engine-portable discipline)
+
+
+@REGISTRY.register(
+    name="t102_bradley_terry",
+    survey_ref="iterative family (g1/g2/v11c's MM sibling): the pairwise-"
+    "comparison strength model every RLHF reward-data pipeline fits "
+    "over preference pairs (t34's downstream)",
+    doc="Bradley–Terry supplier strengths from in-order pairwise "
+    "comparisons: within each order the supplier with the higher "
+    "DECIMAL price total beats every other supplier in that order "
+    "(ties break to the lower suppkey — exact under DECIMAL, so both "
+    "engines pick identical winners). The corpus reduces ONCE to the "
+    "sufficient statistics (per-pair comparison and win counts — at "
+    "most items², independent of corpus size), then two unrolled "
+    "minorization-maximization rounds s_i ← W_i / Σ_j n_ij/(s_i+s_j) "
+    "run on the item-sized table, mean-normalized and ROUNDed per "
+    f"round ({_BT_ROUND} places) so the oracle replays the unroll "
+    "bit-for-bit (the open-ended fixpoint would be rows-only, like "
+    "v11b). Output: top-20 strengths with comparison volume. Scale: "
+    "the one corpus-sized shuffle is the (order, supplier) rollup; "
+    "everything after is O(items²) driver-free arithmetic — the "
+    "pattern that makes preference-model fitting tractable at 100 TB "
+    "of comparisons.",
+    oracle=f"""
+        WITH os AS (
+            SELECT l_orderkey AS o, l_suppkey AS s,
+                   SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS tot
+            FROM lineitem GROUP BY 1, 2
+        ), pairs AS (
+            SELECT a.s AS i, b.s AS j,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN a.tot >= b.tot THEN 1 ELSE 0 END)
+                        AS BIGINT) AS wi
+            FROM os a JOIN os b ON a.o = b.o AND a.s < b.s
+            GROUP BY 1, 2
+        ), directed AS (
+            SELECT i AS a, j AS b, n, wi AS w FROM pairs
+            UNION ALL
+            SELECT j, i, n, n - wi FROM pairs
+        ), wtot AS (
+            SELECT a, CAST(SUM(w) AS DOUBLE) AS wins,
+                   CAST(SUM(n) AS BIGINT) AS n_comparisons
+            FROM directed GROUP BY a
+        ), r1 AS (
+            SELECT d.a,
+                   ROUND(w.wins / SUM(d.n / 2.0), {_BT_ROUND}) AS s
+            FROM directed d JOIN wtot w ON w.a = d.a
+            GROUP BY d.a, w.wins
+        ), r1n AS (
+            SELECT a, ROUND(s * COUNT(*) OVER () / SUM(s) OVER (),
+                            {_BT_ROUND}) AS s
+            FROM r1
+        ), r2 AS (
+            SELECT d.a,
+                   ROUND(w.wins / SUM(d.n / (sa.s + sb.s)), {_BT_ROUND}) AS s
+            FROM directed d
+            JOIN wtot w ON w.a = d.a
+            JOIN r1n sa ON sa.a = d.a
+            JOIN r1n sb ON sb.a = d.b
+            GROUP BY d.a, w.wins
+        ), r2n AS (
+            SELECT a, ROUND(s * COUNT(*) OVER () / SUM(s) OVER (),
+                            {_BT_ROUND}) AS s
+            FROM r2
+        )
+        SELECT w.a AS suppkey, w.n_comparisons,
+               ROUND(r.s, 6) AS strength
+        FROM r2n r JOIN wtot w ON w.a = r.a
+        ORDER BY strength DESC, suppkey LIMIT 20
+    """,
+)
+def t102_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    os_ = li.groupBy(
+        F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s")
+    ).agg(F.sum(F.col("l_extendedprice").cast("decimal(14,2)")).alias("tot"))
+    a, b = os_.alias("a"), os_.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("i"), F.col("b.s").alias("j"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum((F.col("a.tot") >= F.col("b.tot")).cast("int"))
+            .cast("bigint")
+            .alias("wi"),
+        )
+    )
+    directed = pairs.select(
+        F.col("i").alias("a2"), F.col("j").alias("b2"), "n", F.col("wi").alias("w")
+    ).unionByName(
+        pairs.select(
+            F.col("j").alias("a2"),
+            F.col("i").alias("b2"),
+            "n",
+            (F.col("n") - F.col("wi")).alias("w"),
+        )
+    ).transform(persist_once)  # every MM round traverses the pair stats
+    wtot = directed.groupBy("a2").agg(
+        F.sum("w").cast("double").alias("wins"),
+        F.sum("n").cast("bigint").alias("n_comparisons"),
+    ).transform(persist_once)
+
+    from pyspark.sql import Window as W
+
+    wall = W.partitionBy()
+
+    def normalize(s_df: DataFrame) -> DataFrame:
+        return s_df.select(
+            "a2",
+            F.round(
+                F.col("s") * F.count("*").over(wall) / F.sum("s").over(wall),
+                _BT_ROUND,
+            ).alias("s"),
+        )
+
+    r1 = (
+        directed.join(wtot, "a2")
+        .groupBy("a2", "wins")
+        .agg(
+            F.round(
+                F.first("wins") / F.sum(F.col("n") / 2.0), _BT_ROUND
+            ).alias("s")
+        )
+        .select("a2", "s")
+    )
+    s1 = normalize(r1)
+    r2 = (
+        directed.join(wtot, "a2")
+        .join(s1.select(F.col("a2").alias("a2j"), F.col("s").alias("sa")),
+              F.col("a2") == F.col("a2j"))
+        .join(s1.select(F.col("a2").alias("b2j"), F.col("s").alias("sb")),
+              F.col("b2") == F.col("b2j"))
+        .groupBy("a2", "wins")
+        .agg(
+            F.round(
+                F.first("wins") / F.sum(F.col("n") / (F.col("sa") + F.col("sb"))),
+                _BT_ROUND,
+            ).alias("s")
+        )
+        .select("a2", "s")
+    )
+    s2 = normalize(r2)
+    return (
+        s2.join(wtot, "a2")
+        .select(
+            F.col("a2").alias("suppkey"),
+            "n_comparisons",
+            F.round("s", 6).alias("strength"),
+        )
+        .orderBy(F.desc("strength"), F.asc("suppkey"))
+        .limit(20)
     )
