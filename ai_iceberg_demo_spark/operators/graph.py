@@ -1012,6 +1012,7 @@ _BT_ROUND = 9  # per-round rounding (g1's engine-portable discipline)
 
 @REGISTRY.register(
     name="t102_bradley_terry",
+    bench=True,
     survey_ref="iterative family (g1/g2/v11c's MM sibling): the pairwise-"
     "comparison strength model every RLHF reward-data pipeline fits "
     "over preference pairs (t34's downstream)",

@@ -361,11 +361,14 @@ _D3_PAIRS_SQL = f"""WITH {_salted_docs_sql("doc_id % 10 = 0")}
     oracle=_D3_PAIRS_SQL,
 )
 def d3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # persist: the band relation meets itself in the collision join —
+    # unpersisted, the whole MinHash build (shingle explode + 16
+    # min-aggs) executes once per side
     bands = minhash_bands(
         salt_doc_twins(
             load_table(spark, "documents", sf_dir).filter(F.col("doc_id") % 10 == 0)
         )
-    )
+    ).transform(persist_once)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -546,7 +549,9 @@ def d2b_lsh_seeded_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.col("text"), F.lit(" near duplicate footer variant")).alias("text"),
     )
     docs = fan_out_small_input(sample.unionByName(twins))
-    bands = minhash_bands(docs)
+    # both the candidate self-join sides and (below) the shingle
+    # relation's three consumers re-execute without these persists
+    bands = minhash_bands(docs).transform(persist_once)
     a, b = bands.alias("a"), bands.alias("b")
     cands = (
         a.join(
@@ -558,7 +563,11 @@ def d2b_lsh_seeded_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .distinct()
     )
-    sh = docs.select("doc_id", F.explode(shingles(F.col("text"))).alias("shingle")).distinct()
+    sh = (
+        docs.select("doc_id", F.explode(shingles(F.col("text"))).alias("shingle"))
+        .distinct()
+        .transform(persist_once)
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     inter = (
         cands.join(sh.alias("sa2"), F.col("a_id") == F.col("sa2.doc_id"))
