@@ -2569,10 +2569,15 @@ def _bpe_unroll(spark: SparkSession, sf_dir: str):
         .groupBy("tok")
         .agg(F.count("*").cast("bigint").alias("freq"))
     )
+    # each round's word frame feeds BOTH the pair-count argmax and the
+    # next round's REPLACE pass (and t99 additionally sums tokens per
+    # round) — persist at every round boundary or round k re-executes
+    # rounds 1..k-1 per consumer (the r8 fanout_audit found t99's plan
+    # scanning documents 26x). Frames are word-TYPE-sized, never corpus.
     wf = words.select(
         F.concat(F.lit("|"), F.regexp_replace("tok", "(.)", "$1|")).alias("w"),
         "freq",
-    )
+    ).transform(persist_once)
     wf0 = wf
     rounds = []
     for _k in range(1, _BPE_ROUNDS + 1):
@@ -2607,7 +2612,7 @@ def _bpe_unroll(spark: SparkSession, sf_dir: str):
         wf = wf.crossJoin(F.broadcast(top)).select(
             F.replace(F.replace(F.col("w"), search, merged), search, merged).alias("w"),
             "freq",
-        )
+        ).transform(persist_once)
         rounds.append((top, wf))
     return wf0, rounds
 

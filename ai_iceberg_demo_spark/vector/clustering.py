@@ -1212,10 +1212,14 @@ def v34_cluster_label_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = kmeans_assign(corpus, seed_centroids(corpus)).select(
         "vec_id", "cell_id"
     )
+    # joint feeds n/pc/pl/mi — four consumers that would each re-run
+    # the corpus-sized k-means assignment (fanout_audit: 24 embeddings
+    # scans unpersisted); the contingency table is cells×labels rows
     joint = (
         assign.join(corpus.select("vec_id", "label"), "vec_id")
         .groupBy("cell_id", "label")
         .agg(F.count("*").cast("double").alias("nij"))
+        .transform(persist_once)
     )
     n = joint.agg(F.sum("nij").alias("nt"))
     pc = joint.groupBy("cell_id").agg(F.sum("nij").alias("ni"))

@@ -1219,6 +1219,9 @@ def v25_ivf_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("crank", F.row_number().over(cr_w))
         .select("qid", "cell_id", "crank")
     )
+    # scored feeds exact3 AND the candidate expansion (which itself
+    # feeds approx3 + costs) — unpersisted, the corpus×probes cosine
+    # executed ~4x (fanout_audit: 16 embeddings scans)
     scored = (
         emb.join(F.broadcast(probes), emb.vec_id != F.col("qid"))
         .join(assigned, "vec_id")
@@ -1226,6 +1229,7 @@ def v25_ivf_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qid", "vec_id", "cell_id",
             F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("s"),
         )
+        .transform(persist_once)
     )
     ex_w = W.partitionBy("qid").orderBy(F.desc("s"), F.asc("vec_id"))
     exact3 = (
@@ -1238,6 +1242,7 @@ def v25_ivf_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.join(F.broadcast(cellrank), ["qid", "cell_id"])
         .join(F.broadcast(np_df), F.col("crank") <= F.col("n_probe"))
         .select("n_probe", "qid", "vec_id", "s")
+        .transform(persist_once)  # approx3 + costs
     )
     ap_w = W.partitionBy("n_probe", "qid").orderBy(F.desc("s"), F.asc("vec_id"))
     approx3 = (
@@ -1390,11 +1395,13 @@ def v27_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("p.qid").alias("qid"), F.col("c.vec_id").alias("vec_id"))
         .agg(F.min("c.t").alias("mt"))
     )
+    # scored feeds exact3 and the per-config candidate expansion —
+    # persist (fanout_audit: 12 embeddings scans unpersisted)
     scored = emb.join(F.broadcast(probes), emb.vec_id != F.col("qid")).select(
         "qid",
         "vec_id",
         F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("s"),
-    )
+    ).transform(persist_once)
     ex_w = W.partitionBy("qid").orderBy(F.desc("s"), F.asc("vec_id"))
     exact3 = (
         scored.withColumn("rn", F.row_number().over(ex_w))
@@ -1408,6 +1415,7 @@ def v27_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.join(F.broadcast(pairs), ["qid", "vec_id"])
         .join(F.broadcast(cfg), F.col("mt") < F.col("n_tables"))
         .select("n_tables", "qid", "vec_id", "s")
+        .transform(persist_once)  # approx3 + costs
     )
     ap_w = W.partitionBy("n_tables", "qid").orderBy(F.desc("s"), F.asc("vec_id"))
     approx3 = (
