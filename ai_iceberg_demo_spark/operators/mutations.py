@@ -295,10 +295,13 @@ def scd2_apply(
     """
     current = dim.filter(F.col("valid_to").isNull())
     history = dim.filter(F.col("valid_to").isNotNull())
+    # changed feeds closed + opened + the anti-join probe — persist the
+    # (update-batch-sized) change set or the dim⋈updates join runs 3×
     changed = (
         current.alias("c")
         .join(F.broadcast(updates).alias("u"), key)
         .filter(F.col(f"c.{tracked}") != F.col(f"u.{tracked}"))
+        .transform(persist_once)
     )
     closed = changed.select(
         key,

@@ -487,7 +487,11 @@ def pipeline_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ai_iceberg_demo_spark.operators.sampling import dsir_weights
 
     docs = load_table(spark, "documents", sf_dir)
-    weighted = dsir_weights(docs).select("doc_id", "dsir_weight")
+    # weighted feeds the percentile threshold AND the selection join —
+    # persist or the n-gram likelihood-ratio build runs twice
+    weighted = dsir_weights(docs).select("doc_id", "dsir_weight").transform(
+        persist_once
+    )
     thr = weighted.agg(
         F.expr(f"percentile(dsir_weight, {_DSIR_SELECT_PCT})").alias("thr")
     )
