@@ -1010,6 +1010,74 @@ def g9_neighbor_feature_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BT_ROUND = 9  # per-round rounding (g1's engine-portable discipline)
 
 
+def bradley_terry_fit(pairs: DataFrame, n_rounds: int = 2) -> DataFrame:
+    """Fit Bradley–Terry strengths from pair statistics.
+
+    ``pairs`` has (i, j, n, wi): n comparisons between items i < j, wi
+    wins for i. Returns (a2, s, wins, n_comparisons) — mean-normalized
+    strength per item after ``n_rounds`` MM updates from the uniform
+    start, each round rounded to _BT_ROUND places (see t102's doc for
+    why the fixed unroll is what keeps this SQL-replayable).
+    """
+    directed = pairs.select(
+        F.col("i").alias("a2"), F.col("j").alias("b2"), "n", F.col("wi").alias("w")
+    ).unionByName(
+        pairs.select(
+            F.col("j").alias("a2"),
+            F.col("i").alias("b2"),
+            "n",
+            (F.col("n") - F.col("wi")).alias("w"),
+        )
+    ).transform(persist_once)  # every MM round traverses the pair stats
+    wtot = directed.groupBy("a2").agg(
+        F.sum("w").cast("double").alias("wins"),
+        F.sum("n").cast("bigint").alias("n_comparisons"),
+    ).transform(persist_once)
+
+    from pyspark.sql import Window as W
+
+    wall = W.partitionBy()
+
+    def normalize(s_df: DataFrame) -> DataFrame:
+        return s_df.select(
+            "a2",
+            F.round(
+                F.col("s") * F.count("*").over(wall) / F.sum("s").over(wall),
+                _BT_ROUND,
+            ).alias("s"),
+        )
+
+    r1 = (
+        directed.join(wtot, "a2")
+        .groupBy("a2", "wins")
+        .agg(
+            F.round(
+                F.first("wins") / F.sum(F.col("n") / 2.0), _BT_ROUND
+            ).alias("s")
+        )
+        .select("a2", "s")
+    )
+    s1 = normalize(r1)
+    r2 = (
+        directed.join(wtot, "a2")
+        .join(s1.select(F.col("a2").alias("a2j"), F.col("s").alias("sa")),
+              F.col("a2") == F.col("a2j"))
+        .join(s1.select(F.col("a2").alias("b2j"), F.col("s").alias("sb")),
+              F.col("b2") == F.col("b2j"))
+        .groupBy("a2", "wins")
+        .agg(
+            F.round(
+                F.first("wins") / F.sum(F.col("n") / (F.col("sa") + F.col("sb"))),
+                _BT_ROUND,
+            ).alias("s")
+        )
+        .select("a2", "s")
+    )
+    s2 = normalize(r2)
+    return s2.join(wtot, "a2")
+
+
+
 @REGISTRY.register(
     name="t102_bradley_terry",
     bench=True,
@@ -1096,63 +1164,8 @@ def t102_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("wi"),
         )
     )
-    directed = pairs.select(
-        F.col("i").alias("a2"), F.col("j").alias("b2"), "n", F.col("wi").alias("w")
-    ).unionByName(
-        pairs.select(
-            F.col("j").alias("a2"),
-            F.col("i").alias("b2"),
-            "n",
-            (F.col("n") - F.col("wi")).alias("w"),
-        )
-    ).transform(persist_once)  # every MM round traverses the pair stats
-    wtot = directed.groupBy("a2").agg(
-        F.sum("w").cast("double").alias("wins"),
-        F.sum("n").cast("bigint").alias("n_comparisons"),
-    ).transform(persist_once)
-
-    from pyspark.sql import Window as W
-
-    wall = W.partitionBy()
-
-    def normalize(s_df: DataFrame) -> DataFrame:
-        return s_df.select(
-            "a2",
-            F.round(
-                F.col("s") * F.count("*").over(wall) / F.sum("s").over(wall),
-                _BT_ROUND,
-            ).alias("s"),
-        )
-
-    r1 = (
-        directed.join(wtot, "a2")
-        .groupBy("a2", "wins")
-        .agg(
-            F.round(
-                F.first("wins") / F.sum(F.col("n") / 2.0), _BT_ROUND
-            ).alias("s")
-        )
-        .select("a2", "s")
-    )
-    s1 = normalize(r1)
-    r2 = (
-        directed.join(wtot, "a2")
-        .join(s1.select(F.col("a2").alias("a2j"), F.col("s").alias("sa")),
-              F.col("a2") == F.col("a2j"))
-        .join(s1.select(F.col("a2").alias("b2j"), F.col("s").alias("sb")),
-              F.col("b2") == F.col("b2j"))
-        .groupBy("a2", "wins")
-        .agg(
-            F.round(
-                F.first("wins") / F.sum(F.col("n") / (F.col("sa") + F.col("sb"))),
-                _BT_ROUND,
-            ).alias("s")
-        )
-        .select("a2", "s")
-    )
-    s2 = normalize(r2)
     return (
-        s2.join(wtot, "a2")
+        bradley_terry_fit(pairs)
         .select(
             F.col("a2").alias("suppkey"),
             "n_comparisons",

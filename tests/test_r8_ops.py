@@ -154,3 +154,30 @@ def test_t103_span_corruption_roundtrip(spark):
         (F.sum("n_corrupted_tokens") / F.sum(n_orig)).alias("rate")
     ).first()["rate"]
     assert 0.10 <= tot <= 0.18, tot
+
+
+def test_bradley_terry_orders_a_crafted_tournament(spark):
+    """On a crafted 4-item tournament with a strict dominance chain
+    (A beats B beats C beats D, each 9-of-10), fitted strengths must
+    reproduce the chain's order; total strength stays mean-normalized."""
+    from ai_iceberg_demo_spark.operators.graph import bradley_terry_fit
+
+    pairs = spark.createDataFrame(
+        [
+            # (i, j, n, wins_of_i): chain with decisive 9/10 edges
+            (1, 2, 10, 9),
+            (2, 3, 10, 9),
+            (3, 4, 10, 9),
+            (1, 3, 10, 9),
+            (2, 4, 10, 9),
+            (1, 4, 10, 9),
+        ],
+        "i int, j int, n bigint, wi bigint",
+    )
+    fit = bradley_terry_fit(pairs).collect()
+    strengths = {r["a2"]: r["s"] for r in fit}
+    assert strengths[1] > strengths[2] > strengths[3] > strengths[4]
+    # mean-normalized: strengths sum to the item count
+    assert abs(sum(strengths.values()) - 4.0) < 1e-6
+    # every item saw 30 comparisons
+    assert all(r["n_comparisons"] == 30 for r in fit)
