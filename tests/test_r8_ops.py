@@ -181,3 +181,52 @@ def test_bradley_terry_orders_a_crafted_tournament(spark):
     assert abs(sum(strengths.values()) - 4.0) < 1e-6
     # every item saw 30 comparisons
     assert all(r["n_comparisons"] == 30 for r in fit)
+
+
+def test_fim_and_span_corruption_edge_lengths(spark):
+    """The slice arithmetic must hold on degenerate word counts (1, 2,
+    3, 7-word docs and a 21-word doc spanning several blocks): FIM
+    P+M+S reassembles, span corruption conserves tokens."""
+    rows = [
+        (0, "a"),  # 1 word, fim (even id)
+        (2, "a b"),
+        (4, "a b c"),
+        (6, "a b c d e f g"),
+        (8, " ".join(f"w{i}" for i in range(21))),
+        (1, "x"),  # ar passthrough
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    docs.createOrReplaceTempView("edge_docs")
+
+    import ai_iceberg_demo_spark.functions.text as T
+
+    # run the registered bodies against the crafted frame by monkey-
+    # patching load_table's return (the query fns take (spark, sf_dir))
+    orig = T.load_table
+    T.load_table = lambda _s, name, _d: docs
+    try:
+        fim = T.t104_fim_examples(spark, "unused").collect()
+        sc = T.t103_span_corruption(spark, "unused").collect()
+    finally:
+        T.load_table = orig
+    by_id = {r["doc_id"]: r for r in fim}
+    for doc_id, text in rows:
+        r = by_id[doc_id]
+        if r["kind"] == "ar":
+            assert r["input_text"] == text and r["target_text"] == ""
+            continue
+        body = r["input_text"]
+        p = body.split("<fim_prefix>")[1].split("<fim_suffix>")[0]
+        s_ = body.split("<fim_suffix>")[1].split("<fim_middle>")[0]
+        parts = [x for x in (p, r["target_text"], s_) if x != ""]
+        assert " ".join(parts) == text, (doc_id, parts)
+    sc_by_id = {r["doc_id"]: r for r in sc}
+    for doc_id, text in rows:
+        r = sc_by_id[doc_id]
+        n_orig = len(text.split(" "))
+        n_input_real = len(
+            [t for t in r["input_text"].split(" ") if not t.startswith("<extra_id_")]
+        )
+        assert n_input_real + r["n_corrupted_tokens"] == n_orig, (doc_id, r)
+        # block 0 always masks → every doc has ≥1 span
+        assert r["n_spans"] >= 1
