@@ -987,7 +987,7 @@ def d10_exact_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     toked = toks.select(
         "doc_id", F.posexplode("t").alias("p0", "tok")
     ).select("doc_id", (F.col("p0") + 1).alias("p"), "tok")
-    kept = toked.join(covered, ["doc_id", "p"], "left_anti")
+    kept = toked.join(covered.hint("merge"), ["doc_id", "p"], "left_anti")
     rebuilt = kept.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_kept"),
         F.array_join(
@@ -999,7 +999,7 @@ def d10_exact_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         toks.select("doc_id", F.size("t").cast("bigint").alias("n_tokens"))
-        .join(rebuilt, "doc_id", "left")
+        .join(rebuilt.hint("merge"), "doc_id", "left")
         .select(
             "doc_id",
             "n_tokens",
@@ -1302,8 +1302,15 @@ def d13_intradoc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sg"),
     ).select("doc_id", F.col("sg.s").alias("s"), F.col("sg.g").alias("g"))
     firsts = grams.groupBy("doc_id", "g").agg(F.min("s").alias("first_s"))
+    # every join below is doc_id-keyed and BOTH sides are corpus-sized:
+    # pin sort-merge so neither the optimizer's static size estimate
+    # can pick a broadcast (the sf10 rehearsal OOM'd the driver
+    # broadcasting `firsts` at 100x) nor a hash build can exceed task
+    # memory (shuffle_hash OOM'd the per-partition map at the same SF);
+    # SMJ spills gracefully — the only join strategy that survives
+    # corpus×corpus at any scale
     covered = (
-        grams.join(firsts, ["doc_id", "g"])
+        grams.join(firsts.hint("merge"), ["doc_id", "g"])
         .filter(F.col("s") > F.col("first_s"))
         .select(
             "doc_id",
@@ -1314,7 +1321,7 @@ def d13_intradoc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     toked = toks.select("doc_id", F.posexplode("t").alias("p0", "tok")).select(
         "doc_id", (F.col("p0") + 1).alias("p"), "tok"
     )
-    kept = toked.join(covered, ["doc_id", "p"], "left_anti")
+    kept = toked.join(covered.hint("merge"), ["doc_id", "p"], "left_anti")
     rebuilt = kept.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_kept"),
         F.array_join(
@@ -1326,7 +1333,7 @@ def d13_intradoc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         toks.select("doc_id", F.size("t").cast("bigint").alias("n_tokens"))
-        .join(rebuilt, "doc_id", "left")
+        .join(rebuilt.hint("merge"), "doc_id", "left")
         .select(
             "doc_id",
             "n_tokens",
