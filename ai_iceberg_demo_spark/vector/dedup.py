@@ -207,8 +207,15 @@ def d2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
+    # shuffle_hash hint: both sides of the shingle self-join are
+    # corpus-sized; a size misestimate must never pick a broadcast
+    # (this plan OOM'd the driver through d9's reuse at sf10).
+    # shuffle_hash, not merge: d2 is the documented exactness tier at
+    # fixture scale (its Σdf² intermediate is quadratic before any
+    # join strategy matters), so the cheaper no-sort build is right
     inter = (
-        a.join(
+        a.hint("shuffle_hash")
+        .join(
             b,
             (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
@@ -756,7 +763,8 @@ def connected_components(pairs: DataFrame, src: str = "a_id", dst: str = "b_id",
     labels = labels.localCheckpoint(eager=True)
     prev = labels.agg(F.sum("lbl")).first()[0]
     for _ in range(max_iter):
-        msgs = edges.join(labels, edges.esrc == labels.id).select(
+        # labels are node-count-sized — corpus-scaled; never broadcast
+        msgs = edges.join(labels.hint("shuffle_hash"), edges.esrc == labels.id).select(
             F.col("edst").alias("id"), "lbl"
         )
         labels = (
