@@ -34,7 +34,12 @@ from pyspark.sql import functions as F
 from ai_iceberg_demo_spark.functions.text import _URL_NORM_SQL
 from ai_iceberg_demo_spark.registry import Registry
 from ai_iceberg_demo_spark.tables import load_table, persist_once
-from ai_iceberg_demo_spark.vector.similarity import _COS_SQL, cosine
+from ai_iceberg_demo_spark.vector.similarity import (
+    _COS_SQL,
+    _MD5_PLANES_SQL,
+    _MD5_SIGS_SQL,
+    cosine,
+)
 
 REGISTRY = Registry()
 
@@ -2325,4 +2330,118 @@ def d29_crossdoc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             " ",
         ).alias("clean_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# D5b: LSH-bucketed embedding dedup — d5's production blocking
+# ---------------------------------------------------------------------------
+
+_D5B_TABLES, _D5B_PLANES = 6, 14  # fine buckets: random-pair collision
+# per table ≈ 2^-14; a cos≥0.98 pair (θ≈11.5°) collides in ≥1 of the 6
+# tables with ~95% probability — and the planted exact twins (cos=1)
+# collide in every table, so the gate provably fires at every SF
+_D5B_TWIN_OFFSET = 1_000_000
+_D5B_COS = 0.98
+
+
+@REGISTRY.register(
+    name="d5b_lsh_embedding_dedup",
+    survey_ref="V7/J6 at scale (d5's production blocking): d5 blocks on "
+    "the fixture label — FIXED cardinality, so in-block pairs are "
+    "quadratic (measured: DNF at the sf10 rehearsal, the j12/d8 "
+    "defect class); its own doc names the production fix. This is "
+    "that fix, oracled",
+    doc="embedding near-dup with LSH-bucket candidate generation: "
+    f"{_D5B_TABLES} tables × {_D5B_PLANES} md5-pinned hyperplanes "
+    "(SQL-replayable family, v27/v3d's discipline) bucket every "
+    "vector; candidates are bucket collisions only; cosine ≥ "
+    f"{_D5B_COS} verifies (rounded, engine-portable); canonical = "
+    "min neighbor id, self included (d5's rule). Every 25th vector "
+    "gains an exact-duplicate twin in-query (vec_id + 1e6) — cos = 1 "
+    "collides in all tables, so twin links are provable output at "
+    "every SF while random pairs collide at ~2^-14/table. Scale: "
+    "candidates ∝ Σ bucket², bounded by the plane count knob — the "
+    "shape that replaces d5's label block past fixture scale.",
+    oracle=f"""
+        WITH salted AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+            FROM embeddings
+            UNION ALL
+            SELECT vec_id + {_D5B_TWIN_OFFSET}, CAST(embedding AS DOUBLE[])
+            FROM embeddings WHERE vec_id % 25 = 0
+        ), planes AS ({_MD5_PLANES_SQL.format(tmax=_D5B_TABLES - 1,
+                                              pmax=_D5B_PLANES - 1, imax=63)}
+        ), comps AS (
+            SELECT vec_id, GENERATE_SUBSCRIPTS(embedding, 1) - 1 AS i,
+                   UNNEST(embedding) AS x
+            FROM salted
+        ), {_MD5_SIGS_SQL.strip()}
+        , cand AS (
+            SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+            FROM sigs a JOIN sigs b ON a.t = b.t AND a.b = b.b
+        ), verified AS (
+            SELECT c.a_id, c.b_id
+            FROM cand c
+            JOIN salted a ON a.vec_id = c.a_id
+            JOIN salted b ON b.vec_id = c.b_id
+            WHERE ROUND({_COS_SQL.format(a="a.embedding", b="b.embedding")}, 6)
+                  >= {_D5B_COS}
+        )
+        SELECT a_id AS vec_id, CAST(MIN(b_id) AS BIGINT) AS canonical_id
+        FROM verified GROUP BY a_id
+    """,
+)
+def d5b_lsh_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_iceberg_demo_spark.vector.similarity import (
+        as_double,
+        dot,
+        lsh_signatures,
+        md5_planes,
+        with_norm,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", as_double(F.col("embedding")).alias("embedding")
+    )
+    salted = emb.unionByName(
+        emb.filter(F.col("vec_id") % 25 == 0).select(
+            (F.col("vec_id") + _D5B_TWIN_OFFSET).alias("vec_id"), "embedding"
+        )
+    )
+    planes = md5_planes(_D5B_TABLES, _D5B_PLANES, 64)
+    sigs = salted.select(
+        "vec_id",
+        F.posexplode(
+            lsh_signatures(F.col("embedding"), planes, round_digits=6)
+        ).alias("t", "b"),
+    ).transform(persist_once)  # meets itself in the bucket join
+    cand = (
+        sigs.alias("a")
+        .hint("shuffle_hash")  # both sides corpus-sized; never broadcast
+        .join(
+            sigs.alias("b"),
+            (F.col("a.t") == F.col("b.t")) & (F.col("a.b") == F.col("b.b")),
+        )
+        .select(F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id"))
+        .distinct()
+    )
+    side = with_norm(salted, "embedding", "v", "n").transform(persist_once)
+    a = side.select(
+        F.col("vec_id").alias("a_id"), F.col("v").alias("av"), F.col("n").alias("na")
+    )
+    b = side.select(
+        F.col("vec_id").alias("b_id"), F.col("v").alias("bv"), F.col("n").alias("nb")
+    )
+    verified = (
+        cand.join(a, "a_id")
+        .join(b, "b_id")
+        .filter(
+            F.round(dot(F.col("av"), F.col("bv")) / (F.col("na") * F.col("nb")), 6)
+            >= _D5B_COS
+        )
+        .select("a_id", "b_id")
+    )
+    return verified.groupBy(F.col("a_id").alias("vec_id")).agg(
+        F.min("b_id").cast("bigint").alias("canonical_id")
     )
