@@ -321,27 +321,35 @@ def x7_arrow_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "whole; skewed groups cap via salting upstream.",
     oracle="""
         SELECT doc_id, source,
-               CAST(LENGTH(text) AS INT) AS n_chars,
+               CAST(LENGTH(COALESCE(text, '')) AS INT) AS n_chars,
                ROUND(COALESCE(
-                   (LENGTH(text) - AVG(LENGTH(text)) OVER (PARTITION BY source))
-                   / NULLIF(STDDEV_POP(LENGTH(text)) OVER (PARTITION BY source), 0),
+                   (LENGTH(COALESCE(text, ''))
+                    - AVG(LENGTH(COALESCE(text, ''))) OVER (PARTITION BY source))
+                   / NULLIF(STDDEV_POP(LENGTH(COALESCE(text, '')))
+                            OVER (PARTITION BY source), 0),
                    0.0), 4) AS z_len
         FROM documents
     """,
 )
 def x8_grouped_map_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
     import pandas as pd
 
     def standardize(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        n = pdf["text"].str.len()
+        # NULL text counts as length 0 (oracle: LENGTH(COALESCE(text,''))) —
+        # .str.len() yields NaN for None and astype(int32) would raise.
+        n = pdf["text"].str.len().fillna(0)
         std = n.std(ddof=0)
         z = (n - n.mean()) / std if std and std > 0 else n * 0.0
+        # SQL ROUND is half-away-from-zero; pandas .round is half-even —
+        # a z landing exactly on a 4th-decimal tie would hash-mismatch.
+        z4 = np.sign(z) * np.floor(np.abs(z) * 1e4 + 0.5) / 1e4
         return pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
                 "source": pdf["source"],
                 "n_chars": n.astype("int32"),
-                "z_len": z.round(4),
+                "z_len": z4,
             }
         )
 

@@ -244,15 +244,19 @@ def t9_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "session merge is sort-local within the key partition.",
     oracle="""
         WITH marked AS (
-            SELECT user_id, ts, value,
+            SELECT user_id, ts, event_id, value,
                    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                              >= INTERVAL '30 minutes' OR
                              LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                         THEN 1 ELSE 0 END AS is_new
             FROM events
         ), sessions AS (
+            -- (ts, event_id) tiebreak matches the marked CTE: with
+            -- duplicate (user_id, ts) rows at a session boundary a
+            -- ts-only ROWS frame could assign a tied row to the prior
+            -- session nondeterministically (r8 ADVICE).
             SELECT user_id, ts, value,
-                   SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                   SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
             FROM marked
         )

@@ -304,20 +304,25 @@ _TWIN_DOC_OFFSET = 2_000_000
 _TWIN_FOOTER = " near duplicate footer variant"
 
 
-def _guard_below_twin_offset(col: F.Column) -> F.Column:
-    """Per-row guard (no extra job): the twin-vs-corpus split is a
-    doc_id threshold on the ORACLE side, so a fixture whose genuine
-    doc_ids reach _TWIN_DOC_OFFSET would silently misclassify there.
-    Fail loudly on the Spark side instead. Folded into the used
+def _guard_below_twin_offset(
+    col: F.Column,
+    offset: int = _TWIN_DOC_OFFSET,
+    id_name: str = "doc_id",
+    offset_name: str = "_TWIN_DOC_OFFSET",
+) -> F.Column:
+    """Per-row guard (no extra job): the twin-vs-corpus split is an
+    id threshold on the ORACLE side, so a fixture whose genuine ids
+    reach the twin offset would silently misclassify there. Fail
+    loudly on the Spark side instead. Folded into the used
     expression so Catalyst cannot prune it."""
-    return F.when(col < _TWIN_DOC_OFFSET, col).otherwise(
+    return F.when(col < offset, col).otherwise(
         F.raise_error(
             F.concat(
                 F.lit(
-                    f"doc_id >= _TWIN_DOC_OFFSET ({_TWIN_DOC_OFFSET}): the "
+                    f"{id_name} >= {offset_name} ({offset}): the "
                     "planted-twin id range overlaps genuine corpus ids — "
-                    "raise _TWIN_DOC_OFFSET (and its oracle twin) above "
-                    "max(doc_id); offending id: "
+                    f"raise {offset_name} (and its oracle twin) above "
+                    f"max({id_name}); offending id: "
                 ),
                 col.cast("string"),
             )
@@ -464,7 +469,12 @@ def minhash_bands(docs: DataFrame) -> DataFrame:
 )
 def d7_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
-    corpus = docs.filter(F.col("doc_id") % 10 == 0)
+    # corpus side guarded too: the oracle's `c.doc_id < offset` filter
+    # would silently DROP a genuine corpus id at/above the offset while
+    # Spark kept it (r8 ADVICE — the new-batch guard alone misses this).
+    corpus = docs.filter(F.col("doc_id") % 10 == 0).select(
+        _guard_below_twin_offset(F.col("doc_id")).alias("doc_id"), "text"
+    )
     # the arriving batch carries footer twins of indexed corpus docs
     # (doc_id%30==0 → always a corpus doc), so the cross-side probe
     # provably fires at every SF
@@ -2269,8 +2279,8 @@ _D29_HEADER = (
                CAST(COUNT(*) AS BIGINT) AS n_segments,
                CAST(SUM(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_scrubbed,
-               STRING_AGG(CASE WHEN NOT is_boiler THEN seg END, ' '
-                          ORDER BY seg_idx) AS clean_text
+               COALESCE(STRING_AGG(CASE WHEN NOT is_boiler THEN seg END, ' '
+                          ORDER BY seg_idx), '') AS clean_text
         FROM kept GROUP BY doc_id
     """,
 )
@@ -2402,7 +2412,14 @@ def d5b_lsh_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, "embeddings", sf_dir).select(
-        "vec_id", as_double(F.col("embedding")).alias("embedding")
+        # vec-side analogue of the doc-twin guard (r8 ADVICE): a fixture
+        # whose vec_ids reach the offset would conflate twin and genuine
+        # ids in BOTH engines — hashes stay green while the planted-twin
+        # invariant silently degrades, so fail loudly per-row instead.
+        _guard_below_twin_offset(
+            F.col("vec_id"), _D5B_TWIN_OFFSET, "vec_id", "_D5B_TWIN_OFFSET"
+        ).alias("vec_id"),
+        as_double(F.col("embedding")).alias("embedding"),
     )
     salted = emb.unionByName(
         emb.filter(F.col("vec_id") % 25 == 0).select(

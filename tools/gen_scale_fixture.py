@@ -129,6 +129,15 @@ def generate(src: str, dst: str, n: int) -> None:
             "raise the offset in vector/dedup.py (and its oracle twins) "
             "before generating a fixture this large"
         )
+    # same convention for the embeddings table: d5b reserves
+    # vec_id >= 1e6 for planted twins (vector/dedup.py _D5B_TWIN_OFFSET)
+    max_vec = strides["embeddings"] * n - 1
+    if max_vec >= 1_000_000:
+        raise SystemExit(
+            f"replicated max vec_id {max_vec} >= _D5B_TWIN_OFFSET 1000000: "
+            "raise the offset in vector/dedup.py (and its oracle twin) "
+            "before generating a fixture this large"
+        )
     for name, sql in sqls.items():
         out = os.path.join(dst, f"{name}.parquet")
         con.execute(f"COPY ({sql}) TO '{out}' (FORMAT PARQUET)")
