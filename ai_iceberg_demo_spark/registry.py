@@ -92,70 +92,72 @@ class Registry:
 #   3. Then never-driver-checked names in registration order; then
 #      staleness tiers.
 #
-# Round 8 window (this list): the 6 post-change re-pins FIRST —
-# d3/d7/d14/d8 changed semantics in r7 (shingle-unit MinHash,
-# corpus-sized SemDeDup k), f27/v9 upgraded rows-only → hash oracle —
-# then the first 44 of the r7 post-d20 overflow in registration order.
-#
-# r9 draft (full list in ROTATION.md): the 46 remaining never-windowed
-# hash-oracled names (s19, j11–j13, g7/g8, a24, w12, o8/o9, u39–u46,
-# m18–m20, t77–t99 cohort, x6/x7, d26–d28, v33–v36, pipeline_
-# experiment/forecast/storage, t93) + the head of the r2-core cohort
-# (42 names, newest row r2) fills the last 4 slots; r8 registrations
-# and any r8 semantic changes jump to the head per policy #2.
+# Round 9 window (this list, per the r8 verdict's marching order #1):
+# the 5 r8 post-change re-pins FIRST — d13 (sort-merge hints after the
+# sf10 driver OOM), d2/d9/d6 (shuffle_hash/merge hints on the shingle
+# and component joins), j12 (linear two-channel candidate generation
+# replacing the quadratic in-block cross) — then the first 45 of the
+# 55 never-windowed names in registration order. The 4 previously-
+# windowed re-pins displace 4 never-windowed slots, so 9 (not 5)
+# overflow to r10: t89–t94 cohort, pipeline_experiment/forecast/
+# storage, t93_streaming_topk. r10 draft: those 9, then any r9
+# registrations/semantic changes per policy #2, then the r2-core
+# staleness cohort (42 names, 8 rounds stale by r10) — see ROTATION.md.
 _DRIVER_WINDOW_PRIORITY = [
-    # 6 post-change re-pins (policy #2): r7 semantic changes + oracle upgrades
-    "d3_minhash_lsh",
-    "d7_incremental_dedup",
-    "d14_minhash_calibration",
-    "d8_semdedup",
-    "f27_markdown_html",
-    "v9_print_layout",
-    # first 44 of the r7 post-d20 overflow, registration order
-    "d21_bloom_dedup_probe",
-    "a8c_hll_register_core",
-    "g4_link_prediction",
-    "v29_binary_quantize",
-    "pipeline_dedup_cascade",
-    "v30_product_quantization",
-    "g5_modularity",
-    "d22_bag_of_words_dedup",
-    "w11_ohlc_rollup",
-    "t59_mad_outliers",
-    "t56_tokenizer_fertility",
-    "f42_mojibake_repair",
-    "pipeline_quality_report",
-    "s16_partition_plan",
-    "s17_props_schema_drift",
-    "a20_join_cardinality",
-    "v31_tombstone_search",
-    "t62_watermark_tuning",
-    "a21_approx_quantile_audit",
-    "pipeline_erasure",
-    "t63_kaplan_meier",
-    "t64_calibration_bins",
-    "t65_roc_auc",
-    "t66_markov_transitions",
-    "t67_pmi_collocations",
-    "t68_skipgram_pairs",
-    "t69_chi2_terms",
-    "t70_js_divergence",
-    "v3e_ivf_probe_det",
-    "u38_temperature_resample",
-    "f43_script_profile",
-    "f44_readability",
-    "pipeline_model_eval",
-    "v32_ivf_pq",
-    "t71_inverted_index",
-    "m16_bitemporal",
-    "a22_kmv_overlap",
-    "s18_zonemap_audit",
-    "t74_diff_in_diff",
-    "g6_personalized_pagerank",
-    "t75_forecast_features",
-    "a23_robust_means",
-    "f47_token_chunks",
-    "m17_dp_release",
+    # 5 post-change re-pins (policy #2): d13/d2/d9/d6 join-strategy
+    # hint changes + j12 candidate-generation rewrite, all r8
+    "d13_intradoc_span_dedup",
+    "d2_ngram_jaccard",
+    "d9_quality_canonical",
+    "d6_dedup_components",
+    "j12_entity_resolution",
+    # 45 never-windowed names in registration order (j12 pulled to
+    # the head above); 9 overflow to r10 — see ROTATION.md
+    "s19_encoding_advisor",
+    "j11_band_join",
+    "j13_asof_directions",
+    "g7_degree_assortativity",
+    "g8_logstep_components",
+    "g9_neighbor_feature_agg",
+    "t102_bradley_terry",
+    "a24_market_basket",
+    "w12_rolling_correlation",
+    "o8_range_partitioner_audit",
+    "o9_pagination_drift",
+    "u39_hamilton_allocation",
+    "u40_corpus_version_diff",
+    "u41_exact_stratified_sample",
+    "u46_license_propagation",
+    "m18_column_masking",
+    "m19_merge_conflicts",
+    "m20_partition_evolution",
+    "t77_bigram_perplexity",
+    "t96_ngram_novelty",
+    "t97_bpe_train",
+    "t98_rouge2_eval",
+    "t99_bpe_training_curve",
+    "t104_fim_examples",
+    "t103_span_corruption",
+    "t85_prf_expansion",
+    "t95_rank_biased_overlap",
+    "x6_python_udtf",
+    "x7_arrow_scalar_udf",
+    "x8_grouped_map_pandas",
+    "d26_mutual_knn",
+    "v33_knn_classifier",
+    "v35_pq_tuning_curve",
+    "d27_shingle_sensitivity",
+    "d28_transitivity_audit",
+    "d29_crossdoc_line_dedup",
+    "d5b_lsh_embedding_dedup",
+    "v34_cluster_label_nmi",
+    "v36_two_level_assign",
+    "t101_native_session_window",
+    "t100_attribution_left_outer",
+    "t78_conformal_forecast",
+    "t79_ols_forecast",
+    "t80_power_analysis",
+    "t84_psi_drift",
 ]
 
 
