@@ -647,6 +647,13 @@ def t17b_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame
 # ---------------------------------------------------------------------------
 
 
+#: occupancy discipline for knn_graph's bucket index (r9 — kills the
+#: one remaining quadratic-trending plan, 183 s at sf10):
+_KNN_SPLIT_BITS = 8  # secondary planes per table → ≤256-way sub-split
+_KNN_SOFT_CAP_MULT = 2  # buckets ≤ 2×target stay whole
+_KNN_HARD_CAP_MULT = 3  # sub-buckets > 3×target get vec_id-salted
+
+
 def knn_graph(
     corpus: DataFrame,
     k: int = 3,
@@ -662,35 +669,58 @@ def knn_graph(
     HNSW-style index seeding, and label propagation.
 
     Never all-pairs: candidate pairs are vectors sharing an LSH bucket
-    in ≥1 of L tables. The rerank is BUCKET-LOCAL: one groupBy (t, b)
-    shuffle co-locates each bucket's members (vector payload moves
-    exactly L times per row — bounded by table count, NOT by candidate
-    degree), then one Arrow-batched numpy matmul per bucket scores all
-    its pairs. Compare the pair-join spelling (candidate distinct +
-    two vector joins + interpreted-HOF dot per pair): it moves vectors
-    once per CANDIDATE EDGE — on this corpus' geometry avg degree ~650
-    vs L=12, a 50× payload difference — and was measured 2× slower
-    end-to-end (r4's variance flag on this query). Cross-table
-    duplicate pairs carry bit-identical scores (same two operand
-    vectors), so one (src, dst) max-agg dedupes them, and a per-src
-    window keeps k. At 100 TB the bucket index is the persisted M5
-    artifact partitioned by (t, bucket(b)); the plane count grows as
-    log2(n/target_bucket) so bucket-local matmuls stay
-    ~target_bucket², and the per-src top-k window partitions by src
-    (uniform key), no skew. Recall vs brute force is pinned in
-    tests/test_similarity.py. The normalized corpus is persisted once
-    (the plane-sizing count doubles as its materializing action); the
-    harness releases it via facade.release_caches.
+    in ≥1 of L tables. The rerank is BUCKET-LOCAL: one groupBy shuffle
+    co-locates each bucket's members (vector payload moves exactly L
+    times per row — bounded by table count, NOT by candidate degree),
+    then one Arrow-batched numpy matmul per bucket scores its pairs.
+
+    Two disciplines make the plan LINEAR in corpus size (r9; before
+    them sf10 ran 16.9× sf1's wall at 10× the data — SCALE.md):
+
+    1. **Occupancy is CAPPED, not just targeted.** The adaptive plane
+       count (ceil(log2(n/target))) keeps the AVERAGE bucket ~target,
+       but dense regions produce hot buckets whose size grows with the
+       corpus, and per-bucket cost is occupancy² — Σ size² at sf10 was
+       626 M pair-slots, 51% of it in the 413 buckets over 512. So:
+       any bucket over 2×target splits by ceil(log2(m/target)) extra
+       SIGN BITS from a secondary per-table hyperplane family
+       (geometry-preserving: a true near pair co-signs the secondary
+       planes with prob (1-θ/π)^bits, while unrelated co-bucket mass
+       scatters), and any sub-bucket STILL over 3×target (a
+       near-identical cluster no hyperplane separates) gets a
+       deterministic xxhash64(vec_id, t) salt down to ~1.5×target.
+       Salting a degenerate cluster costs no usable recall: every
+       member's true top-k lies inside the cluster and each salt cell
+       still holds ~1.5×target interchangeable members, with 12
+       independently-salted tables giving 12 draws.
+    2. **Per-src top-k emits INSIDE the kernel.** Exact, not a
+       heuristic: if c is in src's global candidate top-k, no bucket
+       can hold k better-scoring candidates (they'd outrank c
+       globally), so c survives its own bucket's per-src top-k. This
+       turns the shuffle after the matmul from Σ size² rows (the real
+       183 s term) into ≤ k·L·N.
+
+    Cross-table duplicate survivors carry bit-identical scores (same
+    two operand vectors), so one (src, dst) max-agg dedupes them and a
+    per-src window keeps k. At 100 TB the bucket index is the
+    persisted M5 artifact partitioned by (t, bucket(b)); the two
+    occupancy counts are column-pruned aggs over it, the hot-bucket
+    lists broadcast (few by construction), and the per-src top-k
+    window partitions by src (uniform key), no skew. Recall vs brute
+    force is pinned in tests/test_similarity.py. The signature table
+    is persisted once (the plane-sizing count doubles as its
+    materializing action); the harness releases it via
+    facade.release_caches.
     """
     import math
 
     from pyspark.sql import Window as W
 
-    norm = (
-        with_norm(corpus, "embedding", "v", "n")
-        .select("vec_id", "v", "n")
-        .transform(persist_once)
-    )
+    soft_cap = _KNN_SOFT_CAP_MULT * target_bucket
+    hard_cap = _KNN_HARD_CAP_MULT * target_bucket
+    salt_target = max(1, (3 * target_bucket) // 2)
+
+    norm = with_norm(corpus, "embedding", "v", "n").select("vec_id", "v", "n")
     # candidate volume per table is Σ bucket², and buckets average
     # n/2^planes — planes MUST grow with log(n) or the bucket matmuls
     # re-approach all-pairs as the corpus grows (measured: 3 planes is
@@ -699,9 +729,51 @@ def knn_graph(
     if n_planes is None:
         n_planes = max(3, math.ceil(math.log2(max(2.0, n / target_bucket))))
     tables = lsh_tables(n_tables, n_planes, seed, dim)
-    bucketed = norm.select(
-        "vec_id", "v", "n",
-        F.posexplode(lsh_signatures(F.col("v"), tables)).alias("t", "b"),
+    # secondary family (seed+1): _KNN_SPLIT_BITS extra sign bits per
+    # table, consumed MSB-first so e bits of split reuse the same
+    # signature. Stacked under the primary planes so ONE Arrow matmul
+    # yields both (the primary low bits stay bit-identical to
+    # lsh_signatures over `tables` alone); split apart with bit ops
+    # after the posexplode.
+    extra_tables = lsh_tables(n_tables, _KNN_SPLIT_BITS, seed + 1, dim)
+    stacked = [np.vstack([t, x]) for t, x in zip(tables, extra_tables)]
+    bucketed = (
+        norm.select(
+            "vec_id", "v", "n",
+            F.posexplode(lsh_signatures(F.col("v"), stacked)).alias("t", "sig"),
+        )
+        .select(
+            "vec_id", "v", "n", "t",
+            F.col("sig").bitwiseAND(F.lit((1 << n_planes) - 1)).alias("b"),
+            F.shiftright(F.col("sig"), n_planes).alias("xb"),
+        )
+        .transform(persist_once)  # feeds both occupancy counts + rerank
+    )
+    # occupancy audit #1: column-pruned count over the cached index
+    sizes = bucketed.groupBy("t", "b").agg(F.count("*").alias("m"))
+    hot = sizes.filter(F.col("m") > soft_cap)
+    ext = bucketed.join(F.broadcast(hot), ["t", "b"], "left").withColumn(
+        "sub",
+        # e = ceil(log2(m/target)) extra bits, clamped to the family
+        # width; cold rows (m NULL) take e=0 → sub = b<<BITS, unchanged
+        F.expr(
+            f"shiftleft(b, {_KNN_SPLIT_BITS}) + shiftright(xb, "
+            f"{_KNN_SPLIT_BITS} - CASE WHEN m IS NULL THEN 0 ELSE "
+            f"least({_KNN_SPLIT_BITS}, CAST(ceil(log2(m / "
+            f"{target_bucket}.0)) AS INT)) END)"
+        ),
+    )
+    # occupancy audit #2: sub-buckets a near-identical cluster kept hot
+    sizes2 = ext.groupBy("t", "sub").agg(F.count("*").alias("m2"))
+    hot2 = sizes2.filter(F.col("m2") > hard_cap)
+    keyed = ext.join(F.broadcast(hot2), ["t", "sub"], "left").withColumn(
+        "salt",
+        F.when(F.col("m2").isNull(), F.lit(0)).otherwise(
+            F.pmod(
+                F.xxhash64(F.col("vec_id"), F.col("t")),
+                F.ceil(F.col("m2") / salt_target).cast("long"),
+            )
+        ),
     )
 
     def _bucket_scores(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -713,13 +785,19 @@ def knn_graph(
         ids = pdf["vec_id"].to_numpy()
         vecs = np.stack(pdf["v"].to_numpy()).astype(np.float64)
         norms = pdf["n"].to_numpy(dtype=np.float64)
-        sims = (vecs @ vecs.T) / np.outer(norms, norms)
-        i, j = np.nonzero(~np.eye(m, dtype=bool))
+        sims = np.round((vecs @ vecs.T) / np.outer(norms, norms), 6)
+        np.fill_diagonal(sims, -np.inf)
+        # per-src top-k INSIDE the kernel (exact — see docstring):
+        # order by (-score, dst) to match the final window's tiebreak
+        kk = min(k, m - 1)
+        order = np.lexsort((ids[None, :].repeat(m, 0), -sims), axis=1)[:, :kk]
+        i = np.repeat(np.arange(m), kk)
+        j = order.ravel()
         return pd.DataFrame(
-            {"src": ids[i], "dst": ids[j], "score": np.round(sims[i, j], 6)}
+            {"src": ids[i], "dst": ids[j], "score": sims[i, j]}
         )
 
-    scored = bucketed.groupBy("t", "b").applyInPandas(
+    scored = keyed.groupBy("t", "sub", "salt").applyInPandas(
         _bucket_scores, "src long, dst long, score double"
     )
     edges = scored.groupBy("src", "dst").agg(F.max("score").alias("score"))
