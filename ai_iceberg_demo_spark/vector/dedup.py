@@ -920,6 +920,182 @@ def d9_quality_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# D9b: canonical-per-cluster AT SCALE (band tier → verify → argmax)
+# ---------------------------------------------------------------------------
+
+# the verify tail shared verbatim with d9's oracle: components by
+# min-label closure over verified pairs, then quality argmax per
+# component (highest quality wins, ties to the lowest doc_id)
+_CANONICAL_TAIL_SQL = """edges AS (
+            SELECT a_id AS src, b_id AS dst FROM pairs
+            UNION ALL
+            SELECT b_id, a_id FROM pairs
+        ),
+        reach(id, lbl) AS (
+            SELECT DISTINCT src, src FROM edges
+            UNION
+            SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+        ),
+        comp AS (SELECT id, MIN(lbl) AS component_id FROM reach GROUP BY id),
+        scored AS (
+            SELECT doc_id,
+                   LENGTH(text) AS n,
+                   CAST(LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+                        t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+                     / GREATEST(LEN(STRING_SPLIT(LOWER(text), ' ')), 1) AS sw_ratio
+            FROM salted_docs
+        ),
+        q AS (
+            SELECT doc_id,
+                   0.6 * LEAST(n / 400.0, 1.0)
+                       + 0.4 * (CASE WHEN sw_ratio >= 0.05 AND sw_ratio <= 0.6
+                                     THEN 1.0 ELSE 0.5 END) AS quality
+            FROM scored
+        ),
+        ranked AS (
+            SELECT c.component_id, c.id AS doc_id, q.quality,
+                   ROW_NUMBER() OVER (PARTITION BY c.component_id
+                                      ORDER BY q.quality DESC, c.id ASC) AS rn
+            FROM comp c JOIN q ON q.doc_id = c.id
+        )
+        SELECT CAST(component_id AS BIGINT) AS component_id,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               CAST(MIN(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS kept_id,
+               ROUND(MAX(quality), 6) AS best_quality
+        FROM ranked GROUP BY component_id"""
+
+
+@REGISTRY.register(
+    name="d9b_canonical_at_scale",
+    survey_ref="training-data (canonical-pick at 100 TB: d3 ∘ d2b ∘ d6 ∘ d9)",
+    doc="the 100 TB spelling of d9's quality-aware canonical selection, "
+    "registered as ONE verified plan instead of SCALE.md prose: MinHash "
+    "band collisions propose candidate pairs (d3's index over the "
+    "salted 1-in-10 sample — planted footer twins prove recall at "
+    "every SF), exact word-3-gram Jaccard ≥ 0.8 verifies ONLY those "
+    "candidates (d2b's shape — O(candidates·shingles/doc), never d2's "
+    "Σdf² all-shingle self-join, the tier that is inherently quadratic "
+    "in fixture copies and DNF'd at sf10), verified pairs close into "
+    "clusters (d6's min-label components), and each cluster keeps its "
+    "highest-quality member (d9's t2-scored max_by(struct) argmax, "
+    "ties to the lowest doc_id). Every stage is the banded/bucketed "
+    "form: candidate generation is an equi-join on band keys, verify "
+    "prices only collisions, components shuffle edge-count rows, the "
+    "argmax is partial-aggregable. The oracle reuses _salted_docs_sql "
+    "+ _bands_sql + d2b's verify CTEs + d9's component/argmax tail so "
+    "the composition can never drift from its parts.",
+    oracle=f"""
+        WITH RECURSIVE {_salted_docs_sql("doc_id % 10 = 0")}
+        {_bands_sql("TRUE", src="salted_docs", lead=", ")}
+        , cands AS (
+            SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+             AND a.doc_id < b.doc_id
+        ), sdocs AS (
+            SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM salted_docs
+        ), sh AS (
+            SELECT DISTINCT doc_id,
+                   UNNEST(CASE WHEN LEN(toks) >= 3 THEN
+                       LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - 2),
+                                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                   ELSE [] END) AS shingle
+            FROM sdocs
+        ), sizes AS (
+            SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+        ), inter AS (
+            SELECT c.a_id, c.b_id, COUNT(*) AS n_inter
+            FROM cands c
+            JOIN sh a ON a.doc_id = c.a_id
+            JOIN sh b ON b.doc_id = c.b_id AND b.shingle = a.shingle
+            GROUP BY c.a_id, c.b_id
+        ), pairs AS (
+            SELECT i.a_id, i.b_id
+            FROM inter i
+            JOIN sizes sa ON i.a_id = sa.doc_id
+            JOIN sizes sb ON i.b_id = sb.doc_id
+            WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter)
+                  >= 0.8
+        ), {_CANONICAL_TAIL_SQL}
+    """,
+)
+def d9b_canonical_at_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidates (d3) → verify (d2b) → components (d6) → argmax (d9).
+
+    Scale shape: the only corpus×corpus contact is the band-key
+    equi-join (collision-priced); the verify join touches candidate
+    rows only; cluster membership is pair-bounded; the argmax is one
+    map-side-partial agg. This is the plan SCALE.md:437-447 argued —
+    now hash-oracled end-to-end (vs d9, whose d2 seed is the
+    fixture-scale exactness anchor).
+    """
+    from ai_iceberg_demo_spark.functions.text import quality_score
+    from ai_iceberg_demo_spark.tables import fan_out_small_input
+
+    docs = fan_out_small_input(
+        salt_doc_twins(
+            load_table(spark, "documents", sf_dir).filter(F.col("doc_id") % 10 == 0)
+        )
+    ).transform(persist_once)  # feeds bands, shingles, AND the quality scan
+    bands = minhash_bands(docs).transform(persist_once)
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+    sh = (
+        docs.select("doc_id", F.explode(shingles(F.col("text"))).alias("shingle"))
+        .distinct()
+        .transform(persist_once)
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        cands.join(sh.alias("sa2"), F.col("a_id") == F.col("sa2.doc_id"))
+        .join(
+            sh.alias("sb2"),
+            (F.col("b_id") == F.col("sb2.doc_id"))
+            & (F.col("sb2.shingle") == F.col("sa2.shingle")),
+        )
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("nb"))
+    jac = F.col("n_inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_inter")
+    )
+    # size table is doc-count-sized (corpus-scaled at 100 TB) — never
+    # broadcast it (the d13 lesson); shuffle_hash on the candidate side
+    pairs = (
+        inter.join(na.hint("shuffle_hash"), "a_id")
+        .join(nb.hint("shuffle_hash"), "b_id")
+        .filter(jac >= 0.8)
+        .select("a_id", "b_id")
+    )
+    comps = connected_components(pairs)
+    q = docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
+    members = comps.join(q, comps.id == q.doc_id).select(
+        F.col("lbl").cast("bigint").alias("component_id"), "doc_id", "quality"
+    )
+    return members.groupBy("component_id").agg(
+        F.count("*").cast("bigint").alias("n_members"),
+        F.max_by(
+            "doc_id",
+            F.struct(F.col("quality").alias("q"), (-F.col("doc_id")).alias("tie")),
+        )
+        .cast("bigint")
+        .alias("kept_id"),
+        F.round(F.max("quality"), 6).alias("best_quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # D10: exact duplicated-span removal (ExactSubstr-style dedup)
 # ---------------------------------------------------------------------------
 
