@@ -1,0 +1,112 @@
+"""ONE command that runs every round-end check and fails loudly.
+
+The r8 verdict's marching order #6: fanout_audit and plan_audit caught
+12 real silent multipliers but ran ad hoc — a future round could skip
+a step. This gate makes skipping impossible: it runs, in order,
+
+  1. oracle type-lint        (oracle_check.py --lint-types, sf0.001)
+  2. full oracle sweep       (oracle_check.py, sf0.01 — the driver
+                              gate's replica over EVERY registered
+                              query, hash-compared against DuckDB)
+  3. all-queries perf sweep  (sweep.py, sf0.1 — executes every query
+                              beyond oracle scale + bench-floor guard)
+  4. fan-out persist audit   (fanout_audit.py — unpersisted N×
+                              re-execution multipliers)
+  5. plan regeneration       (plan_audit.py → PLANS.md; FAILS if the
+                              fresh plans contain BatchEvalPython or
+                              CartesianProduct anywhere, and prints
+                              the git diff stat so a changed plan is
+                              reviewed, never silent)
+  6. pytest tests/ -q
+
+and exits nonzero if ANY step does. Expect ~30 min on an idle 32-cpu
+host (steps 2/3/6 dominate). Usage:
+
+    python tools/round_gate.py            # everything
+    python tools/round_gate.py --fast     # skip sweep + pytest (inner-
+                                          # loop use; NOT a round gate)
+"""
+
+from __future__ import annotations
+
+import re
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+# plan constructs that must never appear in any registered query's
+# physical plan (the plan_audit discipline, made a hard gate)
+_FORBIDDEN_PLAN = ("BatchEvalPython", "CartesianProduct")
+
+
+def _run(label: str, cmd: list[str], timeout: int = 3600) -> tuple[str, bool, float]:
+    t0 = time.time()
+    print(f"\n=== {label}: {' '.join(cmd)}", flush=True)
+    try:
+        proc = subprocess.run(
+            cmd, cwd=REPO, timeout=timeout, capture_output=True, text=True
+        )
+    except subprocess.TimeoutExpired:
+        print(f"--- {label}: TIMEOUT after {timeout}s")
+        return label, False, time.time() - t0
+    tail = "\n".join((proc.stdout or "").strip().splitlines()[-6:])
+    print(tail)
+    ok = proc.returncode == 0
+    if not ok:
+        err_tail = "\n".join((proc.stderr or "").strip().splitlines()[-15:])
+        print(f"--- {label}: FAILED (rc={proc.returncode})\n{err_tail}")
+    return label, ok, time.time() - t0
+
+
+def _check_plans_md() -> bool:
+    text = (REPO / "PLANS.md").read_text()
+    bad = [c for c in _FORBIDDEN_PLAN if re.search(c, text)]
+    if bad:
+        print(f"--- PLANS.md contains forbidden plan nodes: {bad}")
+        return False
+    diff = subprocess.run(
+        ["git", "diff", "--stat", "PLANS.md"], cwd=REPO, capture_output=True, text=True
+    ).stdout.strip()
+    if diff:
+        print(f"--- PLANS.md changed (review + commit the regeneration):\n{diff}")
+    else:
+        print("--- PLANS.md unchanged")
+    return True
+
+
+def main() -> int:
+    fast = "--fast" in sys.argv[1:]
+    py = sys.executable
+    steps: list[tuple[str, bool, float]] = []
+
+    steps.append(
+        _run("type-lint", [py, "tools/oracle_check.py", "--lint-types"], 600)
+    )
+    steps.append(
+        _run("oracle-sweep sf0.01", [py, "tools/oracle_check.py", "/root/testdata/sf0.01"], 3000)
+    )
+    if not fast:
+        steps.append(_run("perf-sweep sf0.1", [py, "tools/sweep.py"], 3000))
+    steps.append(_run("fanout-audit", [py, "tools/fanout_audit.py"], 1800))
+    steps.append(_run("plan-audit", [py, "tools/plan_audit.py"], 1800))
+    steps.append(("plans-md-gate", _check_plans_md(), 0.0))
+    if not fast:
+        steps.append(
+            _run("pytest", [py, "-m", "pytest", "tests/", "-q", "--tb=line"], 3000)
+        )
+
+    print("\n=== round_gate summary")
+    failed = [s for s in steps if not s[1]]
+    for label, ok, dt in steps:
+        print(f"  {'PASS' if ok else 'FAIL'}  {label:22s} {dt:7.1f}s")
+    if fast:
+        print("  (--fast: perf-sweep and pytest SKIPPED — not a round gate)")
+    print(f"round_gate: {'FAIL' if failed else 'PASS'}")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
