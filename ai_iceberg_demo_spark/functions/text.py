@@ -2792,6 +2792,194 @@ def t98_rouge2_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# T105: BLEU-4 — clipped n-gram precision + brevity penalty (generation eval)
+# ---------------------------------------------------------------------------
+
+_BLEU_MIN_WORDS = 12  # shortest 4-gram-able pair after 2/3 truncation
+
+
+def _bleu_ngram_structs_sql() -> str:
+    """Spark-SQL expression: from a token array `t`, the flattened
+    array of (n, gram) structs for n = 1..4 — one explode covers all
+    four orders instead of four scans."""
+    cases = []
+    for n in range(1, 5):
+        idxs = ", ".join(f"t[i+{j}]" for j in range(n))
+        cases.append(
+            f"CASE WHEN size(t) >= {n} THEN "
+            f"transform(sequence(0, size(t) - {n}), "
+            f"i -> named_struct('n', {n}, 'gram', concat_ws(' ', {idxs}))) "
+            f"ELSE cast(array() as array<struct<n:int,gram:string>>) END"
+        )
+    return "flatten(array(" + ", ".join(cases) + "))"
+
+
+@REGISTRY.register(
+    name="t105_bleu_eval",
+    survey_ref="training-data (generation eval; t98 ROUGE-2's "
+    "precision-oriented sibling — the other canonical overlap metric)",
+    doc="BLEU-4 per (reference, candidate) pair: clipped modified "
+    "n-gram precision for n = 1..4 (Σ min(count_ref, count_cand) / "
+    "cand n-gram total — true multiset clipping, like t98), brevity "
+    "penalty exp(1 − r/c) for short candidates, and "
+    "BLEU = BP · (p1·p2·p3·p4)^(1/4) computed as sqrt(sqrt(·)) so the "
+    "geometric mean is IEEE-exact on both engines (pow(x, 0.25) is "
+    "libm-dependent; two sqrts are not). BOTH factors are exercised "
+    "by construction: doc_id%20==0 pairs get the footer-extended "
+    "candidate (precision < 1, BP = 1 — candidate longer), the rest "
+    "get a 2/3-truncation candidate (every candidate n-gram is a "
+    "reference n-gram, so p1..p4 = 1 exactly and BLEU = BP < 1). "
+    "Pairs need ≥ 12 words so the truncated side still has 4-grams. "
+    "Shape: ONE (doc, n, gram) wordcount per side (a single explode "
+    "emits all four orders), one gram equi-join WITHIN doc_id, one "
+    "per-doc pivot — model-output scoring at 100 TB with no pair "
+    "blow-up, same discipline as t98.",
+    oracle=f"""
+        WITH pairs AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 20 = 0 THEN 'footer'
+                        ELSE 'truncated' END AS variant,
+                   text AS ref_text,
+                   CASE WHEN doc_id % 20 = 0
+                        THEN text || ' near duplicate footer variant'
+                        ELSE ARRAY_TO_STRING(
+                            (STRING_SPLIT(text, ' '))[1:(2 * LEN(STRING_SPLIT(text, ' '))) // 3],
+                            ' ')
+                   END AS cand_text
+            FROM documents
+            WHERE doc_id % 10 = 0
+              AND LEN(STRING_SPLIT(text, ' ')) >= {_BLEU_MIN_WORDS}
+        ), ns AS (SELECT UNNEST([1, 2, 3, 4]) AS n),
+        refg AS (
+            SELECT doc_id, n, gram, CAST(COUNT(*) AS BIGINT) AS c FROM (
+                SELECT doc_id, n,
+                       UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(w) - n + 1),
+                              i -> ARRAY_TO_STRING(w[i:i+n-1], ' '))) AS gram
+                FROM (SELECT doc_id, STRING_SPLIT(ref_text, ' ') AS w FROM pairs), ns
+                WHERE LEN(w) >= n)
+            GROUP BY 1, 2, 3
+        ), candg AS (
+            SELECT doc_id, n, gram, CAST(COUNT(*) AS BIGINT) AS c FROM (
+                SELECT doc_id, n,
+                       UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(w) - n + 1),
+                              i -> ARRAY_TO_STRING(w[i:i+n-1], ' '))) AS gram
+                FROM (SELECT doc_id, STRING_SPLIT(cand_text, ' ') AS w FROM pairs), ns
+                WHERE LEN(w) >= n)
+            GROUP BY 1, 2, 3
+        ), clipped AS (
+            SELECT r.doc_id, r.n, SUM(LEAST(r.c, c.c)) AS m
+            FROM refg r JOIN candg c
+              ON r.doc_id = c.doc_id AND r.n = c.n AND r.gram = c.gram
+            GROUP BY 1, 2
+        ), pn AS (
+            SELECT t.doc_id, t.n,
+                   CAST(COALESCE(cl.m, 0) AS DOUBLE) / t.total AS p
+            FROM (SELECT doc_id, n, SUM(c) AS total FROM candg GROUP BY 1, 2) t
+            LEFT JOIN clipped cl ON cl.doc_id = t.doc_id AND cl.n = t.n
+        ), wide AS (
+            SELECT doc_id,
+                   MAX(CASE WHEN n = 1 THEN p END) AS p1,
+                   MAX(CASE WHEN n = 2 THEN p END) AS p2,
+                   MAX(CASE WHEN n = 3 THEN p END) AS p3,
+                   MAX(CASE WHEN n = 4 THEN p END) AS p4
+            FROM pn GROUP BY doc_id
+        ), lens AS (
+            SELECT doc_id, variant,
+                   LEN(STRING_SPLIT(ref_text, ' ')) AS r_len,
+                   LEN(STRING_SPLIT(cand_text, ' ')) AS c_len
+            FROM pairs
+        )
+        SELECT l.doc_id, l.variant,
+               ROUND(w.p1, 6) AS p1, ROUND(w.p2, 6) AS p2,
+               ROUND(w.p3, 6) AS p3, ROUND(w.p4, 6) AS p4,
+               ROUND(CASE WHEN l.c_len >= l.r_len THEN 1.0
+                          ELSE EXP(1.0 - CAST(l.r_len AS DOUBLE) / l.c_len)
+                     END, 6) AS brevity_penalty,
+               ROUND(CASE WHEN w.p1 * w.p2 * w.p3 * w.p4 > 0 THEN
+                          (CASE WHEN l.c_len >= l.r_len THEN 1.0
+                                ELSE EXP(1.0 - CAST(l.r_len AS DOUBLE) / l.c_len)
+                           END) * SQRT(SQRT(w.p1 * w.p2 * w.p3 * w.p4))
+                          ELSE 0.0 END, 6) AS bleu4
+        FROM lens l JOIN wide w USING (doc_id)
+    """,
+)
+def t105_bleu_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_iceberg_demo_spark.tables import fan_out_small_input, persist_once
+
+    docs = fan_out_small_input(load_table(spark, "documents", sf_dir))
+    toks0 = docs.select("doc_id", "text", F.split("text", " ").alias("w")).filter(
+        (F.col("doc_id") % 10 == 0) & (F.size("w") >= _BLEU_MIN_WORDS)
+    )
+    trunc_len = F.floor((2 * F.size("w")) / 3).cast("int")
+    pairs = toks0.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 20 == 0, F.lit("footer"))
+        .otherwise(F.lit("truncated"))
+        .alias("variant"),
+        F.col("text").alias("ref_text"),
+        F.when(
+            F.col("doc_id") % 20 == 0,
+            F.concat(F.col("text"), F.lit(" near duplicate footer variant")),
+        )
+        .otherwise(F.array_join(F.slice(F.col("w"), 1, trunc_len), " "))
+        .alias("cand_text"),
+    ).transform(persist_once)  # feeds both gram sides + the length table
+
+    def grams(col: str) -> DataFrame:
+        return (
+            pairs.select("doc_id", F.split(col, " ").alias("t"))
+            .select("doc_id", F.explode(F.expr(_bleu_ngram_structs_sql())).alias("g"))
+            .select("doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+            .groupBy("doc_id", "n", "gram")
+            .agg(F.count("*").cast("bigint").alias("c"))
+        )
+
+    refg, candg = grams("ref_text"), grams("cand_text")
+    clipped = (
+        refg.alias("r")
+        .join(
+            candg.alias("c"),
+            (F.col("r.doc_id") == F.col("c.doc_id"))
+            & (F.col("r.n") == F.col("c.n"))
+            & (F.col("r.gram") == F.col("c.gram")),
+        )
+        .groupBy(F.col("r.doc_id").alias("doc_id"), F.col("r.n").alias("n"))
+        .agg(F.sum(F.least(F.col("r.c"), F.col("c.c"))).alias("m"))
+    )
+    totals = candg.groupBy("doc_id", "n").agg(F.sum("c").alias("total"))
+    pn = totals.join(clipped, ["doc_id", "n"], "left").select(
+        "doc_id",
+        "n",
+        (F.coalesce("m", F.lit(0)).cast("double") / F.col("total")).alias("p"),
+    )
+    wide = pn.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("n") == k, F.col("p"))).alias(f"p{k}")
+            for k in range(1, 5)
+        ]
+    )
+    lens = pairs.select(
+        "doc_id",
+        "variant",
+        F.size(F.split("ref_text", " ")).alias("r_len"),
+        F.size(F.split("cand_text", " ")).alias("c_len"),
+    )
+    bp = F.when(F.col("c_len") >= F.col("r_len"), F.lit(1.0)).otherwise(
+        F.exp(1.0 - F.col("r_len").cast("double") / F.col("c_len"))
+    )
+    prod = F.col("p1") * F.col("p2") * F.col("p3") * F.col("p4")
+    return lens.join(wide, "doc_id").select(
+        "doc_id",
+        "variant",
+        *[F.round(f"p{k}", 6).alias(f"p{k}") for k in range(1, 5)],
+        F.round(bp, 6).alias("brevity_penalty"),
+        F.round(
+            F.when(prod > 0, bp * F.sqrt(F.sqrt(prod))).otherwise(F.lit(0.0)), 6
+        ).alias("bleu4"),
+    )
+
+
 def _bpe_tokens_sql(w_cte: str) -> str:
     """Σ freq × symbol-count over a w{k} CTE — the corpus token total
     under that round's vocabulary."""
