@@ -2936,8 +2936,13 @@ def t105_bleu_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     refg, candg = grams("ref_text"), grams("cand_text")
+    # every join below is doc- or gram-keyed with BOTH sides corpus-
+    # scaled at 100 TB — pin shuffle_hash so a size misestimate can
+    # never broadcast them (the d13 lesson; no sort needed, d2's
+    # reasoning). The fixture-scale cost is negligible.
     clipped = (
         refg.alias("r")
+        .hint("shuffle_hash")
         .join(
             candg.alias("c"),
             (F.col("r.doc_id") == F.col("c.doc_id"))
@@ -2948,7 +2953,7 @@ def t105_bleu_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.least(F.col("r.c"), F.col("c.c"))).alias("m"))
     )
     totals = candg.groupBy("doc_id", "n").agg(F.sum("c").alias("total"))
-    pn = totals.join(clipped, ["doc_id", "n"], "left").select(
+    pn = totals.join(clipped.hint("shuffle_hash"), ["doc_id", "n"], "left").select(
         "doc_id",
         "n",
         (F.coalesce("m", F.lit(0)).cast("double") / F.col("total")).alias("p"),
@@ -2969,7 +2974,7 @@ def t105_bleu_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.exp(1.0 - F.col("r_len").cast("double") / F.col("c_len"))
     )
     prod = F.col("p1") * F.col("p2") * F.col("p3") * F.col("p4")
-    return lens.join(wide, "doc_id").select(
+    return lens.join(wide.hint("shuffle_hash"), "doc_id").select(
         "doc_id",
         "variant",
         *[F.round(f"p{k}", 6).alias(f"p{k}") for k in range(1, 5)],
