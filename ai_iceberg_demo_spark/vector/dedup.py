@@ -1055,8 +1055,12 @@ def d9b_canonical_at_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(persist_once)
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    # candidate pairs AND the shingle relation both grow with the
+    # corpus — shuffle_hash so a post-aggregate size misestimate can
+    # never broadcast either (the d13 lesson; d2's no-sort reasoning)
     inter = (
-        cands.join(sh.alias("sa2"), F.col("a_id") == F.col("sa2.doc_id"))
+        cands.hint("shuffle_hash")
+        .join(sh.alias("sa2"), F.col("a_id") == F.col("sa2.doc_id"))
         .join(
             sh.alias("sb2"),
             (F.col("b_id") == F.col("sb2.doc_id"))
@@ -1079,8 +1083,9 @@ def d9b_canonical_at_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id")
     )
     comps = connected_components(pairs)
+    # q is per-doc (corpus-scaled) — same rule as above
     q = docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
-    members = comps.join(q, comps.id == q.doc_id).select(
+    members = comps.join(q.hint("shuffle_hash"), comps.id == q.doc_id).select(
         F.col("lbl").cast("bigint").alias("component_id"), "doc_id", "quality"
     )
     return members.groupBy("component_id").agg(
