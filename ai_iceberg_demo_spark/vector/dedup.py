@@ -2592,19 +2592,25 @@ def d5b_lsh_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_norm,
     )
 
-    emb = load_table(spark, "embeddings", sf_dir).select(
-        # vec-side analogue of the doc-twin guard (r8 ADVICE): a fixture
-        # whose vec_ids reach the offset would conflate twin and genuine
-        # ids in BOTH engines — hashes stay green while the planted-twin
-        # invariant silently degrades, so fail loudly per-row instead.
-        _guard_below_twin_offset(
-            F.col("vec_id"), _D5B_TWIN_OFFSET, "vec_id", "_D5B_TWIN_OFFSET"
-        ).alias("vec_id"),
-        as_double(F.col("embedding")).alias("embedding"),
+    # vec-side analogue of the doc-twin guard (r8 ADVICE): a fixture
+    # whose vec_ids reach the offset would conflate twin and genuine
+    # ids in BOTH engines — hashes stay green while the planted-twin
+    # invariant silently degrades, so fail loudly per-row instead.
+    # Both branches filter/derive from the RAW column and apply the
+    # guard in their own select, so scan-level filter derivation
+    # survives (guarding before the twin filter wrapped vec_id in a
+    # CASE and blocked pushdown).
+    raw = load_table(spark, "embeddings", sf_dir)
+    guarded = _guard_below_twin_offset(
+        F.col("vec_id"), _D5B_TWIN_OFFSET, "vec_id", "_D5B_TWIN_OFFSET"
+    )
+    emb = raw.select(
+        guarded.alias("vec_id"), as_double(F.col("embedding")).alias("embedding")
     )
     salted = emb.unionByName(
-        emb.filter(F.col("vec_id") % 25 == 0).select(
-            (F.col("vec_id") + _D5B_TWIN_OFFSET).alias("vec_id"), "embedding"
+        raw.filter(F.col("vec_id") % 25 == 0).select(
+            (guarded + _D5B_TWIN_OFFSET).alias("vec_id"),
+            as_double(F.col("embedding")).alias("embedding"),
         )
     )
     planes = md5_planes(_D5B_TABLES, _D5B_PLANES, 64)
