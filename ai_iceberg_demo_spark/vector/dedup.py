@@ -2361,9 +2361,13 @@ def d28_transitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("n_inter").cast("double") / (
         F.col("na") + F.col("nb") - F.col("n_inter")
     )
+    # size table is doc-count-sized (corpus-scaled) — shuffle_hash, not
+    # an explicit broadcast (the d13 lesson; d28's edge relation is
+    # d2's Σdf² exactness tier, full corpus, so the audit is the
+    # fixture-scale tier — d28b is the banded at-scale spelling)
     allj = (
-        inter.join(F.broadcast(sa), "a_id")
-        .join(F.broadcast(sb), "b_id")
+        inter.join(sa.hint("shuffle_hash"), "a_id")
+        .join(sb.hint("shuffle_hash"), "b_id")
         .select("a_id", "b_id", jac.alias("j"))
         .transform(persist_once)
     )
@@ -2386,6 +2390,237 @@ def d28_transitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["a", "c"],
         "left",
     ).select(
+        (F.coalesce(F.col("j"), F.lit(0.0)) >= _D28_TAU).alias("closes")
+    )
+    n_edges = strong.count()
+    return closed.agg(
+        F.lit(n_edges).cast("bigint").alias("n_edges"),
+        F.count("*").cast("bigint").alias("n_paths2"),
+        F.sum(F.when(F.col("closes"), 1).otherwise(0)).cast("bigint").alias(
+            "n_closed"
+        ),
+        F.round(F.avg(F.when(F.col("closes"), 0.0).otherwise(1.0)), 4).alias(
+            "violation_rate"
+        ),
+        (F.avg(F.when(F.col("closes"), 0.0).otherwise(1.0)) < 0.2).alias(
+            "single_linkage_safe"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# D28b: transitivity audit AT SCALE (banded edges, path-priced closure)
+# ---------------------------------------------------------------------------
+
+
+@REGISTRY.register(
+    name="d28b_transitivity_at_scale",
+    survey_ref="training-data (dedup clustering soundness at 100 TB); "
+    "d28's edge relation is d2's full-corpus Σdf² exactness tier — "
+    "this runs the SAME audit on the banded candidates→verify edge "
+    "set (d9b's machinery) with the closing pairs verified exactly",
+    doc=f"the 100 TB spelling of d28's transitivity audit: MinHash "
+    "band collisions over the salted 1-in-10 sample propose candidate "
+    "pairs, exact word-3-gram Jaccard ≥ 0.8 verifies them into the "
+    "edge set (d9b's candidates→verify, shared oracle CTEs), length-2 "
+    "paths a–b–c enumerate on the shared middle, and each DISTINCT "
+    "closing pair (a,c) gets its exact Jaccard computed DIRECTLY from "
+    "the shingle table — path-priced, so a closure that never "
+    "collided in any band is still judged by its true Jaccard "
+    "instead of being miscounted as a violation (the correctness "
+    "trap of auditing closures against candidate-only pairs). "
+    "Violation rate ≥ 0.2 would flag single-linkage chaining; every "
+    "30th sampled doc gets TWO footer twins (offsets 2e6/4e6, "
+    "disjoint id ranges) so a–t1/a–t2 edges form real length-2 paths "
+    "at every SF — a single twin per doc yields disjoint pairs and "
+    "an audit with nothing to judge (measured: n_paths2 = 0). Every "
+    "stage is banded/path-bounded: band equi-join candidates, verify "
+    "prices collisions, paths price edge fan-out, closure verify "
+    "prices paths — no corpus×corpus contact anywhere.",
+    oracle=f"""
+        WITH salted_docs AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+            UNION ALL
+            SELECT doc_id + {_TWIN_DOC_OFFSET}, text || '{_TWIN_FOOTER}'
+            FROM documents WHERE doc_id % 30 = 0
+            UNION ALL
+            SELECT doc_id + {2 * _TWIN_DOC_OFFSET},
+                   text || ' almost identical footer variation'
+            FROM documents WHERE doc_id % 30 = 0
+        )
+        {_bands_sql("TRUE", src="salted_docs", lead=", ")}
+        , cands AS (
+            SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+             AND a.doc_id < b.doc_id
+        ), sdocs AS (
+            SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM salted_docs
+        ), sh AS (
+            SELECT DISTINCT doc_id,
+                   UNNEST(CASE WHEN LEN(toks) >= 3 THEN
+                       LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - 2),
+                                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                   ELSE [] END) AS shingle
+            FROM sdocs
+        ), sizes AS (
+            SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+        ), inter AS (
+            SELECT c.a_id, c.b_id, COUNT(*) AS n_inter
+            FROM cands c
+            JOIN sh a ON a.doc_id = c.a_id
+            JOIN sh b ON b.doc_id = c.b_id AND b.shingle = a.shingle
+            GROUP BY c.a_id, c.b_id
+        ), strong AS (
+            SELECT i.a_id, i.b_id
+            FROM inter i
+            JOIN sizes sa ON i.a_id = sa.doc_id
+            JOIN sizes sb ON i.b_id = sb.doc_id
+            WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter)
+                  >= {_D28_TAU}
+        ), edges AS (
+            SELECT a_id AS u, b_id AS v FROM strong
+            UNION ALL
+            SELECT b_id, a_id FROM strong
+        ), paths AS (
+            SELECT e1.u AS a, e1.v AS m, e2.v AS c
+            FROM edges e1 JOIN edges e2 ON e2.u = e1.v AND e2.v > e1.u
+            WHERE e2.v != e1.u
+        ), closure_pairs AS (
+            SELECT DISTINCT a, c FROM paths
+        ), closure_inter AS (
+            SELECT cp.a, cp.c, COUNT(*) AS n_inter
+            FROM closure_pairs cp
+            JOIN sh x ON x.doc_id = cp.a
+            JOIN sh y ON y.doc_id = cp.c AND y.shingle = x.shingle
+            GROUP BY cp.a, cp.c
+        ), closure_j AS (
+            SELECT ci.a, ci.c,
+                   CAST(ci.n_inter AS DOUBLE)
+                       / (sa.n_sh + sc.n_sh - ci.n_inter) AS j
+            FROM closure_inter ci
+            JOIN sizes sa ON sa.doc_id = ci.a
+            JOIN sizes sc ON sc.doc_id = ci.c
+        ), closed AS (
+            SELECT p.a, p.m, p.c,
+                   COALESCE(cj.j, 0.0) >= {_D28_TAU} AS closes
+            FROM paths p
+            LEFT JOIN closure_j cj ON cj.a = p.a AND cj.c = p.c
+        )
+        SELECT CAST((SELECT COUNT(*) FROM strong) AS BIGINT) AS n_edges,
+               CAST(COUNT(*) AS BIGINT) AS n_paths2,
+               CAST(SUM(CASE WHEN closes THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_closed,
+               ROUND(AVG(CASE WHEN closes THEN 0.0 ELSE 1.0 END), 4)
+                   AS violation_rate,
+               AVG(CASE WHEN closes THEN 0.0 ELSE 1.0 END) < 0.2
+                   AS single_linkage_safe
+        FROM closed
+    """,
+)
+def d28b_transitivity_at_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded edges (d9b's candidates→verify) + path-priced exact
+    closure verify. Cites d28 (the full-corpus exactness tier) for the
+    audit semantics; at 100 TB only this spelling completes."""
+    from ai_iceberg_demo_spark.tables import fan_out_small_input
+
+    base = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") % 10 == 0)
+    guarded = base.select(
+        _guard_below_twin_offset(F.col("doc_id")).alias("doc_id"), "text"
+    )
+    sel = base.filter(F.col("doc_id") % 30 == 0)
+    twins = sel.select(
+        (F.col("doc_id") + _TWIN_DOC_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_TWIN_FOOTER)).alias("text"),
+    ).unionByName(
+        sel.select(
+            (F.col("doc_id") + 2 * _TWIN_DOC_OFFSET).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" almost identical footer variation")).alias(
+                "text"
+            ),
+        )
+    )
+    docs = fan_out_small_input(guarded.unionByName(twins)).transform(persist_once)
+    bands = minhash_bands(docs).transform(persist_once)
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+    sh = (
+        docs.select("doc_id", F.explode(shingles(F.col("text"))).alias("shingle"))
+        .distinct()
+        .transform(persist_once)
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        cands.hint("shuffle_hash")
+        .join(sh.alias("sa2"), F.col("a_id") == F.col("sa2.doc_id"))
+        .join(
+            sh.alias("sb2"),
+            (F.col("b_id") == F.col("sb2.doc_id"))
+            & (F.col("sb2.shingle") == F.col("sa2.shingle")),
+        )
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("nb"))
+    jac = F.col("n_inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_inter")
+    )
+    strong = (
+        inter.join(na.hint("shuffle_hash"), "a_id")
+        .join(nb.hint("shuffle_hash"), "b_id")
+        .filter(jac >= _D28_TAU)
+        .select("a_id", "b_id")
+        .transform(persist_once)  # feeds the edge doubling AND n_edges
+    )
+    edges = strong.select(F.col("a_id").alias("u"), F.col("b_id").alias("v")).unionAll(
+        strong.select(F.col("b_id").alias("u"), F.col("a_id").alias("v"))
+    )
+    e1, e2 = edges.alias("e1"), edges.alias("e2")
+    paths = (
+        e1.join(
+            e2,
+            (F.col("e2.u") == F.col("e1.v"))
+            & (F.col("e2.v") > F.col("e1.u"))
+            & (F.col("e2.v") != F.col("e1.u")),
+        )
+        .select(
+            F.col("e1.u").alias("a"), F.col("e1.v").alias("m"), F.col("e2.v").alias("c")
+        )
+        .transform(persist_once)  # feeds closure pairs AND the final agg
+    )
+    closure_pairs = paths.select("a", "c").distinct()
+    closure_inter = (
+        closure_pairs.hint("shuffle_hash")
+        .join(sh.alias("x"), F.col("a") == F.col("x.doc_id"))
+        .join(
+            sh.alias("y"),
+            (F.col("c") == F.col("y.doc_id"))
+            & (F.col("y.shingle") == F.col("x.shingle")),
+        )
+        .groupBy("a", "c")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    nca = sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na"))
+    ncc = sizes.select(F.col("doc_id").alias("c"), F.col("n_sh").alias("nc"))
+    cj = F.col("n_inter").cast("double") / (
+        F.col("na") + F.col("nc") - F.col("n_inter")
+    )
+    closure_j = (
+        closure_inter.join(nca.hint("shuffle_hash"), "a")
+        .join(ncc.hint("shuffle_hash"), "c")
+        .select("a", "c", cj.alias("j"))
+    )
+    closed = paths.join(closure_j, ["a", "c"], "left").select(
         (F.coalesce(F.col("j"), F.lit(0.0)) >= _D28_TAU).alias("closes")
     )
     n_edges = strong.count()

@@ -36,6 +36,19 @@ def test_d9b_every_footer_twin_clusters_with_its_original(spark):
     assert solo == 0
 
 
+def test_d28b_audit_has_paths_and_sane_counts(spark):
+    """The banded transitivity audit must have real length-2 paths to
+    judge (the twin-pair fixture bug made n_paths2 = 0) and internally
+    consistent counts."""
+    row = _q("d28b_transitivity_at_scale")(spark, SF_DIR).collect()[0]
+    assert row["n_paths2"] > 0, "no length-2 paths — twin triangles not firing"
+    assert row["n_edges"] > 0
+    assert 0 <= row["n_closed"] <= row["n_paths2"]
+    expected = round(1.0 - row["n_closed"] / row["n_paths2"], 4)
+    assert row["violation_rate"] == expected
+    assert row["single_linkage_safe"] == (row["violation_rate"] < 0.2)
+
+
 def test_t105_bleu_factor_separation(spark):
     """The two BLEU factors must separate by variant: truncated
     candidates are reference prefixes (every candidate n-gram clips
