@@ -2509,12 +2509,12 @@ def d28_transitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT CAST((SELECT COUNT(*) FROM strong) AS BIGINT) AS n_edges,
                CAST(COUNT(*) AS BIGINT) AS n_paths2,
-               CAST(SUM(CASE WHEN closes THEN 1 ELSE 0 END) AS BIGINT)
-                   AS n_closed,
-               ROUND(AVG(CASE WHEN closes THEN 0.0 ELSE 1.0 END), 4)
-                   AS violation_rate,
-               AVG(CASE WHEN closes THEN 0.0 ELSE 1.0 END) < 0.2
-                   AS single_linkage_safe
+               CAST(COALESCE(SUM(CASE WHEN closes THEN 1 ELSE 0 END), 0)
+                   AS BIGINT) AS n_closed,
+               ROUND(COALESCE(AVG(CASE WHEN closes THEN 0.0 ELSE 1.0 END),
+                              0.0), 4) AS violation_rate,
+               COALESCE(AVG(CASE WHEN closes THEN 0.0 ELSE 1.0 END), 0.0)
+                   < 0.2 AS single_linkage_safe
         FROM closed
     """,
 )
@@ -2624,18 +2624,20 @@ def d28b_transitivity_at_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.coalesce(F.col("j"), F.lit(0.0)) >= _D28_TAU).alias("closes")
     )
     n_edges = strong.count()
+    # COALESCE the empty-path aggregates on BOTH engines: a corpus with
+    # verified edges but zero length-2 paths would otherwise render
+    # NULL/NaN differently across the Arrow/pandas boundary (measured
+    # during the twin-pair fixture bug) — an all-closed default is the
+    # honest reading of "no path violated"
+    viol = F.coalesce(F.avg(F.when(F.col("closes"), 0.0).otherwise(1.0)), F.lit(0.0))
     return closed.agg(
         F.lit(n_edges).cast("bigint").alias("n_edges"),
         F.count("*").cast("bigint").alias("n_paths2"),
-        F.sum(F.when(F.col("closes"), 1).otherwise(0)).cast("bigint").alias(
-            "n_closed"
-        ),
-        F.round(F.avg(F.when(F.col("closes"), 0.0).otherwise(1.0)), 4).alias(
-            "violation_rate"
-        ),
-        (F.avg(F.when(F.col("closes"), 0.0).otherwise(1.0)) < 0.2).alias(
-            "single_linkage_safe"
-        ),
+        F.coalesce(F.sum(F.when(F.col("closes"), 1).otherwise(0)), F.lit(0))
+        .cast("bigint")
+        .alias("n_closed"),
+        F.round(viol, 4).alias("violation_rate"),
+        (viol < 0.2).alias("single_linkage_safe"),
     )
 
 
