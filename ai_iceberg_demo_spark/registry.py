@@ -92,72 +92,72 @@ class Registry:
 #   3. Then never-driver-checked names in registration order; then
 #      staleness tiers.
 #
-# Round 9 window (this list, per the r8 verdict's marching order #1):
-# the 5 r8 post-change re-pins FIRST — d13 (sort-merge hints after the
-# sf10 driver OOM), d2/d9/d6 (shuffle_hash/merge hints on the shingle
-# and component joins), j12 (linear two-channel candidate generation
-# replacing the quadratic in-block cross) — then the first 45 of the
-# 55 never-windowed names in registration order. The 4 previously-
-# windowed re-pins displace 4 never-windowed slots, so 9 (not 5)
-# overflow to r10: t89–t94 cohort, pipeline_experiment/forecast/
-# storage, t93_streaming_topk. r10 draft: those 9, then any r9
-# registrations/semantic changes per policy #2, then the r2-core
-# staleness cohort (42 names, 8 rounds stale by r10) — see ROTATION.md.
+# Round 10 window (this list, per the r9 verdict's marching order #1):
+# the 9 r9 overflows first (in registration order), then the 3 r9
+# registrations as post-change/first-ever pins (d9b, t105, d28b —
+# d28b's slot also re-pins the r10 shuffle_hash hints on its path
+# self-join and closure join, plan-only), then u19_packing_split
+# (its only driver row, r5, predates its hash oracle — policy #2),
+# then the 37-name r2-core staleness cohort in name order (8 rounds
+# stale; a8 excluded per policy #1 — rows-only; its hash-oracled core
+# a8c holds an r8 row). 9 + 3 + 1 + 37 = 50. r11 draft: the r10
+# registrations (v18c/d26b/v33b/v24c) first, then the r3 staleness
+# tier — see ROTATION.md.
 _DRIVER_WINDOW_PRIORITY = [
-    # 5 post-change re-pins (policy #2): d13/d2/d9/d6 join-strategy
-    # hint changes + j12 candidate-generation rewrite, all r8
-    "d13_intradoc_span_dedup",
-    "d2_ngram_jaccard",
-    "d9_quality_canonical",
-    "d6_dedup_components",
-    "j12_entity_resolution",
-    # 45 never-windowed names in registration order (j12 pulled to
-    # the head above); 9 overflow to r10 — see ROTATION.md
-    "s19_encoding_advisor",
-    "j11_band_join",
-    "j13_asof_directions",
-    "g7_degree_assortativity",
-    "g8_logstep_components",
-    "g9_neighbor_feature_agg",
-    "t102_bradley_terry",
-    "a24_market_basket",
-    "w12_rolling_correlation",
-    "o8_range_partitioner_audit",
-    "o9_pagination_drift",
-    "u39_hamilton_allocation",
-    "u40_corpus_version_diff",
-    "u41_exact_stratified_sample",
-    "u46_license_propagation",
-    "m18_column_masking",
-    "m19_merge_conflicts",
-    "m20_partition_evolution",
-    "t77_bigram_perplexity",
-    "t96_ngram_novelty",
-    "t97_bpe_train",
-    "t98_rouge2_eval",
-    "t99_bpe_training_curve",
-    "t104_fim_examples",
-    "t103_span_corruption",
-    "t85_prf_expansion",
-    "t95_rank_biased_overlap",
-    "x6_python_udtf",
-    "x7_arrow_scalar_udf",
-    "x8_grouped_map_pandas",
-    "d26_mutual_knn",
-    "v33_knn_classifier",
-    "v35_pq_tuning_curve",
-    "d27_shingle_sensitivity",
-    "d28_transitivity_audit",
-    "d29_crossdoc_line_dedup",
-    "d5b_lsh_embedding_dedup",
-    "v34_cluster_label_nmi",
-    "v36_two_level_assign",
-    "t101_native_session_window",
-    "t100_attribution_left_outer",
-    "t78_conformal_forecast",
-    "t79_ols_forecast",
-    "t80_power_analysis",
-    "t84_psi_drift",
+    # 9 r9 overflows, registration order
+    "t89_feature_store_join",
+    "t90_eb_shrinkage",
+    "t91_uplift_by_segment",
+    "t92_lift_chart",
+    "t94_msprt_sequential",
+    "pipeline_experiment",
+    "pipeline_forecast",
+    "pipeline_storage",
+    "t93_streaming_topk",
+    # r9 registrations (first-ever rows; d28b doubles as the r10
+    # join-hint re-pin) + the u19 oracle-upgrade re-pin
+    "d9b_canonical_at_scale",
+    "t105_bleu_eval",
+    "d28b_transitivity_at_scale",
+    "u19_packing_split",
+    # r2-core staleness cohort (newest driver row r2), name order
+    "a11_percentiles",
+    "d1_exact_dedup",
+    "d1b_drop_duplicates",
+    "d4_simhash",
+    "d5_embedding_dedup",
+    "f25_base64_roundtrip",
+    "f26_html_escape",
+    "f28_fuzzy_match",
+    "f29_pii_redaction",
+    "flagship_timeline",
+    "j6_similarity_join",
+    "m1_merge_upsert",
+    "m2_point_update",
+    "m3_append_insert",
+    "m4_insert_if_absent",
+    "pipeline_curation",
+    "pipeline_interactive",
+    "pipeline_run_direct",
+    "t16_winnowing_fingerprint",
+    "t1_token_counting",
+    "t2_quality_score",
+    "t2_topic_routing",
+    "t3_langid",
+    "t3_stream_filter",
+    "t4_fingerprint",
+    "u4_except",
+    "u5_hash_sample",
+    "u6_train_test_split",
+    "u7_class_weights",
+    "u8_source_cap",
+    "v10_text_stats",
+    "v1_hash_embedding",
+    "v2_chunking",
+    "v3_cosine_topk",
+    "v4_semantic_cache_gate",
+    "v5_context_retrieval",
+    "v8_artifact_metadata",
 ]
 
 

@@ -2586,9 +2586,11 @@ def d28b_transitivity_at_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         strong.select(F.col("b_id").alias("u"), F.col("a_id").alias("v"))
     )
     e1, e2 = edges.alias("e1"), edges.alias("e2")
+    # both sides of the path self-join are the corpus-scaled edge set —
+    # d13 rule: pin shuffle_hash so a size misestimate can't broadcast it
     paths = (
         e1.join(
-            e2,
+            e2.hint("shuffle_hash"),
             (F.col("e2.u") == F.col("e1.v"))
             & (F.col("e2.v") > F.col("e1.u"))
             & (F.col("e2.v") != F.col("e1.u")),
@@ -2620,7 +2622,9 @@ def d28b_transitivity_at_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(ncc.hint("shuffle_hash"), "c")
         .select("a", "c", cj.alias("j"))
     )
-    closed = paths.join(closure_j, ["a", "c"], "left").select(
+    # closure_j is a post-aggregate of the corpus-scaled path set —
+    # same d13 rule, never trust the fixture-scale size estimate
+    closed = paths.join(closure_j.hint("shuffle_hash"), ["a", "c"], "left").select(
         (F.coalesce(F.col("j"), F.lit(0.0)) >= _D28_TAU).alias("closes")
     )
     n_edges = strong.count()

@@ -44,9 +44,12 @@ def test_d28b_audit_has_paths_and_sane_counts(spark):
     assert row["n_paths2"] > 0, "no length-2 paths — twin triangles not firing"
     assert row["n_edges"] > 0
     assert 0 <= row["n_closed"] <= row["n_paths2"]
-    expected = round(1.0 - row["n_closed"] / row["n_paths2"], 4)
-    assert row["violation_rate"] == expected
-    assert row["single_linkage_safe"] == (row["violation_rate"] < 0.2)
+    unrounded_rate = 1.0 - row["n_closed"] / row["n_paths2"]
+    assert row["violation_rate"] == round(unrounded_rate, 4)
+    # the query derives the flag from the UNROUNDED rate — compare
+    # against the same quantity, not the rounded column (a true rate in
+    # [0.19995, 0.2) would otherwise fail on correct output)
+    assert row["single_linkage_safe"] == (unrounded_rate < 0.2)
 
 
 def test_t105_bleu_factor_separation(spark):

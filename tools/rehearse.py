@@ -10,8 +10,12 @@ here, never by the sf0.1 bench).
 
     python tools/rehearse.py /tmp/sf10 name [name ...]
 
-Prints per-query best-of-2 warm seconds (bench.py methodology, noop
-sink so the full plan executes without a collect).
+Prints per-query best-of-2 seconds through a noop sink (the full plan
+executes without a collect). NOTE: clearCache() runs between the two
+timed attempts and there is no untimed warm pass, so both readings are
+cold-ish — NOT comparable to bench floors (which use a warm pre-run).
+That is fine for this tool's only job: rehearsal RATIOS across
+fixtures, which only need internal consistency.
 """
 
 from __future__ import annotations

@@ -25,6 +25,9 @@ host (steps 2/3/6 dominate). Usage:
     python tools/round_gate.py            # everything
     python tools/round_gate.py --fast     # skip sweep + pytest (inner-
                                           # loop use; NOT a round gate)
+    python tools/round_gate.py --sf-dir D # oracle-sweep fixture dir
+                                          # (or $ROUND_GATE_SF_DIR);
+                                          # default /root/testdata/sf0.01
 """
 
 from __future__ import annotations
@@ -85,7 +88,20 @@ def _check_plans_md() -> bool:
 
 
 def main() -> int:
-    fast = "--fast" in sys.argv[1:]
+    import os
+
+    argv = sys.argv[1:]
+    fast = "--fast" in argv
+    # oracle-sweep fixture dir: --sf-dir PATH > $ROUND_GATE_SF_DIR >
+    # the driver's default — fail loudly if it does not exist rather
+    # than letting the sweep die with an opaque read error
+    sf_dir = os.environ.get("ROUND_GATE_SF_DIR", "/root/testdata/sf0.01")
+    if "--sf-dir" in argv:
+        sf_dir = argv[argv.index("--sf-dir") + 1]
+    if not Path(sf_dir).is_dir():
+        print(f"round_gate: oracle-sweep fixture dir missing: {sf_dir}")
+        print("pass --sf-dir PATH or set ROUND_GATE_SF_DIR")
+        return 2
     py = sys.executable
     steps: list[tuple[str, bool, float]] = []
 
@@ -93,7 +109,7 @@ def main() -> int:
         _run("type-lint", [py, "tools/oracle_check.py", "--lint-types"], 600)
     )
     steps.append(
-        _run("oracle-sweep sf0.01", [py, "tools/oracle_check.py", "/root/testdata/sf0.01"], 3000)
+        _run(f"oracle-sweep {Path(sf_dir).name}", [py, "tools/oracle_check.py", sf_dir], 3000)
     )
     if not fast:
         steps.append(_run("perf-sweep sf0.1", [py, "tools/sweep.py"], 3000))
