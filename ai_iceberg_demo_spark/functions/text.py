@@ -2819,6 +2819,7 @@ def _bleu_ngram_structs_sql() -> str:
     name="t105_bleu_eval",
     survey_ref="training-data (generation eval; t98 ROUGE-2's "
     "precision-oriented sibling — the other canonical overlap metric)",
+    bench=True,  # r9 verdict #4: heavy eval plan, floored alongside d9b
     doc="BLEU-4 per (reference, candidate) pair: clipped modified "
     "n-gram precision for n = 1..4 (Σ min(count_ref, count_cand) / "
     "cand n-gram total — true multiset clipping, like t98), brevity "

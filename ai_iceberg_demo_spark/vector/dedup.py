@@ -968,6 +968,8 @@ _CANONICAL_TAIL_SQL = """edges AS (
 @REGISTRY.register(
     name="d9b_canonical_at_scale",
     survey_ref="training-data (canonical-pick at 100 TB: d3 ∘ d2b ∘ d6 ∘ d9)",
+    bench=True,  # r9 verdict #4: the heaviest registered plan and the
+    # flagship 100 TB dedup path belongs under the floor guard
     doc="the 100 TB spelling of d9's quality-aware canonical selection, "
     "registered as ONE verified plan instead of SCALE.md prose: MinHash "
     "band collisions propose candidate pairs (d3's index over the "

@@ -1859,6 +1859,237 @@ def v18b_knn_graph_det(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# V18c: occupancy-CAPPED deterministic k-NN graph (v18's r9 cap, hash-oracled)
+# ---------------------------------------------------------------------------
+
+#: v18c's occupancy discipline — v18's production constants scaled to
+#: the md5 family's fixed 4-plane/16-bucket tables so the SPLIT tier
+#: actually fires at the oracle SFs (7 hot buckets at sf0.01, 128 at
+#: sf0.1 — measured; T=16 over-split, halving recall, and T=32 never
+#: fired at sf0.01); the SALT tier needs a degenerate near-identical
+#: cluster, absent from the isotropic fixture, so it is exercised by a
+#: planted-cluster cross-engine test (tests/test_r10_ops.py) and by
+#: the sf1/sf10 rehearsal fixtures.
+_V18C_TARGET = 24
+_V18C_SPLIT_BITS = 4  # secondary sign bits per table -> <=16-way split
+_V18C_SOFT = 2 * _V18C_TARGET  # buckets <= soft stay whole
+_V18C_HARD = 3 * _V18C_TARGET  # sub-buckets > hard get md5-salted
+_V18C_SALT_TARGET = (3 * _V18C_TARGET) // 2  # ~1.5x target per salt cell
+
+
+def _v18c_graph_sql() -> str:
+    """The capped graph as ONE replayable SQL string (consumers wrap it
+    verbatim — d26's discipline). Bits 0-3 of each table's signature
+    are bit-identical to v18b's (same md5 components); bits 4-7 are the
+    secondary split family. The salt is md5-derived (not xxhash64 —
+    DuckDB lacks it) so both engines compute identical cells; e is a
+    CASE over exact integer occupancy, never a float log2."""
+    planes8 = _MD5_PLANES_SQL.format(
+        tmax=_V27_TMAX - 1, pmax=_V27_NPLANES + _V18C_SPLIT_BITS - 1, imax=63
+    )
+    np_, nb = _V27_NPLANES, _V18C_SPLIT_BITS
+    return f"""
+        WITH planes AS ({planes8}
+        ), comps AS (
+            SELECT vec_id,
+                   GENERATE_SUBSCRIPTS(CAST(embedding AS DOUBLE[]), 1) - 1 AS i,
+                   UNNEST(CAST(embedding AS DOUBLE[])) AS x
+            FROM embeddings
+        ), dots AS (
+            SELECT c.vec_id, pl.t, pl.p, ROUND(SUM(pl.w * c.x), 6) AS d
+            FROM comps c JOIN planes pl ON pl.i = c.i
+            GROUP BY c.vec_id, pl.t, pl.p
+        ), sigs AS (
+            SELECT vec_id, t,
+                   CAST(SUM(CASE WHEN d > 0 AND p < {np_}
+                                 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS b,
+                   CAST(SUM(CASE WHEN d > 0 AND p >= {np_}
+                                 THEN (1::BIGINT << (p - {np_})) ELSE 0 END) AS BIGINT) AS xb
+            FROM dots GROUP BY vec_id, t
+        ), sizes AS (
+            SELECT t, b, COUNT(*) AS m FROM sigs GROUP BY t, b
+        ), ext AS (
+            SELECT s.vec_id, s.t,
+                   (s.b << {nb}) + (s.xb >> ({nb} -
+                       CASE WHEN z.m <= {_V18C_SOFT} THEN 0
+                            WHEN z.m <= {4 * _V18C_TARGET} THEN 2
+                            WHEN z.m <= {8 * _V18C_TARGET} THEN 3
+                            ELSE {nb} END)) AS sub
+            FROM sigs s JOIN sizes z ON z.t = s.t AND z.b = s.b
+        ), sizes2 AS (
+            SELECT t, sub, COUNT(*) AS m2 FROM ext GROUP BY t, sub
+        ), keyed AS (
+            SELECT e.vec_id, e.t, e.sub,
+                   CASE WHEN s2.m2 <= {_V18C_HARD} THEN CAST(0 AS BIGINT)
+                        ELSE ('0x' || SUBSTR(MD5('salt#'
+                                  || CAST(e.vec_id AS VARCHAR) || '#'
+                                  || CAST(e.t AS VARCHAR)), 1, 8))::BIGINT
+                             % ((s2.m2 + {_V18C_SALT_TARGET - 1})
+                                // {_V18C_SALT_TARGET})
+                   END AS salt
+            FROM ext e JOIN sizes2 s2 ON s2.t = e.t AND s2.sub = e.sub
+        ), cand AS (
+            SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+            FROM keyed a JOIN keyed b
+              ON a.t = b.t AND a.sub = b.sub AND a.salt = b.salt
+             AND a.vec_id <> b.vec_id
+        ), scored AS (
+            SELECT c.src, c.dst,
+                   ROUND({_COS_SQL.format(a="ea.embedding", b="eb.embedding")}, 6) AS score
+            FROM cand c
+            JOIN embeddings ea ON ea.vec_id = c.src
+            JOIN embeddings eb ON eb.vec_id = c.dst
+        )
+        SELECT src, dst, score FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY src
+                                         ORDER BY score DESC, dst) AS rn
+            FROM scored) WHERE rn <= 3
+    """
+
+
+def _md5_capped_keys(emb: DataFrame) -> DataFrame:
+    """(vec_id, t, sub, salt) — the occupancy-capped bucket keys over
+    the PINNED md5 plane family: v18's r9 cap (secondary-hyperplane
+    hot-bucket split + deterministic salt for degenerate clusters) with
+    every step SQL-replayable. One signature table feeds both occupancy
+    audits; ``sizes``/``sizes2`` are corpus-INDEPENDENT relations
+    (<=2^planes buckets x 8 tables, <=2^(planes+split) subs), so their
+    broadcasts are safe at any corpus size."""
+    planes = md5_planes(_V27_TMAX, _V27_NPLANES + _V18C_SPLIT_BITS, 64)
+    sigs = (
+        emb.select(
+            "vec_id",
+            F.posexplode(
+                lsh_signatures(F.col("embedding"), planes, round_digits=6)
+            ).alias("t", "sig"),
+        )
+        .select(
+            "vec_id",
+            "t",
+            F.col("sig").bitwiseAND(F.lit((1 << _V27_NPLANES) - 1)).alias("b"),
+            F.shiftright(F.col("sig"), _V27_NPLANES).alias("xb"),
+        )
+        .transform(persist_once)  # feeds the occupancy audit AND ext
+    )
+    sizes = sigs.groupBy("t", "b").agg(F.count("*").alias("m"))
+    ext = (
+        sigs.join(F.broadcast(sizes), ["t", "b"])
+        .withColumn(
+            "sub",
+            F.expr(
+                f"shiftleft(b, {_V18C_SPLIT_BITS}) + shiftright(xb, "
+                f"{_V18C_SPLIT_BITS} - CASE WHEN m <= {_V18C_SOFT} THEN 0 "
+                f"WHEN m <= {4 * _V18C_TARGET} THEN 2 "
+                f"WHEN m <= {8 * _V18C_TARGET} THEN 3 "
+                f"ELSE {_V18C_SPLIT_BITS} END)"
+            ),
+        )
+        .select("vec_id", "t", "sub")
+    )
+    sizes2 = ext.groupBy("t", "sub").agg(F.count("*").alias("m2"))
+    salt_cells = F.expr(
+        f"CAST((m2 + {_V18C_SALT_TARGET - 1}) DIV {_V18C_SALT_TARGET} AS BIGINT)"
+    )
+    return (
+        ext.join(F.broadcast(sizes2), ["t", "sub"])
+        .withColumn(
+            "salt",
+            F.when(F.col("m2") <= _V18C_HARD, F.lit(0).cast("bigint")).otherwise(
+                F.pmod(
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.lit("salt#"),
+                                    F.col("vec_id").cast("string"),
+                                    F.lit("#"),
+                                    F.col("t").cast("string"),
+                                )
+                            ),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("bigint"),
+                    salt_cells,
+                )
+            ),
+        )
+        .select("vec_id", "t", "sub", "salt")
+    )
+
+
+def knn_graph_capped_det(emb: DataFrame, k: int = 3) -> DataFrame:
+    """v18c's core: exact-rerank top-k among CAPPED-bucket collision
+    candidates. Every join here is corpus x corpus — the keyed
+    self-join and both embedding payload joins carry pinned
+    shuffle_hash hints (the d13 rule)."""
+    from pyspark.sql import Window as W
+
+    keyed = _md5_capped_keys(emb).transform(persist_once)
+    cand = (
+        keyed.alias("a")
+        .join(
+            keyed.alias("b").hint("shuffle_hash"),
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.sub") == F.col("b.sub"))
+            & (F.col("a.salt") == F.col("b.salt"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst"))
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("src"), F.col("embedding").alias("va"))
+    eb = emb.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("vb"))
+    scored = (
+        cand.join(ea.hint("shuffle_hash"), "src")
+        .join(eb.hint("shuffle_hash"), "dst")
+        .select(
+            "src",
+            "dst",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("score"),
+        )
+    )
+    w = W.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("src", "dst", "score")
+    )
+
+
+@REGISTRY.register(
+    name="v18c_knn_graph_capped",
+    survey_ref="training-data (k-NN graph); the CAPPED deterministic "
+    "twin — r9 made the occupancy-capped path v18's production plan, "
+    "so the graph consumers need a hash-oracled spelling of THAT plan, "
+    "not of the uncapped v18b anchor (r9 verdict marching order #2)",
+    doc="the occupancy-capped k-NN graph, hash-oracled end to end: "
+    "v18b's pinned md5 planes extended with a 4-bit secondary split "
+    "family (hot buckets > 2x target split by exact-integer-CASE "
+    "extra sign bits; sub-buckets still > 3x target get a "
+    "deterministic md5 salt down to ~1.5x target), then exact cosine "
+    "rerank among capped-cell collisions and per-src top-3. This is "
+    "v18's r9 production discipline (vector/similarity.py knn_graph) "
+    "with every step replayable in SQL — the occupancy CASE uses "
+    "integer thresholds (never float log2) and the salt is md5-based "
+    "(DuckDB has no xxhash64), so capped keys are bit-identical "
+    "across engines. sizes/sizes2 are corpus-independent (<=128 / "
+    "<=2048 rows at 4+4 bits) so their broadcasts hold at 100 TB; "
+    "the keyed self-join and payload joins carry pinned shuffle_hash "
+    "hints (the d13 rule). v18b (uncapped anchor) stays registered "
+    "and untouched; agreement vs it is pinned in tests/test_r10_ops.py.",
+    oracle=_v18c_graph_sql() + " ORDER BY src, score DESC, dst",
+)
+def v18c_knn_graph_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return knn_graph_capped_det(emb, k=3).orderBy(
+        "src", F.desc("score"), "dst"
+    )
+
+
+# ---------------------------------------------------------------------------
 # V29: binary sign quantization + Hamming retrieval audit
 # ---------------------------------------------------------------------------
 
@@ -2775,6 +3006,50 @@ def d26_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _d26b_oracle() -> str:
+    """d26's mutual-pair logic over the CAPPED graph — wraps v18c's
+    registered SQL verbatim so the two can never desync."""
+    v18c = REGISTRY.specs["v18c_knn_graph_capped"].oracle
+    return f"""
+        WITH graph AS ({v18c})
+        SELECT a.src AS vec_a, a.dst AS vec_b, a.score
+        FROM graph a JOIN graph b
+          ON b.src = a.dst AND b.dst = a.src
+        WHERE a.src < a.dst
+        ORDER BY a.src, a.dst
+    """
+
+
+@REGISTRY.register(
+    name="d26b_mutual_knn_capped",
+    survey_ref="training-data (near-dup precision tier) — d26 re-based "
+    "on the graph a 100 TB run would actually build: d26's registered "
+    "spelling rides the deliberately-UNCAPPED v18b anchor (DNF at sf10 "
+    "by inheritance, SCALE.md), so the production composition existed "
+    "only in prose until this twin (r9 verdict marching order #2)",
+    doc="mutual k-NN pairs over v18c's occupancy-capped deterministic "
+    "graph: edges present in BOTH directions, deduped to a<b. Same "
+    "reciprocity semantics as d26 (hub artifacts lose their one-way "
+    "edges); the substrate is the capped graph, so the whole plan is "
+    "linear at scale AND hash-oracled. The oracle wraps v18c's "
+    "registered SQL verbatim; the Spark side self-joins the persisted "
+    "O(k*N) edge set on reversed (src,dst) — never the corpus.",
+    oracle=_d26b_oracle(),
+)
+def d26b_mutual_knn_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    graph = knn_graph_capped_det(emb, k=3).transform(persist_once)
+    rev = graph.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), F.lit(1).alias("_r")
+    )
+    return (
+        graph.join(rev, ["src", "dst"])
+        .filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("vec_a"), F.col("dst").alias("vec_b"), "score")
+        .orderBy("vec_a", "vec_b")
+    )
+
+
 # ---------------------------------------------------------------------------
 # v33: k-NN classifier readout (neighbor majority vote vs true labels)
 # ---------------------------------------------------------------------------
@@ -2856,6 +3131,167 @@ def v33_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("hit"), 6).alias("knn_accuracy"),
         )
         .orderBy("label")
+    )
+
+
+def _v33b_oracle() -> str:
+    v18c = REGISTRY.specs["v18c_knn_graph_capped"].oracle
+    return f"""
+        WITH graph AS ({v18c}), votes AS (
+            SELECT g.src, l.label AS nbr_label, COUNT(*) AS v
+            FROM graph g JOIN embeddings l ON l.vec_id = g.dst
+            GROUP BY g.src, l.label
+        ), pred AS (
+            SELECT src, nbr_label AS pred_label FROM (
+                SELECT src, nbr_label,
+                       ROW_NUMBER() OVER (PARTITION BY src
+                                          ORDER BY v DESC, nbr_label) AS rn
+                FROM votes) WHERE rn = 1
+        ), scored AS (
+            SELECT e.label AS true_label,
+                   CASE WHEN p.pred_label = e.label THEN 1.0 ELSE 0.0 END
+                       AS hit
+            FROM pred p JOIN embeddings e ON e.vec_id = p.src
+        )
+        SELECT CAST(true_label AS INT) AS label,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(AVG(hit), 6) AS knn_accuracy
+        FROM scored GROUP BY true_label
+        ORDER BY label
+    """
+
+
+@REGISTRY.register(
+    name="v33b_knn_classifier_capped",
+    survey_ref="training-data (embedding quality as a TASK metric) — "
+    "v33 re-based on the capped graph the production path builds "
+    "(r9 verdict marching order #2; v33's registered spelling rides "
+    "the uncapped v18b anchor and DNFs at sf10 by inheritance)",
+    doc="v33's k-NN classification readout over v18c's occupancy-"
+    "capped deterministic graph: each vector's label predicted by "
+    "majority vote of its capped-graph neighbors (ties to the lowest "
+    "label), accuracy per class. Identical voting semantics to v33; "
+    "the oracle wraps v18c's registered SQL verbatim. Voting is one "
+    "(src,label)-keyed partial agg over O(k*N) edges.",
+    oracle=_v33b_oracle(),
+)
+def v33b_knn_classifier_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    graph = knn_graph_capped_det(emb, k=3).select("src", "dst")
+    labels = emb.select("vec_id", "label")
+    votes = (
+        graph.join(labels.withColumnRenamed("vec_id", "dst"), "dst")
+        .groupBy("src", F.col("label").alias("nbr_label"))
+        .agg(F.count("*").alias("v"))
+    )
+    w = W.partitionBy("src").orderBy(F.desc("v"), F.asc("nbr_label"))
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("src", F.col("nbr_label").alias("pred_label"))
+    )
+    scored = pred.join(labels.withColumnRenamed("vec_id", "src"), "src").select(
+        F.col("label").alias("true_label"),
+        F.when(F.col("pred_label") == F.col("label"), 1.0).otherwise(0.0).alias("hit"),
+    )
+    return (
+        scored.groupBy(F.col("true_label").cast("int").alias("label"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.avg("hit"), 6).alias("knn_accuracy"),
+        )
+        .orderBy("label")
+    )
+
+
+def _v24c_oracle() -> str:
+    v18c = REGISTRY.specs["v18c_knn_graph_capped"].oracle
+    return f"""
+        WITH graph AS ({v18c}), votes AS (
+            SELECT g.src, l.label AS nl, COUNT(*) AS c
+            FROM graph g JOIN embeddings l ON l.vec_id = g.dst
+            GROUP BY g.src, l.label
+        ), maj AS (
+            SELECT src, nl AS neighbor_label, c AS n_agree, n_nbrs FROM (
+                SELECT src, nl, c,
+                       ROW_NUMBER() OVER (PARTITION BY src
+                                          ORDER BY c DESC, nl) AS rn,
+                       SUM(c) OVER (PARTITION BY src) AS n_nbrs
+                FROM votes) WHERE rn = 1
+        )
+        SELECT m.src, CAST(e.label AS INT) AS own_label,
+               CAST(m.neighbor_label AS INT) AS neighbor_label,
+               CAST(m.n_agree AS INT) AS n_agree,
+               CAST(m.n_nbrs AS INT) AS n_neighbors,
+               CASE WHEN m.n_agree = 3 AND m.neighbor_label <> e.label
+                    THEN 'flagged' ELSE 'ok' END AS verdict
+        FROM maj m JOIN embeddings e ON e.vec_id = m.src
+        ORDER BY m.src
+    """
+
+
+@REGISTRY.register(
+    name="v24c_label_noise_capped",
+    survey_ref="training-data (label QA) — v24's unanimous-disagreement "
+    "verdict re-based on the capped graph (r9 verdict marching order "
+    "#2): v24 itself is rows-only (RNG planes) and v24b audits only "
+    "the ~1%% probe sample with a corpus-scan-per-probe shape; this "
+    "twin hash-checks the FULL-corpus verdict on the linear-at-scale "
+    "substrate",
+    doc="v24's label-noise verdict over v18c's occupancy-capped "
+    "deterministic graph, emitted for EVERY vector (v24b's non-vacuous "
+    "discipline — with 10 uniform labels a unanimous disagreement is "
+    "rare, so a flags-only result would be vacuously empty at fixture "
+    "scale): per src, its neighbors' majority label (ties to lowest), "
+    "agreement count, neighbor count, and the flagged/ok verdict "
+    "(flagged = 3 unanimous neighbors, all differing from own label). "
+    "The oracle wraps v18c's registered SQL verbatim; the audit costs "
+    "one (src,label) partial agg + two windows over O(k*N) edges.",
+    oracle=_v24c_oracle(),
+)
+def v24c_label_noise_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    graph = knn_graph_capped_det(emb, k=3).select("src", "dst")
+    labels = emb.select("vec_id", "label")
+    votes = (
+        graph.join(labels.withColumnRenamed("vec_id", "dst"), "dst")
+        .groupBy("src", F.col("label").alias("nl"))
+        .agg(F.count("*").alias("c"))
+    )
+    wr = W.partitionBy("src").orderBy(F.desc("c"), F.asc("nl"))
+    ws = W.partitionBy("src")
+    maj = (
+        votes.withColumn("rn", F.row_number().over(wr))
+        .withColumn("n_nbrs", F.sum("c").over(ws))
+        .filter(F.col("rn") == 1)
+        .select(
+            "src",
+            F.col("nl").alias("neighbor_label"),
+            F.col("c").alias("n_agree"),
+            "n_nbrs",
+        )
+    )
+    own = labels.select(F.col("vec_id").alias("src"), F.col("label").alias("own"))
+    return (
+        maj.join(own, "src")
+        .select(
+            "src",
+            F.col("own").cast("int").alias("own_label"),
+            F.col("neighbor_label").cast("int").alias("neighbor_label"),
+            F.col("n_agree").cast("int").alias("n_agree"),
+            F.col("n_nbrs").cast("int").alias("n_neighbors"),
+            F.when(
+                (F.col("n_agree") == 3) & (F.col("neighbor_label") != F.col("own")),
+                F.lit("flagged"),
+            )
+            .otherwise(F.lit("ok"))
+            .alias("verdict"),
+        )
+        .orderBy("src")
     )
 
 

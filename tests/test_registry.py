@@ -53,8 +53,9 @@ def test_bench_set_is_headline_sized_and_fully_oracled():
     reg = all_registries()
     bench = {n: s for n, s in reg.specs.items() if s.bench}
     # upper bound raised 25 → 28 in r6 when the dedup cascade and PQ
-    # joined the headline set (both hash-oracled + floor-guarded)
-    assert 10 <= len(bench) <= 30
+    # joined the headline set (both hash-oracled + floor-guarded);
+    # 30 → 32 in r10 when d9b/t105 joined per the r9 verdict #4
+    assert 10 <= len(bench) <= 32
     unoracled = [n for n, s in bench.items()
                  if s.oracle is None and n not in APPROX_BENCH_OK]
     assert unoracled == [], f"bench queries without oracle: {unoracled}"
