@@ -2986,6 +2986,330 @@ def t105_bleu_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# T106: chrF — character n-gram F-score (the third canonical overlap metric)
+# ---------------------------------------------------------------------------
+
+_CHRF_MAX_N = 6  # chrF's standard character n-gram orders 1..6
+_CHRF_BETA2 = 4.0  # beta = 2: recall weighted double (Popović 2015)
+
+
+def _chrf_ngram_structs_sql() -> str:
+    """Spark-SQL expression: from a space-stripped string `s`, the
+    flattened array of (n, gram) structs for n = 1..6 — one explode
+    covers all six orders (t105's single-scan discipline, characters
+    instead of words)."""
+    cases = []
+    for n in range(1, _CHRF_MAX_N + 1):
+        cases.append(
+            f"CASE WHEN length(s) >= {n} THEN "
+            f"transform(sequence(1, length(s) - {n} + 1), "
+            f"i -> named_struct('n', {n}, 'gram', substring(s, i, {n}))) "
+            f"ELSE cast(array() as array<struct<n:int,gram:string>>) END"
+        )
+    return "flatten(array(" + ", ".join(cases) + "))"
+
+
+@REGISTRY.register(
+    name="t106_chrf_eval",
+    survey_ref="training-data (generation eval): chrF completes the "
+    "canonical overlap-metric triple — t105 BLEU (word precision), "
+    "t98 ROUGE-2 (word recall), chrF (character F) — the "
+    "tokenization-robust metric morphologically rich evaluation "
+    "defaults to",
+    doc="chrF per (reference, candidate) pair (Popović, WMT 2015): "
+    "character n-gram P_n/R_n for n = 1..6 over space-stripped text "
+    "(true multiset clipping, t98's Σ min), averaged over orders, "
+    "combined as F_beta with beta = 2 (recall weighted double). BOTH "
+    "factor directions exercised by construction, the char-level "
+    "mirror of t105's factor separation: footer candidates make the "
+    "reference a char-prefix of the candidate (R_n = 1 exactly, "
+    "P_n < 1), truncated candidates are char-prefixes of the "
+    "reference (P_n = 1 exactly, R_n < 1) — a prefix's char-n-gram "
+    "multiset is dominated by the full string's, so the equalities "
+    "are exact, pinned per row. Shape: ONE (doc, n, gram) wordcount "
+    "per side (a single explode emits all six orders), one gram "
+    "equi-join WITHIN doc_id, one per-doc agg — no pair blow-up; "
+    "doc- and gram-keyed joins pinned shuffle_hash (d13 rule).",
+    oracle=f"""
+        WITH pairs AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 20 = 0 THEN 'footer'
+                        ELSE 'truncated' END AS variant,
+                   REPLACE(text, ' ', '') AS ref_s,
+                   CASE WHEN doc_id % 20 = 0
+                        THEN REPLACE(text || ' near duplicate footer variant',
+                                     ' ', '')
+                        ELSE REPLACE(ARRAY_TO_STRING(
+                            (STRING_SPLIT(text, ' '))[1:(2 * LEN(STRING_SPLIT(text, ' '))) // 3],
+                            ' '), ' ', '')
+                   END AS cand_s
+            FROM documents
+            WHERE doc_id % 10 = 0
+              AND LEN(STRING_SPLIT(text, ' ')) >= {_BLEU_MIN_WORDS}
+        ), ns AS (SELECT UNNEST(GENERATE_SERIES(1, {_CHRF_MAX_N})) AS n),
+        refg AS (
+            SELECT doc_id, n, gram, CAST(COUNT(*) AS BIGINT) AS c FROM (
+                SELECT doc_id, n,
+                       UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(ref_s) - n + 1),
+                              i -> ref_s[i:i+n-1])) AS gram
+                FROM pairs, ns WHERE LEN(ref_s) >= n)
+            GROUP BY 1, 2, 3
+        ), candg AS (
+            SELECT doc_id, n, gram, CAST(COUNT(*) AS BIGINT) AS c FROM (
+                SELECT doc_id, n,
+                       UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(cand_s) - n + 1),
+                              i -> cand_s[i:i+n-1])) AS gram
+                FROM pairs, ns WHERE LEN(cand_s) >= n)
+            GROUP BY 1, 2, 3
+        ), clipped AS (
+            SELECT r.doc_id, r.n, SUM(LEAST(r.c, c.c)) AS m
+            FROM refg r JOIN candg c
+              ON r.doc_id = c.doc_id AND r.n = c.n AND r.gram = c.gram
+            GROUP BY 1, 2
+        ), pn AS (
+            SELECT rt.doc_id, rt.n,
+                   CAST(COALESCE(cl.m, 0) AS DOUBLE) / ct.total AS p,
+                   CAST(COALESCE(cl.m, 0) AS DOUBLE) / rt.total AS r
+            FROM (SELECT doc_id, n, SUM(c) AS total FROM refg GROUP BY 1, 2) rt
+            JOIN (SELECT doc_id, n, SUM(c) AS total FROM candg GROUP BY 1, 2) ct
+              ON ct.doc_id = rt.doc_id AND ct.n = rt.n
+            LEFT JOIN clipped cl ON cl.doc_id = rt.doc_id AND cl.n = rt.n
+        ), avgd AS (
+            SELECT doc_id, AVG(p) AS chrp, AVG(r) AS chrr
+            FROM pn GROUP BY doc_id
+        )
+        SELECT p.doc_id, p.variant,
+               ROUND(a.chrp, 6) AS chrf_precision,
+               ROUND(a.chrr, 6) AS chrf_recall,
+               ROUND(CASE WHEN {1 + _CHRF_BETA2} * a.chrp * a.chrr = 0 THEN 0.0
+                          ELSE ({1 + _CHRF_BETA2} * a.chrp * a.chrr)
+                               / ({_CHRF_BETA2} * a.chrp + a.chrr) END, 6)
+                   AS chrf2
+        FROM pairs p JOIN avgd a USING (doc_id)
+    """,
+)
+def t106_chrf_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_iceberg_demo_spark.tables import fan_out_small_input, persist_once
+
+    docs = fan_out_small_input(load_table(spark, "documents", sf_dir))
+    toks0 = docs.select("doc_id", "text", F.split("text", " ").alias("w")).filter(
+        (F.col("doc_id") % 10 == 0) & (F.size("w") >= _BLEU_MIN_WORDS)
+    )
+    trunc_len = F.floor((2 * F.size("w")) / 3).cast("int")
+    pairs = toks0.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 20 == 0, F.lit("footer"))
+        .otherwise(F.lit("truncated"))
+        .alias("variant"),
+        F.translate(F.col("text"), " ", "").alias("ref_s"),
+        F.when(
+            F.col("doc_id") % 20 == 0,
+            F.translate(
+                F.concat(F.col("text"), F.lit(" near duplicate footer variant")),
+                " ",
+                "",
+            ),
+        )
+        .otherwise(
+            F.translate(F.array_join(F.slice(F.col("w"), 1, trunc_len), " "), " ", "")
+        )
+        .alias("cand_s"),
+    ).transform(persist_once)  # feeds both gram sides + the output join
+
+    def grams(col: str) -> DataFrame:
+        return (
+            pairs.select("doc_id", F.col(col).alias("s"))
+            .select("doc_id", F.explode(F.expr(_chrf_ngram_structs_sql())).alias("g"))
+            .select("doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+            .groupBy("doc_id", "n", "gram")
+            .agg(F.count("*").cast("bigint").alias("c"))
+        )
+
+    refg, candg = grams("ref_s"), grams("cand_s")
+    # the char-gram join carries ~6 orders x chars-per-doc rows per
+    # side (~7x t105's word-gram volume — shuffle_hash's per-task hash
+    # map OOMed at sf10, measured); pin MERGE so it sorts and SPILLS
+    # (d13's r8 fix, same failure mode). The (doc,n)-keyed aggregates
+    # below are order-of-docs sized — shuffle_hash is right for them.
+    clipped = (
+        refg.alias("r")
+        .hint("merge")
+        .join(
+            candg.alias("c"),
+            (F.col("r.doc_id") == F.col("c.doc_id"))
+            & (F.col("r.n") == F.col("c.n"))
+            & (F.col("r.gram") == F.col("c.gram")),
+        )
+        .groupBy(F.col("r.doc_id").alias("doc_id"), F.col("r.n").alias("n"))
+        .agg(F.sum(F.least(F.col("r.c"), F.col("c.c"))).alias("m"))
+    )
+    rt = refg.groupBy("doc_id", "n").agg(F.sum("c").alias("r_total"))
+    ct = candg.groupBy("doc_id", "n").agg(F.sum("c").alias("c_total"))
+    pn = (
+        rt.hint("shuffle_hash")
+        .join(ct, ["doc_id", "n"])
+        .join(clipped.hint("shuffle_hash"), ["doc_id", "n"], "left")
+        .select(
+            "doc_id",
+            "n",
+            (F.coalesce("m", F.lit(0)).cast("double") / F.col("c_total")).alias("p"),
+            (F.coalesce("m", F.lit(0)).cast("double") / F.col("r_total")).alias("r"),
+        )
+    )
+    avgd = pn.groupBy("doc_id").agg(F.avg("p").alias("chrp"), F.avg("r").alias("chrr"))
+    num = (1 + _CHRF_BETA2) * F.col("chrp") * F.col("chrr")
+    den = _CHRF_BETA2 * F.col("chrp") + F.col("chrr")
+    return pairs.select("doc_id", "variant").join(
+        avgd.hint("shuffle_hash"), "doc_id"
+    ).select(
+        "doc_id",
+        "variant",
+        F.round("chrp", 6).alias("chrf_precision"),
+        F.round("chrr", 6).alias("chrf_recall"),
+        F.round(F.when(num == 0, F.lit(0.0)).otherwise(num / den), 6).alias("chrf2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# T107: vocabulary growth curve + Heaps-law fit (tokenizer budget sizing)
+# ---------------------------------------------------------------------------
+
+_HEAPS_CHECKPOINTS = 10
+
+
+@REGISTRY.register(
+    name="t107_vocab_growth",
+    survey_ref="training-data (corpus statistics): the V = K·N^beta "
+    "vocabulary growth law — the curve that sizes a tokenizer vocab "
+    "budget (t97's k) and predicts type counts at 100 TB from a "
+    "fixture-scale prefix; complements t19's unigram distribution and "
+    "t77's bigram perplexity with the type-accumulation view",
+    doc="Heaps'-law type growth over word-3-gram shingle types (the "
+    "unit that sizes d3's MinHash band space; the fixture's UNIGRAM "
+    "vocabulary is closed — 31 types, all seen in the first decile — "
+    "so unigram Heaps is degenerate here, measured): the corpus is "
+    "cut into 10 doc_id-ordered checkpoints (bucket = "
+    "floor(doc_id*10/(max_id+1)) — a map-side expression against one "
+    "broadcast 1-row max, NOT an NTILE global sort over the corpus); "
+    "per checkpoint the CUMULATIVE shingle-instance count N and "
+    "distinct-type count V, where V accumulates via each type's "
+    "FIRST bucket (one type-keyed min-agg — a type is counted once, "
+    "at the prefix where it first appears), then the log-log OLS fit "
+    "V = K*N^beta via COVAR_POP/VAR_POP over the 10-row checkpoint "
+    "table, emitted on every row (+0.0 normalizes IEEE -0 before "
+    "rounding — the engines disagree on COVAR_POP's zero sign). "
+    "Shape: one corpus explode + one type-keyed shuffle + 10-row "
+    "windows/aggs; the fit is a broadcast 1-row cross join. The "
+    "running-prefix spelling (cumulative distinct per doc) would "
+    "need a corpus-ordered global window; first-bucket attribution "
+    "gives identical V at every checkpoint boundary with one "
+    "partial-agg shuffle.",
+    oracle=f"""
+        WITH mx AS (SELECT MAX(doc_id) AS mid FROM documents),
+        tok AS (
+            SELECT LEAST({_HEAPS_CHECKPOINTS - 1},
+                         CAST(FLOOR(CAST(doc_id AS DOUBLE) * {_HEAPS_CHECKPOINTS}
+                                    / (mx.mid + 1)) AS INT)) AS b,
+                   UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(w) - 2),
+                          i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS token
+            FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS w
+                  FROM documents WHERE LEN(STRING_SPLIT(text, ' ')) >= 3), mx
+        ), toks_per_b AS (
+            SELECT b, CAST(COUNT(*) AS BIGINT) AS n_tok FROM tok GROUP BY b
+        ), first_b AS (
+            SELECT token, MIN(b) AS fb FROM tok GROUP BY token
+        ), types_per_b AS (
+            SELECT fb AS b, CAST(COUNT(*) AS BIGINT) AS n_new FROM first_b GROUP BY fb
+        ), cum AS (
+            SELECT t.b AS checkpoint,
+                   CAST(SUM(t.n_tok) OVER (ORDER BY t.b) AS BIGINT) AS cum_tokens,
+                   CAST(SUM(COALESCE(ty.n_new, 0)) OVER (ORDER BY t.b) AS BIGINT)
+                       AS cum_types
+            FROM toks_per_b t LEFT JOIN types_per_b ty ON ty.b = t.b
+        ), fit AS (
+            SELECT COVAR_POP(LN(cum_tokens), LN(cum_types))
+                       / VAR_POP(LN(cum_tokens)) AS beta,
+                   AVG(LN(cum_types))
+                       - COVAR_POP(LN(cum_tokens), LN(cum_types))
+                         / VAR_POP(LN(cum_tokens)) * AVG(LN(cum_tokens)) AS ln_k
+            FROM cum
+        )
+        SELECT c.checkpoint, c.cum_tokens, c.cum_types,
+               ROUND(f.beta + 0.0, 6) AS heaps_beta,
+               ROUND(f.ln_k + 0.0, 6) AS heaps_ln_k
+        FROM cum c, fit f
+        ORDER BY c.checkpoint
+    """,
+)
+def t107_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ai_iceberg_demo_spark.tables import fan_out_small_input, persist_once
+
+    docs = fan_out_small_input(load_table(spark, "documents", sf_dir))
+    mx = docs.agg(F.max("doc_id").alias("mid"))
+    shingle = F.expr(
+        "transform(sequence(0, size(w) - 3), "
+        "i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+    )
+    tok = (
+        docs.select("doc_id", F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= 3)
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.least(
+                F.lit(_HEAPS_CHECKPOINTS - 1),
+                F.floor(
+                    F.col("doc_id").cast("double")
+                    * _HEAPS_CHECKPOINTS
+                    / (F.col("mid") + 1)
+                ).cast("int"),
+            ).alias("b"),
+            F.explode(shingle).alias("token"),
+        )
+        .transform(persist_once)  # feeds the token-count AND first-bucket aggs
+    )
+    toks_per_b = tok.groupBy("b").agg(F.count("*").cast("bigint").alias("n_tok"))
+    first_b = tok.groupBy("token").agg(F.min("b").alias("fb"))
+    types_per_b = first_b.groupBy(F.col("fb").alias("b")).agg(
+        F.count("*").cast("bigint").alias("n_new")
+    )
+    # cumulative windows run over the 10-row checkpoint table — the
+    # documented corpus-independent global-window exception
+    wc = W.orderBy("b").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = (
+        toks_per_b.join(F.broadcast(types_per_b), "b", "left")
+        .select(
+            F.col("b").alias("checkpoint"),
+            F.sum("n_tok").over(wc).cast("bigint").alias("cum_tokens"),
+            F.sum(F.coalesce("n_new", F.lit(0)))
+            .over(wc)
+            .cast("bigint")
+            .alias("cum_types"),
+        )
+    )
+    ln_n, ln_v = F.log(F.col("cum_tokens")), F.log(F.col("cum_types"))
+    fit = cum.agg(
+        (F.covar_pop(ln_n, ln_v) / F.var_pop(ln_n)).alias("beta"),
+        F.avg(ln_v).alias("mv"),
+        F.avg(ln_n).alias("mn"),
+    ).select(
+        "beta", (F.col("mv") - F.col("beta") * F.col("mn")).alias("ln_k")
+    )
+    return (
+        cum.crossJoin(F.broadcast(fit))
+        .select(
+            "checkpoint",
+            "cum_tokens",
+            "cum_types",
+            F.round(F.col("beta") + 0.0, 6).alias("heaps_beta"),
+            F.round(F.col("ln_k") + 0.0, 6).alias("heaps_ln_k"),
+        )
+        .orderBy("checkpoint")
+    )
+
+
 def _bpe_tokens_sql(w_cte: str) -> str:
     """Σ freq × symbol-count over a w{k} CTE — the corpus token total
     under that round's vocabulary."""
