@@ -2544,6 +2544,13 @@ def d28b_transitivity_at_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = fan_out_small_input(guarded.unionByName(twins)).transform(persist_once)
     bands = minhash_bands(docs).transform(persist_once)
+    # the bands self-join and the sh second-stage joins below stay
+    # UNPINNED (same as d9b's shared machinery): both read persisted
+    # relations whose MATERIALIZED size AQE sees exactly, so the
+    # broadcast at fixture scale flips to a shuffle join past the 10 MB
+    # threshold on its own — the d13 hazard is size-MISestimated
+    # post-aggregates (paths, closure_j, the size tables), and every
+    # one of those is hinted
     a, b = bands.alias("a"), bands.alias("b")
     cands = (
         a.join(

@@ -3042,8 +3042,11 @@ def d26b_mutual_knn_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = graph.select(
         F.col("dst").alias("src"), F.col("src").alias("dst"), F.lit(1).alias("_r")
     )
+    # both sides are the O(k*N) edge set — pin MERGE (sorts + spills;
+    # a shuffle_hash build side would carry the t106 OOM risk at the
+    # corpus sizes this twin exists for)
     return (
-        graph.join(rev, ["src", "dst"])
+        graph.join(rev.hint("merge"), ["src", "dst"])
         .filter(F.col("src") < F.col("dst"))
         .select(F.col("src").alias("vec_a"), F.col("dst").alias("vec_b"), "score")
         .orderBy("vec_a", "vec_b")
