@@ -2061,6 +2061,8 @@ def knn_graph_capped_det(emb: DataFrame, k: int = 3) -> DataFrame:
 
 @REGISTRY.register(
     name="v18c_knn_graph_capped",
+    bench=True,  # r10: the capped-graph twin is a top-3 heaviest plan —
+    # floor-guarded so the 100 TB dedup substrate's cost stays watched
     survey_ref="training-data (k-NN graph); the CAPPED deterministic "
     "twin — r9 made the occupancy-capped path v18's production plan, "
     "so the graph consumers need a hash-oracled spelling of THAT plan, "
