@@ -3300,6 +3300,124 @@ def v24c_label_noise_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _graph_quality_oracle() -> str:
+    """Compose the capped-graph family's EXACT oracle strings as
+    subqueries (pipeline_model_eval's discipline): substrate stats
+    (v18c), reciprocity tier (d26b), classification readout (v33b),
+    label QA (v24c) — drift in any part's oracle drifts this card
+    identically."""
+    v18c = REGISTRY.specs["v18c_knn_graph_capped"].oracle
+    d26b = REGISTRY.specs["d26b_mutual_knn_capped"].oracle
+    v33b = REGISTRY.specs["v33b_knn_classifier_capped"].oracle
+    v24c = REGISTRY.specs["v24c_label_noise_capped"].oracle
+    return f"""
+        SELECT 'substrate' AS family, metric, value FROM (
+            SELECT UNNEST(['n_edges', 'avg_score']) AS metric,
+                   UNNEST([CAST(COUNT(*) AS DOUBLE),
+                           ROUND(AVG(score), 6)]) AS value
+            FROM ({v18c})
+        )
+        UNION ALL
+        SELECT 'precision_tier', metric, value FROM (
+            SELECT UNNEST(['n_mutual_pairs', 'mutual_rate']) AS metric,
+                   UNNEST([CAST(COUNT(*) AS DOUBLE),
+                           ROUND(2.0 * COUNT(*) /
+                                 (SELECT COUNT(*) FROM ({v18c})), 6)]) AS value
+            FROM ({d26b})
+        )
+        UNION ALL
+        SELECT 'classification', 'knn_accuracy_overall',
+               ROUND(SUM(n * knn_accuracy) / SUM(n), 6)
+        FROM ({v33b})
+        UNION ALL
+        SELECT 'label_qa', metric, value FROM (
+            SELECT UNNEST(['n_flagged', 'flag_rate', 'avg_n_agree']) AS metric,
+                   UNNEST([CAST(SUM(CASE WHEN verdict = 'flagged'
+                                         THEN 1 ELSE 0 END) AS DOUBLE),
+                           ROUND(SUM(CASE WHEN verdict = 'flagged'
+                                          THEN 1.0 ELSE 0.0 END) / COUNT(*), 6),
+                           ROUND(AVG(n_agree), 6)]) AS value
+            FROM ({v24c})
+        )
+        ORDER BY family, metric
+    """
+
+
+@REGISTRY.register(
+    name="pipeline_graph_quality",
+    survey_ref="training-data (composed: v18c + d26b + v33b + v24c "
+    "capped-graph governance card)",
+    doc="the k-NN-graph governance card in ONE long-format table "
+    "(family, metric, value): substrate size/score (v18c edge count + "
+    "mean cosine), reciprocity precision tier (d26b mutual pairs + "
+    "the share of edges that are mutual), embedding quality as a task "
+    "metric (v33b's accuracy, n-weighted across classes), and label "
+    "QA (v24c flag count/rate + mean neighbor agreement) — the report "
+    "a curation pipeline publishes when the graph index is rebuilt, "
+    "before dedup/labeling consumers trust it. The oracle REUSES the "
+    "four parts' exact oracle strings as subqueries so the card can "
+    "never drift from its parts; the Spark side calls the registered "
+    "operators — their shared signature substrate is persisted once "
+    "(persist_once's plan-identical cache), so the expensive keying "
+    "work runs once and only the O(k*N) graph tails re-execute per "
+    "family.",
+    oracle=_graph_quality_oracle(),
+)
+def pipeline_graph_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def unpivot(df: DataFrame, family: str, cols: list[str]) -> DataFrame:
+        pairs = F.array(
+            *[
+                F.struct(F.lit(c).alias("metric"), F.col(c).cast("double").alias("value"))
+                for c in cols
+            ]
+        )
+        return df.select(F.explode(pairs).alias("_m")).select(
+            F.lit(family).alias("family"),
+            F.col("_m.metric").alias("metric"),
+            F.col("_m.value").alias("value"),
+        )
+
+    graph = v18c_knn_graph_capped(spark, sf_dir).transform(persist_once)
+    sub = graph.agg(
+        F.count("*").cast("double").alias("n_edges"),
+        F.round(F.avg("score"), 6).alias("avg_score"),
+    ).transform(persist_once)  # feeds the substrate family AND mutual_rate
+    mut = (
+        d26b_mutual_knn_capped(spark, sf_dir)
+        .agg(F.count("*").cast("double").alias("n_mutual_pairs"))
+        .crossJoin(F.broadcast(sub.select("n_edges")))
+        .select(
+            "n_mutual_pairs",
+            F.round(2.0 * F.col("n_mutual_pairs") / F.col("n_edges"), 6).alias(
+                "mutual_rate"
+            ),
+        )
+    )
+    cls = v33b_knn_classifier_capped(spark, sf_dir).agg(
+        F.round(
+            F.sum(F.col("n") * F.col("knn_accuracy")) / F.sum("n"), 6
+        ).alias("knn_accuracy_overall")
+    )
+    qa = v24c_label_noise_capped(spark, sf_dir).agg(
+        F.sum(F.when(F.col("verdict") == "flagged", 1).otherwise(0))
+        .cast("double")
+        .alias("n_flagged"),
+        F.round(
+            F.sum(F.when(F.col("verdict") == "flagged", 1.0).otherwise(0.0))
+            / F.count("*"),
+            6,
+        ).alias("flag_rate"),
+        F.round(F.avg("n_agree"), 6).alias("avg_n_agree"),
+    )
+    return (
+        unpivot(sub, "substrate", ["n_edges", "avg_score"])
+        .unionByName(unpivot(mut, "precision_tier", ["n_mutual_pairs", "mutual_rate"]))
+        .unionByName(unpivot(cls, "classification", ["knn_accuracy_overall"]))
+        .unionByName(unpivot(qa, "label_qa", ["n_flagged", "flag_rate", "avg_n_agree"]))
+        .orderBy("family", "metric")
+    )
+
+
 # ---------------------------------------------------------------------------
 # v35: PQ tuning curve — recall vs compression across block counts
 # ---------------------------------------------------------------------------

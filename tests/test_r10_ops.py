@@ -153,6 +153,25 @@ def test_t107_vocab_growth_curve_shape(spark):
     assert 0.0 < rows[0].heaps_beta < 1.0
 
 
+def test_pipeline_graph_quality_card_matches_parts(spark):
+    """The governance card's values must equal the parts it claims to
+    summarize — n_edges is v18c's edge count, n_mutual_pairs is d26b's
+    row count, and the rates are internally consistent."""
+    card = {
+        (r.family, r.metric): r.value
+        for r in _q("pipeline_graph_quality")(spark, SF_DIR).collect()
+    }
+    assert len(card) == 8
+    n_edges = _q("v18c_knn_graph_capped")(spark, SF_DIR).count()
+    n_pairs = _q("d26b_mutual_knn_capped")(spark, SF_DIR).count()
+    assert card[("substrate", "n_edges")] == float(n_edges)
+    assert card[("precision_tier", "n_mutual_pairs")] == float(n_pairs)
+    assert card[("precision_tier", "mutual_rate")] == round(2.0 * n_pairs / n_edges, 6)
+    assert 0.0 <= card[("label_qa", "flag_rate")] <= 1.0
+    assert 0.0 <= card[("classification", "knn_accuracy_overall")] <= 1.0
+    assert 1.0 <= card[("label_qa", "avg_n_agree")] <= 3.0
+
+
 def test_v24c_verdict_consistency(spark):
     """v24c emits one audit row per vector; flagged rows are exactly
     the unanimous-disagreement rows (v24's semantics on the capped
