@@ -92,72 +92,71 @@ class Registry:
 #   3. Then never-driver-checked names in registration order; then
 #      staleness tiers.
 #
-# Round 10 window (this list, per the r9 verdict's marching order #1):
-# the 9 r9 overflows first (in registration order), then the 3 r9
-# registrations as post-change/first-ever pins (d9b, t105, d28b —
-# d28b's slot also re-pins the r10 shuffle_hash hints on its path
-# self-join and closure join, plan-only), then u19_packing_split
-# (its only driver row, r5, predates its hash oracle — policy #2),
-# then the 37-name r2-core staleness cohort in name order (8 rounds
-# stale; a8 excluded per policy #1 — rows-only; its hash-oracled core
-# a8c holds an r8 row). 9 + 3 + 1 + 37 = 50. r11 draft: the r10
-# registrations (v18c/d26b/v33b/v24c) first, then the r3 staleness
-# tier — see ROTATION.md.
+# Round 11 window (this list, per the r10 verdict's marching order
+# #1): the 7 r10 registrations as first-ever pins (the capped k-NN
+# graph twin + its three re-based consumers, the chrF/Heaps-law text
+# ops, and the composed graph-governance pipeline — the only
+# registered queries without driver rows), then the 40-name r3
+# staleness cohort in name order (8 rounds stale by r11; the tier's
+# rows-only names a8b/v3b/v3c/v11b excluded per policy #1 — each has
+# a hash-oracled twin/core with driver history), then the first 3 of
+# the r4 staleness tier in name order. 7 + 40 + 3 = 50. r12 draft:
+# any r11 registrations first, then the remaining 47-name r4 tier —
+# see ROTATION.md.
 _DRIVER_WINDOW_PRIORITY = [
-    # 9 r9 overflows, registration order
-    "t89_feature_store_join",
-    "t90_eb_shrinkage",
-    "t91_uplift_by_segment",
-    "t92_lift_chart",
-    "t94_msprt_sequential",
-    "pipeline_experiment",
-    "pipeline_forecast",
-    "pipeline_storage",
-    "t93_streaming_topk",
-    # r9 registrations (first-ever rows; d28b doubles as the r10
-    # join-hint re-pin) + the u19 oracle-upgrade re-pin
-    "d9b_canonical_at_scale",
-    "t105_bleu_eval",
-    "d28b_transitivity_at_scale",
-    "u19_packing_split",
-    # r2-core staleness cohort (newest driver row r2), name order
-    "a11_percentiles",
-    "d1_exact_dedup",
-    "d1b_drop_duplicates",
-    "d4_simhash",
-    "d5_embedding_dedup",
-    "f25_base64_roundtrip",
-    "f26_html_escape",
-    "f28_fuzzy_match",
-    "f29_pii_redaction",
-    "flagship_timeline",
-    "j6_similarity_join",
-    "m1_merge_upsert",
-    "m2_point_update",
-    "m3_append_insert",
-    "m4_insert_if_absent",
-    "pipeline_curation",
-    "pipeline_interactive",
-    "pipeline_run_direct",
-    "t16_winnowing_fingerprint",
-    "t1_token_counting",
-    "t2_quality_score",
-    "t2_topic_routing",
-    "t3_langid",
-    "t3_stream_filter",
-    "t4_fingerprint",
-    "u4_except",
-    "u5_hash_sample",
-    "u6_train_test_split",
-    "u7_class_weights",
-    "u8_source_cap",
-    "v10_text_stats",
-    "v1_hash_embedding",
-    "v2_chunking",
-    "v3_cosine_topk",
-    "v4_semantic_cache_gate",
-    "v5_context_retrieval",
-    "v8_artifact_metadata",
+    # 7 r10 registrations (first-ever rows), verdict order
+    "v18c_knn_graph_capped",
+    "d26b_mutual_knn_capped",
+    "v33b_knn_classifier_capped",
+    "v24c_label_noise_capped",
+    "t106_chrf_eval",
+    "t107_vocab_growth",
+    "pipeline_graph_quality",
+    # r3 staleness cohort (newest driver row r3), name order
+    "d2b_lsh_seeded_jaccard",
+    "f10_text_assembly",
+    "f11_template_enrich",
+    "f12_date_format",
+    "f14_arithmetic",
+    "f16_label_dispatch",
+    "f17_status_derive",
+    "f1_title_extract",
+    "f20_json_extract",
+    "f21_struct_flatten",
+    "f22_any_match",
+    "f23_map_lookup",
+    "f24_posexplode",
+    "f3_path_normalize",
+    "f4_trim_lower",
+    "f5_truncate",
+    "f6_split_tokens",
+    "f9_key_synthesis",
+    "pipeline_training_prep",
+    "t10_session_window",
+    "t11_attribution_join",
+    "t12_stream_dedup",
+    "t15_resample_gap_fill",
+    "t17_decontamination",
+    "t18_repetition",
+    "t19_unigram_logprob",
+    "t1_event_envelope",
+    "t20_boilerplate_ngrams",
+    "t5_stateful_session",
+    "t8_tumbling_window",
+    "t9_sliding_window",
+    "u10b_mixture_apply",
+    "u12_stratified_sample",
+    "u9_sequence_packing",
+    "v11_kmeans_assign",
+    "v8b_image_resize",
+    "v8c_frame_sample",
+    "v8d_audio_features",
+    "x1_registered_struct_udf",
+    "x5_error_classification",
+    # first 3 of the r4 staleness tier, name order
+    "a10_cube",
+    "a12_moment_stats",
+    "a13_pivot_matrix",
 ]
 
 

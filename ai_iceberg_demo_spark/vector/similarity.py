@@ -1108,7 +1108,7 @@ _V25_PROBES_MOD = 97
     "hash-checked end to end where v24 itself is rows-only (its "
     "neighbors come from the approximate LSH graph). Emits EVERY "
     "probe's audit row, not just flags: with 10 uniform labels a "
-    "unanimous disagreement is a ~0.1%% event, so a flags-only "
+    "unanimous disagreement is a ~0.1% event, so a flags-only "
     "result would be vacuously empty on this fixture. Probes "
     "broadcast; the corpus is scanned once; per-probe top-3 via "
     "window — the same scale shape as v3.",
@@ -1395,7 +1395,7 @@ def _md5_sig_table(emb: DataFrame) -> DataFrame:
     "table: a pair's min colliding table mt makes it a candidate for "
     "every n_tables > mt. Candidate discovery is a banded (t,b) "
     "equi-join — never all-pairs; the exact baseline touches only the "
-    "~1%% probe sample. At 100 TB the signature table is the "
+    "~1% probe sample. At 100 TB the signature table is the "
     "persisted M5 index, partitioned by (t, bucket(N, b)).",
     oracle=f"""
         WITH {_MD5_LSH_PREFIX_SQL}, probes AS (
@@ -3242,7 +3242,7 @@ def _v24c_oracle() -> str:
     survey_ref="training-data (label QA) — v24's unanimous-disagreement "
     "verdict re-based on the capped graph (r9 verdict marching order "
     "#2): v24 itself is rows-only (RNG planes) and v24b audits only "
-    "the ~1%% probe sample with a corpus-scan-per-probe shape; this "
+    "the ~1% probe sample with a corpus-scan-per-probe shape; this "
     "twin hash-checks the FULL-corpus verdict on the linear-at-scale "
     "substrate",
     doc="v24's label-noise verdict over v18c's occupancy-capped "

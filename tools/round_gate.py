@@ -97,7 +97,12 @@ def main() -> int:
     # than letting the sweep die with an opaque read error
     sf_dir = os.environ.get("ROUND_GATE_SF_DIR", "/root/testdata/sf0.01")
     if "--sf-dir" in argv:
-        sf_dir = argv[argv.index("--sf-dir") + 1]
+        i = argv.index("--sf-dir")
+        if i + 1 >= len(argv):
+            print("round_gate: --sf-dir requires a PATH argument")
+            print("usage: round_gate.py [--fast] [--sf-dir PATH]")
+            return 2
+        sf_dir = argv[i + 1]
     if not Path(sf_dir).is_dir():
         print(f"round_gate: oracle-sweep fixture dir missing: {sf_dir}")
         print("pass --sf-dir PATH or set ROUND_GATE_SF_DIR")
