@@ -3362,6 +3362,9 @@ def _graph_quality_oracle() -> str:
     "work runs once and only the O(k*N) graph tails re-execute per "
     "family.",
     oracle=_graph_quality_oracle(),
+    bench=True,  # r11: heaviest registered plan (10.8 s sf0.1) — the
+    # composed 100 TB graph-governance path joins the floor guard per
+    # the r10 verdict's marching order #3.
 )
 def pipeline_graph_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     def unpivot(df: DataFrame, family: str, cols: list[str]) -> DataFrame:
