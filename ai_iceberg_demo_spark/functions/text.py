@@ -3576,3 +3576,331 @@ def t103_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_corrupted_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t108: logistic-regression quality classifier, fixed-unroll GD training
+# ---------------------------------------------------------------------------
+
+_LOGREG_ROUNDS = 3
+_LOGREG_LR = 1.0
+_LOGREG_DP = 6
+_LOGREG_Y_CHARS = 300  # weak label: docs at/over this length are "high quality"
+_SW_SQL = ", ".join(f"'{s}'" for s in _STOPWORDS)
+
+
+def _logreg_round_sql(prev_w: str, idx: int) -> str:
+    """One full-batch gradient-descent round in SQL against weight CTE
+    ``prev_w`` (columns w0..w3): sigmoid scores, average gradient,
+    ROUNDed weight update (the v11c/v12b quantized-unroll discipline —
+    rounding at the boundary is what lets a fixed unroll hash-match
+    across engines). The ``+ 0.0`` before every ROUND normalizes IEEE
+    -0.0 (the r10 COVAR_POP lesson). ``logloss`` is evaluated at the
+    PRE-update weights — the loss this round's gradient saw."""
+    return f"""
+        s{idx} AS (
+            SELECT f.x1, f.x2, f.x3, f.y,
+                   1.0 / (1.0 + EXP(-(w.w0 + w.w1 * f.x1 + w.w2 * f.x2
+                                      + w.w3 * f.x3))) AS p,
+                   w.w0 AS pw0, w.w1 AS pw1, w.w2 AS pw2, w.w3 AS pw3
+            FROM feats f CROSS JOIN {prev_w} w
+        ), w{idx} AS (
+            SELECT ROUND(ANY_VALUE(pw0) - {_LOGREG_LR} * AVG(p - y) + 0.0, {_LOGREG_DP}) AS w0,
+                   ROUND(ANY_VALUE(pw1) - {_LOGREG_LR} * AVG((p - y) * x1) + 0.0, {_LOGREG_DP}) AS w1,
+                   ROUND(ANY_VALUE(pw2) - {_LOGREG_LR} * AVG((p - y) * x2) + 0.0, {_LOGREG_DP}) AS w2,
+                   ROUND(ANY_VALUE(pw3) - {_LOGREG_LR} * AVG((p - y) * x3) + 0.0, {_LOGREG_DP}) AS w3,
+                   ROUND(AVG(-(y * LN(p) + (1.0 - y) * LN(1.0 - p))) + 0.0, {_LOGREG_DP}) AS logloss
+            FROM s{idx}
+        )"""
+
+
+@REGISTRY.register(
+    name="t108_logreg_quality",
+    survey_ref="training-data (quality filtering; trains the classifier "
+    "t2's hand-tuned score approximates — v11c/v12b/t97's fixed-unroll "
+    "iterative-trainer family applied to supervised learning)",
+    doc=f"logistic-regression quality classifier trained IN the engine "
+    f"by {_LOGREG_ROUNDS} rounds of full-batch gradient descent "
+    f"(lr={_LOGREG_LR}), weights rounded to {_LOGREG_DP} decimals per "
+    "round so the unroll is exactly SQL-replayable (the v11c "
+    "discipline). Features per document: scaled char length "
+    "(n_chars/400), stopword ratio (t2's set), scaled whitespace-token "
+    f"count (/80); weak label y = [n_chars >= {_LOGREG_Y_CHARS}] — the "
+    "distillation shape every fasttext-style corpus filter trains "
+    "(features cheap everywhere, label expensive somewhere). Output: "
+    "one row per round with the post-update weights and the pre-update "
+    "log-loss (round 1's loss is exactly ln 2 from the zero init — a "
+    "free cross-engine pin). Scale: the feature frame is one map-side "
+    "scan (persisted once); each round is ONE all-reduce to a 4-double "
+    "gradient row broadcast back — state is corpus-independent "
+    "(d+1 doubles), so 100 TB costs 3 cached passes, no shuffle "
+    "beyond the tree-aggregate. EXP/LN cross-engine per the t77 "
+    "adjudication; -0.0 normalized per the r10 COVAR lesson.",
+    oracle=f"""
+        WITH feats AS (
+            SELECT CAST(n_chars AS DOUBLE) / 400.0 AS x1,
+                   CAST(LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+                        t -> t IN ({_SW_SQL}))) AS DOUBLE)
+                     / GREATEST(LEN(STRING_SPLIT(LOWER(text), ' ')), 1) AS x2,
+                   CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) / 80.0 AS x3,
+                   CASE WHEN n_chars >= {_LOGREG_Y_CHARS} THEN 1.0 ELSE 0.0 END AS y
+            FROM documents
+        ), w0cte AS (
+            SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3
+        ), {_logreg_round_sql("w0cte", 1)[9:]}
+        , {_logreg_round_sql("w1", 2)[9:]}
+        , {_logreg_round_sql("w2", 3)[9:]}
+        SELECT CAST(1 AS BIGINT) AS round, w0 AS w_intercept, w1 AS w_len,
+               w2 AS w_stop, w3 AS w_tok, logloss FROM w1
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), w0, w1, w2, w3, logloss FROM w2
+        UNION ALL
+        SELECT CAST(3 AS BIGINT), w0, w1, w2, w3, logloss FROM w3
+    """,
+)
+def t108_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks_l = F.split(F.lower(F.col("text")), " ")
+    stop = F.array(*[F.lit(s) for s in _STOPWORDS])
+    feats = docs.select(
+        (F.col("n_chars").cast("double") / 400.0).alias("x1"),
+        (
+            F.size(F.filter(toks_l, lambda t: F.array_contains(stop, t))).cast(
+                "double"
+            )
+            / F.greatest(F.size(toks_l), F.lit(1))
+        ).alias("x2"),
+        (F.size(F.split(F.col("text"), " ")).cast("double") / 80.0).alias("x3"),
+        F.when(F.col("n_chars") >= _LOGREG_Y_CHARS, 1.0).otherwise(0.0).alias("y"),
+    ).transform(persist_once)
+
+    w = spark.range(1).select(
+        F.lit(0.0).alias("w0"),
+        F.lit(0.0).alias("w1"),
+        F.lit(0.0).alias("w2"),
+        F.lit(0.0).alias("w3"),
+    )
+    per_round: list[DataFrame] = []
+    for r in range(1, _LOGREG_ROUNDS + 1):
+        scored = feats.crossJoin(F.broadcast(w))
+        z = (
+            F.col("w0")
+            + F.col("w1") * F.col("x1")
+            + F.col("w2") * F.col("x2")
+            + F.col("w3") * F.col("x3")
+        )
+        scored = scored.withColumn("p", 1.0 / (1.0 + F.exp(-z)))
+        resid = F.col("p") - F.col("y")
+        upd = scored.agg(
+            F.round(
+                F.any_value("w0") - _LOGREG_LR * F.avg(resid) + 0.0, _LOGREG_DP
+            ).alias("w0"),
+            F.round(
+                F.any_value("w1") - _LOGREG_LR * F.avg(resid * F.col("x1")) + 0.0,
+                _LOGREG_DP,
+            ).alias("w1"),
+            F.round(
+                F.any_value("w2") - _LOGREG_LR * F.avg(resid * F.col("x2")) + 0.0,
+                _LOGREG_DP,
+            ).alias("w2"),
+            F.round(
+                F.any_value("w3") - _LOGREG_LR * F.avg(resid * F.col("x3")) + 0.0,
+                _LOGREG_DP,
+            ).alias("w3"),
+            F.round(
+                F.avg(
+                    -(
+                        F.col("y") * F.log("p")
+                        + (1.0 - F.col("y")) * F.log(1.0 - F.col("p"))
+                    )
+                )
+                + 0.0,
+                _LOGREG_DP,
+            ).alias("logloss"),
+        )
+        per_round.append(
+            upd.select(
+                F.lit(r).cast("bigint").alias("round"),
+                F.col("w0").alias("w_intercept"),
+                F.col("w1").alias("w_len"),
+                F.col("w2").alias("w_stop"),
+                F.col("w3").alias("w_tok"),
+                "logloss",
+            )
+        )
+        w = upd.select("w0", "w1", "w2", "w3")
+    out = per_round[0]
+    for df in per_round[1:]:
+        out = out.union(df)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# t109: word error rate via closed-vocab single-char encoding
+# ---------------------------------------------------------------------------
+
+_WER_VOCAB_CAP = 94  # printable ASCII 33..126 after CHR(32 + rank)
+_WER_FOOTER = ["near", "duplicate", "footer", "variant"]
+
+
+@REGISTRY.register(
+    name="t109_wer_eval",
+    survey_ref="training-data (generation eval; the EDIT-DISTANCE "
+    "member beside the overlap triple t105 BLEU / t98 ROUGE-2 / "
+    "t106 chrF — WER/TER-style, order-sensitive where overlap "
+    "metrics are bag-of-ngrams)",
+    doc="word error rate per (reference, candidate) pair, computed "
+    "EXACTLY at the token level by encoding each of the top-"
+    f"{_WER_VOCAB_CAP} corpus tokens (by frequency, ties "
+    "alphabetical) as one printable-ASCII character — rarer tokens "
+    "fold to a shared UNK char — so word-level Levenshtein becomes "
+    "built-in string levenshtein on BOTH engines (no UDF DP). Three "
+    "planted candidate classes separate the error factors: "
+    "doc_id%30==0 truncated to 2/3 (pure deletions — WER exactly "
+    "(n_ref - n_cand)/n_ref), %30==10 every 5th token substituted "
+    "(edit distance <= the substitution count), %30==20 footer-"
+    "extended (pure insertions — edit exactly 4). Scale: the vocab "
+    "is a top-k (ORDER BY count LIMIT), giving a corpus-INDEPENDENT "
+    "<=94-row broadcast by construction (v18c's occupancy-table "
+    "argument); encode is explode -> broadcast join -> per-doc "
+    "reassembly (one doc-keyed shuffle per side); the ref/cand join "
+    "is doc-keyed between two corpus-derived sides — shuffle_hash "
+    "per the d13 rule. Production note: a >94-type vocabulary "
+    "two-char-encodes (94^2 = 8836 types) or drops to the "
+    "pandas-UDF token DP; UNK folding is the standard eval "
+    "trade-off either way.",
+    oracle=f"""
+        WITH pairs AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 30 = 0 THEN 'trunc'
+                        WHEN doc_id % 30 = 10 THEN 'subst'
+                        ELSE 'footer' END AS pair_kind,
+                   STRING_SPLIT(text, ' ') AS rt,
+                   CASE WHEN doc_id % 30 = 0
+                        THEN STRING_SPLIT(text, ' ')[1:GREATEST(
+                             (LEN(STRING_SPLIT(text, ' ')) * 2) // 3, 1)]
+                        WHEN doc_id % 30 = 10
+                        THEN LIST_TRANSFORM(STRING_SPLIT(text, ' '),
+                             (x, i) -> CASE WHEN i % 5 = 0 THEN 'value' ELSE x END)
+                        ELSE LIST_CONCAT(STRING_SPLIT(text, ' '),
+                             {str(_WER_FOOTER).replace("'", chr(39))})
+                   END AS ct
+            FROM documents WHERE doc_id % 10 = 0
+        ), toks AS (
+            SELECT doc_id, 'r' AS side,
+                   GENERATE_SUBSCRIPTS(rt, 1) AS pos, UNNEST(rt) AS tok
+            FROM pairs
+            UNION ALL
+            SELECT doc_id, 'c' AS side,
+                   GENERATE_SUBSCRIPTS(ct, 1) AS pos, UNNEST(ct) AS tok
+            FROM pairs
+        ), vocab AS (
+            SELECT tok, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS rnk
+            FROM toks GROUP BY tok
+        ), coded AS (
+            SELECT t.doc_id, t.side, t.pos,
+                   CHR(CASE WHEN v.rnk <= {_WER_VOCAB_CAP}
+                            THEN 32 + CAST(v.rnk AS INT) ELSE 127 END) AS ch
+            FROM toks t JOIN vocab v USING (tok)
+        ), enc AS (
+            SELECT doc_id, side,
+                   STRING_AGG(ch, '' ORDER BY pos) AS s,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM coded GROUP BY doc_id, side
+        )
+        SELECT p.doc_id, p.pair_kind,
+               r.n AS n_ref_tokens,
+               CAST(LEVENSHTEIN(r.s, c.s) AS BIGINT) AS edit_distance,
+               ROUND(CAST(LEVENSHTEIN(r.s, c.s) AS DOUBLE) / r.n, 6) AS wer
+        FROM pairs p
+        JOIN enc r ON r.doc_id = p.doc_id AND r.side = 'r'
+        JOIN enc c ON c.doc_id = p.doc_id AND c.side = 'c'
+    """,
+)
+def t109_wer_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_iceberg_demo_spark.tables import fan_out_small_input
+
+    docs = fan_out_small_input(
+        load_table(spark, "documents", sf_dir).filter(F.col("doc_id") % 10 == 0)
+    )
+    rt = F.split(F.col("text"), " ")
+    trunc = F.slice(
+        rt, 1, F.greatest(F.floor(F.size(rt) * 2 / 3).cast("int"), F.lit(1))
+    )
+    # Spark transform index is 0-based; DuckDB list lambda index is
+    # 1-based — (i + 1) here IS the oracle's i
+    subst = F.transform(
+        rt,
+        lambda x, i: F.when((i + 1) % 5 == 0, F.lit("value")).otherwise(x),
+    )
+    footer = F.concat(rt, F.array(*[F.lit(t) for t in _WER_FOOTER]))
+    pairs = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 30 == 0, "trunc")
+        .when(F.col("doc_id") % 30 == 10, "subst")
+        .otherwise("footer")
+        .alias("pair_kind"),
+        rt.alias("rt"),
+        F.when(F.col("doc_id") % 30 == 0, trunc)
+        .when(F.col("doc_id") % 30 == 10, subst)
+        .otherwise(footer)
+        .alias("ct"),
+    ).transform(persist_once)
+
+    def side_rows(col: str, tag: str) -> DataFrame:
+        return pairs.select(
+            "doc_id",
+            F.lit(tag).alias("side"),
+            F.posexplode(col).alias("pos0", "tok"),
+        ).select("doc_id", "side", (F.col("pos0") + 1).alias("pos"), "tok")
+
+    toks = side_rows("rt", "r").unionAll(side_rows("ct", "c"))
+    # top-k vocab: corpus-independent <=94 rows by construction — the
+    # global window runs AFTER the limit, over that bounded frame only
+    from pyspark.sql import Window as W
+
+    counts = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    top = counts.orderBy(F.desc("cnt"), F.asc("tok")).limit(_WER_VOCAB_CAP)
+    vocab = top.select(
+        "tok",
+        F.row_number()
+        .over(W.orderBy(F.desc("cnt"), F.asc("tok")))
+        .alias("rnk"),
+    )
+    coded = toks.join(F.broadcast(vocab), "tok", "left").select(
+        "doc_id",
+        "side",
+        "pos",
+        F.char(
+            F.when(F.col("rnk").isNotNull(), 32 + F.col("rnk")).otherwise(127)
+        ).alias("ch"),
+    )
+    enc = coded.groupBy("doc_id", "side").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "ch"))),
+                lambda s: s["ch"],
+            ),
+            "",
+        ).alias("s"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    enc_r = enc.filter(F.col("side") == "r").select(
+        "doc_id", F.col("s").alias("rs"), F.col("n").alias("n_ref_tokens")
+    )
+    enc_c = enc.filter(F.col("side") == "c").select(
+        "doc_id", F.col("s").alias("cs")
+    )
+    lev = F.levenshtein(F.col("rs"), F.col("cs"))
+    return (
+        pairs.select("doc_id", "pair_kind")
+        .join(enc_r.hint("shuffle_hash"), "doc_id")
+        .join(enc_c.hint("shuffle_hash"), "doc_id")
+        .select(
+            "doc_id",
+            "pair_kind",
+            "n_ref_tokens",
+            lev.cast("bigint").alias("edit_distance"),
+            F.round(lev.cast("double") / F.col("n_ref_tokens"), 6).alias("wer"),
+        )
+    )

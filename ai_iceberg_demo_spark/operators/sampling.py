@@ -2047,3 +2047,107 @@ def u46_license_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_b.source").alias("binding_source"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# u47: in-context packing — related documents adjacent in the pack order
+# ---------------------------------------------------------------------------
+
+from ai_iceberg_demo_spark.vector.clustering import (  # noqa: E402
+    _assign_sql,
+    kmeans_assign,
+    seed_centroids,
+)
+
+
+def _u47_oracle() -> str:
+    """DuckDB replay: v11's assignment CTEs + the one-window spelling
+    of the bucket-major rank and the two-phase prefix sum."""
+    return f"""
+        WITH {_assign_sql("embeddings")},
+        asg AS (
+            SELECT vec_id AS doc_id, cell_id FROM ranked WHERE rn = 1
+        ), toks AS (
+            SELECT doc_id,
+                   CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+        ), ordered AS (
+            SELECT t.doc_id, CAST(a.cell_id AS BIGINT) AS cell_id, t.n_tokens,
+                   CAST(ROW_NUMBER() OVER (
+                       ORDER BY a.cell_id,
+                                MD5('icp:' || CAST(t.doc_id AS VARCHAR)),
+                                t.doc_id) - 1 AS BIGINT) AS position
+            FROM toks t JOIN asg a USING (doc_id)
+        )
+        SELECT doc_id, cell_id, n_tokens, position,
+               CAST((SUM(n_tokens) OVER w - n_tokens) // {PACK_BUDGET} AS BIGINT) AS bin_id,
+               CAST((SUM(n_tokens) OVER w - n_tokens) % {PACK_BUDGET} AS BIGINT) AS bin_offset
+        FROM ordered
+        WINDOW w AS (ORDER BY position ROWS UNBOUNDED PRECEDING)
+    """
+
+
+@REGISTRY.register(
+    name="u47_incontext_packing",
+    survey_ref="training-data (batch packing; the semantic ordering "
+    "tier above u9's doc_id order — In-Context Pretraining, Shi et "
+    "al. 2023: packing related documents into the same context "
+    "window teaches cross-document attention)",
+    doc="in-context packing: documents are laid into u9's fixed "
+    "2048-token bins in (k-means cell, md5(doc_id), doc_id) order "
+    "instead of raw doc_id order, so semantically related documents "
+    "(same embedding cluster, v11's deterministic seed assignment) "
+    "become ADJACENT in the packed training sequences while order "
+    "within a cluster stays hash-shuffled (no length or ingest-time "
+    "bias inside a context window). Output: (doc_id, cell_id, "
+    "n_tokens, position, bin_id, bin_offset). Semantically the "
+    "position is ONE global ORDER BY (cell, hash, id) row_number and "
+    "the bins are ONE running sum — both computed bucket-major "
+    "instead (u11's trick): (cell, first-hex-digit) splits the order "
+    "into <= k*16 contiguous buckets, per-bucket windows rank "
+    "locally in parallel, and the <=128-row bucket-count table "
+    "cumsums into broadcast offsets — bit-identical to the "
+    "one-window spelling because lexicographic md5 order IS "
+    "(prefix, remainder) order; the bin layout then reuses "
+    "pack_positions' two-phase distributed prefix sum over the "
+    "dense positions. The documents⋈embeddings id join is corpus × "
+    "corpus — shuffle_hash per the d13 rule; the centroid table "
+    "(k=8) and the bucket offsets (<=128 rows) are the only "
+    "broadcasts, both corpus-independent by construction.",
+    oracle=_u47_oracle(),
+)
+def u47_incontext_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, "documents", sf_dir)
+    embs = load_table(spark, "embeddings", sf_dir)
+    toks = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
+    )
+    asg = kmeans_assign(embs, seed_centroids(embs)).select(
+        F.col("vec_id").alias("doc_id"), F.col("cell_id").cast("bigint").alias("cell_id")
+    )
+    j = toks.join(asg.hint("shuffle_hash"), "doc_id").select(
+        "doc_id",
+        "cell_id",
+        "n_tokens",
+        F.md5(F.concat(F.lit("icp:"), F.col("doc_id").cast("string"))).alias("_h"),
+    )
+    j = j.withColumn("_b", F.substring("_h", 1, 1)).transform(persist_once)
+    w_local = W.partitionBy("cell_id", "_b").orderBy("_h", "doc_id")
+    ranked = j.withColumn("_rn", F.row_number().over(w_local))
+    counts = j.groupBy("cell_id", "_b").agg(F.count("*").alias("_c"))
+    w_off = W.orderBy("cell_id", "_b").rowsBetween(W.unboundedPreceding, -1)
+    offsets = counts.select(
+        "cell_id", "_b", F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off")
+    )
+    positioned = (
+        ranked.join(F.broadcast(offsets), ["cell_id", "_b"])
+        .withColumn("position", (F.col("_off") + F.col("_rn") - 1).cast("bigint"))
+        .select("doc_id", "cell_id", "n_tokens", "position")
+        .transform(persist_once)
+    )
+    return pack_positions(positioned, order_col="position").select(
+        "doc_id", "cell_id", "n_tokens", "position", "bin_id", "bin_offset"
+    )
+
