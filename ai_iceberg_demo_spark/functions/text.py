@@ -3904,3 +3904,217 @@ def t109_wer_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(lev.cast("double") / F.col("n_ref_tokens"), 6).alias("wer"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# t110: Poisson-bootstrap confidence interval on a corpus eval metric
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 80  # replicates; 95% percentile CI = order stats 2 and 79
+_BOOT_LO_RANK = 2
+_BOOT_HI_RANK = 79
+# Poisson(1) inverse CDF over a 6-digit md5 percentile (CDF values
+# 0.367879 / 0.735759 / 0.919699 / 0.981012 — fixed integer
+# thresholds, identical CASE on both engines)
+_POIS_T = (367879, 735759, 919699, 981012)
+
+
+@REGISTRY.register(
+    name="t110_bootstrap_ci",
+    survey_ref="training-data (eval statistics: error bars on a corpus "
+    "metric — the report line every eval card should carry; t27/t80's "
+    "parametric tests' nonparametric sibling)",
+    doc=f"percentile-bootstrap 95% CI on the mean t2 quality score via "
+    f"the POISSON bootstrap ({_BOOT_B} replicates): each (replicate, "
+    "doc) draws a Poisson(1) weight from the md5 inverse-CDF, so "
+    "resampling is a pure MAP over the corpus — the reason the "
+    "Poisson bootstrap (Chamandy et al., Google 2012) is THE "
+    "bootstrap that scales: no with-replacement pass, no global "
+    "state, appends can't shift other rows' draws. Replicate means "
+    "round to 9 decimals BEFORE ranking (sum-order noise must not "
+    "flip the order statistics; ties break by replicate id), and the "
+    f"CI is order stats {_BOOT_LO_RANK}/{_BOOT_HI_RANK} of the "
+    f"{_BOOT_B}-row replicate-mean table. Output: one row (n_docs, "
+    "point_mean, boot_lo, boot_hi). Scale: explode ×"
+    f"{_BOOT_B} is a bounded map-side fan-out; one b-keyed agg "
+    f"(B={_BOOT_B} groups, partial map-side); the rank window runs "
+    "over the corpus-independent 80-row replicate table.",
+    oracle=f"""
+        WITH q AS (
+            SELECT doc_id,
+                   0.6 * LEAST(LENGTH(text) / 400.0, 1.0)
+                     + 0.4 * (CASE WHEN sw_ratio >= 0.05 AND sw_ratio <= 0.6
+                                   THEN 1.0 ELSE 0.5 END) AS x
+            FROM (
+                SELECT doc_id, text,
+                       CAST(LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+                            t -> t IN ({_SW_SQL}))) AS DOUBLE)
+                         / GREATEST(LEN(STRING_SPLIT(LOWER(text), ' ')), 1) AS sw_ratio
+                FROM documents)
+        ), reps AS (
+            SELECT b, x,
+                   CASE WHEN m < {_POIS_T[0]} THEN 0
+                        WHEN m < {_POIS_T[1]} THEN 1
+                        WHEN m < {_POIS_T[2]} THEN 2
+                        WHEN m < {_POIS_T[3]} THEN 3
+                        ELSE 4 END AS w
+            FROM (
+                SELECT bb.b, d.x,
+                       ('0x' || SUBSTR(MD5('boot:' || CAST(bb.b AS VARCHAR)
+                            || ':' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                         % 1000000 AS m
+                FROM q d CROSS JOIN
+                     (SELECT UNNEST(GENERATE_SERIES(1, {_BOOT_B})) AS b) bb)
+        ), means AS (
+            SELECT b, ROUND(SUM(w * x) / SUM(w) + 0.0, 9) AS rep_mean
+            FROM reps GROUP BY b
+        ), ranked AS (
+            SELECT rep_mean,
+                   ROW_NUMBER() OVER (ORDER BY rep_mean, b) AS rn
+            FROM means
+        )
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM q) AS n_docs,
+               (SELECT ROUND(AVG(x) + 0.0, 6) FROM q) AS point_mean,
+               (SELECT ROUND(rep_mean + 0.0, 6) FROM ranked
+                WHERE rn = {_BOOT_LO_RANK}) AS boot_lo,
+               (SELECT ROUND(rep_mean + 0.0, 6) FROM ranked
+                WHERE rn = {_BOOT_HI_RANK}) AS boot_hi
+    """,
+)
+def t110_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, "documents", sf_dir)
+    q = docs.select(
+        "doc_id", quality_score(F.col("text")).alias("x")
+    ).transform(persist_once)
+    m = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("boot:"),
+                        F.col("b").cast("string"),
+                        F.lit(":"),
+                        F.col("doc_id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000000
+    )
+    w = (
+        F.when(m < _POIS_T[0], 0)
+        .when(m < _POIS_T[1], 1)
+        .when(m < _POIS_T[2], 2)
+        .when(m < _POIS_T[3], 3)
+        .otherwise(4)
+    )
+    reps = q.select(
+        "doc_id",
+        "x",
+        F.explode(F.sequence(F.lit(1), F.lit(_BOOT_B))).alias("b"),
+    ).select("b", "x", w.alias("w"))
+    means = reps.groupBy("b").agg(
+        F.round(F.sum(F.col("w") * F.col("x")) / F.sum("w") + 0.0, 9).alias(
+            "rep_mean"
+        )
+    )
+    # 80-row replicate table — the global rank window is
+    # corpus-independent (t107's adjudicated pattern)
+    ranked = means.select(
+        "rep_mean", F.row_number().over(W.orderBy("rep_mean", "b")).alias("rn")
+    )
+    lo = ranked.filter(F.col("rn") == _BOOT_LO_RANK).select(
+        F.round(F.col("rep_mean") + 0.0, 6).alias("boot_lo")
+    )
+    hi = ranked.filter(F.col("rn") == _BOOT_HI_RANK).select(
+        F.round(F.col("rep_mean") + 0.0, 6).alias("boot_hi")
+    )
+    point = q.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.round(F.avg("x") + 0.0, 6).alias("point_mean"),
+    )
+    return point.crossJoin(F.broadcast(lo)).crossJoin(F.broadcast(hi))
+
+
+# ---------------------------------------------------------------------------
+# pipeline_eval_card: the generation-eval governance card
+# ---------------------------------------------------------------------------
+
+
+def _eval_card_oracle() -> str:
+    """Composes the four generation-eval ops' registered SQL verbatim
+    (pipeline_graph_quality's oracle-compose discipline) so the card
+    can never drift from its parts."""
+    t105 = REGISTRY.specs["t105_bleu_eval"].oracle
+    t98 = REGISTRY.specs["t98_rouge2_eval"].oracle
+    t106 = REGISTRY.specs["t106_chrf_eval"].oracle
+    t109 = REGISTRY.specs["t109_wer_eval"].oracle
+    return f"""
+        SELECT family, metric, value FROM (
+            SELECT 'bleu' AS family, 'n_pairs' AS metric,
+                   CAST(COUNT(*) AS DOUBLE) AS value FROM ({t105})
+            UNION ALL
+            SELECT 'bleu', 'mean_bleu4', ROUND(AVG(bleu4) + 0.0, 6) FROM ({t105})
+            UNION ALL
+            SELECT 'rouge2', 'n_pairs', CAST(COUNT(*) AS DOUBLE) FROM ({t98})
+            UNION ALL
+            SELECT 'rouge2', 'mean_f1', ROUND(AVG(rouge2_f1) + 0.0, 6) FROM ({t98})
+            UNION ALL
+            SELECT 'chrf', 'n_pairs', CAST(COUNT(*) AS DOUBLE) FROM ({t106})
+            UNION ALL
+            SELECT 'chrf', 'mean_chrf2', ROUND(AVG(chrf2) + 0.0, 6) FROM ({t106})
+            UNION ALL
+            SELECT 'wer', 'n_pairs', CAST(COUNT(*) AS DOUBLE) FROM ({t109})
+            UNION ALL
+            SELECT 'wer', 'mean_wer', ROUND(AVG(wer) + 0.0, 6) FROM ({t109})
+        )
+        ORDER BY family, metric
+    """
+
+
+@REGISTRY.register(
+    name="pipeline_eval_card",
+    survey_ref="training-data (composed: t105 + t98 + t106 + t109 — "
+    "the generation-eval governance card, pipeline_graph_quality's "
+    "discipline applied to the eval-metric family)",
+    doc="the generation-eval report in ONE long-format table (family, "
+    "metric, value): pair count and mean score for BLEU-4 (t105), "
+    "ROUGE-2 F1 (t98), chrF (t106) and WER (t109) — the card an eval "
+    "pipeline publishes per model checkpoint so regressions in ANY of "
+    "the four metric families surface in one place. The oracle "
+    "composes the four parts' registered SQL verbatim; the Spark side "
+    "calls the registered operators and aggregates each to its "
+    "(n_pairs, mean) pair — every part is already pair-keyed and "
+    "linear, so the card costs four 1-row aggregates over the same "
+    "1-in-10 pair sample.",
+    oracle=_eval_card_oracle(),
+)
+def pipeline_eval_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def card(df: DataFrame, family: str, mean_col: str, mean_name: str) -> DataFrame:
+        agg = df.agg(
+            F.count("*").cast("double").alias("n_pairs"),
+            F.round(F.avg(mean_col) + 0.0, 6).alias("m"),
+        )
+        pairs = F.array(
+            F.struct(F.lit("n_pairs").alias("metric"), F.col("n_pairs").alias("value")),
+            F.struct(F.lit(mean_name).alias("metric"), F.col("m").alias("value")),
+        )
+        return agg.select(F.explode(pairs).alias("_m")).select(
+            F.lit(family).alias("family"),
+            F.col("_m.metric").alias("metric"),
+            F.col("_m.value").alias("value"),
+        )
+
+    out = (
+        card(t105_bleu_eval(spark, sf_dir), "bleu", "bleu4", "mean_bleu4")
+        .unionAll(card(t98_rouge2_eval(spark, sf_dir), "rouge2", "rouge2_f1", "mean_f1"))
+        .unionAll(card(t106_chrf_eval(spark, sf_dir), "chrf", "chrf2", "mean_chrf2"))
+        .unionAll(card(t109_wer_eval(spark, sf_dir), "wer", "wer", "mean_wer"))
+    )
+    return out.orderBy("family", "metric")

@@ -1284,3 +1284,127 @@ def g10_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges.groupBy("src").agg(
         F.count("*").cast("bigint").alias("degree")
     ).select(F.col("src").alias("vec_id"), "degree")
+
+
+# ---------------------------------------------------------------------------
+# g11: HITS hubs & authorities (fixed 2-round unroll, v12b's discipline)
+# ---------------------------------------------------------------------------
+
+_HITS_ROUNDS = 2
+_HITS_DP = 6
+
+
+def _hits_round_sql(prev_h: str, idx: int) -> str:
+    """One HITS round in SQL: authority = in-sum of hub scores, hub =
+    out-sum of authority scores, each L2-normalized; ROUND only the
+    NORMALIZED vectors (v12b's power-iteration rule — dividing by the
+    irrational norm first makes the rounded quantity generic, so
+    HALF_UP vs HALF_EVEN ties never occur)."""
+    return f"""
+        ar{idx} AS (
+            SELECT e.dst, SUM(h.h) AS ar
+            FROM edges e JOIN {prev_h} h ON e.src = h.src
+            GROUP BY e.dst
+        ), an{idx} AS (
+            SELECT dst, ROUND(ar / (SELECT SQRT(SUM(ar * ar)) FROM ar{idx}),
+                              {_HITS_DP}) AS a
+            FROM ar{idx}
+        ), hr{idx} AS (
+            SELECT e.src, SUM(a.a) AS hr
+            FROM edges e JOIN an{idx} a ON e.dst = a.dst
+            GROUP BY e.src
+        ), h{idx} AS (
+            SELECT src, ROUND(hr / (SELECT SQRT(SUM(hr * hr)) FROM hr{idx}),
+                              {_HITS_DP}) AS h
+            FROM hr{idx}
+        )"""
+
+
+@REGISTRY.register(
+    name="g11_hits",
+    survey_ref="graph analytics (extends g1's fixed-unroll family with "
+    "the OTHER classic eigenvector ranking — mutually recursive hub/"
+    "authority scores where PageRank is a single random walk)",
+    doc=f"HITS (Kleinberg, JACM 1999) over the customer→supplier "
+    f"purchase graph, {_HITS_ROUNDS} rounds unrolled from the uniform "
+    "hub start: authority(s) = Σ hub(c) over in-edges, hub(c) = "
+    "Σ authority(s) over out-edges, each L2-normalized and rounded "
+    f"to {_HITS_DP} decimals per normalization (v12b's power-"
+    "iteration discipline — HITS IS power iteration on AᵀA/AAᵀ, so "
+    "the same round-the-normalized-vector rule makes the fixed "
+    "unroll hash-replayable). The bipartite purchase graph makes the "
+    "roles crisp: hubs = broad-basket customers, authorities = "
+    "widely-bought-from suppliers. Output: top-10 per role, "
+    "deterministic (score DESC, node) tiebreak. Shape per round: one "
+    "src-keyed and one dst-keyed join+agg over the persisted edge "
+    "set (g1's exact shuffle profile) plus two 1-row norm aggregates "
+    "broadcast back; per-round node-sized checkpoints stop the "
+    "norm's double-reference doubling the plan tree.",
+    oracle=f"""
+        WITH edges AS (
+            SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        ), h0 AS (
+            SELECT DISTINCT src, 1.0 AS h FROM edges
+        ), {_hits_round_sql("h0", 1)[9:]}
+        , {_hits_round_sql("h1", 2)[9:]}
+        , ranked AS (
+            SELECT 'authority' AS role,
+                   's' || CAST((dst - 1) // 2 AS VARCHAR) AS node,
+                   a AS score,
+                   ROW_NUMBER() OVER (ORDER BY a DESC,
+                                      's' || CAST((dst - 1) // 2 AS VARCHAR)) AS rn
+            FROM an2
+            UNION ALL
+            SELECT 'hub',
+                   'c' || CAST(src // 2 AS VARCHAR),
+                   h,
+                   ROW_NUMBER() OVER (ORDER BY h DESC,
+                                      'c' || CAST(src // 2 AS VARCHAR))
+            FROM h2
+        )
+        SELECT role, node, score FROM ranked WHERE rn <= 10
+        ORDER BY role, score DESC, node
+    """,
+)
+def g11_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = purchase_edges(spark, sf_dir).transform(persist_once)
+    h = edges.select("src").distinct().select("src", F.lit(1.0).alias("h"))
+    a = None
+    for _ in range(_HITS_ROUNDS):
+        ar = edges.join(h, "src").groupBy("dst").agg(F.sum("h").alias("ar"))
+        a_nrm = ar.agg(F.sqrt(F.sum(F.col("ar") * F.col("ar"))).alias("nrm"))
+        a = (
+            ar.crossJoin(F.broadcast(a_nrm))
+            .select("dst", F.round(F.col("ar") / F.col("nrm"), _HITS_DP).alias("a"))
+            .localCheckpoint(eager=False)
+        )
+        hr = edges.join(a, "dst").groupBy("src").agg(F.sum("a").alias("hr"))
+        h_nrm = hr.agg(F.sqrt(F.sum(F.col("hr") * F.col("hr"))).alias("nrm"))
+        h = (
+            hr.crossJoin(F.broadcast(h_nrm))
+            .select("src", F.round(F.col("hr") / F.col("nrm"), _HITS_DP).alias("h"))
+            .localCheckpoint(eager=False)
+        )
+    # per-role top-10 via orderBy+limit (TakeOrdered — the scalable
+    # top-k; a role-partitioned row_number window would funnel each
+    # node-sized score table through 2 tasks at 100 TB)
+    auth = (
+        a.select(
+            F.lit("authority").alias("role"),
+            F.concat(F.lit("s"), ((F.col("dst") - 1) / 2).cast("long")).alias("node"),
+            F.col("a").alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("node"))
+        .limit(10)
+    )
+    hubs = (
+        h.select(
+            F.lit("hub").alias("role"),
+            F.concat(F.lit("c"), (F.col("src") / 2).cast("long")).alias("node"),
+            F.col("h").alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("node"))
+        .limit(10)
+    )
+    return auth.unionAll(hubs).orderBy("role", F.desc("score"), "node")

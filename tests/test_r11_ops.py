@@ -202,3 +202,133 @@ def test_g10_survivors_have_core_degree_and_match_registered_output(spark):
     for r in out:
         assert r.vec_id in nodes
         assert 1 <= r.degree <= maxdeg[r.vec_id]
+
+
+# ---------------------------------------------------------------------------
+# g11: HITS hubs & authorities
+# ---------------------------------------------------------------------------
+
+
+def test_g11_roles_are_bipartite_and_ordered(spark):
+    """Authorities must all be suppliers and hubs all customers (the
+    purchase graph is bipartite — a role leak means the two update
+    directions got crossed); 10 rows per role, scores in (0, 1]
+    (post-L2-normalization entries), non-increasing within role."""
+    rows = _q("g11_hits")(spark, SF_DIR).collect()
+    by_role: dict[str, list] = {}
+    for r in rows:
+        by_role.setdefault(r.role, []).append(r)
+    assert set(by_role) == {"authority", "hub"}
+    for role, rs in by_role.items():
+        assert 1 <= len(rs) <= 10
+        prefix = "s" if role == "authority" else "c"
+        for r in rs:
+            assert r.node.startswith(prefix), (role, r.node)
+            assert 0 < r.score <= 1.0
+        scores = [r.score for r in rs]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_g11_top_authority_is_high_indegree(spark):
+    """One HITS round from the uniform start ranks authorities by
+    in-degree exactly; round 2 re-weights but the top authority must
+    still sit at or above the median supplier in-degree."""
+    from ai_iceberg_demo_spark.operators.graph import purchase_edges
+
+    rows = _q("g11_hits")(spark, SF_DIR).collect()
+    top_auth = next(r for r in rows if r.role == "authority")
+    deg = {
+        r.dst: r.cnt
+        for r in purchase_edges(spark, SF_DIR)
+        .groupBy("dst")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    suppkey = int(top_auth.node[1:])
+    top_deg = deg[suppkey * 2 + 1]
+    med = sorted(deg.values())[len(deg) // 2]
+    assert top_deg >= med, (top_deg, med)
+
+
+# ---------------------------------------------------------------------------
+# t110: Poisson-bootstrap CI
+# ---------------------------------------------------------------------------
+
+
+def test_t110_interval_brackets_the_point_estimate(spark):
+    """The 95% percentile interval must be a proper interval around
+    the point estimate (lo < hi, lo <= point <= hi) and n_docs must
+    match the corpus."""
+    from ai_iceberg_demo_spark.tables import load_table
+
+    row = _q("t110_bootstrap_ci")(spark, SF_DIR).collect()[0]
+    n = load_table(spark, "documents", SF_DIR).count()
+    assert row.n_docs == n
+    assert row.boot_lo < row.boot_hi
+    assert row.boot_lo <= row.point_mean <= row.boot_hi
+
+
+def test_t110_poisson_weights_have_unit_mean(spark):
+    """The md5 inverse-CDF must actually produce Poisson(1)-ish
+    weights: mean within 10% of 1 over corpus x replicates (a wrong
+    threshold table would bias every replicate the same way and the
+    CI would be silently wrong)."""
+    from ai_iceberg_demo_spark.functions.text import _BOOT_B, _POIS_T
+    from ai_iceberg_demo_spark.tables import load_table
+
+    docs = load_table(spark, "documents", SF_DIR).select("doc_id")
+    m = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("boot:"),
+                        F.col("b").cast("string"),
+                        F.lit(":"),
+                        F.col("doc_id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000000
+    )
+    w = (
+        F.when(m < _POIS_T[0], 0)
+        .when(m < _POIS_T[1], 1)
+        .when(m < _POIS_T[2], 2)
+        .when(m < _POIS_T[3], 3)
+        .otherwise(4)
+    )
+    mean_w = (
+        docs.select(F.explode(F.sequence(F.lit(1), F.lit(_BOOT_B))).alias("b"), "doc_id")
+        .select(w.alias("w"))
+        .agg(F.avg("w"))
+        .collect()[0][0]
+    )
+    assert 0.9 < mean_w < 1.1, mean_w
+
+
+# ---------------------------------------------------------------------------
+# pipeline_eval_card
+# ---------------------------------------------------------------------------
+
+
+def test_eval_card_families_and_means_match_parts(spark):
+    """8 rows, 4 families x (n_pairs, mean); the WER family's mean
+    must equal an independent aggregation of t109's registered
+    output (the card is a VIEW of its parts, never a re-derivation)."""
+    rows = _q("pipeline_eval_card")(spark, SF_DIR).collect()
+    assert len(rows) == 8
+    fams = {r.family for r in rows}
+    assert fams == {"bleu", "rouge2", "chrf", "wer"}
+    card = {(r.family, r.metric): r.value for r in rows}
+    for fam in fams:
+        assert card[(fam, "n_pairs")] > 0
+    wer_rows = _q("t109_wer_eval")(spark, SF_DIR).collect()
+    expect = round(sum(r.wer for r in wer_rows) / len(wer_rows) + 0.0, 6)
+    assert abs(card[("wer", "mean_wer")] - expect) < 1e-9
+    assert card[("wer", "n_pairs")] == len(wer_rows)
