@@ -4118,3 +4118,189 @@ def pipeline_eval_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(card(t109_wer_eval(spark, sf_dir), "wer", "wer", "mean_wer"))
     )
     return out.orderBy("family", "metric")
+
+
+# ---------------------------------------------------------------------------
+# t111: Self-BLEU — generation diversity over a capped probe sample
+# ---------------------------------------------------------------------------
+
+_SB_SAMPLE = 64  # probe docs; all downstream cost is SAMPLE², corpus-free
+
+
+@REGISTRY.register(
+    name="t111_self_bleu",
+    survey_ref="training-data (generation diversity, Zhu et al. "
+    "SIGIR 2018: LOW self-BLEU = diverse corpus/sample, HIGH = mode "
+    "collapse — the metric a synthetic-data pipeline watches while "
+    "t105 watches fidelity)",
+    doc=f"Self-BLEU over a deterministic {_SB_SAMPLE}-doc probe "
+    "sample (top-64 by md5 hash order — corpus-INDEPENDENT size by "
+    "construction, the v18c occupancy-table argument): mean pairwise "
+    "single-reference BLEU-4 over all ordered (candidate, reference) "
+    "pairs, reusing t105's exact clipping/brevity/sqrt(sqrt) "
+    "arithmetic (the common single-ref simplification of the "
+    "multi-ref original, documented). Output: one row (n_sample, "
+    "n_pairs, mean_self_bleu, max_self_bleu). The fixture's CLOSED "
+    "31-type vocabulary makes unigram overlap near-total while "
+    "4-gram overlap stays rare — exactly the regime where the "
+    "geometric mean discriminates. Scale: the probe is one "
+    "TakeOrdered pass over the corpus; every later table is bounded "
+    f"by {_SB_SAMPLE} docs (grams ≤ sample·len, pair grid ≤ "
+    f"{_SB_SAMPLE}², gram self-join fan-out ≤ {_SB_SAMPLE}² per "
+    "gram), so AQE's broadcasts here are provably safe — no d13 "
+    "hints needed, and the whole metric costs O(corpus scan + "
+    "sample²) at any corpus size.",
+    oracle=f"""
+        WITH sample AS MATERIALIZED (
+            SELECT doc_id, STRING_SPLIT(text, ' ') AS w
+            FROM documents
+            WHERE LEN(STRING_SPLIT(text, ' ')) >= 4
+            ORDER BY MD5('sb:' || CAST(doc_id AS VARCHAR)), doc_id
+            LIMIT {_SB_SAMPLE}
+        ), g AS MATERIALIZED (
+            SELECT doc_id, n, gram, CAST(COUNT(*) AS BIGINT) AS c FROM (
+                SELECT doc_id, n,
+                       UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(w) - n + 1),
+                              i -> ARRAY_TO_STRING(w[i:i+n-1], ' '))) AS gram
+                FROM sample, (SELECT UNNEST([1, 2, 3, 4]) AS n) ns
+                WHERE LEN(w) >= n
+            ) GROUP BY doc_id, n, gram
+        ), tot AS (
+            SELECT doc_id, n, SUM(c) AS total FROM g GROUP BY doc_id, n
+        ), grid AS (
+            SELECT a.doc_id AS cand, b.doc_id AS ref
+            FROM sample a JOIN sample b ON a.doc_id <> b.doc_id
+        ), ov AS (
+            SELECT ga.doc_id AS cand, gb.doc_id AS ref, ga.n,
+                   SUM(LEAST(ga.c, gb.c)) AS m
+            FROM g ga JOIN g gb
+              ON ga.n = gb.n AND ga.gram = gb.gram
+             AND ga.doc_id <> gb.doc_id
+            GROUP BY 1, 2, 3
+        ), p AS (
+            SELECT gr.cand, gr.ref, nn.n,
+                   COALESCE(o.m, 0) / CAST(t.total AS DOUBLE) AS p
+            FROM grid gr
+            CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(1, 4)) AS n) nn
+            JOIN tot t ON t.doc_id = gr.cand AND t.n = nn.n
+            LEFT JOIN ov o ON o.cand = gr.cand AND o.ref = gr.ref AND o.n = nn.n
+        ), wide AS (
+            SELECT cand, ref,
+                   MAX(CASE WHEN n = 1 THEN p END) AS p1,
+                   MAX(CASE WHEN n = 2 THEN p END) AS p2,
+                   MAX(CASE WHEN n = 3 THEN p END) AS p3,
+                   MAX(CASE WHEN n = 4 THEN p END) AS p4
+            FROM p GROUP BY cand, ref
+        ), lens AS (
+            SELECT doc_id, LEN(w) AS l FROM sample
+        ), bleu AS (
+            SELECT w.cand, w.ref,
+                   ROUND(CASE WHEN w.p1 * w.p2 * w.p3 * w.p4 > 0 THEN
+                              (CASE WHEN lc.l >= lr.l THEN 1.0
+                                    ELSE EXP(1.0 - CAST(lr.l AS DOUBLE) / lc.l)
+                               END) * SQRT(SQRT(w.p1 * w.p2 * w.p3 * w.p4))
+                              ELSE 0.0 END, 6) AS b
+            FROM wide w
+            JOIN lens lc ON lc.doc_id = w.cand
+            JOIN lens lr ON lr.doc_id = w.ref
+        )
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM sample) AS n_sample,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               ROUND(AVG(b) + 0.0, 6) AS mean_self_bleu,
+               ROUND(MAX(b) + 0.0, 6) AS max_self_bleu
+        FROM bleu
+    """,
+)
+def t111_self_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    sample = (
+        docs.select("doc_id", F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= 4)
+        .orderBy(
+            F.md5(F.concat(F.lit("sb:"), F.col("doc_id").cast("string"))),
+            F.asc("doc_id"),
+        )
+        .limit(_SB_SAMPLE)
+        .transform(persist_once)
+    )
+    g = (
+        sample.select("doc_id", F.explode(F.expr(_bleu_ngram_structs_sql().replace("t[", "w[").replace("size(t)", "size(w)"))).alias("g"))
+        .select("doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+        .groupBy("doc_id", "n", "gram")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .transform(persist_once)
+    )
+    tot = g.groupBy("doc_id", "n").agg(F.sum("c").alias("total"))
+    grid = (
+        sample.select(F.col("doc_id").alias("cand"))
+        .join(
+            sample.select(F.col("doc_id").alias("ref")),
+            F.col("cand") != F.col("ref"),
+        )
+    )
+    ga, gb = g.alias("ga"), g.alias("gb")
+    ov = (
+        ga.join(
+            gb,
+            (F.col("ga.n") == F.col("gb.n"))
+            & (F.col("ga.gram") == F.col("gb.gram"))
+            & (F.col("ga.doc_id") != F.col("gb.doc_id")),
+        )
+        .groupBy(
+            F.col("ga.doc_id").alias("cand"),
+            F.col("gb.doc_id").alias("ref"),
+            F.col("ga.n").alias("n"),
+        )
+        .agg(F.sum(F.least(F.col("ga.c"), F.col("gb.c"))).alias("m"))
+    )
+    grid_n = grid.select(
+        "cand", "ref", F.explode(F.sequence(F.lit(1), F.lit(4))).alias("n")
+    )
+    p = (
+        grid_n.join(
+            tot.select(F.col("doc_id").alias("cand"), "n", "total"), ["cand", "n"]
+        )
+        .join(ov, ["cand", "ref", "n"], "left")
+        .select(
+            "cand",
+            "ref",
+            "n",
+            (F.coalesce("m", F.lit(0)) / F.col("total").cast("double")).alias("p"),
+        )
+    )
+    wide = p.groupBy("cand", "ref").agg(
+        *[
+            F.max(F.when(F.col("n") == k, F.col("p"))).alias(f"p{k}")
+            for k in range(1, 5)
+        ]
+    )
+    lens = sample.select("doc_id", F.size("w").alias("l"))
+    prod = F.col("p1") * F.col("p2") * F.col("p3") * F.col("p4")
+    bp = F.when(F.col("lc") >= F.col("lr"), F.lit(1.0)).otherwise(
+        F.exp(1.0 - F.col("lr").cast("double") / F.col("lc"))
+    )
+    bleu = (
+        wide.join(
+            lens.select(F.col("doc_id").alias("cand"), F.col("l").alias("lc")),
+            "cand",
+        )
+        .join(
+            lens.select(F.col("doc_id").alias("ref"), F.col("l").alias("lr")),
+            "ref",
+        )
+        .select(
+            F.round(
+                F.when(prod > 0, bp * F.sqrt(F.sqrt(prod))).otherwise(F.lit(0.0)), 6
+            ).alias("b")
+        )
+    )
+    n_sample = sample.agg(F.count("*").cast("bigint").alias("n_sample"))
+    return n_sample.crossJoin(
+        F.broadcast(
+            bleu.agg(
+                F.count("*").cast("bigint").alias("n_pairs"),
+                F.round(F.avg("b") + 0.0, 6).alias("mean_self_bleu"),
+                F.round(F.max("b") + 0.0, 6).alias("max_self_bleu"),
+            )
+        )
+    ).select("n_sample", "n_pairs", "mean_self_bleu", "max_self_bleu")

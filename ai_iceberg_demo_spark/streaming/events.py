@@ -4184,3 +4184,100 @@ def t94_msprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p, 6).alias("always_valid_p"),
         (p < _T94_ALPHA).alias("stopped_by_today"),
     ).orderBy("scenario", "day")
+
+
+# ---------------------------------------------------------------------------
+# t112: pass@k — the unbiased estimator over per-task sample pools
+# ---------------------------------------------------------------------------
+
+_PAK_KS = (1, 5, 10)
+_PAK_THRESH = 100.0  # 'correct' = value >= this (~13% of events)
+
+
+def _pak_product_sql(k: int) -> str:
+    """Π_{i=0..k-1} (n-c-i)/(n-i) as an explicit SQL product — the
+    C(n-c,k)/C(n,k) ratio without factorials (every factor <= 1, no
+    overflow, exact same float op order on both engines)."""
+    return " * ".join(
+        f"(CAST(n - c - {i} AS DOUBLE) / (n - {i}))" for i in range(k)
+    )
+
+
+@REGISTRY.register(
+    name="t112_pass_at_k",
+    survey_ref="training-data (eval statistics: the pass@k unbiased "
+    "estimator, Chen et al. 2021 'Evaluating LLMs Trained on Code' — "
+    "THE metric for best-of-n sampling evals; t110's bootstrap gives "
+    "the error bars, this gives the point metric)",
+    doc=f"pass@k for k in {_PAK_KS} over per-task sample pools: task "
+    "= user, samples = the user's events, correct = value >= "
+    f"{_PAK_THRESH} (~13% rate — discriminative across the three k). "
+    "Per task the UNBIASED estimator pass@k = 1 - C(n-c,k)/C(n,k), "
+    "computed as the explicit k-factor product (never factorials: "
+    "every factor <= 1 so no overflow, and the fixed multiplication "
+    "order is IEEE-identical on both engines); tasks with n < k are "
+    "excluded (the estimator is undefined), tasks with n-c < k pass "
+    "with certainty. Output: one row per k (k, n_tasks, "
+    "mean_pass_at_k — macro average over eligible tasks, per-task "
+    "values rounded 6 before the mean). Scale: ONE user-keyed "
+    "count/sum aggregate over the corpus (map-side partials), then "
+    "three 1-row aggregates over the task table — the task table is "
+    "corpus-scaled but each k-pass is a linear agg; nothing "
+    "quadratic, no windows.",
+    oracle=f"""
+        WITH tc AS (
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN value >= {_PAK_THRESH} THEN 1 ELSE 0 END)
+                        AS BIGINT) AS c
+            FROM events GROUP BY user_id
+        )
+        SELECT k, n_tasks, mean_pass_at_k FROM (
+            {" UNION ALL ".join(f'''
+            SELECT CAST({k} AS BIGINT) AS k,
+                   CAST(COUNT(*) AS BIGINT) AS n_tasks,
+                   COALESCE(ROUND(AVG(ROUND(
+                       CASE WHEN n - c < {k} THEN 1.0
+                            ELSE 1.0 - {_pak_product_sql(k)} END, 6)) + 0.0, 6),
+                       0.0) AS mean_pass_at_k
+            FROM tc WHERE n >= {k}''' for k in _PAK_KS)}
+        )
+        ORDER BY k
+    """,
+)
+def t112_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    tc = ev.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("value") >= _PAK_THRESH, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c"),
+    ).transform(persist_once)
+
+    def for_k(k: int) -> DataFrame:
+        prod = None
+        for i in range(k):
+            f = (F.col("n") - F.col("c") - F.lit(i)).cast("double") / (
+                F.col("n") - F.lit(i)
+            )
+            prod = f if prod is None else prod * f
+        per_task = F.round(
+            F.when(F.col("n") - F.col("c") < k, F.lit(1.0)).otherwise(1.0 - prod), 6
+        )
+        return (
+            tc.filter(F.col("n") >= k)
+            .agg(
+                F.count("*").cast("bigint").alias("n_tasks"),
+                F.coalesce(
+                    F.round(F.avg(per_task) + 0.0, 6), F.lit(0.0)
+                ).alias("mean_pass_at_k"),
+            )
+            .select(
+                F.lit(k).cast("bigint").alias("k"), "n_tasks", "mean_pass_at_k"
+            )
+        )
+
+    out = for_k(_PAK_KS[0])
+    for k in _PAK_KS[1:]:
+        out = out.unionAll(for_k(k))
+    return out.orderBy("k")

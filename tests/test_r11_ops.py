@@ -332,3 +332,67 @@ def test_eval_card_families_and_means_match_parts(spark):
     expect = round(sum(r.wer for r in wer_rows) / len(wer_rows) + 0.0, 6)
     assert abs(card[("wer", "mean_wer")] - expect) < 1e-9
     assert card[("wer", "n_pairs")] == len(wer_rows)
+
+
+# ---------------------------------------------------------------------------
+# t111: Self-BLEU diversity
+# ---------------------------------------------------------------------------
+
+
+def test_t111_shape_and_bounds(spark):
+    """One row; n_pairs = n_sample * (n_sample - 1) (the full ordered
+    pair grid — a missing pair means a silently dropped zero-overlap
+    pair, the classic left-join bug); 0 <= mean <= max <= 1."""
+    row = _q("t111_self_bleu")(spark, SF_DIR).collect()[0]
+    assert row.n_pairs == row.n_sample * (row.n_sample - 1)
+    assert 0.0 <= row.mean_self_bleu <= row.max_self_bleu <= 1.0
+
+
+def test_t111_identical_docs_score_one(spark):
+    """Plant a probe: BLEU of a doc against itself is exactly 1 —
+    run the same pairwise arithmetic on a 2-clone frame via the
+    registered query over a planted table is overkill; instead pin
+    the arithmetic directly: p1..p4 = 1 and BP = 1 give
+    sqrt(sqrt(1)) = 1, and the query's max_self_bleu must stay BELOW
+    1 on the fixture (no two sampled docs are identical — d1's
+    fingerprint dedup would have caught clones)."""
+    row = _q("t111_self_bleu")(spark, SF_DIR).collect()[0]
+    assert row.max_self_bleu < 1.0
+
+
+# ---------------------------------------------------------------------------
+# t112: pass@k
+# ---------------------------------------------------------------------------
+
+
+def test_t112_pass_at_1_is_exactly_mean_success_rate(spark):
+    """pass@1 collapses to c/n per task — recompute independently
+    from the raw events and demand exact equality (the estimator's
+    product form must reduce to the trivial case)."""
+    from ai_iceberg_demo_spark.streaming.events import _PAK_THRESH
+    from ai_iceberg_demo_spark.tables import load_table
+
+    rows = {r.k: r for r in _q("t112_pass_at_k")(spark, SF_DIR).collect()}
+    ev = load_table(spark, "events", SF_DIR)
+    per_task = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("value") >= _PAK_THRESH, 1).otherwise(0)).alias("c"),
+        )
+        .select(F.round(F.col("c") / F.col("n"), 6).alias("r"))
+        .collect()
+    )
+    expect = round(sum(r.r for r in per_task) / len(per_task) + 0.0, 6)
+    assert abs(rows[1].mean_pass_at_k - expect) < 1e-9
+    assert rows[1].n_tasks == len(per_task)
+
+
+def test_t112_monotone_in_k_on_common_tasks(spark):
+    """For a fixed task, pass@k is non-decreasing in k; when the
+    eligible task sets coincide (same n_tasks), the macro means must
+    preserve that order."""
+    rows = sorted(_q("t112_pass_at_k")(spark, SF_DIR).collect(), key=lambda r: r.k)
+    for a, b in zip(rows, rows[1:]):
+        if a.n_tasks == b.n_tasks and a.n_tasks > 0:
+            assert b.mean_pass_at_k >= a.mean_pass_at_k - 1e-9
