@@ -1249,6 +1249,9 @@ def _g10_oracle() -> str:
     "(the d13 rule), never broadcast. The oracle wraps d26b's "
     "registered SQL verbatim.",
     oracle=_g10_oracle(),
+    bench=True,  # r11: heaviest new plan (8.7 s cold sf0.1 rehearse —
+    # the v18c substrate + 3 peel rounds); joins the floor guard the
+    # round it ships, per the d9b/pipeline_graph_quality precedent.
 )
 def g10_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ai_iceberg_demo_spark.vector.similarity import knn_graph_capped_det
