@@ -54,8 +54,11 @@ def test_bench_set_is_headline_sized_and_fully_oracled():
     bench = {n: s for n, s in reg.specs.items() if s.bench}
     # upper bound raised 25 → 28 in r6 when the dedup cascade and PQ
     # joined the headline set (both hash-oracled + floor-guarded);
-    # 30 → 32 in r10 when d9b/t105 joined per the r9 verdict #4
-    assert 10 <= len(bench) <= 32
+    # 30 → 32 in r10 when d9b/t105 joined per the r9 verdict #4;
+    # 32 → 34 in r11 when pipeline_graph_quality (r10 verdict #3) and
+    # g10_kcore (heaviest r11 plan, d9b precedent) joined — both
+    # hash-oracled and floor-guarded
+    assert 10 <= len(bench) <= 34
     unoracled = [n for n, s in bench.items()
                  if s.oracle is None and n not in APPROX_BENCH_OK]
     assert unoracled == [], f"bench queries without oracle: {unoracled}"
