@@ -4281,3 +4281,167 @@ def t112_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     for k in _PAK_KS[1:]:
         out = out.unionAll(for_k(k))
     return out.orderBy("k")
+
+
+# ---------------------------------------------------------------------------
+# t113: exact two-sample Kolmogorov–Smirnov drift test
+# ---------------------------------------------------------------------------
+
+_KS_CRIT = 1.358  # c(alpha) at alpha = 0.05, two-sided
+_KS_BUCKET = 1.0  # value units per ECDF bucket (range-bounded, not corpus)
+
+
+@REGISTRY.register(
+    name="t113_ks_test",
+    survey_ref="§2.11 analytics extra (distribution drift): the EXACT "
+    "nonparametric member beside t84's binned PSI and t70's JSD — KS "
+    "needs no bin edges, so it catches shifts PSI's frozen deciles "
+    "can smear",
+    doc="exact two-sample Kolmogorov–Smirnov test of the value "
+    f"distribution per event_type, reference (< {_T84_SPLIT}) vs "
+    f"comparison (>= {_T84_SPLIT}, t84's split), with t84's planted "
+    "2x scale shift on the error type so the positive case is real: "
+    "D = max |ECDF_ref - ECDF_cmp| over every distinct observed "
+    f"value, critical value {_KS_CRIT}*sqrt((n+m)/(n*m)) at "
+    "alpha=0.05. The ECDFs are EXACT (no sampling, no binning): "
+    "cumulative per-value counts computed bucket-major — windows "
+    f"partitioned by (type, floor(value/{_KS_BUCKET})) cumsum within "
+    "buckets in parallel, bucket totals cumsum into offsets over the "
+    "range-bounded (type x ~500)-row bucket table and broadcast "
+    "back — bit-identical to the oracle's one-window spelling "
+    "because value order IS (bucket, value) order (u9/u11's "
+    "prefix-sum argument; bucket width comes from the value DOMAIN, "
+    "not the corpus, so the offset table never scales with data). "
+    "D's candidates are single-expression integer ratios — identical "
+    "IEEE ops both engines, so even the unrounded drift verdict "
+    "hash-matches. Output per type: (event_type, n_ref, n_cmp, ks_d, "
+    "ks_crit, drifted).",
+    oracle=f"""
+        WITH u AS (
+            SELECT event_type, value, 1 AS r, 0 AS c FROM events
+            WHERE value IS NOT NULL AND CAST(ts AS DATE) < '{_T84_SPLIT}'
+            UNION ALL
+            SELECT event_type,
+                   CASE WHEN event_type = 'error' THEN value * 2.0
+                        ELSE value END AS value,
+                   0, 1
+            FROM events
+            WHERE value IS NOT NULL AND CAST(ts AS DATE) >= '{_T84_SPLIT}'
+        ), pv AS (
+            SELECT event_type, value,
+                   CAST(SUM(r) AS BIGINT) AS cr, CAST(SUM(c) AS BIGINT) AS cc
+            FROM u GROUP BY event_type, value
+        ), cum AS (
+            SELECT event_type, value,
+                   SUM(cr) OVER (PARTITION BY event_type ORDER BY value) AS ar,
+                   SUM(cc) OVER (PARTITION BY event_type ORDER BY value) AS ac
+            FROM pv
+        ), n AS (
+            SELECT event_type,
+                   CAST(SUM(cr) AS BIGINT) AS nr, CAST(SUM(cc) AS BIGINT) AS nc
+            FROM pv GROUP BY event_type
+        ), d AS (
+            SELECT c.event_type,
+                   MAX(ABS(CAST(c.ar AS DOUBLE) / n.nr
+                           - CAST(c.ac AS DOUBLE) / n.nc)) AS d
+            FROM cum c JOIN n ON n.event_type = c.event_type
+            GROUP BY c.event_type
+        )
+        SELECT n.event_type, n.nr AS n_ref, n.nc AS n_cmp,
+               ROUND(d.d + 0.0, 6) AS ks_d,
+               ROUND({_KS_CRIT} * SQRT(CAST(n.nr + n.nc AS DOUBLE)
+                     / (CAST(n.nr AS DOUBLE) * n.nc)), 6) AS ks_crit,
+               d.d > {_KS_CRIT} * SQRT(CAST(n.nr + n.nc AS DOUBLE)
+                     / (CAST(n.nr AS DOUBLE) * n.nc)) AS drifted
+        FROM n JOIN d ON d.event_type = n.event_type
+    """,
+)
+def t113_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, "events", sf_dir).filter(F.col("value").isNotNull())
+    split = F.lit(_T84_SPLIT).cast("date")
+    ref = ev.filter(F.col("ts").cast("date") < split).select(
+        "event_type", "value", F.lit(1).alias("r"), F.lit(0).alias("c")
+    )
+    cmp_ = ev.filter(F.col("ts").cast("date") >= split).select(
+        "event_type",
+        F.when(F.col("event_type") == "error", F.col("value") * 2.0)
+        .otherwise(F.col("value"))
+        .alias("value"),
+        F.lit(0).alias("r"),
+        F.lit(1).alias("c"),
+    )
+    pv = (
+        ref.unionAll(cmp_)
+        .groupBy("event_type", "value")
+        .agg(
+            F.sum("r").cast("bigint").alias("cr"),
+            F.sum("c").cast("bigint").alias("cc"),
+        )
+        .withColumn("bucket", F.floor(F.col("value") / _KS_BUCKET))
+        .transform(persist_once)
+    )
+    # phase 1: within-bucket cumulative counts (parallel windows)
+    w_in = (
+        W.partitionBy("event_type", "bucket")
+        .orderBy("value")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    within = pv.select(
+        "event_type",
+        "value",
+        "bucket",
+        F.sum("cr").over(w_in).alias("ar_in"),
+        F.sum("cc").over(w_in).alias("ac_in"),
+    )
+    # phase 2: bucket offsets — the bucket table is value-RANGE-sized
+    # (domain-bounded), never corpus-sized; its window is per type
+    btot = pv.groupBy("event_type", "bucket").agg(
+        F.sum("cr").alias("tr"), F.sum("cc").alias("tc")
+    )
+    w_off = (
+        W.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offs = btot.select(
+        "event_type",
+        "bucket",
+        F.coalesce(F.sum("tr").over(w_off), F.lit(0)).alias("ar_off"),
+        F.coalesce(F.sum("tc").over(w_off), F.lit(0)).alias("ac_off"),
+    )
+    cum = within.join(F.broadcast(offs), ["event_type", "bucket"]).select(
+        "event_type",
+        "value",
+        (F.col("ar_off") + F.col("ar_in")).alias("ar"),
+        (F.col("ac_off") + F.col("ac_in")).alias("ac"),
+    )
+    n = pv.groupBy("event_type").agg(
+        F.sum("cr").cast("bigint").alias("nr"),
+        F.sum("cc").cast("bigint").alias("nc"),
+    )
+    d = (
+        cum.join(n.hint("shuffle_hash"), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("ar").cast("double") / F.col("nr")
+                    - F.col("ac").cast("double") / F.col("nc")
+                )
+            ).alias("d")
+        )
+    )
+    crit = F.lit(_KS_CRIT) * F.sqrt(
+        (F.col("nr") + F.col("nc")).cast("double")
+        / (F.col("nr").cast("double") * F.col("nc"))
+    )
+    return n.join(d.hint("shuffle_hash"), "event_type").select(
+        "event_type",
+        F.col("nr").alias("n_ref"),
+        F.col("nc").alias("n_cmp"),
+        F.round(F.col("d") + 0.0, 6).alias("ks_d"),
+        F.round(crit, 6).alias("ks_crit"),
+        (F.col("d") > crit).alias("drifted"),
+    )
