@@ -4445,3 +4445,128 @@ def t113_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(crit, 6).alias("ks_crit"),
         (F.col("d") > crit).alias("drifted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_drift_card: the distribution-drift governance card
+# ---------------------------------------------------------------------------
+
+
+def _drift_card_oracle() -> str:
+    """Composes the four drift detectors' registered SQL verbatim
+    (the pipeline_graph_quality / pipeline_eval_card discipline), so
+    the card can never desync from its parts."""
+    from ai_iceberg_demo_spark.functions import text as _text
+    from ai_iceberg_demo_spark.vector import clustering as _clu
+
+    t84 = REGISTRY.specs["t84_psi_drift"].oracle
+    t113 = REGISTRY.specs["t113_ks_test"].oracle
+    t70 = _text.REGISTRY.specs["t70_js_divergence"].oracle
+    v16 = _clu.REGISTRY.specs["v16_embedding_drift"].oracle
+    return f"""
+        SELECT family, metric, value FROM (
+            SELECT 'psi' AS family, 'n_types' AS metric,
+                   CAST(COUNT(*) AS DOUBLE) AS value FROM ({t84})
+            UNION ALL
+            SELECT 'psi', 'n_act',
+                   CAST(SUM(CASE WHEN verdict = 'act' THEN 1 ELSE 0 END) AS DOUBLE)
+            FROM ({t84})
+            UNION ALL
+            SELECT 'psi', 'max_psi', ROUND(MAX(psi) + 0.0, 6) FROM ({t84})
+            UNION ALL
+            SELECT 'jsd', 'n_pairs', CAST(COUNT(*) AS DOUBLE) FROM ({t70})
+            UNION ALL
+            SELECT 'jsd', 'max_jsd_normalized',
+                   ROUND(MAX(jsd_normalized) + 0.0, 6) FROM ({t70})
+            UNION ALL
+            SELECT 'ks', 'n_types', CAST(COUNT(*) AS DOUBLE) FROM ({t113})
+            UNION ALL
+            SELECT 'ks', 'n_drifted',
+                   CAST(SUM(CASE WHEN drifted THEN 1 ELSE 0 END) AS DOUBLE)
+            FROM ({t113})
+            UNION ALL
+            SELECT 'ks', 'max_ks_d', ROUND(MAX(ks_d) + 0.0, 6) FROM ({t113})
+            UNION ALL
+            SELECT 'embedding', 'n_dims', CAST(COUNT(*) AS DOUBLE) FROM ({v16})
+            UNION ALL
+            SELECT 'embedding', 'n_drifted', CAST(SUM(drifted) AS DOUBLE)
+            FROM ({v16})
+            UNION ALL
+            SELECT 'embedding', 'max_abs_z', ROUND(MAX(ABS(z)) + 0.0, 6)
+            FROM ({v16})
+        )
+        ORDER BY family, metric
+    """
+
+
+@REGISTRY.register(
+    name="pipeline_drift_card",
+    survey_ref="training-data (composed: t84 + t70 + t113 + v16 — the "
+    "distribution-drift governance card; the family is now complete "
+    "across binned/divergence/exact-nonparametric/embedding views, so "
+    "the card is the one report a data lead reads before accepting a "
+    "new corpus snapshot)",
+    doc="the drift report in ONE long-format table (family, metric, "
+    "value): PSI type count / act count / max (t84, frozen-decile "
+    "binned), pairwise source JSD pair count / max (t70), exact KS "
+    "type count / drifted count / max D (t113), and per-dimension "
+    "embedding z-drift dim count / drifted count / max |z| (v16) — "
+    "four detectors with four blind spots covering each other "
+    "(PSI's frozen bins smear shape changes KS catches; KS is "
+    "univariate where v16 sees the embedding space; JSD compares "
+    "SOURCES where the others compare TIME). Oracle composes the "
+    "four parts' registered SQL verbatim; the Spark side calls the "
+    "registered operators and reduces each to its 1-row summary — "
+    "every part is already linear, so the card costs four summary "
+    "aggs.",
+    oracle=_drift_card_oracle(),
+)
+def pipeline_drift_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_iceberg_demo_spark.functions.text import t70_js_divergence
+    from ai_iceberg_demo_spark.vector.clustering import v16_embedding_drift
+
+    def unpivot(agg: DataFrame, family: str, cols: list[str]) -> DataFrame:
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("metric"), F.col(c).cast("double").alias("value")
+                )
+                for c in cols
+            ]
+        )
+        return agg.select(F.explode(pairs).alias("_m")).select(
+            F.lit(family).alias("family"),
+            F.col("_m.metric").alias("metric"),
+            F.col("_m.value").alias("value"),
+        )
+
+    psi = t84_psi_drift(spark, sf_dir).agg(
+        F.count("*").cast("double").alias("n_types"),
+        F.sum(F.when(F.col("verdict") == "act", 1).otherwise(0))
+        .cast("double")
+        .alias("n_act"),
+        F.round(F.max("psi") + 0.0, 6).alias("max_psi"),
+    )
+    jsd = t70_js_divergence(spark, sf_dir).agg(
+        F.count("*").cast("double").alias("n_pairs"),
+        F.round(F.max("jsd_normalized") + 0.0, 6).alias("max_jsd_normalized"),
+    )
+    ks = t113_ks_test(spark, sf_dir).agg(
+        F.count("*").cast("double").alias("n_types"),
+        F.sum(F.when(F.col("drifted"), 1).otherwise(0))
+        .cast("double")
+        .alias("n_drifted"),
+        F.round(F.max("ks_d") + 0.0, 6).alias("max_ks_d"),
+    )
+    emb = v16_embedding_drift(spark, sf_dir).agg(
+        F.count("*").cast("double").alias("n_dims"),
+        F.sum("drifted").cast("double").alias("n_drifted"),
+        F.round(F.max(F.abs(F.col("z"))) + 0.0, 6).alias("max_abs_z"),
+    )
+    out = (
+        unpivot(psi, "psi", ["n_types", "n_act", "max_psi"])
+        .unionAll(unpivot(jsd, "jsd", ["n_pairs", "max_jsd_normalized"]))
+        .unionAll(unpivot(ks, "ks", ["n_types", "n_drifted", "max_ks_d"]))
+        .unionAll(unpivot(emb, "embedding", ["n_dims", "n_drifted", "max_abs_z"]))
+    )
+    return out.orderBy("family", "metric")

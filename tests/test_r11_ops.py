@@ -443,3 +443,25 @@ def test_t113_ecdf_is_exact_against_numpy(spark):
     fa = np.searchsorted(a, grid, side="right") / len(a)
     fb = np.searchsorted(b, grid, side="right") / len(b)
     assert abs(rows["click"].ks_d - round(float(np.max(np.abs(fa - fb))), 6)) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# pipeline_drift_card
+# ---------------------------------------------------------------------------
+
+
+def test_drift_card_reflects_planted_drift_and_matches_parts(spark):
+    """11 rows, 4 families; the planted error-type shift must surface
+    in BOTH time-axis detectors (psi n_act >= 1, ks n_drifted >= 1 —
+    t84 and t113 share the split and the plant); the ks family's max
+    must equal an independent aggregation of t113's registered output
+    (the card is a view of its parts)."""
+    rows = _q("pipeline_drift_card")(spark, SF_DIR).collect()
+    assert len(rows) == 11
+    card = {(r.family, r.metric): r.value for r in rows}
+    assert {r.family for r in rows} == {"psi", "jsd", "ks", "embedding"}
+    assert card[("psi", "n_act")] >= 1.0
+    assert card[("ks", "n_drifted")] >= 1.0
+    ks_rows = _q("t113_ks_test")(spark, SF_DIR).collect()
+    assert abs(card[("ks", "max_ks_d")] - round(max(r.ks_d for r in ks_rows) + 0.0, 6)) < 1e-9
+    assert card[("ks", "n_types")] == float(len(ks_rows))
