@@ -2151,3 +2151,158 @@ def u47_incontext_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "cell_id", "n_tokens", "position", "bin_id", "bin_offset"
     )
 
+
+
+# ---------------------------------------------------------------------------
+# pipeline_packing_card: the packing-strategy decision card
+# ---------------------------------------------------------------------------
+
+
+def _packing_card_oracle() -> str:
+    """Composes the three packers' registered SQL verbatim (the
+    governance-card discipline) so the card can never desync from
+    the strategies it compares."""
+    u9 = REGISTRY.specs["u9_sequence_packing"].oracle
+    u19 = REGISTRY.specs["u19_packing_split"].oracle
+    u47 = REGISTRY.specs["u47_incontext_packing"].oracle
+    return f"""
+        SELECT family, metric, value FROM (
+            SELECT 'overflow' AS family, 'n_docs' AS metric,
+                   CAST(COUNT(*) AS DOUBLE) AS value FROM ({u9})
+            UNION ALL
+            SELECT 'overflow', 'n_bins',
+                   CAST(MAX(bin_id) + 1 AS DOUBLE) FROM ({u9})
+            UNION ALL
+            SELECT 'overflow', 'boundary_crossers',
+                   CAST(SUM(CASE WHEN bin_offset + n_tokens > {PACK_BUDGET}
+                                 THEN 1 ELSE 0 END) AS DOUBLE) FROM ({u9})
+            UNION ALL
+            SELECT 'overflow', 'total_tokens',
+                   CAST(SUM(n_tokens) AS DOUBLE) FROM ({u9})
+            UNION ALL
+            SELECT 'exact_split', 'n_docs',
+                   CAST(COUNT(DISTINCT doc_id) AS DOUBLE) FROM ({u19})
+            UNION ALL
+            SELECT 'exact_split', 'n_bins',
+                   CAST(MAX(bin_id) + 1 AS DOUBLE) FROM ({u19})
+            UNION ALL
+            SELECT 'exact_split', 'n_segments',
+                   CAST(COUNT(*) AS DOUBLE) FROM ({u19})
+            UNION ALL
+            SELECT 'exact_split', 'split_docs',
+                   CAST(SUM(CASE WHEN segs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+            FROM (SELECT doc_id, COUNT(*) AS segs FROM ({u19}) GROUP BY doc_id)
+            UNION ALL
+            SELECT 'incontext', 'n_bins',
+                   CAST(MAX(bin_id) + 1 AS DOUBLE) FROM ({u47})
+            UNION ALL
+            SELECT 'incontext', 'boundary_crossers',
+                   CAST(SUM(CASE WHEN bin_offset + n_tokens > {PACK_BUDGET}
+                                 THEN 1 ELSE 0 END) AS DOUBLE) FROM ({u47})
+            UNION ALL
+            SELECT 'incontext', 'same_cell_adjacency',
+                   ROUND(AVG(CASE WHEN a.cell_id = b.cell_id
+                                  THEN 1.0 ELSE 0.0 END) + 0.0, 6)
+            FROM ({u47}) a JOIN ({u47}) b ON b.position = a.position + 1
+        )
+        ORDER BY family, metric
+    """
+
+
+@REGISTRY.register(
+    name="pipeline_packing_card",
+    survey_ref="training-data (composed: u9 + u19 + u47 — the "
+    "packing-strategy decision card; pipeline_graph_quality's "
+    "discipline applied to the batch-construction family)",
+    doc="the packing-strategy report in ONE long-format table "
+    "(family, metric, value): the overflow packer (u9 — zero "
+    "padding, docs cross bin boundaries), the exact-split packer "
+    "(u19 — zero padding, zero crossing, docs fragment instead) and "
+    "the in-context packer (u47 — u9's layout in cluster-major "
+    "order) side by side on the axes that decide between them: bin "
+    "count, boundary-crossing docs, fragment count, and u47's "
+    "same-cell adjacency share. This is the table a pretraining "
+    "lead reads to pick the batch constructor: crossing pollutes "
+    "attention, splitting loses long-range structure, adjacency "
+    "buys cross-document attention. Oracle composes the three "
+    "registered SQL strings verbatim; the Spark side calls the "
+    "registered operators and reduces each to summary aggregates — "
+    "the adjacency join is position-keyed corpus×corpus, pinned "
+    "shuffle_hash (d13 rule).",
+    oracle=_packing_card_oracle(),
+)
+def pipeline_packing_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def unpivot(agg: DataFrame, family: str, cols: list[str]) -> DataFrame:
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("metric"), F.col(c).cast("double").alias("value")
+                )
+                for c in cols
+            ]
+        )
+        return agg.select(F.explode(pairs).alias("_m")).select(
+            F.lit(family).alias("family"),
+            F.col("_m.metric").alias("metric"),
+            F.col("_m.value").alias("value"),
+        )
+
+    over = u9_sequence_packing(spark, sf_dir).agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (F.max("bin_id") + 1).cast("double").alias("n_bins"),
+        F.sum(
+            F.when(F.col("bin_offset") + F.col("n_tokens") > PACK_BUDGET, 1).otherwise(0)
+        )
+        .cast("double")
+        .alias("boundary_crossers"),
+        F.sum("n_tokens").cast("double").alias("total_tokens"),
+    )
+    split = u19_packing_split(spark, sf_dir).transform(persist_once)
+    exact = split.agg(
+        F.countDistinct("doc_id").cast("double").alias("n_docs"),
+        (F.max("bin_id") + 1).cast("double").alias("n_bins"),
+        F.count("*").cast("double").alias("n_segments"),
+    ).crossJoin(
+        F.broadcast(
+            split.groupBy("doc_id")
+            .agg(F.count("*").alias("segs"))
+            .agg(
+                F.sum(F.when(F.col("segs") > 1, 1).otherwise(0))
+                .cast("double")
+                .alias("split_docs")
+            )
+        )
+    )
+    icp = u47_incontext_packing(spark, sf_dir).transform(persist_once)
+    a, b = icp.alias("a"), icp.alias("b")
+    adj = (
+        a.join(
+            b.hint("shuffle_hash"),
+            F.col("b.position") == F.col("a.position") + 1,
+        )
+        .agg(
+            F.round(
+                F.avg(
+                    F.when(F.col("a.cell_id") == F.col("b.cell_id"), 1.0).otherwise(
+                        0.0
+                    )
+                )
+                + 0.0,
+                6,
+            ).alias("same_cell_adjacency")
+        )
+    )
+    inc = icp.agg(
+        (F.max("bin_id") + 1).cast("double").alias("n_bins"),
+        F.sum(
+            F.when(F.col("bin_offset") + F.col("n_tokens") > PACK_BUDGET, 1).otherwise(0)
+        )
+        .cast("double")
+        .alias("boundary_crossers"),
+    ).crossJoin(F.broadcast(adj))
+    out = (
+        unpivot(over, "overflow", ["n_docs", "n_bins", "boundary_crossers", "total_tokens"])
+        .unionAll(unpivot(exact, "exact_split", ["n_docs", "n_bins", "n_segments", "split_docs"]))
+        .unionAll(unpivot(inc, "incontext", ["n_bins", "boundary_crossers", "same_cell_adjacency"]))
+    )
+    return out.orderBy("family", "metric")

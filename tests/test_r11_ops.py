@@ -465,3 +465,29 @@ def test_drift_card_reflects_planted_drift_and_matches_parts(spark):
     ks_rows = _q("t113_ks_test")(spark, SF_DIR).collect()
     assert abs(card[("ks", "max_ks_d")] - round(max(r.ks_d for r in ks_rows) + 0.0, 6)) < 1e-9
     assert card[("ks", "n_types")] == float(len(ks_rows))
+
+
+# ---------------------------------------------------------------------------
+# pipeline_packing_card
+# ---------------------------------------------------------------------------
+
+
+def test_packing_card_strategy_tradeoffs_hold(spark):
+    """The card must reproduce the strategies' defining trade-offs:
+    exact_split has ZERO boundary crossing by construction (it has no
+    crossers metric — its fragment count carries the cost instead, so
+    n_segments >= n_docs with split_docs making up the difference);
+    overflow and incontext pack the SAME token stream (equal
+    n_bins — both are the running-sum layout, just reordered); and
+    incontext's same-cell adjacency exceeds the 1/k random baseline."""
+    rows = _q("pipeline_packing_card")(spark, SF_DIR).collect()
+    assert len(rows) == 11
+    card = {(r.family, r.metric): r.value for r in rows}
+    assert card[("exact_split", "n_segments")] >= card[("exact_split", "n_docs")]
+    assert (
+        card[("exact_split", "n_segments")] - card[("exact_split", "n_docs")]
+        >= card[("exact_split", "split_docs")]
+    )
+    assert card[("overflow", "n_bins")] == card[("incontext", "n_bins")]
+    assert card[("incontext", "same_cell_adjacency")] > 1.0 / 8 * 2
+    assert card[("overflow", "boundary_crossers")] > 0  # the cost it trades
