@@ -4304,3 +4304,55 @@ def t111_self_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     ).select("n_sample", "n_pairs", "mean_self_bleu", "max_self_bleu")
+
+
+# ---------------------------------------------------------------------------
+# t115: blocklist safety gate (C4-style wordlist filter)
+# ---------------------------------------------------------------------------
+
+# Stand-in safety blocklist: two fixture tokens play the role of a
+# real deny-list (C4 used the "List of Dirty, Naughty, Obscene..."
+# wordlist; the MECHANICS — multiset hit counting, threshold verdict,
+# map-only plan — are identical for any list).
+_BLOCKLIST = ["slow", "error"]
+_BLOCK_MAX_HITS = 2  # drop when hits exceed this (29% of the fixture drops)
+_BL_SQL = ", ".join(f"'{t}'" for t in _BLOCKLIST)
+
+
+@REGISTRY.register(
+    name="t115_blocklist_filter",
+    survey_ref="training-data (safety filtering; t2's quality gate and "
+    "f29's PII scrub cover junk and leakage — this is the third "
+    "standard pre-training gate, the content deny-list, C4 §2.1)",
+    doc=f"wordlist safety gate: per document, the MULTISET count of "
+    f"blocklist token occurrences (list {_BLOCKLIST} standing in for "
+    "a real deny-list — the plan is list-agnostic) and the verdict "
+    f"(drop when hits > {_BLOCK_MAX_HITS}; ~29% of the fixture drops, "
+    "so both verdicts are exercised). Occurrence counting, not "
+    "distinct-token: one slur in a 10k-token document and ten are "
+    "different signals, which is why C4-style filters count hits. "
+    "Scale: pure map-only column expression over the scan (filter + "
+    "size on the split array, JVM whole-stage codegen, no UDF, no "
+    "shuffle) — composes into pipeline_curation-style funnels as a "
+    "pushed predicate.",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+                    t -> t IN ({_BL_SQL}))) AS BIGINT) AS n_hits,
+               CASE WHEN LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+                    t -> t IN ({_BL_SQL}))) > {_BLOCK_MAX_HITS}
+                    THEN 'drop' ELSE 'keep' END AS verdict
+        FROM documents
+    """,
+)
+def t115_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    bl = F.array(*[F.lit(t) for t in _BLOCKLIST])
+    hits = F.size(
+        F.filter(F.split(F.lower(F.col("text")), " "), lambda t: F.array_contains(bl, t))
+    ).cast("bigint")
+    return docs.select(
+        "doc_id",
+        hits.alias("n_hits"),
+        F.when(hits > _BLOCK_MAX_HITS, "drop").otherwise("keep").alias("verdict"),
+    )

@@ -358,3 +358,94 @@ def x8_grouped_map_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         standardize,
         schema="doc_id bigint, source string, n_chars int, z_len double",
     )
+
+
+# ---------------------------------------------------------------------------
+# x9: cogrouped-map applyInPandas — the last Python-seam API member
+# ---------------------------------------------------------------------------
+
+_X9_SPLIT = "2024-01-15"  # t84/t113's reference/comparison boundary
+
+
+@REGISTRY.register(
+    name="x9_cogrouped_map_pandas",
+    survey_ref="X-family (cogrouped-map applyInPandas API pin; with x1 "
+    "struct scalar, x6 UDTF, x7 Arrow scalar, x8 grouped map, v8b "
+    "mapInPandas and t5 applyInPandasWithState the Python-seam matrix "
+    "is COMPLETE — cogroup is the seam for per-key two-frame work: "
+    "champion/challenger scoring, ref-vs-cmp stats, feature joins too "
+    "ragged for SQL)",
+    doc="per-event_type reference-vs-comparison value summary through "
+    "the REAL df1.groupBy(k).cogroup(df2.groupBy(k)).applyInPandas "
+    "seam (t84's date split): both periods' rows for one type arrive "
+    "as TWO whole pandas DataFrames — the property neither grouped "
+    "map (one frame) nor a join (row-aligned) gives — and the UDF "
+    "emits counts, per-side means and the mean shift. The oracle "
+    "replays the arithmetic as two aggregates FULL-JOINed on the key "
+    "(cogroup emits keys present in EITHER side; empty sides emit "
+    "n=0/mean=0, mirrored by COALESCE), so the hash pins the Arrow "
+    "cogroup batching bit-for-bit. Means round to 4 with the x8 "
+    "half-away trick (SQL ROUND is half-away; pandas is half-even). "
+    "Scale: one shuffle per side on the group key, each (key, side) "
+    "a single Arrow batch.",
+    oracle=f"""
+        WITH ref AS (
+            SELECT event_type, CAST(COUNT(*) AS INT) AS n_ref,
+                   ROUND(COALESCE(AVG(value), 0.0) + 0.0, 4) AS mean_ref
+            FROM events
+            WHERE value IS NOT NULL AND CAST(ts AS DATE) < '{_X9_SPLIT}'
+            GROUP BY event_type
+        ), cmp AS (
+            SELECT event_type, CAST(COUNT(*) AS INT) AS n_cmp,
+                   ROUND(COALESCE(AVG(value), 0.0) + 0.0, 4) AS mean_cmp
+            FROM events
+            WHERE value IS NOT NULL AND CAST(ts AS DATE) >= '{_X9_SPLIT}'
+            GROUP BY event_type
+        )
+        SELECT COALESCE(r.event_type, c.event_type) AS event_type,
+               COALESCE(r.n_ref, 0) AS n_ref,
+               COALESCE(c.n_cmp, 0) AS n_cmp,
+               COALESCE(r.mean_ref, 0.0) AS mean_ref,
+               COALESCE(c.mean_cmp, 0.0) AS mean_cmp,
+               ROUND(COALESCE(c.mean_cmp, 0.0) - COALESCE(r.mean_ref, 0.0)
+                     + 0.0, 4) AS mean_shift
+        FROM ref r FULL JOIN cmp c ON r.event_type = c.event_type
+    """,
+)
+def x9_cogrouped_map_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    def _round4(x: float) -> float:
+        # SQL half-away-from-zero at 4 decimals (x8's convention)
+        return float(np.sign(x) * np.floor(np.abs(x) * 1e4 + 0.5) / 1e4)
+
+    def summarize(key: tuple, ref: "pd.DataFrame", cmp_: "pd.DataFrame") -> "pd.DataFrame":
+        # np.mean is a sequential/pairwise float64 sum — rounding to 4
+        # absorbs the sum-order delta vs the oracle's AVG (x8's trick)
+        mr = _round4(float(np.mean(ref["value"])) if len(ref) else 0.0)
+        mc = _round4(float(np.mean(cmp_["value"])) if len(cmp_) else 0.0)
+        return pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_ref": [np.int32(len(ref))],
+                "n_cmp": [np.int32(len(cmp_))],
+                "mean_ref": [mr],
+                "mean_cmp": [mc],
+                "mean_shift": [_round4(mc - mr)],
+            }
+        )
+
+    ev = load_table(spark, "events", sf_dir).filter(F.col("value").isNotNull())
+    split = F.lit(_X9_SPLIT).cast("date")
+    ref = ev.filter(F.col("ts").cast("date") < split).select("event_type", "value")
+    cmp_ = ev.filter(F.col("ts").cast("date") >= split).select("event_type", "value")
+    return (
+        ref.groupBy("event_type")
+        .cogroup(cmp_.groupBy("event_type"))
+        .applyInPandas(
+            summarize,
+            schema="event_type string, n_ref int, n_cmp int, "
+            "mean_ref double, mean_cmp double, mean_shift double",
+        )
+    )

@@ -491,3 +491,58 @@ def test_packing_card_strategy_tradeoffs_hold(spark):
     assert card[("overflow", "n_bins")] == card[("incontext", "n_bins")]
     assert card[("incontext", "same_cell_adjacency")] > 1.0 / 8 * 2
     assert card[("overflow", "boundary_crossers")] > 0  # the cost it trades
+
+
+# ---------------------------------------------------------------------------
+# x9: cogrouped-map applyInPandas
+# ---------------------------------------------------------------------------
+
+
+def test_x9_cogroup_matches_sql_aggregation(spark):
+    """The cogroup seam's per-type means must equal an independent
+    Spark-SQL aggregation to the rounding digit — this pins the
+    Arrow two-frame batching (each (key, side) arriving WHOLE), not
+    just the arithmetic."""
+    from ai_iceberg_demo_spark.functions.udf_surface import _X9_SPLIT
+    from ai_iceberg_demo_spark.tables import load_table
+
+    rows = {r.event_type: r for r in _q("x9_cogrouped_map_pandas")(spark, SF_DIR).collect()}
+    ev = load_table(spark, "events", SF_DIR).filter(F.col("value").isNotNull())
+    split = F.lit(_X9_SPLIT).cast("date")
+    ref = {
+        r.event_type: (r.n, r.m)
+        for r in ev.filter(F.col("ts").cast("date") < split)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.avg("value") + 0.0, 4).alias("m"))
+        .collect()
+    }
+    assert rows
+    for t, r in rows.items():
+        n, m = ref.get(t, (0, 0.0))
+        assert r.n_ref == n
+        assert abs(r.mean_ref - m) < 1e-9
+        assert abs(r.mean_shift - round(r.mean_cmp - r.mean_ref + 0.0, 4)) <= 1e-4
+
+
+# ---------------------------------------------------------------------------
+# t115: blocklist safety gate
+# ---------------------------------------------------------------------------
+
+
+def test_t115_counts_occurrences_not_distinct_and_both_verdicts_fire(spark):
+    """Multiset semantics: a doc with the same blocked token twice
+    must count 2 (recomputed per doc in pandas); and the fixture must
+    exercise BOTH verdicts at the registered threshold."""
+    from ai_iceberg_demo_spark.functions.text import _BLOCK_MAX_HITS, _BLOCKLIST
+    from ai_iceberg_demo_spark.tables import load_table
+
+    out = {r.doc_id: r for r in _q("t115_blocklist_filter")(spark, SF_DIR).collect()}
+    docs = load_table(spark, "documents", SF_DIR).select("doc_id", "text").collect()
+    verdicts = set()
+    for d in docs:
+        hits = sum(1 for t in d.text.lower().split(" ") if t in _BLOCKLIST)
+        r = out[d.doc_id]
+        assert r.n_hits == hits, (d.doc_id, r.n_hits, hits)
+        assert r.verdict == ("drop" if hits > _BLOCK_MAX_HITS else "keep")
+        verdicts.add(r.verdict)
+    assert verdicts == {"keep", "drop"}
