@@ -4356,3 +4356,124 @@ def t115_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         hits.alias("n_hits"),
         F.when(hits > _BLOCK_MAX_HITS, "drop").otherwise("keep").alias("verdict"),
     )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_safety_card: the corpus-intake gate report
+# ---------------------------------------------------------------------------
+
+_SAFETY_Q_FLOOR = 0.5  # t2 quality floor used for the keep-rate line
+
+
+def _safety_card_oracle() -> str:
+    """Composes the four intake gates' registered SQL verbatim (the
+    governance-card discipline)."""
+    t2 = REGISTRY.specs["t2_quality_score"].oracle
+    t3 = REGISTRY.specs["t3_langid"].oracle
+    f29 = REGISTRY.specs["f29_pii_redaction"].oracle
+    t115 = REGISTRY.specs["t115_blocklist_filter"].oracle
+    return f"""
+        SELECT family, metric, value FROM (
+            SELECT 'quality' AS family, 'n_docs' AS metric,
+                   CAST(COUNT(*) AS DOUBLE) AS value FROM ({t2})
+            UNION ALL
+            SELECT 'quality', 'keep_rate',
+                   ROUND(AVG(CASE WHEN quality >= {_SAFETY_Q_FLOOR}
+                                  THEN 1.0 ELSE 0.0 END) + 0.0, 6) FROM ({t2})
+            UNION ALL
+            SELECT 'langid', 'declared_match_rate',
+                   ROUND(AVG(CASE WHEN lang_guess = lang THEN 1.0 ELSE 0.0 END)
+                         + 0.0, 6) FROM ({t3})
+            UNION ALL
+            SELECT 'pii', 'docs_redacted',
+                   CAST(SUM(CASE WHEN n_emails + n_numbers > 0 THEN 1 ELSE 0 END)
+                        AS DOUBLE) FROM ({f29})
+            UNION ALL
+            SELECT 'pii', 'total_redactions',
+                   CAST(SUM(n_emails + n_numbers) AS DOUBLE) FROM ({f29})
+            UNION ALL
+            SELECT 'blocklist', 'drop_rate',
+                   ROUND(AVG(CASE WHEN verdict = 'drop' THEN 1.0 ELSE 0.0 END)
+                         + 0.0, 6) FROM ({t115})
+            UNION ALL
+            SELECT 'blocklist', 'total_hits',
+                   CAST(SUM(n_hits) AS DOUBLE) FROM ({t115})
+        )
+        ORDER BY family, metric
+    """
+
+
+@REGISTRY.register(
+    name="pipeline_safety_card",
+    survey_ref="training-data (composed: t2 + t3 + f29 + t115 — the "
+    "corpus-intake gate report; the governance-card discipline "
+    "applied to the three standard pre-training gates plus langid)",
+    doc="the intake report in ONE long-format table (family, metric, "
+    f"value): quality keep rate at the {_SAFETY_Q_FLOOR} floor (t2), "
+    "declared-language agreement rate (t3), PII redaction volume "
+    "(f29 — docs touched + total redactions), and blocklist drop "
+    "rate + hit volume (t115) — what a data lead reads before a "
+    "crawl snapshot enters the curation funnel, and the numbers a "
+    "safety review audits afterwards. Oracle composes the four "
+    "parts' registered SQL verbatim; every part is map-only, so the "
+    "card costs four summary aggregates over one corpus scan shape.",
+    oracle=_safety_card_oracle(),
+)
+def pipeline_safety_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def unpivot(agg: DataFrame, family: str, cols: list[str]) -> DataFrame:
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("metric"), F.col(c).cast("double").alias("value")
+                )
+                for c in cols
+            ]
+        )
+        return agg.select(F.explode(pairs).alias("_m")).select(
+            F.lit(family).alias("family"),
+            F.col("_m.metric").alias("metric"),
+            F.col("_m.value").alias("value"),
+        )
+
+    q = t2_quality_score(spark, sf_dir).agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.round(
+            F.avg(
+                F.when(F.col("quality") >= _SAFETY_Q_FLOOR, 1.0).otherwise(0.0)
+            )
+            + 0.0,
+            6,
+        ).alias("keep_rate"),
+    )
+    lang = t3_langid(spark, sf_dir).agg(
+        F.round(
+            F.avg(
+                F.when(F.col("lang_guess") == F.col("lang"), 1.0).otherwise(0.0)
+            )
+            + 0.0,
+            6,
+        ).alias("declared_match_rate")
+    )
+    pii = f29_pii_redaction(spark, sf_dir).agg(
+        F.sum(
+            F.when(F.col("n_emails") + F.col("n_numbers") > 0, 1).otherwise(0)
+        )
+        .cast("double")
+        .alias("docs_redacted"),
+        F.sum(F.col("n_emails") + F.col("n_numbers"))
+        .cast("double")
+        .alias("total_redactions"),
+    )
+    bl = t115_blocklist_filter(spark, sf_dir).agg(
+        F.round(
+            F.avg(F.when(F.col("verdict") == "drop", 1.0).otherwise(0.0)) + 0.0, 6
+        ).alias("drop_rate"),
+        F.sum("n_hits").cast("double").alias("total_hits"),
+    )
+    out = (
+        unpivot(q, "quality", ["n_docs", "keep_rate"])
+        .unionAll(unpivot(lang, "langid", ["declared_match_rate"]))
+        .unionAll(unpivot(pii, "pii", ["docs_redacted", "total_redactions"]))
+        .unionAll(unpivot(bl, "blocklist", ["drop_rate", "total_hits"]))
+    )
+    return out.orderBy("family", "metric")

@@ -546,3 +546,25 @@ def test_t115_counts_occurrences_not_distinct_and_both_verdicts_fire(spark):
         assert r.verdict == ("drop" if hits > _BLOCK_MAX_HITS else "keep")
         verdicts.add(r.verdict)
     assert verdicts == {"keep", "drop"}
+
+
+# ---------------------------------------------------------------------------
+# pipeline_safety_card
+# ---------------------------------------------------------------------------
+
+
+def test_safety_card_matches_parts_and_rates_are_rates(spark):
+    """7 rows, 4 families; every *_rate lands in [0,1]; the blocklist
+    family's values must equal an independent aggregation of t115's
+    registered output (the card is a view of its parts)."""
+    rows = _q("pipeline_safety_card")(spark, SF_DIR).collect()
+    assert len(rows) == 7
+    card = {(r.family, r.metric): r.value for r in rows}
+    assert {r.family for r in rows} == {"quality", "langid", "pii", "blocklist"}
+    for (fam, metric), v in card.items():
+        if metric.endswith("_rate"):
+            assert 0.0 <= v <= 1.0, (fam, metric, v)
+    bl = _q("t115_blocklist_filter")(spark, SF_DIR).collect()
+    drop = sum(1 for r in bl if r.verdict == "drop") / len(bl)
+    assert abs(card[("blocklist", "drop_rate")] - round(drop + 0.0, 6)) < 1e-9
+    assert card[("blocklist", "total_hits")] == float(sum(r.n_hits for r in bl))
