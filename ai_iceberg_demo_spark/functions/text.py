@@ -2799,16 +2799,18 @@ def t98_rouge2_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BLEU_MIN_WORDS = 12  # shortest 4-gram-able pair after 2/3 truncation
 
 
-def _bleu_ngram_structs_sql() -> str:
-    """Spark-SQL expression: from a token array `t`, the flattened
-    array of (n, gram) structs for n = 1..4 — one explode covers all
-    four orders instead of four scans."""
+def _bleu_ngram_structs_sql(col: str = "t") -> str:
+    """Spark-SQL expression: from the token-array column ``col``, the
+    flattened array of (n, gram) structs for n = 1..4 — one explode
+    covers all four orders instead of four scans. Parameterized so
+    consumers with a differently-named token column (t111) bind it
+    directly instead of string-rewriting the generated SQL."""
     cases = []
     for n in range(1, 5):
-        idxs = ", ".join(f"t[i+{j}]" for j in range(n))
+        idxs = ", ".join(f"{col}[i+{j}]" for j in range(n))
         cases.append(
-            f"CASE WHEN size(t) >= {n} THEN "
-            f"transform(sequence(0, size(t) - {n}), "
+            f"CASE WHEN size({col}) >= {n} THEN "
+            f"transform(sequence(0, size({col}) - {n}), "
             f"i -> named_struct('n', {n}, 'gram', concat_ws(' ', {idxs}))) "
             f"ELSE cast(array() as array<struct<n:int,gram:string>>) END"
         )
@@ -3586,6 +3588,14 @@ _LOGREG_ROUNDS = 3
 _LOGREG_LR = 1.0
 _LOGREG_DP = 6
 _LOGREG_Y_CHARS = 300  # weak label: docs at/over this length are "high quality"
+# Clamp p into [ε, 1−ε] before the loss AND the gradient (r11 ADVICE):
+# once the sigmoid saturates (|z| ≳ 37 in double), p is exactly 0.0/1.0
+# and the logloss term LN(0) hard-errors in DuckDB while Spark's log(0)
+# returns NULL and silently drops the row from AVG — two different wrong
+# behaviors for very long documents at corpus scale. The clamp keeps
+# both engines finite and identical; 1e-12 is far below _LOGREG_DP's
+# rounding quantum so fixture hashes are unchanged.
+_LOGREG_P_CLAMP = "0.000000000001"
 _SW_SQL = ", ".join(f"'{s}'" for s in _STOPWORDS)
 
 
@@ -3600,8 +3610,10 @@ def _logreg_round_sql(prev_w: str, idx: int) -> str:
     return f"""
         s{idx} AS (
             SELECT f.x1, f.x2, f.x3, f.y,
-                   1.0 / (1.0 + EXP(-(w.w0 + w.w1 * f.x1 + w.w2 * f.x2
-                                      + w.w3 * f.x3))) AS p,
+                   LEAST(GREATEST(
+                       1.0 / (1.0 + EXP(-(w.w0 + w.w1 * f.x1 + w.w2 * f.x2
+                                          + w.w3 * f.x3))),
+                       {_LOGREG_P_CLAMP}), 1.0 - {_LOGREG_P_CLAMP}) AS p,
                    w.w0 AS pw0, w.w1 AS pw1, w.w2 AS pw2, w.w3 AS pw3
             FROM feats f CROSS JOIN {prev_w} w
         ), w{idx} AS (
@@ -3635,7 +3647,10 @@ def _logreg_round_sql(prev_w: str, idx: int) -> str:
     "gradient row broadcast back — state is corpus-independent "
     "(d+1 doubles), so 100 TB costs 3 cached passes, no shuffle "
     "beyond the tree-aggregate. EXP/LN cross-engine per the t77 "
-    "adjudication; -0.0 normalized per the r10 COVAR lesson.",
+    "adjudication; -0.0 normalized per the r10 COVAR lesson; p "
+    "clamped to [1e-12, 1-1e-12] on BOTH engines so a saturated "
+    "sigmoid (|z|>~37, very long docs) can't turn the loss into "
+    "DuckDB LN(0) errors / Spark NULL-dropped rows (r11 ADVICE).",
     oracle=f"""
         WITH feats AS (
             SELECT CAST(n_chars AS DOUBLE) / 400.0 AS x1,
@@ -3689,7 +3704,13 @@ def t108_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.col("w2") * F.col("x2")
             + F.col("w3") * F.col("x3")
         )
-        scored = scored.withColumn("p", 1.0 / (1.0 + F.exp(-z)))
+        eps = float(_LOGREG_P_CLAMP)
+        scored = scored.withColumn(
+            "p",
+            F.least(
+                F.greatest(1.0 / (1.0 + F.exp(-z)), F.lit(eps)), F.lit(1.0 - eps)
+            ),
+        )
         resid = F.col("p") - F.col("y")
         upd = scored.agg(
             F.round(
@@ -3783,7 +3804,7 @@ _WER_FOOTER = ["near", "duplicate", "footer", "variant"]
                         THEN LIST_TRANSFORM(STRING_SPLIT(text, ' '),
                              (x, i) -> CASE WHEN i % 5 = 0 THEN 'value' ELSE x END)
                         ELSE LIST_CONCAT(STRING_SPLIT(text, ' '),
-                             {str(_WER_FOOTER).replace("'", chr(39))})
+                             [{", ".join("'" + t.replace("'", "''") + "'" for t in _WER_FOOTER)}])
                    END AS ct
             FROM documents WHERE doc_id % 10 = 0
         ), toks AS (
@@ -4083,6 +4104,7 @@ def _eval_card_oracle() -> str:
     survey_ref="training-data (composed: t105 + t98 + t106 + t109 — "
     "the generation-eval governance card, pipeline_graph_quality's "
     "discipline applied to the eval-metric family)",
+    bench=True,  # r11 verdict #6: heaviest never-floored plan, d9b precedent
     doc="the generation-eval report in ONE long-format table (family, "
     "metric, value): pair count and mean score for BLEU-4 (t105), "
     "ROUGE-2 F1 (t98), chrF (t106) and WER (t109) — the card an eval "
@@ -4224,7 +4246,7 @@ def t111_self_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(persist_once)
     )
     g = (
-        sample.select("doc_id", F.explode(F.expr(_bleu_ngram_structs_sql().replace("t[", "w[").replace("size(t)", "size(w)"))).alias("g"))
+        sample.select("doc_id", F.explode(F.expr(_bleu_ngram_structs_sql(col="w"))).alias("g"))
         .select("doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
         .groupBy("doc_id", "n", "gram")
         .agg(F.count("*").cast("bigint").alias("c"))

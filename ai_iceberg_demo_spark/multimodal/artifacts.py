@@ -678,7 +678,7 @@ def perceptual_hash(artifacts: DataFrame) -> DataFrame:
 
 
 def phash_near_dup_pairs(
-    hashes: DataFrame, hamming_max: int = PHASH_HAMMING_MAX
+    hashes: DataFrame, hamming_max: int = PHASH_HAMMING_MAX, col: str = "phash"
 ) -> DataFrame:
     """Near-dup artifact pairs by banded hamming join (d4's discipline
     on the multimodal column): split each 64-bit hash into 4×16-bit
@@ -691,22 +691,24 @@ def phash_near_dup_pairs(
     to the full threshold would need 8×8-bit bands, whose 256-value
     space collides quadratically on a large corpus). JVM-side bit ops
     throughout; the corpus shuffles once on the compact band key.
+    ``col`` names the 64-bit signature column — v8e passes its aHash,
+    v8h its temporal energy-contour signature (same banding math).
     """
     bands = F.array(
         *[
             F.struct(
                 F.lit(k).alias("k"),
-                F.shiftright(F.col("phash"), 16 * k).bitwiseAND(F.lit(0xFFFF)).alias("v"),
+                F.shiftright(F.col(col), 16 * k).bitwiseAND(F.lit(0xFFFF)).alias("v"),
             )
             for k in range(PHASH_BANDS)
         ]
     )
-    banded = hashes.select("doc_id", "phash", F.explode(bands).alias("b"))
+    banded = hashes.select("doc_id", col, F.explode(bands).alias("b"))
     a = banded.select(
-        F.col("doc_id").alias("a_id"), F.col("phash").alias("a_hash"), "b"
+        F.col("doc_id").alias("a_id"), F.col(col).alias("a_hash"), "b"
     )
     bside = banded.select(
-        F.col("doc_id").alias("b_id"), F.col("phash").alias("b_hash"), "b"
+        F.col("doc_id").alias("b_id"), F.col(col).alias("b_hash"), "b"
     )
     hamming = F.bit_count(F.col("a_hash").bitwiseXOR(F.col("b_hash")))
     return (
@@ -851,6 +853,158 @@ def v8f_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     return diffs.filter(F.col("delta") >= _SCENE_CUT_DELTA).select(
         "doc_id", "frame_no", F.round("delta", 4).alias("delta")
     )
+
+
+# ---------------------------------------------------------------------------
+# v8h: audio/video near-duplicate detection (temporal energy-contour
+# signature + banded hamming join) — the missing multimodal dedup twin
+# ---------------------------------------------------------------------------
+
+AV_SLICES = 65  # 65 normalized-time slices → 64 energy-delta bits
+AV_HAMMING_MAX = 6  # same near-dup bar as v8e (≤ 6/64 differing deltas)
+
+AV_SIG_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("avsig", LongType())]
+)
+
+#: SQL replay of ``av_contour_signature`` — `sig` is (doc_id, avsig
+#: BIGINT). Same exact-integer argument as _PHASH_SQL_CTE: bytes are
+#: UNICODE code points on this ASCII corpus, np.array_split's slice
+#: arithmetic is `start_k = k*q + min(k, r)`, per-slice ENERGY is the
+#: integer sum of squared byte values (≤ 126² × 553 ≈ 8.8e6, exact in
+#: BIGINT), and the k=0 delta bit lands on the sign bit (two's-
+#: complement BIGINT-min spelling, v8e2's proven pack).
+_AVSIG_SQL_CTE = f"""
+        docs AS (
+            SELECT doc_id,
+                   LIST_TRANSFORM(REGEXP_EXTRACT_ALL(text, '(?s).'),
+                                  c -> CAST(UNICODE(c) AS BIGINT)) AS xs,
+                   LEN(REGEXP_EXTRACT_ALL(text, '(?s).')) AS L
+            FROM documents
+        ), energies AS (
+            SELECT d.doc_id, g.k,
+                   COALESCE(LIST_SUM(LIST_TRANSFORM(LIST_SLICE(d.xs,
+                       CAST(g.k*(d.L//{AV_SLICES}) + LEAST(g.k, d.L%{AV_SLICES}) + 1 AS BIGINT),
+                       CAST((g.k+1)*(d.L//{AV_SLICES}) + LEAST(g.k+1, d.L%{AV_SLICES}) AS BIGINT)),
+                       x -> x * x)), 0) AS e
+            FROM docs d CROSS JOIN (SELECT UNNEST(RANGE(0, {AV_SLICES})) AS k) g
+        ), sig AS (
+            SELECT a.doc_id,
+                   CAST(SUM(CASE WHEN a.e <= b.e THEN 0
+                                 WHEN a.k = 0 THEN (-9223372036854775807 - 1)
+                                 ELSE CAST(1 AS BIGINT) << (63 - CAST(a.k AS INT))
+                            END) AS BIGINT) AS avsig
+            FROM energies a JOIN energies b
+              ON a.doc_id = b.doc_id AND b.k = a.k + 1
+            GROUP BY a.doc_id
+        )
+"""
+
+
+def av_contour_signature(artifacts: DataFrame) -> DataFrame:
+    """(doc_id, avsig): 64-bit temporal energy-contour signature of
+    each binary payload — the audio/video analog of v8e's spatial
+    aHash.
+
+    Production pipeline: decode → per-slice signal energy over
+    normalized time → threshold each consecutive-slice DELTA
+    (Chromaprint/Shazam-style energy-delta fingerprinting; for video,
+    the same contour over v8f's per-frame luma). The codec decode
+    needs libs absent here, so energy is the deterministic stand-in
+    v8d already uses: sum of squared payload bytes per slice. The
+    payload splits into 65 equal normalized-time slices
+    (np.array_split semantics — length-independent, so a short clip
+    and its re-encode align slice-for-slice where absolute framing
+    would shear), bit k = [E_k > E_{k+1}]. Delta-sign thresholding is
+    gain-invariant (a uniformly louder copy keeps every bit) and
+    length-normalized (a re-sampled copy keeps most bits) — exactly
+    why the audio-fingerprinting literature thresholds deltas, not
+    levels. Arrow-batched mapInPandas, map-only; 8 bytes/row leave
+    the scan, so at 100 TB the signal work streams through executors
+    and downstream joins see compact longs.
+    """
+
+    def sig_batch(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            sigs = np.empty(len(pdf), dtype=np.int64)
+            for i, payload in enumerate(pdf["payload"]):
+                buf = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+                e = np.array(
+                    [int((s * s).sum()) for s in np.array_split(buf, AV_SLICES)],
+                    dtype=np.int64,
+                )
+                bits = (e[:-1] > e[1:]).astype(np.uint64)
+                h = np.uint64(0)
+                for b in bits:
+                    h = (h << np.uint64(1)) | b
+                sigs[i] = np.int64(h.astype(np.int64))
+            yield pd.DataFrame({"doc_id": ids, "avsig": sigs})
+
+    return artifacts.select("doc_id", "payload").mapInPandas(sig_batch, AV_SIG_SCHEMA)
+
+
+@REGISTRY.register(
+    name="v8h_av_contour_dedup",
+    survey_ref="training-data (multimodal dedup — the audio/video twin "
+    "the r11 verdict named as the one missing multimodal curation "
+    "face: v8e covers image near-dup, this composes v8d's energy "
+    "feature with v8f's temporal structure into a banded near-dup "
+    "for time-media payloads)",
+    doc="near-duplicate audio/video detection over the binary artifact "
+    "column: 64-bit temporal energy-contour signature per payload "
+    "(65 normalized-time slices, bit = sign of the consecutive-slice "
+    "energy delta — Chromaprint-style, gain-invariant and "
+    "length-normalized; Arrow mapInPandas seam, deterministic "
+    "stand-in for the codec decode exactly as v8d/v8f stub theirs) → "
+    "the SAME 4×16-bit banded hamming self-join discipline as v8e "
+    "(complete for hamming ≤ 3, LSH-probabilistic to ≤ 6) → exact "
+    "bit_count verify. The signature is exact integer math end to "
+    "end, so the whole pipeline — Python seam, slice arithmetic, "
+    "delta pack, banding, xor popcount — is hash-oracled. Scale: "
+    "map-only signature extraction (payloads never shuffle), one "
+    "corpus shuffle on the compact band key, candidates priced by a "
+    "popcount; same 100 TB profile as v8e with the same documented "
+    "wider-bands-at-scale recall trade.",
+    oracle=f"""
+        WITH {_AVSIG_SQL_CTE}, bands AS (
+            SELECT doc_id, avsig, g.k, (avsig >> (16 * g.k)) & 65535 AS v
+            FROM sig CROSS JOIN (SELECT UNNEST(RANGE(0, {PHASH_BANDS})) AS k) g
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+                   a.avsig AS ah, b.avsig AS bh
+            FROM bands a
+            JOIN bands b ON a.k = b.k AND a.v = b.v AND a.doc_id < b.doc_id
+        )
+        SELECT a_id, b_id, CAST(bit_count(xor(ah, bh)) AS INT) AS hamming
+        FROM cand WHERE bit_count(xor(ah, bh)) <= {AV_HAMMING_MAX}
+    """,
+)
+def v8h_av_contour_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # persisted diamond over the Arrow seam, exactly v8e's shape
+    sigs = av_contour_signature(artifact_table(spark, sf_dir)).transform(persist_once)
+    return phash_near_dup_pairs(sigs, hamming_max=AV_HAMMING_MAX, col="avsig")
+
+
+@REGISTRY.register(
+    name="v8h2_av_signature_det",
+    survey_ref="training-data (multimodal dedup); v8h's seam twin, the "
+    "v8e2 discipline",
+    doc="the raw temporal energy-contour signature table itself, "
+    "hash-oracled bit-for-bit: one 64-bit delta-sign signature per "
+    "binary payload straight off the Arrow mapInPandas seam, checked "
+    "against the SQL replay of the slice/energy/pack arithmetic. "
+    "Where v8h's oracle checks the near-dup PAIRS, this checks every "
+    "signature — a sign-bit, slice-boundary, or bit-order bug that "
+    "happens not to flip any pair verdict still fails here (why v8e2 "
+    "exists beside v8e). Map-only, no shuffle at all.",
+    oracle=f"WITH {_AVSIG_SQL_CTE} SELECT doc_id, avsig FROM sig",
+)
+def v8h2_av_signature_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return av_contour_signature(artifact_table(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------

@@ -92,71 +92,70 @@ class Registry:
 #   3. Then never-driver-checked names in registration order; then
 #      staleness tiers.
 #
-# Round 11 window (this list, per the r10 verdict's marching order
-# #1): the 7 r10 registrations as first-ever pins (the capped k-NN
-# graph twin + its three re-based consumers, the chrF/Heaps-law text
-# ops, and the composed graph-governance pipeline — the only
-# registered queries without driver rows), then the 40-name r3
-# staleness cohort in name order (8 rounds stale by r11; the tier's
-# rows-only names a8b/v3b/v3c/v11b excluded per policy #1 — each has
-# a hash-oracled twin/core with driver history), then the first 3 of
-# the r4 staleness tier in name order. 7 + 40 + 3 = 50. r12 draft:
-# any r11 registrations first, then the remaining 47-name r4 tier —
-# see ROTATION.md.
+# Round 12 window (this list, per the r11 verdict's marching order
+# #1): the 15 r11 registrations as first-ever pins in registration
+# order (the graph ops g10/g11, the in-context packer u47, the
+# trainer/eval family t108–t112, the KS drift test t113, the
+# blocklist gate t115, the cogrouped-map seam x9, and the four
+# governance cards — the only registered queries without driver
+# rows, recomputed against CORRECTNESS_r01–r11 before pinning), then
+# the first 35 of the 47-name r4 staleness tier in name order (8
+# rounds stale by r12; all hash-oracled). 15 + 35 = 50; the cut
+# falls after s2_point_lookup, the last 12 tier names overflow to
+# the r13 draft — see ROTATION.md.
 _DRIVER_WINDOW_PRIORITY = [
-    # 7 r10 registrations (first-ever rows), verdict order
-    "v18c_knn_graph_capped",
-    "d26b_mutual_knn_capped",
-    "v33b_knn_classifier_capped",
-    "v24c_label_noise_capped",
-    "t106_chrf_eval",
-    "t107_vocab_growth",
-    "pipeline_graph_quality",
-    # r3 staleness cohort (newest driver row r3), name order
-    "d2b_lsh_seeded_jaccard",
-    "f10_text_assembly",
-    "f11_template_enrich",
-    "f12_date_format",
-    "f14_arithmetic",
-    "f16_label_dispatch",
-    "f17_status_derive",
-    "f1_title_extract",
-    "f20_json_extract",
-    "f21_struct_flatten",
-    "f22_any_match",
-    "f23_map_lookup",
-    "f24_posexplode",
-    "f3_path_normalize",
-    "f4_trim_lower",
-    "f5_truncate",
-    "f6_split_tokens",
-    "f9_key_synthesis",
-    "pipeline_training_prep",
-    "t10_session_window",
-    "t11_attribution_join",
-    "t12_stream_dedup",
-    "t15_resample_gap_fill",
-    "t17_decontamination",
-    "t18_repetition",
-    "t19_unigram_logprob",
-    "t1_event_envelope",
-    "t20_boilerplate_ngrams",
-    "t5_stateful_session",
-    "t8_tumbling_window",
-    "t9_sliding_window",
-    "u10b_mixture_apply",
-    "u12_stratified_sample",
-    "u9_sequence_packing",
-    "v11_kmeans_assign",
-    "v8b_image_resize",
-    "v8c_frame_sample",
-    "v8d_audio_features",
-    "x1_registered_struct_udf",
-    "x5_error_classification",
-    # first 3 of the r4 staleness tier, name order
-    "a10_cube",
-    "a12_moment_stats",
-    "a13_pivot_matrix",
+    # 15 r11 registrations (first-ever rows), registration order
+    "g10_kcore",
+    "g11_hits",
+    "u47_incontext_packing",
+    "t108_logreg_quality",
+    "t109_wer_eval",
+    "t110_bootstrap_ci",
+    "pipeline_eval_card",
+    "t111_self_bleu",
+    "t112_pass_at_k",
+    "t113_ks_test",
+    "pipeline_drift_card",
+    "pipeline_packing_card",
+    "x9_cogrouped_map_pandas",
+    "t115_blocklist_filter",
+    "pipeline_safety_card",
+    # first 35 of the r4 staleness tier (newest driver row r4), name order
+    "a1_max_per_group",
+    "a2_predicated_count",
+    "a3_progress_counters",
+    "a4_collect_list_fanin",
+    "a5_next_sequence",
+    "a6_usage_accumulation",
+    "a7_rollup",
+    "a9_skew_salted_agg",
+    "j1_parent_children_join",
+    "j2_union_edge_join",
+    "j3_semi_join_exists",
+    "j4_anti_join_guard",
+    "j5_adjacent_sequence",
+    "j7_star_join",
+    "j8_asof_join",
+    "j9_interval_join",
+    "o1_newest_first",
+    "o2_ordered_replay",
+    "o3_keyset_pagination",
+    "o3_pagination",
+    "o4_topk_by_score",
+    "o5_limited_replay",
+    "p1_projection_rename",
+    "p2_threshold_filter",
+    "p3_notnull_filter",
+    "p4_compound_predicate",
+    "p5_category_equality",
+    "p6_substring_routing",
+    "p7_status_not_in",
+    "p8_drop_null_rows",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "s1_full_scan",
+    "s2_point_lookup",
 ]
 
 

@@ -4501,6 +4501,7 @@ def _drift_card_oracle() -> str:
 
 @REGISTRY.register(
     name="pipeline_drift_card",
+    bench=True,  # r11 verdict #6: second-heaviest never-floored plan
     survey_ref="training-data (composed: t84 + t70 + t113 + v16 — the "
     "distribution-drift governance card; the family is now complete "
     "across binned/divergence/exact-nonparametric/embedding views, so "

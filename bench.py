@@ -33,10 +33,24 @@ def _sf_from_dir(sf_dir: str) -> float:
         return -1.0
 
 
+def read_loadavg() -> list[float]:
+    """1/5/15-minute load averages — recorded into every bench artifact
+    (r11 verdict #3) so host-noise adjudication is data in the JSON, not
+    session archaeology. This VM has a co-tenant harness process; a
+    loadavg well above our own thread count at bench time explains
+    2× per-query swings on zero-diff code."""
+    try:
+        with open("/proc/loadavg") as f:
+            return [float(x) for x in f.read().split()[:3]]
+    except (OSError, ValueError):
+        return []
+
+
 def main() -> None:
     from ai_iceberg_demo_spark.registry import all_registries
     from ai_iceberg_demo_spark.session import get_spark
 
+    load_start = read_loadavg()
     spark = get_spark("bench")
     specs = {n: s for n, s in all_registries().specs.items() if s.bench}
 
@@ -69,6 +83,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": _sf_from_dir(SF_DIR),
+        "loadavg_start": load_start,
+        "loadavg_end": read_loadavg(),
     }
     print(json.dumps(out))
 

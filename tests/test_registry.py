@@ -57,8 +57,11 @@ def test_bench_set_is_headline_sized_and_fully_oracled():
     # 30 → 32 in r10 when d9b/t105 joined per the r9 verdict #4;
     # 32 → 34 in r11 when pipeline_graph_quality (r10 verdict #3) and
     # g10_kcore (heaviest r11 plan, d9b precedent) joined — both
-    # hash-oracled and floor-guarded
-    assert 10 <= len(bench) <= 34
+    # hash-oracled and floor-guarded;
+    # 34 → 36 in r12 when pipeline_eval_card and pipeline_drift_card
+    # joined per the r11 verdict #6 (the two heaviest never-floored
+    # plans) — both hash-oracled and floor-guarded
+    assert 10 <= len(bench) <= 36
     unoracled = [n for n, s in bench.items()
                  if s.oracle is None and n not in APPROX_BENCH_OK]
     assert unoracled == [], f"bench queries without oracle: {unoracled}"

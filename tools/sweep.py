@@ -35,6 +35,13 @@ def main() -> int:
 
     from ai_iceberg_demo_spark.tables import clear_table_cache
 
+    # load evidence with every run (r11 verdict #3): this VM hosts a
+    # co-tenant process whose load explains 2x zero-diff swings; print
+    # start/end loadavg so any flagged timing carries its context
+    sys.path.insert(0, str(REPO))
+    from bench import read_loadavg
+
+    print(f"loadavg at sweep start: {read_loadavg()}")
     spark = get_spark("sweep")
     failed: list[tuple[str, str]] = []
     timings: list[tuple[float, str]] = []
@@ -62,6 +69,7 @@ def main() -> int:
         print(f"FAIL {name}: {err}")
 
     regressed = _check_bench_floor(spark, sf_dir)
+    print(f"loadavg at sweep end: {read_loadavg()}")
     return 1 if (failed or regressed) else 0
 
 
