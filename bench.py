@@ -66,9 +66,25 @@ def main() -> None:
     # heaviest plans (r5: pipeline_interactive read 1.9–2.0× its floor
     # in-suite yet converged to ~1.1× after one warm execution). The
     # guard measures plans, not JIT.
+    # Per-query cache isolation (r12): the registry's driver-window
+    # rotation reorders the bench set every round, and persisted
+    # diamonds SHARED between queries (the v18c/g10 graph substrate)
+    # made per-query numbers order-dependent — whichever family member
+    # ran first paid the substrate build for everyone after (r11→r12:
+    # v18c 2.1 s → 0.74 s and g10 3.0 s → 3.7 s from the reorder alone,
+    # zero code diff). Clearing the cache BEFORE each query's untimed
+    # warm run makes every number self-contained: the warm run rebuilds
+    # that query's own diamonds (and the session-lifetime table
+    # persists), the timed runs reuse them — same steady-state a
+    # long-lived cluster job sees, in whatever order the registry
+    # happens to list queries.
+    from ai_iceberg_demo_spark.tables import clear_table_cache
+
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for name, spec in specs.items():
+        spark.catalog.clearCache()
+        clear_table_cache(spark)
         spec.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         best = float("inf")
         for _ in range(runs):

@@ -56,9 +56,9 @@ def main() -> int:
         # fresh on every call — drop them so a 140-query sweep doesn't
         # accumulate a session's worth of dead cached partitions
         spark.catalog.clearCache()
-    # the global clearCache also dropped the session-lifetime events
-    # persist; rebuild table handles so the floor check (bench.py
-    # methodology) times the same cached-events plans bench.py does
+    # the global clearCache also dropped the session-lifetime table
+    # handles; rebuild them so post-sweep work starts clean (the floor
+    # check below re-isolates per query regardless)
     clear_table_cache(spark)
     for dt, name in sorted(timings, reverse=True):
         if dt > slow_s:
@@ -74,8 +74,13 @@ def main() -> int:
 
 
 def _check_bench_floor(spark, sf_dir: str, floor_path: Path | None = None) -> list[str]:
-    """Best-of-2 re-time of the floor queries (bench.py methodology,
-    warm session); returns names breaching max_ratio × floor.
+    """Re-time of the floor queries with bench.py's EXACT r12
+    methodology — per-query cache isolation (clearCache +
+    clear_table_cache), one untimed warm run that rebuilds the query's
+    own persisted diamonds, then timed best-of-2 against the warm
+    cache — so the guard's numbers are self-contained and comparable
+    to the floors regardless of registry/floor-file ordering. Returns
+    names breaching max_ratio × floor.
 
     Machine-drift normalization: the recorded floors were measured on
     one day's hardware/thermal state; a uniformly slower box would trip
@@ -97,6 +102,7 @@ def _check_bench_floor(spark, sf_dir: str, floor_path: Path | None = None) -> li
         return []
 
     from ai_iceberg_demo_spark.registry import all_registries
+    from ai_iceberg_demo_spark.tables import clear_table_cache
 
     specs = all_registries().specs
     max_ratio = floor["max_ratio"]
@@ -108,6 +114,9 @@ def _check_bench_floor(spark, sf_dir: str, floor_path: Path | None = None) -> li
             print(f"REGRESS {name}: in bench_floor.json but not registered")
             regressed.append(name)
             continue
+        spark.catalog.clearCache()
+        clear_table_cache(spark)
+        specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
