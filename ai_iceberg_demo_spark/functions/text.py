@@ -4329,6 +4329,96 @@ def t111_self_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# t114: distinct-n generation diversity (Li et al. 2016)
+# ---------------------------------------------------------------------------
+
+
+@REGISTRY.register(
+    name="t114_distinct_n",
+    survey_ref="training-data (generation diversity: distinct-n, Li "
+    "et al. NAACL 2016 — the O(corpus) repetition gauge beside t111 "
+    "Self-BLEU's O(sample²) mode-collapse probe: distinct-n reads the "
+    "WHOLE corpus where Self-BLEU reads a bounded sample, so the two "
+    "fail differently — a generator that repeats one phrase "
+    "everywhere crashes distinct-n corpus-wide even if the sampled "
+    "pairs happen to look diverse)",
+    doc="distinct-n diversity over the whole corpus for n = 1..3: one "
+    "row per n with total n-gram occurrences, distinct n-gram types, "
+    "the corpus-level ratio distinct/total (Li et al.'s distinct-n), "
+    "and the MEAN per-document distinct ratio — the corpus ratio "
+    "catches cross-document phrase collapse (every doc emitting the "
+    "same boilerplate), the per-doc mean catches within-document "
+    "stutter (t18's repetition signal, here in metric form); the gap "
+    "between the two localizes WHICH failure a low score means. "
+    "Reuses t105's n-gram struct helper (n filtered to 1..3). All "
+    "counts are exact integers; the only floats are two ratios, "
+    "rounded. Scale: one explode pass over the corpus feeding two "
+    "aggregation trees — per-(n,gram) wordcount for the type count "
+    "(one shuffle on the gram key, partial map-side) and per-(doc,n) "
+    "count-distinct (one doc-keyed shuffle, Spark's two-phase "
+    "distinct rewrite) — no joins, no sample, no pair space; the "
+    "classic wordcount profile at 100 TB.",
+    oracle="""
+        WITH g AS MATERIALIZED (
+            SELECT doc_id, n, gram FROM (
+                SELECT doc_id, n,
+                       UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(w) - n + 1),
+                              i -> ARRAY_TO_STRING(w[i:i+n-1], ' '))) AS gram
+                FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
+                     (SELECT UNNEST([1, 2, 3]) AS n) ns
+                WHERE LEN(w) >= n
+            )
+        ), corpus AS (
+            SELECT n, CAST(COUNT(*) AS BIGINT) AS total_ngrams,
+                   CAST(COUNT(DISTINCT gram) AS BIGINT) AS distinct_ngrams
+            FROM g GROUP BY n
+        ), per_doc AS (
+            SELECT doc_id, n,
+                   COUNT(DISTINCT gram) / CAST(COUNT(*) AS DOUBLE) AS r
+            FROM g GROUP BY doc_id, n
+        )
+        SELECT c.n, c.total_ngrams, c.distinct_ngrams,
+               ROUND(c.distinct_ngrams / CAST(c.total_ngrams AS DOUBLE), 6)
+                   AS distinct_ratio,
+               (SELECT ROUND(AVG(r) + 0.0, 6) FROM per_doc p WHERE p.n = c.n)
+                   AS mean_doc_distinct_ratio
+        FROM corpus c
+    """,
+)
+def t114_distinct_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    g = (
+        docs.select("doc_id", F.split("text", " ").alias("t"))
+        .select("doc_id", F.explode(F.expr(_bleu_ngram_structs_sql())).alias("s"))
+        .filter(F.col("s.n") <= 3)
+        .select("doc_id", F.col("s.n").alias("n"), F.col("s.gram").alias("gram"))
+        .transform(persist_once)
+    )
+    corpus = g.groupBy("n").agg(
+        F.count("*").cast("bigint").alias("total_ngrams"),
+        F.countDistinct("gram").cast("bigint").alias("distinct_ngrams"),
+    )
+    per_doc = (
+        g.groupBy("doc_id", "n")
+        .agg((F.countDistinct("gram") / F.count("*").cast("double")).alias("r"))
+        .groupBy("n")
+        .agg(F.round(F.avg("r") + 0.0, 6).alias("mean_doc_distinct_ratio"))
+    )
+    return (
+        corpus.join(F.broadcast(per_doc), "n")
+        .select(
+            "n",
+            "total_ngrams",
+            "distinct_ngrams",
+            F.round(
+                F.col("distinct_ngrams") / F.col("total_ngrams").cast("double"), 6
+            ).alias("distinct_ratio"),
+            "mean_doc_distinct_ratio",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # t115: blocklist safety gate (C4-style wordlist filter)
 # ---------------------------------------------------------------------------
 
