@@ -2684,11 +2684,12 @@ def t97_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     "recall, F1 rounded 6. Pairs planted in-query (reference = "
     "original doc, candidate = its footer-extended twin — d27's "
     "pattern), so expected recall ≈ 1 with precision < 1 and the "
-    "metric's asymmetry is exercised, not just its plumbing. Shape: "
-    "two bigram wordcounts keyed by (doc, gram), one equi-join on "
-    "the gram key, per-doc rollup — at 100 TB the same plan scores "
-    "model outputs against references with no pair blow-up (grams "
-    "join within doc_id).",
+    "metric's asymmetry is exercised, not just its plumbing. Shape "
+    "(r12): ONE hash exchange of the raw pair rows by doc_id; both "
+    "sides' bigrams explode side-tagged in one pass and every "
+    "aggregate (per-gram clip Σ min(ref_c, cand_c), per-doc rollup) "
+    "is partition-local — at 100 TB only raw text rows ever shuffle; "
+    "the former gram equi-join is algebra inside one aggregation.",
     oracle="""
         WITH pairs AS (
             SELECT doc_id, text AS ref_text,
@@ -2730,65 +2731,66 @@ def t97_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def t98_rouge2_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ai_iceberg_demo_spark.tables import fan_out_small_input
+    # r12 optimization (guide §2.4/§8): the whole metric is doc_id-keyed,
+    # so ONE keyed exchange of the raw pair rows replaces per-stage
+    # exchanges of exploded bigram rows (~2x text bytes each). Both
+    # sides' bigrams are tagged (rc=1 ref / 0 cand) and exploded in one
+    # pass; per-gram ref/cand counts come from a single partition-local
+    # aggregation, and Σ min(rc, cc) ≡ the former refg⋈candg inner join
+    # (grams on one side only contribute least(·,0) = 0). Docs lacking
+    # bigrams on either side are dropped by the totals filter — exactly
+    # the rows the former inner joins dropped. 3 shuffles + 1 gram join
+    # → 1 shuffle, nothing corpus-exploded ever crosses the network.
+    from ai_iceberg_demo_spark.tables import fan_out_by_key
 
-    docs = fan_out_small_input(
-        load_table(spark, "documents", sf_dir).filter(F.col("doc_id") % 10 == 0)
-    )
-    pairs = docs.select(
-        "doc_id",
-        F.col("text").alias("ref_text"),
-        F.concat(F.col("text"), F.lit(" near duplicate footer variant")).alias(
-            "cand_text"
-        ),
-    )
-
-    def grams(col: str) -> DataFrame:
-        toks = pairs.select("doc_id", F.split(col, " ").alias("t"))
-        return (
-            toks.select(
-                "doc_id",
-                F.explode(
-                    F.when(
-                        F.size("t") >= 2,
-                        F.zip_with(
-                            F.slice(F.col("t"), 1, F.size("t") - 1),
-                            F.slice(F.col("t"), 2, F.size("t") - 1),
-                            lambda a, b: F.concat(a, F.lit(" "), b),
-                        ),
-                    ).otherwise(F.array().cast("array<string>"))
-                ).alias("gram"),
-            )
-            .groupBy("doc_id", "gram")
-            .agg(F.count("*").cast("bigint").alias("c"))
-        )
-
-    refg, candg = grams("ref_text"), grams("cand_text")
-    overlap = (
-        refg.alias("r")
-        .join(
-            candg.alias("c"),
-            (F.col("r.doc_id") == F.col("c.doc_id")) & (F.col("r.gram") == F.col("c.gram")),
-        )
-        .groupBy(F.col("r.doc_id").alias("doc_id"))
-        .agg(F.sum(F.least(F.col("r.c"), F.col("c.c"))).alias("clipped"))
-    )
-    n_ref = refg.groupBy("doc_id").agg(F.sum("c").alias("n_ref"))
-    n_cand = candg.groupBy("doc_id").agg(F.sum("c").alias("n_cand"))
-    return (
-        pairs.select("doc_id")
-        .join(n_ref, "doc_id")
-        .join(n_cand, "doc_id")
-        .join(overlap, "doc_id", "left")
-        .select(
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") % 10 == 0)
+    pairs = fan_out_by_key(
+        docs.select(
             "doc_id",
-            F.coalesce("clipped", F.lit(0)).cast("bigint").alias("clipped_bigrams"),
-            F.round(F.coalesce("clipped", F.lit(0)).cast("double") / F.col("n_cand"), 6).alias("rouge2_precision"),
-            F.round(F.coalesce("clipped", F.lit(0)).cast("double") / F.col("n_ref"), 6).alias("rouge2_recall"),
-            F.round(
-                2.0 * F.coalesce("clipped", F.lit(0)) / (F.col("n_cand") + F.col("n_ref")), 6
-            ).alias("rouge2_f1"),
+            F.split("text", " ").alias("tr"),
+            F.split(
+                F.concat(F.col("text"), F.lit(" near duplicate footer variant")), " "
+            ).alias("tc"),
+        ),
+        "doc_id",
+    )
+
+    def bigrams(col: str):
+        t = F.col(col)
+        return F.when(
+            F.size(t) >= 2,
+            F.zip_with(
+                F.slice(t, 1, F.size(t) - 1),
+                F.slice(t, 2, F.size(t) - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def tag(arr, rc: int):
+        return F.transform(
+            arr, lambda g: F.struct(g.alias("gram"), F.lit(rc).alias("rc"))
         )
+
+    g = pairs.select(
+        "doc_id", F.explode(F.concat(tag(bigrams("tr"), 1), tag(bigrams("tc"), 0))).alias("g")
+    )
+    per_gram = g.groupBy("doc_id", F.col("g.gram").alias("gram")).agg(
+        F.sum("g.rc").cast("bigint").alias("rc"),
+        (F.count("*") - F.sum("g.rc")).cast("bigint").alias("cc"),
+    )
+    per_doc = per_gram.groupBy("doc_id").agg(
+        F.sum(F.least("rc", "cc")).alias("clipped"),
+        F.sum("rc").alias("n_ref"),
+        F.sum("cc").alias("n_cand"),
+    )
+    return per_doc.filter((F.col("n_ref") > 0) & (F.col("n_cand") > 0)).select(
+        "doc_id",
+        F.col("clipped").cast("bigint").alias("clipped_bigrams"),
+        F.round(F.col("clipped").cast("double") / F.col("n_cand"), 6).alias("rouge2_precision"),
+        F.round(F.col("clipped").cast("double") / F.col("n_ref"), 6).alias("rouge2_recall"),
+        F.round(
+            2.0 * F.col("clipped") / (F.col("n_cand") + F.col("n_ref")), 6
+        ).alias("rouge2_f1"),
     )
 
 
@@ -2834,10 +2836,12 @@ def _bleu_ngram_structs_sql(col: str = "t") -> str:
     "get a 2/3-truncation candidate (every candidate n-gram is a "
     "reference n-gram, so p1..p4 = 1 exactly and BLEU = BP < 1). "
     "Pairs need ≥ 12 words so the truncated side still has 4-grams. "
-    "Shape: ONE (doc, n, gram) wordcount per side (a single explode "
-    "emits all four orders), one gram equi-join WITHIN doc_id, one "
-    "per-doc pivot — model-output scoring at 100 TB with no pair "
-    "blow-up, same discipline as t98.",
+    "Shape (r12): ONE hash exchange of the raw pair rows by doc_id; "
+    "a single side-tagged explode emits all four orders for BOTH "
+    "sides, per-gram clipping / per-(doc,n) precisions / the per-doc "
+    "pivot are all partition-local, and the length join is "
+    "co-partitioned — model-output scoring at 100 TB where only raw "
+    "text rows ever shuffle, same discipline as t98.",
     oracle=f"""
         WITH pairs AS (
             SELECT doc_id,
@@ -2908,58 +2912,71 @@ def _bleu_ngram_structs_sql(col: str = "t") -> str:
     """,
 )
 def t105_bleu_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ai_iceberg_demo_spark.tables import fan_out_small_input, persist_once
+    # r12 optimization (guide §2.4/§8): everything downstream of
+    # `pairs` is doc_id-keyed, so ONE keyed exchange of the raw pair
+    # rows (fan_out_by_key) replaces the former per-stage exchanges of
+    # exploded (doc, n, gram) rows. Both sides' n-grams are emitted in
+    # a single side-tagged explode (rc=1 ref / 0 cand); one partition-
+    # local aggregation yields per-gram (rc, cc), and Σ min(rc, cc) per
+    # (doc, n) ≡ the former refg⋈candg inner join (one-side-only grams
+    # contribute least(·,0) = 0). total > 0 replicates the former
+    # candg-derived totals row-existence; the lens⋈wide join is
+    # co-partitioned on doc_id (shuffle_hash pinned per the d13 rule —
+    # strategy only, no exchange). 5 shuffles + 1 gram join → 1 shuffle
+    # of raw text rows; nothing corpus-exploded crosses the network.
+    from ai_iceberg_demo_spark.tables import fan_out_by_key, persist_once
 
-    docs = fan_out_small_input(load_table(spark, "documents", sf_dir))
+    docs = load_table(spark, "documents", sf_dir)
     toks0 = docs.select("doc_id", "text", F.split("text", " ").alias("w")).filter(
         (F.col("doc_id") % 10 == 0) & (F.size("w") >= _BLEU_MIN_WORDS)
     )
     trunc_len = F.floor((2 * F.size("w")) / 3).cast("int")
-    pairs = toks0.select(
+    pairs = fan_out_by_key(
+        toks0.select(
+            "doc_id",
+            F.when(F.col("doc_id") % 20 == 0, F.lit("footer"))
+            .otherwise(F.lit("truncated"))
+            .alias("variant"),
+            F.col("text").alias("ref_text"),
+            F.when(
+                F.col("doc_id") % 20 == 0,
+                F.concat(F.col("text"), F.lit(" near duplicate footer variant")),
+            )
+            .otherwise(F.array_join(F.slice(F.col("w"), 1, trunc_len), " "))
+            .alias("cand_text"),
+        ),
         "doc_id",
-        F.when(F.col("doc_id") % 20 == 0, F.lit("footer"))
-        .otherwise(F.lit("truncated"))
-        .alias("variant"),
-        F.col("text").alias("ref_text"),
-        F.when(
-            F.col("doc_id") % 20 == 0,
-            F.concat(F.col("text"), F.lit(" near duplicate footer variant")),
-        )
-        .otherwise(F.array_join(F.slice(F.col("w"), 1, trunc_len), " "))
-        .alias("cand_text"),
-    ).transform(persist_once)  # feeds both gram sides + the length table
-
-    def grams(col: str) -> DataFrame:
-        return (
-            pairs.select("doc_id", F.split(col, " ").alias("t"))
-            .select("doc_id", F.explode(F.expr(_bleu_ngram_structs_sql())).alias("g"))
-            .select("doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
-            .groupBy("doc_id", "n", "gram")
-            .agg(F.count("*").cast("bigint").alias("c"))
-        )
-
-    refg, candg = grams("ref_text"), grams("cand_text")
-    # every join below is doc- or gram-keyed with BOTH sides corpus-
-    # scaled at 100 TB — pin shuffle_hash so a size misestimate can
-    # never broadcast them (the d13 lesson; no sort needed, d2's
-    # reasoning). The fixture-scale cost is negligible.
-    clipped = (
-        refg.alias("r")
-        .hint("shuffle_hash")
-        .join(
-            candg.alias("c"),
-            (F.col("r.doc_id") == F.col("c.doc_id"))
-            & (F.col("r.n") == F.col("c.n"))
-            & (F.col("r.gram") == F.col("c.gram")),
-        )
-        .groupBy(F.col("r.doc_id").alias("doc_id"), F.col("r.n").alias("n"))
-        .agg(F.sum(F.least(F.col("r.c"), F.col("c.c"))).alias("m"))
     )
-    totals = candg.groupBy("doc_id", "n").agg(F.sum("c").alias("total"))
-    pn = totals.join(clipped.hint("shuffle_hash"), ["doc_id", "n"], "left").select(
+    # NOT persisted: a persisted repartition is wrapped in an
+    # AdaptiveSparkPlan whose output partitioning is opaque to the
+    # outer planner (ENSURE_REQUIREMENTS exchanges reappear, measured).
+    # Unpersisted, ReuseExchange shares the ONE keyed shuffle between
+    # the gram branch and the length branch, and HashPartitioning(
+    # doc_id) flows to every downstream aggregate/join.
+
+    both = pairs.select(
         "doc_id",
-        "n",
-        (F.coalesce("m", F.lit(0)).cast("double") / F.col("total")).alias("p"),
+        F.split("ref_text", " ").alias("tr"),
+        F.split("cand_text", " ").alias("tc"),
+    )
+    sided = (
+        f"concat(transform({_bleu_ngram_structs_sql('tr')}, "
+        f"g -> named_struct('n', g.n, 'gram', g.gram, 'rc', 1)), "
+        f"transform({_bleu_ngram_structs_sql('tc')}, "
+        f"g -> named_struct('n', g.n, 'gram', g.gram, 'rc', 0)))"
+    )
+    g = both.select("doc_id", F.explode(F.expr(sided)).alias("g"))
+    per_gram = g.groupBy(
+        "doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram")
+    ).agg(
+        F.sum("g.rc").cast("bigint").alias("rc"),
+        (F.count("*") - F.sum("g.rc")).cast("bigint").alias("cc"),
+    )
+    per_n = per_gram.groupBy("doc_id", "n").agg(
+        F.sum(F.least("rc", "cc")).alias("m"), F.sum("cc").alias("total")
+    )
+    pn = per_n.filter(F.col("total") > 0).select(
+        "doc_id", "n", (F.col("m").cast("double") / F.col("total")).alias("p")
     )
     wide = pn.groupBy("doc_id").agg(
         *[
@@ -2996,17 +3013,18 @@ _CHRF_MAX_N = 6  # chrF's standard character n-gram orders 1..6
 _CHRF_BETA2 = 4.0  # beta = 2: recall weighted double (Popović 2015)
 
 
-def _chrf_ngram_structs_sql() -> str:
-    """Spark-SQL expression: from a space-stripped string `s`, the
-    flattened array of (n, gram) structs for n = 1..6 — one explode
-    covers all six orders (t105's single-scan discipline, characters
-    instead of words)."""
+def _chrf_ngram_structs_sql(col: str = "s") -> str:
+    """Spark-SQL expression: from the space-stripped string column
+    ``col``, the flattened array of (n, gram) structs for n = 1..6 —
+    one explode covers all six orders (t105's single-scan discipline,
+    characters instead of words). Parameterized so both sides of a
+    pair can be expanded from one row (t105's r12 rewrite)."""
     cases = []
     for n in range(1, _CHRF_MAX_N + 1):
         cases.append(
-            f"CASE WHEN length(s) >= {n} THEN "
-            f"transform(sequence(1, length(s) - {n} + 1), "
-            f"i -> named_struct('n', {n}, 'gram', substring(s, i, {n}))) "
+            f"CASE WHEN length({col}) >= {n} THEN "
+            f"transform(sequence(1, length({col}) - {n} + 1), "
+            f"i -> named_struct('n', {n}, 'gram', substring({col}, i, {n}))) "
             f"ELSE cast(array() as array<struct<n:int,gram:string>>) END"
         )
     return "flatten(array(" + ", ".join(cases) + "))"
@@ -3029,10 +3047,13 @@ def _chrf_ngram_structs_sql() -> str:
     "P_n < 1), truncated candidates are char-prefixes of the "
     "reference (P_n = 1 exactly, R_n < 1) — a prefix's char-n-gram "
     "multiset is dominated by the full string's, so the equalities "
-    "are exact, pinned per row. Shape: ONE (doc, n, gram) wordcount "
-    "per side (a single explode emits all six orders), one gram "
-    "equi-join WITHIN doc_id, one per-doc agg — no pair blow-up; "
-    "doc- and gram-keyed joins pinned shuffle_hash (d13 rule).",
+    "are exact, pinned per row. Shape (r12): ONE hash exchange of "
+    "the raw pair rows by doc_id; a single side-tagged explode emits "
+    "all six orders for both sides and every gram/order/doc "
+    "aggregate is partition-local — the former char-gram join (whose "
+    "shuffle_hash build map OOMed at sf10 and had to be merge-"
+    "pinned) is gone outright; the output join is co-partitioned "
+    "shuffle_hash (d13 rule).",
     oracle=f"""
         WITH pairs AS (
             SELECT doc_id,
@@ -3092,9 +3113,10 @@ def _chrf_ngram_structs_sql() -> str:
     """,
 )
 def t106_chrf_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ai_iceberg_demo_spark.tables import fan_out_small_input, persist_once
-
-    docs = fan_out_small_input(load_table(spark, "documents", sf_dir))
+    # fan_out_by_key below is the parallelism source — an extra
+    # round-robin fan_out_small_input would just stack a second
+    # exchange under the keyed one
+    docs = load_table(spark, "documents", sf_dir)
     toks0 = docs.select("doc_id", "text", F.split("text", " ").alias("w")).filter(
         (F.col("doc_id") % 10 == 0) & (F.size("w") >= _BLEU_MIN_WORDS)
     )
@@ -3117,47 +3139,49 @@ def t106_chrf_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.translate(F.array_join(F.slice(F.col("w"), 1, trunc_len), " "), " ", "")
         )
         .alias("cand_s"),
-    ).transform(persist_once)  # feeds both gram sides + the output join
-
-    def grams(col: str) -> DataFrame:
-        return (
-            pairs.select("doc_id", F.col(col).alias("s"))
-            .select("doc_id", F.explode(F.expr(_chrf_ngram_structs_sql())).alias("g"))
-            .select("doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
-            .groupBy("doc_id", "n", "gram")
-            .agg(F.count("*").cast("bigint").alias("c"))
-        )
-
-    refg, candg = grams("ref_s"), grams("cand_s")
-    # the char-gram join carries ~6 orders x chars-per-doc rows per
-    # side (~7x t105's word-gram volume — shuffle_hash's per-task hash
-    # map OOMed at sf10, measured); pin MERGE so it sorts and SPILLS
-    # (d13's r8 fix, same failure mode). The (doc,n)-keyed aggregates
-    # below are order-of-docs sized — shuffle_hash is right for them.
-    clipped = (
-        refg.alias("r")
-        .hint("merge")
-        .join(
-            candg.alias("c"),
-            (F.col("r.doc_id") == F.col("c.doc_id"))
-            & (F.col("r.n") == F.col("c.n"))
-            & (F.col("r.gram") == F.col("c.gram")),
-        )
-        .groupBy(F.col("r.doc_id").alias("doc_id"), F.col("r.n").alias("n"))
-        .agg(F.sum(F.least(F.col("r.c"), F.col("c.c"))).alias("m"))
     )
-    rt = refg.groupBy("doc_id", "n").agg(F.sum("c").alias("r_total"))
-    ct = candg.groupBy("doc_id", "n").agg(F.sum("c").alias("c_total"))
-    pn = (
-        rt.hint("shuffle_hash")
-        .join(ct, ["doc_id", "n"])
-        .join(clipped.hint("shuffle_hash"), ["doc_id", "n"], "left")
-        .select(
-            "doc_id",
-            "n",
-            (F.coalesce("m", F.lit(0)).cast("double") / F.col("c_total")).alias("p"),
-            (F.coalesce("m", F.lit(0)).cast("double") / F.col("r_total")).alias("r"),
-        )
+    # r12 optimization (guide §2.4/§8, t105's rewrite applied to the
+    # char level): ONE keyed exchange of the raw pair rows replaces the
+    # former per-stage exchanges of exploded (doc, n, char-gram) rows
+    # (~6 orders × chars-per-doc per side) AND the gram join those fed
+    # — the join whose shuffle_hash build map OOMed at sf10 and had to
+    # be merge-pinned is GONE outright: both sides explode side-tagged
+    # in one pass, per-gram (rc, cc) come from a single partition-local
+    # aggregation, and Σ min(rc, cc) ≡ the former inner join. The
+    # r_total/c_total > 0 filter replicates the former rt⋈ct inner
+    # join's row existence; per-partition hash-agg state is bounded by
+    # docs-per-partition × grams-per-doc and spills gracefully where
+    # the former per-task join map could not.
+    from ai_iceberg_demo_spark.tables import fan_out_by_key
+
+    # not persisted — t105's rationale: ReuseExchange shares the keyed
+    # shuffle; persisting it would hide its partitioning behind the
+    # cached AdaptiveSparkPlan and resurrect the downstream exchanges
+    pairs = fan_out_by_key(pairs, "doc_id")
+
+    sided = (
+        f"concat(transform({_chrf_ngram_structs_sql('ref_s')}, "
+        f"g -> named_struct('n', g.n, 'gram', g.gram, 'rc', 1)), "
+        f"transform({_chrf_ngram_structs_sql('cand_s')}, "
+        f"g -> named_struct('n', g.n, 'gram', g.gram, 'rc', 0)))"
+    )
+    g = pairs.select("doc_id", F.explode(F.expr(sided)).alias("g"))
+    per_gram = g.groupBy(
+        "doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram")
+    ).agg(
+        F.sum("g.rc").cast("bigint").alias("rc"),
+        (F.count("*") - F.sum("g.rc")).cast("bigint").alias("cc"),
+    )
+    per_n = per_gram.groupBy("doc_id", "n").agg(
+        F.sum(F.least("rc", "cc")).alias("m"),
+        F.sum("rc").alias("r_total"),
+        F.sum("cc").alias("c_total"),
+    )
+    pn = per_n.filter((F.col("r_total") > 0) & (F.col("c_total") > 0)).select(
+        "doc_id",
+        "n",
+        (F.col("m").cast("double") / F.col("c_total")).alias("p"),
+        (F.col("m").cast("double") / F.col("r_total")).alias("r"),
     )
     avgd = pn.groupBy("doc_id").agg(F.avg("p").alias("chrp"), F.avg("r").alias("chrr"))
     num = (1 + _CHRF_BETA2) * F.col("chrp") * F.col("chrr")
@@ -3783,10 +3807,12 @@ _WER_FOOTER = ["near", "duplicate", "footer", "variant"]
     "extended (pure insertions — edit exactly 4). Scale: the vocab "
     "is a top-k (ORDER BY count LIMIT), giving a corpus-INDEPENDENT "
     "<=94-row broadcast by construction (v18c's occupancy-table "
-    "argument); encode is explode -> broadcast join -> per-doc "
-    "reassembly (one doc-keyed shuffle per side); the ref/cand join "
-    "is doc-keyed between two corpus-derived sides — shuffle_hash "
-    "per the d13 rule. Production note: a >94-type vocabulary "
+    "argument); encode (r12) folds the vocab into ONE broadcast "
+    "<=94-entry map applied by transform() over the intact token "
+    "arrays — no explode/reassembly, no doc-keyed shuffle, "
+    "levenshtein per row; the only corpus-keyed exchange is the "
+    "token-count partial agg feeding the top-k. Production note: a "
+    ">94-type vocabulary "
     "two-char-encodes (94^2 = 8836 types) or drops to the "
     "pandas-UDF token DP; UNK folding is the standard eval "
     "trade-off either way.",
@@ -3868,62 +3894,59 @@ def t109_wer_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("ct"),
     ).transform(persist_once)
 
-    def side_rows(col: str, tag: str) -> DataFrame:
-        return pairs.select(
-            "doc_id",
-            F.lit(tag).alias("side"),
-            F.posexplode(col).alias("pos0", "tok"),
-        ).select("doc_id", "side", (F.col("pos0") + 1).alias("pos"), "tok")
-
-    toks = side_rows("rt", "r").unionAll(side_rows("ct", "c"))
-    # top-k vocab: corpus-independent <=94 rows by construction — the
-    # global window runs AFTER the limit, over that bounded frame only
+    # r12 optimization (guide §2.3/§2.4): the former encode path
+    # exploded every token (pos, tok), broadcast-joined the vocab, and
+    # REASSEMBLED each side with a doc-keyed collect_list + array_sort
+    # shuffle — a corpus-token-volume exchange whose only purpose was
+    # to put tokens back in the order they already had in the row. The
+    # vocab is ≤94 rows by construction, so it folds into ONE broadcast
+    # map (the occupancy-table discipline) and the encode becomes a
+    # pure map-side transform over the intact token arrays: zero
+    # doc-keyed shuffles, one tiny token-keyed partial-agg exchange for
+    # the global top-k, levenshtein per row. Plan: 2 corpus passes
+    # (count vocab, encode), nothing corpus-sized ever shuffles.
     from pyspark.sql import Window as W
 
-    counts = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    counts = (
+        pairs.select(F.explode(F.concat("rt", "ct")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+    )
     top = counts.orderBy(F.desc("cnt"), F.asc("tok")).limit(_WER_VOCAB_CAP)
+    # global window AFTER the limit, over that bounded ≤94-row frame
     vocab = top.select(
         "tok",
         F.row_number()
         .over(W.orderBy(F.desc("cnt"), F.asc("tok")))
         .alias("rnk"),
     )
-    coded = toks.join(F.broadcast(vocab), "tok", "left").select(
-        "doc_id",
-        "side",
-        "pos",
-        F.char(
-            F.when(F.col("rnk").isNotNull(), 32 + F.col("rnk")).otherwise(127)
-        ).alias("ch"),
+    vmap = vocab.agg(
+        F.map_from_entries(F.collect_list(F.struct("tok", "rnk"))).alias("vm")
     )
-    enc = coded.groupBy("doc_id", "side").agg(
-        F.array_join(
+
+    def encode(col: str):
+        return F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "ch"))),
-                lambda s: s["ch"],
+                F.col(col),
+                lambda x: F.char(
+                    F.coalesce(F.element_at(F.col("vm"), x) + 32, F.lit(127))
+                ),
             ),
             "",
-        ).alias("s"),
-        F.count("*").cast("bigint").alias("n"),
-    )
-    enc_r = enc.filter(F.col("side") == "r").select(
-        "doc_id", F.col("s").alias("rs"), F.col("n").alias("n_ref_tokens")
-    )
-    enc_c = enc.filter(F.col("side") == "c").select(
-        "doc_id", F.col("s").alias("cs")
-    )
-    lev = F.levenshtein(F.col("rs"), F.col("cs"))
-    return (
-        pairs.select("doc_id", "pair_kind")
-        .join(enc_r.hint("shuffle_hash"), "doc_id")
-        .join(enc_c.hint("shuffle_hash"), "doc_id")
-        .select(
-            "doc_id",
-            "pair_kind",
-            "n_ref_tokens",
-            lev.cast("bigint").alias("edit_distance"),
-            F.round(lev.cast("double") / F.col("n_ref_tokens"), 6).alias("wer"),
         )
+
+    enc = pairs.crossJoin(F.broadcast(vmap)).select(
+        "doc_id",
+        "pair_kind",
+        F.size("rt").cast("bigint").alias("n_ref_tokens"),
+        F.levenshtein(encode("rt"), encode("ct")).alias("lev"),
+    )
+    return enc.select(
+        "doc_id",
+        "pair_kind",
+        "n_ref_tokens",
+        F.col("lev").cast("bigint").alias("edit_distance"),
+        F.round(F.col("lev").cast("double") / F.col("n_ref_tokens"), 6).alias("wer"),
     )
 
 

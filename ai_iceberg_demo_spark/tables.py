@@ -189,6 +189,28 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def fan_out_by_key(df: DataFrame, *cols: str) -> DataFrame:
+    """Hash-repartition by key columns — ONE exchange of the raw rows.
+
+    For operators whose every downstream aggregation/join is keyed by
+    (a superset of) ``cols``, repartitioning the small pre-explode rows
+    once makes all of it partition-local: HashPartitioning(cols)
+    satisfies ClusteredDistribution for any groupBy/join whose keys
+    include ``cols``, so EnsureRequirements inserts no further
+    exchanges. The guide-§8 discipline: shuffle the lightweight proxy
+    rows once, never their exploded derivatives (grams, tokens, chars),
+    which are 10-100x the bytes.
+
+    Partition count = ``spark.sql.shuffle.partitions`` (cores locally,
+    cluster-sized in production) passed EXPLICITLY so AQE cannot
+    coalesce the tiny local frame to one partition and serialize the
+    downstream per-partition compute (the fan_out_small_input rationale
+    applied to a keyed exchange).
+    """
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n, *[F.col(c) for c in cols])
+
+
 def fan_out_small_input(df: DataFrame) -> DataFrame:
     """Repartition a scan whose file count can't feed the cores.
 

@@ -452,3 +452,42 @@ def test_feature_store_join_single_user_exchange(spark):
     plan = plan_of(spark, "t89_feature_store_join", mode="simple")
     assert "Join" not in plan  # window carry, not a join
     assert plan.count("hashpartitioning(user_id") >= 1
+
+
+def test_eval_metrics_single_keyed_exchange(spark):
+    """r12: the overlap-metric family (t98/t105/t106) shuffles the raw
+    pair rows ONCE (hash by doc_id) and computes every gram aggregate
+    partition-local — the exploded (doc, n, gram) rows and the former
+    refg⋈candg gram join must never reappear as exchanges. Two
+    Exchange nodes max (one per scan branch; AQE reuses the stage),
+    and the only join is the co-partitioned doc_id output join."""
+    for name in ("t98_rouge2_eval", "t105_bleu_eval", "t106_chrf_eval"):
+        plan = plan_of(spark, name)
+        tree = plan.split("\n\n")[0]
+        n_ex = sum("Exchange" in ln and "Reused" not in ln for ln in tree.splitlines())
+        assert n_ex <= 2, f"{name}: {n_ex} exchanges\n{tree}"
+        assert "SortMergeJoin" not in plan, name
+        # the gram join is gone: at most one join node (the output join)
+        n_join = tree.count("Join")
+        assert n_join <= 1, f"{name}: {n_join} joins\n{tree}"
+
+
+def test_wer_encode_is_map_side(spark):
+    """r12: t109 encodes via ONE broadcast ≤94-entry vocab map over the
+    intact token arrays — no doc-keyed reassembly shuffle (the former
+    collect_list+array_sort), no posexplode of the corpus feeding a
+    join. The only corpus-keyed exchange is the tiny token-count
+    partial agg for the global top-k."""
+    plan = plan_of(spark, "t109_wer_eval")
+    tree = plan.split("\n\n")[0]
+    assert "hashpartitioning(doc_id" not in plan, plan
+    # the only collect_list is the ≤94-entry vocab map build, never a
+    # doc-keyed corpus reassembly
+    for ln in plan.splitlines():
+        if "collect_list" in ln:
+            assert "struct(tok" in ln, ln
+    import re
+
+    # unique node ids — the cached fan-out subtree prints twice
+    n_ex = len(set(re.findall(r"\bExchange \((\d+)\)", tree)))
+    assert n_ex <= 3, f"t109: {n_ex} exchanges\n{tree}"
