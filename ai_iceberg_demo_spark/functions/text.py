@@ -2090,7 +2090,13 @@ _F43_PLANTS = (
     """,
 )
 def f43_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    from ai_iceberg_demo_spark.tables import fan_out_small_input
+
+    # r12: 4 regexp passes per row serialize on the single-file fixture
+    # scan — fan out (no-op at cluster file counts)
+    docs = fan_out_small_input(
+        load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    )
     plants = docs.sparkSession.createDataFrame(
         list(_F43_PLANTS), "doc_id bigint, text string"
     )

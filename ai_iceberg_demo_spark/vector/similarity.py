@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
 from ai_iceberg_demo_spark.registry import Registry
-from ai_iceberg_demo_spark.tables import load_table, persist_once
+from ai_iceberg_demo_spark.tables import fan_out_small_input, load_table, persist_once
 
 REGISTRY = Registry()
 
@@ -568,7 +568,9 @@ def ivf_probe(
 def v3c_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ai_iceberg_demo_spark.vector.clustering import kmeans_train
 
-    corpus = load_table(spark, "embeddings", sf_dir)
+    # r12: Lloyd-round assignment + rerank map work serializes on the
+    # single-file fixture scan — fan out (see t17b)
+    corpus = fan_out_small_input(load_table(spark, "embeddings", sf_dir))
     centroids = kmeans_train(corpus, k=16, n_iter=2)
     return ivf_topk(corpus, _query_vec(spark, sf_dir), k=5, centroids=centroids)
 
@@ -614,7 +616,9 @@ _SEM_DECON_TAU = 0.98  # same bar as d5/d8 so the three are comparable
     """,
 )
 def t17b_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, "embeddings", sf_dir)
+    # r12: the corpus×bench HOF-cosine map work serializes on the
+    # single-file fixture scan — fan it out (no-op at cluster scale)
+    emb = fan_out_small_input(load_table(spark, "embeddings", sf_dir))
     base = emb.select("vec_id", as_double(F.col("embedding")).alias("embedding"))
     bench_raw = base.filter(F.col("vec_id") % 10 == 3)
     # planted twins OF THE BENCHMARK rows — semantic leakage to catch
@@ -1059,7 +1063,8 @@ def v22_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,
 )
 def v24_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
-    corpus = load_table(spark, "embeddings", sf_dir)
+    # r12: parallelize the signature/occupancy map passes (see t17b)
+    corpus = fan_out_small_input(load_table(spark, "embeddings", sf_dir))
     return label_noise(corpus)
 
 
@@ -1281,7 +1286,9 @@ def v25_ivf_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ai_iceberg_demo_spark.vector.clustering import kmeans_assign, seed_centroids
 
-    emb = load_table(spark, "embeddings", sf_dir)
+    # r12: the per-row HOF cell-distance + brute-force cosine map work
+    # serializes on the single-file fixture scan — fan out (see t17b)
+    emb = fan_out_small_input(load_table(spark, "embeddings", sf_dir))
     cen = seed_centroids(emb, _V25_CELLS)
     assigned = kmeans_assign(emb, cen).select("vec_id", "cell_id")
     probes = emb.filter(F.col("vec_id") % _V25_PROBES_MOD == 0).select(
@@ -1451,7 +1458,9 @@ def _md5_sig_table(emb: DataFrame) -> DataFrame:
 def v27_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    emb = load_table(spark, "embeddings", sf_dir)
+    # r12: md5 signature + brute-force HOF cosine map work serializes
+    # on the single-file fixture scan — fan out (see t17b)
+    emb = fan_out_small_input(load_table(spark, "embeddings", sf_dir))
     sigs = _md5_sig_table(emb)
     probes = emb.filter(F.col("vec_id") % _V25_PROBES_MOD == 0).select(
         F.col("vec_id").alias("qid"), as_double(F.col("embedding")).alias("qv")
@@ -2580,7 +2589,9 @@ _V3E_PROBE = 4
 def v3e_ivf_probe_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    emb = load_table(spark, "embeddings", sf_dir)
+    # r12: the corpus×cells HOF-cosine map work serializes on the
+    # single-file fixture scan — fan out (see t17b)
+    emb = fan_out_small_input(load_table(spark, "embeddings", sf_dir))
     cen = emb.filter(F.col("vec_id") < _V3E_CELLS).select(
         F.col("vec_id").alias("cell_id"),
         as_double(F.col("embedding")).alias("centroid"),
@@ -3521,7 +3532,9 @@ def _v35_block_sql(m_blocks: int) -> str:
 def v35_pq_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    emb = load_table(spark, "embeddings", sf_dir).select(
+    # r12: the probe×corpus HOF-l2 map work serializes on the
+    # single-file fixture scan — fan out (see t17b)
+    emb = fan_out_small_input(load_table(spark, "embeddings", sf_dir)).select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     ).transform(persist_once)
     l2 = lambda a, b: F.sqrt(
