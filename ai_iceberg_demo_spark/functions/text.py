@@ -1924,10 +1924,12 @@ def t69_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(near-identical sources don't need separate quotas) and the "
     "drift metric between two crawls of the same source. ONE "
     "(source, term) wordcount shuffle builds every distribution; "
-    "the comparison frame is (source-pair x vocab) — pairs are "
-    "enumerable (broadcast), so it costs two term-keyed left joins, "
-    "never a corpus shuffle; a one-sided term's KL branch is exact "
-    "(p*ln 2) via the q=0 coalesce.",
+    "sources are enumerable, so each term folds its per-source "
+    "counts into a map (r12) and the pair comparison is two "
+    "element_at lookups against broadcast pair/total tables — "
+    "join-free, nothing larger than vocab×sources ever shuffles; a "
+    "one-sided term's KL branch is exact (p*ln 2) via the missing-"
+    "key coalesce.",
     oracle="""
         WITH st AS (
             SELECT source, term, CAST(COUNT(*) AS DOUBLE) AS n
@@ -1970,37 +1972,53 @@ def t69_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def t70_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
+    # r12 optimization (guide §2.4/§3): the former shape probed the
+    # (vocab × src-pairs) frame with TWO (source, term)-keyed left
+    # joins against the distribution table, plus a per-source window
+    # and a vocab distinct — ~5 exchanges of vocab-scaled rows and two
+    # joins. Sources are enumerable, so per TERM the whole comparison
+    # folds into a map: one wordcount exchange, one vocab-sized
+    # groupBy(term) collecting {source → n}, and both joins become
+    # element_at() lookups against the broadcast pair/total tables —
+    # join-free, nothing larger than vocab×sources ever shuffles.
+    # p = n/tot is exact (integral doubles), identical to the former
+    # window division.
+    from ai_iceberg_demo_spark.tables import persist_once
 
     docs = load_table(spark, "documents", sf_dir)
     st = (
         docs.select("source", F.explode(F.split("text", " ")).alias("term"))
         .groupBy("source", "term")
         .agg(F.count("*").cast("double").alias("n"))
+        .transform(persist_once)  # feeds totals, pairs and the term maps
     )
-    dist = st.select(
-        "source",
-        "term",
-        (F.col("n") / F.sum("n").over(W.partitionBy("source"))).alias("p"),
-    )
-    srcs = dist.select("source").distinct()
+    totals = st.groupBy("source").agg(F.sum("n").alias("tot"))
+    srcs = totals.select("source")
     src_pairs = (
         srcs.select(F.col("source").alias("source_a"))
         .crossJoin(srcs.select(F.col("source").alias("source_b")))
         .filter(F.col("source_a") < F.col("source_b"))
     )
-    vocab = dist.select("term").distinct()
-    da = dist.select(F.col("source").alias("source_a"), "term", F.col("p").alias("pa"))
-    db = dist.select(F.col("source").alias("source_b"), "term", F.col("p").alias("pb"))
+    tmap = totals.agg(
+        F.map_from_entries(F.collect_list(F.struct("source", "tot"))).alias("tm")
+    )
+    per_term = st.groupBy("term").agg(
+        F.map_from_entries(F.collect_list(F.struct("source", "n"))).alias("m")
+    )
     joined = (
-        vocab.crossJoin(F.broadcast(src_pairs))
-        .join(da, ["source_a", "term"], "left")
-        .join(db, ["source_b", "term"], "left")
+        per_term.crossJoin(F.broadcast(src_pairs))
+        .crossJoin(F.broadcast(tmap))
         .select(
             "source_a",
             "source_b",
-            F.coalesce("pa", F.lit(0.0)).alias("p"),
-            F.coalesce("pb", F.lit(0.0)).alias("q"),
+            (
+                F.coalesce(F.element_at("m", F.col("source_a")), F.lit(0.0))
+                / F.element_at("tm", F.col("source_a"))
+            ).alias("p"),
+            (
+                F.coalesce(F.element_at("m", F.col("source_b")), F.lit(0.0))
+                / F.element_at("tm", F.col("source_b"))
+            ).alias("q"),
         )
         .filter((F.col("p") > 0) | (F.col("q") > 0))
     )

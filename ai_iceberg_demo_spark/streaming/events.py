@@ -3540,8 +3540,12 @@ _T84_ALERT = 0.2  # industry convention: <0.1 stable, 0.1-0.2 watch, >0.2 act
     "'stable' at the driver's sf0.01 (small-n noise can push an "
     "untouched type to 'watch' at sf0.001 — honest PSI behavior), "
     "pinned by the hash (t74's planted-truth convention). "
-    "Two scans reduce to (type, bin) partials; the edge table "
-    "(types × 9 cuts) broadcasts onto the comparison scan.",
+    "Shape (r12): edge quantiles in one reference pass, then ONE "
+    "side-tagged scan bins both periods onto the broadcast edge "
+    "table (types × 9 cuts) and a single (type, bin) aggregation "
+    "counts ref and cmp at once — p and q share a row, so the "
+    "former rp⋈cp join is gone and the per-type totals are windows "
+    "over the tiny bin frame.",
     oracle=f"""
         WITH ref AS (
             SELECT event_type, value FROM events
@@ -3590,46 +3594,58 @@ _T84_ALERT = 0.2  # industry convention: <0.1 stable, 0.1-0.2 watch, >0.2 act
     """,
 )
 def t84_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r12 optimization (guide §2.4, the t98 side-tag discipline): the
+    # former shape binned ref and cmp as SEPARATE scans and built two
+    # (type, bin) distributions (groupBy + per-type window each), then
+    # LEFT-joined them — 3 events scans, ~5 exchanges, 1 join. Both
+    # sides bin onto the same frozen edges, so ONE side-tagged scan
+    # (r = 1 for the reference period) feeds ONE (type, bin)
+    # aggregation counting both sides at once; p and q then live in
+    # the same row (join-free terms) and the per-type totals are
+    # windows over the tiny ≤ types×bins frame. 2 events passes total
+    # (edge quantiles, binning) — the floor of any frozen-bin PSI.
+    from pyspark.sql import Window as W
+
     ev = load_table(spark, "events", sf_dir).filter(F.col("value").isNotNull())
     day = F.col("ts").cast("date")
-    ref = ev.filter(day < _T84_SPLIT).select("event_type", "value")
-    cmp_ = ev.filter(day >= _T84_SPLIT).select(
-        "event_type",
-        F.when(F.col("event_type") == "error", F.col("value") * 2.0)
-        .otherwise(F.col("value"))
-        .alias("value"),
-    )
     cuts = [float(i) / _T84_BINS for i in range(1, _T84_BINS)]
-    edges = ref.groupBy("event_type").agg(
+    edges = ev.filter(day < _T84_SPLIT).groupBy("event_type").agg(
         F.percentile("value", F.array(*[F.lit(c) for c in cuts])).alias("cuts")
     )
-
-    def binned(df):
-        return df.join(F.broadcast(edges), "event_type").select(
+    tagged = ev.select(
+        "event_type",
+        F.when(
+            (day >= _T84_SPLIT) & (F.col("event_type") == "error"),
+            F.col("value") * 2.0,
+        )
+        .otherwise(F.col("value"))
+        .alias("value"),
+        (day < _T84_SPLIT).cast("int").alias("r"),
+    )
+    counts = (
+        tagged.join(F.broadcast(edges), "event_type")
+        .select(
             "event_type",
             F.size(F.filter(F.col("cuts"), lambda c: F.col("value") > c)).alias(
                 "bin"
             ),
+            "r",
         )
-
-    def dist(df, col):
-        from pyspark.sql import Window as W
-
-        counts = binned(df).groupBy("event_type", "bin").agg(
-            F.count("*").alias("_n")
+        .groupBy("event_type", "bin")
+        .agg(
+            F.sum("r").alias("rn"),
+            (F.count("*") - F.sum("r")).alias("cn"),
         )
-        return counts.select(
-            "event_type",
-            "bin",
-            (F.col("_n") / F.sum("_n").over(W.partitionBy("event_type"))).alias(
-                col
-            ),
-        )
-
-    rp = dist(ref, "p")
-    cp = dist(cmp_, "q")
-    q = F.greatest(F.coalesce(F.col("q"), F.lit(0.0)), F.lit(1e-4))
-    terms = rp.join(cp, ["event_type", "bin"], "left").select(
+    )
+    w_t = W.partitionBy("event_type")
+    dist = counts.select(
+        "event_type",
+        "rn",
+        (F.col("rn") / F.sum("rn").over(w_t)).alias("p"),
+        (F.col("cn") / F.sum("cn").over(w_t)).alias("q0"),
+    ).filter(F.col("rn") > 0)  # bins absent from ref never held an rp row
+    q = F.greatest(F.col("q0"), F.lit(1e-4))
+    terms = dist.select(
         "event_type", ((F.col("p") - q) * F.log(F.col("p") / q)).alias("term")
     )
     return (
@@ -4361,20 +4377,23 @@ def t113_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, "events", sf_dir).filter(F.col("value").isNotNull())
     split = F.lit(_T84_SPLIT).cast("date")
-    ref = ev.filter(F.col("ts").cast("date") < split).select(
-        "event_type", "value", F.lit(1).alias("r"), F.lit(0).alias("c")
-    )
-    cmp_ = ev.filter(F.col("ts").cast("date") >= split).select(
+    # r12 (guide §6.2): the former ref/cmp UNION of two filters over the
+    # same table planned as TWO full events scans; every row belongs to
+    # exactly one side, so ONE scan with a side indicator is equivalent
+    is_ref = (F.col("ts").cast("date") < split).cast("int")
+    tagged = ev.select(
         "event_type",
-        F.when(F.col("event_type") == "error", F.col("value") * 2.0)
+        F.when(
+            (F.col("ts").cast("date") >= split) & (F.col("event_type") == "error"),
+            F.col("value") * 2.0,
+        )
         .otherwise(F.col("value"))
         .alias("value"),
-        F.lit(0).alias("r"),
-        F.lit(1).alias("c"),
+        is_ref.alias("r"),
+        (1 - is_ref).alias("c"),
     )
     pv = (
-        ref.unionAll(cmp_)
-        .groupBy("event_type", "value")
+        tagged.groupBy("event_type", "value")
         .agg(
             F.sum("r").cast("bigint").alias("cr"),
             F.sum("c").cast("bigint").alias("cc"),

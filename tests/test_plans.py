@@ -491,3 +491,26 @@ def test_wer_encode_is_map_side(spark):
     # unique node ids — the cached fan-out subtree prints twice
     n_ex = len(set(re.findall(r"\bExchange \((\d+)\)", tree)))
     assert n_ex <= 3, f"t109: {n_ex} exchanges\n{tree}"
+
+
+def test_drift_parts_shuffle_light(spark):
+    """r12: the drift detectors never shuffle a distribution table into
+    a join. t84 bins ref+cmp side-tagged in one pass (one broadcast
+    edge join, no rp/cp join); t70 folds per-source counts into maps
+    (lookups, not probe joins); t113 tags the period in one scan (no
+    two-branch Union)."""
+    t84 = plan_of(spark, "t84_psi_drift")
+    tree = t84.split("\n\n")[0]
+    assert "SortMergeJoin" not in t84
+    assert tree.count("Join") == 1, tree  # the broadcast edge attach
+    assert "Window" in t84  # per-type totals over the tiny bin frame
+
+    t70 = plan_of(spark, "t70_js_divergence")
+    assert "SortMergeJoin" not in t70 and "ShuffledHashJoin" not in t70
+    # only the enumerable-pair / 1-row-map cross joins remain
+    for ln in t70.split("\n\n")[0].splitlines():
+        if "Join" in ln and "BroadcastNestedLoopJoin" not in ln:
+            raise AssertionError(ln)
+
+    t113 = plan_of(spark, "t113_ks_test")
+    assert "Union" not in t113.split("\n\n")[0]  # one tagged scan
