@@ -1992,32 +1992,39 @@ def t70_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("double").alias("n"))
         .transform(persist_once)  # feeds totals, pairs and the term maps
     )
-    totals = st.groupBy("source").agg(F.sum("n").alias("tot"))
-    srcs = totals.select("source")
-    src_pairs = (
-        srcs.select(F.col("source").alias("source_a"))
-        .crossJoin(srcs.select(F.col("source").alias("source_b")))
-        .filter(F.col("source_a") < F.col("source_b"))
-    )
-    tmap = totals.agg(
-        F.map_from_entries(F.collect_list(F.struct("source", "tot"))).alias("tm")
+    tmap = (
+        st.groupBy("source")
+        .agg(F.sum("n").alias("tot"))
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("source", "tot"))).alias(
+                "tm"
+            )
+        )
     )
     per_term = st.groupBy("term").agg(
         F.map_from_entries(F.collect_list(F.struct("source", "n"))).alias("m")
     )
+    # the source pairs are generated from the broadcast totals map
+    # itself (map-side array algebra) — no separate pair frame, no
+    # second totals aggregation, one fewer broadcast
+    pairs_expr = (
+        "flatten(transform(map_keys(tm), a -> "
+        "transform(filter(map_keys(tm), b -> a < b), "
+        "b -> named_struct('source_a', a, 'source_b', b))))"
+    )
     joined = (
-        per_term.crossJoin(F.broadcast(src_pairs))
-        .crossJoin(F.broadcast(tmap))
+        per_term.crossJoin(F.broadcast(tmap))
+        .select("m", "tm", F.explode(F.expr(pairs_expr)).alias("pr"))
         .select(
-            "source_a",
-            "source_b",
+            F.col("pr.source_a").alias("source_a"),
+            F.col("pr.source_b").alias("source_b"),
             (
-                F.coalesce(F.element_at("m", F.col("source_a")), F.lit(0.0))
-                / F.element_at("tm", F.col("source_a"))
+                F.coalesce(F.element_at("m", F.col("pr.source_a")), F.lit(0.0))
+                / F.element_at("tm", F.col("pr.source_a"))
             ).alias("p"),
             (
-                F.coalesce(F.element_at("m", F.col("source_b")), F.lit(0.0))
-                / F.element_at("tm", F.col("source_b"))
+                F.coalesce(F.element_at("m", F.col("pr.source_b")), F.lit(0.0))
+                / F.element_at("tm", F.col("pr.source_b"))
             ).alias("q"),
         )
         .filter((F.col("p") > 0) | (F.col("q") > 0))

@@ -1258,14 +1258,19 @@ def g10_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, "embeddings", sf_dir)
     graph = knn_graph_capped_det(emb, k=3).transform(persist_once)
-    rev = graph.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    # d26b's spelling: both sides are the O(k*N) edge set — merge so
-    # the self-join sorts and spills (the t106 gram-explosion lesson
-    # applies to any many-rows-per-key build side at corpus scale)
+    # d26b's r12 spelling: (src, dst) is unique per direction, so
+    # mutuality is COUNT(*)=2 over the unordered pair key — one
+    # map-side-partial aggregation replaces the reversed self-join
+    # and its two merge sorts (hash agg spills sort-based under
+    # pressure, so the t106 OOM-safety argument carries over)
     mutual = (
-        graph.join(rev.hint("merge"), ["src", "dst"])
-        .filter(F.col("src") < F.col("dst"))
-        .select("src", "dst")
+        graph.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") == 2)
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
     )
     edges = mutual.union(
         mutual.select(F.col("dst").alias("src"), F.col("src").alias("dst"))

@@ -830,10 +830,22 @@ def pipeline_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keep-min survivor carries its text forward (min-struct: partial-
     # aggregable, no window); persist — feeds the band index, the
     # shingle table, and the tier-2 ledger
+    # r12 (the v32 fan-out lesson): carry each fingerprint group's size
+    # on the survivor row — tier 1's ledger then reads entirely off the
+    # persisted survivors (docs_in = Σ grp_n, docs_out = COUNT(*)), so
+    # the 3-scan corpus build + md5 no longer execute a second time for
+    # a COUNT DISTINCT that surv1 already materializes
     surv1 = (
         fp.groupBy("fp")
-        .agg(F.min(F.struct("doc_id", "text")).alias("k"))
-        .select(F.col("k.doc_id").alias("doc_id"), F.col("k.text").alias("text"))
+        .agg(
+            F.min(F.struct("doc_id", "text")).alias("k"),
+            F.count("*").alias("grp_n"),
+        )
+        .select(
+            F.col("k.doc_id").alias("doc_id"),
+            F.col("k.text").alias("text"),
+            "grp_n",
+        )
         .transform(persist_once)
     )
     bands = minhash_bands(surv1)
@@ -875,8 +887,8 @@ def pipeline_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("b_id").alias("doc_id"))
         .distinct()
     )
-    tier1 = fp.agg(
-        F.count("*").alias("n"), F.countDistinct("fp").alias("u")
+    tier1 = surv1.agg(
+        F.sum("grp_n").alias("n"), F.count("*").alias("u")
     ).select(
         F.lit(1).cast("int").alias("tier"),
         F.lit("exact_fingerprint").alias("stage"),

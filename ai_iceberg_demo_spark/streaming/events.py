@@ -3636,6 +3636,10 @@ def t84_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("r").alias("rn"),
             (F.count("*") - F.sum("r")).alias("cn"),
         )
+        # the ≤ types×bins stats frame is the query's substrate — the
+        # t102 pair-stats discipline: a monitoring job keeps the binned
+        # counts, not the raw scans, between readouts
+        .transform(persist_once)
     )
     w_t = W.partitionBy("event_type")
     dist = counts.select(
@@ -4436,12 +4440,17 @@ def t113_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ar_off") + F.col("ar_in")).alias("ar"),
         (F.col("ac_off") + F.col("ac_in")).alias("ac"),
     )
+    # n and d are one row per event TYPE — corpus-independent by
+    # construction (the sizes/sizes2 occupancy argument), so they
+    # broadcast (r12): the former shuffle_hash pin exchanged the whole
+    # distinct-value cum table into ≤types partitions just to attach
+    # two numbers per type, serializing the D-scan
     n = pv.groupBy("event_type").agg(
         F.sum("cr").cast("bigint").alias("nr"),
         F.sum("cc").cast("bigint").alias("nc"),
     )
     d = (
-        cum.join(n.hint("shuffle_hash"), "event_type")
+        cum.join(F.broadcast(n), "event_type")
         .groupBy("event_type")
         .agg(
             F.max(
@@ -4456,7 +4465,7 @@ def t113_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("nr") + F.col("nc")).cast("double")
         / (F.col("nr").cast("double") * F.col("nc"))
     )
-    return n.join(d.hint("shuffle_hash"), "event_type").select(
+    return n.join(F.broadcast(d), "event_type").select(
         "event_type",
         F.col("nr").alias("n_ref"),
         F.col("nc").alias("n_cmp"),

@@ -666,31 +666,41 @@ def drift_from_sliced(dims: DataFrame) -> DataFrame:
     """Per-dimension two-sample z report from a (slice∈{a,b}, dim_i, x)
     frame — the v16 arithmetic, shared with the index-maintenance
     pipeline's drift gate. O(dim) rows through every exchange."""
+    from ai_iceberg_demo_spark.tables import persist_once
+
     mean = F.sum("x") / F.count(F.lit(1))
     var = F.sum(F.col("x") * F.col("x")) / F.count(F.lit(1)) - mean * mean
+    # r12 (guide §2.4 + the v32 fan-out lesson): the moments table is
+    # O(dim) rows and formerly fed a and b as separate filter branches
+    # — the corpus posexplode + partial agg executed TWICE. Persist the
+    # compact moments once (the t102 pair-stats discipline) and fold
+    # the a⋈b self-join into one pivot-style aggregation per dim.
     st = dims.groupBy("dim_i", "slice").agg(
         F.count("*").cast("double").alias("n"),
         F.round(mean, 6).alias("m"),
         F.round(var, 6).alias("v"),
-    )
-    a = st.filter(F.col("slice") == "a").select(
-        "dim_i", F.col("n").alias("n_a"), F.col("m").alias("mean_a"), F.col("v").alias("v_a")
-    )
-    b = st.filter(F.col("slice") == "b").select(
-        "dim_i", F.col("n").alias("n_b"), F.col("m").alias("mean_b"), F.col("v").alias("v_b")
-    )
+    ).transform(persist_once)
+
+    def side(col: str, s: str):
+        return F.max(F.when(F.col("slice") == s, F.col(col)))
+
+    wide = st.groupBy("dim_i").agg(
+        side("n", "a").alias("n_a"),
+        side("m", "a").alias("mean_a"),
+        side("v", "a").alias("v_a"),
+        side("n", "b").alias("n_b"),
+        side("m", "b").alias("mean_b"),
+        side("v", "b").alias("v_b"),
+    ).filter(F.col("n_a").isNotNull() & F.col("n_b").isNotNull())
     z = (F.col("mean_b") - F.col("mean_a")) / F.sqrt(
         F.col("v_a") / F.col("n_a") + F.col("v_b") / F.col("n_b")
     )
-    return (
-        a.join(b, "dim_i")
-        .select(
-            "dim_i",
-            "mean_a",
-            "mean_b",
-            F.round(z, 4).alias("z"),
-            F.when(F.abs(z) >= _DRIFT_Z, 1).otherwise(0).cast("int").alias("drifted"),
-        )
+    return wide.select(
+        "dim_i",
+        "mean_a",
+        "mean_b",
+        F.round(z, 4).alias("z"),
+        F.when(F.abs(z) >= _DRIFT_Z, 1).otherwise(0).cast("int").alias("drifted"),
     )
 
 

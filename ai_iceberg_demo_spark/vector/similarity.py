@@ -3045,23 +3045,34 @@ def _d26b_oracle() -> str:
     "reciprocity semantics as d26 (hub artifacts lose their one-way "
     "edges); the substrate is the capped graph, so the whole plan is "
     "linear at scale AND hash-oracled. The oracle wraps v18c's "
-    "registered SQL verbatim; the Spark side self-joins the persisted "
-    "O(k*N) edge set on reversed (src,dst) — never the corpus.",
+    "registered SQL verbatim; the Spark side (r12) reduces the "
+    "persisted O(k*N) edge set over the unordered pair key — "
+    "mutuality is COUNT(*)=2 inside one aggregation (edges are "
+    "unique per direction), so the former reversed self-join and "
+    "its two merge sorts are gone; never the corpus.",
     oracle=_d26b_oracle(),
 )
 def d26b_mutual_knn_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r12 optimization (guide §2.4): (src, dst) is unique in the graph
+    # (per-src top-k over distinct dsts), so "edge present in BOTH
+    # directions" is a COUNT over the unordered pair key — one
+    # map-side-partial aggregation of the O(k*N) edges replaces the
+    # reversed self-join (which sorted BOTH sides under its merge pin).
+    # The forward (a<b) edge's score rides along as the only non-null
+    # s_fwd. Hash agg spills sort-based under pressure, so the merge
+    # pin's OOM-safety argument carries over with one sort fewer.
     emb = load_table(spark, "embeddings", sf_dir)
     graph = knn_graph_capped_det(emb, k=3).transform(persist_once)
-    rev = graph.select(
-        F.col("dst").alias("src"), F.col("src").alias("dst"), F.lit(1).alias("_r")
+    und = graph.select(
+        F.least("src", "dst").alias("vec_a"),
+        F.greatest("src", "dst").alias("vec_b"),
+        F.when(F.col("src") < F.col("dst"), F.col("score")).alias("s_fwd"),
     )
-    # both sides are the O(k*N) edge set — pin MERGE (sorts + spills;
-    # a shuffle_hash build side would carry the t106 OOM risk at the
-    # corpus sizes this twin exists for)
     return (
-        graph.join(rev.hint("merge"), ["src", "dst"])
-        .filter(F.col("src") < F.col("dst"))
-        .select(F.col("src").alias("vec_a"), F.col("dst").alias("vec_b"), "score")
+        und.groupBy("vec_a", "vec_b")
+        .agg(F.count("*").alias("_n"), F.max("s_fwd").alias("score"))
+        .filter(F.col("_n") == 2)
+        .select("vec_a", "vec_b", "score")
         .orderBy("vec_a", "vec_b")
     )
 

@@ -499,6 +499,14 @@ def test_drift_parts_shuffle_light(spark):
     edge join, no rp/cp join); t70 folds per-source counts into maps
     (lookups, not probe joins); t113 tags the period in one scan (no
     two-branch Union)."""
+    # the drift parts persist their compact stats frames; a prior test
+    # that executed them leaves those caches in the shared session and
+    # the plan collapses to InMemoryTableScans — clear so the asserted
+    # shape is the cold plan
+    from ai_iceberg_demo_spark.tables import clear_table_cache
+
+    spark.catalog.clearCache()
+    clear_table_cache(spark)
     t84 = plan_of(spark, "t84_psi_drift")
     tree = t84.split("\n\n")[0]
     assert "SortMergeJoin" not in t84
