@@ -3161,6 +3161,21 @@ def v33_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _capped_votes(emb: DataFrame) -> DataFrame:
+    """(src, nbr_label, v) neighbor-label vote counts over the capped
+    k-NN graph — the shared tail of v33b (classifier readout) and v24c
+    (label-noise flags). One spelling so the two consumers' plans are
+    canonically identical and pipeline_graph_quality's persist is hit
+    by both."""
+    graph = knn_graph_capped_det(emb, k=3).select("src", "dst")
+    labels = emb.select("vec_id", "label")
+    return (
+        graph.join(labels.withColumnRenamed("vec_id", "dst"), "dst")
+        .groupBy("src", F.col("label").alias("nbr_label"))
+        .agg(F.count("*").alias("v"))
+    )
+
+
 def _v33b_oracle() -> str:
     v18c = REGISTRY.specs["v18c_knn_graph_capped"].oracle
     return f"""
@@ -3206,13 +3221,12 @@ def v33b_knn_classifier_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     emb = load_table(spark, "embeddings", sf_dir)
-    graph = knn_graph_capped_det(emb, k=3).select("src", "dst")
+    # r12: the votes frame is persisted with v24c's EXACT spelling
+    # (_capped_votes) — inside pipeline_graph_quality the two consumers
+    # then share one plan-identical cache instead of each re-running
+    # the graph⋈labels join + (src, label) agg per timed run
+    votes = _capped_votes(emb).transform(persist_once)
     labels = emb.select("vec_id", "label")
-    votes = (
-        graph.join(labels.withColumnRenamed("vec_id", "dst"), "dst")
-        .groupBy("src", F.col("label").alias("nbr_label"))
-        .agg(F.count("*").alias("v"))
-    )
     w = W.partitionBy("src").orderBy(F.desc("v"), F.asc("nbr_label"))
     pred = (
         votes.withColumn("rn", F.row_number().over(w))
@@ -3282,23 +3296,21 @@ def v24c_label_noise_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     emb = load_table(spark, "embeddings", sf_dir)
-    graph = knn_graph_capped_det(emb, k=3).select("src", "dst")
+    # r12: same persisted votes spelling as v33b (_capped_votes) — in
+    # the graph card the graph⋈labels join + (src, label) agg runs
+    # once for both consumers instead of per family per timed run
+    votes = _capped_votes(emb).transform(persist_once)
     labels = emb.select("vec_id", "label")
-    votes = (
-        graph.join(labels.withColumnRenamed("vec_id", "dst"), "dst")
-        .groupBy("src", F.col("label").alias("nl"))
-        .agg(F.count("*").alias("c"))
-    )
-    wr = W.partitionBy("src").orderBy(F.desc("c"), F.asc("nl"))
+    wr = W.partitionBy("src").orderBy(F.desc("v"), F.asc("nbr_label"))
     ws = W.partitionBy("src")
     maj = (
         votes.withColumn("rn", F.row_number().over(wr))
-        .withColumn("n_nbrs", F.sum("c").over(ws))
+        .withColumn("n_nbrs", F.sum("v").over(ws))
         .filter(F.col("rn") == 1)
         .select(
             "src",
-            F.col("nl").alias("neighbor_label"),
-            F.col("c").alias("n_agree"),
+            F.col("nbr_label").alias("neighbor_label"),
+            F.col("v").alias("n_agree"),
             "n_nbrs",
         )
     )
