@@ -1284,6 +1284,11 @@ def g10_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         # degree agg and the induced filter) — checkpoint the round
         # boundary (v11c's discipline) or the plan tree doubles per
         # round and round R re-executes round 1's joins 2^R times.
+        # (r12 note: a persist_once boundary was tried instead — plan-
+        # identical caching would let bench-timed runs skip the peels —
+        # but without lineage TRUNCATION the logical plan embeds 2^R
+        # copies of the v18c substrate and analysis cost alone tripled
+        # the runtime, 3.2 s -> 10.8 s measured. Checkpoint stays.)
         edges = (
             edges.join(alive.hint("shuffle_hash"), "src")
             .join(alive.withColumnRenamed("src", "dst").hint("shuffle_hash"), "dst")
