@@ -2043,7 +2043,12 @@ def t70_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c"), 6).alias("jsd"),
             F.round(F.sum("c") / F.log(F.lit(2.0)), 6).alias("jsd_normalized"),
         )
-        .orderBy("source_a", "source_b")
+        # r13: the output is the enumerable source-pair frame (≤ C(20,2)
+        # rows at any SF) — a narrow coalesce + in-partition sort gives
+        # the identical total order without rangepartitioning's sampling
+        # job + exchange per timed run
+        .coalesce(1)
+        .sortWithinPartitions("source_a", "source_b")
     )
 
 

@@ -1275,24 +1275,34 @@ def g10_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = mutual.union(
         mutual.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).transform(persist_once)
+    # r13 (guide §2.4): a peel round needs each edge's CURRENT degree at
+    # both endpoints — deg(src) is a count over the src partition, and
+    # because the bidirected edge set stays symmetric under peeling
+    # (edge (s,d) survives iff (d,s) does: the predicate is symmetric),
+    # deg(dst) is the same count over the dst partition. Two count
+    # windows + one filter replace the former degree agg + two
+    # shuffle_hash survivor joins (≈5 exchanges/round → 2), and each
+    # round now references `edges` ONCE, so the plan is linear and the
+    # per-round localCheckpoint lineage cut (and its materialization
+    # cost, plus the r11/r12 plan-audit blind spot it caused) is gone
+    # outright — the full 3-round shape is visible in one explain.
+    # Shuffled bytes per round: 2× the surviving edge rows, the same
+    # rows the survivor joins moved; the windows' per-node partitions
+    # are occupancy-capped by the substrate (in/out degree ≤ k-cap), so
+    # no skew funnel hides in the window (the d13 rule does not apply:
+    # nothing here can mis-broadcast, there is no join).
+    from pyspark.sql import Window as W
+
+    w_src = W.partitionBy("src")
+    w_dst = W.partitionBy("dst")
     for _ in range(_KCORE_ROUNDS):
-        deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-        alive = deg.filter(F.col("deg") >= _KCORE_K).select("src")
-        # survivor lists are corpus-derived post-aggregates: d13 rule,
-        # shuffle_hash — AQE's fixture-scale estimate would broadcast.
-        # Each round references the previous round's edges TWICE (the
-        # degree agg and the induced filter) — checkpoint the round
-        # boundary (v11c's discipline) or the plan tree doubles per
-        # round and round R re-executes round 1's joins 2^R times.
-        # (r12 note: a persist_once boundary was tried instead — plan-
-        # identical caching would let bench-timed runs skip the peels —
-        # but without lineage TRUNCATION the logical plan embeds 2^R
-        # copies of the v18c substrate and analysis cost alone tripled
-        # the runtime, 3.2 s -> 10.8 s measured. Checkpoint stays.)
         edges = (
-            edges.join(alive.hint("shuffle_hash"), "src")
-            .join(alive.withColumnRenamed("src", "dst").hint("shuffle_hash"), "dst")
-            .localCheckpoint(eager=False)
+            edges.withColumn("_ds", F.count("*").over(w_src))
+            .withColumn("_dd", F.count("*").over(w_dst))
+            .filter(
+                (F.col("_ds") >= _KCORE_K) & (F.col("_dd") >= _KCORE_K)
+            )
+            .select("src", "dst")
         )
     return edges.groupBy("src").agg(
         F.count("*").cast("bigint").alias("degree")

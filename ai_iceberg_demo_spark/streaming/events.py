@@ -4428,44 +4428,51 @@ def t113_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("bucket")
         .rowsBetween(W.unboundedPreceding, -1)
     )
+    # r13 (guide §2.4): the per-type totals nr/nc share the offsets
+    # window's partition+order spec (only the frame differs —
+    # unbounded both ways), so ONE WindowExec emits offsets AND
+    # totals and the former third pass over the distinct-value table
+    # (n = pv.groupBy(type)) plus its broadcast branch and the final
+    # n⋈d assembly join are gone: Σ tr per type ≡ Σ cr (integer sums,
+    # order-free), and nr/nc ride the broadcast rows into the
+    # d-aggregation as per-type constants (max of a constant).
+    w_tot = W.partitionBy("event_type").orderBy("bucket").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
     offs = btot.select(
         "event_type",
         "bucket",
         F.coalesce(F.sum("tr").over(w_off), F.lit(0)).alias("ar_off"),
         F.coalesce(F.sum("tc").over(w_off), F.lit(0)).alias("ac_off"),
+        F.sum("tr").over(w_tot).cast("bigint").alias("nr"),
+        F.sum("tc").over(w_tot).cast("bigint").alias("nc"),
     )
     cum = within.join(F.broadcast(offs), ["event_type", "bucket"]).select(
         "event_type",
         "value",
         (F.col("ar_off") + F.col("ar_in")).alias("ar"),
         (F.col("ac_off") + F.col("ac_in")).alias("ac"),
-    )
-    # n and d are one row per event TYPE — corpus-independent by
-    # construction (the sizes/sizes2 occupancy argument), so they
-    # broadcast (r12): the former shuffle_hash pin exchanged the whole
-    # distinct-value cum table into ≤types partitions just to attach
-    # two numbers per type, serializing the D-scan
-    n = pv.groupBy("event_type").agg(
-        F.sum("cr").cast("bigint").alias("nr"),
-        F.sum("cc").cast("bigint").alias("nc"),
+        "nr",
+        "nc",
     )
     d = (
-        cum.join(F.broadcast(n), "event_type")
-        .groupBy("event_type")
+        cum.groupBy("event_type")
         .agg(
             F.max(
                 F.abs(
                     F.col("ar").cast("double") / F.col("nr")
                     - F.col("ac").cast("double") / F.col("nc")
                 )
-            ).alias("d")
+            ).alias("d"),
+            F.max("nr").alias("nr"),
+            F.max("nc").alias("nc"),
         )
     )
     crit = F.lit(_KS_CRIT) * F.sqrt(
         (F.col("nr") + F.col("nc")).cast("double")
         / (F.col("nr").cast("double") * F.col("nc"))
     )
-    return n.join(F.broadcast(d), "event_type").select(
+    return d.select(
         "event_type",
         F.col("nr").alias("n_ref"),
         F.col("nc").alias("n_cmp"),
