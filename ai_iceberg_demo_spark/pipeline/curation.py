@@ -816,16 +816,35 @@ def pipeline_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ai_iceberg_demo_spark.vector.dedup import minhash_bands, shingles
 
     docs = load_table(spark, "documents", sf_dir)
-    sample = docs.filter(F.col("doc_id") % 10 == 0).select("doc_id", "text")
-    mangled = docs.filter(F.col("doc_id") % 20 == 0).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"),
-        F.concat(F.lit("  "), F.upper("text"), F.lit("  ")).alias("text"),
+    # r13 (guide §6): the planted corpus is ONE scan — %20==0 and
+    # %30==0 are subsets of the %10==0 sample, so each sampled row
+    # explodes into itself plus its conditional mangled/footer plants
+    # instead of three filtered passes over documents. Same row
+    # multiset as the former three-branch union.
+    variants = F.array(
+        F.struct(F.col("doc_id").alias("doc_id"), F.col("text").alias("text")),
+        F.struct(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat(F.lit("  "), F.upper("text"), F.lit("  ")).alias("text"),
+        ),
+        F.struct(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"),
+            F.concat(
+                F.col("text"), F.lit(" near duplicate footer variant")
+            ).alias("text"),
+        ),
     )
-    footer = docs.filter(F.col("doc_id") % 30 == 0).select(
-        (F.col("doc_id") + 2_000_000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" near duplicate footer variant")).alias("text"),
+    keep = F.filter(
+        variants,
+        lambda v, i: (i == 0)
+        | ((i == 1) & (F.col("doc_id") % 20 == 0))
+        | ((i == 2) & (F.col("doc_id") % 30 == 0)),
     )
-    corpus = sample.unionByName(mangled).unionByName(footer)
+    corpus = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select(F.explode(keep).alias("_v"))
+        .select("_v.doc_id", "_v.text")
+    )
     fp = corpus.select("doc_id", "text", fingerprint(F.col("text")).alias("fp"))
     # keep-min survivor carries its text forward (min-struct: partial-
     # aggregable, no window); persist — feeds the band index, the
@@ -860,13 +879,33 @@ def pipeline_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .distinct()
     )
-    # persist: both halves of the candidate-verify join + the size table
+    # persist: both halves of the candidate-verify join. r13 (guide
+    # §2.4, the d9b spelling): the distinct shingle set and its size
+    # are per-document — array_distinct replaces the (doc, shingle)
+    # distinct exchange, n_sh rides each shingle row, and the separate
+    # sizes aggregation + both size-attach joins fold into the
+    # intersection aggregation (min of a per-doc constant).
     sh = (
-        surv1.select("doc_id", F.explode(shingles(F.col("text"))).alias("shingle"))
-        .distinct()
+        surv1.select(
+            "doc_id",
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.array(F.array_distinct(shingles(F.col("text")))),
+                        lambda a: F.transform(
+                            a,
+                            lambda t: F.struct(
+                                t.alias("shingle"),
+                                F.size(a).cast("long").alias("n_sh"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("_e"),
+        )
+        .select("doc_id", "_e.shingle", "_e.n_sh")
         .transform(persist_once)
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     inter = (
         cands.join(sh.alias("sa"), F.col("a_id") == F.col("sa.doc_id"))
         .join(
@@ -875,15 +914,15 @@ def pipeline_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("sb.shingle") == F.col("sa.shingle")),
         )
         .groupBy("a_id", "b_id")
-        .agg(F.count("*").alias("n_inter"))
+        .agg(
+            F.count("*").alias("n_inter"),
+            F.min(F.col("sa.n_sh")).alias("na"),
+            F.min(F.col("sb.n_sh")).alias("nb"),
+        )
     )
-    na = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("nb"))
     jac = F.col("n_inter").cast("double") / (F.col("na") + F.col("nb") - F.col("n_inter"))
     dropped = (
-        inter.join(F.broadcast(na), "a_id")
-        .join(F.broadcast(nb), "b_id")
-        .filter(jac >= 0.8)
+        inter.filter(jac >= 0.8)
         .select(F.col("b_id").alias("doc_id"))
         .distinct()
     )

@@ -211,7 +211,7 @@ def fan_out_by_key(df: DataFrame, *cols: str) -> DataFrame:
     return df.repartition(n, *[F.col(c) for c in cols])
 
 
-def fan_out_small_input(df: DataFrame) -> DataFrame:
+def fan_out_small_input(df: DataFrame, factor: int = 8) -> DataFrame:
     """Repartition a scan whose file count can't feed the cores.
 
     One small parquet file means one scan task doing all the map work
@@ -221,9 +221,13 @@ def fan_out_small_input(df: DataFrame) -> DataFrame:
     exists. Uses inputFiles() (plan-cached on the shared table
     handles), NOT .rdd.getNumPartitions(), which converts to an RDD on
     every call; non-file sources return [] and are left untouched.
+    ``factor`` sets the per-file width cap; callers whose downstream is
+    pure map-side CPU (r13: the MinHash signature build, now exchange-
+    free) pass a full-core factor since no later exchange will ever
+    re-spread the work.
     """
     n_in = len(df.inputFiles())
     cores = df.sparkSession.sparkContext.defaultParallelism
     if 0 < n_in * 4 <= cores:
-        return df.repartition(min(cores, n_in * 8))
+        return df.repartition(min(cores, n_in * factor))
     return df

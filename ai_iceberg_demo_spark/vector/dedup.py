@@ -333,14 +333,25 @@ def _guard_below_twin_offset(
 def salt_doc_twins(sample: DataFrame, every: int = 30) -> DataFrame:
     """Every ``every``-th doc gains a footer-variant twin
     (doc_id + 2e6); see _TWIN_DOC_OFFSET note."""
-    twins = sample.filter(F.col("doc_id") % every == 0).select(
-        (F.col("doc_id") + _TWIN_DOC_OFFSET).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(_TWIN_FOOTER)).alias("text"),
+    # r13 (guide §6): ONE pass — each row explodes into itself (guarded)
+    # plus, for every-th docs, its footer twin. The former two-branch
+    # union read the sample twice; same row multiset, one scan.
+    variants = F.array(
+        F.struct(
+            _guard_below_twin_offset(F.col("doc_id")).alias("doc_id"),
+            F.col("text").alias("text"),
+        ),
+        F.struct(
+            (F.col("doc_id") + _TWIN_DOC_OFFSET).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(_TWIN_FOOTER)).alias("text"),
+        ),
     )
-    guarded = sample.select(
-        _guard_below_twin_offset(F.col("doc_id")).alias("doc_id"), "text"
+    keep = F.filter(
+        variants, lambda v, i: (i == 0) | (F.col("doc_id") % every == 0)
     )
-    return guarded.unionByName(twins)
+    return sample.select(F.explode(keep).alias("_v")).select(
+        "_v.doc_id", "_v.text"
+    )
 
 
 def _salted_docs_sql(where: str, every: int = 30) -> str:
@@ -403,24 +414,53 @@ def d3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_sigs(docs: DataFrame) -> DataFrame:
     """(doc_id, h0..h15) MinHash signature table — the shared substrate
     of the band index (minhash_bands) and the calibration audit (d14).
-    One distinct-SHINGLE explode + one doc-keyed min-agg: the hash unit
-    is the word-3-gram, the same gram the exact-Jaccard verify tier
-    measures (see _bands_sql for why unigram sets degenerate)."""
+    The hash unit is the word-3-gram, the same gram the exact-Jaccard
+    verify tier measures (see _bands_sql for why unigram sets
+    degenerate).
+
+    r13 (guide §2.4): a signature is a per-DOCUMENT reduction — min
+    over that document's distinct shingles — so the whole build is
+    map-side array algebra (array_distinct → hash transform → 16
+    array_mins), ZERO exchanges. The former spelling exploded every
+    (doc, shingle) row through a corpus-sized distinct exchange plus a
+    doc-keyed min-agg exchange; at 100 TB those moved the entire
+    shingle relation twice just to come back to one row per doc. Same
+    arithmetic on the same distinct shingle set → bit-identical h0..h15
+    (integer min is order-free). Contract: callers feed unique doc_ids
+    (the old groupBy would have merged duplicates; every call site
+    builds salted/guarded unions or post-aggregate survivors, which
+    are unique by construction). Docs with no shingle (< 3 tokens) are
+    dropped, exactly as the explode dropped them.
+    """
     from ai_iceberg_demo_spark.tables import fan_out_small_input
 
-    docs = fan_out_small_input(docs)
-    toks = docs.select("doc_id", F.explode(shingles(F.col("text"))).alias("tok")).distinct()
-    tok_x = toks.select(
-        "doc_id",
-        F.conv(F.substring(F.md5(F.encode("tok", "UTF-8")), 1, 7), 16, 10)
-        .cast("long")
-        .alias("x"),
+    # full-core fan-out: the build is exchange-free now, so no later
+    # shuffle will re-spread the md5 work the old agg exchange did
+    docs = fan_out_small_input(docs, factor=64)
+    xs = F.transform(
+        F.array_distinct(shingles(F.col("text"))),
+        lambda t: F.conv(F.substring(F.md5(F.encode(t, "UTF-8")), 1, 7), 16, 10).cast(
+            "long"
+        ),
     )
-    return tok_x.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(_MERSENNE_P)).alias(f"h{i}")
-            for i, (a, b) in enumerate(zip(_MINHASH_A, _MINHASH_B))
-        ]
+    # bind the hash array ONCE per row (the shingles() single-element
+    # outer-transform discipline): referencing xs inside each of the 16
+    # min expressions would inline the md5 transform 16×
+    sig = F.transform(
+        F.array(xs),
+        lambda v: F.struct(
+            *[
+                F.array_min(
+                    F.transform(v, lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(_MERSENNE_P))
+                ).alias(f"h{i}")
+                for i, (a, b) in enumerate(zip(_MINHASH_A, _MINHASH_B))
+            ]
+        ),
+    )
+    return (
+        docs.select("doc_id", F.explode(sig).alias("_s"))
+        .filter(F.col("_s.h0").isNotNull())
+        .select("doc_id", "_s.*")
     )
 
 
@@ -1051,12 +1091,36 @@ def d9b_canonical_at_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .distinct()
     )
+    # r13 (guide §2.4): the distinct shingle SET and its size are
+    # per-document quantities, so both are map-side array algebra —
+    # array_distinct replaces the corpus-sized (doc, shingle) distinct
+    # exchange, and n_sh rides every shingle row (+8 bytes) so the
+    # separate sizes aggregation AND both size-attach shuffle_hash
+    # joins disappear: the Jaccard denominator is recovered inside the
+    # intersection aggregation (min of a per-doc constant). The shingle
+    # array is bound once per row (the shingles() outer-transform
+    # discipline) so size() can't re-tokenize the document.
     sh = (
-        docs.select("doc_id", F.explode(shingles(F.col("text"))).alias("shingle"))
-        .distinct()
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.array(F.array_distinct(shingles(F.col("text")))),
+                        lambda a: F.transform(
+                            a,
+                            lambda t: F.struct(
+                                t.alias("shingle"),
+                                F.size(a).cast("long").alias("n_sh"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("_e"),
+        )
+        .select("doc_id", "_e.shingle", "_e.n_sh")
         .transform(persist_once)
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     # candidate pairs AND the shingle relation both grow with the
     # corpus — shuffle_hash so a post-aggregate size misestimate can
     # never broadcast either (the d13 lesson; d2's no-sort reasoning)
@@ -1069,21 +1133,16 @@ def d9b_canonical_at_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("sb2.shingle") == F.col("sa2.shingle")),
         )
         .groupBy("a_id", "b_id")
-        .agg(F.count("*").alias("n_inter"))
+        .agg(
+            F.count("*").alias("n_inter"),
+            F.min(F.col("sa2.n_sh")).alias("na"),
+            F.min(F.col("sb2.n_sh")).alias("nb"),
+        )
     )
-    na = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("nb"))
     jac = F.col("n_inter").cast("double") / (
         F.col("na") + F.col("nb") - F.col("n_inter")
     )
-    # size table is doc-count-sized (corpus-scaled at 100 TB) — never
-    # broadcast it (the d13 lesson); shuffle_hash on the candidate side
-    pairs = (
-        inter.join(na.hint("shuffle_hash"), "a_id")
-        .join(nb.hint("shuffle_hash"), "b_id")
-        .filter(jac >= 0.8)
-        .select("a_id", "b_id")
-    )
+    pairs = inter.filter(jac >= 0.8).select("a_id", "b_id")
     comps = connected_components(pairs)
     # q is per-doc (corpus-scaled) — same rule as above
     q = docs.select("doc_id", quality_score(F.col("text")).alias("quality"))

@@ -97,9 +97,17 @@ def test_flagship_timeline_single_pass(spark):
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
 
 
-def test_training_data_ops_have_partial_aggs(spark):
+def test_minhash_signature_build_is_map_side(spark):
+    """r13: the MinHash signature is a per-document reduction, so the
+    build shuffles NOTHING — no (doc, shingle) distinct exchange, no
+    doc-keyed min-agg exchange (the pre-r13 shape this test's ancestor
+    pinned as 'partial agg present'). The only exchanges left in d3
+    are the band-collision self-join and the candidate distinct; in
+    particular no exchange is keyed by doc_id anywhere."""
     plan = plan_of(spark, "d3_minhash_lsh")
-    assert "partial_" in plan, "minhash signature agg lacks map-side combine"
+    assert "hashpartitioning(doc_id" not in plan, plan
+    assert "array_min" in plan  # the map-side signature reduction
+    assert "SortMergeJoin" not in plan
 
 
 def test_epoch_shuffle_never_range_partitions(spark):
