@@ -1038,43 +1038,46 @@ def bradley_terry_fit(pairs: DataFrame, n_rounds: int = 2) -> DataFrame:
 
     wall = W.partitionBy()
 
-    def normalize(s_df: DataFrame) -> DataFrame:
+    def normalize(s_df: DataFrame, carry: list[str]) -> DataFrame:
         return s_df.select(
             "a2",
             F.round(
                 F.col("s") * F.count("*").over(wall) / F.sum("s").over(wall),
                 _BT_ROUND,
             ).alias("s"),
+            *carry,
         )
 
-    r1 = (
-        directed.join(wtot, "a2")
-        .groupBy("a2", "wins")
-        .agg(
-            F.round(
-                F.first("wins") / F.sum(F.col("n") / 2.0), _BT_ROUND
-            ).alias("s")
-        )
-        .select("a2", "s")
+    # r13 (guide §2.4): round 1 starts from the uniform init, so its
+    # denominator Σ_j n_ij/(s+s) = Σ n/2.0 = n_comparisons/2.0 — both
+    # sides are exact (integer halves sum associativity-free below
+    # 2^53), so r1 is a PROJECTION over the item-sized wtot table and
+    # the former full pass over `directed` (join + groupBy + agg) is
+    # gone. n_comparisons also rides r2's grouping as a per-item
+    # constant, so the final s2⋈wtot assembly join is gone too.
+    r1 = wtot.select(
+        "a2",
+        F.round(
+            F.col("wins") / (F.col("n_comparisons") / 2.0), _BT_ROUND
+        ).alias("s"),
     )
-    s1 = normalize(r1)
+    s1 = normalize(r1, [])
     r2 = (
         directed.join(wtot, "a2")
         .join(s1.select(F.col("a2").alias("a2j"), F.col("s").alias("sa")),
               F.col("a2") == F.col("a2j"))
         .join(s1.select(F.col("a2").alias("b2j"), F.col("s").alias("sb")),
               F.col("b2") == F.col("b2j"))
-        .groupBy("a2", "wins")
+        .groupBy("a2", "wins", "n_comparisons")
         .agg(
             F.round(
                 F.first("wins") / F.sum(F.col("n") / (F.col("sa") + F.col("sb"))),
                 _BT_ROUND,
             ).alias("s")
         )
-        .select("a2", "s")
+        .select("a2", "s", "wins", "n_comparisons")
     )
-    s2 = normalize(r2)
-    return s2.join(wtot, "a2")
+    return normalize(r2, ["wins", "n_comparisons"])
 
 
 
