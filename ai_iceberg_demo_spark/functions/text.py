@@ -2960,7 +2960,7 @@ def t105_bleu_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # co-partitioned on doc_id (shuffle_hash pinned per the d13 rule —
     # strategy only, no exchange). 5 shuffles + 1 gram join → 1 shuffle
     # of raw text rows; nothing corpus-exploded crosses the network.
-    from ai_iceberg_demo_spark.tables import fan_out_by_key, persist_once
+    from ai_iceberg_demo_spark.tables import fan_out_by_key
 
     docs = load_table(spark, "documents", sf_dir)
     toks0 = docs.select("doc_id", "text", F.split("text", " ").alias("w")).filter(

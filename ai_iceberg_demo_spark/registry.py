@@ -92,70 +92,74 @@ class Registry:
 #   3. Then never-driver-checked names in registration order; then
 #      staleness tiers.
 #
-# Round 12 window (this list, per the r11 verdict's marching order
-# #1): the 15 r11 registrations as first-ever pins in registration
-# order (the graph ops g10/g11, the in-context packer u47, the
-# trainer/eval family t108–t112, the KS drift test t113, the
-# blocklist gate t115, the cogrouped-map seam x9, and the four
-# governance cards — the only registered queries without driver
-# rows, recomputed against CORRECTNESS_r01–r11 before pinning), then
-# the first 35 of the 47-name r4 staleness tier in name order (8
-# rounds stale by r12; all hash-oracled). 15 + 35 = 50; the cut
-# falls after s2_point_lookup, the last 12 tier names overflow to
-# the r13 draft — see ROTATION.md.
+# Round 13 window (this list, per ROTATION.md's r13 queue draft):
+# the 3 r12 registrations as first-ever pins in registration order
+# (the audio/video near-dup pair v8h/v8h2 and the distinct-n
+# diversity metric t114 — recomputed against CORRECTNESS_r01–r12:
+# they are the only never-driver-checked names; r13's optimization
+# rewrites are plan-only with hashes verified unchanged at both
+# oracle SFs, so no semantic re-pins jump the queue), then the 12
+# r4-tier overflow names from the r12 cut in name order, then the
+# first 35 of the 47-name r5 staleness tier in name order (the
+# tier's rows-only names v12_pca_project / v18_knn_graph are
+# excluded per policy #1 — each has a hash-oracled twin with driver
+# history). 3 + 12 + 35 = 50; the last 12 r5-tier names
+# (u18_upsample_mix … w7_cumulative_uniques) overflow to the r14
+# draft — see ROTATION.md.
 _DRIVER_WINDOW_PRIORITY = [
-    # 15 r11 registrations (first-ever rows), registration order
-    "g10_kcore",
-    "g11_hits",
-    "u47_incontext_packing",
-    "t108_logreg_quality",
-    "t109_wer_eval",
-    "t110_bootstrap_ci",
-    "pipeline_eval_card",
-    "t111_self_bleu",
-    "t112_pass_at_k",
-    "t113_ks_test",
-    "pipeline_drift_card",
-    "pipeline_packing_card",
-    "x9_cogrouped_map_pandas",
-    "t115_blocklist_filter",
-    "pipeline_safety_card",
-    # first 35 of the r4 staleness tier (newest driver row r4), name order
-    "a1_max_per_group",
-    "a2_predicated_count",
-    "a3_progress_counters",
-    "a4_collect_list_fanin",
-    "a5_next_sequence",
-    "a6_usage_accumulation",
-    "a7_rollup",
-    "a9_skew_salted_agg",
-    "j1_parent_children_join",
-    "j2_union_edge_join",
-    "j3_semi_join_exists",
-    "j4_anti_join_guard",
-    "j5_adjacent_sequence",
-    "j7_star_join",
-    "j8_asof_join",
-    "j9_interval_join",
-    "o1_newest_first",
-    "o2_ordered_replay",
-    "o3_keyset_pagination",
-    "o3_pagination",
-    "o4_topk_by_score",
-    "o5_limited_replay",
-    "p1_projection_rename",
-    "p2_threshold_filter",
-    "p3_notnull_filter",
-    "p4_compound_predicate",
-    "p5_category_equality",
-    "p6_substring_routing",
-    "p7_status_not_in",
-    "p8_drop_null_rows",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "s1_full_scan",
-    "s2_point_lookup",
+    # 3 r12 registrations (first-ever rows), registration order
+    "v8h_av_contour_dedup",
+    "v8h2_av_signature_det",
+    "t114_distinct_n",
+    # 12 r4-tier overflow names (newest driver row r4), name order
+    "s3_filtered_count",
+    "u10_mixture_plan",
+    "u11_epoch_shuffle",
+    "u1_union_timeline",
+    "u2_concat_datasets",
+    "u3_intersect",
+    "w1_last_per_group",
+    "w2_sequence_numbering",
+    "w3_lag_predecessor",
+    "w4_ranked_topk",
+    "w5_moving_window_frame",
+    "w6_distribution_ranks",
+    # first 35 of the r5 staleness tier (newest driver row r5), name order
+    "a11b_histogram_quantiles",
+    "a14_skew_report",
+    "a15_frequent_tokens",
+    "d10_exact_substring_removal",
+    "d11_source_overlap",
+    "f31_pretokenize",
+    "g1_pagerank",
+    "g2_label_propagation",
+    "m10_wap_audit",
+    "m11_orphan_files",
+    "m12_maintenance_plan",
+    "m6_scd2_upsert",
+    "m8_snapshot_diff",
+    "m9_compaction_plan",
+    "o6_zorder_key",
+    "o7_consistent_hashing",
+    "pipeline_incremental_curation",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "s10_column_profile",
+    "s11_fk_inclusion",
+    "t13_watermark_audit",
+    "t14_funnel",
+    "t14b_retention",
+    "t17b_semantic_decontamination",
+    "t21_bigram_merge_stats",
+    "t22_bm25_topk",
+    "t23_hybrid_rrf",
+    "t27_ab_test",
+    "t28_streaming_wap",
+    "t30_rate_limit",
+    "u11b_epoch_shuffle_2",
+    "u13_data_card",
+    "u15_quality_calibration",
+    "u17_weighted_sample",
 ]
 
 

@@ -3606,7 +3606,14 @@ def t84_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (edge quantiles, binning) — the floor of any frozen-bin PSI.
     from pyspark.sql import Window as W
 
-    ev = load_table(spark, "events", sf_dir).filter(F.col("value").isNotNull())
+    # ts guard (r12 ADVICE): the side tag r = (day < split) is null for
+    # null ts, and cn = count(*) − Σr would silently count such rows as
+    # comparison-side where the old two-filter shape excluded them from
+    # BOTH periods. The fixture's ts is never null (hashes unchanged),
+    # but the guard keeps the one-scan rewrite faithful if it ever is.
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
     day = F.col("ts").cast("date")
     cuts = [float(i) / _T84_BINS for i in range(1, _T84_BINS)]
     edges = ev.filter(day < _T84_SPLIT).groupBy("event_type").agg(

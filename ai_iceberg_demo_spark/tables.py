@@ -207,7 +207,13 @@ def fan_out_by_key(df: DataFrame, *cols: str) -> DataFrame:
     downstream per-partition compute (the fan_out_small_input rationale
     applied to a keyed exchange).
     """
-    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # r12 ADVICE: some vendor runtimes set the conf to a non-integer
+    # (e.g. "auto"); fall back to the scheduler's parallelism rather
+    # than turning every keyed fan-out consumer into a hard failure
+    try:
+        n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        n = df.sparkSession.sparkContext.defaultParallelism
     return df.repartition(n, *[F.col(c) for c in cols])
 
 

@@ -2033,7 +2033,16 @@ def knn_graph_capped_det(emb: DataFrame, k: int = 3) -> DataFrame:
     """v18c's core: exact-rerank top-k among CAPPED-bucket collision
     candidates. Every join here is corpus x corpus — the keyed
     self-join and both embedding payload joins carry pinned
-    shuffle_hash hints (the d13 rule)."""
+    shuffle_hash hints (the d13 rule).
+
+    CONTRACT (r12 ADVICE): the returned edge set is UNIQUE per
+    direction — at most one (src, dst) row — because candidates are
+    .distinct()ed before the rank window and the window emits each
+    (src, dst) once. BOTH mutual-edge consumers (d26b and g10) rely on
+    this: they detect reciprocity as COUNT(*) = 2 over the unordered
+    pair key, which duplicate same-direction edges would fake. If
+    candidate generation ever stops deduplicating, restore a distinct
+    here or revert those consumers to the reversed self-join."""
     from pyspark.sql import Window as W
 
     keyed = _md5_capped_keys(emb).transform(persist_once)

@@ -45,13 +45,15 @@ def test_floor_trips_on_injected_slowdown_and_passes_on_sane_floors(spark, tmp_p
     measured = _measure(spark, tmp_path)
 
     # sane floors = what we just measured → every ratio ≈ 1, no trips.
-    # max_ratio is 2.5 here (not the production 1.5): these sf0.001
+    # max_ratio is 4 here (not the production 1.5): these sf0.001
     # queries finish in 0.1–0.4 s, where a single GC pause adds ~0.2 s
     # of jitter — the production floor file gates ~1 s sf0.1 queries
-    # where 1.5× is signal. The injected check below is 100×, so the
+    # where 1.5× is signal. (r13: 2.5 still flaked under co-tenant
+    # load — one in-suite stop at loadavg ≈ 4, green in isolation and
+    # in the full run.) The injected check below is 100×, so the
     # looser ratio costs the trip-proof nothing.
     sane = tmp_path / "floor_ok.json"
-    sane.write_text(json.dumps({"sf": 0.001, "max_ratio": 2.5, "queries": measured}))
+    sane.write_text(json.dumps({"sf": 0.001, "max_ratio": 4, "queries": measured}))
     assert _check_bench_floor(spark, SF_DIR, floor_path=sane) == []
 
     # injected slowdown: pretend one query used to be 100× faster;

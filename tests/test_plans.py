@@ -530,3 +530,45 @@ def test_drift_parts_shuffle_light(spark):
 
     t113 = plan_of(spark, "t113_ks_test")
     assert "Union" not in t113.split("\n\n")[0]  # one tagged scan
+
+
+def _window_subtrees_are_post_aggregate(tree: str) -> None:
+    """Every Window node must sit ABOVE an aggregation: walking its
+    printed subtree (deeper-indented lines), a HashAggregate must
+    appear before any parquet scan. This is the claim that makes the
+    bench's 'WindowExec: No Partition Defined' chorus provably benign
+    for the drift family — the windows only ever see frames already
+    reduced to ≤ types×bins / distinct-value rows, never the corpus."""
+    lines = tree.splitlines()
+
+    def indent(ln: str) -> int:
+        return len(ln) - len(ln.lstrip(" :+-"))
+
+    for i, ln in enumerate(lines):
+        if "Window (" not in ln:
+            continue
+        base = indent(ln)
+        seen_agg = False
+        for sub in lines[i + 1 :]:
+            if sub.strip() and indent(sub) <= base:
+                break
+            if "HashAggregate" in sub or "InMemoryTableScan" in sub:
+                seen_agg = True  # aggregated (or persisted stats) input
+                break
+            if "Scan parquet" in sub:
+                break
+        assert seen_agg, f"Window over un-aggregated input:\n{ln}\n{tree}"
+
+
+def test_drift_windows_only_see_aggregated_frames(spark):
+    """r12 verdict follow-up: pin the compactness claim for the
+    t84/t113 totals windows (global/per-type windows are fine at scale
+    ONLY because their input is the aggregated stats frame)."""
+    from ai_iceberg_demo_spark.tables import clear_table_cache
+
+    spark.catalog.clearCache()
+    clear_table_cache(spark)
+    for name in ("t84_psi_drift", "t113_ks_test"):
+        tree = plan_of(spark, name).split("\n\n")[0]
+        assert "Window (" in tree, tree
+        _window_subtrees_are_post_aggregate(tree)
