@@ -4450,18 +4450,62 @@ def t114_distinct_n(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", F.split("text", " ").alias("t"))
         .select("doc_id", F.explode(F.expr(_bleu_ngram_structs_sql())).alias("s"))
         .filter(F.col("s.n") <= 3)
-        .select("doc_id", F.col("s.n").alias("n"), F.col("s.gram").alias("gram"))
-        .transform(persist_once)
+        .select(F.col("s.n").alias("n"), F.col("s.gram").alias("gram"))
     )
+    # corpus-level distinctness genuinely needs the gram exchange;
+    # it is now the explode's ONLY consumer, so the gram table streams
+    # straight into the aggregation instead of persisting corpus-scaled
+    # gram rows (r13 — the cache was the only reason both aggs shared it)
     corpus = g.groupBy("n").agg(
         F.count("*").cast("bigint").alias("total_ngrams"),
         F.countDistinct("gram").cast("bigint").alias("distinct_ngrams"),
     )
+    # r13 (guide §2.4, the minhash_sigs discipline): the per-DOC
+    # distinct ratio is a per-document reduction — size(array_distinct)
+    # over each n's gram array, map-side, no (doc, n, gram) distinct
+    # exchange and no (doc, n) agg exchange. Each array is bound once
+    # (nested single-element-array transforms) so nothing re-tokenizes.
+    tok_stats = F.element_at(
+        F.transform(
+            F.array(F.split(F.col("text"), " ")),
+            lambda t: F.transform(
+                F.sequence(F.lit(1), F.lit(3)),
+                lambda n: F.element_at(
+                    F.transform(
+                        F.array(
+                            F.when(
+                                F.size(t) >= n,
+                                F.transform(
+                                    F.sequence(F.lit(0), F.size(t) - n),
+                                    lambda i: F.concat_ws(
+                                        " ", F.slice(t, i + 1, n)
+                                    ),
+                                ),
+                            ).otherwise(F.array().cast("array<string>"))
+                        ),
+                        lambda gr: F.struct(
+                            n.cast("int").alias("n"),
+                            F.size(gr).cast("long").alias("tot"),
+                            F.size(F.array_distinct(gr)).cast("long").alias(
+                                "dist"
+                            ),
+                        ),
+                    ),
+                    1,
+                ),
+            ),
+        ),
+        1,
+    )
     per_doc = (
-        g.groupBy("doc_id", "n")
-        .agg((F.countDistinct("gram") / F.count("*").cast("double")).alias("r"))
-        .groupBy("n")
-        .agg(F.round(F.avg("r") + 0.0, 6).alias("mean_doc_distinct_ratio"))
+        docs.select(F.explode(tok_stats).alias("st"))
+        .filter(F.col("st.tot") > 0)
+        .groupBy(F.col("st.n").alias("n"))
+        .agg(
+            F.round(
+                F.avg(F.col("st.dist") / F.col("st.tot").cast("double")) + 0.0, 6
+            ).alias("mean_doc_distinct_ratio")
+        )
     )
     return (
         corpus.join(F.broadcast(per_doc), "n")
